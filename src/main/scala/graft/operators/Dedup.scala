@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora.
+  *
+  * - exact: hash-groupBy keep-first (deterministic winner)
+  * - minhashLsh: shingle → minhash signature → banded LSH bucket join
+  * - simhash: 64-bit simhash + hamming-band candidate join
+  * - ngramJaccard: exact n-gram Jaccard over candidate pairs
+  * - embeddingNearDup: cosine near-dup over an embedding column
+  *
+  * Scale design: every pairwise step goes through a BUCKET join (band
+  * hash or simhash band), never a cross join — candidate generation is
+  * an equi-join Spark executes as a shuffled hash join whose fan-out is
+  * bounded by bucket size. Signatures are computed with codegen'd
+  * expressions (xxhash64), no UDFs.
+  *
+  * Performance note: shingling and the base hash run ONCE per row in
+  * their own projection stages ([[shingleHashes]]); the 64 minhash
+  * functions are cheap universal-hash permutations `a*h+b` of that one
+  * base hash. Catalyst's CollapseProject keeps the staging because an
+  * expensive alias referenced many times is never inlined — without the
+  * staging the shingle expression is evaluated 64× per row (measured
+  * ~50× slower at sf0.001).
+  */
+object Dedup {
+
+  /** Exact dedup with deterministic winner: lowest `idCol` per identical
+    * normalized text wins. One shuffle on the fingerprint. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word n-gram shingles of the normalized text, as a deduped array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** (id, sh, hs): shingle array and its xxhash64 base hashes, staged so
+    * each is computed exactly once per row. */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), col("sh"),
+        transform(col("sh"), s => xxhash64(s)).as("hs"))
+
+  /** MinHash signature from precomputed base hashes — native codegen'd
+    * expression ([[graft.functions.MinHash64]]): one tight loop per row,
+    * wrapping arithmetic that ANSI-mode SQL would reject. */
+  def minhashSignatureFromHashes(hs: Column, numHashes: Int): Column =
+    graft.functions.MinHash64.minhash64(hs, numHashes)
+
+  /** LSH band keys: signature split into `bands` bands of `rowsPerBand`,
+    * each band hashed to one bucket key. Docs sharing ANY band key are
+    * candidate pairs. */
+  def lshBandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(sigCol, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
+  /** (id, sig) minhash signatures, one staged computation per row. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, shingleN: Int = 3): DataFrame =
+    shingleHashes(df, textCol, idCol, shingleN)
+      .select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+
+  /** MinHash+LSH near-dup candidate pairs (id1 < id2), with estimated
+    * Jaccard = fraction of matching signature positions. Explode band
+    * keys → self equi-join on the bucket → distinct pairs. The join is a
+    * shuffled equi-join on the band hash; no cross product ever forms. */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleN)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val l = banded.select(col("band"), col("id").as("id1"), col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("id").as("id2"), col("sig").as("sig2"))
+    l.join(r, Seq("band")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** 64-bit SimHash from precomputed shingle hashes — native codegen'd
+    * expression ([[graft.functions.SimHash64]]); the HOF formulation was
+    * measured 50-500× slower (interpreted lambda per element). */
+  def simhashFromHashes(hs: Column): Column =
+    graft.functions.SimHash64.simhash64(hs)
+
+  /** SimHash near-dup candidates: band the 64-bit simhash into 4×16-bit
+    * blocks; docs agreeing on ≥1 block (pigeonhole covers hamming ≤3)
+    * are candidates; verify with true hamming distance ≤ `maxHamming`. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
+    val withSim = shingleHashes(df, textCol, idCol, shingleN)
+      .select(col("id"), simhashFromHashes(col("hs")).as("sim"))
+    val banded = withSim.select(col("id"), col("sim"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("band"))
+      .select(col("id"), col("sim"), col("band.blk"), col("band.key"))
+    val l = banded.select(col("blk"), col("key"), col("id").as("id1"), col("sim").as("sim1"))
+    val r = banded.select(col("blk"), col("key"), col("id").as("id2"), col("sim").as("sim2"))
+    l.join(r, Seq("blk", "key")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** Exact n-gram Jaccard over LSH candidate pairs: re-join the shingle
+    * sets onto minhash candidates and compute |∩|/|∪| exactly. At scale
+    * the exact verify only touches the candidate set, not all pairs. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val cands = minhashLshPairs(df, textCol, idCol, numHashes, bands, shingleN)
+      .select("id1", "id2")
+    cands
+      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
+      .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding cosine near-dup: candidate pairs whose cosine similarity
+    * exceeds `threshold`, generated through Similarity's LSH buckets to
+    * avoid the all-pairs product. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 12): DataFrame =
+    Similarity.lshCandidatePairs(df, idCol, vecCol, planes)
+      .filter(col("cosine") >= threshold)
+}

