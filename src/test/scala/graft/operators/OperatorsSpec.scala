@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  def docs: DataFrame = graft.Tables.load(spark, sfDir, "documents")
+
+  test("exact dedup keeps lowest id per duplicate text") {
+    val df = Seq((3L, "a b c"), (1L, "a b c"), (2L, "x y z"), (5L, "A  b   C!"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted
+    // "A  b   C!" normalizes to "a b c" → same group as ids 1,3
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("shingles: distinct word 3-grams; short text falls back to whole text") {
+    val df = Seq("one two three four", "hi there").toDF("text")
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(sh(0).toSet == Set("one two three", "two three four"))
+    assert(sh(1) == Seq("hi there"))
+  }
+
+  test("minhash LSH finds near-duplicate and skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest tonight"
+    val near = base.replace("tonight", "today")
+    val far = "completely different content about spark query engines and " +
+      "distributed columnar execution at scale"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "text", "doc_id")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH recovers the 28 planted near-dup pairs at sf0.001") {
+    val n = Dedup.minhashLshPairs(docs, "text", "doc_id").count()
+    assert(n == 28)
+  }
+
+  test("ngram jaccard over candidates: est vs exact agree on planted pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8).count()
+    assert(exact == 28)
+  }
+
+  test("simhash: identical text → distance 0; planted near-dups found") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest tonight"
+    val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3)
+      .select("id1", "id2", "hamming").collect()
+    assert(pairs.length == 1 && pairs(0).getInt(2) == 0)
+    // planted near-dups in the synthetic corpus surface within hamming 3
+    val planted = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+    assert(planted.count() > 0)
+  }
+
+  test("glider segments: props from last point, nulls dropped, per-track") {
+    val df = Seq(
+      (1L, 1L, 10.0, 1.0, 1.0),
+      (1L, 2L, 20.0, 2.0, 2.0),
+      (1L, 3L, 30.0, Double.NaN, 3.0), // dropped point
+      (1L, 4L, 40.0, 4.0, 4.0),
+      (2L, 5L, 10.0, 9.0, 9.0)         // single point → no segment
+    ).toDF("track", "pt", "ts", "lon", "lat")
+    val segs = Glider.segments(df, "track", "ts", "lon", "lat")
+      .select("track", "pt", "x1", "y1", "x2", "y2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // after dropping NaN point: (1,2)→ pair(1: pt2), (2,4)→ pair(2: pt4)
+    assert(segs.toSet == Set(
+      (1L, 2L, 1.0, 1.0, 2.0, 2.0),
+      (1L, 4L, 2.0, 2.0, 4.0, 4.0)))
+  }
+
+  test("brute-force topK cosine: self-similar vector ranks first") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(df, "id", "vec", Seq(1.0, 0.0, 0.0), 2)
+      .select("id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("lsh candidate pairs put identical-direction vectors in one bucket") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(2.0f, 4.0f, 6.0f, 8.0f)),   // same direction as 1
+      (3L, Array(-1.0f, -2.0f, -3.0f, -4.0f))
+    ).toDF("id", "vec")
+    val pairs = Similarity.lshCandidatePairs(df, "id", "vec", planes = 6)
+      .select("id1", "id2", "cosine").collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+
+  test("text analysis: tokens, quality ratios, langid, fingerprint") {
+    val df = Seq(
+      (1L, "The quick brown fox, and the lazy dog!"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val toks = df.select(TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[Long].collect()
+    assert(toks.toSeq == Seq(8L, 8L, 0L))
+    val langs = TextAnalysis.languageId(df, "text")
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(langs(1L) == "en")
+    assert(langs(2L) == "de")
+    assert(langs(3L) == "und")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[String].collect()
+    assert(fps.distinct.length == 3)
+  }
+
+  test("relational: recentWindow keeps trailing days only") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-25 00:00:00"))
+    ).toDF("id", "ts")
+    val kept = Relational.recentWindow(df, "ts", 7).select("id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  test("relational: positional join pairs nth rows under each order") {
+    val l = Seq("b", "a", "c").toDF("ln")
+    val r = Seq((10, "y"), (20, "x"), (30, "z")).toDF("k", "rn")
+    val out = Relational.positionalJoin(l, Seq(col("ln")), r, Seq(col("rn")))
+      .select("ln", "rn").as[(String, String)].collect().toSet
+    assert(out == Set(("a", "x"), ("b", "y"), ("c", "z")))
+  }
+}
