@@ -54,6 +54,50 @@ object ErddapPlanDemo {
       sel.attributes, sel.timeCol, chunks = chunks))
       .foreach(u => println("url: " + u))
 
+    // Full connector path: DataSource V2 scan with pushdown over the
+    // local transport fake — synthesize a small dataset + DAS, read it
+    // back through spark.read.format("erddap").
+    val dataDir = Files.createTempDirectory("erddap_demo")
+    val rows = (0 until 96).map { h =>
+      val t = java.time.Instant.parse("2024-06-01T00:00:00Z").plusSeconds(h * 3600L)
+      s"${ChunkPlanner.isoNoZone(t)}Z,25.9,-89.7,${20.0 + h % 10}"
+    }
+    Files.writeString(dataDir.resolve("buoy1.csv"),
+      ("time,latitude,longitude,sea_surface_temperature_0" +: rows).mkString("\n"))
+    Files.writeString(dataDir.resolve("buoy1.das"),
+      """Attributes {
+        |  time {
+        |    String ioos_category "Time";
+        |    String units "seconds since 1970-01-01T00:00:00Z";
+        |    Float64 actual_range 1717200000.0, 1717542000.0;
+        |  }
+        |  latitude {
+        |    Float64 actual_range 25.9, 25.9;
+        |  }
+        |  longitude {
+        |    Float64 actual_range -89.7, -89.7;
+        |  }
+        |  sea_surface_temperature_0 {
+        |    Float64 actual_range 20.0, 29.0;
+        |  }
+        |  NC_GLOBAL {
+        |    String title "Demo buoy";
+        |  }
+        |}""".stripMargin)
+    val df = spark.read.format("erddap")
+      .option("dataDir", dataDir.toString)
+      .option("dataset", "buoy1")
+      .option("das", dataDir.resolve("buoy1.das").toString)
+      .option("chunkSize", "25")
+      .load()
+      .filter(org.apache.spark.sql.functions.col("time") >=
+        org.apache.spark.sql.functions.lit("2024-06-02 00:00:00").cast("timestamp"))
+      .select("time", "sea_surface_temperature_0")
+    println("connector rows: " + df.count() +
+      " partitions: " + df.rdd.getNumPartitions)
+    println("connector plan: " + df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("erddap dataset")).mkString(" | "))
+
     spark.stop()
   }
 }

@@ -1,0 +1,255 @@
+package graft.sources.erddap
+
+import java.time.Instant
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, LessThanOrEqual, GreaterThan, LessThan}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.erddap.{AttributePolicy, ChunkPlanner, Das, UrlCompiler}
+
+/** ERDDAP DataSource V2 (SURVEY.md §3.1 "Spark shape").
+  *
+  * `spark.read.format("erddap")` with options:
+  *   - `dataDir`    directory of the transport fake's CSVs
+  *   - `dataset`    dataset id
+  *   - `das`        path to the DAS document (schema source)
+  *   - `server`     server URL prefix (used verbatim in compiled URLs)
+  *   - `chunkSize`  rows per time-chunk partition (default 100000)
+  *   - `returnAll`  disable QC pruning (reference `return_all` mode)
+  *
+  * Planning mirrors the reference end-to-end: DAS → `StructType` (with
+  * QC pruning policy); ncHeader-style row-count probe →
+  * `SupportsReportStatistics`; chunk plan → one `InputPartition` per
+  * time chunk (the reference downloads chunks SERIALLY,
+  * `data_wrangler.py:666-682` — here they run partition-parallel);
+  * column pruning (`SupportsPushDownRequiredColumns`) and time-range
+  * filters (`SupportsPushDownFilters`) compile INTO the request URL,
+  * so Catalyst's pushdown literally becomes ERDDAP's URL grammar.
+  */
+class ErddapDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "erddap"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ErddapTable.fromOptions(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    ErddapTable.fromOptions(new CaseInsensitiveStringMap(properties))
+}
+
+object ErddapTable {
+  def fromOptions(options: CaseInsensitiveStringMap): ErddapTable = {
+    val dataDir = options.get("dataDir")
+    val dataset = options.get("dataset")
+    val dasPath = options.get("das")
+    require(dataDir != null && dataset != null && dasPath != null,
+      "erddap source requires options: dataDir, dataset, das")
+    new ErddapTable(
+      dataDir, dataset, dasPath,
+      Option(options.get("server")).getOrElse("https://local/erddap/tabledap/"),
+      Option(options.get("chunkSize")).map(_.toLong).getOrElse(100000L),
+      options.getBoolean("returnAll", false))
+  }
+}
+
+class ErddapTable(dataDir: String, dataset: String, dasPath: String,
+    server: String, chunkSize: Long, returnAll: Boolean)
+    extends Table with SupportsRead {
+
+  private lazy val das = Das.parse(
+    java.nio.file.Files.readString(java.nio.file.Path.of(dasPath)))
+  private[erddap] lazy val selection = AttributePolicy.actualAttributes(das, returnAll)
+  private lazy val fullSchema = Das.toStructType(das, selection.attributes, selection.timeCol)
+
+  override def name(): String = s"erddap.$dataset"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ErddapScanBuilder(dataDir, dataset, server, chunkSize,
+      das, selection, fullSchema)
+}
+
+class ErddapScanBuilder(dataDir: String, dataset: String, server: String,
+    chunkSize: Long, das: Das.Document, selection: AttributePolicy.Selection,
+    fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var lo: Option[Instant] = None
+  private var hi: Option[Instant] = None
+
+  override def pruneColumns(required: StructType): Unit = {
+    // keep declared column order; ERDDAP serves columns in request order
+    val names = required.fieldNames.toSet
+    requiredSchema = StructType(fullSchema.filter(f => names.contains(f.name)))
+  }
+
+  /** Accept >=/<=/>/< on the time column (compiled into the URL); all
+    * other filters remain Spark-side. Bounds are closed in the URL
+    * grammar, so strict bounds stay in `postScanFilters` too. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val timeCol = selection.timeCol.getOrElse("")
+    def toInstant(v: Any): Option[Instant] = v match {
+      case ts: java.sql.Timestamp => Some(ts.toInstant)
+      case i: Instant => Some(i)
+      case ldt: java.time.LocalDateTime => Some(ldt.toInstant(java.time.ZoneOffset.UTC))
+      case _ => None
+    }
+    val remaining = filters.filter {
+      case GreaterThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
+        lo = Some(toInstant(v).get); pushed :+= GreaterThanOrEqual(c, v); false
+      case LessThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
+        hi = Some(toInstant(v).get); pushed :+= LessThanOrEqual(c, v); false
+      case GreaterThan(c, v) if c == timeCol && toInstant(v).isDefined =>
+        lo = Some(toInstant(v).get); true // closed-bound URL: re-filter
+      case LessThan(c, v) if c == timeCol && toInstant(v).isDefined =>
+        hi = Some(toInstant(v).get); true
+      case _ => true
+    }
+    remaining
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new ErddapScan(dataDir, dataset, server, chunkSize, das, selection,
+      requiredSchema, lo, hi)
+}
+
+class ErddapScan(dataDir: String, dataset: String, server: String,
+    chunkSize: Long, das: Das.Document, selection: AttributePolicy.Selection,
+    readSchema: StructType, lo: Option[Instant], hi: Option[Instant])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private val srv = new LocalErddapServer(dataDir)
+
+  override def readSchema(): StructType = readSchema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val range = (lo, hi) match {
+      case (Some(a), Some(b)) => s" time=[$a,$b]"
+      case (Some(a), None) => s" time>=$a"
+      case (None, Some(b)) => s" time<=$b"
+      case _ => ""
+    }
+    s"erddap dataset=$dataset cols=${readSchema.fieldNames.mkString(",")}$range"
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(srv.sizeInBytes(dataset))
+    override def numRows(): OptionalLong = OptionalLong.of(srv.rowCount(dataset))
+  }
+
+  /** One partition per time chunk — the reference's chunk plan
+    * (`data_wrangler.py:283-314`) becomes the split plan. Extent comes
+    * from the DAS actual_range intersected with pushed bounds. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val timeCol = selection.timeCol
+    val extent = timeCol.flatMap(tc => Das.timeExtent(das, tc))
+    val (start, end) = extent match {
+      case Some((s, e)) =>
+        (lo.filter(_.isAfter(s)).getOrElse(s), hi.filter(_.isBefore(e)).getOrElse(e))
+      case None => (Instant.EPOCH, Instant.EPOCH)
+    }
+    // Estimated rows in the (possibly pushed-down) window: total count
+    // scaled by the covered time fraction — the reference's uniform-
+    // density assumption (data_wrangler.py:294-297) applied to pruning.
+    val totalRows = srv.rowCount(dataset)
+    val rows = extent match {
+      case Some((fullS, fullE)) if fullE.isAfter(fullS) =>
+        val frac = (end.toEpochMilli - start.toEpochMilli).toDouble /
+          (fullE.toEpochMilli - fullS.toEpochMilli)
+        math.max(1L, math.round(totalRows * math.min(1.0, math.max(0.0, frac))))
+      case _ => totalRows
+    }
+    val attrs = readSchema.fieldNames.toSeq
+
+    def urlFor(cs: Option[String], ce: Option[String]): String =
+      UrlCompiler.compile(UrlCompiler.Tabledap(
+        server, dataset, "csvp", attrs, timeCol,
+        start = cs, end = ce,
+        noTimeRange = timeCol.isEmpty || extent.isEmpty)).head
+
+    if (timeCol.isEmpty || extent.isEmpty)
+      Array(ErddapInputPartition(urlFor(None, None)))
+    else {
+      val chunks = ChunkPlanner.timeSubsets(start, end, rows, chunkSize)
+      if (chunks.isEmpty)
+        Array(ErddapInputPartition(urlFor(
+          Some(ChunkPlanner.isoNoZone(start)), Some(ChunkPlanner.isoNoZone(end)))))
+      else chunks.map(c =>
+        ErddapInputPartition(urlFor(Some(c.startString), Some(c.endString)))).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ErddapReaderFactory(dataDir, readSchema)
+}
+
+case class ErddapInputPartition(url: String) extends InputPartition
+
+class ErddapReaderFactory(dataDir: String, schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ErddapPartitionReader(dataDir, schema,
+      partition.asInstanceOf[ErddapInputPartition].url)
+}
+
+/** Fetches one chunk URL through the transport and converts CSV lines to
+  * InternalRows of the pruned schema (with per-URL retry ×3 like the
+  * reference, `data_wrangler.py:557`; here retry = re-read). */
+class ErddapPartitionReader(dataDir: String, schema: StructType, url: String)
+    extends PartitionReader[InternalRow] {
+
+  private val lines: Iterator[String] = {
+    var attempt = 0
+    var res: Seq[String] = null
+    while (res == null && attempt < 3) {
+      try res = new LocalErddapServer(dataDir).fetch(url)
+      catch { case e: Exception if attempt < 2 => attempt += 1 }
+    }
+    res.iterator.drop(1) // header
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!lines.hasNext) return false
+    val cells = lines.next().split(",", -1)
+    current = InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+      val s = cells(i)
+      if (s.isEmpty || s == "NaN" && f.dataType != org.apache.spark.sql.types.DoubleType) null
+      else f.dataType match {
+        case TimestampType =>
+          // ISO-8601 (with or without Z) → micros
+          val iso = if (s.endsWith("Z")) s else s + "Z"
+          Instant.parse(iso).toEpochMilli * 1000L +
+            (Instant.parse(iso).getNano / 1000) % 1000
+        case org.apache.spark.sql.types.DoubleType => s.toDouble
+        case org.apache.spark.sql.types.FloatType => s.toFloat
+        case org.apache.spark.sql.types.IntegerType => s.toInt
+        case org.apache.spark.sql.types.ShortType => s.toShort
+        case org.apache.spark.sql.types.ByteType => s.toByte
+        case org.apache.spark.sql.types.LongType => s.toLong
+        case _ => UTF8String.fromString(s)
+      }
+    })
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,73 @@
+package graft.sources.erddap
+
+import java.net.URLDecoder
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Transport fake standing in for an ERDDAP server (the live HTTP
+  * surface is out of reach). It executes the SAME request-URL grammar
+  * the reference compiles (`data_wrangler.py:360-387`): projection as a
+  * `%2C` attribute list, time predicates `time>=startZ` / `time<=endZ`.
+  *
+  * Backing store: one headered CSV per dataset at
+  * `<dataDir>/<datasetId>.csv`, time column in ISO-8601. The fake
+  * applies projection + predicates server-side, exactly like ERDDAP —
+  * which is what makes connector pushdown observable in tests: a scan
+  * that fails to push down would fetch all columns/rows.
+  */
+class LocalErddapServer(dataDir: String) extends Serializable {
+
+  /** Execute a compiled tabledap URL, returning CSV lines (header first). */
+  def fetch(url: String): Seq[String] = {
+    val q = url.indexOf('?')
+    require(q > 0, s"malformed erddap url: $url")
+    val pre = url.substring(0, q)
+    val datasetId = pre.substring(pre.lastIndexOf('/') + 1, pre.lastIndexOf('.'))
+    val query = URLDecoder.decode(url.substring(q + 1), "UTF-8")
+
+    // query = "<attr1>,<attr2>...[&time>=..Z&time<=..Z]"
+    val parts = query.split("&")
+    val attrs = parts.head.split(",").toSeq
+    var timeCol: Option[String] = None
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    parts.tail.foreach { p =>
+      val geIdx = p.indexOf(">=")
+      val leIdx = p.indexOf("<=")
+      if (geIdx > 0) {
+        timeCol = Some(p.substring(0, geIdx))
+        lo = Some(p.substring(geIdx + 2).stripSuffix("Z"))
+      } else if (leIdx > 0) {
+        timeCol = Some(p.substring(0, leIdx))
+        hi = Some(p.substring(leIdx + 2).stripSuffix("Z"))
+      }
+    }
+
+    val lines = Files.readAllLines(Path.of(dataDir, s"$datasetId.csv")).asScala.toSeq
+    val header = lines.head.split(",").toSeq
+    val idx = attrs.map(a => header.indexOf(a))
+    require(idx.forall(_ >= 0), s"unknown attribute in $attrs vs $header")
+    val timeIdx = timeCol.map(header.indexOf).getOrElse(-1)
+
+    val body = lines.tail.filter { line =>
+      if (timeIdx < 0) true
+      else {
+        // ISO strings compare lexically once the Z suffix is normalized away
+        val t = line.split(",", -1)(timeIdx).stripSuffix("Z")
+        lo.forall(t >= _) && hi.forall(t <= _)
+      }
+    }.map { line =>
+      val cells = line.split(",", -1)
+      idx.map(cells(_)).mkString(",")
+    }
+    attrs.mkString(",") +: body
+  }
+
+  /** The reference's ncHeader size probe (`data_wrangler.py:238-266`):
+    * row count without data transfer. */
+  def rowCount(datasetId: String): Long =
+    Files.lines(Path.of(dataDir, s"$datasetId.csv")).count() - 1
+
+  def sizeInBytes(datasetId: String): Long =
+    Files.size(Path.of(dataDir, s"$datasetId.csv"))
+}
