@@ -189,6 +189,13 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_custkey"))
         .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))),
 
+    // ---- F1 universal datetime decode (format synthesis) ----
+    "f1_decode_datetime" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        graft.functions.DecodeDatetime.decode_datetime(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+          asMicroseconds = false).as("decoded"))),
+
     // ---- F3 ISO-Z formatting ----
     "f3_iso_format" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"),
@@ -412,6 +419,8 @@ object SparkEntry {
         |UNION SELECT s_nationkey FROM supplier""".stripMargin,
     "e4_intersect" ->
       "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+    "f1_decode_datetime" ->
+      "SELECT event_id, date_trunc('second', ts) AS decoded FROM events",
     "f3_iso_format" ->
       "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso FROM events",
     "f4_datediff" ->

@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.SparkTestSession
+
+/** Corpus per FIXTURES.md §7 (datetimeUtils.py behaviors). */
+class DecodeDatetimeSpec extends AnyFunSuite {
+
+  def dec(s: String, asMicros: Boolean = false): Option[Instant] =
+    DecodeDatetime.decode(s, asMicros, defaultYear = 2024).map(_.instant)
+
+  test("ISO-8601 with Z") {
+    assert(dec("2024-05-25T14:02:00Z").contains(Instant.parse("2024-05-25T14:02:00Z")))
+  }
+
+  test("ISO-8601 with offset") {
+    assert(dec("2024-05-25T14:02:00+02:00")
+      .contains(Instant.parse("2024-05-25T12:02:00Z")))
+    assert(dec("2024-05-25 14:02:00-0500")
+      .contains(Instant.parse("2024-05-25T19:02:00Z")))
+  }
+
+  test("HTTP Last-Modified format") {
+    assert(dec("Sat, 25 May 2024 14:02:00 GMT")
+      .contains(Instant.parse("2024-05-25T14:02:00Z")))
+  }
+
+  test("slash and dash dates with 2-digit year") {
+    // 25 > 12 → day; 05 → month; 2024 → year
+    assert(dec("25/05/2024").contains(Instant.parse("2024-05-25T00:00:00Z")))
+    // 05-25-24: 05 → month, 25 → day, 24 → %y → 2024
+    assert(dec("05-25-24").contains(Instant.parse("2024-05-25T00:00:00Z")))
+  }
+
+  test("month name with ordinal day and 12-hour time with tz abbreviation") {
+    // EST = UTC-5 → 4:15 PM EST = 21:15 UTC
+    assert(dec("June 1st, 2024 4:15 PM EST")
+      .contains(Instant.parse("2024-06-01T21:15:00Z")))
+  }
+
+  test("month name AFTER a numeric month reassigns the number to day") {
+    // "1 June 2024": 1 assigned to month first, then June forces 1 → day
+    assert(dec("1 June 2024").contains(Instant.parse("2024-06-01T00:00:00Z")))
+  }
+
+  test("day-of-year form") {
+    // 2024 146 → 2024, day 146 = May 25
+    assert(dec("2024 146").contains(Instant.parse("2024-05-25T00:00:00Z")))
+  }
+
+  test("epochs: 10-digit seconds, negative, float") {
+    assert(dec("1716595200").contains(Instant.parse("2024-05-25T00:00:00Z")))
+    assert(dec("-86400").contains(Instant.parse("1969-12-31T00:00:00Z")))
+    assert(dec("1716595200.5").contains(Instant.parse("2024-05-25T00:00:00.5Z")))
+  }
+
+  test("13-digit epoch with asMicroseconds flag divides by 1000 (reference quirk)") {
+    assert(dec("1716595200000", asMicros = true)
+      .contains(Instant.parse("2024-05-25T00:00:00Z")))
+  }
+
+  test("missing year defaults to current year") {
+    assert(dec("May 25 14:02:00").contains(Instant.parse("2024-05-25T14:02:00Z")))
+  }
+
+  test("microseconds fraction") {
+    assert(dec("2024-05-25T14:02:00.123456Z")
+      .contains(Instant.parse("2024-05-25T14:02:00.123456Z")))
+  }
+
+  test("timezone abbreviations from the table") {
+    assert(dec("2024-05-25 12:00:00 PST") // UTC-8
+      .contains(Instant.parse("2024-05-25T20:00:00Z")))
+    assert(dec("2024-05-25 12:00:00 IST") // Indian Standard +5:30
+      .contains(Instant.parse("2024-05-25T06:30:00Z")))
+    assert(dec("2024-05-25 12:00:00 ACWST") // +8:45
+      .contains(Instant.parse("2024-05-25T03:15:00Z")))
+  }
+
+  test("undecodable input → None") {
+    assert(dec("not a date at all !!").isEmpty)
+    assert(dec("").isEmpty)
+  }
+
+  test("expression: column-level decode inside a Spark plan") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq(
+      "2024-05-25T14:02:00Z",
+      "Sat, 25 May 2024 14:02:00 GMT",
+      "25/05/2024",
+      "garbage"
+    ).toDF("s")
+    val out = df.select(DecodeDatetime.decode_datetime(col("s"), asMicroseconds = false)
+      .as("ts")).collect()
+    assert(out(0).getTimestamp(0).toInstant == Instant.parse("2024-05-25T14:02:00Z"))
+    assert(out(1).getTimestamp(0).toInstant == Instant.parse("2024-05-25T14:02:00Z"))
+    assert(out(2).getTimestamp(0).toInstant == Instant.parse("2024-05-25T00:00:00Z"))
+    assert(out(3).isNullAt(0))
+  }
+
+  test("round-trip property: random instants through several renderings") {
+    val rnd = new scala.util.Random(7)
+    val fmts = Seq(
+      (i: Instant) => i.toString.replace("Z", "Z"),                     // ISO Z
+      (i: Instant) => i.toString.stripSuffix("Z").replace("T", " "),    // naive
+      (i: Instant) => i.getEpochSecond.toString                         // epoch s
+    )
+    for (_ <- 1 to 200) {
+      val inst = Instant.ofEpochSecond(rnd.between(0L, 2000000000L))
+      for (f <- fmts) {
+        val got = dec(f(inst))
+        assert(got.contains(inst), s"round-trip failed for '${f(inst)}'")
+      }
+    }
+  }
+}
