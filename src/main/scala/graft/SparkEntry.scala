@@ -228,6 +228,36 @@ object SparkEntry {
       t(s, dir, "part").select(col("p_partkey"),
         upper(col("p_name")).as("u"), lower(col("p_brand")).as("l"))),
 
+    // ---- F7 extended case functions (Capital/Camel/camel/Acronym) ----
+    "f7_case_ext" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        graft.functions.TextCase.capital(col("p_name")).as("cap"),
+        graft.functions.TextCase.camelUpper(col("p_name")).as("camel_u"),
+        graft.functions.TextCase.camelLower(col("p_name")).as("camel_l"),
+        graft.functions.TextCase.acronym(col("p_name")).as("acro"))),
+
+    // ---- F6 extraction DSL pipeline ----
+    "f6_extraction_dsl" -> ((s, dir) => {
+      import graft.functions.Extraction._
+      t(s, dir, "part").select(col("p_partkey"),
+        pipeline(col("p_name"), Seq(Offset(2), Length(4))).as("mid"),
+        pipeline(col("p_retailprice").cast("string"),
+          Seq(Add(5.0), Mult(2.0))).as("calc"),
+        pipeline(col("p_type"), Seq(Start("O"), Concat("!"))).as("tail"))
+    }),
+
+    // ---- F16/K2 geometry + GeoJSON feature assembly ----
+    "k2_geojson_features" -> ((s, dir) => {
+      val pts = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("value").as("x"),
+        get_json_object(col("props"), "$.k").cast("double").as("y"))
+      pts.select(col("event_id"),
+        graft.functions.Geometry.featureJson(
+          struct(col("event_id"), col("user_id")),
+          struct(lit("Point").as("type"),
+            array(col("x"), col("y")).as("coordinates"))).as("feature"))
+    }),
+
     // ---- F10 numeric prefix coercion ----
     "f10_numeric_prefix" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"),
@@ -437,6 +467,34 @@ object SparkEntry {
         |FROM part""".stripMargin,
     "f7_case" ->
       "SELECT p_partkey, upper(p_name) AS u, lower(p_brand) AS l FROM part",
+    "f7_case_ext" ->
+      """SELECT p_partkey,
+        | upper(substr(p_name,1,1)) || lower(substr(p_name,2)) AS cap,
+        | array_to_string(list_transform(string_split_regex(p_name,'\s+'),
+        |   w -> upper(substr(w,1,1)) || lower(substr(w,2))), '') AS camel_u,
+        | lower(string_split_regex(p_name,'\s+')[1]) ||
+        |   array_to_string(list_transform(string_split_regex(p_name,'\s+')[2:],
+        |     w -> upper(substr(w,1,1)) || lower(substr(w,2))), '') AS camel_l,
+        | array_to_string(list_transform(string_split_regex(p_name,'\s+'),
+        |   w -> substr(w,1,1)), '') AS acro
+        |FROM part""".stripMargin,
+    "f6_extraction_dsl" ->
+      """SELECT p_partkey,
+        | substr(substr(p_name, 3), 1, 4) AS mid,
+        | CASE WHEN (CAST(p_retailprice AS DOUBLE) + 5.0) * 2.0 =
+        |        CAST(CAST((CAST(p_retailprice AS DOUBLE) + 5.0) * 2.0 AS BIGINT) AS DOUBLE)
+        |      THEN CAST(CAST((CAST(p_retailprice AS DOUBLE) + 5.0) * 2.0 AS BIGINT) AS VARCHAR) || '.0'
+        |      ELSE CAST((CAST(p_retailprice AS DOUBLE) + 5.0) * 2.0 AS VARCHAR) END AS calc,
+        | CASE WHEN instr(p_type, 'O') > 0
+        |      THEN substr(p_type, instr(p_type, 'O') + 1) || '!' END AS tail
+        |FROM part""".stripMargin,
+    "k2_geojson_features" ->
+      """SELECT event_id,
+        | '{"type":"Feature","properties":{"event_id":' || event_id ||
+        | ',"user_id":' || user_id || '},"geometry":{"type":"Point","coordinates":[' ||
+        | CAST(value AS VARCHAR) || ',' ||
+        | CAST(CAST(props->>'$.k' AS DOUBLE) AS VARCHAR) || ']}}' AS feature
+        |FROM events""".stripMargin,
     "f10_numeric_prefix" ->
       """SELECT p_partkey,
         | CAST(NULLIF(regexp_extract(concat(CAST(p_size AS VARCHAR), 'mm ', p_name),
