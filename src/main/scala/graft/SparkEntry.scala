@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Glider, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Glider, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -325,6 +325,15 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.25, planes = 8)),
 
+    // ---- multimodal: binary container ingest + batched header decode ----
+    "mm_decode_meta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.ingestFromText(docs, "doc_id", "text")
+      Multimodal.decodeBatched(media, "doc_id", "payload")
+        .select(col("doc_id"), col("meta.modality"), col("meta.width"),
+          col("meta.height"), col("meta.payload_bytes"))
+    }),
+
     // ---- text: token counting ----
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -525,6 +534,14 @@ object SparkEntry {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, round(cosine, 6) AS cos FROM scored
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |   ELSE 'video' END AS modality,
+        | CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+        | CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS height,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
+        |FROM documents""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,0 +1,163 @@
+package graft.operators
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata (the training-data-pipeline extension of
+  * SURVEY.md §8).
+  *
+  * The actual media codecs are NOT in this container, so the decode
+  * KERNELS are deterministic stubs over a tiny fake container format —
+  * but everything Spark-side is real and tested: the schema, the binary
+  * column handling, the batched `mapPartitions` execution shape (the
+  * Scala analog of `mapInPandas`: process rows in bounded batches so a
+  * real decoder could amortize model/codec setup per batch), and the
+  * partition-parallel execution.
+  *
+  * Fake container format (header parsed byte-for-byte — the PLUMBING is
+  * real): magic "GFTM" | modality u8 | width u16 | height u16 |
+  * channels u8 | sampleRate u32 | payload bytes.
+  */
+object Multimodal {
+
+  val MAGIC: Array[Byte] = "GFTM".getBytes("ASCII")
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("payload_bytes", IntegerType)))
+
+  /** Deterministic payload builder: wraps arbitrary content bytes in the
+    * fake container, with metadata derived from the content length so an
+    * external oracle can recompute it. */
+  def encodePayload(content: Array[Byte], modality: Byte): Array[Byte] = {
+    val n = content.length
+    val width = n % 64 + 1
+    val height = n % 48 + 1
+    val channels = 3
+    val sampleRate = 16000
+    val buf = ByteBuffer.allocate(4 + 1 + 2 + 2 + 1 + 4 + n)
+    buf.put(MAGIC).put(modality)
+      .putShort(width.toShort).putShort(height.toShort)
+      .put(channels.toByte).putInt(sampleRate)
+      .put(content)
+    buf.array()
+  }
+
+  def modalityName(b: Byte): String = b match {
+    case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "unknown"
+  }
+
+  /** Header decode — real byte parsing of the container. Returns null
+    * for payloads without the magic (decoder-robustness path). */
+  def decodeMeta(payload: Array[Byte]): Row = {
+    if (payload == null || payload.length < 14 ||
+        !payload.take(4).sameElements(MAGIC)) null
+    else {
+      val buf = ByteBuffer.wrap(payload, 4, payload.length - 4)
+      val modality = modalityName(buf.get())
+      val width = buf.getShort.toInt
+      val height = buf.getShort.toInt
+      val channels = buf.get().toInt
+      val sampleRate = buf.getInt
+      Row(modality, width, height, channels, sampleRate, payload.length - 14)
+    }
+  }
+
+  /** Batched decode over binary payloads — the `mapInPandas` analog:
+    * partitions are processed in batches of `batchSize` rows so a real
+    * decoder can amortize per-batch setup (model load, codec init).
+    * Input df must have (idCol: long, payloadCol: binary). */
+  def decodeBatched(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("meta", metaSchema)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real kernel would decode `batch` as one vectorized call here
+        batch.iterator.map { r =>
+          Row(r.getLong(idIdx), decodeMeta(r.getAs[Array[Byte]](pIdx)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB resize kernel (`???`-equivalent, deterministic): a real
+    * implementation re-encodes pixels; the stub rewrites the header
+    * dims and truncates payload proportionally — enough to test the
+    * pipeline shape end-to-end. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val meta = decodeMeta(payload)
+    if (meta == null) null
+    else {
+      val content = payload.drop(14)
+      val scale = math.min(1.0,
+        (w.toDouble * h) / math.max(1, meta.getInt(1) * meta.getInt(2)))
+      val kept = content.take(math.max(1, (content.length * scale).toInt))
+      val buf = ByteBuffer.allocate(14 + kept.length)
+      buf.put(MAGIC).put(payload(4))
+        .putShort(w.toShort).putShort(h.toShort)
+        .put(payload(9)).putInt(ByteBuffer.wrap(payload, 10, 4).getInt)
+        .put(kept)
+      buf.array()
+    }
+  }
+
+  /** STUB frame sampler for "video" payloads: treats the content as
+    * fixed-size frames and keeps every `everyN`-th. */
+  def frameSampleStub(payload: Array[Byte], frameBytes: Int, everyN: Int): Array[Byte] = {
+    if (payload == null || payload.length < 14) null
+    else {
+      val content = payload.drop(14)
+      val kept = content.grouped(frameBytes).zipWithIndex
+        .collect { case (f, i) if i % everyN == 0 => f }
+        .flatten.toArray
+      payload.take(14) ++ kept
+    }
+  }
+
+  /** Deterministic feature-extraction stub: payload bytes → fixed-dim
+    * float vector via seeded rolling hashes (stands in for an encoder
+    * model; REAL pipelines swap this kernel, the surrounding plumbing —
+    * binary in, Array[Float] out, batched — is what's being built). */
+  def embedStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+    if (payload == null) return null
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      val d = i % dim
+      out(d) = out(d) * 31.0f + (payload(i) & 0xFF)
+      out(d) = out(d) % 1000003.0f
+      i += 1
+    }
+    out
+  }
+
+  /** End-to-end ingest: wrap a text/binary column into payloads with
+    * metadata — used to build multimodal test tables from `documents`. */
+  def ingestFromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("payload", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val tIdx = df.schema.fieldIndex(textCol)
+    val rdd = df.rdd.map { r =>
+      val bytes = r.getString(tIdx).getBytes("UTF-8")
+      Row(r.getLong(idIdx), encodePayload(bytes, (r.getLong(idIdx) % 3).toByte))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming face of the engine (SURVEY.md §2.10).
+  *
+  * The reference's "streaming" is poll-based full-replace, so the batch
+  * [[Nrt]] module is the faithful mapping; this module provides the
+  * genuinely streaming shapes a Spark-native deployment would add:
+  * watermarked tumbling-window aggregation over an event stream and a
+  * processing-time-trigger refresh (T1's `Trigger.ProcessingTime`
+  * analog). Tested against file sources with the memory sink.
+  */
+object EventStream {
+
+  /** Open an events directory as a stream (file source — each parquet
+    * file arriving in `dir` is a micro-batch). Handles the synthetic
+    * table's TIMESTAMP(NANOS) column the same way Tables.load does:
+    * the nanosAsLong session flag surfaces it as LongType and we
+    * convert to a µs timestamp. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).format("parquet").load(dir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+
+  /** Watermarked tumbling-window aggregation (the streaming version of
+    * the w3_hourly_window batch query): late events beyond
+    * `watermarkDelay` are dropped; output appends closed windows. */
+  def hourlyCounts(events: DataFrame, tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sv"))
+
+  /** NRT processing-time trigger: periodically recompute a full-replace
+    * aggregate (complete output mode = the reference's overwrite
+    * semantics, T3 — no merge, each trigger replaces the result). */
+  def nrtRefresh(events: DataFrame, intervalMs: Long): DataStreamWriter[_] =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("latest"), count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .format("memory")
+}

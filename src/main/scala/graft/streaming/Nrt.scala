@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NRT (near-real-time) incremental refresh (SURVEY.md §2.10, T1-T6)
+  * re-expressed as Spark batch jobs over a small parquet CONTROL TABLE —
+  * the Spark-native replacement for the reference's
+  * ProcessPoolExecutor(4) + per-dataset retry loop (`core.py:806-880`).
+  *
+  * Control table schema (one row per published dataset, the analog of
+  * the reference's tag-recovered AGOL items, `update_manager.py:30-84`):
+  *   dataset_id, base_url, active_slot ("a"|"b"), fingerprint,
+  *   last_modified, last_refresh
+  *
+  * Change detection (T2) tiers map as:
+  *   1. HTTP Last-Modified vs stored          → `last_modified` compare
+  *   2. CRC32 of downloaded bytes             → [[tableFingerprint]]
+  *   3. converter publicationDate             → caller-side watermark
+  * An unchanged dataset refresh is a NO-OP (the reference's
+  * success=None outcome, `OverwriteFS.py:2182-2196`).
+  *
+  * Publishing is a blue-green A/B swap (K10, `OverwriteFS.py:1131-1744`):
+  * each refresh writes the INACTIVE slot directory in full (the
+  * reference's overwrite semantics — no merge, T3), then flips
+  * `active_slot` in the control table; readers resolve through
+  * [[activePath]] so the flip is atomic at the pointer level.
+  */
+object Nrt {
+
+  val controlSchema = "dataset_id string, base_url string, active_slot string, " +
+    "fingerprint bigint, last_modified timestamp, last_refresh timestamp"
+
+  /** A5 — order-independent content fingerprint of a DataFrame: XOR-fold
+    * of xxhash64 over every row's canonical JSON. One aggregate job, no
+    * collect; at 100 TB this is a single scan with a tiny result. */
+  def tableFingerprint(df: DataFrame): Long = {
+    val hashed = df.select(xxhash64(to_json(struct(df.columns.map(col): _*)))
+      .as("h"))
+    val row = hashed.agg(
+      coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+      count(lit(1)).as("n")).head()
+    row.getLong(0) ^ row.getLong(1) // mix count so row-count changes always show
+  }
+
+  /** T1 — the trailing moving-window filter applied to a dataset read. */
+  def movingWindow(df: DataFrame, tsCol: String, now: java.sql.Timestamp,
+      windowDays: Int = 7): DataFrame =
+    df.filter(col(tsCol) >= lit(new java.sql.Timestamp(
+      now.getTime - windowDays * 86400000L)) && col(tsCol) <= lit(now))
+
+  /** J3-style plan: which control rows are due for refresh — either
+    * source `last_modified` advanced past the stored one, or it's been
+    * ≥ `maxAgeHours` since the last refresh. Pure DataFrame filter. */
+  def duePlan(control: DataFrame, sourceLastModified: DataFrame,
+      maxAgeHours: Int = 24): DataFrame = {
+    val src = sourceLastModified
+      .withColumnRenamed("last_modified", "src_last_modified")
+    control.join(broadcast(src), Seq("dataset_id"), "left")
+      .filter(col("src_last_modified").isNull || // unknown → refresh
+        col("src_last_modified") > col("last_modified") ||
+        col("last_refresh") < current_timestamp() - expr(s"INTERVAL $maxAgeHours HOURS"))
+  }
+
+  case class RefreshOutcome(datasetId: String, changed: Boolean,
+    newFingerprint: Long, rows: Long)
+
+  /** One dataset's refresh: read the window, fingerprint it, skip when
+    * unchanged (T2/T3), else full-replace the inactive slot (K8+K10). */
+  def refreshDataset(spark: SparkSession, datasetId: String, fresh: DataFrame,
+      storedFingerprint: Option[Long], sinkRoot: String,
+      activeSlot: String): RefreshOutcome = {
+    val fp = tableFingerprint(fresh)
+    if (storedFingerprint.contains(fp))
+      RefreshOutcome(datasetId, changed = false, fp, -1L)
+    else {
+      val inactive = if (activeSlot == "a") "b" else "a"
+      val path = s"$sinkRoot/$datasetId/$inactive"
+      fresh.write.mode(SaveMode.Overwrite).parquet(path)
+      val n = spark.read.parquet(path).count()
+      RefreshOutcome(datasetId, changed = true, fp, n)
+    }
+  }
+
+  /** Resolve the active data path for a dataset (reader side of K10). */
+  def activePath(sinkRoot: String, datasetId: String, activeSlot: String): String =
+    s"$sinkRoot/$datasetId/$activeSlot"
+
+  /** Apply refresh outcomes to the control table: flip the slot and
+    * store the new fingerprint for changed datasets; touch
+    * `last_refresh` for all attempted ones (the reference touches
+    * dependent views even on no-op, `OverwriteFS.py:2670-2686`). */
+  def applyOutcomes(control: DataFrame, outcomes: Seq[RefreshOutcome],
+      now: java.sql.Timestamp): DataFrame = {
+    val spark = control.sparkSession
+    import spark.implicits._
+    if (outcomes.isEmpty) return control
+    val o = outcomes.toDF()
+      .select(col("datasetId").as("dataset_id"), col("changed"),
+        col("newFingerprint").as("new_fp"))
+    control.join(broadcast(o), Seq("dataset_id"), "left")
+      .select(
+        col("dataset_id"), col("base_url"),
+        when(col("changed") === true,
+          when(col("active_slot") === "a", "b").otherwise("a"))
+          .otherwise(col("active_slot")).as("active_slot"),
+        when(col("changed") === true, col("new_fp"))
+          .otherwise(col("fingerprint")).as("fingerprint"),
+        col("last_modified"),
+        when(col("changed").isNotNull, lit(now))
+          .otherwise(col("last_refresh")).as("last_refresh"))
+  }
+
+  /** Full refresh cycle over the control table. `readFresh` produces the
+    * windowed source read per dataset (in the connector world this is
+    * the ERDDAP source with the NRT window pushed down). Datasets run
+    * sequentially on the driver but each read/write is a distributed
+    * job; at cluster scale you submit them on a fair-scheduler pool —
+    * the reference's 4-process pool becomes Spark's own scheduler. */
+  def refreshCycle(spark: SparkSession, control: DataFrame,
+      readFresh: String => DataFrame, sinkRoot: String,
+      now: java.sql.Timestamp): (DataFrame, Seq[RefreshOutcome]) = {
+    val rows = control.collect() // control table is small by construction
+    val outcomes = rows.toSeq.map { r =>
+      val id = r.getAs[String]("dataset_id")
+      val slot = r.getAs[String]("active_slot")
+      val fp = Option(r.getAs[java.lang.Long]("fingerprint")).map(_.toLong)
+      refreshDataset(spark, id, readFresh(id), fp, sinkRoot, slot)
+    }
+    (applyOutcomes(control, outcomes, now), outcomes)
+  }
+}

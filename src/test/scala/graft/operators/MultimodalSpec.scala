@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("ingest → batched decode: metadata round-trips through the container") {
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
+    val media = Multimodal.ingestFromText(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeBatched(media, "doc_id", "payload", batchSize = 16)
+    assert(decoded.count() == 50)
+    val joined = decoded.join(docs, "doc_id")
+      .select(col("doc_id"), col("meta.width"), col("meta.payload_bytes"),
+        length(col("text")).cast("int").as("text_len"))
+      .collect()
+    joined.foreach { r =>
+      val textLen = r.getInt(3)
+      assert(r.getInt(1) == textLen % 64 + 1)    // width formula
+      assert(r.getInt(2) == textLen)             // payload bytes = utf8 len (ascii corpus)
+    }
+  }
+
+  test("decode robustness: garbage payload → null meta") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val out = Multimodal.decodeBatched(df, "id", "payload").collect()
+    assert(out(0).isNullAt(1))
+  }
+
+  test("resize stub rewrites header dims; frame sampler keeps every Nth frame") {
+    val p = Multimodal.encodePayload(Array.fill[Byte](100)(7), 0)
+    val resized = Multimodal.resizeStub(p, 4, 4)
+    val meta = Multimodal.decodeMeta(resized)
+    assert(meta.getInt(1) == 4 && meta.getInt(2) == 4)
+    assert(meta.getInt(5) < 100) // payload truncated proportionally
+
+    val video = Multimodal.encodePayload(Array.tabulate[Byte](40)(_.toByte), 2)
+    val sampled = Multimodal.frameSampleStub(video, frameBytes = 10, everyN = 2)
+    assert(sampled.length == 14 + 20) // frames 0 and 2 of 4 kept
+  }
+
+  test("embed stub: deterministic fixed-dim vectors, distributed") {
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(20)
+    val media = Multimodal.ingestFromText(docs, "doc_id", "text")
+    val embedded = media.rdd.map { r =>
+      (r.getLong(0), Multimodal.embedStub(r.getAs[Array[Byte]](1)).toSeq)
+    }.collect().toMap
+    assert(embedded.size == 20)
+    assert(embedded.values.forall(_.size == 8))
+    // deterministic: same input → same vector
+    val again = media.rdd.map { r =>
+      (r.getLong(0), Multimodal.embedStub(r.getAs[Array[Byte]](1)).toSeq)
+    }.collect().toMap
+    assert(embedded == again)
+  }
+}

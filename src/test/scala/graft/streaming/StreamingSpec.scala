@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.SparkTestSession
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** File streaming sources need a DIRECTORY; stage the events parquet
+    * into one. */
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sfDir/events.parquet"),
+      d.resolve("part-0.parquet"))
+    d.toString
+  }
+
+  test("tableFingerprint: order-independent, content+count sensitive") {
+    val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val b = Seq((2, "y"), (1, "x")).toDF("id", "v") // same rows, other order
+    val c = Seq((1, "x"), (2, "z")).toDF("id", "v")
+    val d = Seq((1, "x")).toDF("id", "v")
+    assert(Nrt.tableFingerprint(a) == Nrt.tableFingerprint(b))
+    assert(Nrt.tableFingerprint(a) != Nrt.tableFingerprint(c))
+    assert(Nrt.tableFingerprint(a) != Nrt.tableFingerprint(d))
+  }
+
+  test("refresh cycle: first run publishes, unchanged second run no-ops, change flips slot") {
+    val root = java.nio.file.Files.createTempDirectory("nrt").toString
+    val now = Timestamp.valueOf("2024-01-30 00:00:00")
+    val control = Seq(
+      ("ds1", "https://x/", "a", null.asInstanceOf[java.lang.Long],
+        Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-01-01 00:00:00"))
+    ).toDF("dataset_id", "base_url", "active_slot", "fingerprint",
+      "last_modified", "last_refresh")
+
+    val events = graft.Tables.load(spark, sfDir, "events")
+    def read1(id: String) = Nrt.movingWindow(events, "ts", now, 7)
+      .select("event_id", "ts", "user_id", "value")
+
+    // run 1: fingerprint unknown → publish to inactive slot "b", flip
+    val (control2, out1) = Nrt.refreshCycle(spark, control, read1, root, now)
+    assert(out1.head.changed)
+    val c2 = control2.collect().head
+    assert(c2.getAs[String]("active_slot") == "b")
+    val published = spark.read.parquet(Nrt.activePath(root, "ds1", "b"))
+    assert(published.count() == out1.head.rows && published.count() > 0)
+
+    // run 2: same data → fingerprint match → no-op, slot stays
+    val (control3, out2) = Nrt.refreshCycle(spark, control2, read1, root, now)
+    assert(!out2.head.changed)
+    assert(control3.collect().head.getAs[String]("active_slot") == "b")
+    // but last_refresh was touched (reference touches views even on no-op)
+    assert(control3.collect().head.getAs[Timestamp]("last_refresh") == now)
+
+    // run 3: window moved → different content → republish to slot "a"
+    val now2 = Timestamp.valueOf("2024-01-25 00:00:00")
+    def read2(id: String) = Nrt.movingWindow(events, "ts", now2, 7)
+      .select("event_id", "ts", "user_id", "value")
+    val (control4, out3) = Nrt.refreshCycle(spark, control3, read2, root, now2)
+    assert(out3.head.changed)
+    assert(control4.collect().head.getAs[String]("active_slot") == "a")
+  }
+
+  test("duePlan: stale or advanced datasets are selected") {
+    val control = Seq(
+      ("fresh", "u", "a", 1L, Timestamp.valueOf("2024-01-10 00:00:00"),
+        Timestamp.valueOf("2099-01-01 00:00:00")), // refreshed far future → not due
+      ("advanced", "u", "a", 1L, Timestamp.valueOf("2024-01-10 00:00:00"),
+        Timestamp.valueOf("2099-01-01 00:00:00")), // src newer → due
+      ("aged", "u", "a", 1L, Timestamp.valueOf("2024-01-10 00:00:00"),
+        Timestamp.valueOf("2020-01-01 00:00:00"))  // last refresh old → due
+    ).toDF("dataset_id", "base_url", "active_slot", "fingerprint",
+      "last_modified", "last_refresh")
+    val src = Seq(
+      ("fresh", Timestamp.valueOf("2024-01-09 00:00:00")),
+      ("advanced", Timestamp.valueOf("2024-02-01 00:00:00")),
+      ("aged", Timestamp.valueOf("2024-01-09 00:00:00"))
+    ).toDF("dataset_id", "last_modified")
+    val due = Nrt.duePlan(control, src).select("dataset_id")
+      .as[String].collect().sorted
+    assert(due.toSeq == Seq("advanced", "aged"))
+  }
+
+  test("streaming: watermarked hourly window over the events file source") {
+    val events = EventStream.readEvents(spark, eventsDir)
+    assert(events.isStreaming)
+    val q = EventStream.hourlyCounts(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; with one batch
+      // the watermark advances to max(ts)-1h, so all but the tail emit
+      val got = spark.table("hourly_out")
+      val batchEquivalent = graft.Tables.load(spark, sfDir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(got.count() > 0)
+      assert(got.count() <= batchEquivalent.count())
+      // every emitted window matches the batch computation exactly
+      val joined = got.alias("s").join(batchEquivalent.alias("b"),
+        Seq("win_start", "event_type"))
+        .filter(col("s.n") =!= col("b.n"))
+      assert(joined.count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming: processing-time NRT full-replace refresh") {
+    val events = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream.nrtRefresh(events, intervalMs = 100)
+      .queryName("nrt_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("nrt_out")
+      val expect = graft.Tables.load(spark, sfDir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      assert(got.count() == expect.count())
+    } finally q.stop()
+  }
+}
