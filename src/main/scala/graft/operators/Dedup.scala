@@ -46,13 +46,12 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** (id, sh, hs): shingle array and its xxhash64 base hashes, staged so
-    * each is computed exactly once per row. */
+  /** (id, hs): distinct shingle hashes via the native single-scan
+    * expression ([[graft.functions.ShingleHashes]]). */
   def shingleHashes(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"), col("sh"),
-        transform(col("sh"), s => xxhash64(s)).as("hs"))
+    df.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingle_hashes(col(textCol), shingleN).as("hs"))
 
   /** MinHash signature from precomputed base hashes — native codegen'd
     * expression ([[graft.functions.MinHash64]]): one tight loop per row,
@@ -122,20 +121,21 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over LSH candidate pairs: re-join the shingle
-    * sets onto minhash candidates and compute |∩|/|∪| exactly. At scale
+    * HASH sets onto minhash candidates and compute |∩|/|∪| exactly
+    * (64-bit hash collisions are negligible at corpus scale). At 100 TB
     * the exact verify only touches the candidate set, not all pairs. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val sh = shingleHashes(df, textCol, idCol, shingleN)
     val cands = minhashLshPairs(df, textCol, idCol, numHashes, bands, shingleN)
       .select("id1", "id2")
     cands
-      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
-      .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("hs", "hs1"), "id1")
+      .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("hs", "hs2"), "id2")
       .select(col("id1"), col("id2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+        (size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+          size(array_union(col("hs1"), col("hs2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
