@@ -1,0 +1,157 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local model of the publish-side portal (AGOL stand-in) — the live
+  * REST surface is out of reach, so publishing semantics are modeled as
+  * state over a directory + a control DataFrame, reproducing the
+  * behaviors of SURVEY.md §2.2:
+  *
+  *  - K5 add+publish with 409-conflict retry: name collisions rename
+  *    the title `_1.._10` (`agol_wrangler.py:527-568`)
+  *  - K6 chunk append: publish chunk 1, append 2..N — in Spark the
+  *    whole pattern collapses to `unionByName` before ONE write
+  *    (`agol_wrangler.py:648-682`)
+  *  - K9 property snapshot/restore around an overwrite, incl. index
+  *    restore with by-name dedupe and the ≤4000-byte key limit
+  *    (`OverwriteFS.py:268-398`, `:499-558`)
+  *  - K11 touch (`OverwriteFS.py:1852-1961`)
+  *  - S12/S13 tag search → control DataFrame
+  *    (`update_manager.py:30-84`, `agol_wrangler.py:727-748`)
+  *
+  * Item properties follow `makeItemProperties`
+  * (`agol_wrangler.py:150-194`): tags `erddap2agol`, `did_<id>`,
+  * attribute names, `e2a_nrt` when NRT, the server URL; snippet
+  * composed from NC_GLOBAL summary + title + server host.
+  */
+class Portal(root: String) {
+
+  case class Item(
+      id: String,
+      title: String,
+      itemType: String,
+      tags: Seq[String],
+      properties: Map[String, String],
+      serviceProps: Map[String, String] = Map.empty,
+      indexes: Seq[(String, String)] = Nil, // (name, fields)
+      lastTouched: Long = 0L)
+
+  private val items = collection.mutable.LinkedHashMap.empty[String, Item]
+  private var nextId = 0
+
+  def allItems: Seq[Item] = items.values.toSeq
+
+  /** F23 — item properties from DAS NC_GLOBAL metadata. */
+  def itemProperties(datasetId: String, title: String, server: String,
+      attributes: Seq[String], isNrt: Boolean,
+      ncGlobal: Map[String, String]): (String, Seq[String], Map[String, String]) = {
+    val tags = Seq("erddap2agol", s"did_$datasetId") ++ attributes ++
+      (if (isNrt) Seq("e2a_nrt") else Nil) ++ Seq(server)
+    val serverName = server.split("/erddap/")(0).split("://").last
+    val access = ncGlobal.get("publisher_institution")
+      .orElse(ncGlobal.get("creator_institution"))
+      .orElse(ncGlobal.get("institution")).getOrElse("")
+    val summary = ncGlobal.getOrElse("summary", "")
+    val props = Map(
+      "accessInformation" -> access,
+      "licenseInfo" -> ncGlobal.getOrElse("license", ""),
+      "snippet" -> s"$summary. $title was generated with erddap2agol from the $serverName ERDDAP.")
+    (title, tags, props)
+  }
+
+  /** K5 — add with 409-style conflict retry: existing title → `_1`,
+    * `_2`, … up to `maxAttempts`, then fail (reference raises). */
+  def addOrRetry(title: String, itemType: String, tags: Seq[String],
+      properties: Map[String, String], maxAttempts: Int = 10): Item = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val candidate = if (attempt == 0) title else s"${title}_$attempt"
+      if (!items.values.exists(_.title == candidate)) {
+        nextId += 1
+        val item = Item(f"item$nextId%04d", candidate, itemType, tags, properties)
+        items(item.id) = item
+        return item
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException("Max attempts reached for adding item with retry.")
+  }
+
+  /** Publish data for an item. K6 note: pass ALL chunks here —
+    * `unionByName` + one write replaces the reference's
+    * publish-then-append loop. */
+  def publish(item: Item, chunks: Seq[DataFrame]): Long = {
+    require(chunks.nonEmpty)
+    val data = chunks.reduce(_.unionByName(_))
+    data.write.mode(SaveMode.Overwrite).parquet(dataPath(item))
+    data.sparkSession.read.parquet(dataPath(item)).count()
+  }
+
+  def dataPath(item: Item): String = s"$root/${item.id}"
+
+  /** K9 — snapshot the restorable properties before an overwrite. */
+  case class Backup(serviceProps: Map[String, String], indexes: Seq[(String, String)])
+  def backupProperties(item: Item): Backup =
+    Backup(item.serviceProps, item.indexes)
+
+  /** K9 — restore after overwrite: service props reapplied (forcing
+    * hasLiveData=false like the reference's timeInfo restore,
+    * `OverwriteFS.py:483-486`); indexes deduped by name, keys over
+    * 4000 bytes dropped (`OverwriteFS.py:529-531`). */
+  def restoreProperties(item: Item, backup: Backup): Item = {
+    val dedupedIdx = backup.indexes
+      .groupBy(_._1).map(_._2.head).toSeq
+      .filter(_._2.getBytes("UTF-8").length <= 4000)
+    val restored = item.copy(
+      serviceProps = backup.serviceProps + ("hasLiveData" -> "false"),
+      indexes = dedupedIdx)
+    items(item.id) = restored
+    restored
+  }
+
+  /** K8 — overwrite with property transactionality: backup → replace
+    * data → restore. Unchanged-data short-circuit belongs to the caller
+    * (Nrt.tableFingerprint). */
+  def overwrite(item: Item, fresh: DataFrame): Item = {
+    val backup = backupProperties(items(item.id))
+    fresh.write.mode(SaveMode.Overwrite).parquet(dataPath(item))
+    restoreProperties(items(item.id), backup)
+  }
+
+  /** K11 — touch: bump the item (and its dependents in the reference). */
+  def touch(item: Item, now: Long): Item = {
+    val touched = items(item.id).copy(lastTouched = now)
+    items(item.id) = touched
+    touched
+  }
+
+  def updateServiceProps(item: Item, props: Map[String, String]): Item = {
+    val updated = items(item.id).copy(serviceProps = items(item.id).serviceProps ++ props)
+    items(item.id) = updated
+    updated
+  }
+
+  def addIndex(item: Item, name: String, fields: String): Item = {
+    val updated = items(item.id).copy(indexes = items(item.id).indexes :+ (name, fields))
+    items(item.id) = updated
+    updated
+  }
+
+  /** S12/S13 — tag search as a control DataFrame: all requested tags
+    * must be present; `did_<id>` and the `http…` server tag are
+    * extracted like `update_manager.py:57-76`. */
+  def searchByTags(spark: SparkSession, requiredTags: Seq[String],
+      maxItems: Int = 5000): DataFrame = {
+    import spark.implicits._
+    items.values
+      .filter(i => requiredTags.forall(i.tags.contains))
+      .take(maxItems)
+      .map { i =>
+        val did = i.tags.find(_.startsWith("did_")).map(_.stripPrefix("did_"))
+        val base = i.tags.find(_.startsWith("http"))
+        (i.id, i.title, did.orNull, base.orNull)
+      }.toSeq
+      .toDF("agol_id", "title", "dataset_id", "base_url")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.SparkTestSession
+
+class PortalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def newPortal() = new Portal(
+    java.nio.file.Files.createTempDirectory("portal").toString)
+
+  test("item properties: tags + snippet composed from NC_GLOBAL") {
+    val p = newPortal()
+    val (title, tags, props) = p.itemProperties("gcoos_42G01", "Buoy 42G01",
+      "https://erddap2.gcoos.org/erddap/tabledap/",
+      Seq("time", "latitude"), isNrt = true,
+      Map("institution" -> "GCOOS", "summary" -> "Buoy observations",
+        "license" -> "free"))
+    assert(tags.contains("erddap2agol") && tags.contains("did_gcoos_42G01") &&
+      tags.contains("e2a_nrt") &&
+      tags.contains("https://erddap2.gcoos.org/erddap/tabledap/"))
+    assert(props("accessInformation") == "GCOOS")
+    assert(props("snippet") ==
+      "Buoy observations. Buoy 42G01 was generated with erddap2agol from the erddap2.gcoos.org ERDDAP.")
+  }
+
+  test("addOrRetry renames on conflict: title, title_1, title_2; fails after max") {
+    val p = newPortal()
+    assert(p.addOrRetry("T", "CSV", Nil, Map()).title == "T")
+    assert(p.addOrRetry("T", "CSV", Nil, Map()).title == "T_1")
+    assert(p.addOrRetry("T", "CSV", Nil, Map()).title == "T_2")
+    val p2 = newPortal()
+    (0 until 10).foreach(_ => p2.addOrRetry("X", "CSV", Nil, Map(), maxAttempts = 10))
+    intercept[IllegalStateException] {
+      p2.addOrRetry("X", "CSV", Nil, Map(), maxAttempts = 10)
+    }
+  }
+
+  test("publish unions chunks by name in one write (K6 collapse)") {
+    val p = newPortal()
+    val item = p.addOrRetry("data", "CSV", Nil, Map())
+    val c1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val c2 = Seq((3L, "c")).toDF("id", "v")
+    assert(p.publish(item, Seq(c1, c2)) == 3L)
+    assert(spark.read.parquet(p.dataPath(item)).count() == 3)
+  }
+
+  test("overwrite preserves service props and indexes transactionally (K9)") {
+    val p = newPortal()
+    var item = p.addOrRetry("svc", "FeatureService", Nil, Map())
+    p.publish(item, Seq(Seq((1L, "x")).toDF("id", "v")))
+    item = p.updateServiceProps(item, Map("maxRecordCount" -> "2000",
+      "capabilities" -> "Query"))
+    item = p.addIndex(item, "idx_id", "id")
+    item = p.addIndex(item, "idx_id", "id,v")    // duplicate name → deduped
+    item = p.addIndex(item, "idx_big", "f" * 4001) // oversized key → dropped
+    val restored = p.overwrite(item, Seq((9L, "z"), (8L, "y")).toDF("id", "v"))
+    assert(spark.read.parquet(p.dataPath(restored)).count() == 2)
+    assert(restored.serviceProps("maxRecordCount") == "2000")
+    assert(restored.serviceProps("hasLiveData") == "false") // forced like reference
+    assert(restored.indexes.map(_._1) == Seq("idx_id"))     // deduped + size-limited
+  }
+
+  test("tag search extracts did_/server tags into a control DataFrame (S12)") {
+    val p = newPortal()
+    p.addOrRetry("A", "FeatureService",
+      Seq("erddap2agol", "did_ds1", "e2a_nrt", "https://srv/erddap/tabledap/"), Map())
+    p.addOrRetry("B", "FeatureService",
+      Seq("erddap2agol", "did_ds2"), Map())
+    p.addOrRetry("C", "CSV", Seq("unrelated"), Map())
+    val nrt = p.searchByTags(spark, Seq("erddap2agol", "e2a_nrt"))
+    val got = nrt.select("dataset_id", "base_url").as[(String, String)].collect()
+    assert(got.toSeq == Seq(("ds1", "https://srv/erddap/tabledap/")))
+    assert(p.searchByTags(spark, Seq("erddap2agol")).count() == 2)
+  }
+
+  test("touch bumps lastTouched (K11)") {
+    val p = newPortal()
+    val item = p.addOrRetry("t", "CSV", Nil, Map())
+    assert(p.touch(item, 12345L).lastTouched == 12345L)
+  }
+}
