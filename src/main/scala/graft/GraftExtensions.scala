@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DecodeDatetimeExpr, MinHash64, ShingleHashes, SimHash64}
+
+/** Session extensions exposing the engine's native expressions to SQL:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT decode_datetime(s), simhash64(shingle_hashes(text, 3)) ...")
+  * }}}
+  *
+  * This is the library's `SparkSessionExtensions` integration point —
+  * new rules/strategies would register here too.
+  */
+object GraftExtensions {
+  /** Register the same functions on an EXISTING session (builder-time
+    * extensions don't apply to an already-created session). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("decode_datetime",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => DecodeDatetimeExpr(c, asMicroseconds = true)
+        case Seq(c, Literal(b: Boolean, _)) => DecodeDatetimeExpr(c, b)
+        case _ => throw new IllegalArgumentException(
+          "decode_datetime expects (str[, boolean literal])")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      (args: Seq[Expression]) => SimHash64(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash64",
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(k: Int, _)) => MinHash64(c, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash64 expects (array<bigint>, int literal)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(n: Int, _)) => ShingleHashes(c, n)
+        case Seq(c) => ShingleHashes(c, 3)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes expects (text[, int literal])")
+      }, "scala_udf")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("decode_datetime"),
+      info("decode_datetime",
+        "decode_datetime(str[, asMicroseconds]) - format-synthesizing datetime parse"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => DecodeDatetimeExpr(c, asMicroseconds = true)
+        case Seq(c, Literal(b: Boolean, _)) => DecodeDatetimeExpr(c, b)
+        case _ => throw new IllegalArgumentException(
+          "decode_datetime expects (str[, boolean literal])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<bigint>) - 64-bit simhash of hash array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash64"),
+      info("minhash64", "minhash64(array<bigint>, k) - k-wide minhash signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(k: Int, _)) => MinHash64(c, k)
+        case _ => throw new IllegalArgumentException(
+          "minhash64 expects (array<bigint>, int literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, n) - distinct word n-gram shingle hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(n: Int, _)) => ShingleHashes(c, n)
+        case Seq(c) => ShingleHashes(c, 3)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes expects (text[, int literal])")
+      }))
+  }
+}

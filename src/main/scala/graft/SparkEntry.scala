@@ -173,6 +173,29 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           date_trunc("second", col("ts")).as("ts_s"), col("event_type"))),
 
+    // ---- O1 descending sort (lat reorder analog) ----
+    "o1_sort_desc" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))),
+
+    // ---- E3 chunk union (K6 collapse) ----
+    "e3_union_chunks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val c1 = Relational.timeRange(li, "l_shipdate", "1992-01-01", "1994-12-31 23:59:59")
+      val c2 = li.filter(col("l_shipdate") > lit("1994-12-31 23:59:59").cast("timestamp"))
+      c1.unionByName(c2).groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("q"))
+    }),
+
+    // ---- skew-salted join (scale path; same result as plain join) ----
+    "j7_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      val part = t(s, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      Relational.saltedJoin(li, part, "l_partkey", saltFactor = 4)
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
+    }),
+
     // ---- E1 except ----
     "e1_except" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"))
@@ -451,6 +474,19 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    "o1_sort_desc" ->
+      "SELECT c_custkey, c_acctbal FROM customer",
+    "e3_union_chunks" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS q
+        |FROM (SELECT * FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'
+        |        AND l_shipdate <= TIMESTAMP '1994-12-31 23:59:59'
+        |      UNION ALL
+        |      SELECT * FROM lineitem WHERE l_shipdate > TIMESTAMP '1994-12-31 23:59:59')
+        |GROUP BY l_linestatus""".stripMargin,
+    "j7_salted_join" ->
+      """SELECT p_brand, round(sum(l_quantity),2) AS qty, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin,
     "e1_except" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
     "e2_union_dedup" ->

@@ -105,6 +105,20 @@ object Relational {
     ln.join(rn, "_pos").drop("_pos")
   }
 
+  /** Skew-resistant equi-join: salt the skewed (big) side's key into
+    * `saltFactor` sub-keys and explode the small side across all salts,
+    * so one hot key spreads over `saltFactor` reduce tasks. AQE's
+    * skew-join handles moderate skew automatically; explicit salting is
+    * the tool for pathological keys at the 100 TB end. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int = 8): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val saltedSmall = small.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
   // --- §2.5 aggregations ----------------------------------------------------
 
   /** A1 — per-dataset time extent (`das_client.py:186-232`). */

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // The suite JVM may already hold a session (builder-time extensions
+  // would be ignored on reuse) → use the register-on-existing path,
+  // which is also what notebook/connect users need.
+  lazy val spark: SparkSession = {
+    val s = graft.operators.SparkTestSession.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("SQL surface: decode_datetime, shingle_hashes, simhash64, minhash64") {
+    val row = spark.sql(
+      """SELECT
+        |  decode_datetime('Sat, 25 May 2024 14:02:00 GMT', false) AS ts,
+        |  size(shingle_hashes('one two three four', 3)) AS n_shingles,
+        |  simhash64(shingle_hashes('one two three four', 3)) AS sim,
+        |  size(minhash64(shingle_hashes('one two three four', 3), 16)) AS sig_len
+        |""".stripMargin).head()
+    assert(row.getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2024-05-25T14:02:00Z"))
+    assert(row.getInt(1) == 2)
+    assert(row.getLong(2) != 0L)
+    assert(row.getInt(3) == 16)
+  }
+
+  test("SQL decode_datetime returns null for garbage (try semantics)") {
+    assert(spark.sql("SELECT decode_datetime('definitely not a date')")
+      .head().isNullAt(0))
+  }
+}
