@@ -196,6 +196,16 @@ object SparkEntry {
         .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
     }),
 
+    // ---- W6 gap-based sessionization (training-pipeline op) ----
+    "w6_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      graft.operators.Sessionize.sessionSummary(ev, "user_id", "ts",
+        gapSeconds = 600, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("session_end"), col("n_events"))
+    }),
+
     // ---- E1 except ----
     "e1_except" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"))
@@ -343,6 +353,16 @@ object SparkEntry {
         "embedding", q, k = 10, planes = 8)
     }),
 
+    // ---- similarity: IVF top-k probe (rows-only check) ----
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val rest = emb.filter(col("vec_id") =!= 0)
+      val cents = Similarity.trainCentroids(rest, "embedding", k = 8, iters = 3)
+      Similarity.ivfTopK(rest, "vec_id", "embedding", q, k = 10, cents, nProbe = 4)
+    }),
+
     // ---- dedup: embedding-cosine near-dup pairs (rows-only check) ----
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
@@ -474,6 +494,22 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    "w6_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch(ts) - epoch(lag(ts) OVER w) > 600 THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM lagged)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY 1, 2""".stripMargin,
     "o1_sort_desc" ->
       "SELECT c_custkey, c_acctbal FROM customer",
     "e3_union_chunks" ->

@@ -94,4 +94,81 @@ object Similarity {
 
   private def firstVectorLength(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
+
+  // ---- IVF (inverted-file) variant — the other scale path -----------------
+
+  /** Train `k` centroids with Lloyd iterations on a bounded sample
+    * (driver-side by design: the sample is capped at `sampleN` rows, so
+    * memory is bounded regardless of table size; assignment afterwards
+    * is fully distributed). Deterministic: seeded sample, first-k init. */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5, sampleN: Int = 2000): Array[Array[Double]] = {
+    val sample = df.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    var centroids = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestIdx(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < v.length) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestIdx(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val x = v(j) - cs(c)(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Distributed cluster assignment: squared distance to each centroid
+    * (centroids are literals in the plan — broadcast by construction),
+    * argmin via a fold. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol)
+    def sqDist(cArr: Array[Double]): Column =
+      aggregate(zip_with(v, array(cArr.map(lit): _*),
+        (x, c) => { val d = x.cast("double") - c; d * d }),
+        lit(0.0), (acc, x) => acc + x)
+    val best = centroids.indices.tail.foldLeft(
+      struct(sqDist(centroids(0)).as("d"), lit(0).as("c"))) { (acc, i) =>
+      val d = sqDist(centroids(i))
+      when(d < acc.getField("d"), struct(d.as("d"), lit(i).as("c"))).otherwise(acc)
+    }
+    df.select(col(idCol), v.as(vecCol), best.getField("c").as("cluster"))
+  }
+
+  /** IVF top-k: probe only the `nProbe` centroids nearest the query —
+    * the scan prunes to ~nProbe/k of the data (with a cluster-partitioned
+    * layout this becomes partition pruning at 100 TB). */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 2): DataFrame = {
+    val probes = centroids.indices
+      .sortBy { c =>
+        centroids(c).zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.take(nProbe).toSet
+    val q = array(query.map(lit): _*)
+    ivfAssign(df, idCol, vecCol, centroids)
+      .filter(col("cluster").isin(probes.toSeq: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

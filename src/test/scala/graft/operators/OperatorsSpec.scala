@@ -157,3 +157,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Set(("a", "x"), ("b", "y"), ("c", "z")))
   }
 }
+
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("IVF: train, assign, probe — recall vs brute force on embeddings") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val cents = Similarity.trainCentroids(rest, "embedding", k = 8, iters = 4)
+    assert(cents.length == 8 && cents.head.length == 64)
+    val assigned = Similarity.ivfAssign(rest, "vec_id", "embedding", cents)
+    assert(assigned.select("cluster").distinct().count() > 1)
+    assert(assigned.count() == rest.count())
+
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.ivfTopK(rest, "vec_id", "embedding", q, 10,
+      cents, nProbe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    // probing half the clusters should recover a decent share of true top-k
+    assert((exact intersect approx).size >= 4,
+      s"recall too low: ${(exact intersect approx).size}/10")
+  }
+}
