@@ -377,6 +377,20 @@ object SparkEntry {
           col("meta.height"), col("meta.payload_bytes"))
     }),
 
+    // ---- composite corpus-curation pipeline: quality → lang → dedup →
+    //      per-source stats (the flagship training-data flow) ----
+    "pipeline_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.qualitySignals(docs, "text")
+        .filter(col("n_tokens") >= 10 && col("stopword_ratio") <= 0.5)
+      val english = TextAnalysis.languageId(quality, "text")
+        .filter(col("lang_guess") === "en")
+      val deduped = Dedup.exact(english, "text", "doc_id")
+      deduped.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+    }),
+
     // ---- text: token counting ----
     "text_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -606,6 +620,49 @@ object SparkEntry {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id, round(cosine, 6) AS cos FROM scored
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "pipeline_corpus" ->
+      """WITH base AS (
+        | SELECT doc_id, text, source,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |      'that','was','for','on','with','as','at','by','be'],
+        |      regexp_replace(t, '[^a-z]', '', 'g')))) AS stops
+        | FROM documents),
+        |filt AS (
+        | SELECT * FROM base
+        | WHERE n_tokens >= 10
+        |   AND round(CASE WHEN n_tokens > 0
+        |     THEN CAST(stops AS DOUBLE)/n_tokens ELSE 0 END, 6) <= 0.5),
+        |scored AS (
+        | SELECT f.*,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |   t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'],
+        |     regexp_replace(t, '[^a-z]', '', 'g')))) AS s_de,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |   t -> list_contains(['the','and','of','to','is','in','that','was','with','for'],
+        |     regexp_replace(t, '[^a-z]', '', 'g')))) AS s_en,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |   t -> list_contains(['el','la','los','y','es','en','que','una','por','con'],
+        |     regexp_replace(t, '[^a-z]', '', 'g')))) AS s_es,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |   t -> list_contains(['le','la','les','et','est','une','dans','que','pour','des'],
+        |     regexp_replace(t, '[^a-z]', '', 'g')))) AS s_fr
+        | FROM filt f),
+        |en AS (
+        | SELECT * FROM scored
+        | WHERE (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+        |        WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+        |        WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |        WHEN s_fr > 0 THEN 'fr' ELSE 'und' END) = 'en'),
+        |ded AS (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |   ORDER BY doc_id) AS rn
+        | FROM en)
+        |SELECT source, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+        |FROM ded WHERE rn = 1 GROUP BY source""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -84,12 +84,54 @@ class ErddapScanBuilder(dataDir: String, dataset: String, server: String,
     chunkSize: Long, das: Das.Document, selection: AttributePolicy.Selection,
     fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var lo: Option[Instant] = None
   private var hi: Option[Instant] = None
+  private var aggSpecs: Option[Seq[ErddapAggScan.Spec]] = None
+
+  /** The reference answers COUNT(*) from the ncHeader probe and
+    * min/max(time) from the DAS actual_range WITHOUT transferring data
+    * (`data_wrangler.py:238-266`, `das_client.py:186-232`) — complete
+    * aggregate pushdown reproduces exactly that. Only legal on the
+    * unfiltered table (a pushed time range would change the answers). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    translateAggregation(agg) match {
+      case some @ Some(_) => aggSpecs = some; true
+      case None => false
+    }
+  }
+
+  private def translateAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[ErddapAggScan.Spec]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (lo.isDefined || hi.isDefined || agg.groupByExpressions().nonEmpty) return None
+    val timeCol = selection.timeCol.getOrElse(return None)
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => ErddapAggScan.CountStar
+      case m: Min => m.column() match {
+        case f: NamedReference if f.fieldNames().sameElements(Array(timeCol)) =>
+          ErddapAggScan.MinTime
+        case _ => return None
+      }
+      case m: Max => m.column() match {
+        case f: NamedReference if f.fieldNames().sameElements(Array(timeCol)) =>
+          ErddapAggScan.MaxTime
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(specs)
+  }
 
   override def pruneColumns(required: StructType): Unit = {
     // keep declared column order; ERDDAP serves columns in request order
@@ -124,9 +166,68 @@ class ErddapScanBuilder(dataDir: String, dataset: String, server: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new ErddapScan(dataDir, dataset, server, chunkSize, das, selection,
-      requiredSchema, lo, hi)
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) =>
+      new ErddapAggScan(dataDir, dataset, das, selection, specs)
+    case None =>
+      new ErddapScan(dataDir, dataset, server, chunkSize, das, selection,
+        requiredSchema, lo, hi)
+  }
+}
+
+/** Metadata-only scan answering pushed aggregates from the size probe
+  * and the DAS time extent — zero data transfer, one row, one
+  * partition. */
+object ErddapAggScan {
+  sealed trait Spec
+  case object CountStar extends Spec
+  case object MinTime extends Spec
+  case object MaxTime extends Spec
+}
+
+class ErddapAggScan(dataDir: String, dataset: String, das: Das.Document,
+    selection: AttributePolicy.Selection, specs: Seq[ErddapAggScan.Spec])
+    extends Scan with Batch {
+  import ErddapAggScan._
+
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (CountStar, i) => org.apache.spark.sql.types.StructField(
+      s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+    case (_, i) => org.apache.spark.sql.types.StructField(
+      s"agg_$i", TimestampType, nullable = true)
+  })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"erddap-agg dataset=$dataset specs=${specs.mkString(",")} (metadata only)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ErddapInputPartition("agg"))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val rowCount = new LocalErddapServer(dataDir).rowCount(dataset)
+    val extent = selection.timeCol.flatMap(tc => Das.timeExtent(das, tc))
+    def micros(i: Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    val values: Array[Any] = specs.map {
+      case CountStar => rowCount: Any
+      case MinTime => extent.map(e => micros(e._1): Any).orNull
+      case MaxTime => extent.map(e => micros(e._2): Any).orNull
+    }.toArray
+    new ErddapAggReaderFactory(values)
+  }
+}
+
+class ErddapAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 class ErddapScan(dataDir: String, dataset: String, server: String,

@@ -121,4 +121,25 @@ class ErddapDataSourceSpec extends AnyFunSuite {
       .agg(round(sum("sea_surface_temperature_0"), 2)).head().getDouble(0)
     assert(viaSource == direct)
   }
+
+  test("aggregate pushdown: COUNT/min/max answered from metadata only") {
+    val df = read().load()
+    val agg = df.agg(count(lit(1)).as("n"), min(col("time")).as("lo"),
+      max(col("time")).as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("erddap-agg"), s"expected metadata-only agg scan:\n$plan")
+    val r = agg.head()
+    assert(r.getLong(0) == 96)
+    assert(r.getTimestamp(1).toInstant == Instant.parse("2024-06-01T00:00:00Z"))
+    assert(r.getTimestamp(2).toInstant == Instant.parse("2024-06-04T23:00:00Z"))
+  }
+
+  test("aggregate pushdown declines when a time filter is pushed") {
+    val df = read().load()
+      .filter(col("time") >= lit("2024-06-02 00:00:00").cast("timestamp"))
+    val agg = df.agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("erddap-agg"))
+    assert(agg.head().getLong(0) == 72)
+  }
 }
