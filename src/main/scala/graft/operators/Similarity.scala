@@ -136,23 +136,14 @@ object Similarity {
     best
   }
 
-  /** Distributed cluster assignment: squared distance to each centroid
-    * (centroids are literals in the plan — broadcast by construction),
-    * argmin via a fold. */
+  /** Distributed cluster assignment via the native argmin expression
+    * ([[graft.functions.NearestCentroid]]): centroids ride in the
+    * serialized plan, the scan is one JIT'd k×dim loop per row. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val v = col(vecCol)
-    def sqDist(cArr: Array[Double]): Column =
-      aggregate(zip_with(v, array(cArr.map(lit): _*),
-        (x, c) => { val d = x.cast("double") - c; d * d }),
-        lit(0.0), (acc, x) => acc + x)
-    val best = centroids.indices.tail.foldLeft(
-      struct(sqDist(centroids(0)).as("d"), lit(0).as("c"))) { (acc, i) =>
-      val d = sqDist(centroids(i))
-      when(d < acc.getField("d"), struct(d.as("d"), lit(i).as("c"))).otherwise(acc)
-    }
-    df.select(col(idCol), v.as(vecCol), best.getField("c").as("cluster"))
-  }
+      centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      graft.functions.NearestCentroid.nearest_centroid(col(vecCol), centroids)
+        .as("cluster"))
 
   /** IVF top-k: probe only the `nProbe` centroids nearest the query —
     * the scan prunes to ~nProbe/k of the data (with a cluster-partitioned

@@ -6,38 +6,43 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, fingerprinting.
   *
-  * All are narrow (per-row) transformations built from codegen'd
-  * `functions._` — no UDFs, no shuffle, embarrassingly parallel at
-  * 100 TB. Designed to run in a single scan over `documents`.
+  * The heavy per-row statistics come from ONE native single-pass
+  * expression ([[graft.functions.TextStats]]) staged in its own
+  * projection (an expensive alias referenced many times is never
+  * inlined by CollapseProject), so a 100 TB scan reads each document
+  * once. Public semantics are unchanged from the Column formulations
+  * and stay pinned by the DuckDB oracle gate.
   */
 object TextAnalysis {
 
+  private def stats(text: Column): Column =
+    graft.functions.TextStats.text_stats(text)
+
+  private def blank(text: Column): Column = length(trim(text)) === 0
+
   /** Whitespace token count. Empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+    when(blank(text), lit(0L)).otherwise(stats(text).getField("n_tokens"))
 
   /** BPE-ish subword count: word chunks of ≤4 chars count 1, longer words
     * count ceil(len/4) — a deterministic proxy for tokenizer cost without
     * shipping a vocab. */
-  def subwordCount(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
-    when(length(trim(text)) === 0, lit(0L)).otherwise(
-      aggregate(words, lit(0L),
-        (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long")))
-  }
+  def subwordCount(text: Column): Column =
+    when(blank(text), lit(0L)).otherwise(stats(text).getField("subwords"))
 
   /** Quality signals: char length, token count, mean word length,
     * punctuation ratio, uppercase ratio, digit ratio, stopword ratio. */
   def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nChars = length(t)
-    val punct = length(regexp_replace(t, "[^.,;:!?]", ""))
-    val uppers = length(regexp_replace(t, "[^A-Z]", ""))
-    val digits = length(regexp_replace(t, "[^0-9]", ""))
-    val toks = tokenCount(t)
-    val stops = stopwordCount(t, englishStopwords)
-    df.withColumn("n_chars_q", nChars.cast("long"))
+    val staged = df.withColumn("_ts", stats(col(textCol)))
+    val nChars = col("_ts").getField("n_chars")
+    val toks = when(blank(col(textCol)), lit(0L))
+      .otherwise(col("_ts").getField("n_tokens"))
+    val punct = col("_ts").getField("punct")
+    val uppers = col("_ts").getField("uppers")
+    val digits = col("_ts").getField("digits")
+    val stops = col("_ts").getField("stop_hits")
+    staged
+      .withColumn("n_chars_q", nChars.cast("long"))
       .withColumn("n_tokens", toks)
       .withColumn("mean_word_len",
         round(when(toks > 0, (nChars - (toks - 1)).cast("double") / toks)
@@ -50,23 +55,29 @@ object TextAnalysis {
         round(when(nChars > 0, digits.cast("double") / nChars).otherwise(0.0), 6))
       .withColumn("stopword_ratio",
         round(when(toks > 0, stops.cast("double") / toks).otherwise(0.0), 6))
+      .drop("_ts")
   }
 
   val englishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
       "that", "was", "for", "on", "with", "as", "at", "by", "be")
 
-  /** Count tokens that are in the stopword list (case-insensitive). */
+  /** Count tokens that are in the stopword list (case-insensitive).
+    * Generic-list fallback path (the default English list rides the
+    * native TextStats pass via [[qualitySignals]]). */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val stopArr = array(stopwords.map(lit): _*)
-    size(filter(toks, t => array_contains(stopArr, regexp_replace(t, "[^a-z]", ""))))
+    if (stopwords == englishStopwords) stats(text).getField("stop_hits")
+    else {
+      val toks = split(lower(trim(text)), "\\s+")
+      val stopArr = array(stopwords.map(lit): _*)
+      size(filter(toks, t => array_contains(stopArr, regexp_replace(t, "[^a-z]", ""))))
+        .cast("long")
+    }
   }
 
   /** Language-ID heuristic: score each candidate language by its stopword
     * hit count over the document tokens; argmax wins, ties broken by
-    * language code order, zero hits → "und". Scales as one scan — the tiny
-    * per-language stopword arrays live in the plan as literals. */
+    * language code order, zero hits → "und". */
   val languageStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "was", "with", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
@@ -75,17 +86,26 @@ object TextAnalysis {
 
   def languageId(df: DataFrame, textCol: String,
       langs: Map[String, Seq[String]] = languageStopwords): DataFrame = {
-    val scored = langs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (code, stops)) =>
-      d.withColumn(s"_score_$code", stopwordCount(col(textCol), stops))
-    }
     val codes = langs.keys.toSeq.sorted
+    val staged =
+      if (langs == languageStopwords) {
+        // native path: scores come out of the single TextStats pass
+        val withStats = df.withColumn("_ts", stats(col(textCol)))
+        codes.foldLeft(withStats) { (d, code) =>
+          d.withColumn(s"_score_$code", col("_ts").getField(s"s_$code"))
+        }.drop("_ts")
+      } else {
+        langs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (code, stops)) =>
+          d.withColumn(s"_score_$code", stopwordCount(col(textCol), stops).cast("int"))
+        }
+      }
     val best = codes.tail.foldLeft(
       struct(col(s"_score_${codes.head}").as("s"), lit(codes.head).as("l"))) {
       (acc, code) =>
         when(col(s"_score_$code") > acc.getField("s"),
           struct(col(s"_score_$code").as("s"), lit(code).as("l"))).otherwise(acc)
     }
-    scored.withColumn("lang_guess",
+    staged.withColumn("lang_guess",
       when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
       .drop(codes.map(c => s"_score_$c"): _*)
   }
