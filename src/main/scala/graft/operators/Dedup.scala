@@ -29,11 +29,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup with deterministic winner: lowest `idCol` per identical
-    * normalized text wins. One shuffle on the fingerprint. */
+    * normalized text wins. One shuffle on the fingerprint; the
+    * fingerprint is staged as a column so the exchange/sort/window all
+    * reference the computed value instead of re-evaluating md5+regex. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = TextAnalysis.fingerprint(col(textCol))
-    val w = Window.partitionBy(fp).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val staged = df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    staged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_fp")
   }
 
   /** Word n-gram shingles of the normalized text, as a deduped array. */

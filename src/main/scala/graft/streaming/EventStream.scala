@@ -41,6 +41,15 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sv"))
 
+  /** Streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon (`dropDuplicatesWithinWatermark` bounds the
+    * dedup state — the streaming face of Dedup.exact for continuous
+    * ingestion). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", delay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** NRT processing-time trigger: periodically recompute a full-replace
     * aggregate (complete output mode = the reference's overwrite
     * semantics, T3 — no merge, each trigger replaces the result). */

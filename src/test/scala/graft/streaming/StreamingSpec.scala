@@ -126,4 +126,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.count() == expect.count())
     } finally q.stop()
   }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    val d = java.nio.file.Files.createTempDirectory("dedup_stream")
+    // two copies of the same events → duplicates by event_id
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id")
+    ev.unionAll(ev).coalesce(1).write.parquet(d.toString + "/in")
+    val schema = spark.read.parquet(d.toString + "/in").schema
+    val stream = spark.readStream.schema(schema).parquet(d.toString + "/in")
+    val q = EventStream.dedupWithinWatermark(stream, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == ev.count())
+    } finally q.stop()
+  }
 }
