@@ -329,6 +329,19 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
 
+    // ---- dedup: connected components → keep-one-per-cluster ----
+    "dedup_clusters" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      // deterministic near-dup graph both engines can derive: same-nation
+      // customers with custkey gap ≤ 3 are "duplicates"
+      val a = cust.select(col("c_custkey").as("id1"), col("c_nationkey").as("n1"))
+      val b = cust.select(col("c_custkey").as("id2"), col("c_nationkey").as("n2"))
+      val pairs = a.join(b, col("n1") === col("n2") &&
+          col("id1") < col("id2") && col("id2") - col("id1") <= 3)
+        .select("id1", "id2")
+      Dedup.connectedComponents(pairs)
+    }),
+
     // ---- similarity: brute-force cosine top-k ----
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -609,6 +622,23 @@ object SparkEntry {
         |    ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1""".stripMargin,
+    "dedup_clusters" ->
+      """WITH pairs AS (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey
+        |   AND b.c_custkey - a.c_custkey <= 3),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
+        |  SELECT * FROM r)
+        |SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (

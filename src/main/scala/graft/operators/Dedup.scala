@@ -142,6 +142,51 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs: label propagation to the
+    * minimum reachable id — the step that turns pairwise matches into
+    * keep-one-per-group dedup. Iterative min-label joins with
+    * `localCheckpoint` per round to truncate lineage; converges in
+    * O(diameter) rounds (duplicate clusters are tiny in practice, so
+    * a handful). Input: (id1, id2) pairs; output: (id, cluster) for
+    * every id that appears in a pair, cluster = min id of its component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("cluster", "nb_cluster"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nb_cluster")).as("min_nb"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("min_nb"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("u.cluster") =!= col("l.cluster")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep-one-per-cluster dedup: rows whose id is its cluster's minimum
+    * (plus all rows not in any near-dup pair). */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup: candidate pairs whose cosine similarity
     * exceeds `threshold`, generated through Similarity's LSH buckets to
     * avoid the all-pairs product. */

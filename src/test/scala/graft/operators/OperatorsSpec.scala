@@ -184,3 +184,38 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"recall too low: ${(exact intersect approx).size}/10")
   }
 }
+
+class ClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("connected components: chains and singleton pairs resolve to min id") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21} via 21-20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(21L) == 20L)
+  }
+
+  test("dedupByClusters keeps one row per component plus untouched rows") {
+    val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (9L, "solo"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 9L))
+  }
+
+  test("end-to-end near-dup dedup: minhash pairs → clusters shrink the corpus") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id").select("id1", "id2")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+    // 28 planted pairs; removing one per pair-component shrinks the corpus
+    assert(kept.count() < docs.count())
+    assert(kept.count() >= docs.count() - 28)
+  }
+}
