@@ -35,7 +35,9 @@ object Tables {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    // bucketed-table writes (co-located joins) land outside the repo
+    "spark.sql.warehouse.dir" -> "/tmp/graft-warehouse")
 
   /** Register every table as a temp view so spark.sql(...) works with the
     * same names the DuckDB oracle uses. */

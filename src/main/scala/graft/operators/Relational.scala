@@ -119,6 +119,17 @@ object Relational {
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Write a table bucketed+sorted on the join key so repeated joins on
+    * that key are CO-LOCATED: both sides read pre-hashed buckets and the
+    * join plans with NO shuffle exchange. The write-once-shuffle-never
+    * pattern for hot fact/dim keys at 100 TB. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", s"/tmp/graft-warehouse/$table")
+      .saveAsTable(table)
+
   // --- §2.5 aggregations ----------------------------------------------------
 
   /** A1 — per-dataset time extent (`das_client.py:186-232`). */

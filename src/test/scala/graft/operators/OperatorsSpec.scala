@@ -219,3 +219,36 @@ class ClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kept.count() >= docs.count() - 28)
   }
 }
+
+class BucketedJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val sfDir = "/root/testdata/sf0.001"
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Relational.writeBucketed(li, "li_bkt", "l_orderkey", 8)
+    Relational.writeBucketed(o, "o_bkt", "l_orderkey", 8)
+    val joined = spark.table("li_bkt").join(spark.table("o_bkt"), "l_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free co-located join:\n$plan")
+    // same result as the plain join
+    val expect = li.join(o, "l_orderkey").count()
+    assert(joined.count() == expect)
+  }
+
+  test("salted join equals plain join") {
+    val sfDir = "/root/testdata/sf0.001"
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_quantity")
+    val p = graft.Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val plain = li.join(p, "l_partkey").count()
+    val salted = Relational.saltedJoin(li, p, "l_partkey", 4).count()
+    assert(salted == plain)
+  }
+}
