@@ -9,7 +9,8 @@ object ExplainCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     for (q <- Seq("q1_agg", "j1_broadcast_join", "p2_time_range", "s4_recent_window",
-                  "dedup_minhash_lsh", "ann_bruteforce", "o4_latest", "w1_glider_segments")) {
+                  "dedup_minhash_lsh", "ann_bruteforce", "o4_latest", "w1_glider_segments",
+                  "pipeline_corpus", "w6_sessionize", "ann_ivf_topk", "j7_salted_join")) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
         .linesIterator.take(40).mkString("\n"))

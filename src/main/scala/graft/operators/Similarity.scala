@@ -37,15 +37,25 @@ object Similarity {
     when(nn === 0, lit(0.0)).otherwise(d / nn)
   }
 
+  /** Cosine against a constant query vector with the query's norm
+    * precomputed on the driver (HOF `aggregate` over a literal array is
+    * not constant-folded, so without this the plan re-reduces the
+    * query vector per row). */
+  def cosineToQuery(vecCol: Column, query: Seq[Double]): Column = {
+    val q = array(query.map(lit): _*)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val d = dot(vecCol, q)
+    val nn = norm(vecCol) * lit(qNorm)
+    when(nn === 0, lit(0.0)).otherwise(d / nn)
+  }
+
   /** Exact top-k by cosine against a constant query vector. The query
     * vector is a literal in the plan (broadcast by construction). */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
-    df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
-  }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * derived from xxhash64(p, j) scaled to [-1, 1]. Generated as literals
@@ -87,7 +97,7 @@ object Similarity {
     df.select(col(idCol), col(vecCol).as("v"),
       srpKey(col(vecCol), dim, planes).as("bucket"))
       .filter(bit_count(col("bucket").bitwiseXOR(qKey)) <= 1)
-      .select(col(idCol), cosine(col("v"), q).as("cosine"))
+      .select(col(idCol), cosineToQuery(col("v"), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
@@ -155,10 +165,9 @@ object Similarity {
       .sortBy { c =>
         centroids(c).zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
       }.take(nProbe).toSet
-    val q = array(query.map(lit): _*)
     ivfAssign(df, idCol, vecCol, centroids)
       .filter(col("cluster").isin(probes.toSeq: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
