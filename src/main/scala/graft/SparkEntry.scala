@@ -153,13 +153,13 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))),
 
-    // ---- W4/W5 row numbering + M running increment ----
-    "w5_row_number" -> ((s, dir) => {
-      val w = Window.orderBy(col("ts"), col("event_id"))
-      t(s, dir, "events").select(col("event_id"),
-        row_number().over(w).cast("long").as("rn"),
-        round(row_number().over(w) * lit(0.5), 1).as("m"))
-    }),
+    // ---- W4/W5 row numbering + M running increment (scalable two-pass
+    //      global numbering — no single-partition window) ----
+    "w5_row_number" -> ((s, dir) =>
+      Relational.globalRowNumber(t(s, dir, "events"),
+        Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("rn"),
+          round(col("rn") * lit(0.5), 1).as("m"))),
 
     // ---- O3 pagination ----
     "o3_pagination" -> ((s, dir) =>

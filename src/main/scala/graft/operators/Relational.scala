@@ -165,6 +165,31 @@ object Relational {
 
   // --- §2.7 sorts / top-k ---------------------------------------------------
 
+  /** Scalable global row numbering: `row_number() OVER (ORDER BY …)`
+    * forces every row through ONE partition (WindowExec warns exactly
+    * this), which dies at 100 TB. Two-pass alternative with identical
+    * output: range-repartition by the order keys, number rows within
+    * each partition, then add per-partition offsets (computed from a
+    * tiny per-partition count table, broadcast). */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+      numPartitions: Int = 0, outCol: String = "rn"): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val local = ranged.withColumn("_local_rn", row_number().over(w))
+    val offsets = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset",
+        coalesce(sum(col("_cnt")).over(
+          Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(outCol, (col("_offset") + col("_local_rn")).cast("long"))
+      .drop("_pid", "_local_rn", "_offset")
+  }
+
   /** O4 — "latest" selector (`data_wrangler.py:443-446`): single most
     * recent row per key. Window top-1, shuffles once on the key. */
   def latestPerKey(df: DataFrame, keyCol: String, tsCol: String,

@@ -252,3 +252,25 @@ class BucketedJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(salted == plain)
   }
 }
+
+class GlobalRowNumberSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("globalRowNumber matches single-partition row_number, without the bottleneck") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val order = Seq(col("ts"), col("event_id"))
+    val naive = ev.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+        .cast("long"))
+      .select("event_id", "rn")
+    val scalable = Relational.globalRowNumber(ev, order)
+      .select("event_id", "rn")
+    assert(scalable.join(naive, Seq("event_id", "rn")).count() == ev.count())
+    // the numbering window itself is partition-local, not single-partition
+    val plan = Relational.globalRowNumber(ev, order)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("REPARTITION_BY_"),
+      s"expected range repartition in plan:\n$plan")
+  }
+}
