@@ -138,6 +138,61 @@ class Portal(root: String) {
     updated
   }
 
+  // ---- K10: A/B view-layer swap (`OverwriteFS.py:1131-1744`) ------------
+
+  case class Layer(id: Int, name: String)
+  private val serviceLayers = collection.mutable.Map.empty[String, Seq[Layer]]
+  private val viewSources = collection.mutable.Map.empty[String, String]
+  private val related = collection.mutable.Map.empty[String, Seq[String]]
+
+  def setLayers(item: Item, layers: Seq[Layer]): Unit =
+    serviceLayers(item.id) = layers
+  def layersOf(item: Item): Seq[Layer] = serviceLayers.getOrElse(item.id, Nil)
+  def pointViewAt(view: Item, target: Item): Unit =
+    viewSources(view.id) = target.id
+  def viewTarget(view: Item): Option[String] = viewSources.get(view.id)
+  def relate(a: Item, bs: Seq[Item]): Unit = related(a.id) = bs.map(_.id)
+
+  /** `getFeatureServiceTarget` (`OverwriteFS.py:1131-1283`): of the view's
+    * EXACTLY-2 related services, return the inactive one (the one the
+    * view does not currently point at). Any other count is an error —
+    * the reference refuses to guess. */
+  def inactiveTarget(view: Item): Item = {
+    val rel = related.getOrElse(view.id, Nil)
+    require(rel.size == 2,
+      s"A/B swap requires exactly 2 related services, found ${rel.size}")
+    val active = viewSources.getOrElse(view.id,
+      throw new IllegalStateException("view points nowhere"))
+    val inactive = rel.filterNot(_ == active)
+    require(inactive.size == 1, "view must point at one of its related services")
+    items(inactive.head)
+  }
+
+  /** `swapFeatureViewLayers` (`OverwriteFS.py:1284-1744`): repoint the
+    * view's layers at `target`'s layers — matched BY NAME by default, or
+    * POSITIONALLY with `byLayerOrder` (the `-SwapByOrder` CLI flag,
+    * J6's join analog). `noSwap` computes and returns the mapping
+    * without applying (the reference's QA mode). Returns
+    * (viewLayerName, targetLayerId) pairs; unmatched name → error. */
+  def swapViewLayers(view: Item, byLayerOrder: Boolean = false,
+      noSwap: Boolean = false): Seq[(String, Int)] = {
+    val target = inactiveTarget(view)
+    val vls = layersOf(view)
+    val tls = layersOf(target)
+    val mapping =
+      if (byLayerOrder) {
+        require(vls.size <= tls.size, "target has fewer layers than view")
+        vls.zip(tls).map { case (v, t) => (v.name, t.id) }
+      } else vls.map { v =>
+        val t = tls.find(_.name == v.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"no target layer named '${v.name}' (use byLayerOrder?)"))
+        (v.name, t.id)
+      }
+    if (!noSwap) viewSources(view.id) = target.id
+    mapping
+  }
+
   /** S12/S13 — tag search as a control DataFrame: all requested tags
     * must be present; `did_<id>` and the `http…` server tag are
     * extracted like `update_manager.py:57-76`. */

@@ -82,4 +82,35 @@ class PortalSpec extends AnyFunSuite {
     val item = p.addOrRetry("t", "CSV", Nil, Map())
     assert(p.touch(item, 12345L).lastTouched == 12345L)
   }
+
+  test("A/B swap: name-matched and positional layer repointing, noSwap QA, exactly-2 rule") {
+    val p = newPortal()
+    val a = p.addOrRetry("svc_A", "FeatureService", Nil, Map())
+    val b = p.addOrRetry("svc_B", "FeatureService", Nil, Map())
+    val view = p.addOrRetry("view", "FeatureService", Nil, Map())
+    p.setLayers(a, Seq(p.Layer(0, "obs"), p.Layer(1, "tracks")))
+    p.setLayers(b, Seq(p.Layer(7, "tracks"), p.Layer(8, "obs")))
+    p.setLayers(view, Seq(p.Layer(0, "obs"), p.Layer(1, "tracks")))
+    p.relate(view, Seq(a, b))
+    p.pointViewAt(view, a)
+
+    // QA mode: mapping computed by name, pointer untouched
+    val qa = p.swapViewLayers(view, noSwap = true)
+    assert(qa == Seq(("obs", 8), ("tracks", 7)))
+    assert(p.viewTarget(view).contains(a.id))
+
+    // real swap flips the pointer to the inactive service
+    p.swapViewLayers(view)
+    assert(p.viewTarget(view).contains(b.id))
+
+    // now A is inactive; positional mapping pairs by order
+    val positional = p.swapViewLayers(view, byLayerOrder = true, noSwap = true)
+    assert(positional == Seq(("obs", 0), ("tracks", 1)))
+
+    // exactly-2 rule
+    val lonely = p.addOrRetry("lonely_view", "FeatureService", Nil, Map())
+    p.relate(lonely, Seq(a))
+    p.pointViewAt(lonely, a)
+    intercept[IllegalArgumentException] { p.swapViewLayers(lonely) }
+  }
 }
