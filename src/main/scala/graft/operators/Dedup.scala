@@ -153,26 +153,29 @@ object Dedup {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
+      .localCheckpoint() // edges are reused every round — cut the lineage once
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    var converged = false
+      .localCheckpoint()
+    // Delta propagation: only labels that IMPROVED last round can improve
+    // their neighbors this round, so each iteration joins edges against
+    // the (shrinking) frontier instead of the full label table.
+    var frontier = labels
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b")
-          .withColumnRenamed("cluster", "nb_cluster"), "b")
+    while (iter < maxIter && !frontier.isEmpty) {
+      val candidate = edges
+        .join(frontier.select(col("id").as("b"), col("cluster").as("nb_cluster")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nb_cluster")).as("min_nb"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("min_nb"), col("cluster")))
-            .as("cluster"))
+      val improved = labels.join(candidate, Seq("id"))
+        .filter(col("min_nb") < col("cluster"))
+        .select(col("id"), col("min_nb").as("cluster"))
         .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("u.cluster") =!= col("l.cluster")).count()
-      labels = updated
-      converged = changed == 0
+      labels = labels.join(improved.select(col("id"), col("cluster").as("new_c")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_c"), col("cluster")).as("cluster"))
+        .localCheckpoint()
+      frontier = improved
       iter += 1
     }
     labels
