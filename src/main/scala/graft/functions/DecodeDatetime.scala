@@ -267,6 +267,7 @@ object DecodeDatetime {
 
     // ---- tokenize (reference's delimiter state machine) ----------------
     val parts = tokenize(s)
+    try {
 
     var haveDay, haveMonth, haveYear = false
     var year, month, day = -1
@@ -336,8 +337,13 @@ object DecodeDatetime {
           if (hms.length > 2) second = hms(2).toInt
           fmt ++= (if (hms.length < 3) "%H:%M" else "%H:%M:%S")
           if (fracPart.nonEmpty) {
-            micros = (fracPart.stripPrefix(".").padTo(6, '0').take(6)).toLong
-            fmt ++= ".%f"
+            // strip any trailing non-digits (e.g. a Zulu suffix glued to a
+            // short fraction like ".5Z") before scaling to microseconds
+            val digits = fracPart.stripPrefix(".").takeWhile(_.isDigit)
+            if (digits.nonEmpty) {
+              micros = digits.padTo(6, '0').take(6).toLong
+              fmt ++= ".%f"
+            }
           }
         } else if ((part.contains("/") || part.contains("-") || part.contains(".")) &&
             part.take(2).forall(_.isDigit) && part.takeRight(2).forall(_.isDigit)) {
@@ -355,9 +361,8 @@ object DecodeDatetime {
     }
 
     val haveTime = fmt.toString.contains("%H") || fmt.toString.contains("%f")
-    if (!(haveYear || haveMonth || haveDay || dayOfYear > 0 || haveTime))
-      return None
-    try {
+    if (!(haveYear || haveMonth || haveDay || dayOfYear > 0 || haveTime)) None
+    else {
       if (!haveYear) year = defaultYear
       if (is12h) {
         if (isPm && hour < 12) hour += 12
@@ -372,6 +377,7 @@ object DecodeDatetime {
         date.getDayOfMonth, hour, minute, second, (micros * 1000L).toInt)
       val off = ZoneOffset.ofTotalSeconds(offsetMin.getOrElse(0) * 60)
       Some(Decoded(ldt.toInstant(off), fmt.toString))
+    }
     } catch { case _: Exception => None }
   }
 
