@@ -317,6 +317,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- dedup: engine-portable md5 minhash (FULL oracle for the LSH
+    //      pipeline, bounded doc subset to keep the gate cheap) ----
+    "dedup_minhash_oracle" -> ((s, dir) =>
+      Dedup.minhashLshPairsPortable(
+        t(s, dir, "documents").filter(col("doc_id") < 500), "text", "doc_id")),
+
     // ---- dedup: MinHash + LSH near-dup pairs (rows-only check) ----
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id")),
@@ -639,6 +645,38 @@ object SparkEntry {
         |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
         |  SELECT * FROM r)
         |SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""".stripMargin,
+    "dedup_minhash_oracle" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS sh
+        |  FROM toks),
+        |sigs AS (
+        |  SELECT doc_id, [
+        |    list_aggregate(list_transform(sh, s -> md5('0 ' || s)), 'min'),
+        |    list_aggregate(list_transform(sh, s -> md5('1 ' || s)), 'min'),
+        |    list_aggregate(list_transform(sh, s -> md5('2 ' || s)), 'min'),
+        |    list_aggregate(list_transform(sh, s -> md5('3 ' || s)), 'min'),
+        |    list_aggregate(list_transform(sh, s -> md5('4 ' || s)), 'min'),
+        |    list_aggregate(list_transform(sh, s -> md5('5 ' || s)), 'min'),
+        |    list_aggregate(list_transform(sh, s -> md5('6 ' || s)), 'min'),
+        |    list_aggregate(list_transform(sh, s -> md5('7 ' || s)), 'min')] AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT doc_id, unnest([
+        |    md5(array_to_string(sig[1:2], '|')),
+        |    md5(array_to_string(sig[3:4], '|')),
+        |    md5(array_to_string(sig[5:6], '|')),
+        |    md5(array_to_string(sig[7:8], '|'))]) AS band
+        |  FROM sigs)
+        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (

@@ -142,6 +142,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Engine-portable minhash variant: signature element i is the STRING
+    * minimum of `md5(i || ' ' || shingle)` over the shingle set, band
+    * keys are md5 of the joined band slice. Slower than the xxhash64
+    * path (use that in production) but computable bit-identically by
+    * any engine with md5 — which makes the whole LSH pipeline
+    * verifiable against an independent SQL oracle, not just rows-only. */
+  def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val sigs = sh.select(col("id"),
+      array((0 until numHashes).map { i =>
+        array_min(transform(col("sh"), s => md5(concat(lit(s"$i "), s))))
+      }: _*).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      }: _*)).as("band"))
+    val l = banded.select(col("band"), col("id").as("id1"))
+    val r = banded.select(col("band"), col("id").as("id2"))
+    l.join(r, Seq("band")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
   /** Connected components over near-dup pairs: label propagation to the
     * minimum reachable id — the step that turns pairwise matches into
     * keep-one-per-group dedup. Iterative min-label joins with
