@@ -537,8 +537,8 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts,
-        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM lagged)
         |SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events
@@ -744,8 +744,8 @@ object SparkEntry {
         | CASE WHEN length(trim(text)) = 0 THEN 0
         |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
         | CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE list_sum(list_transform(string_split_regex(trim(text), '\s+'),
-        |        w -> CAST(ceil(length(w)/4.0) AS BIGINT))) END AS n_subwords
+        |      ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |        w -> CAST(ceil(length(w)/4.0) AS BIGINT))) AS BIGINT) END AS n_subwords
         |FROM documents""".stripMargin,
     "text_quality" ->
       """WITH base AS (

@@ -23,7 +23,8 @@ object UrlCompiler {
       start: Option[String] = None,
       end: Option[String] = None,
       chunks: Seq[ChunkPlanner.TimeChunk] = Nil,
-      noTimeRange: Boolean = false)
+      noTimeRange: Boolean = false,
+      startExclusive: Boolean = false)
 
   /** Attribute ordering (`data_wrangler.py:330-344`): depth first, time
     * column removed (it is prepended separately). */
@@ -37,18 +38,28 @@ object UrlCompiler {
     val attrsEncoded = attrs.mkString("%2C")
     val base = s"${req.server}${req.datasetId}.${req.format}"
 
-    def timeUrl(timeStr: String, start: String, end: String): String = {
+    // Interior chunk starts compile to the STRICT `>` operator (part of
+    // ERDDAP's public constraint grammar, though the reference only
+    // emits >=/<=): adjacent chunks share their boundary instant, and
+    // with closed bounds on both sides a row landing exactly on a
+    // second-truncated boundary would be fetched by BOTH partitions.
+    def timeUrl(timeStr: String, start: String, end: String,
+        startExcl: Boolean): String = {
+      val startOp = if (startExcl) "%3E" else "%3E%3D"
       val constraints =
-        s"&$timeStr%3E%3D${start}Z&$timeStr%3C%3D${end}Z"
+        s"&$timeStr$startOp${start}Z&$timeStr%3C%3D${end}Z"
       s"$base?$timeStr%2C$attrsEncoded$constraints"
     }
 
     req.timeCol match {
       case _ if req.noTimeRange => Seq(s"$base?$attrsEncoded")
       case Some(timeStr) if req.chunks.nonEmpty =>
-        req.chunks.map(c => timeUrl(timeStr, c.startString, c.endString))
+        req.chunks.zipWithIndex.map { case (c, i) =>
+          timeUrl(timeStr, c.startString, c.endString,
+            i > 0 || req.startExclusive)
+        }
       case Some(timeStr) if req.start.isDefined && req.end.isDefined =>
-        Seq(timeUrl(timeStr, req.start.get, req.end.get))
+        Seq(timeUrl(timeStr, req.start.get, req.end.get, req.startExclusive))
       case _ => Seq(s"$base?$attrsEncoded")
     }
   }

@@ -257,12 +257,18 @@ object DecodeDatetime {
     if (s == null || s.isEmpty) return None
 
     // ---- epoch fast path ------------------------------------------------
+    // Guarded against non-finite parseable doubles: "NaN" (ERDDAP's
+    // missing marker) would round to epoch-0 and "Infinity" to wrapped
+    // garbage. The reference's utcfromtimestamp raises on both, which
+    // under this repo's divergence rule means None here.
     try {
       val v = s.toDouble
-      val seconds = if (asMicroseconds) v / 1000.0 else v
-      val micros = math.round(seconds * 1e6)
-      return Some(Decoded(Instant.EPOCH.plusNanos(micros * 1000L),
-        s"epoch(${if (asMicroseconds) "ms" else "s"})"))
+      if (java.lang.Double.isFinite(v)) {
+        val seconds = if (asMicroseconds) v / 1000.0 else v
+        val micros = math.round(seconds * 1e6)
+        return Some(Decoded(Instant.EPOCH.plusNanos(micros * 1000L),
+          s"epoch(${if (asMicroseconds) "ms" else "s"})"))
+      } else return None
     } catch { case _: NumberFormatException => }
 
     // ---- tokenize (reference's delimiter state machine) ----------------

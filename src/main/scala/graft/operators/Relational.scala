@@ -97,11 +97,14 @@ object Relational {
     df.join(other, Seq(key), "left_semi")
 
   /** J6 — positional (byLayerOrder) join (`OverwriteFS.py:1284`): match
-    * nth row of `left` to nth row of `right` under each side's own order. */
+    * nth row of `left` to nth row of `right` under each side's own order.
+    * Both sides number through [[globalRowNumber]] — the naive
+    * `row_number() OVER (ORDER BY …)` with no partition funnels every
+    * row through one task, which dies at 100 TB scale. */
   def positionalJoin(left: DataFrame, leftOrder: Seq[Column],
       right: DataFrame, rightOrder: Seq[Column]): DataFrame = {
-    val ln = left.withColumn("_pos", row_number().over(Window.orderBy(leftOrder: _*)))
-    val rn = right.withColumn("_pos", row_number().over(Window.orderBy(rightOrder: _*)))
+    val ln = globalRowNumber(left, leftOrder, outCol = "_pos")
+    val rn = globalRowNumber(right, rightOrder, outCol = "_pos")
     ln.join(rn, "_pos").drop("_pos")
   }
 
@@ -179,12 +182,15 @@ object Relational {
       .withColumn("_pid", spark_partition_id())
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
     val local = ranged.withColumn("_local_rn", row_number().over(w))
-    val offsets = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-      .withColumn("_offset",
-        coalesce(sum(col("_cnt")).over(
-          Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("_pid"), col("_offset"))
+    // Cumulative offsets over the tiny per-partition count table via a
+    // triangular self-join (≤ parts² pairs, broadcast-NLJ) — NOT an
+    // unpartitioned window, so nothing in this operator ever emits the
+    // single-partition WindowExec warning.
+    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val prior = counts.select(col("_pid").as("_pid2"), col("_cnt").as("_cnt2"))
+    val offsets = counts.join(broadcast(prior), col("_pid2") < col("_pid"), "left")
+      .groupBy(col("_pid")).agg(
+        coalesce(sum(col("_cnt2")), lit(0L)).as("_offset"))
     local.join(broadcast(offsets), "_pid")
       .withColumn(outCol, (col("_offset") + col("_local_rn")).cast("long"))
       .drop("_pid", "_local_rn", "_offset")

@@ -141,7 +141,14 @@ class ErddapScanBuilder(dataDir: String, dataset: String, server: String,
 
   /** Accept >=/<=/>/< on the time column (compiled into the URL); all
     * other filters remain Spark-side. Bounds are closed in the URL
-    * grammar, so strict bounds stay in `postScanFilters` too. */
+    * grammar, so strict bounds stay in `postScanFilters` too.
+    *
+    * Multiple bounds on the same side are INTERSECTED (max of lower
+    * bounds, min of upper bounds) — Catalyst does not collapse
+    * redundant range predicates, so `time >= a AND time >= b` reaches
+    * the source as two conjuncts. A GTE/LTE may only be dropped from
+    * the remaining set because the final compiled bound (the tightest)
+    * implies every same-side non-strict bound. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val timeCol = selection.timeCol.getOrElse("")
     def toInstant(v: Any): Option[Instant] = v match {
@@ -150,15 +157,19 @@ class ErddapScanBuilder(dataDir: String, dataset: String, server: String,
       case ldt: java.time.LocalDateTime => Some(ldt.toInstant(java.time.ZoneOffset.UTC))
       case _ => None
     }
+    def tightenLo(v: Instant): Unit =
+      lo = Some(lo.fold(v)(old => if (old.isAfter(v)) old else v))
+    def tightenHi(v: Instant): Unit =
+      hi = Some(hi.fold(v)(old => if (old.isBefore(v)) old else v))
     val remaining = filters.filter {
-      case GreaterThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
-        lo = Some(toInstant(v).get); pushed :+= GreaterThanOrEqual(c, v); false
-      case LessThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
-        hi = Some(toInstant(v).get); pushed :+= LessThanOrEqual(c, v); false
+      case f @ GreaterThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
+        tightenLo(toInstant(v).get); pushed :+= f; false
+      case f @ LessThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
+        tightenHi(toInstant(v).get); pushed :+= f; false
       case GreaterThan(c, v) if c == timeCol && toInstant(v).isDefined =>
-        lo = Some(toInstant(v).get); true // closed-bound URL: re-filter
+        tightenLo(toInstant(v).get); true // closed-bound URL: re-filter
       case LessThan(c, v) if c == timeCol && toInstant(v).isDefined =>
-        hi = Some(toInstant(v).get); true
+        tightenHi(toInstant(v).get); true
       case _ => true
     }
     remaining
@@ -279,11 +290,13 @@ class ErddapScan(dataDir: String, dataset: String, server: String,
     }
     val attrs = readSchema.fieldNames.toSeq
 
-    def urlFor(cs: Option[String], ce: Option[String]): String =
+    def urlFor(cs: Option[String], ce: Option[String],
+        startExcl: Boolean = false): String =
       UrlCompiler.compile(UrlCompiler.Tabledap(
         server, dataset, "csvp", attrs, timeCol,
         start = cs, end = ce,
-        noTimeRange = timeCol.isEmpty || extent.isEmpty)).head
+        noTimeRange = timeCol.isEmpty || extent.isEmpty,
+        startExclusive = startExcl)).head
 
     if (timeCol.isEmpty || extent.isEmpty)
       Array(ErddapInputPartition(urlFor(None, None)))
@@ -292,8 +305,11 @@ class ErddapScan(dataDir: String, dataset: String, server: String,
       if (chunks.isEmpty)
         Array(ErddapInputPartition(urlFor(
           Some(ChunkPlanner.isoNoZone(start)), Some(ChunkPlanner.isoNoZone(end)))))
-      else chunks.map(c =>
-        ErddapInputPartition(urlFor(Some(c.startString), Some(c.endString)))).toArray
+      else chunks.zipWithIndex.map { case (c, i) =>
+        // interior starts strict: boundary rows belong to the previous chunk
+        ErddapInputPartition(urlFor(Some(c.startString), Some(c.endString),
+          startExcl = i > 0))
+      }.toArray
     }
   }
 
@@ -316,23 +332,39 @@ class ErddapReaderFactory(dataDir: String, schema: StructType)
 class ErddapPartitionReader(dataDir: String, schema: StructType, url: String)
     extends PartitionReader[InternalRow] {
 
-  private val lines: Iterator[String] = {
+  private val (headerCells: Array[String], lines: Iterator[String]) = {
     var attempt = 0
     var res: Seq[String] = null
     while (res == null && attempt < 3) {
       try res = new LocalErddapServer(dataDir).fetch(url)
       catch { case e: Exception if attempt < 2 => attempt += 1 }
     }
-    res.iterator.drop(1) // header
+    val it = res.iterator
+    (Csv.split(it.next()), it)
+  }
+
+  /** Schema position → served-column position. The URL grammar always
+    * prepends the time column (reference's time-first projection,
+    * `data_wrangler.py:330-344`), so the response may carry columns the
+    * pruned schema doesn't want — align by header name, never by index. */
+  private val colIdx: Array[Int] = schema.fields.map { f =>
+    val i = headerCells.indexOf(f.name)
+    require(i >= 0, s"column ${f.name} missing from response header " +
+      headerCells.mkString(","))
+    i
   }
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (!lines.hasNext) return false
-    val cells = lines.next().split(",", -1)
+    val cells = Csv.split(lines.next())
     current = InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
-      val s = cells(i)
-      if (s.isEmpty || s == "NaN" && f.dataType != org.apache.spark.sql.types.DoubleType) null
+      val s = cells(colIdx(i))
+      // "NaN" is ERDDAP's missing marker: a real NaN for floating
+      // columns (both widths — consistent policy), null elsewhere.
+      if (s.isEmpty || s == "NaN" &&
+          f.dataType != org.apache.spark.sql.types.DoubleType &&
+          f.dataType != org.apache.spark.sql.types.FloatType) null
       else f.dataType match {
         case TimestampType =>
           // ISO-8601 (with or without Z) → micros

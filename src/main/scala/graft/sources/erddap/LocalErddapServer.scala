@@ -31,6 +31,8 @@ class LocalErddapServer(dataDir: String) extends Serializable {
     var timeCol: Option[String] = None
     var lo: Option[String] = None
     var hi: Option[String] = None
+    var loExcl = false
+    var hiExcl = false
     parts.tail.foreach { p =>
       val geIdx = p.indexOf(">=")
       val leIdx = p.indexOf("<=")
@@ -40,11 +42,19 @@ class LocalErddapServer(dataDir: String) extends Serializable {
       } else if (leIdx > 0) {
         timeCol = Some(p.substring(0, leIdx))
         hi = Some(p.substring(leIdx + 2).stripSuffix("Z"))
+      } else if (p.indexOf('>') > 0) { // strict bounds (ERDDAP grammar)
+        val i = p.indexOf('>')
+        timeCol = Some(p.substring(0, i))
+        lo = Some(p.substring(i + 1).stripSuffix("Z")); loExcl = true
+      } else if (p.indexOf('<') > 0) {
+        val i = p.indexOf('<')
+        timeCol = Some(p.substring(0, i))
+        hi = Some(p.substring(i + 1).stripSuffix("Z")); hiExcl = true
       }
     }
 
     val lines = Files.readAllLines(Path.of(dataDir, s"$datasetId.csv")).asScala.toSeq
-    val header = lines.head.split(",").toSeq
+    val header = Csv.split(lines.head).toSeq
     val idx = attrs.map(a => header.indexOf(a))
     require(idx.forall(_ >= 0), s"unknown attribute in $attrs vs $header")
     val timeIdx = timeCol.map(header.indexOf).getOrElse(-1)
@@ -53,12 +63,13 @@ class LocalErddapServer(dataDir: String) extends Serializable {
       if (timeIdx < 0) true
       else {
         // ISO strings compare lexically once the Z suffix is normalized away
-        val t = line.split(",", -1)(timeIdx).stripSuffix("Z")
-        lo.forall(t >= _) && hi.forall(t <= _)
+        val t = Csv.split(line)(timeIdx).stripSuffix("Z")
+        lo.forall(b => if (loExcl) t > b else t >= b) &&
+          hi.forall(b => if (hiExcl) t < b else t <= b)
       }
     }.map { line =>
-      val cells = line.split(",", -1)
-      idx.map(cells(_)).mkString(",")
+      val cells = Csv.split(line)
+      Csv.join(idx.map(cells(_)))
     }
     attrs.mkString(",") +: body
   }

@@ -31,16 +31,31 @@ object Nrt {
   val controlSchema = "dataset_id string, base_url string, active_slot string, " +
     "fingerprint bigint, last_modified timestamp, last_refresh timestamp"
 
-  /** A5 — order-independent content fingerprint of a DataFrame: XOR-fold
-    * of xxhash64 over every row's canonical JSON. One aggregate job, no
-    * collect; at 100 TB this is a single scan with a tiny result. */
+  /** A5 — order-independent content fingerprint of a DataFrame. One
+    * aggregate job, no collect; at 100 TB this is a single scan with a
+    * tiny result.
+    *
+    * A pure XOR fold cancels any even-multiplicity difference
+    * ({A,A,B} and {B,C,C} XOR to the same value), so the fold combines
+    * three commutative moments of the row-hash multiset — XOR, wrapping
+    * SUM, and COUNT — each avalanche-mixed before combining. SUM is
+    * multiplicity-sensitive where XOR is blind; COUNT catches
+    * pure-duplication changes. Summed as decimal(38,0) so the wrapping
+    * is ours (low 64 bits), not an ANSI overflow error. */
   def tableFingerprint(df: DataFrame): Long = {
     val hashed = df.select(xxhash64(to_json(struct(df.columns.map(col): _*)))
       .as("h"))
     val row = hashed.agg(
       coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
-      count(lit(1)).as("n")).head()
-    row.getLong(0) ^ row.getLong(1) // mix count so row-count changes always show
+      count(lit(1)).as("n"),
+      coalesce(sum(col("h").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s")).head()
+    def mix(z0: Long): Long = { // murmur3 fmix64
+      var z = z0; z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL
+      z ^= z >>> 33; z *= 0xC4CEB9FE1A85EC53L; z ^ (z >>> 33)
+    }
+    val wrappedSum = row.getDecimal(2).toBigInteger.longValue() // low 64 bits
+    mix(row.getLong(0)) ^ mix(wrappedSum + 0x9E3779B97F4A7C15L) ^ mix(row.getLong(1))
   }
 
   /** T1 — the trailing moving-window filter applied to a dataset read. */

@@ -58,6 +58,15 @@ class DecodeDatetimeSpec extends AnyFunSuite {
     assert(dec("1716595200.5").contains(Instant.parse("2024-05-25T00:00:00.5Z")))
   }
 
+  test("non-finite parseable doubles are rejected, not epoch-0") {
+    // ERDDAP's missing marker "NaN" must not decode to 1970-01-01
+    assert(dec("NaN").isEmpty)
+    assert(dec("nan").isEmpty)
+    assert(dec("Infinity").isEmpty)
+    assert(dec("-Infinity").isEmpty)
+    assert(dec("NaN", asMicros = true).isEmpty)
+  }
+
   test("13-digit epoch with asMicroseconds flag divides by 1000 (reference quirk)") {
     assert(dec("1716595200000", asMicros = true)
       .contains(Instant.parse("2024-05-25T00:00:00Z")))

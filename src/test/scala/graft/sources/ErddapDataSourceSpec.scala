@@ -134,6 +134,98 @@ class ErddapDataSourceSpec extends AnyFunSuite {
     assert(r.getTimestamp(2).toInstant == Instant.parse("2024-06-04T23:00:00Z"))
   }
 
+  // Second-resolution fixture: 100 rows 1s apart, a quoted string
+  // column, and NaN in both float widths. chunkSize 25 → chunk
+  // boundaries land exactly on row timestamps, which under closed
+  // bounds on both sides would double-fetch boundary rows.
+  lazy val dir2: Path = {
+    val d = Files.createTempDirectory("erddap_src2")
+    val rows = (0 until 100).map { s =>
+      val t = Instant.parse("2024-06-01T00:00:00Z").plusSeconds(s.toLong)
+      val iso = graft.erddap.ChunkPlanner.isoNoZone(t) + "Z"
+      val name = if (s % 10 == 0) "\"Buoy, West \"\"A\"\"\"" else "plain"
+      val tf = if (s % 7 == 0) "NaN" else s"${s % 5}.5"
+      val td = if (s % 11 == 0) "NaN" else s"${s % 3}.25"
+      s"$iso,$name,$tf,$td"
+    }
+    Files.writeString(d.resolve("st1.csv"),
+      ("time,station_name,temp_f,temp_d" +: rows).mkString("\n"))
+    Files.writeString(d.resolve("st1.das"),
+      """Attributes {
+        |  time {
+        |    String ioos_category "Time";
+        |    Float64 actual_range 1717200000.0, 1717200099.0;
+        |  }
+        |  station_name {
+        |    String ioos_category "Identifier";
+        |  }
+        |  temp_f {
+        |    Float32 actual_range 0.5, 4.5;
+        |  }
+        |  temp_d {
+        |    Float64 actual_range 0.25, 2.25;
+        |  }
+        |  NC_GLOBAL {
+        |    String title "Station fixture";
+        |  }
+        |}""".stripMargin)
+    d
+  }
+
+  def read2() = spark.read.format("erddap")
+    .option("dataDir", dir2.toString)
+    .option("dataset", "st1")
+    .option("das", dir2.resolve("st1.das").toString)
+    .option("chunkSize", "25")
+
+  test("chunk-boundary rows are not duplicated across partitions") {
+    val df = read2().load()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100) // closed-closed boundaries would give > 100
+    assert(df.select("time").distinct().count() == 100)
+  }
+
+  test("quoted CSV fields with embedded commas and quotes parse intact") {
+    val df = read2().load().filter(col("station_name") =!= "plain")
+    assert(df.count() == 10)
+    assert(df.select("station_name").distinct().head().getString(0) ==
+      "Buoy, West \"A\"")
+  }
+
+  test("NaN markers become NaN for both float widths, not null") {
+    val df = read2().load()
+    assert(df.filter(isnan(col("temp_f"))).count() == 15) // s % 7 == 0
+    assert(df.filter(isnan(col("temp_d"))).count() == 10) // s % 11 == 0
+    assert(df.filter(col("temp_f").isNull || col("temp_d").isNull).count() == 0)
+  }
+
+  test("projection that excludes the time column still aligns cells") {
+    // the URL grammar always prepends time; the reader must align by
+    // response header, not by schema position
+    val names = read2().load().select("station_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("plain", "Buoy, West \"A\""))
+    val sum = read2().load().agg(org.apache.spark.sql.functions.round(
+      org.apache.spark.sql.functions.sum("temp_d"), 2)).head().getDouble(0)
+    assert(sum.isNaN) // NaN rows participate: sum over a column with NaNs
+  }
+
+  test("stacked lower bounds intersect instead of overwrite") {
+    // Catalyst pushes both conjuncts; the looser one must not win.
+    val df = read2().load()
+      .filter(col("time") >= lit("2024-06-01 00:00:30").cast("timestamp"))
+      .filter(col("time") >= lit("2024-06-01 00:00:10").cast("timestamp"))
+    assert(df.count() == 70)
+    val reversed = read2().load()
+      .filter(col("time") >= lit("2024-06-01 00:00:10").cast("timestamp"))
+      .filter(col("time") >= lit("2024-06-01 00:00:30").cast("timestamp"))
+    assert(reversed.count() == 70)
+    val upper = read2().load()
+      .filter(col("time") <= lit("2024-06-01 00:00:50").cast("timestamp"))
+      .filter(col("time") <= lit("2024-06-01 00:00:20").cast("timestamp"))
+    assert(upper.count() == 21)
+  }
+
   test("aggregate pushdown declines when a time filter is pushed") {
     val df = read().load()
       .filter(col("time") >= lit("2024-06-02 00:00:00").cast("timestamp"))

@@ -33,6 +33,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(Nrt.tableFingerprint(a) != Nrt.tableFingerprint(d))
   }
 
+  test("tableFingerprint: even-multiplicity differences do not cancel") {
+    // {A,A,B} vs {B,C,C}: equal counts, equal XOR — a pure XOR fold
+    // calls these identical; the SUM moment must separate them.
+    val aab = Seq((1, "A"), (1, "A"), (2, "B")).toDF("id", "v")
+    val bcc = Seq((2, "B"), (3, "C"), (3, "C")).toDF("id", "v")
+    assert(Nrt.tableFingerprint(aab) != Nrt.tableFingerprint(bcc))
+    // duplicating an existing row twice: XOR and content-set unchanged
+    val base = Seq((1, "A"), (2, "B")).toDF("id", "v")
+    val dupd = Seq((1, "A"), (1, "A"), (1, "A"), (2, "B")).toDF("id", "v")
+    assert(Nrt.tableFingerprint(base) != Nrt.tableFingerprint(dupd))
+  }
+
   test("refresh cycle: first run publishes, unchanged second run no-ops, change flips slot") {
     val root = java.nio.file.Files.createTempDirectory("nrt").toString
     val now = Timestamp.valueOf("2024-01-30 00:00:00")
