@@ -430,7 +430,25 @@ object SparkEntry {
     // ---- text: document fingerprint ----
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp")))
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- S8 griddap scan: NetCDF-classic transport + hyperslab
+    //      pushdown through the DSv2 connector (deterministic fixture;
+    //      the oracle recomputes the same grid from range()) ----
+    "s8_griddap_scan" -> ((s, dir) => {
+      val fixtureDir = graft.sources.griddap.GriddapFixture.ensure()
+      s.read.format("griddap")
+        .option("dataDir", fixtureDir)
+        .option("dataset", "s8grid")
+        .option("slicesPerPartition", "4")
+        .load()
+        .filter(col("time") >= lit("2024-03-01 06:00:00").cast("timestamp") &&
+          col("time") <= lit("2024-03-01 18:00:00").cast("timestamp") &&
+          col("latitude") >= 22.0 && col("latitude") <= 27.0 &&
+          col("longitude") >= -93.0 && col("longitude") <= -88.0)
+        .select(col("time"), col("latitude"), col("longitude"),
+          col("sst"), col("uwind"))
+    })
   )
 
   /** DuckDB-equivalent SQL per query. Omitted for the hash-seeded ops
@@ -793,6 +811,18 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // s8: the oracle recomputes the deterministic grid (GriddapFixture)
+    // from range() — no table needed; values are exact binary fractions
+    "s8_griddap_scan" ->
+      """SELECT TIMESTAMP '2024-03-01 00:00:00' + ti * INTERVAL 1 HOUR AS time,
+        | CAST(20 + lai AS DOUBLE) AS latitude,
+        | CAST(-95 + loi AS DOUBLE) AS longitude,
+        | CAST((ti*10000 + lai*100 + loi) * 0.25 AS DOUBLE) AS sst,
+        | CAST(ti + lai*0.5 + loi*0.25 AS DOUBLE) AS uwind
+        |FROM range(0,24) t(ti)
+        |CROSS JOIN range(0,11) a(lai) CROSS JOIN range(0,11) o(loi)
+        |WHERE ti BETWEEN 6 AND 18 AND lai BETWEEN 2 AND 7
+        |  AND loi BETWEEN 2 AND 7""".stripMargin
   )
 }

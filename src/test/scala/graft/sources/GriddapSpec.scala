@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.SparkTestSession
+import graft.sources.erddap.LocalErddapServer
+import graft.sources.griddap.GridNc
+
+class GriddapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  // 6 hourly slices × 5 lats (ascending 20..24) × 4 lons (-95..-92),
+  // two variables; sst double, uwind float. value = deterministic fn of
+  // indices, exactly representable.
+  def fixtureGrid(): GridNc.Grid = {
+    val nt = 6; val nlat = 5; val nlon = 4
+    val t0 = Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
+    val times = Array.tabulate(nt)(i => (t0 + i * 3600L).toDouble)
+    val lats = Array.tabulate(nlat)(i => 20.0 + i)
+    val lons = Array.tabulate(nlon)(i => -95.0 + i)
+    def sst(ti: Int, lai: Int, loi: Int) = (ti * 10000 + lai * 100 + loi) * 0.25
+    def uw(ti: Int, lai: Int, loi: Int) = ti + lai * 0.5 + loi * 0.25
+    val sstV = Array.tabulate(nt * nlat * nlon) { k =>
+      sst(k / (nlat * nlon), k / nlon % nlat, k % nlon) }
+    val uwV = Array.tabulate(nt * nlat * nlon) { k =>
+      uw(k / (nlat * nlon), k / nlon % nlat, k % nlon) }
+    GridNc.Grid(
+      dims = Seq(("time", nt), ("latitude", nlat), ("longitude", nlon)),
+      vars = Seq(
+        GridNc.Var("time", Seq(0), isFloat = false, times),
+        GridNc.Var("latitude", Seq(1), isFloat = false, lats),
+        GridNc.Var("longitude", Seq(2), isFloat = false, lons),
+        GridNc.Var("sst", Seq(0, 1, 2), isFloat = false, sstV),
+        GridNc.Var("uwind", Seq(0, 1, 2), isFloat = true, uwV)))
+  }
+
+  lazy val dir: Path = {
+    val d = Files.createTempDirectory("griddap_src")
+    Files.write(d.resolve("sstgrid.nc"), GridNc.write(fixtureGrid()))
+    d
+  }
+
+  test("GridNc round-trips a grid through NetCDF-classic bytes") {
+    val g = fixtureGrid()
+    val bytes = GridNc.write(g)
+    assert(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F' && bytes(3) == 1)
+    val back = GridNc.read(bytes)
+    assert(back.dims == g.dims)
+    assert(back.vars.map(_.name) == g.vars.map(_.name))
+    assert(back.coord("latitude").toSeq == g.coord("latitude").toSeq)
+    assert(back.vars.find(_.name == "sst").get.values.toSeq ==
+      g.vars.find(_.name == "sst").get.values.toSeq)
+    // float var survives at float precision (values chosen exactly)
+    assert(back.vars.find(_.name == "uwind").get.values.toSeq ==
+      g.vars.find(_.name == "uwind").get.values.toSeq)
+  }
+
+  test("latFlip reverses ascending latitude and the data rows with it") {
+    val g = fixtureGrid()
+    val f = GridNc.latFlip(g)
+    assert(f.coord("latitude").toSeq == Seq(24.0, 23.0, 22.0, 21.0, 20.0))
+    // value at (t=0, lat=24, lon=-95) must be original (0, lai=4, 0)
+    val sst = f.vars.find(_.name == "sst").get.values
+    assert(sst(0) == 400 * 0.25)
+    // double flip = identity on data
+    val ff = GridNc.latFlip(f)
+    assert(ff.coord("latitude").toSeq == f.coord("latitude").toSeq,
+      "already-descending grid is a no-op")
+  }
+
+  test("griddap endpoint slices time/lat/lon hyperslabs server-side") {
+    val srv = new LocalErddapServer(dir.toString)
+    val url = "https://local/erddap/griddap/sstgrid.nc?" +
+      "sst%5B(2024-03-01T01:00:00Z):1:(2024-03-01T03:00:00Z)%5D" +
+      "%5B(21.0):1:(23.0)%5D%5B(-94.0):1:(-93.0)%5D"
+    val sliced = GridNc.read(srv.fetchGriddap(url))
+    assert(sliced.dims.map(_._2) == Seq(3, 3, 2))
+    assert(sliced.coord("latitude").toSeq == Seq(21.0, 22.0, 23.0))
+    assert(sliced.coord("longitude").toSeq == Seq(-94.0, -93.0))
+    // first cell = (ti=1, lai=1, loi=1) of the original
+    assert(sliced.vars.find(_.name == "sst").get.values(0) ==
+      (1 * 10000 + 1 * 100 + 1) * 0.25)
+  }
+
+  def read() = spark.read.format("griddap")
+    .option("dataDir", dir.toString)
+    .option("dataset", "sstgrid")
+    .option("slicesPerPartition", "2")
+
+  test("DSv2 scan explodes the grid to long form") {
+    val df = read().load()
+    assert(df.columns.toSeq ==
+      Seq("time", "latitude", "longitude", "sst", "uwind"))
+    assert(df.count() == 6 * 5 * 4)
+    assert(df.rdd.getNumPartitions == 3) // 6 slices / 2 per partition
+    val r = df.filter(col("latitude") === 22.0 && col("longitude") === -94.0)
+      .orderBy("time").head()
+    assert(r.getTimestamp(0).toInstant == Instant.parse("2024-03-01T00:00:00Z"))
+    assert(r.getDouble(3) == (0 * 10000 + 2 * 100 + 1) * 0.25)
+  }
+
+  test("hyperslab pushdown narrows partitions and bbox server-side") {
+    val df = read().load()
+      .filter(col("time") >= lit("2024-03-01 01:00:00").cast("timestamp") &&
+        col("time") <= lit("2024-03-01 03:00:00").cast("timestamp") &&
+        col("latitude") >= 21.0 && col("latitude") <= 23.0 &&
+        col("longitude") >= -94.0 && col("longitude") <= -93.0)
+    assert(df.count() == 3 * 3 * 2)
+    assert(df.rdd.getNumPartitions == 2) // 3 kept slices / 2 per partition
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bbox-pushed"), s"expected bbox pushdown:\n$plan")
+    val sums = df.agg(round(sum("sst"), 2), round(sum("uwind"), 2)).head()
+    // independent recomputation
+    var es = 0.0; var eu = 0.0
+    for (ti <- 1 to 3; lai <- 1 to 3; loi <- 1 to 2) {
+      es += (ti * 10000 + lai * 100 + loi) * 0.25
+      eu += ti + lai * 0.5 + loi * 0.25
+    }
+    assert(sums.getDouble(0) == math.rint(es * 100) / 100)
+    assert(sums.getDouble(1) == math.rint(eu * 100) / 100)
+  }
+
+  test("column pruning drops unselected variables from the request") {
+    val df = read().load().select("time", "sst")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("cols=time,sst"), s"expected pruned cols:\n$desc")
+    assert(df.count() == 120)
+  }
+
+  test("z-dimensioned grid is surface-sliced to [0]") {
+    val nt = 2; val nz = 3; val nlat = 2; val nlon = 2
+    val t0 = Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
+    val g = GridNc.Grid(
+      dims = Seq(("time", nt), ("depth", nz), ("latitude", nlat), ("longitude", nlon)),
+      vars = Seq(
+        GridNc.Var("time", Seq(0), isFloat = false,
+          Array.tabulate(nt)(i => (t0 + i * 3600L).toDouble)),
+        GridNc.Var("depth", Seq(1), isFloat = false, Array(0.0, 10.0, 20.0)),
+        GridNc.Var("latitude", Seq(2), isFloat = false, Array(20.0, 21.0)),
+        GridNc.Var("longitude", Seq(3), isFloat = false, Array(-95.0, -94.0)),
+        GridNc.Var("temp", Seq(0, 1, 2, 3), isFloat = false,
+          Array.tabulate(nt * nz * nlat * nlon)(_.toDouble))))
+    val d = Files.createTempDirectory("griddap_z")
+    Files.write(d.resolve("zgrid.nc"), GridNc.write(g))
+    val df = spark.read.format("griddap")
+      .option("dataDir", d.toString).option("dataset", "zgrid").load()
+    assert(df.columns.toSeq == Seq("time", "latitude", "longitude", "temp"))
+    assert(df.count() == nt * nlat * nlon) // z sliced away
+    // surface slice keeps z index 0: values 0..3 for t0, 12..15 for t1
+    val v = df.filter(col("time") === lit("2024-03-01 00:00:00").cast("timestamp"))
+      .orderBy("latitude", "longitude").collect().map(_.getDouble(3)).toSeq
+    assert(v == Seq(0.0, 1.0, 2.0, 3.0))
+  }
+
+  test("write-read round trip through the endpoint preserves values (K4)") {
+    // publish path: lat-flip then write; scan back through the source
+    val flipped = GridNc.latFlip(fixtureGrid())
+    val d = Files.createTempDirectory("griddap_k4")
+    Files.write(d.resolve("pub.nc"), GridNc.write(flipped))
+    val df = spark.read.format("griddap")
+      .option("dataDir", d.toString).option("dataset", "pub").load()
+    // long-form content identical to the unflipped grid's long form
+    val orig = read().load()
+    val a = df.select("time", "latitude", "longitude", "sst", "uwind")
+      .orderBy("time", "latitude", "longitude").collect().toSeq
+    val b = orig.select("time", "latitude", "longitude", "sst", "uwind")
+      .orderBy("time", "latitude", "longitude").collect().toSeq
+    assert(a == b)
+  }
+}
