@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   * attribute names, `e2a_nrt` when NRT, the server URL; snippet
   * composed from NC_GLOBAL summary + title + server host.
   */
+/** JVM-local portal registry: the DSv2 sink's commit coordinator runs
+  * on the driver, so one shared instance per portal root models the
+  * remote service's state exactly where the reference's REST session
+  * would live. */
+object Portal {
+  private val registry = collection.mutable.Map.empty[String, Portal]
+  def forRoot(root: String): Portal =
+    registry.synchronized(registry.getOrElseUpdate(root, new Portal(root)))
+}
+
 class Portal(root: String) {
 
   case class Item(
@@ -41,6 +51,9 @@ class Portal(root: String) {
   private var nextId = 0
 
   def allItems: Seq[Item] = items.values.toSeq
+  def itemById(id: String): Item = items(id)
+  def findByTitle(title: String): Option[Item] =
+    items.values.find(_.title == title)
 
   /** F23 — item properties from DAS NC_GLOBAL metadata. */
   def itemProperties(datasetId: String, title: String, server: String,
@@ -191,6 +204,71 @@ class Portal(root: String) {
       }
     if (!noSwap) viewSources(view.id) = target.id
     mapping
+  }
+
+  // ---- view repair + relationship maintenance ---------------------------
+
+  private val layerSnapshots = collection.mutable.Map.empty[String, Seq[Layer]]
+  private val relationshipBackups = collection.mutable.Map.empty[String, Seq[String]]
+
+  /** Snapshot the view's layer list — the reference's saved
+    * `<viewId>_addLayers.json` (`OverwriteFS.py:813`, written at view
+    * build time and read back by `_checkView`). */
+  def saveLayerSnapshot(view: Item): Unit =
+    layerSnapshots(view.id) = layersOf(view)
+
+  /** Snapshot the view's related-service ids (the reference's
+    * `view.backupRelationships`, `OverwriteFS.py:815`). */
+  def backupRelationships(view: Item): Unit =
+    relationshipBackups(view.id) = related.getOrElse(view.id, Nil)
+
+  case class RepairOutcome(layersRestored: Int, relationshipsRestored: Int,
+      backupRefreshed: Boolean)
+
+  /** `_checkView` (`OverwriteFS.py:806-869`): repair a view before an
+    * overwrite. A view that lost ALL its layers (the AGOL failure mode
+    * the reference guards against) gets them restored from the saved
+    * snapshot; missing relationships are re-added from the backup; if
+    * the live set drifted some other way, the BACKUP is refreshed to
+    * match (the reference trusts the portal over the backup then).
+    * `dryRun` computes the outcome without applying. Idempotent. */
+  def checkView(view: Item, dryRun: Boolean = false): RepairOutcome = {
+    var layersRestored = 0
+    if (layersOf(view).isEmpty)
+      layerSnapshots.get(view.id).filter(_.nonEmpty).foreach { snap =>
+        if (!dryRun) serviceLayers(view.id) = snap
+        layersRestored = snap.size
+      }
+    var relRestored = 0
+    var refreshed = false
+    relationshipBackups.get(view.id).foreach { saved =>
+      val current = related.getOrElse(view.id, Nil)
+      if (saved.size > current.size) {
+        val missing = saved.filterNot(current.contains)
+        if (!dryRun) related(view.id) = current ++ missing
+        relRestored = missing.size
+      } else if (saved.toSet != current.toSet) {
+        if (!dryRun) relationshipBackups(view.id) = current
+        refreshed = true
+      }
+    }
+    RepairOutcome(layersRestored, relRestored, refreshed)
+  }
+
+  /** `updateRelationships` (`OverwriteFS.py:897-1131`): add or remove
+    * Service2Service links between a view and target services.
+    * Idempotent both ways — re-adding an existing link or removing an
+    * absent one is a no-op, like the reference's trapped
+    * "already exists"/"not found" REST outcomes. */
+  def updateRelationships(view: Item, targets: Seq[Item],
+      unRelate: Boolean = false): Seq[String] = {
+    val current = related.getOrElse(view.id, Nil)
+    val ids = targets.map(_.id)
+    val updated =
+      if (unRelate) current.filterNot(ids.contains)
+      else current ++ ids.filterNot(current.contains)
+    related(view.id) = updated
+    updated
   }
 
   /** S12/S13 — tag search as a control DataFrame: all requested tags

@@ -1,0 +1,236 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.erddap.Csv
+
+/** Portal publish as a DataSource V2 BATCH_WRITE —
+  * `df.write.format("portal")` with the reference's overwrite
+  * transactionality (`OverwriteFS.py:2404-2634`) as the DSv2 commit
+  * protocol:
+  *
+  *  - executors stage partition files + per-task content moments
+  *    (no extra pass over the data);
+  *  - `commit()` on the driver: unchanged fingerprint → NO-OP (the
+  *    reference's success=None outcome, `OverwriteFS.py:2182-2196`);
+  *    else backup item properties (K9), publish the staged files into
+  *    the INACTIVE A/B slot (K10), restore properties (hasLiveData
+  *    reset, index dedupe — `OverwriteFS.py:268-398`), flip the active
+  *    slot, touch (K11);
+  *  - `abort()` discards the staging directory; portal state is never
+  *    mutated before commit, so abort restores by construction.
+  *
+  * Options: `root` (portal root dir), `item` (title; created on first
+  * publish via the K5 retry-rename), `ifChanged` (default true),
+  * `tags` (comma-separated extra tags).
+  *
+  * The published container is headerless RFC-4180 CSV per partition
+  * (timestamps as ISO-8601 with microseconds); [[PortalSink.readPublished]]
+  * reads the active slot back with the original schema.
+  */
+class PortalDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "portal"
+
+  // write-only source: schema comes from the DataFrame being written
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new PortalTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+class PortalTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsWrite {
+
+  private val root = options.get("root")
+  private val title = options.get("item")
+  require(root != null && title != null,
+    "portal sink requires options: root, item")
+
+  override def name(): String = s"portal.$title"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PortalWriteBuilder(root, title,
+      Option(options.get("tags")).map(_.split(",").toSeq).getOrElse(Nil),
+      options.getBoolean("ifChanged", true), info.schema())
+}
+
+/** Publishes are full replacements (reference overwrite semantics, T3);
+  * append-mode requests are accepted and treated identically — the K6
+  * chunk-append pattern collapses to one union'd write upstream. */
+class PortalWriteBuilder(root: String, title: String, tags: Seq[String],
+    ifChanged: Boolean, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new PortalBatchWrite(root, title, tags, ifChanged, schema)
+  }
+}
+
+case class PortalCommitMessage(path: String, rows: Long, xor: Long,
+    sum: Long) extends WriterCommitMessage
+
+class PortalBatchWrite(root: String, title: String, tags: Seq[String],
+    ifChanged: Boolean, schema: StructType) extends BatchWrite {
+
+  private val stagingDir = s"$root/.staging-${UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PortalWriterFactory(stagingDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[PortalCommitMessage])
+    val portal = Portal.forRoot(root)
+    val item = portal.findByTitle(title).getOrElse(
+      portal.addOrRetry(title, "Feature Service", Seq("erddap2agol") ++ tags,
+        Map.empty))
+
+    // distributed change fingerprint from the per-task moments
+    def mix(z0: Long): Long = {
+      var z = z0; z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL
+      z ^= z >>> 33; z *= 0xC4CEB9FE1A85EC53L; z ^ (z >>> 33)
+    }
+    val xor = msgs.foldLeft(0L)(_ ^ _.xor)
+    val sum = msgs.foldLeft(0L)(_ + _.sum)
+    val rows = msgs.foldLeft(0L)(_ + _.rows)
+    val fp = (mix(xor) ^ mix(sum + 0x9E3779B97F4A7C15L) ^ mix(rows)).toString
+
+    if (ifChanged && portal.itemById(item.id).serviceProps.get("fingerprint")
+        .contains(fp)) {
+      deleteRecursively(Path.of(stagingDir)) // unchanged → no-op publish
+      return
+    }
+
+    val backup = portal.backupProperties(portal.itemById(item.id))
+    val active = portal.itemById(item.id).serviceProps.getOrElse("activeSlot", "b")
+    val inactive = if (active == "a") "b" else "a"
+    val slotDir = Path.of(root, item.id, inactive)
+    deleteRecursively(slotDir)
+    Files.createDirectories(slotDir)
+    msgs.filter(_.path.nonEmpty).foreach { m =>
+      val src = Path.of(m.path)
+      Files.move(src, slotDir.resolve(src.getFileName),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(Path.of(stagingDir))
+    portal.restoreProperties(portal.itemById(item.id), backup)
+    portal.updateServiceProps(portal.itemById(item.id), Map(
+      "activeSlot" -> inactive, "fingerprint" -> fp, "rows" -> rows.toString))
+    portal.touch(portal.itemById(item.id), System.currentTimeMillis())
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRecursively(Path.of(stagingDir))
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+}
+
+class PortalWriterFactory(stagingDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PortalDataWriter(stagingDir, schema, partitionId, taskId)
+}
+
+/** Writes one partition as RFC-4180 CSV while folding the row-hash
+  * moments (FNV-1a 64 per line; XOR + wrapping sum + count) used by the
+  * driver-side unchanged check — change detection costs no second scan. */
+class PortalDataWriter(stagingDir: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private var out: java.io.BufferedWriter = _
+  private var path = ""
+  private var rows = 0L
+  private var xor = 0L
+  private var sum = 0L
+
+  private def fnv1a64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  private def cell(row: InternalRow, i: Int): String = {
+    if (row.isNullAt(i)) return ""
+    schema.fields(i).dataType match {
+      case StringType => row.getUTF8String(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case FloatType => row.getFloat(i).toString
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case ShortType => row.getShort(i).toString
+      case ByteType => row.getByte(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case TimestampType =>
+        val us = row.getLong(i)
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case DateType => java.time.LocalDate.ofEpochDay(row.getInt(i)).toString
+      case dt => throw new UnsupportedOperationException(
+        s"portal sink: unsupported type $dt")
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      Files.createDirectories(Path.of(stagingDir))
+      path = s"$stagingDir/part-$partitionId-$taskId.csv"
+      out = Files.newBufferedWriter(Path.of(path))
+    }
+    val line = Csv.join(schema.fields.indices.map(cell(row, _)))
+    out.write(line); out.write("\n")
+    val h = fnv1a64(line)
+    rows += 1; xor ^= h; sum += h
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    PortalCommitMessage(path, rows, xor, sum)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    if (path.nonEmpty) Files.deleteIfExists(Path.of(path))
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Read-back + introspection helpers for the published container. */
+object PortalSink {
+  /** Read the ACTIVE slot of a published item with its original schema. */
+  def readPublished(spark: org.apache.spark.sql.SparkSession, root: String,
+      title: String, schema: StructType): org.apache.spark.sql.DataFrame = {
+    val portal = Portal.forRoot(root)
+    val item = portal.findByTitle(title).getOrElse(
+      throw new IllegalArgumentException(s"no published item '$title'"))
+    val slot = portal.itemById(item.id).serviceProps.getOrElse("activeSlot",
+      throw new IllegalStateException("item has no published slot"))
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("escape", "\"") // RFC-4180 doubled quotes, not backslash
+      .csv(s"$root/${item.id}/$slot")
+  }
+}

@@ -113,4 +113,63 @@ class PortalSpec extends AnyFunSuite {
     p.pointViewAt(lonely, a)
     intercept[IllegalArgumentException] { p.swapViewLayers(lonely) }
   }
+
+  test("checkView restores lost layers from the saved snapshot") {
+    val p = newPortal()
+    val view = p.addOrRetry("view", "FeatureService", Nil, Map())
+    p.setLayers(view, Seq(p.Layer(0, "obs"), p.Layer(1, "tracks")))
+    p.saveLayerSnapshot(view)
+
+    p.setLayers(view, Nil) // the AGOL lost-layers failure mode
+    val out = p.checkView(view)
+    assert(out.layersRestored == 2)
+    assert(p.layersOf(view).map(_.name) == Seq("obs", "tracks"))
+
+    // idempotent: nothing more to repair
+    val again = p.checkView(view)
+    assert(again == p.RepairOutcome(0, 0, false))
+
+    // dry run computes without applying
+    p.setLayers(view, Nil)
+    val dry = p.checkView(view, dryRun = true)
+    assert(dry.layersRestored == 2 && p.layersOf(view).isEmpty)
+  }
+
+  test("checkView restores missing relationships; drift refreshes the backup") {
+    val p = newPortal()
+    val a = p.addOrRetry("svc_A", "FeatureService", Nil, Map())
+    val b = p.addOrRetry("svc_B", "FeatureService", Nil, Map())
+    val c = p.addOrRetry("svc_C", "FeatureService", Nil, Map())
+    val view = p.addOrRetry("view", "FeatureService", Nil, Map())
+    p.relate(view, Seq(a, b))
+    p.backupRelationships(view)
+
+    // a relationship vanishes → restored from backup
+    p.updateRelationships(view, Seq(b), unRelate = true)
+    val out = p.checkView(view)
+    assert(out.relationshipsRestored == 1)
+    p.pointViewAt(view, a) // related set is back to {a,b} — verify via A/B rule
+    assert(p.inactiveTarget(view).id == b.id)
+
+    // same-size drift (replaced, not lost) → backup refreshed, not reverted
+    p.updateRelationships(view, Seq(b), unRelate = true)
+    p.updateRelationships(view, Seq(c))
+    val drift = p.checkView(view)
+    assert(drift.backupRefreshed && drift.relationshipsRestored == 0)
+    p.updateRelationships(view, Seq(c), unRelate = true)
+    val afterDrift = p.checkView(view) // backup now {a,c}: c restored
+    assert(afterDrift.relationshipsRestored == 1)
+  }
+
+  test("updateRelationships add/remove is idempotent") {
+    val p = newPortal()
+    val a = p.addOrRetry("svc_A", "FeatureService", Nil, Map())
+    val b = p.addOrRetry("svc_B", "FeatureService", Nil, Map())
+    val view = p.addOrRetry("view", "FeatureService", Nil, Map())
+
+    assert(p.updateRelationships(view, Seq(a, b)) == Seq(a.id, b.id))
+    assert(p.updateRelationships(view, Seq(a, b)) == Seq(a.id, b.id)) // re-add no-op
+    assert(p.updateRelationships(view, Seq(a), unRelate = true) == Seq(b.id))
+    assert(p.updateRelationships(view, Seq(a), unRelate = true) == Seq(b.id)) // re-remove no-op
+  }
 }
