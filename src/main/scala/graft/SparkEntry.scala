@@ -323,17 +323,29 @@ object SparkEntry {
       Dedup.minhashLshPairsPortable(
         t(s, dir, "documents").filter(col("doc_id") < 500), "text", "doc_id")),
 
-    // ---- dedup: MinHash + LSH near-dup pairs (rows-only check) ----
+    // ---- dedup: MinHash + LSH near-dup pairs. Gate runs the PORTABLE
+    //      md5 path (full oracle; different band geometry than
+    //      dedup_minhash_oracle); the xxhash64 production path is
+    //      spec-verified against planted pairs ----
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id")),
+      Dedup.minhashLshPairsPortable(t(s, dir, "documents"), "text", "doc_id",
+        numHashes = 16, bands = 8, withEstimate = true)
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_j"))),
 
-    // ---- dedup: SimHash hamming pairs (rows-only check) ----
+    // ---- dedup: SimHash hamming pairs. Gate runs the PORTABLE 60-bit
+    //      md5 simhash (full oracle — banding is exact by pigeonhole);
+    //      the xxhash64 SimHash64 path is spec-verified ----
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id")),
+      Dedup.simhashPairsPortable(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))),
 
-    // ---- dedup: exact n-gram Jaccard verify over LSH candidates ----
+    // ---- dedup: exact n-gram Jaccard verify over LSH candidates.
+    //      Oracle computes TRUE jaccard over all pairs: the planted
+    //      near-dups sit at j ≥ 0.89 where 16×4 banding recall is
+    //      1 - 1.4e-7, so candidates ⊇ the ≥0.8 pair set ----
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)),
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))),
 
     // ---- dedup: connected components → keep-one-per-cluster ----
     "dedup_clusters" -> ((s, dir) => {
@@ -358,18 +370,21 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cos"))
     }),
 
-    // ---- similarity: LSH-bucketed candidate pairs (rows-only check) ----
+    // ---- similarity: SRP-LSH candidate pairs (md5-derived hyperplanes
+    //      → FULL oracle: DuckDB recomputes the same planes/buckets) ----
     "ann_lsh_pairs" -> ((s, dir) =>
       Similarity.lshCandidatePairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", planes = 8)),
+        "embedding", planes = 8, tables = 2)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos"))),
 
-    // ---- similarity: LSH top-k probe (rows-only check) ----
+    // ---- similarity: multi-probe LSH top-k (full oracle, same planes) --
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
-        "embedding", q, k = 10, planes = 8)
+        "embedding", q, k = 10, planes = 8, tables = 2, probeRadius = 1)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cos"))
     }),
 
     // ---- similarity: IVF top-k probe (rows-only check) ----
@@ -382,10 +397,12 @@ object SparkEntry {
       Similarity.ivfTopK(rest, "vec_id", "embedding", q, k = 10, cents, nProbe = 4)
     }),
 
-    // ---- dedup: embedding-cosine near-dup pairs (rows-only check) ----
+    // ---- dedup: embedding-cosine near-dup pairs (full oracle via the
+    //      portable SRP planes) ----
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", threshold = 0.25, planes = 8)),
+        "embedding", threshold = 0.25, planes = 8, tables = 2)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos"))),
 
     // ---- multimodal: binary container ingest + batched header decode ----
     "mm_decode_meta" -> ((s, dir) => {
@@ -455,6 +472,104 @@ object SparkEntry {
     * (minhash/simhash/SRP-LSH) whose signatures are engine-specific —
     * those get the driver's rows-only check and are covered by scalatest
     * oracles instead. */
+  // ---- generated oracle-SQL fragments (md5-portable pipelines) -----------
+
+  /** Shingle CTEs proven bit-compatible with [[Dedup.shingles]] by the
+    * long-green dedup_minhash_oracle gate. */
+  private val shingleCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(t)-2),
+      |        i -> array_to_string(t[i:i+2], ' ')))
+      |    ELSE [array_to_string(t, ' ')] END AS sh
+      |  FROM toks)""".stripMargin
+
+  /** SRP plane + bucket CTEs mirroring [[Similarity.planeComponent]] /
+    * [[Similarity.srpBits]]: 2 tables × 8 planes × 64 dims. */
+  private val srpCtes: String =
+    """emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |planes AS (
+      |  SELECT t, p, list_transform(range(0, 64), j ->
+      |    (('0x' || substr(md5(t || ':' || p || ':' || j), 1, 8))::BIGINT
+      |      / 2147483647.5) - 1.0) AS pl
+      |  FROM range(0, 2) tt(t) CROSS JOIN range(0, 8) pp(p)),
+      |norms AS (SELECT vec_id, e,
+      |  sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM emb),
+      |keyed AS (
+      |  SELECT e.vec_id, pl.t AS tbl,
+      |    string_agg(CASE WHEN list_sum(list_transform(list_zip(e.e, pl.pl),
+      |      z -> z[1] * z[2])) >= 0 THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS bucket
+      |  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t)""".stripMargin
+
+  private val srpPairSql: String =
+    s"""WITH $srpCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM keyed a JOIN keyed b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT p.id1, p.id2,
+       |    CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(list_zip(na.e, nb.e), z -> z[1]*z[2]))
+       |        / (na.nrm * nb.nrm) END AS c
+       |  FROM pairs p JOIN norms na ON na.vec_id = p.id1
+       |               JOIN norms nb ON nb.vec_id = p.id2)""".stripMargin
+
+  /** Portable universal-hash minhash CTEs mirroring
+    * [[Dedup.minhashLshPairsPortable]] (constants shared via
+    * [[Dedup.uhA]]/[[Dedup.uhB]]). */
+  private def minhashCtes(numHashes: Int, bands: Int,
+      where: String = ""): String = {
+    val rowsPer = numHashes / bands
+    val sigList = (0 until numHashes)
+      .map(i => s"min((x * ${Dedup.uhA(i)} + ${Dedup.uhB(i)}) % ${Dedup.uhP}) " +
+        s"AS m$i")
+      .mkString(",\n      ")
+    val sigArr = (0 until numHashes).map(i => s"m$i").mkString(", ")
+    val bandList = (0 until bands)
+      .map(b => s"md5(array_to_string(sig[${rowsPer * b + 1}:${rowsPer * (b + 1)}], '|'))")
+      .mkString(",\n      ")
+    s"""$shingleCtes,
+       |hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS x
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh$where)),
+       |mins AS (
+       |  SELECT doc_id,
+       |      $sigList
+       |  FROM hs GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, [$sigArr] AS sig FROM mins),
+       |banded AS (
+       |  SELECT doc_id, unnest([
+       |      $bandList]) AS band
+       |  FROM sigs)""".stripMargin
+  }
+
+  /** 60-bit md5 simhash CTEs mirroring [[Dedup.simhashPairsPortable]]. */
+  private val simhash60Ctes: String = {
+    val sums = (0 until 60).map(j => s"sum((h >> $j) & 1) AS c$j")
+      .mkString(",\n      ")
+    val simBits = (0 until 60)
+      .map(j => s"CASE WHEN 2*c$j > n THEN (1::BIGINT << $j) ELSE 0::BIGINT END")
+      .mkString(" +\n      ")
+    s"""$shingleCtes,
+       |hv AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+       |votes AS (
+       |  SELECT doc_id, count(*) AS n,
+       |      $sums
+       |  FROM hv GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id,
+       |      $simBits AS sim
+       |  FROM votes)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -664,37 +779,9 @@ object SparkEntry {
         |  SELECT * FROM r)
         |SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""".stripMargin,
     "dedup_minhash_oracle" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
-        |  FROM documents WHERE doc_id < 500),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) >= 3 THEN
-        |      list_distinct(list_transform(generate_series(1, len(t)-2),
-        |        i -> array_to_string(t[i:i+2], ' ')))
-        |    ELSE [array_to_string(t, ' ')] END AS sh
-        |  FROM toks),
-        |sigs AS (
-        |  SELECT doc_id, [
-        |    list_aggregate(list_transform(sh, s -> md5('0 ' || s)), 'min'),
-        |    list_aggregate(list_transform(sh, s -> md5('1 ' || s)), 'min'),
-        |    list_aggregate(list_transform(sh, s -> md5('2 ' || s)), 'min'),
-        |    list_aggregate(list_transform(sh, s -> md5('3 ' || s)), 'min'),
-        |    list_aggregate(list_transform(sh, s -> md5('4 ' || s)), 'min'),
-        |    list_aggregate(list_transform(sh, s -> md5('5 ' || s)), 'min'),
-        |    list_aggregate(list_transform(sh, s -> md5('6 ' || s)), 'min'),
-        |    list_aggregate(list_transform(sh, s -> md5('7 ' || s)), 'min')] AS sig
-        |  FROM sh),
-        |banded AS (
-        |  SELECT doc_id, unnest([
-        |    md5(array_to_string(sig[1:2], '|')),
-        |    md5(array_to_string(sig[3:4], '|')),
-        |    md5(array_to_string(sig[5:6], '|')),
-        |    md5(array_to_string(sig[7:8], '|'))]) AS band
-        |  FROM sigs)
-        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+      s"""WITH ${minhashCtes(8, 4, " WHERE doc_id < 500")}
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (
@@ -812,6 +899,59 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "ann_lsh_pairs" ->
+      s"""$srpPairSql
+         |SELECT id1, id2, round(c, 6) AS cos FROM scored""".stripMargin,
+    "dedup_embedding" ->
+      s"""$srpPairSql
+         |SELECT id1, id2, round(c, 6) AS cos FROM scored WHERE c >= 0.25""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $srpCtes,
+         |q AS (SELECT e AS qv FROM emb WHERE vec_id = 0),
+         |qk AS (
+         |  SELECT pl.t AS tbl,
+         |    string_agg(CASE WHEN list_sum(list_transform(list_zip(q.qv, pl.pl),
+         |      z -> z[1] * z[2])) >= 0 THEN '1' ELSE '0' END, '' ORDER BY pl.p) AS qb
+         |  FROM q CROSS JOIN planes pl GROUP BY pl.t),
+         |cand AS (
+         |  SELECT DISTINCT k.vec_id FROM keyed k JOIN qk ON k.tbl = qk.tbl
+         |  WHERE k.vec_id <> 0 AND
+         |    list_sum(list_transform(range(0, 8), i ->
+         |      CASE WHEN substr(k.bucket, CAST(i + 1 AS INTEGER), 1)
+         |        <> substr(qk.qb, CAST(i + 1 AS INTEGER), 1)
+         |      THEN 1 ELSE 0 END)) <= 1),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |    list_sum(list_transform(list_zip(e.e, q.qv), p -> p[1] * p[2])) /
+         |    (sqrt(list_sum(list_transform(e.e, x -> x*x))) *
+         |     sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cosine
+         |  FROM emb e JOIN cand c ON c.vec_id = e.vec_id, q)
+         |SELECT vec_id, round(cosine, 6) AS cos FROM scored
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH ${minhashCtes(16, 8)},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT p.id1, p.id2,
+         |  round(CAST(len(list_filter(list_zip(sa.sig, sb.sig),
+         |    z -> z[1] = z[2])) AS DOUBLE) / 16, 6) AS est_j
+         |FROM pairs p JOIN sigs sa ON sa.doc_id = p.id1
+         |             JOIN sigs sb ON sb.doc_id = p.id2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $simhash60Ctes
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id1, id2, round(j, 6) AS jacc FROM pairs WHERE j >= 0.8""".stripMargin,
     // s8: the oracle recomputes the deterministic grid (GriddapFixture)
     // from range() — no table needed; values are exact binary fractions
     "s8_griddap_scan" ->

@@ -142,28 +142,102 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Engine-portable minhash variant: signature element i is the STRING
-    * minimum of `md5(i || ' ' || shingle)` over the shingle set, band
-    * keys are md5 of the joined band slice. Slower than the xxhash64
-    * path (use that in production) but computable bit-identically by
-    * any engine with md5 — which makes the whole LSH pipeline
-    * verifiable against an independent SQL oracle, not just rows-only. */
+  /** Universal-hash constants for the portable minhash family
+    * h_i(x) = (a_i·x + b_i) mod P over the 32-bit md5 prefix of a
+    * shingle: ONE md5 per shingle, then integer arithmetic any engine
+    * reproduces exactly (a_i < 2³¹ and x < 2³² keep a_i·x within a
+    * signed 64-bit long). Constants are referenced by the oracle-SQL
+    * generator, so both sides share one definition. */
+  val uhP: Long = 1000000007L
+  def uhA(i: Int): Long = ((2L * i + 1) * 2654435761L) % 2147483647L
+  def uhB(i: Int): Long = (97L * i + 13) % uhP
+
+  /** Engine-portable minhash: shingle → 32-bit md5 prefix → `numHashes`
+    * universal-hash minima (codegen'd MIN aggregates over exploded
+    * shingles, one shuffle on id); band key = md5 of the joined band
+    * slice. Computable bit-identically by any engine with md5 — which
+    * makes the whole LSH pipeline verifiable against an independent
+    * SQL oracle, not just rows-only. `withEstimate` attaches
+    * est_jaccard = fraction of matching signature positions. */
   def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      withEstimate: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    val sigs = sh.select(col("id"),
-      array((0 until numHashes).map { i =>
-        array_min(transform(col("sh"), s => md5(concat(lit(s"$i "), s))))
-      }: _*).as("sig"))
+    val exploded = df.repartition(col(idCol)).select(col(idCol).as("id"),
+      explode(graft.functions.ShingleStrings.shingle_strings(
+        col(textCol), shingleN)).as("s"))
+      .select(col("id"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("x"))
+    val sigs = exploded.groupBy(col("id")).agg(
+      min((col("x") * uhA(0) + uhB(0)) % uhP).as("m0"),
+      (1 until numHashes).map(i =>
+        min((col("x") * uhA(i) + uhB(i)) % uhP).as(s"m$i")): _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
       }: _*)).as("band"))
     val l = banded.select(col("band"), col("id").as("id1"))
     val r = banded.select(col("band"), col("id").as("id2"))
-    l.join(r, Seq("band")).filter(col("id1") < col("id2"))
+    val pairs = l.join(r, Seq("band")).filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+    if (!withEstimate) pairs
+    else pairs
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** Engine-portable simhash: 60-bit simhash over md5-derived shingle
+    * hashes (first 15 hex digits → long, within signed-64 range). The
+    * bit votes run as 60 codegen'd SUM aggregates over the exploded
+    * (id, hash) rows — ONE shuffle on id, no interpreted per-bit HOF
+    * loop. Banding into 4×15-bit blocks is exact by pigeonhole for
+    * hamming ≤ 3, so the pair set is fully determined by the simhash
+    * values — which an md5-capable SQL engine recomputes identically. */
+  def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
+    val bits = 60
+    val exploded = df.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.ShingleStrings.shingle_strings(
+          col(textCol), shingleN)).as("s"))
+      .select(col("id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+    // Bit votes as 20 PACKED sums (3 counters × 21 bits per long) — 60
+    // separate sum columns widened the aggregate past what codegen
+    // handles gracefully; packed counters keep the agg narrow. 21 bits
+    // caps a doc at 2M shingles, far above any real document.
+    val votes = exploded.groupBy(col("id")).agg(
+      count(lit(1)).as("n"),
+      (0 until bits / 3).map { k =>
+        sum(shiftright(col("h"), 3 * k).bitwiseAND(lit(1L)) +
+          shiftleft(shiftright(col("h"), 3 * k + 1).bitwiseAND(lit(1L)), 21) +
+          shiftleft(shiftright(col("h"), 3 * k + 2).bitwiseAND(lit(1L)), 42))
+          .as(s"p$k")
+      }: _*)
+    def cnt(j: Int) =
+      shiftright(col(s"p${j / 3}"), 21 * (j % 3)).bitwiseAND(lit(0x1FFFFFL))
+    val sim = votes.select(col("id"),
+      (0 until bits).map { j =>
+        when(cnt(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as("sim"))
+    val banded = sim.select(col("id"), col("sim"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7FFFL)).as("key"))
+      }: _*)).as("band"))
+      .select(col("id"), col("sim"), col("band.blk"), col("band.key"))
+    val l = banded.select(col("blk"), col("key"), col("id").as("id1"), col("sim").as("sim1"))
+    val r = banded.select(col("blk"), col("key"), col("id").as("id2"), col("sim").as("sim2"))
+    l.join(r, Seq("blk", "key")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
   }
 
   /** Connected components over near-dup pairs: label propagation to the
@@ -218,7 +292,7 @@ object Dedup {
     * exceeds `threshold`, generated through Similarity's LSH buckets to
     * avoid the all-pairs product. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 12): DataFrame =
-    Similarity.lshCandidatePairs(df, idCol, vecCol, planes)
+      threshold: Double, planes: Int = 12, tables: Int = 2): DataFrame =
+    Similarity.lshCandidatePairs(df, idCol, vecCol, planes, tables)
       .filter(col("cosine") >= threshold)
 }

@@ -57,47 +57,104 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane p is
-    * derived from xxhash64(p, j) scaled to [-1, 1]. Generated as literals
-    * on the driver — no data-dependent state. */
-  private def planeComponent(p: Int, j: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((p, j))
-    (h.toDouble / Int.MaxValue)
+  /** Deterministic ENGINE-PORTABLE pseudo-random hyperplanes: component
+    * j of plane p in table t derives from the md5 of `"t:p:j"` (first 8
+    * hex digits scaled to [-1, 1)). Generated as literals on the driver;
+    * any engine with md5 recomputes the identical planes, which is what
+    * lets the whole SRP pipeline be verified against an independent SQL
+    * oracle instead of rows-only. */
+  private[operators] def planeComponent(table: Int, p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$table:$p:$j".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) / 2147483647.5 - 1.0
   }
 
-  /** Sign-random-projection bucket key: bit p = sign(v · plane_p). */
-  def srpKey(vecCol: Column, dim: Int, planes: Int): Column =
-    (0 until planes).map { p =>
-      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
-      when(dot(vecCol, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  /** Sign-random-projection bucket key as a '0'/'1' bit STRING (plane
+    * order): portable across engines and joins exactly like an int key.
+    * At 100 TB the string key costs a few bytes more per row than a
+    * packed long — irrelevant next to the vector payload it replaces. */
+  def srpBits(vecCol: Column, dim: Int, planes: Int, table: Int = 0): Column =
+    concat((0 until planes).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeComponent(table, p, j))): _*)
+      when(dot(vecCol, plane) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
 
-  /** All candidate pairs sharing an SRP bucket, with exact cosine
-    * attached. Bucket join = shuffled equi-join; no cross product. */
+  /** Plane count scaled to the corpus: ~log2(n / targetBucketSize), so
+    * expected bucket occupancy stays near `targetBucketSize` as n grows
+    * — a FIXED plane count makes within-bucket pair generation
+    * quadratic at 100 TB. Clamped to [4, 30]. */
+  def adaptivePlanes(n: Long, targetBucketSize: Long = 64L): Int =
+    math.min(30, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+        math.log(2.0)).toInt))
+
+  /** All candidate pairs sharing an SRP bucket in ANY of `tables`
+    * hash tables (OR-construction: recall 1-(1-p)^T), with exact cosine
+    * attached. Bucket join = shuffled equi-join on (table, bucket); no
+    * cross product. The join carries IDS ONLY — vectors are re-attached
+    * to the (much smaller) deduped candidate set afterwards, keeping
+    * the widest shuffle payload minimal.
+    *
+    * `planes = 0` → adaptive from the table's row count.
+    * `maxBucket > 0` caps pair generation per bucket (first `maxBucket`
+    * members by id; drops are logged) — the skew guard at 100 TB. */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 12): DataFrame = {
+      planes: Int = 12, tables: Int = 2, maxBucket: Int = 0): DataFrame = {
     val dim = firstVectorLength(df, vecCol)
+    val nPlanes = if (planes > 0) planes else adaptivePlanes(df.count())
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      srpKey(col(vecCol), dim, planes).as("bucket"))
-    val l = keyed.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val r = keyed.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("bucket")).filter(col("id1") < col("id2"))
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"), srpBits(col(vecCol), dim, nPlanes, t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    val members =
+      if (maxBucket <= 0) keyed.select(col("tbl"), col("bucket"), col("id"))
+      else {
+        val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("id"))
+        val ranked = keyed.select(col("tbl"), col("bucket"), col("id"))
+          .withColumn("_rk", row_number().over(w))
+        val dropped = ranked.filter(col("_rk") > maxBucket).count()
+        if (dropped > 0)
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"lshCandidatePairs: bucket cap $maxBucket dropped $dropped members")
+        ranked.filter(col("_rk") <= maxBucket).drop("_rk")
+      }
+    val l = members.select(col("tbl"), col("bucket"), col("id").as("id1"))
+    val r = members.select(col("tbl"), col("bucket"), col("id").as("id2"))
+    val pairs = l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val vecs = df.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
+    pairs
+      .join(vecs.select(col("_vid").as("id1"), col("_vv").as("v1")), "id1")
+      .join(vecs.select(col("_vid").as("id2"), col("_vv").as("v2")), "id2")
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
-      .dropDuplicates("id1", "id2")
   }
 
-  /** IVF-style top-k: probe only buckets matching the query's bucket.
-    * Falls back to scanning `nProbe` nearest buckets by hamming distance
-    * of the SRP key — still an equi-join shape at scale. */
+  /** Hamming distance between two same-length bit strings (small, fixed
+    * plane count → unrolled codegen'd comparison chain). */
+  private def bitHamming(bits: Column, ref: String): Column =
+    (0 until ref.length).map { p =>
+      when(substring(bits, p + 1, 1) =!= lit(ref.substring(p, p + 1)), 1)
+        .otherwise(0)
+    }.reduce((a, b) => a + b)
+
+  /** Multi-probe LSH top-k: a row is a candidate when its bucket in ANY
+    * table is within hamming `probeRadius` of the query's bucket for
+    * that table — still one scan + filter, no cross product. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, planes: Int = 8): DataFrame = {
+      query: Seq[Double], k: Int, planes: Int = 8, tables: Int = 2,
+      probeRadius: Int = 1): DataFrame = {
     val dim = query.length
-    val q = array(query.map(lit): _*)
-    val qKey = srpKey(q, dim, planes)
-    df.select(col(idCol), col(vecCol).as("v"),
-      srpKey(col(vecCol), dim, planes).as("bucket"))
-      .filter(bit_count(col("bucket").bitwiseXOR(qKey)) <= 1)
-      .select(col(idCol), cosineToQuery(col("v"), query).as("cosine"))
+    def qBits(t: Int): String = (0 until planes).map { p =>
+      val d = (0 until dim).map(j => query(j) * planeComponent(t, p, j)).sum
+      if (d >= 0) "1" else "0"
+    }.mkString
+    val probed = (0 until tables).map { tIdx =>
+      bitHamming(srpBits(col(vecCol), dim, planes, tIdx), qBits(tIdx)) <= probeRadius
+    }.reduce(_ || _)
+    df.filter(probed)
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

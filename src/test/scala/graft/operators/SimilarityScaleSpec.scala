@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Scale-safety features of the SRP-LSH path: adaptive plane count,
+  * per-bucket candidate caps on skewed data, multi-table
+  * OR-construction recall, and portable/native simhash agreement. */
+class SimilarityScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("adaptivePlanes scales ~log2(n/target) and clamps") {
+    assert(Similarity.adaptivePlanes(1000, 64) == 4)
+    assert(Similarity.adaptivePlanes(100000, 64) == 11)
+    assert(Similarity.adaptivePlanes(1000L * 1000 * 1000, 64) == 24)
+    assert(Similarity.adaptivePlanes(10, 64) == 4) // lower clamp
+    assert(Similarity.adaptivePlanes(Long.MaxValue, 1) == 30) // upper clamp
+  }
+
+  test("planes = 0 engages the adaptive count without changing results shape") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(2.0f, 4.0f, 6.0f, 8.0f)),
+      (3L, Array(-1.0f, -2.0f, -3.0f, -4.0f))
+    ).toDF("id", "vec")
+    val pairs = Similarity.lshCandidatePairs(df, "id", "vec", planes = 0)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("per-bucket cap bounds pair generation on a hot bucket (skew guard)") {
+    // 100 identical vectors → ONE bucket per table; uncapped pair count
+    // is 100*99/2 = 4950, capped at 10 members it is 10*9/2 = 45.
+    val hot = (1L to 100L).map(i => (i, Array(1.0f, 1.0f, 0.5f, 0.25f))).toDF("id", "vec")
+    val uncapped = Similarity.lshCandidatePairs(hot, "id", "vec",
+      planes = 6, tables = 1).count()
+    assert(uncapped == 4950)
+    val capped = Similarity.lshCandidatePairs(hot, "id", "vec",
+      planes = 6, tables = 1, maxBucket = 10).count()
+    assert(capped == 45)
+    // the kept members are the lowest ids (deterministic, not arbitrary)
+    val ids = Similarity.lshCandidatePairs(hot, "id", "vec",
+      planes = 6, tables = 1, maxBucket = 10)
+      .select("id2").as[Long].collect()
+    assert(ids.max == 10L)
+  }
+
+  test("multi-table OR-construction finds pairs a single table can miss") {
+    // near-identical pairs (small angle): per-table hit prob < 1, so
+    // with enough planted pairs the 4-table union strictly dominates
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 40).flatMap { i =>
+      val v = Array.tabulate(16)(j => base(j) * (1 + 0.02f * i) + 0.15f * rnd.nextGaussian().toFloat)
+      val w = Array.tabulate(16)(j => v(j) + 0.02f * rnd.nextGaussian().toFloat)
+      Seq((i * 2L, v), (i * 2L + 1, w)) // planted near-dup pair
+    }
+    val df = rows.toDF("id", "vec")
+    def plantedFound(tables: Int): Int = {
+      val found = Similarity.lshCandidatePairs(df, "id", "vec",
+        planes = 10, tables = tables)
+        .filter(col("id2") === col("id1") + 1 && col("id1") % 2 === 0)
+        .count()
+      found.toInt
+    }
+    val one = plantedFound(1)
+    val four = plantedFound(4)
+    assert(four >= one)
+    assert(four >= 38, s"4-table recall too low: $four/40")
+  }
+
+  test("portable simhash pairs agree with the native xxhash64 path on planted dups") {
+    val longA = (1 to 60).map(i => s"token$i").mkString(" ")
+    val longB = (1 to 60).map(i => if (i == 30) "changed" else s"token$i").mkString(" ")
+    val docs = Seq(
+      (1L, longA), (2L, longB), // 1 of 60 tokens changed: tiny hamming
+      (3L, "completely different text about distributed query engines and shuffles"),
+      (4L, "completely different text about distributed query engines and shuffles"),
+      (5L, "unrelated third topic entirely concerning oceanographic buoy telemetry")
+    ).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = pairSet(Dedup.simhashPairs(docs, "text", "doc_id"))
+    val portable = pairSet(Dedup.simhashPairsPortable(docs, "text", "doc_id"))
+    // identical docs (3,4) must be found by both paths; the unrelated
+    // doc 5 by neither. The near-identical (1,2) pair sits near the
+    // hamming boundary where different hash families may legitimately
+    // disagree — simhash ≤3-of-60 is a sub-percent-change band — so it
+    // is deliberately not asserted.
+    assert(native.contains((3L, 4L)) && portable.contains((3L, 4L)))
+    assert(!native.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(!portable.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+}
