@@ -25,9 +25,17 @@ object Rss {
     StructField("source_file", StringType),
     StructField("fields", MapType(StringType, StringType)),
     StructField("geom_kind", StringType),     // point|line|polygon|box|null
-    StructField("ordinates", ArrayType(DoubleType))))
+    StructField("ordinates", ArrayType(DoubleType)),
+    StructField("geom_dims", IntegerType)))   // 2, or 3 when Z present
 
-  private val geomLocalNames = Set("point", "line", "polygon", "box", "envelope")
+  private val geomLocalNames =
+    Set("point", "line", "linestring", "polygon", "box", "envelope")
+
+  private def normalizeKind(local: String): String = local match {
+    case "linestring" => "line"
+    case "envelope" => "box"
+    case other => other
+  }
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val rdd = spark.sparkContext.wholeTextFiles(path).flatMap {
@@ -62,10 +70,77 @@ object Rss {
     }
   }
 
+  /** Walk a `georss:where` subtree for GML geometry
+    * (`Xml2GeoJSON.py:1069-1127`): `gml:Point/pos`,
+    * `gml:LineString|Polygon/posList` (exterior ring), `gml:Envelope`
+    * corner pairs; `srsDimension` sets the ordinate dimensionality.
+    * Returns (kind, ordinates, dims) or null. Interior rings are not
+    * representable in the flat ordinate schema and are skipped
+    * (documented divergence — the reference appends them clockwise). */
+  private def parseGmlWhere(where: Element): (String, Array[Double], Int) = {
+    var kind: String = null
+    var ords: Array[Double] = null
+    var dims = 2
+    var lower: String = null
+    var upper: String = null
+    var inInterior = false
+
+    def walk(node: Element): Unit = {
+      val local = Option(node.getLocalName).getOrElse(node.getNodeName).toLowerCase
+      val srs = node.getAttribute("srsDimension")
+      if (srs != null && srs.nonEmpty && srs.forall(_.isDigit)) dims = srs.toInt
+      local match {
+        case l if geomLocalNames.contains(l) =>
+          kind = normalizeKind(l)
+          // coordinates allowed inline in the type declaration
+          val inline = directText(node)
+          if (inline.nonEmpty && node.getFirstChild != null &&
+              node.getFirstChild.getNodeType == Node.TEXT_NODE)
+            ords = parseOrds(inline)
+        case "interior" => inInterior = true
+        case "exterior" => inInterior = false
+        case "pos" | "poslist" | "coordinates" =>
+          if (!inInterior) ords = parseOrds(node.getTextContent.trim)
+        case "lowercorner" | "lowerleft" =>
+          lower = node.getTextContent.trim
+        case "uppercorner" | "upperright" =>
+          upper = node.getTextContent.trim
+        case _ =>
+      }
+      val cs = node.getChildNodes
+      var i = 0
+      while (i < cs.getLength) {
+        cs.item(i) match { case e: Element => walk(e); case _ => }
+        i += 1
+      }
+      if (local == "interior") inInterior = false
+    }
+    walk(where)
+    if (kind == "box" && lower != null && upper != null)
+      ords = parseOrds(s"$lower $upper")
+    if (kind == null || ords == null) null else (kind, ords, dims)
+  }
+
+  private def directText(e: Element): String = {
+    val cs = e.getChildNodes
+    val sb = new StringBuilder
+    var i = 0
+    while (i < cs.getLength) {
+      val n = cs.item(i)
+      if (n.getNodeType == Node.TEXT_NODE) sb.append(n.getNodeValue)
+      i += 1
+    }
+    sb.toString.trim
+  }
+
+  private def parseOrds(text: String): Array[Double] =
+    text.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+
   private def itemToRow(file: String, item: Element): Row = {
     val fields = mutable.LinkedHashMap.empty[String, String]
     var geomKind: String = null
     var ordinates: Array[Double] = null
+    var geomDims = 2
     var geoLat: Option[Double] = None
     var geoLon: Option[Double] = None
 
@@ -79,12 +154,24 @@ object Rss {
           val key = if (prefix.isEmpty) local else s"$prefix:$local"
           val text = e.getTextContent.trim
 
-          if (prefix == "georss" && geomLocalNames.contains(local.toLowerCase)) {
-            geomKind = local.toLowerCase match {
-              case "envelope" => "box"
-              case other => other
+          // geometry elements match by NAME for any prefix (the
+          // reference's `prefix in ["georss","cap"] or name in
+          // geomFunctions`, `Xml2GeoJSON.py:1034`); CAP/ATOM values use
+          // comma-separated coordinates with spaces between points —
+          // dimensionality comes from the first coordinate's commas
+          // (`Xml2GeoJSON.py:1052-1055`)
+          if (geomLocalNames.contains(local.toLowerCase) &&
+              prefix != "geo") {
+            geomKind = normalizeKind(local.toLowerCase)
+            if (text.contains(",")) {
+              geomDims = text.split(" ", 2)(0).count(_ == ',') + 1
+              ordinates = parseOrds(text.replace(",", " "))
+            } else ordinates = parseOrds(text)
+          } else if (prefix == "georss" && local.toLowerCase == "where") {
+            val gml = parseGmlWhere(e)
+            if (gml != null) {
+              geomKind = gml._1; ordinates = gml._2; geomDims = gml._3
             }
-            ordinates = text.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
           } else if (prefix == "geo" && local == "lat") {
             geoLat = text.toDoubleOption
           } else if (prefix == "geo" && (local == "long" || local == "lon")) {
@@ -119,6 +206,6 @@ object Rss {
       ordinates = Array(geoLat.get, geoLon.get)
     }
     Row(file, fields.toMap, geomKind,
-      if (ordinates == null) null else ordinates.toSeq)
+      if (ordinates == null) null else ordinates.toSeq, geomDims)
   }
 }

@@ -90,6 +90,75 @@ class ReadersSpec extends AnyFunSuite {
     assert(df.head().getString(0) == "[-89.7,25.9]")
   }
 
+  test("GML in georss:where: posList polygon and pos point parse to geometry") {
+    val d = Files.createTempDirectory("rss_gml")
+    Files.writeString(d.resolve("g.xml"),
+      """<feed xmlns:georss="http://www.georss.org/georss"
+        |      xmlns:gml="http://www.opengis.net/gml">
+        |<entry><title>poly</title>
+        |  <georss:where><gml:Polygon><gml:exterior><gml:LinearRing>
+        |    <gml:posList>30 -90 31 -90 31 -89 30 -90</gml:posList>
+        |  </gml:LinearRing></gml:exterior></gml:Polygon></georss:where>
+        |</entry>
+        |<entry><title>pt</title>
+        |  <georss:where><gml:Point><gml:pos>25.5 -88.25</gml:pos></gml:Point></georss:where>
+        |</entry>
+        |<entry><title>pt3d</title>
+        |  <georss:where><gml:Point srsDimension="3">
+        |    <gml:pos>25.5 -88.25 12.0</gml:pos></gml:Point></georss:where>
+        |</entry>
+        |<entry><title>env</title>
+        |  <georss:where><gml:Envelope>
+        |    <gml:lowerCorner>29 -91</gml:lowerCorner>
+        |    <gml:upperCorner>31 -89</gml:upperCorner>
+        |  </gml:Envelope></georss:where>
+        |</entry>
+        |</feed>""".stripMargin)
+    val rows = Rss.read(spark, d.toString)
+      .orderBy("fields.title").collect()
+    val env = rows(0) // "env"
+    assert(env.getString(2) == "box" && env.getSeq[Double](3) == Seq(29.0, -91.0, 31.0, -89.0))
+    val poly = rows(1) // "poly"
+    assert(poly.getString(2) == "polygon")
+    assert(poly.getSeq[Double](3) == Seq(30.0, -90.0, 31.0, -90.0, 31.0, -89.0, 30.0, -90.0))
+    assert(poly.getInt(4) == 2)
+    val pt = rows(2) // "pt"
+    assert(pt.getString(2) == "point" && pt.getSeq[Double](3) == Seq(25.5, -88.25))
+    val pt3d = rows(3) // "pt3d"
+    assert(pt3d.getInt(4) == 3 && pt3d.getSeq[Double](3).size == 3)
+
+    // through the polygon constructor: lat-first flips to lon-first,
+    // ring reversed to counter-clockwise exterior
+    val gj = Rss.read(spark, d.toString)
+      .filter(col("geom_kind") === "polygon")
+      .select(to_json(graft.functions.Geometry.polygon(col("ordinates"))).as("j"))
+      .head().getString(0)
+    assert(gj == "[[[-90.0,30.0],[-89.0,31.0],[-90.0,31.0],[-90.0,30.0]]]")
+  }
+
+  test("CAP alert polygon: comma-separated coordinates with dims detection") {
+    val d = Files.createTempDirectory("rss_cap")
+    Files.writeString(d.resolve("c.xml"),
+      """<alert xmlns:cap="urn:oasis:names:tc:emergency:cap:1.2">
+        |<item><cap:event>Storm</cap:event>
+        |  <cap:polygon>30,-90 31,-90 31,-89 30,-90</cap:polygon>
+        |</item>
+        |<item><cap:event>Deep</cap:event>
+        |  <cap:polygon>30,-90,5 31,-90,5 31,-89,5 30,-90,5</cap:polygon>
+        |</item>
+        |</alert>""".stripMargin)
+    val rows = Rss.read(spark, d.toString).orderBy("fields.cap:event").collect()
+    val deep = rows(0)
+    assert(deep.getString(2) == "polygon" && deep.getInt(4) == 3)
+    assert(deep.getSeq[Double](3).size == 12)
+    val storm = rows(1)
+    assert(storm.getString(2) == "polygon" && storm.getInt(4) == 2)
+    assert(storm.getSeq[Double](3) == Seq(30.0, -90.0, 31.0, -90.0, 31.0, -89.0, 30.0, -90.0))
+    // event text survives as a field; polygon did not leak into fields
+    assert(storm.getMap[String, String](1)("cap:event") == "Storm")
+    assert(!storm.getMap[String, String](1).contains("cap:polygon"))
+  }
+
   test("GridOps: long form explode, lat reorder, z slice, hyperslab") {
     val grid = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
