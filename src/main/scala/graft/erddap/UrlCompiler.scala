@@ -24,7 +24,8 @@ object UrlCompiler {
       end: Option[String] = None,
       chunks: Seq[ChunkPlanner.TimeChunk] = Nil,
       noTimeRange: Boolean = false,
-      startExclusive: Boolean = false)
+      startExclusive: Boolean = false,
+      endExclusive: Boolean = false)
 
   /** Attribute ordering (`data_wrangler.py:330-344`): depth first, time
     * column removed (it is prepended separately). */
@@ -44,22 +45,26 @@ object UrlCompiler {
     // with closed bounds on both sides a row landing exactly on a
     // second-truncated boundary would be fetched by BOTH partitions.
     def timeUrl(timeStr: String, start: String, end: String,
-        startExcl: Boolean): String = {
+        startExcl: Boolean, endExcl: Boolean): String = {
       val startOp = if (startExcl) "%3E" else "%3E%3D"
+      val endOp = if (endExcl) "%3C" else "%3C%3D"
       val constraints =
-        s"&$timeStr$startOp${start}Z&$timeStr%3C%3D${end}Z"
+        s"&$timeStr$startOp${start}Z&$timeStr$endOp${end}Z"
       s"$base?$timeStr%2C$attrsEncoded$constraints"
     }
 
     req.timeCol match {
       case _ if req.noTimeRange => Seq(s"$base?$attrsEncoded")
       case Some(timeStr) if req.chunks.nonEmpty =>
+        val last = req.chunks.length - 1
         req.chunks.zipWithIndex.map { case (c, i) =>
           timeUrl(timeStr, c.startString, c.endString,
-            i > 0 || req.startExclusive)
+            i > 0 || req.startExclusive,
+            i == last && req.endExclusive)
         }
       case Some(timeStr) if req.start.isDefined && req.end.isDefined =>
-        Seq(timeUrl(timeStr, req.start.get, req.end.get, req.startExclusive))
+        Seq(timeUrl(timeStr, req.start.get, req.end.get,
+          req.startExclusive, req.endExclusive))
       case _ => Seq(s"$base?$attrsEncoded")
     }
   }

@@ -13,6 +13,14 @@ import org.apache.spark.sql.DataFrame
   * so Catalyst optimizes across the converter boundary (pushdown
   * through it where legal) instead of opaque file rewriting.
   */
+/** Contract for dynamically-loaded converters (the reference's
+  * `Template.py:19-59` `convert()` entry point): implement this with a
+  * no-arg constructor and pass the fully-qualified class name wherever
+  * a converter name is accepted. */
+trait ConverterPlugin {
+  def convert(df: DataFrame): DataFrame
+}
+
 object Converters {
 
   type Converter = DataFrame => DataFrame
@@ -23,12 +31,34 @@ object Converters {
     * `Converters/`). Last registration wins, like a module reload. */
   def register(name: String, fn: Converter): Unit = registry.put(name, fn)
 
-  /** Resolve by name; the reference raises on missing module. */
+  /** Resolve by name; the reference raises on missing module.
+    *
+    * Dot-path names load DYNAMICALLY, mirroring the reference's
+    * runtime `importlib`-style converter import
+    * (`OverwriteFS.py:871-895`): a name containing '.' is treated as a
+    * fully-qualified class name implementing [[ConverterPlugin]],
+    * instantiated reflectively (no-arg constructor) and cached in the
+    * registry — dropping a converter class on the classpath is the
+    * analog of dropping a module into `Converters/`. */
   def resolve(name: String): Converter = {
     val fn = registry.get(name)
-    if (fn == null)
-      throw new IllegalArgumentException(s"Converter not found: '$name'")
-    fn
+    if (fn != null) return fn
+    if (name.contains(".")) {
+      val loaded =
+        try Class.forName(name).getDeclaredConstructor().newInstance()
+          .asInstanceOf[ConverterPlugin]
+        catch {
+          case e: ClassNotFoundException =>
+            throw new IllegalArgumentException(s"Converter not found: '$name'", e)
+          case e: ClassCastException =>
+            throw new IllegalArgumentException(
+              s"'$name' does not implement ConverterPlugin", e)
+        }
+      val converter: Converter = loaded.convert
+      registry.put(name, converter)
+      return converter
+    }
+    throw new IllegalArgumentException(s"Converter not found: '$name'")
   }
 
   def names: Seq[String] = {

@@ -206,6 +206,30 @@ class Portal(root: String) {
     mapping
   }
 
+  // ---- K7: imagery publish ----------------------------------------------
+
+  /** K7 — publish a grid as an Imagery Layer item: the reference
+    * uploads reoriented NetCDF bytes and publishes them as imagery
+    * (`agol_wrangler.py:256-261` + imagery item types). The stored
+    * artifact is real NetCDF-classic ([[graft.sources.griddap.GridNc]]),
+    * latitude flipped north→south; readable back through the griddap
+    * source at `imageryDir(item)`. */
+  def publishImagery(title: String, grid: graft.sources.griddap.GridNc.Grid,
+      tags: Seq[String] = Nil): Item = {
+    import graft.sources.griddap.GridNc
+    val item = addOrRetry(title, "Imagery Layer",
+      Seq("erddap2agol") ++ tags, Map.empty)
+    val dir = java.nio.file.Path.of(root, item.id)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("imagery.nc"),
+      GridNc.write(GridNc.latFlip(grid)))
+    item
+  }
+
+  /** Directory holding an imagery item's NetCDF (dataset id `imagery`). */
+  def imageryDir(item: Item): String =
+    java.nio.file.Path.of(root, item.id).toString
+
   // ---- view repair + relationship maintenance ---------------------------
 
   private val layerSnapshots = collection.mutable.Map.empty[String, Seq[Layer]]

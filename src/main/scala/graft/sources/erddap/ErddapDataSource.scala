@@ -90,6 +90,8 @@ class ErddapScanBuilder(dataDir: String, dataset: String, server: String,
   private var pushed: Array[Filter] = Array.empty
   private var lo: Option[Instant] = None
   private var hi: Option[Instant] = None
+  private var loStrict = false
+  private var hiStrict = false
   private var aggSpecs: Option[Seq[ErddapAggScan.Spec]] = None
 
   /** The reference answers COUNT(*) from the ncHeader probe and
@@ -139,16 +141,22 @@ class ErddapScanBuilder(dataDir: String, dataset: String, server: String,
     requiredSchema = StructType(fullSchema.filter(f => names.contains(f.name)))
   }
 
-  /** Accept >=/<=/>/< on the time column (compiled into the URL); all
-    * other filters remain Spark-side. Bounds are closed in the URL
-    * grammar, so strict bounds stay in `postScanFilters` too.
+  /** Accept >=/<=/>/< on the time column — all four compile into the
+    * URL (ERDDAP's constraint grammar has strict operators); all other
+    * filters remain Spark-side.
     *
-    * Multiple bounds on the same side are INTERSECTED (max of lower
-    * bounds, min of upper bounds) — Catalyst does not collapse
-    * redundant range predicates, so `time >= a AND time >= b` reaches
-    * the source as two conjuncts. A GTE/LTE may only be dropped from
-    * the remaining set because the final compiled bound (the tightest)
-    * implies every same-side non-strict bound. */
+    * Two soundness rules govern what may be DROPPED from the remaining
+    * (Spark-side) set:
+    *  - bounds on the same side are INTERSECTED (max of lower, min of
+    *    upper; at equal instants strict beats non-strict) — Catalyst
+    *    does not collapse redundant range predicates, so
+    *    `time >= a AND time >= b` arrives as two conjuncts, and a
+    *    last-write-wins bound would silently widen the scan;
+    *  - the URL grammar is SECOND-granular, so a filter is only
+    *    removed when its bound is exactly second-aligned. A fractional
+    *    bound still narrows the URL (floor for lower, CEIL for upper —
+    *    flooring an upper bound would wrongly exclude rows in the
+    *    fractional tail) but is re-checked by Spark. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val timeCol = selection.timeCol.getOrElse("")
     def toInstant(v: Any): Option[Instant] = v match {
@@ -157,22 +165,58 @@ class ErddapScanBuilder(dataDir: String, dataset: String, server: String,
       case ldt: java.time.LocalDateTime => Some(ldt.toInstant(java.time.ZoneOffset.UTC))
       case _ => None
     }
-    def tightenLo(v: Instant): Unit =
-      lo = Some(lo.fold(v)(old => if (old.isAfter(v)) old else v))
-    def tightenHi(v: Instant): Unit =
-      hi = Some(hi.fold(v)(old => if (old.isBefore(v)) old else v))
-    val remaining = filters.filter {
-      case f @ GreaterThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
-        tightenLo(toInstant(v).get); pushed :+= f; false
-      case f @ LessThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
-        tightenHi(toInstant(v).get); pushed :+= f; false
+    def aligned(i: Instant): Boolean = i.getNano == 0
+
+    // pass 1: accumulate the tightest bounds
+    filters.foreach {
+      case GreaterThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
+        val i = toInstant(v).get
+        if (lo.forall(i.isAfter)) { lo = Some(i); loStrict = false }
       case GreaterThan(c, v) if c == timeCol && toInstant(v).isDefined =>
-        tightenLo(toInstant(v).get); true // closed-bound URL: re-filter
+        val i = toInstant(v).get
+        if (lo.forall(old => i.isAfter(old) || i == old)) { lo = Some(i); loStrict = true }
+      case LessThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
+        val i = toInstant(v).get
+        if (hi.forall(i.isBefore)) { hi = Some(i); hiStrict = false }
       case LessThan(c, v) if c == timeCol && toInstant(v).isDefined =>
-        tightenHi(toInstant(v).get); true
+        val i = toInstant(v).get
+        if (hi.forall(old => i.isBefore(old) || i == old)) { hi = Some(i); hiStrict = true }
+      case _ =>
+    }
+
+    // pass 2: a filter leaves the remaining set only when the final
+    // compiled bound implies it at second granularity
+    filters.filter {
+      case f @ GreaterThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
+        val implied = lo.exists(l => aligned(l) &&
+          (l.isAfter(toInstant(v).get) || l == toInstant(v).get))
+        if (implied) pushed :+= f
+        !implied
+      case f @ GreaterThan(c, v) if c == timeCol && toInstant(v).isDefined =>
+        val i = toInstant(v).get
+        // implied by a strict bound at >= i, or any bound strictly after i
+        val implied = lo.exists(l => aligned(l) &&
+          (l.isAfter(i) || (l == i && loStrict)))
+        if (implied) pushed :+= f
+        !implied
+      case f @ LessThanOrEqual(c, v) if c == timeCol && toInstant(v).isDefined =>
+        val implied = hi.exists(h => aligned(h) &&
+          (h.isBefore(toInstant(v).get) || h == toInstant(v).get))
+        if (implied) pushed :+= f
+        !implied
+      case f @ LessThan(c, v) if c == timeCol && toInstant(v).isDefined =>
+        val i = toInstant(v).get
+        val implied = hi.exists(h => aligned(h) &&
+          (h.isBefore(i) || (h == i && hiStrict)))
+        if (implied) pushed :+= f
+        !implied
+      case f @ org.apache.spark.sql.sources.IsNotNull(c)
+          if c == timeCol && (lo.isDefined || hi.isDefined) =>
+        // a compiled time-range constraint only matches rows with a
+        // parseable time, so Catalyst's derived isnotnull is implied
+        pushed :+= f; false
       case _ => true
     }
-    remaining
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -182,7 +226,7 @@ class ErddapScanBuilder(dataDir: String, dataset: String, server: String,
       new ErddapAggScan(dataDir, dataset, das, selection, specs)
     case None =>
       new ErddapScan(dataDir, dataset, server, chunkSize, das, selection,
-        requiredSchema, lo, hi)
+        requiredSchema, lo, hi, loStrict, hiStrict)
   }
 }
 
@@ -243,7 +287,8 @@ class ErddapAggReaderFactory(values: Array[Any])
 
 class ErddapScan(dataDir: String, dataset: String, server: String,
     chunkSize: Long, das: Das.Document, selection: AttributePolicy.Selection,
-    readSchema: StructType, lo: Option[Instant], hi: Option[Instant])
+    readSchema: StructType, lo: Option[Instant], hi: Option[Instant],
+    loStrict: Boolean = false, hiStrict: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   private val srv = new LocalErddapServer(dataDir)
@@ -272,11 +317,22 @@ class ErddapScan(dataDir: String, dataset: String, server: String,
   override def planInputPartitions(): Array[InputPartition] = {
     val timeCol = selection.timeCol
     val extent = timeCol.flatMap(tc => Das.timeExtent(das, tc))
-    val (start, end) = extent match {
+    val (start, endRaw) = extent match {
       case Some((s, e)) =>
         (lo.filter(_.isAfter(s)).getOrElse(s), hi.filter(_.isBefore(e)).getOrElse(e))
       case None => (Instant.EPOCH, Instant.EPOCH)
     }
+    // URL grammar is second-granular: a fractional upper bound must CEIL
+    // (flooring would drop rows in the fractional tail; the exact bound
+    // stays in Spark's post-scan filters — see pushFilters)
+    val end =
+      if (endRaw.getNano != 0)
+        endRaw.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).plusSeconds(1)
+      else endRaw
+    // strict operators compile only when the URL bound IS the pushed
+    // bound (not a tighter DAS-extent edge) and second-aligned
+    val firstStartExcl = loStrict && lo.contains(start) && start.getNano == 0
+    val lastEndExcl = hiStrict && hi.contains(end)
     // Estimated rows in the (possibly pushed-down) window: total count
     // scaled by the covered time fraction — the reference's uniform-
     // density assumption (data_wrangler.py:294-297) applied to pruning.
@@ -291,12 +347,12 @@ class ErddapScan(dataDir: String, dataset: String, server: String,
     val attrs = readSchema.fieldNames.toSeq
 
     def urlFor(cs: Option[String], ce: Option[String],
-        startExcl: Boolean = false): String =
+        startExcl: Boolean = false, endExcl: Boolean = false): String =
       UrlCompiler.compile(UrlCompiler.Tabledap(
         server, dataset, "csvp", attrs, timeCol,
         start = cs, end = ce,
         noTimeRange = timeCol.isEmpty || extent.isEmpty,
-        startExclusive = startExcl)).head
+        startExclusive = startExcl, endExclusive = endExcl)).head
 
     if (timeCol.isEmpty || extent.isEmpty)
       Array(ErddapInputPartition(urlFor(None, None)))
@@ -304,11 +360,13 @@ class ErddapScan(dataDir: String, dataset: String, server: String,
       val chunks = ChunkPlanner.timeSubsets(start, end, rows, chunkSize)
       if (chunks.isEmpty)
         Array(ErddapInputPartition(urlFor(
-          Some(ChunkPlanner.isoNoZone(start)), Some(ChunkPlanner.isoNoZone(end)))))
+          Some(ChunkPlanner.isoNoZone(start)), Some(ChunkPlanner.isoNoZone(end)),
+          startExcl = firstStartExcl, endExcl = lastEndExcl)))
       else chunks.zipWithIndex.map { case (c, i) =>
         // interior starts strict: boundary rows belong to the previous chunk
         ErddapInputPartition(urlFor(Some(c.startString), Some(c.endString),
-          startExcl = i > 0))
+          startExcl = i > 0 || firstStartExcl,
+          endExcl = i == chunks.length - 1 && lastEndExcl))
       }.toArray
     }
   }

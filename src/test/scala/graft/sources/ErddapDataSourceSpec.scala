@@ -226,6 +226,29 @@ class ErddapDataSourceSpec extends AnyFunSuite {
     assert(upper.count() == 21)
   }
 
+  test("strict time bounds compile into the URL and leave no Spark-side filter") {
+    val df = read2().load()
+      .filter(col("time") > lit("2024-06-01 00:00:10").cast("timestamp") &&
+        col("time") < lit("2024-06-01 00:00:20").cast("timestamp"))
+    assert(df.count() == 9) // rows 11..19
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains(") Filter") && !plan.contains("+- Filter"),
+      s"second-aligned strict bounds should be fully pushed:\n$plan")
+  }
+
+  test("fractional-second bounds stay sound: floor lower, ceil upper, re-filter") {
+    // bounds between the second marks — URL truncation must not leak
+    // or drop rows; the exact predicate re-runs Spark-side
+    val lo = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:10").getTime + 500)
+    val hi = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:20").getTime + 500)
+    val df = read2().load().filter(col("time") >= lit(lo) && col("time") <= lit(hi))
+    assert(df.count() == 10) // rows 11..20
+    val strict = read2().load().filter(col("time") > lit(lo) && col("time") < lit(hi))
+    assert(strict.count() == 10) // same rows: none sit on the .5 marks
+  }
+
   test("aggregate pushdown declines when a time filter is pushed") {
     val df = read().load()
       .filter(col("time") >= lit("2024-06-02 00:00:00").cast("timestamp"))

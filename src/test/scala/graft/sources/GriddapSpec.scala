@@ -157,6 +157,52 @@ class GriddapSpec extends AnyFunSuite {
     assert(v == Seq(0.0, 1.0, 2.0, 3.0))
   }
 
+  test("distributed per-slice NetCDF write round-trips through the source (K4 scale path)") {
+    val outDir = Files.createTempDirectory("nc_sink").toString
+    val longForm = read().load() // 6 slices × 5 × 4, two vars
+    val n = graft.sinks.NetcdfSink.writePerSlice(longForm, outDir,
+      Seq("sst", "uwind"))
+    assert(n == 6) // one file per time slice, written executor-side
+    // each slice file is valid NetCDF with descending latitude
+    val slice = GridNc.read(Files.readAllBytes(
+      java.nio.file.Path.of(outDir, "slice_1709251200.nc")))
+    assert(slice.coord("latitude").toSeq == Seq(24.0, 23.0, 22.0, 21.0, 20.0))
+    assert(slice.dims.map(_._2) == Seq(1, 5, 4))
+    // value at (t0, lat=24, lon=-95) = original (ti=0, lai=4, loi=0)
+    assert(slice.vars.find(_.name == "sst").get.values(0) == 400 * 0.25)
+    // NaN-fill: a hole in the long form becomes NaN, not a misalignment
+    val holey = longForm.filter(!(col("latitude") === 22.0 && col("longitude") === -93.0))
+    val outDir2 = Files.createTempDirectory("nc_sink2").toString
+    graft.sinks.NetcdfSink.writePerSlice(holey, outDir2, Seq("sst", "uwind"))
+    val s2 = GridNc.read(Files.readAllBytes(
+      java.nio.file.Path.of(outDir2, "slice_1709251200.nc")))
+    val sst2 = s2.vars.find(_.name == "sst").get.values
+    // flipped: lat 22 is row index 2, lon -93 is col 2
+    assert(sst2(2 * 4 + 2).isNaN)
+    assert(!sst2(2 * 4 + 3).isNaN)
+  }
+
+  test("imagery publish (K7): portal item with reoriented NetCDF, scannable back") {
+    val portal = graft.sinks.Portal.forRoot(
+      Files.createTempDirectory("portal_img").toString)
+    val item = portal.publishImagery("SST imagery", fixtureGrid(), Seq("did_sst"))
+    assert(item.itemType == "Imagery Layer")
+    assert(item.tags.contains("erddap2agol") && item.tags.contains("did_sst"))
+    val stored = GridNc.read(Files.readAllBytes(
+      java.nio.file.Path.of(portal.imageryDir(item), "imagery.nc")))
+    assert(stored.coord("latitude").head == 24.0) // north→south
+    // scannable through the griddap source; long-form content matches
+    val back = spark.read.format("griddap")
+      .option("dataDir", portal.imageryDir(item))
+      .option("dataset", "imagery").load()
+      .select("time", "latitude", "longitude", "sst", "uwind")
+      .orderBy("time", "latitude", "longitude").collect().toSeq
+    val orig = read().load()
+      .select("time", "latitude", "longitude", "sst", "uwind")
+      .orderBy("time", "latitude", "longitude").collect().toSeq
+    assert(back == orig)
+  }
+
   test("write-read round trip through the endpoint preserves values (K4)") {
     // publish path: lat-flip then write; scan back through the source
     val flipped = GridNc.latFlip(fixtureGrid())

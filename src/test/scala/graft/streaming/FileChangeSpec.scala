@@ -37,6 +37,26 @@ class FileChangeSpec extends AnyFunSuite {
     }
   }
 
+  test("converter plugin loads dynamically by fully-qualified class name") {
+    val spark = graft.operators.SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val out = graft.operators.Converters.applyOpt(df,
+      Some("graft.streaming.UppercaseConverter"))
+    assert(out.columns.contains("v_upper"))
+    assert(out.select("v_upper").as[String].collect().toSet == Set("X", "Y"))
+    // second resolve hits the registry cache (same instance behavior)
+    assert(graft.operators.Converters.names
+      .contains("graft.streaming.UppercaseConverter"))
+    // unknown class and non-plugin class both raise, like the reference
+    intercept[IllegalArgumentException] {
+      graft.operators.Converters.resolve("no.such.ConverterClass")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Converters.resolve("java.lang.String")
+    }
+  }
+
   test("server registry: public filter + url normalization") {
     val f = Files.createTempFile("reg", ".json")
     Files.writeString(f,
@@ -48,4 +68,11 @@ class FileChangeSpec extends AnyFunSuite {
     assert(pub.length == 1)
     assert(pub(0).getAs[String]("url") == "https://erddap2.gcoos.org/erddap/")
   }
+}
+
+/** Fixture for the dynamic-converter-loading test: resolved by FQCN. */
+class UppercaseConverter extends graft.operators.ConverterPlugin {
+  override def convert(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("v_upper", org.apache.spark.sql.functions.upper(
+      org.apache.spark.sql.functions.col("v")))
 }
