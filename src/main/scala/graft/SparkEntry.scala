@@ -387,14 +387,19 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cos"))
     }),
 
-    // ---- similarity: IVF top-k probe (rows-only check) ----
+    // ---- similarity: IVF top-k probe. FULL oracle: the sample is
+    //      deterministic (ordered take), init = first k, and the
+    //      oracle unrolls the same Lloyd iterations in SQL with
+    //      identical summation order ----
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val rest = emb.filter(col("vec_id") =!= 0)
-      val cents = Similarity.trainCentroids(rest, "embedding", k = 8, iters = 3)
+      val cents = Similarity.trainCentroids(rest, "embedding", k = 8, iters = 3,
+        sampleN = 2000, orderBy = "vec_id")
       Similarity.ivfTopK(rest, "vec_id", "embedding", q, k = 10, cents, nProbe = 4)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cos"))
     }),
 
     // ---- dedup: embedding-cosine near-dup pairs (full oracle via the
@@ -519,6 +524,56 @@ object SparkEntry {
        |        / (na.nrm * nb.nrm) END AS c
        |  FROM pairs p JOIN norms na ON na.vec_id = p.id1
        |               JOIN norms nb ON nb.vec_id = p.id2)""".stripMargin
+
+  /** Unrolled Lloyd-iteration CTEs mirroring
+    * [[Similarity.trainCentroids]] (ordered sample, first-k init,
+    * first-min tie-break, per-dim mean in sample order) +
+    * [[Similarity.ivfTopK]]. k=8, iters=3, nProbe=4, dim=64. */
+  private val ivfOracleSql: String = {
+    val iters = 3
+    def dist(vec: String, cent: String): String =
+      s"list_sum(list_transform(list_zip($vec, $cent), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, e, ci,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rk
+         |  FROM (SELECT s.vec_id, s.e, c.ci, ${dist("s.e", "c.cv")} AS dist
+         |        FROM sample s CROSS JOIN cent${i - 1} c)),
+         |m$i AS (
+         |  SELECT ci, list_transform(range(0, 64), d ->
+         |      list_sum(list_transform(vecs, v -> v[d+1])) / cnt) AS cv
+         |  FROM (SELECT ci, list(e ORDER BY vec_id) AS vecs, count(*) AS cnt
+         |        FROM a$i WHERE rk = 1 GROUP BY ci)),
+         |cent$i AS (
+         |  SELECT p.ci, COALESCE(m.cv, p.cv) AS cv
+         |  FROM cent${i - 1} p LEFT JOIN m$i m ON m.ci = p.ci)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qv FROM emb WHERE vec_id = 0),
+       |sample AS (SELECT vec_id, e FROM emb WHERE vec_id <> 0
+       |           ORDER BY vec_id LIMIT 2000),
+       |cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS cv
+       |          FROM sample ORDER BY vec_id LIMIT 8),
+       |$iterCtes,
+       |probes AS (
+       |  SELECT c.ci FROM cent$iters c, q
+       |  ORDER BY ${dist("c.cv", "q.qv")}, c.ci LIMIT 4),
+       |fa AS (
+       |  SELECT vec_id, e, ci,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rk
+       |  FROM (SELECT s.vec_id, s.e, c.ci, ${dist("s.e", "c.cv")} AS dist
+       |        FROM emb s CROSS JOIN cent$iters c WHERE s.vec_id <> 0)),
+       |kept AS (SELECT vec_id, e FROM fa
+       |         WHERE rk = 1 AND ci IN (SELECT ci FROM probes)),
+       |scored AS (
+       |  SELECT k.vec_id,
+       |    list_sum(list_transform(list_zip(k.e, q.qv), p -> p[1] * p[2])) /
+       |    (sqrt(list_sum(list_transform(k.e, x -> x*x))) *
+       |     sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cosine
+       |  FROM kept k, q)
+       |SELECT vec_id, round(cosine, 6) AS cos FROM scored
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   /** Portable universal-hash minhash CTEs mirroring
     * [[Dedup.minhashLshPairsPortable]] (constants shared via
@@ -899,6 +954,7 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "ann_ivf_topk" -> ivfOracleSql,
     "ann_lsh_pairs" ->
       s"""$srpPairSql
          |SELECT id1, id2, round(c, 6) AS cos FROM scored""".stripMargin,

@@ -167,10 +167,17 @@ object Similarity {
   /** Train `k` centroids with Lloyd iterations on a bounded sample
     * (driver-side by design: the sample is capped at `sampleN` rows, so
     * memory is bounded regardless of table size; assignment afterwards
-    * is fully distributed). Deterministic: seeded sample, first-k init. */
+    * is fully distributed). With `orderBy` set the sample is the
+    * lowest-`orderBy` rows — `orderBy(..).limit(n)` plans as
+    * TakeOrderedAndProject, so determinism costs no global sort — and
+    * the whole training run is reproducible (a bare `limit` is
+    * partition-layout-dependent). Init = first k sample vectors. */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5, sampleN: Int = 2000): Array[Array[Double]] = {
-    val sample = df.select(col(vecCol)).limit(sampleN).collect()
+      iters: Int = 5, sampleN: Int = 2000, orderBy: String = ""): Array[Array[Double]] = {
+    val picked =
+      if (orderBy.isEmpty) df.select(col(vecCol)).limit(sampleN)
+      else df.orderBy(col(orderBy)).select(col(vecCol)).limit(sampleN)
+    val sample = picked.collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty training sample")
     var centroids = sample.take(k).map(_.clone())
