@@ -42,10 +42,20 @@ import graft.sources.erddap.Csv
 class PortalDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "portal"
 
-  // write-only source: schema comes from the DataFrame being written
+  // write path: schema comes from the DataFrame being written; read
+  // path: from the schema recorded in the item at publish time
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType()
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = options.get("root")
+    val title = options.get("item")
+    if (root != null && title != null) {
+      val stored = Portal.forRoot(root).findByTitle(title)
+        .flatMap(i => Portal.forRoot(root).itemById(i.id)
+          .serviceProps.get("schema"))
+      stored.map(DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(new StructType())
+    } else new StructType()
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
@@ -53,7 +63,8 @@ class PortalDataSource extends TableProvider with DataSourceRegister {
 }
 
 class PortalTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   private val root = options.get("root")
   private val title = options.get("item")
@@ -63,12 +74,105 @@ class PortalTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"portal.$title"
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PortalWriteBuilder(root, title,
       Option(options.get("tags")).map(_.split(",").toSeq).getOrElse(Nil),
       options.getBoolean("ifChanged", true), info.schema())
+
+  /** Read side: the ACTIVE slot's partition files, one InputPartition
+    * per file, with column pruning. The slot pointer resolves at scan
+    * PLANNING time, so a refresh between planning and execution cannot
+    * tear a read across slots (K10's reader-side atomicity). */
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    new PortalScanBuilder(root, title, writeSchema)
+}
+
+class PortalScanBuilder(root: String, title: String, fullSchema: StructType)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.connector.read._
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(req: StructType): Unit = {
+    val names = req.fieldNames.toSet
+    required = StructType(fullSchema.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = new Scan with Batch {
+    private val portal = Portal.forRoot(root)
+    private val item = portal.findByTitle(title).getOrElse(
+      throw new IllegalArgumentException(s"no published item '$title'"))
+    private val slot = portal.itemById(item.id).serviceProps.getOrElse("activeSlot",
+      throw new IllegalStateException(s"item '$title' has no published slot"))
+
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"portal.$title slot=$slot cols=${required.fieldNames.mkString(",")}"
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val dir = Path.of(root, item.id, slot)
+      if (!Files.isDirectory(dir)) return Array.empty
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".csv"))
+        .map(p => PortalFilePartition(p.toString): InputPartition)
+        .toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PortalReaderFactory(fullSchema, required)
+  }
+}
+
+case class PortalFilePartition(path: String)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+class PortalReaderFactory(fullSchema: StructType, required: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read._
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(
+        Path.of(p.asInstanceOf[PortalFilePartition].path)).iterator()
+      // stored files carry ALL columns in fullSchema order (headerless)
+      private val colIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (!lines.hasNext) return false
+        val cells = Csv.split(lines.next())
+        current = InternalRow.fromSeq(required.fields.indices.map { i =>
+          val s = cells(colIdx(i))
+          if (s.isEmpty) null
+          else required.fields(i).dataType match {
+            case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case DoubleType => s.toDouble
+            case FloatType => s.toFloat
+            case IntegerType => s.toInt
+            case LongType => s.toLong
+            case ShortType => s.toShort
+            case ByteType => s.toByte
+            case BooleanType => s.toBoolean
+            case TimestampType =>
+              val inst = java.time.Instant.parse(s)
+              inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+            case DateType =>
+              java.time.LocalDate.parse(s).toEpochDay.toInt
+            case dt => throw new UnsupportedOperationException(
+              s"portal read: unsupported type $dt")
+          }
+        })
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
 }
 
 /** Publishes are full replacements (reference overwrite semantics, T3);
@@ -132,7 +236,8 @@ class PortalBatchWrite(root: String, title: String, tags: Seq[String],
     deleteRecursively(Path.of(stagingDir))
     portal.restoreProperties(portal.itemById(item.id), backup)
     portal.updateServiceProps(portal.itemById(item.id), Map(
-      "activeSlot" -> inactive, "fingerprint" -> fp, "rows" -> rows.toString))
+      "activeSlot" -> inactive, "fingerprint" -> fp, "rows" -> rows.toString,
+      "schema" -> schema.json)) // read path resolves the layout from here
     portal.touch(portal.itemById(item.id), System.currentTimeMillis())
   }
 

@@ -107,6 +107,31 @@ class PortalSinkSpec extends AnyFunSuite {
     assert(back.count() == 1)
   }
 
+  test("spark.read.format(portal) resolves the active slot with pruning") {
+    val root = freshRoot()
+    df((1L, "a", 1.5), (2L, "b", 2.5)).write.format("portal")
+      .option("root", root).option("item", "readable").mode("append").save()
+
+    val back = spark.read.format("portal")
+      .option("root", root).option("item", "readable").load()
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq) // recorded at publish
+    assert(back.count() == 2)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+
+    // pruning reaches the scan
+    val pruned = back.select("v")
+    assert(pruned.queryExecution.executedPlan.toString.contains("cols=v"))
+    assert(pruned.as[Double].collect().sorted.toSeq == Seq(1.5, 2.5))
+
+    // republish with changed data: reader follows the flipped slot
+    df((1L, "a", 9.0), (2L, "b", 2.5)).write.format("portal")
+      .option("root", root).option("item", "readable").mode("append").save()
+    val after = spark.read.format("portal")
+      .option("root", root).option("item", "readable").load()
+    assert(after.filter(col("id") === 1L).head().getDouble(2) == 9.0)
+  }
+
   test("timestamps round-trip at microsecond precision") {
     val root = freshRoot()
     val tsSchema = StructType(Seq(StructField("id", LongType),
