@@ -250,12 +250,15 @@ object Dedup {
 
   /** Connected components over near-dup pairs: label propagation to the
     * minimum reachable id — the step that turns pairwise matches into
-    * keep-one-per-group dedup. Iterative min-label joins with
-    * `localCheckpoint` per round to truncate lineage; converges in
-    * O(diameter) rounds (duplicate clusters are tiny in practice, so
-    * a handful). Input: (id1, id2) pairs; output: (id, cluster) for
-    * every id that appears in a pair, cluster = min id of its component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * keep-one-per-group dedup. Each round does a neighbor-min step AND
+    * a POINTER-JUMP step (`cluster := label(cluster)`), so label
+    * distance halves per round and convergence is O(log diameter) —
+    * a pure neighbor walk is O(diameter), which silently truncates at
+    * `maxIter` on chain-shaped components at scale. `localCheckpoint`
+    * per round cuts the growing lineage. Input: (id1, id2) pairs;
+    * output: (id, cluster) for every id in a pair, cluster = min id of
+    * its component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
@@ -263,25 +266,26 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
-    // Delta propagation: only labels that IMPROVED last round can improve
-    // their neighbors this round, so each iteration joins edges against
-    // the (shrinking) frontier instead of the full label table.
-    var frontier = labels
     var iter = 0
-    while (iter < maxIter && !frontier.isEmpty) {
-      val candidate = edges
-        .join(frontier.select(col("id").as("b"), col("cluster").as("nb_cluster")), "b")
-        .groupBy(col("a").as("id"))
-        .agg(min(col("nb_cluster")).as("min_nb"))
-      val improved = labels.join(candidate, Seq("id"))
-        .filter(col("min_nb") < col("cluster"))
-        .select(col("id"), col("min_nb").as("cluster"))
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      // neighbor-min: best label among my neighbors
+      val viaEdges = edges
+        .join(labels.select(col("id").as("b"), col("cluster").as("nb")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nb")).as("nb_min"))
+      val step1 = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(coalesce(col("nb_min"), col("cluster")), col("cluster")).as("cluster"))
+      // pointer jump: follow my label's label (halves chain distance)
+      val parents = step1.select(col("id").as("cluster"), col("cluster").as("pc"))
+      val step2 = step1.join(parents, Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("pc"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      labels = labels.join(improved.select(col("id"), col("cluster").as("new_c")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_c"), col("cluster")).as("cluster"))
-        .localCheckpoint()
-      frontier = improved
+      changed = step2
+        .join(labels.select(col("id"), col("cluster").as("old")), "id")
+        .filter(col("cluster") < col("old")).count()
+      labels = step2
       iter += 1
     }
     labels

@@ -201,6 +201,16 @@ class ClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cc(21L) == 20L)
   }
 
+  test("connected components: a 1000-link chain converges within log-rounds") {
+    // a pure neighbor walk needs ~1000 rounds here and would silently
+    // truncate at maxIter; pointer jumping converges in ~log2(1000)
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(chain, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(cc.length == 1001)
+    assert(cc.forall(_._2 == 0L), s"unconverged labels: ${cc.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("dedupByClusters keeps one row per component plus untouched rows") {
     val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (9L, "solo"))
       .toDF("doc_id", "text")
