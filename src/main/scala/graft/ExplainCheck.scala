@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints executed plans for the headline queries AND
+  * asserts the load-bearing physical properties (pushdown reached the
+  * scan, broadcast where intended, no unpartitioned window, top-k via
+  * TakeOrderedAndProject). Run after operator changes — a green test
+  * suite with a silently-regressed plan is exactly what this catches. */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val b = SparkSession.builder().master("local[8]")
@@ -8,13 +14,42 @@ object ExplainCheck {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q1_agg", "j1_broadcast_join", "p2_time_range", "s4_recent_window",
-                  "dedup_minhash_lsh", "ann_bruteforce", "o4_latest", "w1_glider_segments",
-                  "pipeline_corpus", "w6_sessionize", "ann_ivf_topk", "j7_salted_join")) {
+
+    var failures = List.empty[String]
+    def audit(q: String, mustContain: Seq[String] = Nil,
+        mustNotContain: Seq[String] = Nil): Unit = {
       println(s"===== $q =====")
-      println(SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
-        .linesIterator.take(40).mkString("\n"))
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      println(plan.linesIterator.take(40).mkString("\n"))
+      mustContain.filterNot(plan.contains).foreach { m =>
+        failures ::= s"$q: expected plan to contain '$m'" }
+      mustNotContain.filter(plan.contains).foreach { m =>
+        failures ::= s"$q: expected plan to NOT contain '$m'" }
     }
+
+    audit("q1_agg", mustContain = Seq("HashAggregate"))
+    audit("j1_broadcast_join", mustContain = Seq("BroadcastHashJoin"))
+    audit("p2_time_range")
+    audit("s4_recent_window")
+    audit("dedup_minhash_lsh", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    audit("ann_bruteforce", mustContain = Seq("TakeOrderedAndProject"))
+    audit("o4_latest")
+    audit("w1_glider_segments")
+    audit("pipeline_corpus")
+    audit("w6_sessionize")
+    audit("ann_ivf_topk", mustContain = Seq("TakeOrderedAndProject"))
+    audit("j7_salted_join")
+    // griddap: hyperslab pushdown must reach the scan (bbox + pruned cols)
+    audit("s8_griddap_scan", mustContain = Seq("griddap", "bbox-pushed"))
+    // SRP pairs: bucket equi-join only — a cross join here is the scale bug
+    audit("ann_lsh_pairs", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    audit("dedup_simhash", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+
+    if (failures.nonEmpty) {
+      System.err.println("PLAN AUDIT FAILURES:\n" + failures.mkString("\n"))
+      sys.exit(1)
+    }
+    println("plan audit: all assertions hold")
     spark.stop()
   }
 }
