@@ -13,10 +13,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * coordinates hold Unix epoch seconds (the reference's DAS
   * `actual_range` convention, `das_client.py:189-221`).
   *
-  * This is deliberately a SUBSET (no records, no attributes, no
-  * byte/short/int vars) — enough to round-trip every grid the connector
-  * moves, while staying genuinely NetCDF: files produced here carry the
-  * standard magic and layout.
+  * This is deliberately a SUBSET (no attributes, no byte/short/int
+  * vars) — enough to round-trip every grid the connector moves, while
+  * staying genuinely NetCDF: files produced here carry the standard
+  * magic and layout, including the RECORD (unlimited) dimension with
+  * per-record variable interleaving, which is what lets NRT slices
+  * APPEND to a grid file without rewriting it ([[appendRecords]]).
   */
 object GridNc {
 
@@ -31,7 +33,11 @@ object GridNc {
   case class Var(name: String, dims: Seq[Int], isFloat: Boolean,
       values: Array[Double])
 
-  case class Grid(dims: Seq[(String, Int)], vars: Seq[Var]) {
+  /** `recordDim`: index of the UNLIMITED dimension (classic: at most
+    * one, and it must be the first dim of every variable using it).
+    * Its length in `dims` is the CURRENT record count. */
+  case class Grid(dims: Seq[(String, Int)], vars: Seq[Var],
+      recordDim: Option[Int] = None) {
     def dimIndex(name: String): Int = dims.indexWhere(_._1 == name)
     def dimLen(name: String): Int = dims.find(_._1 == name).map(_._2)
       .getOrElse(throw new IllegalArgumentException(s"no dim $name"))
@@ -43,6 +49,7 @@ object GridNc {
       val dimNames = dims.map(_._1).toSet
       vars.filterNot(v => dimNames.contains(v.name))
     }
+    def isRecordVar(v: Var): Boolean = recordDim.exists(v.dims.headOption.contains)
   }
 
   private def pad4(n: Int): Int = (4 - n % 4) % 4
@@ -60,9 +67,19 @@ object GridNc {
       out.writeInt(b.length); out.write(b)
       var i = 0; while (i < pad4(b.length)) { out.writeByte(0); i += 1 }
     }
+    g.recordDim.foreach { rd =>
+      g.vars.filter(v => v.dims.contains(rd)).foreach(v =>
+        require(v.dims.head == rd,
+          s"${v.name}: record dim must be a variable's FIRST dim (classic)"))
+    }
+    val numrecs = g.recordDim.map(g.dims(_)._2).getOrElse(0)
+    // vsize: fixed var = all cells; record var = ONE record's slab
+    // (float/double cells make every slab a multiple of 4 — no padding)
+    def slabCells(v: Var): Long =
+      v.dims.filterNot(d => g.recordDim.contains(d))
+        .map(g.dims(_)._2.toLong).product
     def vsize(v: Var): Int = {
-      val raw = v.dims.map(g.dims(_)._2.toLong).product *
-        (if (v.isFloat) 4 else 8)
+      val raw = slabCells(v) * (if (v.isFloat) 4 else 8)
       require(raw + pad4(raw.toInt) <= Int.MaxValue, "variable too large for CDF-1")
       raw.toInt + pad4(raw.toInt)
     }
@@ -71,33 +88,55 @@ object GridNc {
     val varListLen = 8 + g.vars.map(v =>
       nameFieldLen(v.name) + 4 + 4 * v.dims.length + 8 + 4 + 4 + 4).sum
     val headerLen = 8 + dimListLen + 8 + varListLen
-    val begins = g.vars.scanLeft(headerLen)((acc, v) => acc + vsize(v))
+    // fixed vars first, then the record section; each record var's
+    // begin = its slab offset within the FIRST record
+    val (recVars, fixVars) = g.vars.partition(g.isRecordVar)
+    val fixBegins = fixVars.scanLeft(headerLen)((acc, v) => acc + vsize(v))
+    val recStart = fixBegins.last
+    val recBegins = recVars.scanLeft(recStart)((acc, v) => acc + vsize(v))
+    val beginOf: Map[String, Int] =
+      fixVars.zip(fixBegins).map { case (v, b) => v.name -> b }.toMap ++
+        recVars.zip(recBegins).map { case (v, b) => v.name -> b }.toMap
 
     out.writeBytes("CDF"); out.writeByte(1) // magic + version (CDF-1)
-    out.writeInt(0) // numrecs: fixed dims only
+    out.writeInt(numrecs)
     out.writeInt(NC_DIMENSION); out.writeInt(g.dims.length)
-    g.dims.foreach { case (n, len) => writeName(n); out.writeInt(len) }
+    g.dims.zipWithIndex.foreach { case ((n, len), i) =>
+      writeName(n)
+      out.writeInt(if (g.recordDim.contains(i)) 0 else len) // 0 = unlimited
+    }
     out.writeInt(0); out.writeInt(0) // gatt_list ABSENT
     out.writeInt(NC_VARIABLE); out.writeInt(g.vars.length)
-    g.vars.zipWithIndex.foreach { case (v, i) =>
+    g.vars.foreach { v =>
       writeName(v.name)
       out.writeInt(v.dims.length); v.dims.foreach(out.writeInt)
       out.writeInt(0); out.writeInt(0) // vatt_list ABSENT
       out.writeInt(if (v.isFloat) NC_FLOAT else NC_DOUBLE)
       out.writeInt(vsize(v))
-      out.writeInt(begins(i))
+      out.writeInt(beginOf(v.name))
     }
+    def writeCell(v: Var, idx: Int): Unit =
+      if (v.isFloat) out.writeFloat(v.values(idx).toFloat)
+      else out.writeDouble(v.values(idx))
     g.vars.foreach { v =>
       val expect = v.dims.map(g.dims(_)._2.toLong).product
       require(v.values.length == expect,
         s"${v.name}: ${v.values.length} values for dims of $expect cells")
-      if (v.isFloat) {
-        v.values.foreach(d => out.writeFloat(d.toFloat))
-        // 4-byte floats: raw size may need one trailing pad word only
-        // when the cell count is odd — pad4 over raw bytes handles it
-        var p = pad4(v.values.length * 4)
-        while (p > 0) { out.writeByte(0); p -= 1 }
-      } else v.values.foreach(out.writeDouble)
+    }
+    fixVars.foreach { v =>
+      var i = 0; while (i < v.values.length) { writeCell(v, i); i += 1 }
+      var p = pad4(v.values.length * (if (v.isFloat) 4 else 8))
+      while (p > 0) { out.writeByte(0); p -= 1 }
+    }
+    // record section: records interleave every record var's slab
+    var r = 0
+    while (r < numrecs) {
+      recVars.foreach { v =>
+        val cells = slabCells(v).toInt
+        var i = 0
+        while (i < cells) { writeCell(v, r * cells + i); i += 1 }
+      }
+      r += 1
     }
     bos.toByteArray
   }
@@ -108,7 +147,7 @@ object GridNc {
       "not a NetCDF classic file")
     val version = buf.get()
     require(version == 1 || version == 2, s"unsupported CDF version $version")
-    buf.getInt // numrecs (ignored: fixed dims only)
+    val numrecs = buf.getInt
 
     def readName(): String = {
       val n = buf.getInt
@@ -121,7 +160,14 @@ object GridNc {
 
     val dimTag = buf.getInt; val nDims = buf.getInt
     require(dimTag == NC_DIMENSION || (dimTag == 0 && nDims == 0), "bad dim list")
-    val dims = (0 until nDims).map(_ => (readName(), buf.getInt))
+    val rawDims = (0 until nDims).map(_ => (readName(), buf.getInt))
+    val recordDim = rawDims.indexWhere(_._2 == 0) match {
+      case -1 => None
+      case i => Some(i)
+    }
+    val dims = rawDims.zipWithIndex.map { case ((n, len), i) =>
+      (n, if (recordDim.contains(i)) numrecs else len)
+    }
 
     val gattTag = buf.getInt; val nGatt = buf.getInt
     require(gattTag == 0 && nGatt == 0,
@@ -129,7 +175,9 @@ object GridNc {
 
     val varTag = buf.getInt; val nVars = buf.getInt
     require(varTag == NC_VARIABLE || (varTag == 0 && nVars == 0), "bad var list")
-    val vars = (0 until nVars).map { _ =>
+    case class Meta(name: String, dimIds: Seq[Int], isFloat: Boolean,
+        vsize: Int, begin: Long)
+    val metas = (0 until nVars).map { _ =>
       val name = readName()
       val nd = buf.getInt
       val dimIds = (0 until nd).map(_ => buf.getInt)
@@ -139,21 +187,81 @@ object GridNc {
       val ncType = buf.getInt
       require(ncType == NC_FLOAT || ncType == NC_DOUBLE,
         s"unsupported nc_type $ncType")
-      buf.getInt // vsize
-      val begin = readOffset()
-      val cells = dimIds.map(dims(_)._2.toLong).product.toInt
+      val vsize = buf.getInt
+      Meta(name, dimIds, ncType == NC_FLOAT, vsize, readOffset())
+    }
+    // record size = sum of every record var's per-record slab
+    val recMetas = metas.filter(m => recordDim.exists(m.dimIds.headOption.contains))
+    val recSize = recMetas.map(_.vsize.toLong).sum
+
+    val vars = metas.map { m =>
+      val isRec = recordDim.exists(m.dimIds.headOption.contains)
+      val cells = m.dimIds.map(dims(_)._2.toLong).product.toInt
       val values = new Array[Double](cells)
       val data = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-      data.position(begin.toInt)
-      var i = 0
-      while (i < cells) {
-        values(i) = if (ncType == NC_FLOAT) data.getFloat.toDouble
-          else data.getDouble
-        i += 1
+      def readCell(): Double =
+        if (m.isFloat) data.getFloat.toDouble else data.getDouble
+      if (!isRec) {
+        data.position(m.begin.toInt)
+        var i = 0
+        while (i < cells) { values(i) = readCell(); i += 1 }
+      } else {
+        val slab = if (numrecs == 0) 0 else cells / numrecs
+        var r = 0
+        while (r < numrecs) {
+          data.position((m.begin + r * recSize).toInt)
+          var i = 0
+          while (i < slab) { values(r * slab + i) = readCell(); i += 1 }
+          r += 1
+        }
       }
-      Var(name, dimIds, ncType == NC_FLOAT, values)
+      Var(m.name, m.dimIds, m.isFloat, values)
     }
-    Grid(dims, vars)
+    Grid(dims, vars, recordDim)
+  }
+
+  /** Append records (new time slices) to an existing record-dim file
+    * WITHOUT rewriting its data: the record section interleaves one
+    * slab per record var per record at the tail, so appending = write
+    * the new records' slabs after the old bytes and patch `numrecs`
+    * in the header — the NRT incremental-grid write path. `extra` must
+    * carry the same record structure (names/dims/types). */
+  def appendRecords(bytes: Array[Byte], extra: Grid): Array[Byte] = {
+    val base = read(bytes)
+    val rd = base.recordDim.getOrElse(
+      throw new IllegalArgumentException("file has no record dimension"))
+    val erd = extra.recordDim.getOrElse(
+      throw new IllegalArgumentException("extra grid has no record dimension"))
+    val baseRec = base.vars.filter(base.isRecordVar).map(_.name)
+    val extraRec = extra.vars.filter(extra.isRecordVar).map(_.name)
+    require(baseRec == extraRec,
+      s"record variables differ: $baseRec vs $extraRec")
+    base.dims.indices.filterNot(_ == rd).foreach { i =>
+      require(extra.dims(i) == base.dims(i),
+        s"fixed dim mismatch at $i: ${extra.dims(i)} vs ${base.dims(i)}")
+    }
+    val newRecs = extra.dims(erd)._2
+    val bos = new ByteArrayOutputStream()
+    bos.write(bytes)
+    val out = new DataOutputStream(bos)
+    var r = 0
+    while (r < newRecs) {
+      baseRec.foreach { name =>
+        val v = extra.vars.find(_.name == name).get
+        val slab = v.values.length / newRecs
+        var i = 0
+        while (i < slab) {
+          if (v.isFloat) out.writeFloat(v.values(r * slab + i).toFloat)
+          else out.writeDouble(v.values(r * slab + i))
+          i += 1
+        }
+      }
+      r += 1
+    }
+    val outBytes = bos.toByteArray
+    val patched = ByteBuffer.wrap(outBytes).order(ByteOrder.BIG_ENDIAN)
+    patched.putInt(4, base.dims(rd)._2 + newRecs) // numrecs
+    outBytes
   }
 
   /** K4/O1 — publish-side latitude reorientation
