@@ -34,15 +34,25 @@ object Bench {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("ts")))).count()
 
+    // Median of 3 iterations per query: a single co-tenant noise spike on
+    // one iteration cannot flip the acceptance signal. Spread (max-min) is
+    // emitted per query so a noisy run is self-evident from the artifact.
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iterations).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = times(times.length / 2)
+      (name, median, times.last - times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"iters":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

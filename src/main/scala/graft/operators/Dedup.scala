@@ -28,6 +28,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Skew guard for band joins: keep at most `maxBucket` members per
+    * bucket (lowest ids win — deterministic), so within-bucket pair
+    * fan-out is bounded at B² even when a duplicate-heavy corpus puts
+    * thousands of identical docs in one bucket (the common case in
+    * web-scale training data: boilerplate pages share every band).
+    * Drop accounting is LAZY — a CollectMetrics observation rides the
+    * same action instead of an eager count() job, so the guard costs
+    * nothing extra when unhit; drops surface as the `dropped_members`
+    * metric on the query (visible to QueryExecutionListeners / the UI).
+    *
+    * Pipelines should run [[exact]] dedup FIRST: identical documents
+    * don't need LSH, and removing them before banding is what keeps the
+    * cap from biting on legitimate near-dup structure. */
+  private[graft] var lastCapName: String = ""
+  private[operators] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucket: Int, tag: String): DataFrame = {
+    if (maxBucket <= 0) banded
+    else {
+      val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
+      val name = s"${tag}_cap_${capSeq.incrementAndGet()}"
+      lastCapName = name
+      banded.withColumn("_rk", row_number().over(w))
+        .observe(name,
+          sum(when(col("_rk") > maxBucket, 1L).otherwise(0L)).as("dropped_members"))
+        .filter(col("_rk") <= maxBucket).drop("_rk")
+    }
+  }
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Exact dedup with deterministic winner: lowest `idCol` per identical
     * normalized text wins. One shuffle on the fingerprint; the
     * fingerprint is staged as a column so the exchange/sort/window all
@@ -84,13 +113,21 @@ object Dedup {
     * Shuffle diet: the band self-join carries IDS ONLY — the 64-long
     * signatures (the widest payload in the pipeline) are re-attached to
     * the far smaller deduped candidate set afterwards, cutting the
-    * band exchange ~8× vs shipping both signatures through it. */
+    * band exchange ~8× vs shipping both signatures through it.
+    *
+    * `maxBucket` defaults ON (1000): a hot band bucket caps at 1000
+    * members → ≤ ~500k pairs instead of B² explosion on one reduce
+    * task. Run [[exact]] dedup first so identical docs never reach the
+    * band join; set `maxBucket = 0` to disable. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleN)
-    val banded = sigs.select(col("id"),
-      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band"))
+    val banded = capBuckets(
+      sigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band")),
+      Seq("band"), "id", maxBucket, "minhash")
     val l = banded.select(col("band"), col("id").as("id1"))
     val r = banded.select(col("band"), col("id").as("id2"))
     val pairs = l.join(r, Seq("band")).filter(col("id1") < col("id2"))
@@ -111,17 +148,20 @@ object Dedup {
 
   /** SimHash near-dup candidates: band the 64-bit simhash into 4×16-bit
     * blocks; docs agreeing on ≥1 block (pigeonhole covers hamming ≤3)
-    * are candidates; verify with true hamming distance ≤ `maxHamming`. */
+    * are candidates; verify with true hamming distance ≤ `maxHamming`.
+    * `maxBucket` defaults ON (1000) — see [[minhashLshPairs]]. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
+      maxHamming: Int = 3, shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val withSim = shingleHashes(df, textCol, idCol, shingleN)
       .select(col("id"), simhashFromHashes(col("hs")).as("sim"))
-    val banded = withSim.select(col("id"), col("sim"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("blk"),
-          shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
-      }: _*)).as("band"))
-      .select(col("id"), col("sim"), col("band.blk"), col("band.key"))
+    val banded = capBuckets(
+      withSim.select(col("id"), col("sim"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        }: _*)).as("band"))
+        .select(col("id"), col("sim"), col("band.blk"), col("band.key")),
+      Seq("blk", "key"), "id", maxBucket, "simhash")
     val l = banded.select(col("blk"), col("key"), col("id").as("id1"), col("sim").as("sim1"))
     val r = banded.select(col("blk"), col("key"), col("id").as("id2"), col("sim").as("sim2"))
     l.join(r, Seq("blk", "key")).filter(col("id1") < col("id2"))
@@ -169,7 +209,7 @@ object Dedup {
     * est_jaccard = fraction of matching signature positions. */
   def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
-      withEstimate: Boolean = false): DataFrame = {
+      withEstimate: Boolean = false, maxBucket: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
     val exploded = df.repartition(col(idCol)).select(col(idCol).as("id"),
       explode(graft.functions.ShingleStrings.shingle_strings(
@@ -182,10 +222,12 @@ object Dedup {
         min((col("x") * uhA(i) + uhB(i)) % uhP).as(s"m$i")): _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
-    val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map { b =>
-        md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-      }: _*)).as("band"))
+    val banded = capBuckets(
+      sigs.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+        }: _*)).as("band")),
+      Seq("band"), "id", maxBucket, "minhash_portable")
     val l = banded.select(col("band"), col("id").as("id1"))
     val r = banded.select(col("band"), col("id").as("id2"))
     val pairs = l.join(r, Seq("band")).filter(col("id1") < col("id2"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -108,18 +107,12 @@ object Similarity {
         struct(lit(t).as("tbl"), srpBits(col(vecCol), dim, nPlanes, t).as("bucket"))
       }: _*)).as("tb"))
       .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
-    val members =
-      if (maxBucket <= 0) keyed.select(col("tbl"), col("bucket"), col("id"))
-      else {
-        val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col("id"))
-        val ranked = keyed.select(col("tbl"), col("bucket"), col("id"))
-          .withColumn("_rk", row_number().over(w))
-        val dropped = ranked.filter(col("_rk") > maxBucket).count()
-        if (dropped > 0)
-          org.apache.log4j.Logger.getLogger(getClass)
-            .warn(s"lshCandidatePairs: bucket cap $maxBucket dropped $dropped members")
-        ranked.filter(col("_rk") <= maxBucket).drop("_rk")
-      }
+    // Lazy drop accounting: the cap's CollectMetrics observation rides
+    // the caller's action (no eager count() job mid-plan) — drops show
+    // up as the `dropped_members` metric, free when the cap is unhit.
+    val members = Dedup.capBuckets(
+      keyed.select(col("tbl"), col("bucket"), col("id")),
+      Seq("tbl", "bucket"), "id", maxBucket, "srp")
     val l = members.select(col("tbl"), col("bucket"), col("id").as("id1"))
     val r = members.select(col("tbl"), col("bucket"), col("id").as("id2"))
     val pairs = l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
