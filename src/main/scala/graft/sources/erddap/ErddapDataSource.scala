@@ -19,7 +19,9 @@ import graft.erddap.{AttributePolicy, ChunkPlanner, Das, UrlCompiler}
 /** ERDDAP DataSource V2 (SURVEY.md §3.1 "Spark shape").
   *
   * `spark.read.format("erddap")` with options:
-  *   - `dataDir`    directory of the transport fake's CSVs
+  *   - `dataDir`    transport endpoint: a fixture directory, or an
+  *                  `http(s)://` server root (selects the live
+  *                  [[HttpErddapTransport]])
   *   - `dataset`    dataset id
   *   - `das`        path to the DAS document (schema source)
   *   - `server`     server URL prefix (used verbatim in compiled URLs)
@@ -260,7 +262,7 @@ class ErddapAggScan(dataDir: String, dataset: String, das: Das.Document,
     Array(ErddapInputPartition("agg"))
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val rowCount = new LocalErddapServer(dataDir).rowCount(dataset)
+    val rowCount = ErddapTransport(dataDir).rowCount(dataset)
     val extent = selection.timeCol.flatMap(tc => Das.timeExtent(das, tc))
     def micros(i: Instant): Long =
       i.getEpochSecond * 1000000L + i.getNano / 1000L
@@ -291,7 +293,7 @@ class ErddapScan(dataDir: String, dataset: String, server: String,
     loStrict: Boolean = false, hiStrict: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
-  private val srv = new LocalErddapServer(dataDir)
+  private val srv = ErddapTransport(dataDir)
 
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
@@ -394,7 +396,7 @@ class ErddapPartitionReader(dataDir: String, schema: StructType, url: String)
     var attempt = 0
     var res: Seq[String] = null
     while (res == null && attempt < 3) {
-      try res = new LocalErddapServer(dataDir).fetch(url)
+      try res = ErddapTransport(dataDir).fetch(url)
       catch { case e: Exception if attempt < 2 => attempt += 1 }
     }
     val it = res.iterator

@@ -15,10 +15,10 @@ import scala.jdk.CollectionConverters._
   * which is what makes connector pushdown observable in tests: a scan
   * that fails to push down would fetch all columns/rows.
   */
-class LocalErddapServer(dataDir: String) extends Serializable {
+class LocalErddapServer(dataDir: String) extends ErddapTransport {
 
   /** Execute a compiled tabledap URL, returning CSV lines (header first). */
-  def fetch(url: String): Seq[String] = {
+  override def fetch(url: String): Seq[String] = {
     val q = url.indexOf('?')
     require(q > 0, s"malformed erddap url: $url")
     val pre = url.substring(0, q)
@@ -82,7 +82,7 @@ class LocalErddapServer(dataDir: String) extends Serializable {
     * `(v):1:(v2)` closed value range, `(v)` single value, bare integer
     * index. Time selectors accept ISO-8601 (`Z` suffix) or epoch
     * seconds; coordinate ranges work on ascending or descending axes. */
-  def fetchGriddap(url: String): Array[Byte] = {
+  override def fetchGriddap(url: String): Array[Byte] = {
     import graft.sources.griddap.GridNc
     val q = url.indexOf('?')
     require(q > 0, s"malformed griddap url: $url")
@@ -179,7 +179,7 @@ class LocalErddapServer(dataDir: String) extends Serializable {
 
   /** Griddap header probe: dims + variable names without data transfer
     * (the reference's DAS-driven sizing, `data_wrangler.py:238-266`). */
-  def griddapHeader(datasetId: String): graft.sources.griddap.GridNc.Grid = {
+  override def griddapHeader(datasetId: String): graft.sources.griddap.GridNc.Grid = {
     import graft.sources.griddap.GridNc
     // Subset reader is cheap; a real endpoint would serve .das/.dds.
     GridNc.read(Files.readAllBytes(Path.of(dataDir, s"$datasetId.nc")))
@@ -187,9 +187,9 @@ class LocalErddapServer(dataDir: String) extends Serializable {
 
   /** The reference's ncHeader size probe (`data_wrangler.py:238-266`):
     * row count without data transfer. */
-  def rowCount(datasetId: String): Long =
+  override def rowCount(datasetId: String): Long =
     Files.lines(Path.of(dataDir, s"$datasetId.csv")).count() - 1
 
-  def sizeInBytes(datasetId: String): Long =
+  override def sizeInBytes(datasetId: String): Long =
     Files.size(Path.of(dataDir, s"$datasetId.csv"))
 }

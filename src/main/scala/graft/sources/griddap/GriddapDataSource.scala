@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType, Timestam
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.erddap.UrlCompiler
-import graft.sources.erddap.LocalErddapServer
+import graft.sources.erddap.ErddapTransport
 
 /** Griddap DataSource V2 (S8): scans a gridded dataset as LONG-FORM rows
   * `(time, latitude, longitude, var…)` — grid → rows is the idiomatic
@@ -61,7 +61,7 @@ class GriddapTable(dataDir: String, dataset: String, server: String,
     slicesPerPartition: Int) extends Table with SupportsRead {
 
   private[griddap] lazy val header: GridNc.Grid =
-    new LocalErddapServer(dataDir).griddapHeader(dataset)
+    ErddapTransport(dataDir).griddapHeader(dataset)
 
   private[griddap] lazy val zDim: Option[String] =
     header.dims.map(_._1).find(UrlCompiler.zDims.contains)
@@ -250,7 +250,7 @@ class GriddapReaderFactory(dataDir: String, schema: StructType,
 class GriddapPartitionReader(dataDir: String, schema: StructType,
     url: String, hasZ: Boolean) extends PartitionReader[InternalRow] {
 
-  private val grid = GridNc.read(new LocalErddapServer(dataDir).fetchGriddap(url))
+  private val grid = GridNc.read(ErddapTransport(dataDir).fetchGriddap(url))
   private val times = grid.coord("time")
   private val lats = grid.coord("latitude")
   private val lons = grid.coord("longitude")
