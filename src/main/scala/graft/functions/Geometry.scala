@@ -41,6 +41,27 @@ object Geometry {
     array(if (clockWise) ring else reverse(ring))
   }
 
+  /** F16 polygon with holes: `ringOffsets` marks each ring's start in
+    * the flat ordinate list (first entry 0 = exterior). The exterior is
+    * reversed to counter-clockwise, interior rings keep their supplied
+    * (clockwise) order — exactly the reference's ring assembly
+    * (`Xml2GeoJSON.py:903-908` reverse-on-exterior, `:1107-1110`
+    * clockWise=True after `gml:interior`). Null/empty offsets → plain
+    * single-ring [[polygon]]. */
+  def polygonRings(ordinates: Column, ringOffsets: Column,
+      dimensions: Int = 2): Column = {
+    val nRings = size(ringOffsets)
+    val ringed = transform(sequence(lit(0), nRings - 1), i => {
+      val start = element_at(ringOffsets, i + 1)
+      val end = when(i === nRings - 1, size(ordinates))
+        .otherwise(element_at(ringOffsets, i + 2))
+      val ring = line(slice(ordinates, start + 1, end - start), dimensions)
+      when(i === 0, reverse(ring)).otherwise(ring)
+    })
+    when(ringOffsets.isNull || nRings <= 1, polygon(ordinates, dimensions))
+      .otherwise(ringed)
+  }
+
   /** F16 box/envelope: two corners (lowerLeft, upperRight) → closed
     * 5-point ring via polygon() (`Xml2GeoJSON.py:910-920`). */
   def box(ordinates: Column, dimensions: Int = 2): Column = {

@@ -26,7 +26,10 @@ object Rss {
     StructField("fields", MapType(StringType, StringType)),
     StructField("geom_kind", StringType),     // point|line|polygon|box|null
     StructField("ordinates", ArrayType(DoubleType)),
-    StructField("geom_dims", IntegerType)))   // 2, or 3 when Z present
+    StructField("geom_dims", IntegerType),    // 2, or 3 when Z present
+    // polygon ring starts (in ordinate positions): null for single-ring
+    // geometry; [0, k, …] when gml:interior rings follow the exterior
+    StructField("ring_offsets", ArrayType(IntegerType))))
 
   private val geomLocalNames =
     Set("point", "line", "linestring", "polygon", "box", "envelope")
@@ -72,18 +75,21 @@ object Rss {
 
   /** Walk a `georss:where` subtree for GML geometry
     * (`Xml2GeoJSON.py:1069-1127`): `gml:Point/pos`,
-    * `gml:LineString|Polygon/posList` (exterior ring), `gml:Envelope`
-    * corner pairs; `srsDimension` sets the ordinate dimensionality.
-    * Returns (kind, ordinates, dims) or null. Interior rings are not
-    * representable in the flat ordinate schema and are skipped
-    * (documented divergence — the reference appends them clockwise). */
-  private def parseGmlWhere(where: Element): (String, Array[Double], Int) = {
+    * `gml:LineString|Polygon/posList`, `gml:Envelope` corner pairs;
+    * `srsDimension` sets the ordinate dimensionality. Rings accumulate
+    * in document order — GML puts `gml:exterior` first, then any
+    * `gml:interior` holes, matching the reference's ring-append order
+    * (`Xml2GeoJSON.py:1107-1110`: interior rings ride along clockwise,
+    * the exterior is reversed to CCW at geometry-build time — here by
+    * [[graft.functions.Geometry.polygonRings]]). Returns
+    * (kind, flat ordinates, dims, ring start offsets) or null; offsets
+    * are null unless interior rings are present. */
+  private def parseGmlWhere(where: Element): (String, Array[Double], Int, Array[Int]) = {
     var kind: String = null
-    var ords: Array[Double] = null
+    val rings = mutable.ArrayBuffer.empty[Array[Double]]
     var dims = 2
     var lower: String = null
     var upper: String = null
-    var inInterior = false
 
     def walk(node: Element): Unit = {
       val local = Option(node.getLocalName).getOrElse(node.getNodeName).toLowerCase
@@ -96,11 +102,10 @@ object Rss {
           val inline = directText(node)
           if (inline.nonEmpty && node.getFirstChild != null &&
               node.getFirstChild.getNodeType == Node.TEXT_NODE)
-            ords = parseOrds(inline)
-        case "interior" => inInterior = true
-        case "exterior" => inInterior = false
+            rings += parseOrds(inline)
         case "pos" | "poslist" | "coordinates" =>
-          if (!inInterior) ords = parseOrds(node.getTextContent.trim)
+          val o = parseOrds(node.getTextContent.trim)
+          if (o.nonEmpty) rings += o
         case "lowercorner" | "lowerleft" =>
           lower = node.getTextContent.trim
         case "uppercorner" | "upperright" =>
@@ -113,12 +118,17 @@ object Rss {
         cs.item(i) match { case e: Element => walk(e); case _ => }
         i += 1
       }
-      if (local == "interior") inInterior = false
     }
     walk(where)
     if (kind == "box" && lower != null && upper != null)
-      ords = parseOrds(s"$lower $upper")
-    if (kind == null || ords == null) null else (kind, ords, dims)
+      rings += parseOrds(s"$lower $upper")
+    if (kind == null || rings.isEmpty) null
+    else {
+      val offsets =
+        if (rings.length <= 1) null
+        else rings.scanLeft(0)(_ + _.length).init.toArray
+      (kind, rings.flatten.toArray, dims, offsets)
+    }
   }
 
   private def directText(e: Element): String = {
@@ -141,6 +151,7 @@ object Rss {
     var geomKind: String = null
     var ordinates: Array[Double] = null
     var geomDims = 2
+    var ringOffsets: Array[Int] = null
     var geoLat: Option[Double] = None
     var geoLon: Option[Double] = None
 
@@ -171,6 +182,7 @@ object Rss {
             val gml = parseGmlWhere(e)
             if (gml != null) {
               geomKind = gml._1; ordinates = gml._2; geomDims = gml._3
+              ringOffsets = gml._4
             }
           } else if (prefix == "geo" && local == "lat") {
             geoLat = text.toDoubleOption
@@ -206,6 +218,7 @@ object Rss {
       ordinates = Array(geoLat.get, geoLon.get)
     }
     Row(file, fields.toMap, geomKind,
-      if (ordinates == null) null else ordinates.toSeq, geomDims)
+      if (ordinates == null) null else ordinates.toSeq, geomDims,
+      if (ringOffsets == null) null else ringOffsets.toSeq)
   }
 }

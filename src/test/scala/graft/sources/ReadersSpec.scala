@@ -136,6 +136,54 @@ class ReadersSpec extends AnyFunSuite {
     assert(gj == "[[[-90.0,30.0],[-89.0,31.0],[-90.0,31.0],[-90.0,30.0]]]")
   }
 
+  test("GML interior rings: donut polygon keeps holes, exterior CCW / interior CW") {
+    val d = Files.createTempDirectory("rss_gml_donut")
+    Files.writeString(d.resolve("donut.xml"),
+      """<feed xmlns:georss="http://www.georss.org/georss"
+        |      xmlns:gml="http://www.opengis.net/gml">
+        |<entry><title>donut</title>
+        |  <georss:where><gml:Polygon>
+        |    <gml:exterior><gml:LinearRing>
+        |      <gml:posList>0 0 0 4 4 4 4 0 0 0</gml:posList>
+        |    </gml:LinearRing></gml:exterior>
+        |    <gml:interior><gml:LinearRing>
+        |      <gml:posList>1 1 1 3 3 3 3 1 1 1</gml:posList>
+        |    </gml:LinearRing></gml:interior>
+        |  </gml:Polygon></georss:where>
+        |</entry>
+        |</feed>""".stripMargin)
+    val row = Rss.read(spark, d.toString).head()
+    assert(row.getString(2) == "polygon")
+    assert(row.getSeq[Double](3).size == 20) // both rings, flat
+    assert(row.getSeq[Int](5) == Seq(0, 10)) // exterior at 0, hole at 10
+    // through the ring-aware constructor: exterior reversed to CCW,
+    // interior kept in supplied (clockwise) order — the reference's
+    // output shape (Xml2GeoJSON.py:903-908, :1107-1110)
+    val gj = Rss.read(spark, d.toString)
+      .select(to_json(graft.functions.Geometry.polygonRings(
+        col("ordinates"), col("ring_offsets"))).as("j"))
+      .head().getString(0)
+    assert(gj ==
+      "[[[0.0,0.0],[0.0,4.0],[4.0,4.0],[4.0,0.0],[0.0,0.0]]," +
+        "[[1.0,1.0],[3.0,1.0],[3.0,3.0],[1.0,3.0],[1.0,1.0]]]")
+    // single-ring rows flow through polygonRings unchanged (null offsets)
+    val single = Files.createTempDirectory("rss_gml_single")
+    Files.writeString(single.resolve("s.xml"),
+      """<feed xmlns:georss="http://www.georss.org/georss"
+        |      xmlns:gml="http://www.opengis.net/gml">
+        |<entry><georss:where><gml:Polygon><gml:exterior><gml:LinearRing>
+        |  <gml:posList>30 -90 31 -90 31 -89 30 -90</gml:posList>
+        |</gml:LinearRing></gml:exterior></gml:Polygon></georss:where></entry>
+        |</feed>""".stripMargin)
+    val sRow = Rss.read(spark, single.toString).head()
+    assert(sRow.isNullAt(5))
+    val sj = Rss.read(spark, single.toString)
+      .select(to_json(graft.functions.Geometry.polygonRings(
+        col("ordinates"), col("ring_offsets"))).as("j"))
+      .head().getString(0)
+    assert(sj == "[[[-90.0,30.0],[-89.0,31.0],[-90.0,31.0],[-90.0,30.0]]]")
+  }
+
   test("CAP alert polygon: comma-separated coordinates with dims detection") {
     val d = Files.createTempDirectory("rss_cap")
     Files.writeString(d.resolve("c.xml"),
