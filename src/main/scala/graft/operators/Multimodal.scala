@@ -71,27 +71,39 @@ object Multimodal {
     }
   }
 
-  /** Batched decode over binary payloads — the `mapInPandas` analog:
-    * partitions are processed in batches of `batchSize` rows so a real
-    * decoder can amortize per-batch setup (model load, codec init).
-    * Input df must have (idCol: long, payloadCol: binary). */
+  /** Header decode over binary payloads — a native Catalyst expression
+    * ([[graft.functions.MultimodalMeta]]): the fixed-offset byte parse
+    * stays inside whole-stage codegen with column pruning intact; no
+    * `df.rdd` boundary (which deserialized InternalRow→Row and measured
+    * ~3× a comparable projection). `batchSize` is retained for API
+    * compatibility; batching only matters for real decode kernels,
+    * which run through [[mapPayloadBatches]]. */
   def decodeBatched(df: DataFrame, idCol: String, payloadCol: String,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64): DataFrame =
+    df.select(col(idCol),
+      graft.functions.MultimodalCodec.multimodal_meta(col(payloadCol)).as("meta"))
+
+  /** Batched kernel runner — the `mapInPandas` analog for genuinely
+    * swappable kernels (real codec/model calls that amortize setup per
+    * batch). Runs through the TYPED Dataset API: column pruning happens
+    * above the boundary and Tungsten encoders handle (de)serialization —
+    * not `df.rdd`. The kernel sees `batchSize` payloads at a time and
+    * must return one output payload per input. */
+  def mapPayloadBatches(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64)(
+      kernel: Seq[Array[Byte]] => Seq[Array[Byte]]): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("meta", metaSchema)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val pIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // a real kernel would decode `batch` as one vectorized call here
-        batch.iterator.map { r =>
-          Row(r.getLong(idIdx), decodeMeta(r.getAs[Array[Byte]](pIdx)))
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val outs = kernel(batch.map(_._2))
+          require(outs.length == batch.length,
+            s"kernel returned ${outs.length} outputs for ${batch.length} inputs")
+          batch.map(_._1).zip(outs)
         }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      }.toDF(idCol, payloadCol)
   }
 
   /** STUB resize kernel (`???`-equivalent, deterministic): a real
@@ -145,19 +157,11 @@ object Multimodal {
     out
   }
 
-  /** End-to-end ingest: wrap a text/binary column into payloads with
-    * metadata — used to build multimodal test tables from `documents`. */
-  def ingestFromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField(idCol, LongType),
-      StructField("payload", BinaryType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val tIdx = df.schema.fieldIndex(textCol)
-    val rdd = df.rdd.map { r =>
-      val bytes = r.getString(tIdx).getBytes("UTF-8")
-      Row(r.getLong(idIdx), encodePayload(bytes, (r.getLong(idIdx) % 3).toByte))
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  /** End-to-end ingest: wrap a text column into container payloads —
+    * used to build multimodal test tables from `documents`. Pure
+    * projection through the codegen'd encode expression (no RDD). */
+  def ingestFromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.MultimodalCodec.multimodal_encode(
+        col(idCol), col(textCol)).as("payload"))
 }

@@ -43,6 +43,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sampled.length == 14 + 20) // frames 0 and 2 of 4 kept
   }
 
+  test("decodeBatched is a pure projection: no RDD boundary in the plan") {
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(10)
+    val media = Multimodal.ingestFromText(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeBatched(media, "doc_id", "payload")
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"), s"RDD boundary leaked:\n$plan")
+    assert(plan.contains("multimodal_meta") || plan.contains("Project"))
+  }
+
+  test("mapPayloadBatches runs a swappable kernel in bounded batches") {
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(30)
+    val media = Multimodal.ingestFromText(docs, "doc_id", "text")
+    val resized = Multimodal.mapPayloadBatches(media, "doc_id", "payload",
+      batchSize = 8) { batch =>
+      // executes on executors: oversized batches fail the job itself
+      require(batch.nonEmpty && batch.length <= 8,
+        s"kernel saw batch of ${batch.length}")
+      batch.map(p => Multimodal.resizeStub(p, 4, 4))
+    }
+    val metas = Multimodal.decodeBatched(resized, "doc_id", "payload")
+      .select("meta.width", "meta.height").collect()
+    assert(metas.length == 30)
+    assert(metas.forall(r => r.getInt(0) == 4 && r.getInt(1) == 4))
+  }
+
   test("embed stub: deterministic fixed-dim vectors, distributed") {
     val docs = graft.Tables.load(spark, sfDir, "documents").limit(20)
     val media = Multimodal.ingestFromText(docs, "doc_id", "text")
