@@ -123,10 +123,29 @@ class Portal(root: String) {
     restored
   }
 
-  /** K8 — overwrite with property transactionality: backup → replace
-    * data → restore. Unchanged-data short-circuit belongs to the caller
-    * (Nrt.tableFingerprint). */
+  /** Overwrite refusal tiers (`OverwriteFS.py:2093-2106`): a service
+    * whose manager reports a change-tracking-enabled dependent view, or
+    * with a dependent WFS service among its Service2Service relations,
+    * must NOT be overwritten — the reference fails verify with these
+    * exact outcomes rather than risking dependent-service corruption. */
+  def verifyOverwrite(item: Item): Unit = {
+    val live = items(item.id)
+    if (live.serviceProps.get("hasChangeTrackingEnabledViews").contains("true"))
+      throw new IllegalStateException(
+        "Overwrite on Service is NOT allowed, a dependent View or Service " +
+          "has Change Tracking Enabled!")
+    val wfsDependent = related.getOrElse(item.id, Nil)
+      .flatMap(items.get).find(_.itemType == "WFS")
+    if (wfsDependent.isDefined)
+      throw new IllegalStateException(
+        "Overwrite on Service is NOT allowed, a dependent WFS Service exists!")
+  }
+
+  /** K8 — overwrite with property transactionality: verify refusal
+    * tiers → backup → replace data → restore. Unchanged-data
+    * short-circuit belongs to the caller (Nrt.tableFingerprint). */
   def overwrite(item: Item, fresh: DataFrame): Item = {
+    verifyOverwrite(item)
     val backup = backupProperties(items(item.id))
     fresh.write.mode(SaveMode.Overwrite).parquet(dataPath(item))
     restoreProperties(items(item.id), backup)
@@ -229,6 +248,45 @@ class Portal(root: String) {
   /** Directory holding an imagery item's NetCDF (dataset id `imagery`). */
   def imageryDir(item: Item): String =
     java.nio.file.Path.of(root, item.id).toString
+
+  /** K7 fallback — `analyze(file_type="raster")` stand-in for the
+    * GeoTIFF/IMG road (`agol_wrangler.py:456-460`): inspects the upload
+    * and returns the publish parameters, refusing non-raster bytes the
+    * way the live analyze call errors on an unreadable file. */
+  def analyzeRaster(bytes: Array[Byte]): Map[String, String] = {
+    require(bytes != null && bytes.length >= 8, "analyze: empty raster upload")
+    val littleEndian = bytes(0) == 'I' && bytes(1) == 'I' &&
+      bytes(2) == 42 && bytes(3) == 0
+    val bigEndian = bytes(0) == 'M' && bytes(1) == 'M' &&
+      bytes(2) == 0 && bytes(3) == 42
+    require(littleEndian || bigEndian,
+      "analyze: file_type=raster requires a GeoTIFF/IMG payload")
+    Map("fileType" -> "GeoTIFF",
+      "byteOrder" -> (if (littleEndian) "little" else "big"))
+  }
+
+  /** K7 fallback — non-NetCDF rasters take the add → analyze → publish
+    * road instead of copy_raster (`agol_wrangler.py:278`, `:449-472`):
+    * the raster is added as a "Raster Dataset" item with 409-style
+    * title retry, analyze produces the publish parameters, and the
+    * publish step (also 409-retried via the same rename rule) creates
+    * the hosted Imagery Layer related to its source upload. */
+  def publishImageryRaster(title: String, bytes: Array[Byte],
+      tags: Seq[String] = Nil): Item = {
+    val publishParams = analyzeRaster(bytes) // analyze BEFORE any item exists
+    val rasterItem = addOrRetry(s"$title (raster)", "Raster Dataset",
+      Seq("erddap2agol") ++ tags, Map("item_type" -> "Image Service"))
+    val rasterDir = java.nio.file.Path.of(root, rasterItem.id)
+    java.nio.file.Files.createDirectories(rasterDir)
+    java.nio.file.Files.write(rasterDir.resolve("upload.tif"), bytes)
+    val img = addOrRetry(title, "Imagery Layer",
+      Seq("erddap2agol") ++ tags, publishParams)
+    val imgDir = java.nio.file.Path.of(root, img.id)
+    java.nio.file.Files.createDirectories(imgDir)
+    java.nio.file.Files.write(imgDir.resolve("imagery.tif"), bytes)
+    relate(img, Seq(rasterItem)) // Service2Data link back to the upload
+    img
+  }
 
   // ---- view repair + relationship maintenance ---------------------------
 

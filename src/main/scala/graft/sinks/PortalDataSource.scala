@@ -205,6 +205,9 @@ class PortalBatchWrite(root: String, title: String, tags: Seq[String],
     val item = portal.findByTitle(title).getOrElse(
       portal.addOrRetry(title, "Feature Service", Seq("erddap2agol") ++ tags,
         Map.empty))
+    // refusal tiers run before ANY portal mutation (OverwriteFS.py:2093-2106)
+    try portal.verifyOverwrite(item)
+    catch { case e: Throwable => deleteRecursively(Path.of(stagingDir)); throw e }
 
     // distributed change fingerprint from the per-task moments
     def mix(z0: Long): Long = {

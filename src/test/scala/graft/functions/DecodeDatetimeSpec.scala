@@ -90,6 +90,32 @@ class DecodeDatetimeSpec extends AnyFunSuite {
       .contains(Instant.parse("2024-05-25T03:15:00Z")))
   }
 
+  test("EVERY reference tz abbreviation parses with its exact offset") {
+    // the full 192-entry table from datetimeUtils.py:262-473 (active,
+    // uncommented entries — later duplicates win, Python-dict style);
+    // parameterized so a dropped or drifted entry names itself
+    DecodeDatetime.tzOffsetMinutes.foreach { case (abbr, minutes) =>
+      val got = dec(s"2024-05-25 12:00:00 $abbr")
+      val expected = Instant.parse("2024-05-25T12:00:00Z")
+        .minusSeconds(minutes * 60L)
+      assert(got.contains(expected), s"$abbr (offset $minutes min): got $got")
+    }
+    assert(DecodeDatetime.tzOffsetMinutes.size == 192)
+    // spot-check the reference's disambiguation choices (commented-out
+    // duplicates lose): AMT=Brazil -4h not Armenia +4, AST=Atlantic -4h
+    // not Arabia +3, BST=Bangladesh +6 (last writer), CST=Central -6,
+    // EST=Eastern -5, IST=India +5:30, SST=Singapore +8 (last writer)
+    assert(DecodeDatetime.tzOffsetMinutes("AMT") == -240)
+    assert(DecodeDatetime.tzOffsetMinutes("AST") == -240)
+    assert(DecodeDatetime.tzOffsetMinutes("BST") == 360)
+    assert(DecodeDatetime.tzOffsetMinutes("CST") == -360)
+    assert(DecodeDatetime.tzOffsetMinutes("EST") == -300)
+    assert(DecodeDatetime.tzOffsetMinutes("IST") == 330)
+    assert(DecodeDatetime.tzOffsetMinutes("SST") == 480)
+    assert(DecodeDatetime.tzOffsetMinutes("NT") == -210) // Newfoundland -3:30
+    assert(DecodeDatetime.tzOffsetMinutes("CHADT") == 825) // +13:45
+  }
+
   test("undecodable input → None") {
     assert(dec("not a date at all !!").isEmpty)
     assert(dec("").isEmpty)

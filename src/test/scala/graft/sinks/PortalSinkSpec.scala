@@ -97,6 +97,47 @@ class PortalSinkSpec extends AnyFunSuite {
     df((7L, "ok", 7.0)).write.format("portal").option("root", root)
       .option("item", "stable").mode("append").save()
 
+  test("commit refuses overwrite when WFS or change-tracking dependents exist") {
+    val root = freshRoot()
+    df((1L, "a", 1.0)).write.format("portal").option("root", root)
+      .option("item", "guarded").mode("append").save()
+    val portal = Portal.forRoot(root)
+    val item = portal.findByTitle("guarded").get
+    val slotBefore = portal.itemById(item.id).serviceProps("activeSlot")
+
+    // tier 1: change-tracking-enabled dependent view
+    portal.updateServiceProps(item, Map("hasChangeTrackingEnabledViews" -> "true"))
+    val e1 = intercept[Exception] {
+      df((2L, "b", 2.0)).write.format("portal").option("root", root)
+        .option("item", "guarded").mode("append").save()
+    }
+    assert(e1.getMessage.contains("Change Tracking") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("Change Tracking"))
+    portal.updateServiceProps(item, Map("hasChangeTrackingEnabledViews" -> "false"))
+
+    // tier 2: dependent WFS service
+    val wfs = portal.addOrRetry("guarded WFS", "WFS", Nil, Map())
+    portal.relate(portal.itemById(item.id), Seq(wfs))
+    val e2 = intercept[Exception] {
+      df((3L, "c", 3.0)).write.format("portal").option("root", root)
+        .option("item", "guarded").mode("append").save()
+    }
+    assert(e2.getMessage.contains("WFS") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("WFS"))
+
+    // refusals left the portal state untouched: same slot, original rows
+    assert(portal.itemById(item.id).serviceProps("activeSlot") == slotBefore)
+    assert(portal.itemById(item.id).serviceProps("rows") == "1")
+    assert(!Files.list(Path.of(root)).toArray.map(_.toString)
+      .exists(_.contains(".staging")))
+
+    // removing the dependency unblocks the publish
+    portal.updateRelationships(portal.itemById(item.id), Seq(wfs), unRelate = true)
+    df((4L, "d", 4.0), (5L, "e", 5.0)).write.format("portal").option("root", root)
+      .option("item", "guarded").mode("append").save()
+    assert(portal.itemById(item.id).serviceProps("rows") == "2")
+  }
+
   test("overwrite mode routes through TRUNCATE capability") {
     val root = freshRoot()
     df((1L, "a", 1.0)).write.format("portal").option("root", root)

@@ -64,6 +64,57 @@ class PortalSpec extends AnyFunSuite {
     assert(restored.indexes.map(_._1) == Seq("idx_id"))     // deduped + size-limited
   }
 
+  test("overwrite refuses when a dependent view has change tracking enabled") {
+    val p = newPortal()
+    val item = p.addOrRetry("svc", "Feature Service", Nil, Map())
+    p.updateServiceProps(item, Map("hasChangeTrackingEnabledViews" -> "true"))
+    val fresh = Seq((1, "a")).toDF("id", "v")
+    val e = intercept[IllegalStateException](p.overwrite(item, fresh))
+    assert(e.getMessage.contains("Change Tracking Enabled"))
+    // clearing the flag unblocks the overwrite
+    p.updateServiceProps(item, Map("hasChangeTrackingEnabledViews" -> "false"))
+    p.overwrite(item, fresh)
+  }
+
+  test("overwrite refuses when a dependent WFS service exists") {
+    val p = newPortal()
+    val item = p.addOrRetry("svc", "Feature Service", Nil, Map())
+    val wfs = p.addOrRetry("svc WFS", "WFS", Nil, Map())
+    p.relate(item, Seq(wfs))
+    val fresh = Seq((1, "a")).toDF("id", "v")
+    val e = intercept[IllegalStateException](p.overwrite(item, fresh))
+    assert(e.getMessage.contains("dependent WFS Service"))
+    // non-WFS dependents (e.g. the A/B view) do not block
+    val p2 = newPortal()
+    val item2 = p2.addOrRetry("svc2", "Feature Service", Nil, Map())
+    val view = p2.addOrRetry("svc2 view", "Feature Service View", Nil, Map())
+    p2.relate(item2, Seq(view))
+    p2.overwrite(item2, fresh)
+  }
+
+  test("GeoTIFF fallback: add raster item, analyze, publish Imagery Layer (K7)") {
+    val p = newPortal()
+    // minimal little-endian TIFF magic + padding
+    val tiff = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0, 1, 2, 3, 4)
+    val img = p.publishImageryRaster("SST raster", tiff, Seq("did_sst"))
+    assert(img.itemType == "Imagery Layer")
+    assert(img.properties("fileType") == "GeoTIFF")
+    assert(img.properties("byteOrder") == "little")
+    // the upload exists as its own Raster Dataset item, related to the layer
+    val raster = p.allItems.find(_.itemType == "Raster Dataset").get
+    assert(raster.title == "SST raster (raster)")
+    val stored = java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(p.imageryDir(img), "imagery.tif"))
+    assert(stored.toSeq == tiff.toSeq)
+    // big-endian magic also analyzes; garbage is refused like a failed analyze
+    assert(p.analyzeRaster(Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 0))("byteOrder") == "big")
+    intercept[IllegalArgumentException](
+      p.analyzeRaster("not a raster".getBytes("ASCII")))
+    // 409-style retry on the second publish of the same title
+    val img2 = p.publishImageryRaster("SST raster", tiff)
+    assert(img2.title == "SST raster_1")
+  }
+
   test("tag search extracts did_/server tags into a control DataFrame (S12)") {
     val p = newPortal()
     p.addOrRetry("A", "FeatureService",
