@@ -16,16 +16,19 @@ object ExplainCheck {
     val dir = "/root/testdata/sf0.01"
 
     var failures = List.empty[String]
-    def audit(q: String, mustContain: Seq[String] = Nil,
-        mustNotContain: Seq[String] = Nil): Unit = {
-      println(s"===== $q =====")
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+    def auditDf(label: String, df: org.apache.spark.sql.DataFrame,
+        mustContain: Seq[String], mustNotContain: Seq[String]): Unit = {
+      println(s"===== $label =====")
+      val plan = df.queryExecution.executedPlan.toString
       println(plan.linesIterator.take(40).mkString("\n"))
       mustContain.filterNot(plan.contains).foreach { m =>
-        failures ::= s"$q: expected plan to contain '$m'" }
+        failures ::= s"$label: expected plan to contain '$m'" }
       mustNotContain.filter(plan.contains).foreach { m =>
-        failures ::= s"$q: expected plan to NOT contain '$m'" }
+        failures ::= s"$label: expected plan to NOT contain '$m'" }
     }
+    def audit(q: String, mustContain: Seq[String] = Nil,
+        mustNotContain: Seq[String] = Nil): Unit =
+      auditDf(q, SparkEntry.queries(q)(spark, dir), mustContain, mustNotContain)
 
     audit("q1_agg", mustContain = Seq("HashAggregate"))
     audit("j1_broadcast_join", mustContain = Seq("BroadcastHashJoin"))
@@ -44,6 +47,28 @@ object ExplainCheck {
     // SRP pairs: bucket equi-join only — a cross join here is the scale bug
     audit("ann_lsh_pairs", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     audit("dedup_simhash", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+
+    // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
+    // (complete aggregate pushdown → the erddap-agg scan) — a regression
+    // here silently turns a zero-transfer probe into a full data fetch
+    {
+      import org.apache.spark.sql.functions._
+      val fx = graft.sources.erddap.ErddapFixture.ensure()
+      val erddap = spark.read.format("erddap")
+        .option("dataDir", fx)
+        .option("dataset", graft.sources.erddap.ErddapFixture.datasetId)
+        .option("das", s"$fx/${graft.sources.erddap.ErddapFixture.datasetId}.das")
+        .load()
+      auditDf("erddap_agg_pushdown",
+        erddap.agg(count(lit(1)).as("n"), min(col("time")).as("lo"),
+          max(col("time")).as("hi")),
+        mustContain = Seq("erddap-agg", "metadata only"), mustNotContain = Nil)
+      // a pushed time filter must DISABLE the metadata path (answers change)
+      auditDf("erddap_agg_declined_under_filter",
+        erddap.filter(col("time") >= lit("2024-06-02 00:00:00").cast("timestamp"))
+          .agg(count(lit(1)).as("n")),
+        mustContain = Nil, mustNotContain = Seq("erddap-agg"))
+    }
 
     if (failures.nonEmpty) {
       System.err.println("PLAN AUDIT FAILURES:\n" + failures.mkString("\n"))

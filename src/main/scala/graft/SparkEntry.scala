@@ -153,6 +153,25 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("win_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))),
 
+    // ---- T1 end-to-end STREAMING gate: the watermarked tumbling-window
+    //      aggregation actually RUNS as a Structured Streaming query
+    //      (file source → AvailableNow → memory sink); the oracle is the
+    //      batch twin restricted to watermark-closed windows (append
+    //      mode emits a window only once the watermark — max event time
+    //      minus the 1 h delay — passes its end) ----
+    "t1_streaming_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val events = graft.streaming.EventStream.readEvents(s, s"$dir/events.parquet")
+      val name = "t1_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStream.hourlyCounts(events)
+        .select(col("win_start"), col("event_type"), col("n"),
+          round(col("sv"), 2).as("sv"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // ---- W4/W5 row numbering + M running increment (scalable two-pass
     //      global numbering — no single-partition window) ----
     "w5_row_number" -> ((s, dir) =>
@@ -704,6 +723,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         | count(*) AS n, round(sum(value),2) AS sv
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // streaming twin: only windows whose END (start + 1h) the final
+    // watermark (max ts - 1h delay) has passed are emitted in append
+    // mode → win_start + 2h <= max(ts), at microsecond precision (the
+    // stream truncates nanos to Spark's µs timestamps)
+    "t1_streaming_hourly" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        | count(*) AS n, round(sum(value),2) AS sv
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR
+        |  <= (SELECT date_trunc('microsecond', max(ts)) FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     "w5_row_number" ->
       """SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn,
         | round(row_number() OVER (ORDER BY ts, event_id) * 0.5, 1) AS m
