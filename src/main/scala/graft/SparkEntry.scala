@@ -161,15 +161,29 @@ object SparkEntry {
     //      minus the 1 h delay — passes its end) ----
     "t1_streaming_hourly" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val events = graft.streaming.EventStream.readEvents(s, s"$dir/events.parquet")
       val name = "t1_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.EventStream.hourlyCounts(events)
-        .select(col("win_start"), col("event_type"), col("n"),
-          round(col("sv"), 2).as("sv"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name)
+      // stateful streaming agg: state-store provider count = shuffle
+      // partitions; the closed-window result is tiny, so 8 partitions
+      // beat the batch-tuned 32 (restored after the run)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val events = graft.streaming.EventStream.readEvents(s, s"$dir/events.parquet")
+        val q = graft.streaming.EventStream.hourlyCounts(events)
+          .select(col("win_start"), col("event_type"), col("n"),
+            round(col("sv"), 2).as("sv"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // detach the (small) result from the memory sink so repeated runs
+      // don't accumulate sink tables in the session
+      val sink = s.table(name)
+      val out = s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
+        sink.schema)
+      s.catalog.dropTempView(name)
+      out
     }),
 
     // ---- W4/W5 row numbering + M running increment (scalable two-pass

@@ -33,9 +33,21 @@ object GeoJson {
     featureLines(df, geometry, propCols).write.mode("overwrite").text(path)
 
   /** Single FeatureCollection document (small exports / parity with the
-    * reference's output shape). Streams partitions; never collects. */
+    * reference's output shape). Streams partitions; never collects —
+    * but the write itself is single-threaded on the DRIVER, so this is
+    * guarded by `maxRows` (default 1,000,000): a caller pointing it at
+    * a big frame gets an immediate error naming [[writeSeq]] instead of
+    * a silent hours-long driver write. Pass `maxRows = 0` to disable
+    * (export tooling that knowingly accepts the driver funnel). */
   def writeFeatureCollection(df: DataFrame, geometry: Column,
-      propCols: Seq[String], file: String): Long = {
+      propCols: Seq[String], file: String, maxRows: Long = 1000000L): Long = {
+    if (maxRows > 0) {
+      val bound = df.limit((maxRows + 1).toInt).count()
+      require(bound <= maxRows,
+        s"writeFeatureCollection is a driver-side single-document export " +
+          s"capped at $maxRows rows; use writeSeq (distributed ndjson) for " +
+          s"large frames, or pass maxRows = 0 to override")
+    }
     val lines = featureLines(df, geometry, propCols)
     val out = new BufferedWriter(new FileWriter(file))
     var n = 0L

@@ -162,5 +162,16 @@ class TransformsSpec extends AnyFunSuite {
     assert(doc.startsWith("{\"type\": \"FeatureCollection\""))
     assert(doc.contains("\"coordinates\":[-88.0,26.0]"))
     assert(doc.trim.endsWith("]}"))
+
+    // the driver-funnel guard: a frame over maxRows is refused with a
+    // pointer at the distributed writer; maxRows = 0 disables
+    val tmp2 = java.nio.file.Files.createTempFile("fc2", ".geojson").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.sinks.GeoJson.writeFeatureCollection(df, geom, Seq("id", "name"),
+        tmp2, maxRows = 1)
+    }
+    assert(e.getMessage.contains("writeSeq"))
+    assert(graft.sinks.GeoJson.writeFeatureCollection(df, geom,
+      Seq("id", "name"), tmp2, maxRows = 0) == 2)
   }
 }
