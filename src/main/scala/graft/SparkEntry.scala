@@ -19,6 +19,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run a streaming transform of the events table end-to-end as a real
+    * Structured Streaming query (file source → AvailableNow → memory
+    * sink) and hand back its result DETACHED from the session: stateful
+    * streaming uses 8 shuffle partitions (state-store provider count
+    * follows shuffle partitions; gate results are tiny), and the memory
+    * sink table is dropped so repeated runs don't accumulate state. */
+  private def runStreamingGate(s: SparkSession, dir: String, tag: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = tag + "_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val events = graft.streaming.EventStream.readEvents(s, s"$dir/events.parquet")
+      val q = transform(events)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val sink = s.table(name)
+    val out = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
+      sink.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The §3.1 pipeline shape: time-windowed projection over the
     * observation table, QC-style pruning, per-key extent + chunk plan. */
@@ -159,32 +186,23 @@ object SparkEntry {
     //      batch twin restricted to watermark-closed windows (append
     //      mode emits a window only once the watermark — max event time
     //      minus the 1 h delay — passes its end) ----
-    "t1_streaming_hourly" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val name = "t1_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      // stateful streaming agg: state-store provider count = shuffle
-      // partitions; the closed-window result is tiny, so 8 partitions
-      // beat the batch-tuned 32 (restored after the run)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val events = graft.streaming.EventStream.readEvents(s, s"$dir/events.parquet")
-        val q = graft.streaming.EventStream.hourlyCounts(events)
+    "t1_streaming_hourly" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t1") { events =>
+        graft.streaming.EventStream.hourlyCounts(events)
           .select(col("win_start"), col("event_type"), col("n"),
             round(col("sv"), 2).as("sv"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      // detach the (small) result from the memory sink so repeated runs
-      // don't accumulate sink tables in the session
-      val sink = s.table(name)
-      val out = s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
-        sink.schema)
-      s.catalog.dropTempView(name)
-      out
-    }),
+      }),
+
+    // ---- T2/streaming-dedup gate: dropDuplicatesWithinWatermark runs
+    //      as a real streaming query; projecting the key columns makes
+    //      the kept-first-arrival row deterministic (all dup rows are
+    //      identical after projection), so the oracle is plain DISTINCT
+    "t2_streaming_dedup" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t2") { events =>
+        graft.streaming.EventStream
+          .dedupWithinWatermark(events, Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type"))
+      }),
 
     // ---- W4/W5 row numbering + M running increment (scalable two-pass
     //      global numbering — no single-partition window) ----
@@ -471,6 +489,18 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
 
+    // ---- text: BPE-ish pre-tokenizer count (letter runs / digit runs /
+    //      single punctuation, the GPT-2 pre-split shape) ----
+    "text_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"))),
+
+    // ---- F8 width truncate + pad ----
+    "f8_truncate_pad" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextCase.clipToWidth(col("text"), 24).as("clipped"),
+        graft.functions.TextCase.padToWidth(col("source"), 12).as("padded"))),
+
     // ---- text: quality scoring ----
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")
@@ -748,6 +778,18 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR
         |  <= (SELECT date_trunc('microsecond', max(ts)) FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    // streaming dedup keeps the first arrival per key; projected to the
+    // key columns the result is exactly the distinct key set
+    "t2_streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
+    "f8_truncate_pad" ->
+      """SELECT doc_id, substring(text, 1, 24) AS clipped,
+        | rpad(source, 12, ' ') AS padded
+        |FROM documents""".stripMargin,
     "w5_row_number" ->
       """SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn,
         | round(row_number() OVER (ORDER BY ts, event_id) * 0.5, 1) AS m

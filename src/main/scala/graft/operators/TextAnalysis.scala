@@ -27,6 +27,14 @@ object TextAnalysis {
   /** BPE-ish subword count: word chunks of ≤4 chars count 1, longer words
     * count ceil(len/4) — a deterministic proxy for tokenizer cost without
     * shipping a vocab. */
+  /** BPE-ish token count: splits the way byte-pair tokenizers pre-split
+    * — letter runs, digit runs, and individual punctuation marks each
+    * count as one token (the GPT-2 pre-tokenizer's shape, ASCII-safe so
+    * any RE2/Java regex engine agrees). One codegen'd regex pass. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
   def subwordCount(text: Column): Column =
     when(blank(text), lit(0L)).otherwise(stats(text).getField("subwords"))
 
