@@ -501,6 +501,28 @@ object SparkEntry {
         graft.functions.TextCase.clipToWidth(col("text"), 24).as("clipped"),
         graft.functions.TextCase.padToWidth(col("source"), 12).as("padded"))),
 
+    // ---- F17/F18 ordinate surgery: elevation broadcast onto line
+    //      coords, Z adjust, Z/M strip — stringified so both engines
+    //      hash the same rendering (concat_ws and array_to_string both
+    //      skip the nulled Z) ----
+    "f18_zm_surgery" -> ((s, dir) => {
+      import graft.functions.Geometry
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("x"),
+        round(col("l_discount"), 2).as("y"),
+        round(col("l_tax"), 2).as("z"),
+        round(col("l_quantity"), 2).as("m"))
+      def str(a: org.apache.spark.sql.Column) =
+        concat_ws(",", transform(a, v => v.cast("string")))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        str(Geometry.zAdjust(array(col("x"), col("y"), col("z")),
+          lit(2.0), lit(1.0))).as("adj"),
+        str(Geometry.stripZM(array(col("x"), col("y"), col("z"), col("m")),
+          keepZ = false, keepM = true)).as("stripped"),
+        str(element_at(Geometry.addElevation(
+          array(array(col("x"), col("y"))), col("z")), 1)).as("elevated"))
+    }),
+
     // ---- text: quality scoring ----
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")
@@ -790,6 +812,16 @@ object SparkEntry {
       """SELECT doc_id, substring(text, 1, 24) AS clipped,
         | rpad(source, 12, ' ') AS padded
         |FROM documents""".stripMargin,
+    // array_to_string and Spark's concat_ws both skip the nulled-out Z
+    "f18_zm_surgery" ->
+      """SELECT l_orderkey, l_linenumber,
+        | array_to_string([round(l_extendedprice,2), round(l_discount,2),
+        |   round(l_tax,2)*2+1], ',') AS adj,
+        | array_to_string([round(l_extendedprice,2), round(l_discount,2),
+        |   NULL::DOUBLE, round(l_quantity,2)], ',') AS stripped,
+        | array_to_string([round(l_extendedprice,2), round(l_discount,2),
+        |   round(l_tax,2)], ',') AS elevated
+        |FROM lineitem""".stripMargin,
     "w5_row_number" ->
       """SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn,
         | round(row_number() OVER (ORDER BY ts, event_id) * 0.5, 1) AS m

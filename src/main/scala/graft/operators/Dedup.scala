@@ -41,14 +41,12 @@ object Dedup {
     * Pipelines should run [[exact]] dedup FIRST: identical documents
     * don't need LSH, and removing them before banding is what keeps the
     * cap from biting on legitimate near-dup structure. */
-  private[graft] var lastCapName: String = ""
   private[operators] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
       idCol: String, maxBucket: Int, tag: String): DataFrame = {
     if (maxBucket <= 0) banded
     else {
       val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))
       val name = s"${tag}_cap_${capSeq.incrementAndGet()}"
-      lastCapName = name
       banded.withColumn("_rk", row_number().over(w))
         .observe(name,
           sum(when(col("_rk") > maxBucket, 1L).otherwise(0L)).as("dropped_members"))
