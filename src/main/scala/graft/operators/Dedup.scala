@@ -313,19 +313,20 @@ object Dedup {
       val viaEdges = edges
         .join(labels.select(col("id").as("b"), col("cluster").as("nb")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nb")).as("nb_min"))
+      // the PREVIOUS label rides along as `old`, so convergence is a
+      // filter-count over the checkpointed rows — not the extra
+      // shuffle join per round it used to be
       val step1 = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("old"),
           least(coalesce(col("nb_min"), col("cluster")), col("cluster")).as("cluster"))
       // pointer jump: follow my label's label (halves chain distance)
       val parents = step1.select(col("id").as("cluster"), col("cluster").as("pc"))
       val step2 = step1.join(parents, Seq("cluster"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("cluster"), coalesce(col("pc"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      changed = step2
-        .join(labels.select(col("id"), col("cluster").as("old")), "id")
-        .filter(col("cluster") < col("old")).count()
-      labels = step2
+      changed = step2.filter(col("cluster") < col("old")).count()
+      labels = step2.drop("old")
       iter += 1
     }
     labels
