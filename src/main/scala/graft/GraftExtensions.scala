@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DecodeDatetimeExpr, MinHash64, ShingleHashes, SimHash64}
+import graft.functions.{DecodeDatetimeExpr, MinHash64, MultimodalEncode, MultimodalMeta, ShingleHashes, ShingleStrings, SimHash64, TextStats}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -43,6 +43,23 @@ object GraftExtensions {
         case Seq(c) => ShingleHashes(c, 3)
         case _ => throw new IllegalArgumentException(
           "shingle_hashes expects (text[, int literal])")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_strings",
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(n: Int, _)) => ShingleStrings(c, n)
+        case Seq(c) => ShingleStrings(c, 3)
+        case _ => throw new IllegalArgumentException(
+          "shingle_strings expects (text[, int literal])")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("text_stats",
+      (args: Seq[Expression]) => TextStats(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("multimodal_meta",
+      (args: Seq[Expression]) => MultimodalMeta(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("multimodal_encode",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => MultimodalEncode(id, text)
+        case _ => throw new IllegalArgumentException(
+          "multimodal_encode expects (bigint, string)")
       }, "scala_udf")
   }
 }
@@ -84,6 +101,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => ShingleHashes(c, 3)
         case _ => throw new IllegalArgumentException(
           "shingle_hashes expects (text[, int literal])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_strings"),
+      info("shingle_strings",
+        "shingle_strings(text, n) - distinct word n-gram shingle strings"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(n: Int, _)) => ShingleStrings(c, n)
+        case Seq(c) => ShingleStrings(c, 3)
+        case _ => throw new IllegalArgumentException(
+          "shingle_strings expects (text[, int literal])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("text_stats"),
+      info("text_stats",
+        "text_stats(text) - one-pass quality/token/language statistics struct"),
+      (args: Seq[Expression]) => TextStats(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("multimodal_meta"),
+      info("multimodal_meta",
+        "multimodal_meta(binary) - container header decode to metadata struct"),
+      (args: Seq[Expression]) => MultimodalMeta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("multimodal_encode"),
+      info("multimodal_encode",
+        "multimodal_encode(id, text) - wrap utf8 content in the container format"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => MultimodalEncode(id, text)
+        case _ => throw new IllegalArgumentException(
+          "multimodal_encode expects (bigint, string)")
       }))
   }
 }

@@ -33,4 +33,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT decode_datetime('definitely not a date')")
       .head().isNullAt(0))
   }
+
+  test("SQL surface: text_stats, shingle_strings, multimodal encode/decode") {
+    val row = spark.sql(
+      """SELECT
+        |  text_stats('Hello world, 42 things!').n_tokens AS n_tokens,
+        |  text_stats('Hello world, 42 things!').digits AS digits,
+        |  size(shingle_strings('one two three four', 3)) AS n_shingles,
+        |  multimodal_meta(multimodal_encode(7L, 'payload bytes')).modality AS modality,
+        |  multimodal_meta(multimodal_encode(7L, 'payload bytes')).payload_bytes AS pb,
+        |  multimodal_meta(CAST('junk' AS BINARY)) AS bad
+        |""".stripMargin).head()
+    assert(row.getLong(0) == 4L)
+    assert(row.getInt(1) == 2)
+    assert(row.getInt(2) == 2)
+    assert(row.getString(3) == "audio") // 7 % 3 == 1
+    assert(row.getInt(4) == "payload bytes".length)
+    assert(row.isNullAt(5))
+  }
 }
