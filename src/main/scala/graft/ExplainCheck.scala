@@ -47,6 +47,9 @@ object ExplainCheck {
     // SRP pairs: bucket equi-join only — a cross join here is the scale bug
     audit("ann_lsh_pairs", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     audit("dedup_simhash", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // multimodal decode is a pure projection — an RDD boundary here would
+    // deserialize rows and sever column pruning below it
+    audit("mm_decode_meta", mustNotContain = Seq("Scan ExistingRDD"))
 
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression

@@ -212,18 +212,48 @@ object Similarity {
       graft.functions.NearestCentroid.nearest_centroid(col(vecCol), centroids)
         .as("cluster"))
 
+  /** Centroid indices nearest the query, by L2. */
+  def nearestCentroids(query: Seq[Double], centroids: Array[Array[Double]],
+      nProbe: Int): Seq[Int] =
+    centroids.indices
+      .sortBy { c =>
+        centroids(c).zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.take(nProbe)
+
   /** IVF top-k: probe only the `nProbe` centroids nearest the query —
     * the scan prunes to ~nProbe/k of the data (with a cluster-partitioned
-    * layout this becomes partition pruning at 100 TB). */
+    * layout this becomes partition pruning at 100 TB — [[writeIvfIndex]]). */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, centroids: Array[Array[Double]],
       nProbe: Int = 2): DataFrame = {
-    val probes = centroids.indices
-      .sortBy { c =>
-        centroids(c).zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-      }.take(nProbe).toSet
+    val probes = nearestCentroids(query, centroids, nProbe).toSet
     ivfAssign(df, idCol, vecCol, centroids)
       .filter(col("cluster").isin(probes.toSeq: _*))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialize the IVF index as a CLUSTER-PARTITIONED parquet layout:
+    * one directory per centroid (`cluster=<c>/`), assignment computed
+    * once by the distributed native argmin. This is the 100-TB shape —
+    * a probe query then reads only the `nProbe` matching directories
+    * (Spark partition pruning; the other ~`(k-nProbe)/k` of the corpus
+    * is never opened). */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit =
+    ivfAssign(df, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** Top-k over a [[writeIvfIndex]] layout: the `cluster IN (probes)`
+    * filter prunes PARTITION DIRECTORIES at planning time — verify with
+    * `.explain` (`PartitionFilters: [cluster IN (…)]`). */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Seq[Double], k: Int,
+      centroids: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+    val probes = nearestCentroids(query, centroids, nProbe)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*))
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

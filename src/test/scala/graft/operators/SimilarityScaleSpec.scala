@@ -70,6 +70,34 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(four >= 38, s"4-table recall too low: $four/40")
   }
 
+  test("IVF index layout: cluster partitioning turns nProbe into partition pruning") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = Similarity.trainCentroids(emb, "embedding", k = 8,
+      iters = 3, sampleN = 500, orderBy = "vec_id")
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val query = (0 until dim).map(j => math.sin(j + 1).toDouble)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, path)
+    // one directory per populated cluster
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cluster=")).sorted
+    assert(dirs.nonEmpty && dirs.length <= 8)
+
+    val viaIndex = Similarity.ivfTopKFromIndex(spark, path, "vec_id",
+      "embedding", query, k = 10, centroids, nProbe = 2)
+    // partition pruning is visible in the scan: cluster is a partition
+    // filter, not a data filter
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected cluster partition pruning:\n$plan")
+    // and the result matches the assign-at-query-time path exactly
+    val direct = Similarity.ivfTopK(emb, "vec_id", "embedding", query,
+      k = 10, centroids, nProbe = 2)
+    assert(viaIndex.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("portable simhash pairs agree with the native xxhash64 path on planted dups") {
     val longA = (1 to 60).map(i => s"token$i").mkString(" ")
     val longB = (1 to 60).map(i => if (i == 30) "changed" else s"token$i").mkString(" ")
