@@ -29,24 +29,18 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0, lit(0.0)).otherwise(d / nn)
-  }
+  /** Cosine similarity; 0 when either vector has zero norm. Native
+    * codegen'd kernel ([[graft.functions.CosineSim]]) — same
+    * left-to-right fold as the HOF formulation it replaced, so oracle
+    * results are bit-identical; the HOF version ran one interpreted
+    * lambda per element per candidate pair. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecOps.cosine_sim(a, b)
 
-  /** Cosine against a constant query vector with the query's norm
-    * precomputed on the driver (HOF `aggregate` over a literal array is
-    * not constant-folded, so without this the plan re-reduces the
-    * query vector per row). */
-  def cosineToQuery(vecCol: Column, query: Seq[Double]): Column = {
-    val q = array(query.map(lit): _*)
-    val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val d = dot(vecCol, q)
-    val nn = norm(vecCol) * lit(qNorm)
-    when(nn === 0, lit(0.0)).otherwise(d / nn)
-  }
+  /** Cosine against a constant query vector — query and its norm ride
+    * inside the native expression ([[graft.functions.CosineToQuery]]). */
+  def cosineToQuery(vecCol: Column, query: Seq[Double]): Column =
+    graft.functions.VecOps.cosine_to_query(vecCol, query.toArray)
 
   /** Exact top-k by cosine against a constant query vector. The query
     * vector is a literal in the plan (broadcast by construction). */
@@ -72,12 +66,15 @@ object Similarity {
   /** Sign-random-projection bucket key as a '0'/'1' bit STRING (plane
     * order): portable across engines and joins exactly like an int key.
     * At 100 TB the string key costs a few bytes more per row than a
-    * packed long — irrelevant next to the vector payload it replaces. */
-  def srpBits(vecCol: Column, dim: Int, planes: Int, table: Int = 0): Column =
-    concat((0 until planes).map { p =>
-      val plane = array((0 until dim).map(j => lit(planeComponent(table, p, j))): _*)
-      when(dot(vecCol, plane) >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    * packed long — irrelevant next to the vector payload it replaces.
+    * One native codegen'd planes×dim loop per row
+    * ([[graft.functions.SrpBits]]); the HOF formulation ran
+    * planes interpreted `aggregate` folds per row. */
+  def srpBits(vecCol: Column, dim: Int, planes: Int, table: Int = 0): Column = {
+    val flat = Array.tabulate(planes * dim)(i =>
+      planeComponent(table, i / dim, i % dim))
+    graft.functions.VecOps.srp_bits(vecCol, flat, planes, dim)
+  }
 
   /** Plane count scaled to the corpus: ~log2(n / targetBucketSize), so
     * expected bucket occupancy stays near `targetBucketSize` as n grows
