@@ -151,6 +151,27 @@ class Portal(root: String) {
     restoreProperties(items(item.id), backup)
   }
 
+  /** K8 recovery tier (`OverwriteFS.py:2533-2560`): when an overwrite
+    * fails with the portal's "job failed" outcome, the reference drops
+    * the service's layer definitions (`deleteFromDefinition`) and
+    * retries ONCE; the layer set is put back from the pre-failure
+    * snapshot afterwards (the `_checkView`-style repair). Any other
+    * error propagates unchanged. `attempt` is the overwrite action —
+    * injectable so failure behavior is testable. */
+  def overwriteWithRecovery(item: Item, fresh: DataFrame,
+      attempt: (Item, DataFrame) => Item = overwrite): Item =
+    try attempt(item, fresh)
+    catch {
+      case e: Exception if Option(e.getMessage).exists(
+          _.toLowerCase.contains("job failed")) =>
+        val snapshot = layersOf(item)
+        serviceLayers(item.id) = Nil // deleteFromDefinition
+        val out = attempt(items(item.id), fresh) // retry once; failure propagates
+        if (layersOf(out).isEmpty && snapshot.nonEmpty)
+          serviceLayers(out.id) = snapshot
+        out
+    }
+
   /** K11 — touch: bump the item (and its dependents in the reference). */
   def touch(item: Item, now: Long): Item = {
     val touched = items(item.id).copy(lastTouched = now)

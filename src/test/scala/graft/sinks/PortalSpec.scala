@@ -92,6 +92,44 @@ class PortalSpec extends AnyFunSuite {
     p2.overwrite(item2, fresh)
   }
 
+  test("'job failed' overwrite recovers once: drop layers, retry, restore (K8)") {
+    val p = newPortal()
+    val item = p.addOrRetry("svc", "Feature Service", Nil, Map())
+    p.setLayers(item, Seq(p.Layer(0, "obs"), p.Layer(1, "tracks")))
+    val fresh = Seq((1, "a")).toDF("id", "v")
+
+    var calls = 0
+    var layersAtRetry: Seq[p.Layer] = null
+    val flaky = (i: p.Item, df: org.apache.spark.sql.DataFrame) => {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("Update Service: Job Failed!")
+      layersAtRetry = p.layersOf(i) // the retry must run WITHOUT layers
+      p.overwrite(i, df)
+    }
+    val out = p.overwriteWithRecovery(item, fresh, flaky)
+    assert(calls == 2)
+    assert(layersAtRetry.isEmpty) // deleteFromDefinition happened first
+    assert(p.layersOf(out).map(_.name) == Seq("obs", "tracks")) // restored
+
+    // non-"job failed" errors propagate without a retry
+    var calls2 = 0
+    val hardFail = (_: p.Item, _: org.apache.spark.sql.DataFrame) => {
+      calls2 += 1
+      (throw new RuntimeException("401 unauthorized")): p.Item
+    }
+    intercept[RuntimeException](p.overwriteWithRecovery(item, fresh, hardFail))
+    assert(calls2 == 1)
+
+    // a second "job failed" on the retry propagates (retry is ONCE)
+    var calls3 = 0
+    val alwaysJobFail = (_: p.Item, _: org.apache.spark.sql.DataFrame) => {
+      calls3 += 1
+      (throw new RuntimeException("job failed")): p.Item
+    }
+    intercept[RuntimeException](p.overwriteWithRecovery(item, fresh, alwaysJobFail))
+    assert(calls3 == 2)
+  }
+
   test("GeoTIFF fallback: add raster item, analyze, publish Imagery Layer (K7)") {
     val p = newPortal()
     // minimal little-endian TIFF magic + padding
