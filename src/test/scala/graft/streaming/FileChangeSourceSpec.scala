@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SparkTestSession
+
+/** The S9 change-detection cascade as a REAL Structured Streaming
+  * source: offsets are (lastModified, crc32), a content change emits
+  * one row, an mtime-only touch advances the offset silently (tier-2
+  * no-op), and an untouched file plans no batch at all. */
+class FileChangeSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("filechange stream: content changes emit, touches and no-ops don't") {
+    val f: Path = Files.createTempFile("watched", ".csv")
+    Files.writeString(f, "a,b\n1,2\n")
+    Files.setLastModifiedTime(f, FileTime.fromMillis(1000000L))
+
+    val name = "fc_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("filechange")
+      .option("path", f.toString).load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1) // initial content = first change
+      val first = spark.table(name).head()
+      assert(first.getString(0) == f.toString)
+      assert(first.getLong(1) == 1000000L)
+      assert(first.getLong(3) == Files.size(f))
+
+      // untouched → no new batch
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1)
+
+      // content change (mtime moves too) → one more row
+      Files.writeString(f, "a,b\n1,2\n3,4\n")
+      Files.setLastModifiedTime(f, FileTime.fromMillis(2000000L))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2)
+
+      // mtime touch with identical bytes → offset advances, NO row
+      Files.setLastModifiedTime(f, FileTime.fromMillis(3000000L))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2)
+
+      // and a further real change still fires (the silent advance
+      // didn't wedge the offset)
+      Files.writeString(f, "a,b\n9,9\n")
+      Files.setLastModifiedTime(f, FileTime.fromMillis(4000000L))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 3)
+      val crcs = spark.table(name).select("crc").collect().map(_.getLong(0))
+      assert(crcs.distinct.length == 3) // each emitted row is a distinct content state
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
+  test("offset json round-trips through deserializeOffset") {
+    val s = new FileChangeStream("/nonexistent")
+    val off = FileChangeOffset(12345L, 67890L)
+    assert(s.deserializeOffset(off.json()) == off)
+    assert(FileChangeOffset(-1, -1).json() ==
+      """{"lastModified":-1,"crc":-1}""")
+  }
+}
