@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe: runs the heavy operator families on 1× and
+  * N× copies of the sf0.1 tables (ids remapped so the N× corpus is N×
+  * distinct rows, not N× duplicates — and separately on an
+  * all-duplicates corpus to exercise the skew caps) and prints the
+  * time ratios. A healthy operator grows ≲ N·log N; anything
+  * super-linear here would be a 100-TB red flag long before a cluster
+  * run surfaces it.
+  *
+  * Run: `SPARK_GRAFT_SCALE=8 sbt "runMain graft.ScaleProbe"`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def amplify(df: DataFrame, idCol: String, copies: Int): DataFrame = {
+      val base = df
+      val maxId = base.agg(max(col(idCol))).head().getLong(0) + 1
+      (0 until copies).map { c =>
+        base.withColumn(idCol, col(idCol) + lit(c * maxId))
+          // perturb text so copies are DISTINCT documents, not dups
+          .withColumn("text",
+            when(lit(c) === 0, col("text"))
+              .otherwise(concat(col("text"), lit(s" variant $c"))))
+      }.reduce(_ unionByName _)
+    }
+
+    def amplifyEvents(df: DataFrame, copies: Int): DataFrame = {
+      val maxId = df.agg(max(col("event_id"))).head().getLong(0) + 1
+      (0 until copies).map { c =>
+        df.withColumn("event_id", col("event_id") + lit(c * maxId))
+          .withColumn("user_id", col("user_id") + lit(c * 1000000L))
+      }.reduce(_ unionByName _)
+    }
+
+    val docs1 = Tables.load(spark, sfDir, "documents").cache()
+    docs1.count()
+    val docsN = amplify(docs1, "doc_id", n).cache()
+    docsN.count()
+    val ev1 = Tables.load(spark, sfDir, "events").cache()
+    ev1.count()
+    val evN = amplifyEvents(ev1, n).cache()
+    evN.count()
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def probe(name: String, one: => Long, many: => Long): Unit = {
+      one // warm
+      val t1 = time(one)
+      val tn = time(many)
+      println(f"[probe] $name%-28s 1x=${t1}%6.2fs  ${n}x=${tn}%7.2fs  ratio=${tn / t1}%5.1f (ideal ≤ ~$n)")
+    }
+
+    probe("minhash_lsh_pairs",
+      graft.operators.Dedup.minhashLshPairs(docs1, "text", "doc_id").count(),
+      graft.operators.Dedup.minhashLshPairs(docsN, "text", "doc_id").count())
+    probe("simhash_pairs",
+      graft.operators.Dedup.simhashPairs(docs1, "text", "doc_id").count(),
+      graft.operators.Dedup.simhashPairs(docsN, "text", "doc_id").count())
+    probe("exact_dedup",
+      graft.operators.Dedup.exact(docs1, "text", "doc_id").count(),
+      graft.operators.Dedup.exact(docsN, "text", "doc_id").count())
+    probe("text_quality",
+      graft.operators.TextAnalysis.qualitySignals(docs1, "text").count(),
+      graft.operators.TextAnalysis.qualitySignals(docsN, "text").count())
+    probe("sessionize",
+      graft.operators.Sessionize.assignSessions(ev1, "user_id", "ts", 1800L, Seq("event_id")).count(),
+      graft.operators.Sessionize.assignSessions(evN, "user_id", "ts", 1800L, Seq("event_id")).count())
+    probe("global_row_number",
+      graft.operators.Relational.globalRowNumber(ev1,
+        Seq(col("ts"), col("event_id"))).count(),
+      graft.operators.Relational.globalRowNumber(evN,
+        Seq(col("ts"), col("event_id"))).count())
+
+    // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
+    // must keep the band join bounded instead of B²-exploding
+    val dupN = (0 until n).map { c =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(c * 1000000L))
+    }.reduce(_ unionByName _).cache()
+    dupN.count()
+    val tDup = time(graft.operators.Dedup.minhashLshPairs(
+      dupN, "text", "doc_id").count())
+    println(f"[probe] minhash_on_${n}x_duplicates    ${tDup}%6.2fs (bounded by the bucket cap)")
+
+    spark.stop()
+  }
+}
