@@ -47,12 +47,16 @@ object Bench {
       val median = times(times.length / 2)
       (name, median, times.last - times.head)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def r4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + s }
+    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + r4(s) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"iters":$iterations,"sf":"$sfDir"}""")
+    // Spreads first on their own line; the medians line LAST so a tail
+    // capture of the stream always retains the acceptance signal.
+    println(s"""{"metric":"spread","spread":$spreads,"iters":$iterations}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"iters":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

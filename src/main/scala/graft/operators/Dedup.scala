@@ -343,9 +343,12 @@ object Dedup {
 
   /** Embedding cosine near-dup: candidate pairs whose cosine similarity
     * exceeds `threshold`, generated through Similarity's LSH buckets to
-    * avoid the all-pairs product. */
+    * avoid the all-pairs product. Defaults inherit the scale-safe
+    * settings: adaptive plane count (`planes = 0`) and the per-bucket
+    * skew cap ON (`maxBucket = 1000`). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 12, tables: Int = 2): DataFrame =
-    Similarity.lshCandidatePairs(df, idCol, vecCol, planes, tables)
+      threshold: Double, planes: Int = 0, tables: Int = 2,
+      maxBucket: Int = 1000): DataFrame =
+    Similarity.lshCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket)
       .filter(col("cosine") >= threshold)
 }

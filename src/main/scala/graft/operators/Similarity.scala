@@ -92,11 +92,17 @@ object Similarity {
     * to the (much smaller) deduped candidate set afterwards, keeping
     * the widest shuffle payload minimal.
     *
-    * `planes = 0` → adaptive from the table's row count.
-    * `maxBucket > 0` caps pair generation per bucket (first `maxBucket`
-    * members by id; drops are logged) — the skew guard at 100 TB. */
+    * `planes = 0` (the default) → adaptive from the table's row count:
+    * a FIXED plane count caps bucket cardinality forever (2^planes), so
+    * at 10¹⁰ rows every bucket holds millions of vectors and pair
+    * generation goes quadratic. `maxBucket > 0` (default 1000) caps
+    * pair generation per bucket (first `maxBucket` members by id; drops
+    * surface as the `dropped_members` observed metric) — the skew guard
+    * at 100 TB, ON by default like the text-LSH paths. Callers that
+    * need bit-reproducible candidate sets (oracle gates) pin an
+    * explicit plane count. */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 12, tables: Int = 2, maxBucket: Int = 0): DataFrame = {
+      planes: Int = 0, tables: Int = 2, maxBucket: Int = 1000): DataFrame = {
     val dim = firstVectorLength(df, vecCol)
     val nPlanes = if (planes > 0) planes else adaptivePlanes(df.count())
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),

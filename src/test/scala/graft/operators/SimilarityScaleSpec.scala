@@ -46,6 +46,37 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(ids.max == 10L)
   }
 
+  test("DEFAULT args are scale-safe: 10k duplicate vectors stay bounded with drops observed") {
+    // All-duplicates corpus — the web-boilerplate worst case. With the
+    // defaults (adaptive planes, maxBucket = 1000) the single hot bucket
+    // per table is capped: pairs = C(1000, 2) instead of C(10000, 2),
+    // and the drop count surfaces as the observed metric.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var observed: Option[Long] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("srp_cap_"))
+            observed = Some(row.getAs[Long]("dropped_members"))
+        }
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dup = (1L to 10000L).map(i => (i, Array(0.3f, -1.2f, 0.8f, 2.1f)))
+        .toDF("id", "vec")
+      val n = Similarity.lshCandidatePairs(dup, "id", "vec").count()
+      assert(n == 1000L * 999 / 2, s"expected C(1000,2) capped pairs, got $n")
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (observed.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      // 9000 dropped per table × 2 tables per evaluation; the self-join
+      // may evaluate the capped subtree once (reused exchange) or twice.
+      assert(observed.exists(d => d > 0 && d % 18000L == 0), s"observed=$observed")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("multi-table OR-construction finds pairs a single table can miss") {
     // near-identical pairs (small angle): per-table hit prob < 1, so
     // with enough planted pairs the 4-table union strictly dominates
