@@ -143,11 +143,28 @@ class Portal(root: String) {
 
   /** K8 — overwrite with property transactionality: verify refusal
     * tiers → backup → replace data → restore. Unchanged-data
-    * short-circuit belongs to the caller (Nrt.tableFingerprint). */
+    * short-circuit belongs to the caller (Nrt.tableFingerprint).
+    *
+    * GeoPackage tier (`OverwriteFS.py:2481-2493`): when the service's
+    * backing item (its Service2Data relation) is a GeoPackage, the
+    * manager road is unavailable — overwrite routes through the FILE
+    * item instead: update its stored container with the fresh data,
+    * then re-publish the service from it (`dataItem.update(data)` +
+    * `publish(overwrite=True, file_type)`), under the SAME
+    * backup/restore envelope. */
   def overwrite(item: Item, fresh: DataFrame): Item = {
     verifyOverwrite(item)
     val backup = backupProperties(items(item.id))
-    fresh.write.mode(SaveMode.Overwrite).parquet(dataPath(item))
+    relatedItems(item).find(_.itemType == "GeoPackage") match {
+      case Some(dataItem) =>
+        // dataItem.update(data): the file item's container gets the bytes
+        fresh.write.mode(SaveMode.Overwrite).parquet(dataPath(dataItem))
+        // publish(overwrite=True): the service re-derives from the file
+        fresh.sparkSession.read.parquet(dataPath(dataItem))
+          .write.mode(SaveMode.Overwrite).parquet(dataPath(item))
+      case None =>
+        fresh.write.mode(SaveMode.Overwrite).parquet(dataPath(item))
+    }
     restoreProperties(items(item.id), backup)
   }
 
@@ -205,6 +222,8 @@ class Portal(root: String) {
     viewSources(view.id) = target.id
   def viewTarget(view: Item): Option[String] = viewSources.get(view.id)
   def relate(a: Item, bs: Seq[Item]): Unit = related(a.id) = bs.map(_.id)
+  def relatedItems(item: Item): Seq[Item] =
+    related.getOrElse(item.id, Nil).flatMap(items.get)
 
   /** `getFeatureServiceTarget` (`OverwriteFS.py:1131-1283`): of the view's
     * EXACTLY-2 related services, return the inactive one (the one the

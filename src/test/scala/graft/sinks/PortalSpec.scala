@@ -64,6 +64,40 @@ class PortalSpec extends AnyFunSuite {
     assert(restored.indexes.map(_._1) == Seq("idx_id"))     // deduped + size-limited
   }
 
+  test("GeoPackage backing item routes overwrite through update+publish (K8 tier)") {
+    val p = newPortal()
+    var svc = p.addOrRetry("gpkg svc", "Feature Service", Nil, Map())
+    p.publish(svc, Seq(Seq((1L, "old")).toDF("id", "v")))
+    svc = p.updateServiceProps(svc, Map("maxRecordCount" -> "1000",
+      "hasLiveData" -> "true"))
+    // the service's backing file item is a GeoPackage (Service2Data)
+    val gpkg = p.addOrRetry("gpkg file", "GeoPackage", Nil, Map())
+    p.relate(svc, Seq(gpkg))
+
+    val fresh = Seq((2L, "new"), (3L, "newer")).toDF("id", "v")
+    val restored = p.overwrite(svc, fresh)
+
+    // alternate route: the FILE item's container got the bytes first,
+    // and the service re-derived from it
+    val fileData = spark.read.parquet(p.dataPath(gpkg))
+    assert(fileData.count() == 2 &&
+      fileData.select("v").as[String].collect().toSet == Set("new", "newer"))
+    val svcData = spark.read.parquet(p.dataPath(svc))
+    assert(svcData.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // property restore still applies under the alternate route
+    assert(restored.serviceProps("maxRecordCount") == "1000")
+    assert(restored.serviceProps("hasLiveData") == "false")
+
+    // a service WITHOUT a GeoPackage backing item takes the manager
+    // road: its related file item's container is never created
+    var plain = p.addOrRetry("plain svc", "Feature Service", Nil, Map())
+    p.publish(plain, Seq(Seq((1L, "o")).toDF("id", "v")))
+    val csvItem = p.addOrRetry("csv file", "CSV", Nil, Map())
+    p.relate(plain, Seq(csvItem))
+    p.overwrite(plain, fresh)
+    assert(!new java.io.File(p.dataPath(csvItem)).exists())
+  }
+
   test("overwrite refuses when a dependent view has change tracking enabled") {
     val p = newPortal()
     val item = p.addOrRetry("svc", "Feature Service", Nil, Map())
