@@ -80,7 +80,10 @@ class PortalTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PortalWriteBuilder(root, title,
       Option(options.get("tags")).map(_.split(",").toSeq).getOrElse(Nil),
-      options.getBoolean("ifChanged", true), info.schema())
+      options.getBoolean("ifChanged", true), info.schema(),
+      Option(options.get("portalUrl")),
+      Option(options.get("username")).getOrElse(""),
+      Option(options.get("password")).getOrElse(""))
 
   /** Read side: the ACTIVE slot's partition files, one InputPartition
     * per file, with column pruning. The slot pointer resolves at scan
@@ -179,12 +182,14 @@ class PortalReaderFactory(fullSchema: StructType, required: StructType)
   * append-mode requests are accepted and treated identically — the K6
   * chunk-append pattern collapses to one union'd write upstream. */
 class PortalWriteBuilder(root: String, title: String, tags: Seq[String],
-    ifChanged: Boolean, schema: StructType)
+    ifChanged: Boolean, schema: StructType, portalUrl: Option[String] = None,
+    username: String = "", password: String = "")
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder = this
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new PortalBatchWrite(root, title, tags, ifChanged, schema)
+      new PortalBatchWrite(root, title, tags, ifChanged, schema,
+        portalUrl, username, password)
   }
 }
 
@@ -192,21 +197,29 @@ case class PortalCommitMessage(path: String, rows: Long, xor: Long,
     sum: Long) extends WriterCommitMessage
 
 class PortalBatchWrite(root: String, title: String, tags: Seq[String],
-    ifChanged: Boolean, schema: StructType) extends BatchWrite {
+    ifChanged: Boolean, schema: StructType, portalUrl: Option[String] = None,
+    username: String = "", password: String = "") extends BatchWrite {
 
   private val stagingDir = s"$root/.staging-${UUID.randomUUID()}"
+
+  /** All control-plane (and slot data-plane) calls go through the ONE
+    * portal seam; `portalUrl` selects the live REST backend while the
+    * executors keep staging to the local filesystem — pointing the sink
+    * at a real portal is an option change, not a rewrite. */
+  private def transport: PortalTransport =
+    portalUrl.map(u => PortalTransport(u, username, password))
+      .getOrElse(PortalTransport(root))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new PortalWriterFactory(stagingDir, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[PortalCommitMessage])
-    val portal = Portal.forRoot(root)
-    val item = portal.findByTitle(title).getOrElse(
-      portal.addOrRetry(title, "Feature Service", Seq("erddap2agol") ++ tags,
-        Map.empty))
+    val t = transport
+    val item = t.findByTitle(title).getOrElse(
+      t.addOrRetry(title, "Feature Service", Seq("erddap2agol") ++ tags))
     // refusal tiers run before ANY portal mutation (OverwriteFS.py:2093-2106)
-    try portal.verifyOverwrite(item)
+    try PortalTransport.verifyOverwrite(t, item.id)
     catch { case e: Throwable => deleteRecursively(Path.of(stagingDir)); throw e }
 
     // distributed change fingerprint from the per-task moments
@@ -219,29 +232,22 @@ class PortalBatchWrite(root: String, title: String, tags: Seq[String],
     val rows = msgs.foldLeft(0L)(_ + _.rows)
     val fp = (mix(xor) ^ mix(sum + 0x9E3779B97F4A7C15L) ^ mix(rows)).toString
 
-    if (ifChanged && portal.itemById(item.id).serviceProps.get("fingerprint")
-        .contains(fp)) {
+    if (ifChanged && t.props(item.id).get("fingerprint").contains(fp)) {
       deleteRecursively(Path.of(stagingDir)) // unchanged → no-op publish
       return
     }
 
-    val backup = portal.backupProperties(portal.itemById(item.id))
-    val active = portal.itemById(item.id).serviceProps.getOrElse("activeSlot", "b")
+    val backup = t.backupProperties(item.id)
+    val active = t.props(item.id).getOrElse("activeSlot", "b")
     val inactive = if (active == "a") "b" else "a"
-    val slotDir = Path.of(root, item.id, inactive)
-    deleteRecursively(slotDir)
-    Files.createDirectories(slotDir)
-    msgs.filter(_.path.nonEmpty).foreach { m =>
-      val src = Path.of(m.path)
-      Files.move(src, slotDir.resolve(src.getFileName),
-        StandardCopyOption.ATOMIC_MOVE)
-    }
+    t.replaceData(item.id, inactive,
+      msgs.filter(_.path.nonEmpty).map(m => Path.of(m.path)).toSeq)
     deleteRecursively(Path.of(stagingDir))
-    portal.restoreProperties(portal.itemById(item.id), backup)
-    portal.updateServiceProps(portal.itemById(item.id), Map(
+    t.restoreProperties(item.id, backup)
+    t.update(item.id, Map(
       "activeSlot" -> inactive, "fingerprint" -> fp, "rows" -> rows.toString,
       "schema" -> schema.json)) // read path resolves the layout from here
-    portal.touch(portal.itemById(item.id), System.currentTimeMillis())
+    t.touch(item.id, System.currentTimeMillis())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -5,6 +5,8 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.time.Duration
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 /** ArcGIS-sharing-REST client (`java.net.http`) — the live transport
@@ -98,13 +100,54 @@ class PortalRestClient(root: String, username: String, password: String,
       n.path("type").asText(), tags)
   }
 
-  /** S12/S13 — tag search with the reference's query grammar: all tags
-    * must match (`update_manager.py:30-46`). */
-  def searchByTags(tags: Seq[String], maxItems: Int = 5000): Seq[ItemRef] = {
-    val q = tags.map(t => s"""tags:"$t"""").mkString(" AND ")
+  /** Raw search with the sharing-REST query grammar. */
+  def search(q: String, maxItems: Int = 5000): Seq[ItemRef] = {
     val node = get("/search", Seq("q" -> q, "num" -> maxItems.toString))
     (0 until node.path("results").size())
       .map(i => parseItem(node.path("results").get(i)))
+  }
+
+  /** S12/S13 — tag search with the reference's query grammar: all tags
+    * must match (`update_manager.py:30-46`). */
+  def searchByTags(tags: Seq[String], maxItems: Int = 5000): Seq[ItemRef] =
+    search(tags.map(t => s"""tags:"$t"""").mkString(" AND "), maxItems)
+
+  /** Exact-title lookup via the `title:"…"` query (the grammar matches
+    * loosely, so the exact-equality filter happens client-side). */
+  def findByTitle(title: String): Option[ItemRef] =
+    search(s"""title:"$title"""").find(_.title == title)
+
+  /** GET /content/items/<id> — the item resource; returns its
+    * `properties` object as a string map (AGOL's free-form key-values). */
+  def itemProps(itemId: String): Map[String, String] = {
+    val node = get(s"/content/items/$itemId", Nil)
+    if (node.has("error"))
+      throw new java.io.IOException(s"item $itemId: $node")
+    val props = node.path("properties")
+    props.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  /** GET /content/items/<id>/relatedItems (Service2Service forward). */
+  def relatedItems(itemId: String,
+      relationshipType: String = "Service2Service"): Seq[ItemRef] = {
+    val node = get(s"/content/items/$itemId/relatedItems",
+      Seq("relationshipType" -> relationshipType, "direction" -> "forward"))
+    (0 until node.path("relatedItems").size())
+      .map(i => parseItem(node.path("relatedItems").get(i)))
+  }
+
+  /** POST addRelationship / deleteRelationship — idempotence is the
+    * server's ("already exists" / "not found" outcomes are success,
+    * like the reference's trapped REST errors). */
+  def relate(originId: String, destId: String, unRelate: Boolean = false,
+      relationshipType: String = "Service2Service"): Boolean = {
+    val route = if (unRelate) "deleteRelationship" else "addRelationship"
+    val node = post(s"/content/users/$username/$route", Seq(
+      "originItemId" -> originId, "destinationItemId" -> destId,
+      "relationshipType" -> relationshipType))
+    node.path("success").asBoolean(false) ||
+      node.path("error").path("message").asText("").matches(
+        ".*(already exists|not found).*")
   }
 
   /** Raw addItem — surfaces the portal's 409 on a title conflict. */
@@ -122,11 +165,16 @@ class PortalRestClient(root: String, username: String, password: String,
   /** K5 — the reference's 409-retry loop: on "409 … already exists",
     * retry with `title_1`, `title_2`, …; anything else rethrows. */
   def addOrRetry(title: String, itemType: String, tags: Seq[String],
-      maxAttempts: Int = 10): String = {
+      maxAttempts: Int = 10): String =
+    addOrRetryWithTitle(title, itemType, tags, maxAttempts)._1
+
+  /** [[addOrRetry]] variant also returning the title that won. */
+  def addOrRetryWithTitle(title: String, itemType: String, tags: Seq[String],
+      maxAttempts: Int = 10): (String, String) = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val candidate = if (attempt == 0) title else s"${title}_$attempt"
-      try return addItem(candidate, itemType, tags)
+      try return (addItem(candidate, itemType, tags), candidate)
       catch {
         case e: java.io.IOException
             if e.getMessage.contains("409") &&
@@ -137,6 +185,33 @@ class PortalRestClient(root: String, username: String, password: String,
     throw new IllegalStateException("Max attempts reached for adding item with retry.")
   }
 
+  /** Upload item DATA as text (the sharing API's `text` update field —
+    * how the reference ships CSV/GeoJSON payloads before publish). */
+  def updateData(itemId: String, text: String): Boolean = {
+    val node = post(s"/content/users/$username/items/$itemId/update",
+      Seq("text" -> text))
+    node.path("success").asBoolean(false)
+  }
+
+  /** GET /content/items/<id>/data — the raw stored payload (verbatim,
+    * not a JSON envelope; only token errors come back as JSON). */
+  def itemData(itemId: String): String = {
+    val node = withToken { t =>
+      val q = form(Seq("token" -> t))
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/content/items/$itemId/data?$q"))
+          .timeout(Duration.ofSeconds(readTimeoutSec)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val body = resp.body()
+      val parsed = try mapper.readTree(body) catch { case _: Exception => null }
+      if (parsed != null && parsed.has("error")) parsed
+      else mapper.createObjectNode().put("data", body)
+    }
+    if (node.has("error"))
+      throw new java.io.IOException(s"itemData $itemId: $node")
+    node.path("data").asText()
+  }
+
   /** Item property update (also the K11 touch vehicle). */
   def update(itemId: String, props: Map[String, String]): Boolean = {
     val node = post(s"/content/users/$username/items/$itemId/update",
@@ -145,12 +220,45 @@ class PortalRestClient(root: String, username: String, password: String,
   }
 
   /** Publish an uploaded item as a hosted service; returns the service
-    * item id. */
+    * item id. An async publish (response carries a `jobId`) is awaited
+    * with the escalating-backoff poll before returning. */
   def publish(itemId: String): String = {
     val node = post(s"/content/users/$username/items/$itemId/publish", Nil)
     val services = node.path("services")
     if (services.size() == 0)
       throw new java.io.IOException(s"publish returned no services: $node")
-    services.get(0).path("serviceItemId").asText()
+    val svc = services.get(0)
+    val svcId = svc.path("serviceItemId").asText()
+    val jobId = svc.path("jobId").asText("")
+    if (jobId.nonEmpty) awaitJob(svcId, jobId)
+    svcId
+  }
+
+  /** Escalating-backoff poll of an async portal job — the reference's
+    * sleep ladder around job status (`OverwriteFS.py:185-248`): start
+    * at 0.25 s, double each poll, cap at 15 s, until the status route
+    * reports `completed` (returned) or `failed` (IOException with the
+    * job's statusMessage, the shape the "job failed" recovery tier
+    * string-matches on). `sleeper` is injectable for tests. */
+  def awaitJob(itemId: String, jobId: String, maxWaitSec: Long = 600,
+      sleeper: Long => Unit = Thread.sleep): String = {
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var delayMs = 250L
+    while (true) {
+      val node = get(s"/content/users/$username/items/$itemId/status",
+        Seq("jobId" -> jobId, "jobType" -> "publish"))
+      node.path("status").asText("") match {
+        case "completed" => return "completed"
+        case "failed" => throw new java.io.IOException(
+          "job failed: " + node.path("statusMessage").asText(""))
+        case _ =>
+          if (System.nanoTime() > deadline)
+            throw new java.io.IOException(
+              s"job $jobId timed out after ${maxWaitSec}s")
+          sleeper(delayMs)
+          delayMs = math.min(delayMs * 2, 15000L)
+      }
+    }
+    "completed" // unreachable
   }
 }

@@ -1,0 +1,215 @@
+package graft.sinks
+
+/** The ONE portal seam (SURVEY.md §2.2): every publish-side flow —
+  * the DSv2 sink commit, NRT refresh, tag recovery — drives this
+  * trait, and the backend is picked by SCHEME exactly like
+  * [[graft.sources.erddap.ErddapTransport]]:
+  *
+  *   - `http(s)://…` → [[RestPortalTransport]] over the live
+  *     ArcGIS-sharing-REST client ([[PortalRestClient]]);
+  *   - anything else → [[LocalPortalTransport]] over the in-JVM
+  *     [[Portal]] model rooted at that directory.
+  *
+  * A real deployment is therefore a URL change, not a rewrite — the
+  * reference's whole publish flow drives the live SDK the same way
+  * (`agol_wrangler.py:475-723`).
+  *
+  * The surface is the control-plane the flows actually use (lookup,
+  * K5 add-retry, property get/update, K9 backup/restore, publish,
+  * Service2Service relations, K11 touch) plus ONE data-plane call,
+  * [[PortalTransport#replaceData]], which is where overwrite bytes
+  * flow (local: atomic moves into the slot directory; REST: item
+  * data upload + publish, the `dataItem.update(data)` road).
+  */
+trait PortalTransport {
+  import PortalTransport.Ref
+
+  def findByTitle(title: String): Option[Ref]
+  def searchByTags(tags: Seq[String], maxItems: Int = 5000): Seq[Ref]
+
+  /** K5 — create with the 409-conflict rename loop (`title_1`…). */
+  def addOrRetry(title: String, itemType: String, tags: Seq[String],
+      maxAttempts: Int = 10): Ref
+
+  /** Free-form item properties (fingerprint, activeSlot, schema, …). */
+  def props(itemId: String): Map[String, String]
+
+  /** Merge properties into the item (the sharing API's update call). */
+  def update(itemId: String, props: Map[String, String]): Unit
+
+  /** K9 — snapshot the restorable properties before an overwrite. */
+  def backupProperties(itemId: String): Map[String, String]
+
+  /** K9 — reapply the snapshot after an overwrite (hasLiveData forced
+    * false, like the reference's timeInfo restore). */
+  def restoreProperties(itemId: String, backup: Map[String, String]): Unit
+
+  /** Publish the item as a hosted service; returns the service id. */
+  def publish(itemId: String): String
+
+  /** Service2Service link maintenance (idempotent both directions). */
+  def relate(originId: String, destId: String, unRelate: Boolean = false): Unit
+  def related(itemId: String): Seq[Ref]
+
+  /** K11 — touch. */
+  def touch(itemId: String, now: Long): Unit
+
+  /** Replace the item's served data for `slot` with the staged files. */
+  def replaceData(itemId: String, slot: String,
+      files: Seq[java.nio.file.Path]): Unit
+}
+
+object PortalTransport {
+  case class Ref(id: String, title: String, itemType: String, tags: Seq[String])
+
+  /** Scheme-selected backend; credentials only matter for http(s). */
+  def apply(root: String, username: String = "", password: String = ""): PortalTransport =
+    if (root.startsWith("http://") || root.startsWith("https://"))
+      new RestPortalTransport(new PortalRestClient(root, username, password))
+    else new LocalPortalTransport(Portal.forRoot(root), root)
+
+  /** Overwrite refusal tiers (`OverwriteFS.py:2093-2106`), expressed
+    * over the seam so both backends refuse identically: a dependent
+    * view with change tracking enabled, or a dependent WFS service,
+    * blocks the overwrite with the reference's exact outcomes. */
+  def verifyOverwrite(t: PortalTransport, itemId: String): Unit = {
+    if (t.props(itemId).get("hasChangeTrackingEnabledViews").contains("true"))
+      throw new IllegalStateException(
+        "Overwrite on Service is NOT allowed, a dependent View or Service " +
+          "has Change Tracking Enabled!")
+    if (t.related(itemId).exists(_.itemType == "WFS"))
+      throw new IllegalStateException(
+        "Overwrite on Service is NOT allowed, a dependent WFS Service exists!")
+  }
+}
+
+/** Local backend: delegates to the in-JVM [[Portal]] model (which also
+  * keeps the richer K9 index semantics the string-map surface can't
+  * carry). Data lands under `root/<itemId>/<slot>/` via atomic moves. */
+class LocalPortalTransport(portal: Portal, root: String) extends PortalTransport {
+  import PortalTransport.Ref
+
+  private def ref(i: portal.Item): Ref = Ref(i.id, i.title, i.itemType, i.tags)
+
+  override def findByTitle(title: String): Option[Ref] =
+    portal.findByTitle(title).map(ref)
+
+  override def searchByTags(tags: Seq[String], maxItems: Int): Seq[Ref] =
+    portal.allItems.filter(i => tags.forall(i.tags.contains))
+      .take(maxItems).map(ref)
+
+  override def addOrRetry(title: String, itemType: String, tags: Seq[String],
+      maxAttempts: Int): Ref =
+    ref(portal.addOrRetry(title, itemType, tags, Map.empty, maxAttempts))
+
+  override def props(itemId: String): Map[String, String] =
+    portal.itemById(itemId).serviceProps
+
+  override def update(itemId: String, props: Map[String, String]): Unit =
+    portal.updateServiceProps(portal.itemById(itemId), props)
+
+  override def backupProperties(itemId: String): Map[String, String] =
+    portal.backupProperties(portal.itemById(itemId)).serviceProps
+
+  override def restoreProperties(itemId: String, backup: Map[String, String]): Unit = {
+    // full model restore (service props + index dedupe + key limits)
+    val item = portal.itemById(itemId)
+    portal.restoreProperties(item,
+      portal.Backup(backup, portal.backupProperties(item).indexes))
+  }
+
+  override def publish(itemId: String): String = {
+    val src = portal.itemById(itemId)
+    val svc = portal.addOrRetry(s"${src.title} (service)", "Feature Service",
+      src.tags, Map.empty)
+    portal.relate(svc, Seq(src))
+    svc.id
+  }
+
+  override def relate(originId: String, destId: String, unRelate: Boolean): Unit =
+    portal.updateRelationships(portal.itemById(originId),
+      Seq(portal.itemById(destId)), unRelate)
+
+  override def related(itemId: String): Seq[Ref] =
+    portal.relatedItems(portal.itemById(itemId)).map(ref)
+
+  override def touch(itemId: String, now: Long): Unit =
+    portal.touch(portal.itemById(itemId), now)
+
+  override def replaceData(itemId: String, slot: String,
+      files: Seq[java.nio.file.Path]): Unit = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val slotDir = Path.of(root, itemId, slot)
+    if (Files.exists(slotDir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(slotDir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(slotDir)
+    files.foreach(f => Files.move(f, slotDir.resolve(f.getFileName),
+      StandardCopyOption.ATOMIC_MOVE))
+  }
+}
+
+/** Live backend over the sharing-REST client. Data replacement is the
+  * reference's GeoPackage/file road: upload the payload as item data
+  * (`update(text=…)`), slot recorded in properties — one service holds
+  * one live payload, A/B being two services in the reference. */
+class RestPortalTransport(client: PortalRestClient) extends PortalTransport {
+  import PortalTransport.Ref
+
+  private def ref(i: client.ItemRef): Ref = Ref(i.id, i.title, i.itemType, i.tags)
+
+  override def findByTitle(title: String): Option[Ref] =
+    client.findByTitle(title).map(ref)
+
+  override def searchByTags(tags: Seq[String], maxItems: Int): Seq[Ref] =
+    client.searchByTags(tags, maxItems).map(ref)
+
+  override def addOrRetry(title: String, itemType: String, tags: Seq[String],
+      maxAttempts: Int): Ref = {
+    val (id, wonTitle) = client.addOrRetryWithTitle(title, itemType, tags, maxAttempts)
+    Ref(id, wonTitle, itemType, tags)
+  }
+
+  override def props(itemId: String): Map[String, String] =
+    client.itemProps(itemId)
+
+  override def update(itemId: String, props: Map[String, String]): Unit = {
+    if (!client.update(itemId, props))
+      throw new java.io.IOException(s"update failed for $itemId")
+  }
+
+  override def backupProperties(itemId: String): Map[String, String] =
+    client.itemProps(itemId)
+
+  override def restoreProperties(itemId: String, backup: Map[String, String]): Unit =
+    update(itemId, backup + ("hasLiveData" -> "false"))
+
+  override def publish(itemId: String): String = client.publish(itemId)
+
+  override def relate(originId: String, destId: String, unRelate: Boolean): Unit = {
+    if (!client.relate(originId, destId, unRelate))
+      throw new java.io.IOException(s"relate failed: $originId -> $destId")
+  }
+
+  override def related(itemId: String): Seq[Ref] =
+    client.relatedItems(itemId).map(ref)
+
+  override def touch(itemId: String, now: Long): Unit = {
+    // the sharing API has no dedicated touch; an empty update bumps
+    // `modified`, which is exactly how the reference touches items
+    client.update(itemId, Map.empty)
+    ()
+  }
+
+  override def replaceData(itemId: String, slot: String,
+      files: Seq[java.nio.file.Path]): Unit = {
+    val payload = files.map(f =>
+      new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)).mkString
+    if (!client.updateData(itemId, payload))
+      throw new java.io.IOException(s"data upload failed for $itemId")
+    files.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+}

@@ -101,6 +101,38 @@ object Nrt {
   def activePath(sinkRoot: String, datasetId: String, activeSlot: String): String =
     s"$sinkRoot/$datasetId/$activeSlot"
 
+  /** [[refreshDataset]] driven through the ONE portal seam
+    * ([[graft.sinks.PortalTransport]]): the control state (fingerprint,
+    * active slot) lives in the portal item's properties instead of a
+    * control-table row, so the SAME flow runs against the local model
+    * or a live portal — the reference's tag-recovered item state
+    * (`update_manager.py:30-84`) with Spark doing the data plane.
+    * Unchanged data still touches the item (the reference touches
+    * dependents even on no-op, `OverwriteFS.py:2670-2686`). */
+  def refreshViaPortal(spark: SparkSession, datasetId: String, fresh: DataFrame,
+      transport: graft.sinks.PortalTransport, sinkRoot: String,
+      now: Long = System.currentTimeMillis()): RefreshOutcome = {
+    val item = transport.findByTitle(datasetId).getOrElse(
+      transport.addOrRetry(datasetId, "Feature Service",
+        Seq("erddap2agol", s"did_$datasetId")))
+    val stored = transport.props(item.id).get("fingerprint").map(_.toLong)
+    val fp = tableFingerprint(fresh)
+    if (stored.contains(fp)) {
+      transport.touch(item.id, now)
+      RefreshOutcome(datasetId, changed = false, fp, -1L)
+    } else {
+      val active = transport.props(item.id).getOrElse("activeSlot", "b")
+      val inactive = if (active == "a") "b" else "a"
+      val path = s"$sinkRoot/$datasetId/$inactive"
+      fresh.write.mode(SaveMode.Overwrite).parquet(path)
+      val n = spark.read.parquet(path).count()
+      transport.update(item.id, Map(
+        "activeSlot" -> inactive, "fingerprint" -> fp.toString))
+      transport.touch(item.id, now)
+      RefreshOutcome(datasetId, changed = true, fp, n)
+    }
+  }
+
   /** Apply refresh outcomes to the control table: flip the slot and
     * store the new fingerprint for changed datasets; touch
     * `last_refresh` for all attempted ones (the reference touches

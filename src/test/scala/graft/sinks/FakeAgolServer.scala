@@ -1,0 +1,175 @@
+package graft.sinks
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Localhost ArcGIS-sharing-REST fixture: exposes a [[Portal]] model
+  * instance through the documented REST routes so the live client and
+  * the [[RestPortalTransport]] can be exercised over real sockets.
+  * Errors ride HTTP 200 with an `error` body, AGOL-style. */
+class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
+    val tokenValue: String = "tok-12345") {
+
+  /** Item data payloads stored via `update(text=…)`. */
+  val dataStore = collection.mutable.Map.empty[String, String]
+
+  /** Async-job knobs: when `jobPollsUntilDone > 0`, publish responses
+    * carry a jobId whose status stays `processing` for that many polls
+    * before `completed` (or `failed` when `failJobs` is set). */
+  @volatile var jobPollsUntilDone = 0
+  @volatile var failJobs = false
+  val jobPolls = collection.mutable.Map.empty[String, Int]
+
+  private val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+
+  private def reply(ex: HttpExchange, body: String): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, b.length)
+    ex.getResponseBody.write(b); ex.close()
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val raw =
+      if (ex.getRequestMethod == "POST")
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      else Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  private def jstr(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def itemJson(i: portal.Item): String = {
+    val props = i.serviceProps.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString(",")
+    s"""{"id":${jstr(i.id)},"title":${jstr(i.title)},"type":${jstr(i.itemType)},""" +
+      s""""tags":[${i.tags.map(jstr).mkString(",")}],"properties":{$props}}"""
+  }
+
+  private def requireToken(p: Map[String, String], ex: HttpExchange)(ok: => Unit): Unit =
+    if (!p.get("token").contains(tokenValue))
+      reply(ex, """{"error":{"code":499,"message":"Token Required"}}""")
+    else ok
+
+  srv.createContext("/sharing/rest/generateToken", (ex: HttpExchange) => {
+    val p = params(ex)
+    if (p.get("username").contains(user) && p.get("password").contains(pass))
+      reply(ex, s"""{"token":${jstr(tokenValue)},"expires":9999999999}""")
+    else reply(ex, """{"error":{"code":400,"message":"Invalid credentials"}}""")
+  })
+
+  srv.createContext("/sharing/rest/search", (ex: HttpExchange) => {
+    val p = params(ex)
+    requireToken(p, ex) {
+      val q = p.getOrElse("q", "")
+      val tags = "tags:\"([^\"]+)\"".r.findAllMatchIn(q).map(_.group(1)).toSeq
+      val titles = "title:\"([^\"]+)\"".r.findAllMatchIn(q).map(_.group(1)).toSeq
+      val num = p.getOrElse("num", "5000").toInt
+      val hits = portal.allItems
+        .filter(i => tags.forall(i.tags.contains))
+        .filter(i => titles.forall(t => i.title.contains(t)))
+        .take(num)
+      reply(ex, s"""{"total":${hits.size},"results":[${hits.map(itemJson).mkString(",")}]}""")
+    }
+  })
+
+  // item resource, relatedItems, data
+  srv.createContext("/sharing/rest/content/items/", (ex: HttpExchange) => {
+    val p = params(ex)
+    requireToken(p, ex) {
+      val path = ex.getRequestURI.getPath.stripPrefix("/sharing/rest/content/items/")
+      path.split("/").toList match {
+        case id :: Nil =>
+          portal.allItems.find(_.id == id) match {
+            case Some(i) => reply(ex, itemJson(i))
+            case None => reply(ex, s"""{"error":{"code":400,"message":"Item '$id' not found"}}""")
+          }
+        case id :: "relatedItems" :: Nil =>
+          val rel = portal.allItems.find(_.id == id)
+            .map(portal.relatedItems).getOrElse(Nil)
+          reply(ex, s"""{"relatedItems":[${rel.map(itemJson).mkString(",")}]}""")
+        case id :: "data" :: Nil =>
+          val body = dataStore.getOrElse(id, "")
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        case other =>
+          reply(ex, s"""{"error":{"code":400,"message":"Unknown route ${other.mkString("/")}"}}""")
+      }
+    }
+  })
+
+  srv.createContext(s"/sharing/rest/content/users/", (ex: HttpExchange) => {
+    val p = params(ex)
+    requireToken(p, ex) {
+      val path = ex.getRequestURI.getPath
+        .stripPrefix(s"/sharing/rest/content/users/$user/")
+      path match {
+        case "addItem" =>
+          val title = p.getOrElse("title", "")
+          if (portal.findByTitle(title).isDefined)
+            // the live portal's filename-conflict shape the reference
+            // string-matches on (agol_wrangler.py:549-551)
+            reply(ex, s"""{"error":{"code":409,"message":"Item '${title}' already exists"}}""")
+          else {
+            val tags = p.getOrElse("tags", "").split(",").filter(_.nonEmpty).toSeq
+            val item = portal.addOrRetry(title, p.getOrElse("type", ""), tags, Map())
+            reply(ex, s"""{"success":true,"id":${jstr(item.id)}}""")
+          }
+        case "addRelationship" | "deleteRelationship" =>
+          val origin = p.getOrElse("originItemId", "")
+          val dest = p.getOrElse("destinationItemId", "")
+          (portal.allItems.find(_.id == origin), portal.allItems.find(_.id == dest)) match {
+            case (Some(o), Some(d)) =>
+              portal.updateRelationships(o, Seq(d),
+                unRelate = path == "deleteRelationship")
+              reply(ex, """{"success":true}""")
+            case _ =>
+              reply(ex, """{"error":{"code":400,"message":"relationship item not found"}}""")
+          }
+        case p2 if p2.endsWith("/update") =>
+          val id = p2.stripSuffix("/update").stripPrefix("items/")
+          val props = p - "token" - "f" - "text"
+          p.get("text").foreach(dataStore(id) = _)
+          if (props.nonEmpty)
+            portal.updateServiceProps(portal.itemById(id), props)
+          portal.touch(portal.itemById(id), System.currentTimeMillis())
+          reply(ex, s"""{"success":true,"id":${jstr(id)}}""")
+        case p2 if p2.endsWith("/publish") =>
+          val id = p2.stripSuffix("/publish").stripPrefix("items/")
+          val src = portal.itemById(id)
+          val svc = portal.addOrRetry(s"${src.title} (service)",
+            "Feature Service", src.tags, Map())
+          portal.relate(svc, Seq(src))
+          val job =
+            if (jobPollsUntilDone > 0) { jobPolls(s"job-${svc.id}") = 0
+              s""","jobId":${jstr(s"job-${svc.id}")}""" }
+            else ""
+          reply(ex, s"""{"services":[{"serviceItemId":${jstr(svc.id)},"success":true$job}]}""")
+        case p2 if p2.endsWith("/status") =>
+          val jobId = p.getOrElse("jobId", "")
+          val polls = jobPolls.getOrElse(jobId, 0) + 1
+          jobPolls(jobId) = polls
+          if (polls <= jobPollsUntilDone)
+            reply(ex, """{"status":"processing","statusMessage":"..."}""")
+          else if (failJobs)
+            reply(ex, """{"status":"failed","statusMessage":"Job failed."}""")
+          else reply(ex, """{"status":"completed","statusMessage":"done"}""")
+        case other =>
+          reply(ex, s"""{"error":{"code":400,"message":"Unknown route $other"}}""")
+      }
+    }
+  })
+
+  srv.start()
+  val base: String = s"http://127.0.0.1:${srv.getAddress.getPort}"
+
+  def stop(): Unit = srv.stop(0)
+}

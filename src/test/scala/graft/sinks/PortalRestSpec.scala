@@ -1,18 +1,14 @@
 package graft.sinks
 
-import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.SparkTestSession
 
 /** The AGOL surfaces over a REAL ArcGIS-sharing-REST transport: a
-  * localhost server exposes a [[Portal]] instance through the
-  * documented REST routes, and [[PortalRestClient]] must reproduce the
-  * model's behaviors over actual sockets — token login, tag search
-  * parity, the 409-retry add loop, update/touch, publish. */
+  * localhost server ([[FakeAgolServer]]) exposes a [[Portal]] instance
+  * through the documented REST routes, and [[PortalRestClient]] must
+  * reproduce the model's behaviors over actual sockets — token login,
+  * tag search parity, the 409-retry add loop, update/touch, publish. */
 class PortalRestSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -20,94 +16,11 @@ class PortalRestSpec extends AnyFunSuite {
   val pass = "fixture-pass"
   val tokenValue = "tok-12345"
 
-  lazy val portal = new Portal(
-    java.nio.file.Files.createTempDirectory("portal_rest").toString)
-
-  /** Fixture server speaking the sharing-REST grammar over the model. */
-  lazy val base: String = {
-    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    def reply(ex: HttpExchange, body: String): Unit = {
-      val b = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", "application/json")
-      ex.sendResponseHeaders(200, b.length) // AGOL errors ride 200 + error body
-      ex.getResponseBody.write(b); ex.close()
-    }
-    def params(ex: HttpExchange): Map[String, String] = {
-      val raw =
-        if (ex.getRequestMethod == "POST")
-          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        else Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      raw.split("&").filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        java.net.URLDecoder.decode(k, "UTF-8") ->
-          java.net.URLDecoder.decode(v, "UTF-8")
-      }.toMap
-    }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def itemJson(i: portal.Item): String =
-      s"""{"id":${jstr(i.id)},"title":${jstr(i.title)},"type":${jstr(i.itemType)},
-         |"tags":[${i.tags.map(jstr).mkString(",")}]}""".stripMargin.replace("\n", "")
-    def requireToken(p: Map[String, String], ex: HttpExchange)(ok: => Unit): Unit =
-      if (!p.get("token").contains(tokenValue))
-        reply(ex, """{"error":{"code":499,"message":"Token Required"}}""")
-      else ok
-
-    srv.createContext("/sharing/rest/generateToken", (ex: HttpExchange) => {
-      val p = params(ex)
-      if (p.get("username").contains(user) && p.get("password").contains(pass))
-        reply(ex, s"""{"token":${jstr(tokenValue)},"expires":9999999999}""")
-      else reply(ex, """{"error":{"code":400,"message":"Invalid credentials"}}""")
-    })
-    srv.createContext("/sharing/rest/search", (ex: HttpExchange) => {
-      val p = params(ex)
-      requireToken(p, ex) {
-        // q = tags:"a" AND tags:"b"
-        val tags = "tags:\"([^\"]+)\"".r.findAllMatchIn(p.getOrElse("q", ""))
-          .map(_.group(1)).toSeq
-        val num = p.getOrElse("num", "5000").toInt
-        val hits = portal.allItems
-          .filter(i => tags.forall(i.tags.contains)).take(num)
-        reply(ex, s"""{"total":${hits.size},"results":[${hits.map(itemJson).mkString(",")}]}""")
-      }
-    })
-    srv.createContext(s"/sharing/rest/content/users/$user/", (ex: HttpExchange) => {
-      val p = params(ex)
-      requireToken(p, ex) {
-        val path = ex.getRequestURI.getPath
-          .stripPrefix(s"/sharing/rest/content/users/$user/")
-        path match {
-          case "addItem" =>
-            val title = p.getOrElse("title", "")
-            if (portal.findByTitle(title).isDefined)
-              // the live portal's filename-conflict shape the reference
-              // string-matches on (agol_wrangler.py:549-551)
-              reply(ex, s"""{"error":{"code":409,"message":"Item '${title}' already exists"}}""")
-            else {
-              val tags = p.getOrElse("tags", "").split(",").filter(_.nonEmpty).toSeq
-              val item = portal.addOrRetry(title, p.getOrElse("type", ""), tags, Map())
-              reply(ex, s"""{"success":true,"id":${jstr(item.id)}}""")
-            }
-          case p2 if p2.endsWith("/update") =>
-            val id = p2.stripSuffix("/update").stripPrefix("items/")
-            val props = p - "token" - "f"
-            portal.updateServiceProps(portal.itemById(id), props)
-            portal.touch(portal.itemById(id), System.currentTimeMillis())
-            reply(ex, s"""{"success":true,"id":${jstr(id)}}""")
-          case p2 if p2.endsWith("/publish") =>
-            val id = p2.stripSuffix("/publish").stripPrefix("items/")
-            val src = portal.itemById(id)
-            val svc = portal.addOrRetry(s"${src.title} (service)",
-              "Feature Service", src.tags, Map())
-            portal.relate(svc, Seq(src))
-            reply(ex, s"""{"services":[{"serviceItemId":${jstr(svc.id)},"success":true}]}""")
-          case other =>
-            reply(ex, s"""{"error":{"code":400,"message":"Unknown route $other"}}""")
-        }
-      }
-    })
-    srv.start()
-    s"http://127.0.0.1:${srv.getAddress.getPort}"
-  }
+  lazy val server = new FakeAgolServer(
+    new Portal(java.nio.file.Files.createTempDirectory("portal_rest").toString),
+    user, pass, tokenValue)
+  lazy val portal = server.portal
+  lazy val base: String = server.base
 
   def client() = new PortalRestClient(base, user, pass)
 
@@ -162,6 +75,39 @@ class PortalRestSpec extends AnyFunSuite {
     val svcId = c.publish(id)
     val svc = portal.itemById(svcId)
     assert(svc.itemType == "Feature Service" && svc.title == "To publish (service)")
+  }
+
+  test("async publish polls the job with the escalating backoff ladder") {
+    val c = client()
+    server.jobPollsUntilDone = 3 // 3 'processing' polls before completion
+    try {
+      val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val id = c.addOrRetry("Async pub", "CSV", Seq("tjob"))
+      // publish awaits the job internally (real sleeps: 0.25+0.5+1 s)
+      val svcId = c.publish(id)
+      assert(portal.itemById(svcId).itemType == "Feature Service")
+
+      // direct awaitJob with injected sleeper: assert the 0.25→15 s
+      // doubling ladder shape without real sleeping
+      server.jobPolls("job-x") = -10 // 11 'processing' polls before done
+      server.jobPollsUntilDone = 1
+      val out = c.awaitJob("item-x", "job-x", sleeper = delays.append(_))
+      assert(out == "completed")
+      assert(delays.take(7).toSeq ==
+        Seq(250L, 500L, 1000L, 2000L, 4000L, 8000L, 15000L))
+      assert(delays.drop(6).forall(_ == 15000L)) // capped at the 15 s rung
+    } finally server.jobPollsUntilDone = 0
+  }
+
+  test("a failed job surfaces the portal's 'job failed' outcome") {
+    val c = client()
+    server.jobPollsUntilDone = 1
+    server.failJobs = true
+    try {
+      val id = c.addOrRetry("Failing pub", "CSV", Seq("tjobf"))
+      val e = intercept[java.io.IOException](c.publish(id))
+      assert(e.getMessage.toLowerCase.contains("job failed"))
+    } finally { server.failJobs = false; server.jobPollsUntilDone = 0 }
   }
 
   test("expired token is re-minted transparently (498/499 path)") {

@@ -1,0 +1,148 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SparkTestSession
+import graft.streaming.Nrt
+
+/** The ONE portal seam, exercised with the SAME scenarios against both
+  * backends: the in-JVM [[Portal]] model (directory root) and the live
+  * REST client over a localhost sharing-REST server (http root). The
+  * factory's scheme selection is part of what's under test. */
+class PortalTransportSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def localTransport(): PortalTransport =
+    PortalTransport(java.nio.file.Files.createTempDirectory("pt_local").toString)
+
+  private def restTransport(): PortalTransport = {
+    val server = new FakeAgolServer(
+      new Portal(java.nio.file.Files.createTempDirectory("pt_rest").toString),
+      "gcoos", "fixture-pass")
+    PortalTransport(server.base, "gcoos", "fixture-pass")
+  }
+
+  private def scenarios(name: String, mk: () => PortalTransport): Unit = {
+    test(s"[$name] factory selects the backend by scheme") {
+      val t = mk()
+      if (name == "rest") assert(t.isInstanceOf[RestPortalTransport])
+      else assert(t.isInstanceOf[LocalPortalTransport])
+    }
+
+    test(s"[$name] addOrRetry renames on title conflict: _1, _2") {
+      val t = mk()
+      val a = t.addOrRetry("Dup", "CSV", Seq("t1"))
+      val b = t.addOrRetry("Dup", "CSV", Seq("t1"))
+      val c = t.addOrRetry("Dup", "CSV", Seq("t1"))
+      assert(Seq(a, b, c).map(_.title) == Seq("Dup", "Dup_1", "Dup_2"))
+      assert(Seq(a, b, c).map(_.id).distinct.size == 3)
+      assert(t.findByTitle("Dup_1").map(_.id).contains(b.id))
+    }
+
+    test(s"[$name] tag search uses AND semantics") {
+      val t = mk()
+      t.addOrRetry("A", "Feature Service", Seq("erddap2agol", "did_a"))
+      t.addOrRetry("B", "Feature Service", Seq("erddap2agol", "did_b"))
+      assert(t.searchByTags(Seq("erddap2agol")).size == 2)
+      assert(t.searchByTags(Seq("erddap2agol", "did_b")).map(_.title) == Seq("B"))
+      assert(t.searchByTags(Seq("erddap2agol", "nope")).isEmpty)
+    }
+
+    test(s"[$name] props update merges; backup/restore forces hasLiveData=false") {
+      val t = mk()
+      val item = t.addOrRetry("Props", "Feature Service", Nil)
+      t.update(item.id, Map("snippet" -> "s1", "hasLiveData" -> "true"))
+      assert(t.props(item.id)("snippet") == "s1")
+      val backup = t.backupProperties(item.id)
+      t.update(item.id, Map("snippet" -> "overwritten"))
+      t.restoreProperties(item.id, backup)
+      val restored = t.props(item.id)
+      assert(restored("snippet") == "s1")
+      assert(restored("hasLiveData") == "false") // K9's timeInfo reset
+    }
+
+    test(s"[$name] relations: relate/related/unrelate; verifyOverwrite refuses WFS dependents") {
+      val t = mk()
+      val svc = t.addOrRetry("Svc", "Feature Service", Nil)
+      val wfs = t.addOrRetry("Wfs dep", "WFS", Nil)
+      t.relate(svc.id, wfs.id)
+      assert(t.related(svc.id).map(_.id) == Seq(wfs.id))
+      val e = intercept[IllegalStateException](
+        PortalTransport.verifyOverwrite(t, svc.id))
+      assert(e.getMessage.contains("dependent WFS Service exists"))
+      t.relate(svc.id, wfs.id, unRelate = true)
+      assert(t.related(svc.id).isEmpty)
+      PortalTransport.verifyOverwrite(t, svc.id) // no longer refused
+    }
+
+    test(s"[$name] verifyOverwrite refuses change-tracking-enabled views") {
+      val t = mk()
+      val svc = t.addOrRetry("Tracked", "Feature Service", Nil)
+      t.update(svc.id, Map("hasChangeTrackingEnabledViews" -> "true"))
+      val e = intercept[IllegalStateException](
+        PortalTransport.verifyOverwrite(t, svc.id))
+      assert(e.getMessage.contains("Change Tracking Enabled"))
+    }
+
+    test(s"[$name] publish creates the hosted service, related to its source") {
+      val t = mk()
+      val src = t.addOrRetry("To publish", "CSV", Seq("tp"))
+      val svcId = t.publish(src.id)
+      assert(svcId.nonEmpty && svcId != src.id)
+      assert(t.related(svcId).map(_.id).contains(src.id))
+    }
+
+    test(s"[$name] Nrt.refreshViaPortal: publish, no-op on unchanged, slot flip on change") {
+      import spark.implicits._
+      val t = mk()
+      val sink = java.nio.file.Files.createTempDirectory("nrt_pt").toString
+      val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+
+      val r1 = Nrt.refreshViaPortal(spark, "ds1", v1, t, sink)
+      assert(r1.changed && r1.rows == 2)
+      val item = t.findByTitle("ds1").get
+      val slot1 = t.props(item.id)("activeSlot")
+
+      // same data → fingerprint match → no-op, slot unchanged
+      val r2 = Nrt.refreshViaPortal(spark, "ds1", v1, t, sink)
+      assert(!r2.changed && t.props(item.id)("activeSlot") == slot1)
+
+      // changed data → slot flips, fingerprint advances
+      val r3 = Nrt.refreshViaPortal(spark, "ds1",
+        Seq((1, "a"), (2, "CHANGED")).toDF("id", "v"), t, sink)
+      assert(r3.changed && t.props(item.id)("activeSlot") != slot1)
+      assert(t.props(item.id)("fingerprint") == r3.newFingerprint.toString)
+      val active = Nrt.activePath(sink, "ds1", t.props(item.id)("activeSlot"))
+      assert(spark.read.parquet(active).count() == 2)
+    }
+  }
+
+  scenarios("local", () => localTransport())
+  scenarios("rest", () => restTransport())
+
+  test("DSv2 sink commit drives the REST backend when portalUrl is set") {
+    import spark.implicits._
+    val server = new FakeAgolServer(
+      new Portal(java.nio.file.Files.createTempDirectory("pt_sink_rest").toString),
+      "gcoos", "fixture-pass")
+    val root = java.nio.file.Files.createTempDirectory("pt_sink_stage").toString
+    Seq((1, "x"), (2, "y")).toDF("id", "v")
+      .repartition(1)
+      .write.format("portal")
+      .option("root", root).option("item", "Rest published")
+      .option("portalUrl", server.base)
+      .option("username", "gcoos").option("password", "fixture-pass")
+      .mode("append").save()
+    // control plane landed on the REMOTE portal, not a local model
+    val item = server.portal.findByTitle("Rest published").get
+    val props = server.portal.itemById(item.id).serviceProps
+    assert(props("rows") == "2" && props.contains("fingerprint"))
+    assert(props("activeSlot").nonEmpty)
+    // data plane rode the item-data upload road
+    val payload = server.dataStore(item.id)
+    assert(payload.contains("1,x") && payload.contains("2,y"))
+    // no slot directories appeared under the local staging root
+    val local = new java.io.File(root).listFiles()
+    assert(local == null || local.isEmpty)
+  }
+}
