@@ -61,6 +61,71 @@ class FileChangeSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("filechange stream over HTTP: HEAD is tier-1, GET+CRC is tier-2") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var body = "a,b\n1,2\n"
+    @volatile var lastModified = "Wed, 01 Jan 2025 00:00:00 GMT"
+    @volatile var heads = 0
+    @volatile var gets = 0
+    srv.createContext("/data.csv", (ex: HttpExchange) => {
+      ex.getResponseHeaders.add("Last-Modified", lastModified)
+      if (ex.getRequestMethod == "HEAD") {
+        heads += 1
+        ex.sendResponseHeaders(200, -1); ex.close()
+      } else {
+        gets += 1
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    srv.start()
+    val url = s"http://127.0.0.1:${srv.getAddress.getPort}/data.csv"
+
+    val name = "fc_http_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("filechange")
+      .option("path", url).load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1) // initial content = first change
+      val first = spark.table(name).head()
+      assert(first.getString(0) == url)
+      assert(first.getLong(1) == 1735689600000L) // the Last-Modified header
+      assert(first.getLong(3) == body.getBytes("UTF-8").length)
+
+      // untouched → tier-1 HEADs happen, but NO further GET and no batch
+      val getsBefore = gets
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1)
+      assert(gets == getsBefore, "unchanged Last-Modified must not pay a GET")
+      assert(heads > 0)
+
+      // content change with a new Last-Modified → one more row
+      body = "a,b\n1,2\n3,4\n"
+      lastModified = "Thu, 02 Jan 2025 00:00:00 GMT"
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2)
+
+      // header touch with identical bytes → offset advances, NO row
+      lastModified = "Fri, 03 Jan 2025 00:00:00 GMT"
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 2)
+
+      // and a further real change still fires
+      body = "a,b\n9,9\n"
+      lastModified = "Sat, 04 Jan 2025 00:00:00 GMT"
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 3)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      srv.stop(0)
+    }
+  }
+
   test("offset json round-trips through deserializeOffset") {
     val s = new FileChangeStream("/nonexistent")
     val off = FileChangeOffset(12345L, 67890L)
