@@ -107,13 +107,59 @@ class HttpErddapTransport(
   override def fetchGriddap(url: String): Array[Byte] =
     getBytes(rebase(url, "griddap"))
 
-  override def griddapHeader(datasetId: String): graft.sources.griddap.GridNc.Grid =
-    // The full-file fetch is the fixture-compatible metadata path; a
-    // deployment against a large remote grid should serve a trimmed
-    // header object at this route instead (the codec only reads what
-    // the response contains).
-    graft.sources.griddap.GridNc.read(
-      getBytes(URI.create(s"$root/files/$datasetId.nc")))
+  private val ddsVarRe =
+    "(Float32|Float64|Int32|Int16|UInt16|Byte)\\s+(\\w+)((?:\\[\\w+ = \\d+\\])+);".r
+  private val ddsDimRe = "\\[(\\w+) = (\\d+)\\]".r
+
+  /** Bounded metadata probe — O(header + coordinate axes) bytes, never
+    * the data payload (the reference probes `.das`/`.dds` only,
+    * `data_wrangler.py:238-266`; a multi-GB remote grid must not be
+    * downloaded to PLAN a scan):
+    *
+    *  1. `griddap/<id>.dds` → structure: dims with lengths, data
+    *     variables with their dim lists and storage type;
+    *  2. one tiny `griddap/<id>.nc?<coord>` request PER coordinate
+    *     axis → the coord values the hyperslab compiler needs
+    *     (O(sum of axis lengths), vs O(product) for the data).
+    *
+    * Data variables carry EMPTY value arrays — the scan never reads
+    * them from the header; partition readers fetch hyperslab bytes.
+    * A server without the `.dds` route falls back to the full-file
+    * road (`files/<id>.nc`) for fixture compatibility. */
+  override def griddapHeader(datasetId: String): graft.sources.griddap.GridNc.Grid = {
+    import graft.sources.griddap.GridNc
+    val ddsText =
+      try getString(URI.create(s"$root/griddap/$datasetId.dds"))
+      catch { case _: Exception =>
+        return GridNc.read(getBytes(URI.create(s"$root/files/$datasetId.nc")))
+      }
+    val entries = ddsVarRe.findAllMatchIn(ddsText).map { m =>
+      (m.group(1), m.group(2),
+        ddsDimRe.findAllMatchIn(m.group(3))
+          .map(d => (d.group(1), d.group(2).toInt)).toSeq)
+    }.toSeq
+    require(entries.nonEmpty, s"unparseable DDS for $datasetId:\n$ddsText")
+
+    val dims = collection.mutable.LinkedHashMap.empty[String, Int]
+    entries.foreach(_._3.foreach { case (n, len) => dims.getOrElseUpdate(n, len) })
+    val dimList = dims.toSeq
+    val dimIdx = dimList.map(_._1).zipWithIndex.toMap
+
+    def isCoord(e: (String, String, Seq[(String, Int)])): Boolean =
+      e._3.length == 1 && e._3.head._1 == e._2
+
+    val coordVars = entries.filter(isCoord).distinctBy(_._2).map { e =>
+      val values = GridNc.read(
+        getBytes(URI.create(s"$root/griddap/$datasetId.nc?${e._2}")))
+        .coord(e._2)
+      GridNc.Var(e._2, e._3.map(d => dimIdx(d._1)), e._1 == "Float32", values)
+    }
+    val dataVars = entries.filterNot(isCoord).distinctBy(_._2).map { e =>
+      GridNc.Var(e._2, e._3.map(d => dimIdx(d._1)), e._1 == "Float32",
+        Array.emptyDoubleArray)
+    }
+    GridNc.Grid(dimList, coordVars ++ dataVars)
+  }
 
   private val rowDimRe = "(?m)^\\s*(?:row|obs)\\s*=\\s*(\\d+)\\s*;".r
 

@@ -52,6 +52,27 @@ object GridNc {
     def isRecordVar(v: Var): Boolean = recordDim.exists(v.dims.headOption.contains)
   }
 
+  /** Render the grid's STRUCTURE as an OPeNDAP DDS document — the
+    * bounded metadata ERDDAP serves at `griddap/<id>.dds`. Coordinate
+    * variables lead; each data variable is a DAP Grid with its MAPS.
+    * This is what the HTTP transport's header probe parses instead of
+    * fetching the whole file. */
+  def dds(g: Grid, name: String): String = {
+    def typ(v: Var) = if (v.isFloat) "Float32" else "Float64"
+    def dimsOf(v: Var) =
+      v.dims.map(d => s"[${g.dims(d)._1} = ${g.dims(d)._2}]").mkString
+    val coords = g.dims.flatMap { case (dn, _) => g.vars.find(_.name == dn) }
+    val coordLines = coords.map(v => s"  ${typ(v)} ${v.name}${dimsOf(v)};")
+    val gridBlocks = g.dataVars.map { v =>
+      val maps = v.dims.flatMap(d => g.vars.find(_.name == g.dims(d)._1))
+        .map(c => s"      ${typ(c)} ${c.name}${dimsOf(c)};")
+      s"  Grid {\n    ARRAY:\n      ${typ(v)} ${v.name}${dimsOf(v)};\n" +
+        s"    MAPS:\n${maps.mkString("\n")}\n  } ${v.name};"
+    }
+    (Seq("Dataset {") ++ coordLines ++ gridBlocks ++ Seq(s"} $name;"))
+      .mkString("\n")
+  }
+
   private def pad4(n: Int): Int = (4 - n % 4) % 4
   private def nameBytes(s: String): Array[Byte] = s.getBytes("UTF-8")
   private def nameFieldLen(s: String): Int = {

@@ -54,8 +54,27 @@ class HttpTransportSpec extends AnyFunSuite {
           Array.tabulate(nlon)(i => -95.0 + i)),
         GridNc.Var("sst", Seq(0, 1, 2), isFloat = false,
           Array.tabulate(nt * nlat * nlon)(_ * 0.5))))))
+    // a deliberately LARGE grid (~1.6 MB of data payload) for the
+    // bounded-header-probe assertion
+    val (bt, blat, blon) = (100, 50, 40)
+    Files.write(d.resolve("grid2.nc"), GridNc.write(GridNc.Grid(
+      dims = Seq(("time", bt), ("latitude", blat), ("longitude", blon)),
+      vars = Seq(
+        GridNc.Var("time", Seq(0), isFloat = false,
+          Array.tabulate(bt)(i => (t0 + i * 3600L).toDouble)),
+        GridNc.Var("latitude", Seq(1), isFloat = false,
+          Array.tabulate(blat)(i => 20.0 + i * 0.1)),
+        GridNc.Var("longitude", Seq(2), isFloat = false,
+          Array.tabulate(blon)(i => -95.0 + i * 0.1)),
+        GridNc.Var("sst", Seq(0, 1, 2), isFloat = false,
+          Array.tabulate(bt * blat * blon)(_ * 0.5))))))
     d
   }
+
+  // bytes served by the griddap route + hits on the full-file route,
+  // for the bounded-probe assertion
+  val griddapBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  val filesHits = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Fixture HTTP server: the SAME request grammar LocalErddapServer
     * executes, served over real sockets. Routes mirror ERDDAP's:
@@ -84,12 +103,20 @@ class HttpTransportSpec extends AnyFunSuite {
     })
     srv.createContext("/griddap/", (ex: HttpExchange) => {
       try {
-        val url = "http://fixture" + ex.getRequestURI.getPath + "?" +
-          ex.getRequestURI.getRawQuery
-        reply(ex, 200, local.fetchGriddap(url))
+        val path = ex.getRequestURI.getPath
+        val body =
+          if (path.endsWith(".dds")) {
+            val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".dds")
+            GridNc.dds(local.griddapHeader(id), id).getBytes("UTF-8")
+          } else
+            local.fetchGriddap(
+              "http://fixture" + path + "?" + ex.getRequestURI.getRawQuery)
+        griddapBytes.addAndGet(body.length)
+        reply(ex, 200, body)
       } catch { case e: Exception => reply(ex, 500, e.toString.getBytes("UTF-8")) }
     })
     srv.createContext("/files/", (ex: HttpExchange) => {
+      filesHits.incrementAndGet()
       val name = ex.getRequestURI.getPath.substring("/files/".length)
       val f = dir.resolve(name)
       if (Files.exists(f)) reply(ex, 200, Files.readAllBytes(f))
@@ -159,6 +186,32 @@ class HttpTransportSpec extends AnyFunSuite {
     val viaLocal = read(dir.toString).orderBy("time", "latitude", "longitude").collect()
     assert(viaHttp.length == 4 * 3 * 2)
     assert(viaHttp.toSeq == viaLocal.toSeq)
+  }
+
+  test("griddap header probe is bounded: DDS + coord axes, never the payload") {
+    val t = new HttpErddapTransport(base, retryDelayMs = 10)
+    val fullSize = Files.size(dir.resolve("grid2.nc"))
+    assert(fullSize > 1500000L) // the payload the probe must NOT fetch
+
+    val before = griddapBytes.get()
+    val filesBefore = filesHits.get()
+    val header = t.griddapHeader("grid2")
+    val probeBytes = griddapBytes.get() - before
+
+    // structure matches the local header exactly
+    val localHeader = new LocalErddapServer(dir.toString).griddapHeader("grid2")
+    assert(header.dims == localHeader.dims)
+    assert(header.dataVars.map(_.name) == Seq("sst"))
+    Seq("time", "latitude", "longitude").foreach { c =>
+      assert(header.coord(c).toSeq == localHeader.coord(c).toSeq, c)
+    }
+    // data variables ride with NO values — the probe never fetched them
+    assert(header.dataVars.head.values.isEmpty)
+
+    // O(header): DDS + 3 coordinate axes ≪ the 3.2 MB payload
+    assert(probeBytes < 100000L,
+      s"header probe transferred $probeBytes bytes (full file: $fullSize)")
+    assert(filesHits.get() == filesBefore, "probe must not hit the full-file route")
   }
 
   test("griddap bbox pushdown slices server-side over HTTP") {
