@@ -3,19 +3,25 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Empirical scaling probe: runs the heavy operator families on 1× and
+/** Empirical scaling AUDIT: runs the heavy operator families on 1× and
   * N× copies of the sf0.1 tables (ids remapped so the N× corpus is N×
   * distinct rows, not N× duplicates — and separately on an
-  * all-duplicates corpus to exercise the skew caps) and prints the
-  * time ratios. A healthy operator grows ≲ N·log N; anything
-  * super-linear here would be a 100-TB red flag long before a cluster
-  * run surfaces it.
+  * all-duplicates corpus to exercise the skew caps) and FAILS (exit 1,
+  * like ExplainCheck) when any family's time ratio exceeds the
+  * N*(1+log2 N) budget. A healthy operator grows ≲ N*log N; anything
+  * super-linear here is a 100-TB red flag long before a cluster run
+  * surfaces it — a quadratic pattern at N=8 shows up as ~N² ≈ 64×,
+  * far past the budget of ~32×.
   *
   * Run: `SPARK_GRAFT_SCALE=8 sbt "runMain graft.ScaleProbe"`.
+  * `SPARK_GRAFT_SCALE_BUDGET` overrides the ratio budget (e.g. a tiny
+  * value demonstrates the red path).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+    val budget = sys.env.get("SPARK_GRAFT_SCALE_BUDGET").map(_.toDouble)
+      .getOrElse(n * (1 + math.log(n) / math.log(2)))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -56,14 +62,23 @@ object ScaleProbe {
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def probe(name: String, one: => Long, many: => Long): Unit = {
+    val failures = collection.mutable.ListBuffer.empty[String]
+    def probe(name: String, one: => Long, many: => Long): Double = {
       one // warm
       val t1 = time(one)
       val tn = time(many)
-      println(f"[probe] $name%-28s 1x=${t1}%6.2fs  ${n}x=${tn}%7.2fs  ratio=${tn / t1}%5.1f (ideal ≤ ~$n)")
+      // sub-300ms baselines are dominated by job-launch noise; the
+      // ratio denominator is floored so a 0.05s → 0.4s jump (fixed
+      // overhead, not data growth) cannot fail the audit
+      val ratio = tn / math.max(t1, 0.3)
+      val verdict = if (ratio <= budget) "ok" else "FAIL"
+      println(f"[probe] $name%-28s 1x=${t1}%6.2fs  ${n}x=${tn}%7.2fs  ratio=${ratio}%5.1f (budget <= ${budget}%.0f) $verdict")
+      if (ratio > budget)
+        failures += f"$name: ratio $ratio%.1f exceeds N*(1+log2 N) budget $budget%.1f"
+      t1
     }
 
-    probe("minhash_lsh_pairs",
+    val tMinhash1 = probe("minhash_lsh_pairs",
       graft.operators.Dedup.minhashLshPairs(docs1, "text", "doc_id").count(),
       graft.operators.Dedup.minhashLshPairs(docsN, "text", "doc_id").count())
     probe("simhash_pairs",
@@ -92,8 +107,17 @@ object ScaleProbe {
     dupN.count()
     val tDup = time(graft.operators.Dedup.minhashLshPairs(
       dupN, "text", "doc_id").count())
-    println(f"[probe] minhash_on_${n}x_duplicates    ${tDup}%6.2fs (bounded by the bucket cap)")
+    val dupRatio = tDup / math.max(tMinhash1, 0.3)
+    val dupVerdict = if (dupRatio <= budget) "ok" else "FAIL"
+    println(f"[probe] minhash_on_${n}x_duplicates    ${tDup}%6.2fs  ratio=${dupRatio}%5.1f (budget <= ${budget}%.0f, cap-bounded) $dupVerdict")
+    if (dupRatio > budget)
+      failures += f"minhash_on_duplicates: ratio $dupRatio%.1f exceeds budget $budget%.1f — is the skew cap off?"
 
     spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach(f => println(s"[probe] FAILED: $f"))
+      sys.exit(1)
+    }
+    println(s"[probe] ALL FAMILIES WITHIN THE N*(1+log2 N) BUDGET (N=$n, budget=${budget.round})")
   }
 }
