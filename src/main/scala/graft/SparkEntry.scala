@@ -539,6 +539,32 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // ---- dedup: C4-style cross-document span dedup (10-token windows,
+    //      first occurrence wins, documents reassembled) ----
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.dedupSpans(t(s, dir, "documents"), "text", "doc_id", span = 10)),
+
+    // ---- text: Gopher-style repetition quality signals ----
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- text: PII scrub with removal counts. The corpus carries no
+    //      PII, so contact strings are synthesized from doc_id inline —
+    //      the scrub (and its oracle) must find and redact ALL of them ----
+    "text_pii_scrub" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      TextAnalysis.scrubPii(withPii, "text")
+        .select(col("doc_id"), col("text_clean"), col("n_emails"), col("n_phones"))
+    }),
+
+    // ---- text: deterministic portable hash sampling (20% bucket) ----
+    "sample_by_hash" -> ((s, dir) =>
+      TextAnalysis.sampleByHash(t(s, dir, "documents"), "doc_id", pct = 20)
+        .select(col("doc_id"), col("source"))),
+
     // ---- S8 griddap scan: NetCDF-classic transport + hyperslab
     //      pushdown through the DSv2 connector (deterministic fixture;
     //      the oracle recomputes the same grid from range()) ----
@@ -1072,6 +1098,72 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+    "dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        | idx AS (
+        |  SELECT doc_id, l,
+        |         unnest(range(CAST(ceil(len(l) / 10.0) AS INT))) AS pos
+        |  FROM toks),
+        | chunks AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(l[pos * 10 + 1 : pos * 10 + 10], ' ') AS chunk
+        |  FROM idx),
+        | ranked AS (
+        |  SELECT doc_id, pos, chunk,
+        |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM chunks)
+        |SELECT doc_id,
+        |       string_agg(chunk, ' ' ORDER BY pos) AS text_deduped,
+        |       CAST(count(*) AS BIGINT) AS n_spans_kept
+        |FROM ranked WHERE rn = 1
+        |GROUP BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        | uc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY doc_id, tok),
+        | u AS (
+        |  SELECT doc_id,
+        |         round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |           AS top_unigram_frac
+        |  FROM uc GROUP BY doc_id),
+        | bc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(len(l) - 1),
+        |             i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+        |    FROM toks) GROUP BY doc_id, bg),
+        | b AS (
+        |  SELECT doc_id,
+        |         round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |           AS dup_bigram_frac
+        |  FROM bc GROUP BY doc_id)
+        |SELECT u.doc_id, u.top_unigram_frac,
+        |       coalesce(b.dup_bigram_frac, 0.0) AS dup_bigram_frac
+        |FROM u LEFT JOIN b ON u.doc_id = b.doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |           '@example.com or 555-' ||
+        |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS text_clean,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM withpii""".stripMargin,
+    "sample_by_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 < 20""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_lsh_pairs" ->
       s"""$srpPairSql

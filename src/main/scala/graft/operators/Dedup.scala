@@ -341,6 +341,40 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-document SPAN dedup (the C4 recipe adapted to whitespace
+    * tokens): cut every document into consecutive `span`-token windows,
+    * keep each distinct window only at its FIRST occurrence in
+    * (`idCol`, position) order, and reassemble documents from their
+    * surviving spans. Repeated boilerplate (headers, license blocks,
+    * injected templates) disappears from every copy but the first while
+    * unique prose is untouched.
+    *
+    * Scale shape: one explode, one window shuffle on the span text
+    * (same skew profile as [[exact]]'s fingerprint window), one
+    * groupBy-reassemble on the doc id — no pairwise step at all, so
+    * dedup cost is linear in corpus size. Documents whose every span
+    * was seen earlier vanish entirely (the reference C4 behavior for
+    * fully-duplicated members). */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String,
+      span: Int = 10): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nChunks = ceil(size(toks).cast("double") / span).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * span + 1, lit(span)), " "))
+    val exploded = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("_id"), col("pos"))
+    exploded.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col("_id").as(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk"))).as("text_deduped"),
+        count(lit(1)).as("n_spans_kept"))
+  }
+
   /** Embedding cosine near-dup: candidate pairs whose cosine similarity
     * exceeds `threshold`, generated through Similarity's LSH buckets to
     * avoid the all-pairs product. Defaults inherit the scale-safe

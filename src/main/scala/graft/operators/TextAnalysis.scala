@@ -122,4 +122,68 @@ object TextAnalysis {
     * alnum-only) md5 — the exact-dup key that survives formatting noise. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Repetition signals (the Gopher-style quality filters for
+    * machine-generated/spammy text):
+    *   - `top_unigram_frac`: share of tokens taken by the single most
+    *     frequent token;
+    *   - `dup_bigram_frac`: share of bigram OCCURRENCES that are
+    *     repeats of an earlier bigram in the same document.
+    * Distributed shape: explode → two-level aggregate — per-(doc,gram)
+    * counts combine map-side, then one row per document; no per-row
+    * quadratic array work, so a 100 TB corpus is two shuffles.
+    * Blank documents are dropped (no tokens → no signal). */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val uni = nonBlank
+      .select(col(idCol).as("_id"), explode(toks).as("tok"))
+      .groupBy(col("_id"), col("tok")).count()
+      .groupBy(col("_id"))
+      .agg(round(max(col("count")).cast("double") / sum(col("count")), 6)
+        .as("top_unigram_frac"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val bi = nonBlank
+      .select(col(idCol).as("_id"), explode(bigrams).as("bg"))
+      .groupBy(col("_id"), col("bg")).count()
+      .groupBy(col("_id"))
+      .agg(round((sum(col("count")) - count(lit(1))).cast("double") /
+        sum(col("count")), 6).as("dup_bigram_frac"))
+    uni.join(bi, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("top_unigram_frac"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  /** PII patterns chosen to mean the same thing in Java regex and RE2
+    * (no lookaround): RFC-loose emails and NANP-style `ddd-dddd`
+    * phone tails. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrub: redact emails/phones with typed placeholders and count
+    * what was removed (the audit trail a curation pipeline keeps).
+    * Pure codegen'd regexp column work — no UDF, no shuffle. */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("text_clean",
+        regexp_replace(regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
+          phonePattern, "[PHONE]"))
+
+  /** Deterministic ENGINE-PORTABLE sampling: keep a row iff the md5 of
+    * (salt, id) lands in the first `pct` of 100 hash buckets. The same
+    * (id, salt, pct) always picks the same rows on any engine — the
+    * reproducible-corpus-subset primitive (and `pct1 < pct2` gives
+    * NESTED samples, so growing a sample never resamples). A filter,
+    * not a shuffle. */
+  def sampleByHash(df: DataFrame, idCol: String, pct: Int,
+      salt: String = ""): DataFrame =
+    df.filter(
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+        16, 10).cast("long") % 100 < pct)
 }

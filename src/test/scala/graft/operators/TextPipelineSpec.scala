@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Training-data curation additions: C4-style span dedup, Gopher-style
+  * repetition signals, PII scrub, portable hash sampling. */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dedupSpans: repeated boilerplate span survives only its first occurrence") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler unique one tail"),
+      (2L, s"$boiler other distinct ending"),
+      (3L, "entirely fresh content with no shared prefix at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "text", "doc_id", span = 10)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    // doc 1 keeps both its spans
+    assert(out(0).getString(1) == s"$boiler unique one tail")
+    assert(out(0).getLong(2) == 2L)
+    // doc 2 lost the boilerplate span, kept its unique tail
+    assert(out(1).getString(1) == "other distinct ending")
+    assert(out(1).getLong(2) == 1L)
+    // doc 3 untouched
+    assert(out(2).getString(1).startsWith("entirely fresh"))
+  }
+
+  test("dedupSpans: a fully-duplicated document vanishes") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "text", "doc_id", span = 10)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("repetitionSignals: spammy repetition scores high, prose scores low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(1) == 1.0)       // all tokens are 'spam'
+    assert(out(0).getDouble(2) == 0.666667)  // 3 bigrams, 1 distinct
+    assert(out(1).getDouble(1) == 0.222222)  // 'the' twice in 9 tokens (round 6)
+    assert(out(1).getDouble(2) == 0.0)       // all bigrams distinct
+  }
+
+  test("scrubPii redacts emails and phone tails with counts") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+x@lab.example.org or 555-0147 thanks"),
+      (2L, "no contact details here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_clean") ==
+      "reach me at [EMAIL] or [PHONE] thanks")
+    assert(out(0).getAs[Long]("n_emails") == 1 && out(0).getAs[Long]("n_phones") == 1)
+    assert(out(1).getAs[String]("text_clean") == "no contact details here")
+    assert(out(1).getAs[Long]("n_emails") == 0 && out(1).getAs[Long]("n_phones") == 0)
+  }
+
+  test("sampleByHash: deterministic, nested, and roughly proportional") {
+    val ids = (1L to 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val s10 = TextAnalysis.sampleByHash(ids, "id", 10).select("id").as[Long].collect().toSet
+    val s30 = TextAnalysis.sampleByHash(ids, "id", 30).select("id").as[Long].collect().toSet
+    val s10again = TextAnalysis.sampleByHash(ids, "id", 10).select("id").as[Long].collect().toSet
+    assert(s10 == s10again)            // reproducible
+    assert(s10.subsetOf(s30))          // nested: growing never resamples
+    assert(s10.size > 100 && s10.size < 300)  // ~10% of 2000
+    assert(s30.size > 400 && s30.size < 800)  // ~30% of 2000
+    // a different salt draws a different sample
+    val salted = TextAnalysis.sampleByHash(ids, "id", 10, salt = "v2")
+      .select("id").as[Long].collect().toSet
+    assert(salted != s10)
+  }
+}
