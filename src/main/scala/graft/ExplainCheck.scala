@@ -41,6 +41,10 @@ object ExplainCheck {
     audit("pipeline_corpus")
     audit("w6_sessionize")
     audit("ann_ivf_topk", mustContain = Seq("TakeOrderedAndProject"))
+    // PQ ADC: codes + table lookups only — top-k must not global-sort,
+    // and no join may appear (the lookup tables are plan literals)
+    audit("ann_pq_topk", mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
     audit("j7_salted_join")
     // griddap: hyperslab pushdown must reach the scan (bbox + pruned cols)
     audit("s8_griddap_scan", mustContain = Seq("griddap", "bbox-pushed"))
@@ -50,6 +54,15 @@ object ExplainCheck {
     // multimodal decode is a pure projection — an RDD boundary here would
     // deserialize rows and sever column pruning below it
     audit("mm_decode_meta", mustNotContain = Seq("Scan ExistingRDD"))
+    // span dedup is explode + window + reassemble — never a pairwise join
+    audit("dedup_spans", mustNotContain =
+      Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"))
+    // repetition signals are two-level aggregates (map-side partials);
+    // the final doc-level join is a plain shuffle join, no cross product
+    audit("text_repetition", mustNotContain =
+      Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // hash sampling is a pure filter: no shuffle anywhere in the plan
+    audit("sample_by_hash", mustNotContain = Seq("Exchange"))
 
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression

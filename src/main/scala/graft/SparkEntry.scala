@@ -453,6 +453,21 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cos"))
     }),
 
+    // ---- similarity: product-quantization ADC top-k. FULL oracle:
+    //      per-subspace Lloyd runs are deterministic (ordered sample,
+    //      first-k init) and the oracle unrolls them per subspace with
+    //      identical summation order; approximate distances are M table
+    //      lookups summed subspace-major ----
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val rest = emb.filter(col("vec_id") =!= 0)
+      val cbs = Similarity.trainPq(rest, "embedding", m = 4, k = 8,
+        iters = 2, sampleN = 2000, orderBy = "vec_id")
+      Similarity.pqTopK(rest, "vec_id", "embedding", q, k = 10, cbs)
+    }),
+
     // ---- dedup: embedding-cosine near-dup pairs (full oracle via the
     //      portable SRP planes) ----
     "dedup_embedding" -> ((s, dir) =>
@@ -684,6 +699,61 @@ object SparkEntry {
        |  FROM kept k, q)
        |SELECT vec_id, round(cosine, 6) AS cos FROM scored
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Unrolled per-subspace Lloyd + ADC CTEs mirroring
+    * [[Similarity.trainPq]] / [[Similarity.pqTopK]]: m=4 subspaces of
+    * 16 dims, k=8, iters=2; approximate distance = 4 table lookups
+    * summed subspace-major, ordered by the ROUNDED distance then id
+    * (exactly the Spark side's ordering). */
+  private val pqOracleSql: String = {
+    val m = 4; val iters = 2; val dsub = 16; val k = 8
+    def dist(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    val subCtes = (0 until m).map { sub =>
+      val lo = sub * dsub + 1; val hi = (sub + 1) * dsub
+      val iterCtes = (1 to iters).map { i =>
+        s"""a${i}_$sub AS (
+           |  SELECT vec_id, e, ci,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rk
+           |  FROM (SELECT s.vec_id, s.e, c.ci, ${dist("s.e", "c.cv")} AS dist
+           |        FROM sample_$sub s CROSS JOIN cent${i - 1}_$sub c)),
+           |m${i}_$sub AS (
+           |  SELECT ci, list_transform(range(0, $dsub), d ->
+           |      list_sum(list_transform(vecs, v -> v[d+1])) / cnt) AS cv
+           |  FROM (SELECT ci, list(e ORDER BY vec_id) AS vecs, count(*) AS cnt
+           |        FROM a${i}_$sub WHERE rk = 1 GROUP BY ci)),
+           |cent${i}_$sub AS (
+           |  SELECT p.ci, COALESCE(mm.cv, p.cv) AS cv
+           |  FROM cent${i - 1}_$sub p LEFT JOIN m${i}_$sub mm ON mm.ci = p.ci)""".stripMargin
+      }.mkString(",\n")
+      s"""sample_$sub AS (SELECT vec_id, e[$lo:$hi] AS e FROM sample),
+         |cent0_$sub AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS cv
+         |               FROM sample_$sub ORDER BY vec_id LIMIT $k),
+         |$iterCtes,
+         |fa_$sub AS (
+         |  SELECT vec_id, ci,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rk
+         |  FROM (SELECT s.vec_id, c.ci, ${dist(s"s.e[$lo:$hi]", "c.cv")} AS dist
+         |        FROM emb s CROSS JOIN cent${iters}_$sub c WHERE s.vec_id <> 0)),
+         |code_$sub AS (SELECT vec_id, ci FROM fa_$sub WHERE rk = 1),
+         |tbl_$sub AS (SELECT c.ci, ${dist(s"q.qv[$lo:$hi]", "c.cv")} AS d
+         |             FROM cent${iters}_$sub c, q)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until m).map(sub =>
+      s"JOIN code_$sub c$sub ON c$sub.vec_id = e.vec_id " +
+        s"JOIN tbl_$sub t$sub ON t$sub.ci = c$sub.ci").mkString("\n")
+    val sumExpr = (0 until m).map(sub => s"t$sub.d").mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qv FROM emb WHERE vec_id = 0),
+       |sample AS (SELECT vec_id, e FROM emb WHERE vec_id <> 0
+       |           ORDER BY vec_id LIMIT 2000),
+       |$subCtes
+       |SELECT e.vec_id, round($sumExpr, 6) AS adist
+       |FROM emb e
+       |$joins
+       |WHERE e.vec_id <> 0
+       |ORDER BY adist, e.vec_id LIMIT 10""".stripMargin
   }
 
   /** Portable universal-hash minhash CTEs mirroring
@@ -1165,6 +1235,7 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      % 100 < 20""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
+    "ann_pq_topk" -> pqOracleSql,
     "ann_lsh_pairs" ->
       s"""$srpPairSql
          |SELECT id1, id2, round(c, 6) AS cos FROM scored""".stripMargin,

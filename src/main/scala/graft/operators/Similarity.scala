@@ -160,21 +160,13 @@ object Similarity {
 
   // ---- IVF (inverted-file) variant — the other scale path -----------------
 
-  /** Train `k` centroids with Lloyd iterations on a bounded sample
-    * (driver-side by design: the sample is capped at `sampleN` rows, so
-    * memory is bounded regardless of table size; assignment afterwards
-    * is fully distributed). With `orderBy` set the sample is the
-    * lowest-`orderBy` rows — `orderBy(..).limit(n)` plans as
-    * TakeOrderedAndProject, so determinism costs no global sort — and
-    * the whole training run is reproducible (a bare `limit` is
-    * partition-layout-dependent). Init = first k sample vectors. */
-  def trainCentroids(df: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5, sampleN: Int = 2000, orderBy: String = ""): Array[Array[Double]] = {
-    val picked =
-      if (orderBy.isEmpty) df.select(col(vecCol)).limit(sampleN)
-      else df.orderBy(col(orderBy)).select(col(vecCol)).limit(sampleN)
-    val sample = picked.collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  /** Lloyd k-means core (shared by IVF and PQ training): init = first
+    * k sample vectors; assignment = first-min argmin; means accumulate
+    * IN SAMPLE ORDER so an independent engine summing the same order
+    * reproduces the centroids bit-for-bit; an emptied cluster keeps its
+    * previous centroid. */
+  private def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty training sample")
     var centroids = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
@@ -193,6 +185,26 @@ object Similarity {
     }
     centroids
   }
+
+  /** Bounded, reproducible training sample (driver-side by design: the
+    * sample is capped, so memory is bounded regardless of table size).
+    * With `orderBy` set the sample is the lowest-`orderBy` rows —
+    * `orderBy(..).limit(n)` plans as TakeOrderedAndProject, so
+    * determinism costs no global sort (a bare `limit` is
+    * partition-layout-dependent). */
+  private def orderedSample(df: DataFrame, vecCol: String, sampleN: Int,
+      orderBy: String): Array[Array[Double]] = {
+    val picked =
+      if (orderBy.isEmpty) df.select(col(vecCol)).limit(sampleN)
+      else df.orderBy(col(orderBy)).select(col(vecCol)).limit(sampleN)
+    picked.collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  }
+
+  /** Train `k` centroids with Lloyd iterations on a bounded sample;
+    * assignment afterwards is fully distributed. */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5, sampleN: Int = 2000, orderBy: String = ""): Array[Array[Double]] =
+    lloyd(orderedSample(df, vecCol, sampleN, orderBy), k, iters)
 
   private def nearestIdx(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
@@ -259,6 +271,74 @@ object Similarity {
       .filter(col("cluster").isin(probes: _*))
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- Product quantization (PQ) — the COMPRESSED 100-TB ANN path --------
+  //
+  // At 10¹⁰ vectors even ids+floats don't fit hot storage; PQ stores M
+  // small codes per vector (here M bytes-worth) and answers queries by
+  // asymmetric distance (ADC): the query precomputes an M×K lookup
+  // table and every row costs M table lookups instead of a dim-length
+  // dot product — the scan reads codes, never raw vectors.
+
+  /** Train per-subspace codebooks: the vector is split into `m` equal
+    * subspaces and each gets its own `k`-centroid Lloyd run over the
+    * same ordered sample. Returns `[m][k][dim/m]`. */
+  def trainPq(df: DataFrame, vecCol: String, m: Int, k: Int,
+      iters: Int = 3, sampleN: Int = 2000,
+      orderBy: String = ""): Array[Array[Array[Double]]] = {
+    val sample = orderedSample(df, vecCol, sampleN, orderBy)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { sub =>
+      lloyd(sample.map(v =>
+        java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub)), k, iters)
+    }
+  }
+
+  /** Distributed PQ encode: per subspace, the sliced vector goes
+    * through the codegen'd argmin ([[graft.functions.NearestCentroid]]);
+    * the codebooks ride inside the expressions (broadcast with the
+    * plan). Output column `codes`: array of `m` centroid ids — the
+    * compressed representation a 100-TB deployment persists INSTEAD of
+    * the raw vectors. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    df.select(col(idCol), array((0 until m).map { sub =>
+      graft.functions.NearestCentroid.nearest_centroid(
+        slice(col(vecCol), lit(sub * dsub + 1), lit(dsub)), codebooks(sub))
+    }: _*).as("codes"))
+  }
+
+  /** ADC top-k: the query's M×K squared-L2 table is computed ONCE on
+    * the driver and rides as literals; each row's approximate distance
+    * is M lookups summed subspace-major (left to right — the order an
+    * independent engine must reproduce). Smallest-first top-k plans as
+    * TakeOrderedAndProject. Ordering uses the ROUNDED distance so
+    * engine-identical ties resolve by id identically. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val tables: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, sub) =>
+      cb.toSeq.map { c =>
+        var d = 0.0
+        var j = 0
+        while (j < dsub) { val x = query(sub * dsub + j) - c(j); d += x * x; j += 1 }
+        d
+      }
+    }.toSeq
+    val approx = (0 until m).map { sub =>
+      element_at(typedlit(tables(sub)), element_at(col("codes"), sub + 1) + 1)
+    }.reduce(_ + _)
+    pqEncode(df, idCol, vecCol, codebooks)
+      .select(col(idCol), round(approx, 6).as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
       .limit(k)
   }
 }

@@ -129,6 +129,32 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(viaIndex.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("PQ: codes compress, ADC ranks the planted near-neighbor first") {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val near = base.map(v => v + 0.01f * rnd.nextGaussian().toFloat)
+    val rows = (2L to 200L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))) :+ (1L, near)
+    val df = rows.toDF("id", "vec")
+    val cbs = Similarity.trainPq(df, "vec", m = 4, k = 8, iters = 2,
+      sampleN = 500, orderBy = "id")
+    assert(cbs.length == 4 && cbs.head.length == 8 && cbs.head.head.length == 8)
+
+    // encode: one code per subspace, all within [0, k)
+    val codes = Similarity.pqEncode(df, "id", "vec", cbs)
+    val arr = codes.select("codes").head().getSeq[Int](0)
+    assert(arr.length == 4 && arr.forall(c => c >= 0 && c < 8))
+
+    // the planted near-duplicate of `base` must rank first by ADC
+    val top = Similarity.pqTopK(df, "id", "vec",
+      base.map(_.toDouble).toSeq, k = 5, cbs).collect()
+    assert(top.head.getLong(0) == 1L, s"expected planted neighbor first: ${top.toSeq}")
+    // distances ascend
+    val dists = top.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted)
+  }
+
   test("portable simhash pairs agree with the native xxhash64 path on planted dups") {
     val longA = (1 to 60).map(i => s"token$i").mkString(" ")
     val longB = (1 to 60).map(i => if (i == 30) "changed" else s"token$i").mkString(" ")
