@@ -214,6 +214,33 @@ class HttpTransportSpec extends AnyFunSuite {
     assert(filesHits.get() == filesBefore, "probe must not hit the full-file route")
   }
 
+  test("header probe falls back to the full-file road when the server has no .dds") {
+    // a server speaking only the old routes: /griddap/ that errors on
+    // .dds (unknown grammar) and /files/ serving raw bytes
+    val local = new LocalErddapServer(dir.toString)
+    val srv2 = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: com.sun.net.httpserver.HttpExchange, code: Int, b: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, b.length); ex.getResponseBody.write(b); ex.close()
+    }
+    srv2.createContext("/griddap/", (ex: com.sun.net.httpserver.HttpExchange) =>
+      reply(ex, 404, "no dds here".getBytes("UTF-8")))
+    srv2.createContext("/files/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val name = ex.getRequestURI.getPath.substring("/files/".length)
+      reply(ex, 200, Files.readAllBytes(dir.resolve(name)))
+    })
+    srv2.start()
+    try {
+      val t = new HttpErddapTransport(
+        s"http://127.0.0.1:${srv2.getAddress.getPort}", retries = 1, retryDelayMs = 10)
+      val header = t.griddapHeader("grid1")
+      val localHeader = local.griddapHeader("grid1")
+      assert(header.dims == localHeader.dims)
+      // full-file road carries the data values too
+      assert(header.dataVars.head.values.nonEmpty)
+    } finally srv2.stop(0)
+  }
+
   test("griddap bbox pushdown slices server-side over HTTP") {
     val df = spark.read.format("griddap")
       .option("dataDir", base).option("dataset", "grid1").load()

@@ -126,6 +126,43 @@ class FileChangeSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("restart from checkpoint: only changes after the stored offset emit") {
+    val f: Path = Files.createTempFile("watched_ckpt", ".csv")
+    Files.writeString(f, "v1\n")
+    Files.setLastModifiedTime(f, FileTime.fromMillis(1000000L))
+    val ckpt = Files.createTempDirectory("fc_ckpt").toString
+    val out = Files.createTempDirectory("fc_out").toString
+
+    // memory sinks can't recover a checkpoint — the restart semantics
+    // under test need a durable sink (parquet)
+    def run(): Unit = {
+      val q = spark.readStream.format("filechange")
+        .option("path", f.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def rows() = spark.read.parquet(out)
+
+    run()
+    assert(rows().count() == 1) // initial content
+
+    // no change between runs → restart emits NOTHING (offset came back
+    // from the checkpoint through deserializeOffset)
+    run()
+    assert(rows().count() == 1)
+
+    // a change while the stream is DOWN is picked up on the next run
+    Files.writeString(f, "v2 changed\n")
+    Files.setLastModifiedTime(f, FileTime.fromMillis(2000000L))
+    run()
+    assert(rows().count() == 2)
+    assert(rows().select("last_modified").collect().map(_.getLong(0)).toSet ==
+      Set(1000000L, 2000000L))
+  }
+
   test("offset json round-trips through deserializeOffset") {
     val s = new FileChangeStream("/nonexistent")
     val off = FileChangeOffset(12345L, 67890L)
