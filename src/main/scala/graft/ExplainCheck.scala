@@ -54,9 +54,12 @@ object ExplainCheck {
     // multimodal decode is a pure projection — an RDD boundary here would
     // deserialize rows and sever column pruning below it
     audit("mm_decode_meta", mustNotContain = Seq("Scan ExistingRDD"))
-    // span dedup is explode + window + reassemble — never a pairwise join
+    // span dedup is explode + hash-aggregate winners + reassemble —
+    // never a pairwise join, and never a per-span-key window SORT (the
+    // min(struct) winner combines map-side; a Window here would sort
+    // every hot boilerplate key)
     audit("dedup_spans", mustNotContain =
-      Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin"))
+      Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin", "Window"))
     // repetition signals are two-level aggregates (map-side partials);
     // the final doc-level join is a plain shuffle join, no cross product
     audit("text_repetition", mustNotContain =

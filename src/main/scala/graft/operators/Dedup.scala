@@ -349,12 +349,15 @@ object Dedup {
     * injected templates) disappears from every copy but the first while
     * unique prose is untouched.
     *
-    * Scale shape: one explode, one window shuffle on the span text
-    * (same skew profile as [[exact]]'s fingerprint window), one
-    * groupBy-reassemble on the doc id — no pairwise step at all, so
-    * dedup cost is linear in corpus size. Documents whose every span
-    * was seen earlier vanish entirely (the reference C4 behavior for
-    * fully-duplicated members). */
+    * Scale shape: one explode, then the first-occurrence winner per
+    * span is a HASH AGGREGATE — `min(struct(id, pos))` per span text,
+    * with map-side partials — not a window sort, so a boilerplate span
+    * duplicated a billion times costs one combine per partition
+    * instead of a giant per-key sort; then one groupBy-reassemble on
+    * the doc id. No pairwise step at all — dedup cost is linear in
+    * corpus size. Documents whose every span was seen earlier vanish
+    * entirely (the reference C4 behavior for fully-duplicated
+    * members). */
   def dedupSpans(df: DataFrame, textCol: String, idCol: String,
       span: Int = 10): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
@@ -364,9 +367,10 @@ object Dedup {
     val exploded = df
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("_id"), posexplode(chunks).as(Seq("pos", "chunk")))
-    val w = Window.partitionBy(col("chunk")).orderBy(col("_id"), col("pos"))
-    exploded.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+    // first occurrence = lexicographic min of (id, pos) per span
+    exploded.groupBy(col("chunk"))
+      .agg(min(struct(col("_id"), col("pos"))).as("w"))
+      .select(col("w._id").as("_id"), col("w.pos").as("pos"), col("chunk"))
       .groupBy(col("_id").as(idCol))
       .agg(
         concat_ws(" ", transform(

@@ -314,18 +314,12 @@ object Similarity {
     }: _*).as("codes"))
   }
 
-  /** ADC top-k: the query's M×K squared-L2 table is computed ONCE on
-    * the driver and rides as literals; each row's approximate distance
-    * is M lookups summed subspace-major (left to right — the order an
-    * independent engine must reproduce). Smallest-first top-k plans as
-    * TakeOrderedAndProject. Ordering uses the ROUNDED distance so
-    * engine-identical ties resolve by id identically. */
-  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
+  /** The query's M×K squared-L2 lookup tables (computed once,
+    * driver-side; subspace-major, centroid-minor). */
+  private def adcTables(query: Seq[Double],
+      codebooks: Array[Array[Array[Double]]]): Seq[Seq[Double]] = {
     val dsub = codebooks.head.head.length
-    val tables: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, sub) =>
+    codebooks.zipWithIndex.map { case (cb, sub) =>
       cb.toSeq.map { c =>
         var d = 0.0
         var j = 0
@@ -333,11 +327,63 @@ object Similarity {
         d
       }
     }.toSeq
-    val approx = (0 until m).map { sub =>
+  }
+
+  /** Approximate distance over a `codes` column: M table lookups summed
+    * subspace-major (left to right — the order an independent engine
+    * must reproduce); the tables ride as plan literals. */
+  private def adcDistance(tables: Seq[Seq[Double]]): Column =
+    tables.indices.map { sub =>
       element_at(typedlit(tables(sub)), element_at(col("codes"), sub + 1) + 1)
     }.reduce(_ + _)
+
+  /** ADC top-k: encode + lookup-sum, smallest first —
+    * TakeOrderedAndProject, no sort, no join. Ordering uses the
+    * ROUNDED distance so engine-identical ties resolve by id
+    * identically. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
     pqEncode(df, idCol, vecCol, codebooks)
-      .select(col(idCol), round(approx, 6).as("adist"))
+      .select(col(idCol), round(adcDistance(adcTables(query, codebooks)), 6)
+        .as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
+      .limit(k)
+
+  /** The COMPLETE 100-TB ANN layout — IVF × PQ: one parquet directory
+    * per coarse cluster, holding (id, codes) ONLY. A probe query then
+    * (a) prunes to `nProbe` directories (partition pruning — the other
+    * ~(k-nProbe)/k of the corpus is never opened) and (b) reads M
+    * small ints per surviving row instead of the raw vector. Both the
+    * coarse assignment and the subspace encodes are one projection of
+    * codegen'd argmins — a single scan writes the index. */
+  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    df.select(col(idCol),
+      graft.functions.NearestCentroid.nearest_centroid(col(vecCol), centroids)
+        .as("cluster"),
+      array((0 until m).map { sub =>
+        graft.functions.NearestCentroid.nearest_centroid(
+          slice(col(vecCol), lit(sub * dsub + 1), lit(dsub)), codebooks(sub))
+      }: _*).as("codes"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** ADC top-k over a [[writeIvfPqIndex]] layout: `cluster IN (probes)`
+    * prunes partition directories at planning time, and the scan's
+    * ReadSchema is (id, codes) — no vector column exists to read. */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, query: Seq[Double], k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nProbe: Int = 2): DataFrame = {
+    val probes = nearestCentroids(query, centroids, nProbe)
+    spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*))
+      .select(col(idCol), round(adcDistance(adcTables(query, codebooks)), 6)
+        .as("adist"))
       .orderBy(col("adist").asc, col(idCol))
       .limit(k)
   }

@@ -155,6 +155,37 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(dists == dists.sorted)
   }
 
+  test("IVF×PQ index: partition pruning over codes-only storage, parity with direct ADC") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val centroids = Similarity.trainCentroids(rest, "embedding", k = 8,
+      iters = 2, sampleN = 500, orderBy = "vec_id")
+    val cbs = Similarity.trainPq(rest, "embedding", m = 4, k = 8,
+      iters = 2, sampleN = 500, orderBy = "vec_id")
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val query = (0 until dim).map(j => math.cos(j + 1).toDouble)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+
+    Similarity.writeIvfPqIndex(rest, "vec_id", "embedding", centroids, cbs, path)
+    val viaIndex = Similarity.ivfPqTopKFromIndex(spark, path, "vec_id",
+      query, k = 10, centroids, cbs, nProbe = 3)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    // pruned directories + codes-only read: no vector column in the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected cluster partition pruning:\n$plan")
+    assert(!plan.contains("embedding"), "index scan must not read vectors")
+
+    // parity: the same probed clusters scanned directly give the same top-k
+    val probes = Similarity.nearestCentroids(query, centroids, 3).toSet
+    val direct = Similarity.pqTopK(
+      Similarity.ivfAssign(rest, "vec_id", "embedding", centroids)
+        .filter(col("cluster").isin(probes.toSeq: _*))
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", query, k = 10, cbs)
+    assert(viaIndex.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("portable simhash pairs agree with the native xxhash64 path on planted dups") {
     val longA = (1 to 60).map(i => s"token$i").mkString(" ")
     val longB = (1 to 60).map(i => if (i == 30) "changed" else s"token$i").mkString(" ")
