@@ -90,6 +90,12 @@ object ScaleProbe {
     probe("text_quality",
       graft.operators.TextAnalysis.qualitySignals(docs1, "text").count(),
       graft.operators.TextAnalysis.qualitySignals(docsN, "text").count())
+    probe("dedup_spans",
+      graft.operators.Dedup.dedupSpans(docs1, "text", "doc_id").count(),
+      graft.operators.Dedup.dedupSpans(docsN, "text", "doc_id").count())
+    probe("text_repetition",
+      graft.operators.TextAnalysis.repetitionSignals(docs1, "text", "doc_id").count(),
+      graft.operators.TextAnalysis.repetitionSignals(docsN, "text", "doc_id").count())
     probe("sessionize",
       graft.operators.Sessionize.assignSessions(ev1, "user_id", "ts", 1800L, Seq("event_id")).count(),
       graft.operators.Sessionize.assignSessions(evN, "user_id", "ts", 1800L, Seq("event_id")).count())

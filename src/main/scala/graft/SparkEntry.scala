@@ -580,6 +580,13 @@ object SparkEntry {
       TextAnalysis.sampleByHash(t(s, dir, "documents"), "doc_id", pct = 20)
         .select(col("doc_id"), col("source"))),
 
+    // ---- text: corpus mixing — per-source sampling rates (keep all of
+    //      src0, 40% of src1, 10% of everything else) ----
+    "mix_sources" -> ((s, dir) =>
+      TextAnalysis.mixSources(t(s, dir, "documents"), "doc_id", "source",
+        rates = Map("src0" -> 100, "src1" -> 40), defaultPct = 10)
+        .select(col("doc_id"), col("source"))),
+
     // ---- S8 griddap scan: NetCDF-classic transport + hyperslab
     //      pushdown through the DSv2 connector (deterministic fixture;
     //      the oracle recomputes the same grid from range()) ----
@@ -1234,6 +1241,12 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      % 100 < 20""".stripMargin,
+    "mix_sources" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      < CASE WHEN source = 'src1' THEN 40
+        |             WHEN source = 'src0' THEN 100
+        |             ELSE 10 END""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_lsh_pairs" ->

@@ -186,4 +186,23 @@ object TextAnalysis {
     df.filter(
       conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
         16, 10).cast("long") % 100 < pct)
+
+  /** Corpus MIXING: per-stratum deterministic sampling rates — the
+    * pretraining-mix primitive ("keep 100% of books, 30% of web, 5% of
+    * logs"). Same md5-bucket rule as [[sampleByHash]], so mixes are
+    * reproducible, salted, and nested per stratum; a stratum absent
+    * from `rates` gets `defaultPct`. One codegen'd filter — no shuffle,
+    * no per-stratum scan. */
+  def mixSources(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0,
+      salt: String = ""): DataFrame = {
+    val bucket =
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+        16, 10).cast("long") % 100
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(bucket < pct)
+  }
 }

@@ -64,6 +64,26 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("n_emails") == 0 && out(1).getAs[Long]("n_phones") == 0)
   }
 
+  test("mixSources: per-stratum rates, consistent with sampleByHash buckets") {
+    val rows = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "books" else if (i % 3 == 1) "web" else "logs"))
+      .toDF("id", "source")
+    val mixed = TextAnalysis.mixSources(rows, "id", "source",
+      rates = Map("books" -> 100, "web" -> 30), defaultPct = 0)
+    val bySource = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("books") == 1000)            // 100% stratum keeps everything
+    assert(!bySource.contains("logs"))           // 0% stratum vanishes
+    assert(bySource("web") > 200 && bySource("web") < 400) // ~30% of 1000
+    // the kept web rows are EXACTLY the 30%-bucket rows of that stratum
+    val webDirect = TextAnalysis.sampleByHash(
+      rows.filter(col("source") === "web"), "id", 30)
+      .select("id").as[Long].collect().toSet
+    val webMixed = mixed.filter(col("source") === "web")
+      .select("id").as[Long].collect().toSet
+    assert(webMixed == webDirect)
+  }
+
   test("sampleByHash: deterministic, nested, and roughly proportional") {
     val ids = (1L to 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
     val s10 = TextAnalysis.sampleByHash(ids, "id", 10).select("id").as[Long].collect().toSet
