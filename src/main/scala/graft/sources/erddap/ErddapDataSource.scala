@@ -23,7 +23,9 @@ import graft.erddap.{AttributePolicy, ChunkPlanner, Das, UrlCompiler}
   *                  `http(s)://` server root (selects the live
   *                  [[HttpErddapTransport]])
   *   - `dataset`    dataset id
-  *   - `das`        path to the DAS document (schema source)
+  *   - `das`        OPTIONAL local path to the DAS document (schema
+  *                  source); omitted → fetched through the transport
+  *                  (`tabledap/<id>.das` for HTTP endpoints)
   *   - `server`     server URL prefix (used verbatim in compiled URLs)
   *   - `chunkSize`  rows per time-chunk partition (default 100000)
   *   - `returnAll`  disable QC pruning (reference `return_all` mode)
@@ -52,23 +54,28 @@ object ErddapTable {
   def fromOptions(options: CaseInsensitiveStringMap): ErddapTable = {
     val dataDir = options.get("dataDir")
     val dataset = options.get("dataset")
-    val dasPath = options.get("das")
-    require(dataDir != null && dataset != null && dasPath != null,
-      "erddap source requires options: dataDir, dataset, das")
+    require(dataDir != null && dataset != null,
+      "erddap source requires options: dataDir, dataset")
     new ErddapTable(
-      dataDir, dataset, dasPath,
+      dataDir, dataset, Option(options.get("das")),
       Option(options.get("server")).getOrElse("https://local/erddap/tabledap/"),
       Option(options.get("chunkSize")).map(_.toLong).getOrElse(100000L),
       options.getBoolean("returnAll", false))
   }
 }
 
-class ErddapTable(dataDir: String, dataset: String, dasPath: String,
+class ErddapTable(dataDir: String, dataset: String, dasPath: Option[String],
     server: String, chunkSize: Long, returnAll: Boolean)
     extends Table with SupportsRead {
 
-  private lazy val das = Das.parse(
-    java.nio.file.Files.readString(java.nio.file.Path.of(dasPath)))
+  /** DAS resolution: an explicit local `das` path wins (fixture
+    * workflows); otherwise the TRANSPORT serves it (`tabledap/<id>
+    * .das` over HTTP, `<dir>/<id>.das` locally) — pointing the
+    * connector at a remote server needs no local metadata files. */
+  private lazy val das = Das.parse(dasPath match {
+    case Some(p) => java.nio.file.Files.readString(java.nio.file.Path.of(p))
+    case None => ErddapTransport(dataDir).dasText(dataset)
+  })
   private[erddap] lazy val selection = AttributePolicy.actualAttributes(das, returnAll)
   private lazy val fullSchema = Das.toStructType(das, selection.attributes, selection.timeCol)
 

@@ -22,6 +22,10 @@ import java.time.Duration
 trait ErddapTransport extends Serializable {
   /** Execute a compiled tabledap URL, returning CSV lines (header first). */
   def fetch(url: String): Seq[String]
+  /** The dataset's DAS document (schema source) — local file or
+    * `tabledap/<id>.das` over HTTP, so a connector pointed at a remote
+    * server needs NO local metadata files. */
+  def dasText(datasetId: String): String
   /** Execute a compiled griddap hyperslab URL, returning NetCDF bytes. */
   def fetchGriddap(url: String): Array[Byte]
   /** Griddap metadata probe: dims + variables + coordinates. */
@@ -103,6 +107,9 @@ class HttpErddapTransport(
     getString(rebase(url, "tabledap")).split("\r?\n", -1).toSeq
       .filter(_.nonEmpty)
   }
+
+  override def dasText(datasetId: String): String =
+    getString(URI.create(s"$root/tabledap/$datasetId.das"))
 
   override def fetchGriddap(url: String): Array[Byte] =
     getBytes(rebase(url, "griddap"))

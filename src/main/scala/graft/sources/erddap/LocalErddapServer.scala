@@ -17,6 +17,9 @@ import scala.jdk.CollectionConverters._
   */
 class LocalErddapServer(dataDir: String) extends ErddapTransport {
 
+  override def dasText(datasetId: String): String =
+    Files.readString(Path.of(dataDir, s"$datasetId.das"))
+
   /** Execute a compiled tabledap URL, returning CSV lines (header first). */
   override def fetch(url: String): Seq[String] = {
     val q = url.indexOf('?')

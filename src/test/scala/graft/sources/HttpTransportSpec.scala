@@ -30,16 +30,26 @@ class HttpTransportSpec extends AnyFunSuite {
     }
     Files.writeString(d.resolve("buoy1.csv"),
       ("time,latitude,longitude,sst" +: rows).mkString("\n"))
+    // real DAS shape: one attribute per line (the parser is line-based,
+    // like the reference's das_client state machine)
     Files.writeString(d.resolve("buoy1.das"),
       """Attributes {
         |  time {
         |    String ioos_category "Time";
         |    Float64 actual_range 1717200000.0, 1717542000.0;
         |  }
-        |  latitude { Float64 actual_range 25.9, 25.9; }
-        |  longitude { Float64 actual_range -89.7, -89.7; }
-        |  sst { Float64 actual_range 20.0, 29.0; }
-        |  NC_GLOBAL { String title "Test buoy"; }
+        |  latitude {
+        |    Float64 actual_range 25.9, 25.9;
+        |  }
+        |  longitude {
+        |    Float64 actual_range -89.7, -89.7;
+        |  }
+        |  sst {
+        |    Float64 actual_range 20.0, 29.0;
+        |  }
+        |  NC_GLOBAL {
+        |    String title "Test buoy";
+        |  }
         |}""".stripMargin)
     val nt = 4; val nlat = 3; val nlon = 2
     val t0 = Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
@@ -95,6 +105,9 @@ class HttpTransportSpec extends AnyFunSuite {
           val n = local.rowCount(id)
           reply(ex, 200,
             s"netcdf $id {\ndimensions:\n\trow = $n ;\n}\n".getBytes("UTF-8"))
+        } else if (path.endsWith(".das")) {
+          val id = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".das")
+          reply(ex, 200, local.dasText(id).getBytes("UTF-8"))
         } else {
           val url = "http://fixture" + path + "?" + ex.getRequestURI.getRawQuery
           reply(ex, 200, local.fetch(url).mkString("\n").getBytes("UTF-8"))
@@ -150,6 +163,16 @@ class HttpTransportSpec extends AnyFunSuite {
     val viaLocal = readLocal().load().orderBy("time").collect()
     assert(viaHttp.length == 96)
     assert(viaHttp.toSeq == viaLocal.toSeq)
+  }
+
+  test("das option is optional: schema comes from tabledap/<id>.das over HTTP") {
+    val noLocalDas = spark.read.format("erddap")
+      .option("dataDir", base)
+      .option("dataset", "buoy1")
+      .option("chunkSize", "25").load()
+    assert(noLocalDas.schema.fieldNames.toSeq ==
+      Seq("time", "latitude", "longitude", "sst"))
+    assert(noLocalDas.count() == 96)
   }
 
   test("chunked partitions and time pushdown work over real sockets") {
