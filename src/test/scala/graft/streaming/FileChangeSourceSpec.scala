@@ -163,6 +163,60 @@ class FileChangeSourceSpec extends AnyFunSuite {
       Set(1000000L, 2000000L))
   }
 
+  test("end-to-end NRT loop: change stream drives a portal refresh through the seam") {
+    // The reference's whole scheduled-refresh story as Spark pieces:
+    // S9 change source watches the upstream file; each detected change
+    // triggers a re-read + fingerprint-gated A/B publish through the
+    // ONE portal seam (model backend here; a URL makes it live REST).
+    import org.apache.spark.sql.functions._
+    val src: Path = Files.createTempFile("upstream", ".csv")
+    Files.writeString(src, "id,v\n1,a\n2,b\n")
+    Files.setLastModifiedTime(src, FileTime.fromMillis(1000000L))
+
+    val portalRoot = Files.createTempDirectory("nrt_e2e_portal").toString
+    val sinkRoot = Files.createTempDirectory("nrt_e2e_sink").toString
+    val transport = graft.sinks.PortalTransport(portalRoot)
+    val outcomes = collection.mutable.ArrayBuffer.empty[Nrt.RefreshOutcome]
+
+    val q = spark.readStream.format("filechange")
+      .option("path", src.toString).load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val fresh = spark.read.option("header", "true").csv(src.toString)
+          outcomes += Nrt.refreshViaPortal(spark, "upstream_ds", fresh,
+            transport, sinkRoot)
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(outcomes.toSeq.map(_.changed) == Seq(true)) // initial publish
+      val item = transport.findByTitle("upstream_ds").get
+      val slot1 = transport.props(item.id)("activeSlot")
+      assert(spark.read.parquet(
+        Nrt.activePath(sinkRoot, "upstream_ds", slot1)).count() == 2)
+
+      // upstream grows → change row → refresh publishes the new data
+      // into the OTHER slot and flips
+      Files.writeString(src, "id,v\n1,a\n2,b\n3,c\n")
+      Files.setLastModifiedTime(src, FileTime.fromMillis(2000000L))
+      q.processAllAvailable()
+      assert(outcomes.toSeq.map(_.changed) == Seq(true, true))
+      val slot2 = transport.props(item.id)("activeSlot")
+      assert(slot2 != slot1)
+      assert(spark.read.parquet(
+        Nrt.activePath(sinkRoot, "upstream_ds", slot2)).count() == 3)
+
+      // mtime touch with identical bytes → tier-2 no-op: NO refresh runs
+      Files.setLastModifiedTime(src, FileTime.fromMillis(3000000L))
+      q.processAllAvailable()
+      assert(outcomes.size == 2)
+      assert(transport.props(item.id)("activeSlot") == slot2)
+    } finally q.stop()
+  }
+
   test("offset json round-trips through deserializeOffset") {
     val s = new FileChangeStream("/nonexistent")
     val off = FileChangeOffset(12345L, 67890L)
