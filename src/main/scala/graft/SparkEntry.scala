@@ -39,6 +39,12 @@ object SparkEntry {
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val sink = s.table(name)
+    // gate results are tiny by design; the collect below detaches them
+    // from the dropped temp view — refuse anything stream-sized so the
+    // helper can't be pointed at a real stream
+    require(sink.count() < 100000,
+      s"runStreamingGate($tag): sink too large to collect — gate results " +
+        "must be small aggregates")
     val out = s.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
       sink.schema)
