@@ -569,6 +569,10 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text", "doc_id")),
 
+    // ---- text: composite Gopher-rules document filter ----
+    "gopher_filter" -> ((s, dir) =>
+      TextAnalysis.gopherFilter(t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- text: PII scrub with removal counts. The corpus carries no
     //      PII, so contact strings are synthesized from doc_id inline —
     //      the scrub (and its oracle) must find and redact ALL of them ----
@@ -1228,6 +1232,33 @@ object SparkEntry {
         |SELECT u.doc_id, u.top_unigram_frac,
         |       coalesce(b.dup_bigram_frac, 0.0) AS dup_bigram_frac
         |FROM u LEFT JOIN b ON u.doc_id = b.doc_id""".stripMargin,
+    "gopher_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        | uc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY doc_id, tok),
+        | u AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tuf
+        |  FROM uc GROUP BY doc_id),
+        | bc AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(len(l) - 1),
+        |             i -> l[i + 1] || ' ' || l[i + 2])) AS bg
+        |    FROM toks) GROUP BY doc_id, bg),
+        | b AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dbf
+        |  FROM bc GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_tokens,
+        |       round(u.tuf, 6) AS top_unigram_frac,
+        |       round(coalesce(b.dbf, 0.0), 6) AS dup_bigram_frac
+        |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+        |WHERE u.n_tokens >= 30 AND u.n_tokens <= 5000
+        |  AND u.tuf <= 0.10 AND coalesce(b.dbf, 0.0) <= 0.05""".stripMargin,
     "text_pii_scrub" ->
       """WITH withpii AS (
         |  SELECT doc_id,

@@ -156,6 +156,45 @@ object TextAnalysis {
         coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
   }
 
+  /** Composite Gopher-style document filter — the end-user curation op
+    * "keep documents passing the quality rules": token-count window,
+    * top-unigram share cap, duplicate-bigram share cap. Signals are
+    * computed UNROUNDED and compared to thresholds with the same
+    * operation order on any engine; survivors come back with their
+    * (rounded) signals for auditability. Same two-level aggregate
+    * shape as [[repetitionSignals]] — two shuffles at any corpus
+    * size. */
+  def gopherFilter(df: DataFrame, textCol: String, idCol: String,
+      minTokens: Long = 30, maxTokens: Long = 5000,
+      maxTopUnigramFrac: Double = 0.10,
+      maxDupBigramFrac: Double = 0.05): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
+    val uni = nonBlank
+      .select(col(idCol).as("_id"), explode(toks).as("tok"))
+      .groupBy(col("_id"), col("tok")).count()
+      .groupBy(col("_id"))
+      .agg(sum(col("count")).as("n_tokens"),
+        (max(col("count")).cast("double") / sum(col("count"))).as("tuf"))
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val bi = nonBlank
+      .select(col(idCol).as("_id"), explode(bigrams).as("bg"))
+      .groupBy(col("_id"), col("bg")).count()
+      .groupBy(col("_id"))
+      .agg(((sum(col("count")) - count(lit(1))).cast("double") /
+        sum(col("count"))).as("dbf"))
+    uni.join(bi, Seq("_id"), "left")
+      .select(col("_id"), col("n_tokens"), col("tuf"),
+        coalesce(col("dbf"), lit(0.0)).as("dbf"))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("tuf") <= maxTopUnigramFrac && col("dbf") <= maxDupBigramFrac)
+      .select(col("_id").as(idCol), col("n_tokens"),
+        round(col("tuf"), 6).as("top_unigram_frac"),
+        round(col("dbf"), 6).as("dup_bigram_frac"))
+  }
+
   /** PII patterns chosen to mean the same thing in Java regex and RE2
     * (no lookaround): RFC-loose emails and NANP-style `ddd-dddd`
     * phone tails. */

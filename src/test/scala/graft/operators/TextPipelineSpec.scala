@@ -51,6 +51,21 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) == 0.0)       // all bigrams distinct
   }
 
+  test("gopherFilter applies the composite quality rules") {
+    val good = (1 to 40).map(i => s"w$i").mkString(" ") // 40 distinct tokens
+    val docs = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short"),                           // fails min tokens
+      (3L, ("spam " * 40).trim),                   // fails unigram + bigram caps
+      (4L, good + " " + good)                      // 80 toks but tuf=2/80 ok; dup bigrams high
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.gopherFilter(docs, "text", "doc_id")
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val row = kept.head()
+    assert(row.getAs[Long]("n_tokens") == 40)
+    assert(row.getAs[Double]("top_unigram_frac") == 0.025)
+  }
+
   test("scrubPii redacts emails and phone tails with counts") {
     val docs = Seq(
       (1L, "reach me at jane.doe+x@lab.example.org or 555-0147 thanks"),
