@@ -66,6 +66,23 @@ object ExplainCheck {
       Seq("CartesianProduct", "BroadcastNestedLoop"))
     // hash sampling is a pure filter: no shuffle anywhere in the plan
     audit("sample_by_hash", mustNotContain = Seq("Exchange"))
+    // decontamination: the eval-gram set must be BROADCAST against the
+    // corpus scan — a sort-merge join here shuffles the whole corpus by
+    // gram, the 100 TB killer this operator is designed to avoid
+    audit("decontam_hits", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
+    // sequence packing: the global cumsum is the two-pass scheme — the
+    // corpus window is partitioned by _pid, so no single-partition
+    // exchange may appear anywhere in the plan
+    audit("pack_sequences", mustNotContain = Seq("Exchange SinglePartition"))
+    // vocabulary induction: top-k rides TakeOrderedAndProject, never a
+    // global sort of the vocabulary
+    audit("vocab_topk", mustContain = Seq("TakeOrderedAndProject"))
+    // tf-idf: the idf join must be an equi-join on the term; the ONLY
+    // nested-loop allowed is the 1-row broadcast of the corpus count N
+    // (a scalar rider, O(rows) work) — a CartesianProduct would mean
+    // the term join degenerated
+    audit("tfidf_topterms", mustNotContain = Seq("CartesianProduct"))
 
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression

@@ -597,6 +597,42 @@ object SparkEntry {
         rates = Map("src0" -> 100, "src1" -> 40), defaultPct = 10)
         .select(col("doc_id"), col("source"))),
 
+    // ---- text: sequence packing — concat-and-chunk the corpus into
+    //      512-token training windows; per-doc start offset and
+    //      first/last window (two-pass global cumsum, no single-
+    //      partition window) ----
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id",
+        ctxLen = 512)),
+
+    // ---- text: vocabulary induction — global top-100 token
+    //      frequencies, count-desc with lexicographic ties ----
+    "vocab_topk" -> ((s, dir) =>
+      TextAnalysis.topVocabulary(t(s, dir, "documents"), "text", k = 100)),
+
+    // ---- text: TF-IDF keyword extraction — top-3 terms per doc ----
+    "tfidf_topterms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id",
+        k = 3)),
+
+    // ---- dedup: benchmark DECONTAMINATION — corpus docs sharing a
+    //      13-gram with the eval slice (doc_id % 97 == 0), with the
+    //      distinct-hit audit count. Eval grams broadcast; the corpus
+    //      is never shuffled by gram ----
+    "decontam_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationHits(docs, docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id")
+    }),
+
+    // ---- dedup: decontamination filter form — the rows safe to train
+    //      on (no eval n-gram anywhere in the text) ----
+    "decontam_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id").select(col("doc_id"), col("source"))
+    }),
+
     // ---- S8 griddap scan: NetCDF-classic transport + hyperslab
     //      pushdown through the DSv2 connector (deterministic fixture;
     //      the oracle recomputes the same grid from range()) ----
@@ -636,6 +672,25 @@ object SparkEntry {
       |        i -> array_to_string(t[i:i+2], ' ')))
       |    ELSE [array_to_string(t, ' ')] END AS sh
       |  FROM toks)""".stripMargin
+
+  /** 13-gram shingles of every document + the eval slice's distinct
+    * grams — the decontamination oracle's shared front half (mirrors
+    * [[graft.functions.ShingleStrings]] with n = 13: same normalizer,
+    * per-doc-distinct grams, whole-text fallback under 13 tokens). */
+  private val decontamCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 13 THEN
+      |      list_distinct(list_transform(generate_series(1, len(t)-12),
+      |        i -> array_to_string(t[i:i+12], ' ')))
+      |    ELSE [array_to_string(t, ' ')] END AS g
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT unnest(g) AS g FROM sh WHERE doc_id % 97 = 0),
+      |grams AS (SELECT doc_id, unnest(g) AS g FROM sh)""".stripMargin
 
   /** SRP plane + bucket CTEs mirroring [[Similarity.planeComponent]] /
     * [[Similarity.srpBits]]: 2 tables × 8 planes × 64 dims. */
@@ -1259,6 +1314,61 @@ object SparkEntry {
         |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
         |WHERE u.n_tokens >= 30 AND u.n_tokens <= 5000
         |  AND u.tuf <= 0.10 AND coalesce(b.dbf, 0.0) <= 0.05""".stripMargin,
+    "pack_sequences" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tc)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS start_off,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_first,
+        |  CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
+        |       ELSE (cum - 1) // 512 END AS BIGINT) AS bin_last
+        |FROM c""".stripMargin,
+    "vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        | u AS (SELECT unnest(t) AS tok FROM toks)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM u WHERE tok <> ''
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
+    "tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        | tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> ''
+        |  GROUP BY doc_id, tok),
+        | dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        | n AS (SELECT count(*) AS n FROM documents),
+        | scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        | ranked AS (
+        |  SELECT doc_id, tok, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+        |  FROM scored)
+        |SELECT doc_id, tok AS term, score AS tfidf, CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 3""".stripMargin,
+    "decontam_hits" ->
+      s"""WITH $decontamCtes
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_eval_ngrams
+         |FROM grams s JOIN ev USING (g)
+         |GROUP BY s.doc_id""".stripMargin,
+    "decontam_clean" ->
+      s"""WITH $decontamCtes
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT DISTINCT s.doc_id FROM grams s JOIN ev USING (g))""".stripMargin,
     "text_pii_scrub" ->
       """WITH withpii AS (
         |  SELECT doc_id,

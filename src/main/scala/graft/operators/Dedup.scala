@@ -392,4 +392,39 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame =
     Similarity.lshCandidatePairs(df, idCol, vecCol, planes, tables, maxBucket)
       .filter(col("cosine") >= threshold)
+
+  /** Benchmark DECONTAMINATION: which corpus documents share at least
+    * one word `n`-gram with an evaluation set (the standard train/test
+    * overlap guard — any doc carrying a verbatim eval n-gram leaks the
+    * benchmark into training). Returns `(idCol, n_eval_ngrams)` for
+    * contaminated documents, where the count is the number of DISTINCT
+    * document n-grams that appear in the eval set (an audit signal for
+    * "how contaminated").
+    *
+    * Scale shape: the eval set is tiny next to the corpus (benchmarks
+    * are 10³–10⁶ grams vs 10¹⁰ docs), so its distinct-gram set is
+    * BROADCAST — the corpus side is one scan (native shingle
+    * expression → explode → broadcast-hash join) plus one partial-agg
+    * shuffle on the doc id. The 100 TB corpus is never shuffled by
+    * gram. Shingles are per-doc distinct already (ShingleStrings
+    * dedupes), so a plain count equals the distinct-gram hit count. */
+  def contaminationHits(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    val sh = graft.functions.ShingleStrings.shingle_strings(col(textCol), n)
+    val evalGrams = evalSet.select(explode(sh).as("g")).distinct()
+    corpus.select(col(idCol), explode(sh).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_ngrams"))
+  }
+
+  /** Benchmark decontamination, filter form: corpus rows carrying NO
+    * eval n-gram (the rows safe to train on). Anti join on the doc id
+    * against [[contaminationHits]] — the contaminated-id set is small,
+    * so AQE turns this into a broadcast anti join. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 13): DataFrame =
+    corpus.join(
+      contaminationHits(corpus, evalSet, textCol, idCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -243,5 +244,85 @@ object TextAnalysis {
         when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
     }
     df.filter(bucket < pct)
+  }
+
+  /** Sequence PACKING (concat-and-chunk): lay the corpus out as one
+    * deterministic token stream (ordered by `idCol`) and cut it into
+    * fixed `ctxLen`-token training windows. Each document comes back
+    * with its global start offset and the first/last window indices it
+    * occupies — the doc↔sample attribution map a packed pretraining
+    * run keeps.
+    *
+    * Scale shape: the global running sum NEVER runs as a single-
+    * partition window (the 100 TB killer) — documents are range-
+    * partitioned by id, summed within partitions in parallel, and the
+    * tiny per-partition totals are broadcast back as offsets: the same
+    * two-pass scheme as [[Relational.globalRowNumber]]. Integer
+    * window math uses `div` (all offsets non-negative, so truncating
+    * and flooring division agree on every engine). */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      ctxLen: Int = 512, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+    val ranged = withCounts.repartitionByRange(parts, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_local_cum", sum(col("n_tokens")).over(w))
+    val sums = local.groupBy(col("_pid")).agg(max(col("_local_cum")).as("_sum"))
+    val prior = sums.select(col("_pid").as("_pid2"), col("_sum").as("_sum2"))
+    val offsets = sums.join(broadcast(prior), col("_pid2") < col("_pid"), "left")
+      .groupBy(col("_pid"))
+      .agg(coalesce(sum(col("_sum2")), lit(0L)).as("_offset"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("start_off",
+        (col("_offset") + col("_local_cum") - col("n_tokens")).cast("long"))
+      .withColumn("bin_first", expr(s"start_off div $ctxLen"))
+      .withColumn("bin_last",
+        when(col("n_tokens") === 0, col("bin_first"))
+          .otherwise(expr(s"(start_off + n_tokens - 1) div $ctxLen")))
+      .select(col(idCol), col("n_tokens"), col("start_off"),
+        col("bin_first"), col("bin_last"))
+  }
+
+  /** Corpus VOCABULARY induction: global token frequencies, top `k` by
+    * count with lexicographic tie-break — the first pass of a
+    * tokenizer build or a frequency-based filter. Tokens are
+    * normalized like [[fingerprint]] (lowercase alnum runs). Two-level
+    * aggregate with map-side combine, then top-k as a TakeOrdered —
+    * the full vocabulary is never globally sorted. */
+  def topVocabulary(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    df.select(explode(split(trim(regexp_replace(lower(col(textCol)),
+        "[^a-z0-9]+", " ")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
+
+  /** TF-IDF keyword extraction: the `k` highest tf·idf terms per
+    * document (idf = ln(N/df)); ranking compares the score ROUNDED to
+    * 6 places with a lexicographic tie-break, so the chosen terms are
+    * reproducible across engines to that precision. Distributed shape:
+    * doc-term counts and doc frequencies are two-level aggregates; the
+    * idf join shuffles by TERM (both sides vocabulary-sized after
+    * aggregation, never the corpus); the per-doc top-k window
+    * partitions by doc id. */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+      explode(split(trim(regexp_replace(lower(col(textCol)),
+        "[^a-z0-9]+", " ")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col("_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("_n"))
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("_n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("_id")).orderBy(col("score").desc, col("tok"))
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("_id").as(idCol), col("tok").as("term"),
+        col("score").as("tfidf"), col("_rn").cast("long").as("rank"))
   }
 }

@@ -113,4 +113,75 @@ class TextPipelineSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(salted != s10)
   }
+
+  test("contaminationHits/decontaminate: eval n-gram overlap flags docs") {
+    val evalText = (1 to 13).map(i => s"e$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"leading words then $evalText trailing here"), // carries eval 13-gram
+      (2L, "completely unrelated content with plenty of distinct tokens " +
+        (1 to 10).map(i => s"u$i").mkString(" ")),
+      (3L, evalText)                                       // the eval doc itself
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(Tuple1(evalText)).toDF("text")
+    val hits = Dedup.contaminationHits(docs, evalSet, "text", "doc_id", n = 13)
+      .orderBy("doc_id").collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(hits(0).getAs[Long]("n_eval_ngrams") == 1)
+    val clean = Dedup.decontaminate(docs, evalSet, "text", "doc_id", n = 13)
+    assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("contaminationHits: short docs fall back to whole-text grams") {
+    val docs = Seq((1L, "tiny snippet"), (2L, "other words")).toDF("doc_id", "text")
+    val evalSet = Seq(Tuple1("Tiny Snippet!")).toDF("text") // same normalized text
+    val hits = Dedup.contaminationHits(docs, evalSet, "text", "doc_id")
+    assert(hits.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("packSequences: offsets are a global cumsum, bins split on ctxLen") {
+    val docs = Seq(
+      (1L, (1 to 300).map(i => s"t$i").mkString(" ")), // 300 tokens → [0,300)
+      (2L, (1 to 300).map(i => s"s$i").mkString(" ")), // [300,600) spans bin 0→1
+      (3L, "   "),                                     // blank → 0 tokens at 600
+      (4L, (1 to 100).map(i => s"r$i").mkString(" "))  // [600,700) inside bin 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "text", "doc_id", ctxLen = 512)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("start_off"),
+      r.getAs[Long]("bin_first"), r.getAs[Long]("bin_last"))).toSeq == Seq(
+      (1L, 0L, 0L, 0L), (2L, 300L, 0L, 1L), (3L, 600L, 1L, 1L),
+      (4L, 600L, 1L, 1L)))
+    // partition-count independence: the two-pass cumsum must not depend
+    // on how many range partitions the corpus lands in
+    val one = TextAnalysis.packSequences(docs, "text", "doc_id",
+      ctxLen = 512, numPartitions = 1).orderBy("doc_id").collect()
+    assert(one.toSeq == out.toSeq)
+  }
+
+  test("topVocabulary: count-desc with lexicographic tie-break, normalized") {
+    val docs = Seq(
+      (1L, "Apple banana apple! CHERRY banana apple"),
+      (2L, "banana date cherry")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topVocabulary(docs, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("apple", 3L), ("banana", 3L), ("cherry", 2L)))
+  }
+
+  test("tfidfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "shared shared zebra"),
+      (2L, "shared quux"),
+      (3L, "shared other")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    // "shared" appears in every doc → idf = ln(1) = 0; unique terms win
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("rank"))
+    assert(d1.head.getAs[String]("term") == "zebra")
+    assert(math.abs(d1.head.getAs[Double]("tfidf") -
+      math.rint(math.log(3.0) * 1e6) / 1e6) < 1e-9)
+    assert(d1.last.getAs[String]("term") == "shared")
+    assert(d1.last.getAs[Double]("tfidf") == 0.0)
+  }
 }
