@@ -104,6 +104,19 @@ object ScaleProbe {
         Seq(col("ts"), col("event_id"))).count(),
       graft.operators.Relational.globalRowNumber(evN,
         Seq(col("ts"), col("event_id"))).count())
+    // decontamination: the eval slice grows with the corpus here, so
+    // this also bounds the broadcast-build side as eval size scales
+    probe("decontamination",
+      graft.operators.Dedup.contaminationHits(docs1,
+        docs1.filter(col("doc_id") % 97 === 0), "text", "doc_id").count(),
+      graft.operators.Dedup.contaminationHits(docsN,
+        docsN.filter(col("doc_id") % 97 === 0), "text", "doc_id").count())
+    probe("pack_sequences",
+      graft.operators.TextAnalysis.packSequences(docs1, "text", "doc_id").count(),
+      graft.operators.TextAnalysis.packSequences(docsN, "text", "doc_id").count())
+    probe("tfidf_topterms",
+      graft.operators.TextAnalysis.tfidfTopTerms(docs1, "text", "doc_id").count(),
+      graft.operators.TextAnalysis.tfidfTopTerms(docsN, "text", "doc_id").count())
 
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
