@@ -597,6 +597,12 @@ object SparkEntry {
         rates = Map("src0" -> 100, "src1" -> 40), defaultPct = 10)
         .select(col("doc_id"), col("source"))),
 
+    // ---- text: per-source corpus report (exact median pinned for the
+    //      oracle; the operator default is the mergeable approx sketch) ----
+    "corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(t(s, dir, "documents"), "text", "source",
+        minTokens = 30, medianExact = true)),
+
     // ---- text: sequence packing — concat-and-chunk the corpus into
     //      512-token training windows; per-doc start offset and
     //      first/last window (two-pass global cumsum, no single-
@@ -1314,6 +1320,19 @@ object SparkEntry {
         |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
         |WHERE u.n_tokens >= 30 AND u.n_tokens <= 5000
         |  AND u.tuf <= 0.10 AND coalesce(b.dbf, 0.0) <= 0.05""".stripMargin,
+    "corpus_report" ->
+      """WITH tc AS (
+        |  SELECT source AS stratum,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(n_tokens), 4) AS mean_tokens,
+        |  round(quantile_cont(n_tokens, 0.5), 4) AS median_tokens,
+        |  round(avg(CASE WHEN n_tokens >= 30 THEN 1.0 ELSE 0.0 END), 6)
+        |    AS frac_min_tokens
+        |FROM tc GROUP BY stratum""".stripMargin,
     "pack_sequences" ->
       """WITH tc AS (
         |  SELECT doc_id,

@@ -246,6 +246,32 @@ object TextAnalysis {
     df.filter(bucket < pct)
   }
 
+  /** Corpus REPORT: per-stratum (source/domain) health statistics — doc
+    * count, token totals, mean/median tokens, and the fraction meeting
+    * a minimum-length bar. The report a curation run prints before and
+    * after each filter stage.
+    *
+    * The median defaults to `approx_percentile` (fixed-size sketch,
+    * mergeable map-side — the only shape that survives billions of
+    * rows per stratum); `medianExact = true` switches to the exact
+    * interpolated `percentile` for small strata / oracle comparison,
+    * which buffers each group's values and is NOT the 100 TB path. */
+  def corpusReport(df: DataFrame, textCol: String, stratumCol: String,
+      minTokens: Long = 30, medianExact: Boolean = false): DataFrame = {
+    val median =
+      if (medianExact) expr("percentile(n_tokens, 0.5)")
+      else expr("approx_percentile(n_tokens, 0.5)").cast("double")
+    df.select(col(stratumCol).as("stratum"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("mean_tokens"),
+        round(median, 4).as("median_tokens"),
+        round(avg(when(col("n_tokens") >= minTokens, 1.0).otherwise(0.0)), 6)
+          .as("frac_min_tokens"))
+  }
+
   /** Sequence PACKING (concat-and-chunk): lay the corpus out as one
     * deterministic token stream (ordered by `idCol`) and cut it into
     * fixed `ctxLen`-token training windows. Each document comes back
