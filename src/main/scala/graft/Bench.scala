@@ -34,10 +34,14 @@ object Bench {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("ts")))).count()
 
-    // Median of 3 iterations per query: a single co-tenant noise spike on
-    // one iteration cannot flip the acceptance signal. Spread (max-min) is
-    // emitted per query so a noisy run is self-evident from the artifact.
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Median of 5 iterations per query: co-tenant noise spikes on up to
+    // two iterations cannot flip the acceptance signal. Spread (max-min)
+    // is emitted per query, and a query whose spread EXCEEDS its median
+    // is flagged "noisy" — its median is environment-dominated and
+    // should be read against a controlled re-run, not taken at face
+    // value (round-4 verdict: driver medians ran up to 20× a controlled
+    // re-run with spread > median as the tell).
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
@@ -52,11 +56,14 @@ object Bench {
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + r4(s) }
       .mkString("{", ",", "}")
+    val noisy = results.collect { case (k, m, s) if s > m => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Spreads first on their own line; the medians line LAST so a tail
-    // capture of the stream always retains the acceptance signal.
-    println(s"""{"metric":"spread","spread":$spreads,"iters":$iterations}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"iters":$iterations,"sf":"$sfDir"}""")
+    // Spreads + noise flags first on their own line; the medians line
+    // LAST so a tail capture of the stream always retains the
+    // acceptance signal.
+    println(s"""{"metric":"spread","spread":$spreads,"noisy":$noisy,"iters":$iterations}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"iters":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

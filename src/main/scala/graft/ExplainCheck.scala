@@ -72,9 +72,17 @@ object ExplainCheck {
     audit("decontam_hits", mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
     // sequence packing: the global cumsum is the two-pass scheme — the
-    // corpus window is partitioned by _pid, so no single-partition
-    // exchange may appear anywhere in the plan
-    audit("pack_sequences", mustNotContain = Seq("Exchange SinglePartition"))
+    // CORPUS window is partitioned by _pid (asserted via the hash
+    // exchange) and the per-partition offsets never go through a BNLJ
+    // (the O(P²) triangular join this replaced). The one legitimate
+    // single-partition exchange is over the P-row totals aggregate —
+    // metadata-sized by construction, not the data path.
+    audit("pack_sequences",
+      mustContain = Seq("Exchange hashpartitioning(_pid"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
+    // global row numbering: same two-pass shape, same assertions
+    audit("w5_row_number",
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
     // vocabulary induction: top-k rides TakeOrderedAndProject, never a
     // global sort of the vocabulary
     audit("vocab_topk", mustContain = Seq("TakeOrderedAndProject"))

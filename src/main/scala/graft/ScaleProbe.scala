@@ -81,6 +81,9 @@ object ScaleProbe {
     val tMinhash1 = probe("minhash_lsh_pairs",
       graft.operators.Dedup.minhashLshPairs(docs1, "text", "doc_id").count(),
       graft.operators.Dedup.minhashLshPairs(docsN, "text", "doc_id").count())
+    val tPortable1 = probe("minhash_portable_pairs",
+      graft.operators.Dedup.minhashLshPairsPortable(docs1, "text", "doc_id").count(),
+      graft.operators.Dedup.minhashLshPairsPortable(docsN, "text", "doc_id").count())
     probe("simhash_pairs",
       graft.operators.Dedup.simhashPairs(docs1, "text", "doc_id").count(),
       graft.operators.Dedup.simhashPairs(docsN, "text", "doc_id").count())
@@ -131,6 +134,15 @@ object ScaleProbe {
     println(f"[probe] minhash_on_${n}x_duplicates    ${tDup}%6.2fs  ratio=${dupRatio}%5.1f (budget <= ${budget}%.0f, cap-bounded) $dupVerdict")
     if (dupRatio > budget)
       failures += f"minhash_on_duplicates: ratio $dupRatio%.1f exceeds budget $budget%.1f — is the skew cap off?"
+    // same duplicates corpus through the PORTABLE path — its default
+    // cap (1000, round-5 change) must bound the band join identically
+    val tDupP = time(graft.operators.Dedup.minhashLshPairsPortable(
+      dupN, "text", "doc_id").count())
+    val dupPRatio = tDupP / math.max(tPortable1, 0.3)
+    val dupPVerdict = if (dupPRatio <= budget) "ok" else "FAIL"
+    println(f"[probe] portable_on_${n}x_duplicates   ${tDupP}%6.2fs  ratio=${dupPRatio}%5.1f (budget <= ${budget}%.0f, cap-bounded) $dupPVerdict")
+    if (dupPRatio > budget)
+      failures += f"portable_on_duplicates: ratio $dupPRatio%.1f exceeds budget $budget%.1f — is the portable skew cap off?"
 
     spark.stop()
     if (failures.nonEmpty) {

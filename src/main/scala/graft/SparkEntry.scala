@@ -375,10 +375,13 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
 
     // ---- dedup: engine-portable md5 minhash (FULL oracle for the LSH
-    //      pipeline, bounded doc subset to keep the gate cheap) ----
+    //      pipeline, bounded doc subset to keep the gate cheap).
+    //      maxBucket pinned 0: the DuckDB oracle computes the EXACT
+    //      uncapped pair set (the production default is 1000) ----
     "dedup_minhash_oracle" -> ((s, dir) =>
       Dedup.minhashLshPairsPortable(
-        t(s, dir, "documents").filter(col("doc_id") < 500), "text", "doc_id")),
+        t(s, dir, "documents").filter(col("doc_id") < 500), "text", "doc_id",
+        maxBucket = 0)),
 
     // ---- dedup: MinHash + LSH near-dup pairs. Gate runs the PORTABLE
     //      md5 path (full oracle; different band geometry than
@@ -386,7 +389,7 @@ object SparkEntry {
     //      spec-verified against planted pairs ----
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairsPortable(t(s, dir, "documents"), "text", "doc_id",
-        numHashes = 16, bands = 8, withEstimate = true)
+        numHashes = 16, bands = 8, withEstimate = true, maxBucket = 0)
         .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_j"))),
 
     // ---- dedup: SimHash hamming pairs. Gate runs the PORTABLE 60-bit

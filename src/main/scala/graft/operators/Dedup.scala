@@ -204,10 +204,16 @@ object Dedup {
     * slice. Computable bit-identically by any engine with md5 — which
     * makes the whole LSH pipeline verifiable against an independent
     * SQL oracle, not just rows-only. `withEstimate` attaches
-    * est_jaccard = fraction of matching signature positions. */
+    * est_jaccard = fraction of matching signature positions.
+    *
+    * `maxBucket` defaults ON (1000) like the production twin
+    * ([[minhashLshPairs]]): a duplicate-heavy corpus otherwise
+    * B²-explodes one reduce task in the band self-join. Set
+    * `maxBucket = 0` only when the EXACT pair set matters more than
+    * bounded fan-out (e.g. oracle verification on bounded inputs). */
   def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
-      withEstimate: Boolean = false, maxBucket: Int = 0): DataFrame = {
+      withEstimate: Boolean = false, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val exploded = df.repartition(col(idCol)).select(col(idCol).as("id"),
       explode(graft.functions.ShingleStrings.shingle_strings(

@@ -182,15 +182,20 @@ object Relational {
       .withColumn("_pid", spark_partition_id())
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
     val local = ranged.withColumn("_local_rn", row_number().over(w))
-    // Cumulative offsets over the tiny per-partition count table via a
-    // triangular self-join (≤ parts² pairs, broadcast-NLJ) — NOT an
-    // unpartitioned window, so nothing in this operator ever emits the
-    // single-partition WindowExec warning.
+    // Cumulative offsets over the per-partition count table: an
+    // UNPARTITIONED window is fine HERE — the table is exactly `parts`
+    // rows (metadata-sized, not data-sized), so the single-partition
+    // sort costs O(P log P). The previous triangular broadcast
+    // self-join avoided that exchange but generated O(P²) BNLJ pairs —
+    // 5×10⁹ comparisons at P = 100k. The DATA-path window above stays
+    // partitioned by _pid; only the counts aggregate passes through
+    // the single-partition exchange.
     val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-    val prior = counts.select(col("_pid").as("_pid2"), col("_cnt").as("_cnt2"))
-    val offsets = counts.join(broadcast(prior), col("_pid2") < col("_pid"), "left")
-      .groupBy(col("_pid")).agg(
-        coalesce(sum(col("_cnt2")), lit(0L)).as("_offset"))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_offset", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_offset"))
     local.join(broadcast(offsets), "_pid")
       .withColumn(outCol, (col("_offset") + col("_local_rn")).cast("long"))
       .drop("_pid", "_local_rn", "_offset")

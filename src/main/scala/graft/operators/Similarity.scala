@@ -137,17 +137,24 @@ object Similarity {
 
   /** Multi-probe LSH top-k: a row is a candidate when its bucket in ANY
     * table is within hamming `probeRadius` of the query's bucket for
-    * that table — still one scan + filter, no cross product. */
+    * that table — still one scan + filter, no cross product.
+    *
+    * `planes = 0` (the default) → [[adaptivePlanes]] from the row
+    * count, matching [[lshCandidatePairs]]: a fixed plane count keeps
+    * candidate SELECTIVITY constant as n grows, so the filter passes
+    * ever-more rows to the top-k at scale. Oracle gates pin an explicit
+    * plane count for reproducible candidate sets. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, planes: Int = 8, tables: Int = 2,
+      query: Seq[Double], k: Int, planes: Int = 0, tables: Int = 2,
       probeRadius: Int = 1): DataFrame = {
     val dim = query.length
-    def qBits(t: Int): String = (0 until planes).map { p =>
+    val nPlanes = if (planes > 0) planes else adaptivePlanes(df.count())
+    def qBits(t: Int): String = (0 until nPlanes).map { p =>
       val d = (0 until dim).map(j => query(j) * planeComponent(t, p, j)).sum
       if (d >= 0) "1" else "0"
     }.mkString
     val probed = (0 until tables).map { tIdx =>
-      bitHamming(srpBits(col(vecCol), dim, planes, tIdx), qBits(tIdx)) <= probeRadius
+      bitHamming(srpBits(col(vecCol), dim, nPlanes, tIdx), qBits(tIdx)) <= probeRadius
     }.reduce(_ || _)
     df.filter(probed)
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))

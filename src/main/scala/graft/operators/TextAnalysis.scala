@@ -296,11 +296,17 @@ object TextAnalysis {
     val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("_local_cum", sum(col("n_tokens")).over(w))
+    // Cumulative offsets over the P-row totals table: unpartitioned
+    // window on a metadata-sized table (O(P log P) single-partition
+    // sort) — the triangular broadcast join it replaces was O(P²)
+    // BNLJ pairs. The corpus-side cumsum window above stays
+    // partitioned by _pid.
     val sums = local.groupBy(col("_pid")).agg(max(col("_local_cum")).as("_sum"))
-    val prior = sums.select(col("_pid").as("_pid2"), col("_sum").as("_sum2"))
-    val offsets = sums.join(broadcast(prior), col("_pid2") < col("_pid"), "left")
-      .groupBy(col("_pid"))
-      .agg(coalesce(sum(col("_sum2")), lit(0L)).as("_offset"))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_offset"))
     local.join(broadcast(offsets), "_pid")
       .withColumn("start_off",
         (col("_offset") + col("_local_cum") - col("n_tokens")).cast("long"))

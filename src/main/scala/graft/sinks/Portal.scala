@@ -45,6 +45,7 @@ class Portal(root: String) {
       properties: Map[String, String],
       serviceProps: Map[String, String] = Map.empty,
       indexes: Seq[(String, String)] = Nil, // (name, fields)
+      timeInfo: Option[String] = None, // layer time settings blob
       lastTouched: Long = 0L)
 
   private val items = collection.mutable.LinkedHashMap.empty[String, Item]
@@ -104,21 +105,23 @@ class Portal(root: String) {
   def dataPath(item: Item): String = s"$root/${item.id}"
 
   /** K9 — snapshot the restorable properties before an overwrite. */
-  case class Backup(serviceProps: Map[String, String], indexes: Seq[(String, String)])
+  case class Backup(serviceProps: Map[String, String],
+      indexes: Seq[(String, String)], timeInfo: Option[String] = None)
   def backupProperties(item: Item): Backup =
-    Backup(item.serviceProps, item.indexes)
+    Backup(item.serviceProps, item.indexes, item.timeInfo)
 
   /** K9 — restore after overwrite: service props reapplied (forcing
     * hasLiveData=false like the reference's timeInfo restore,
     * `OverwriteFS.py:483-486`); indexes deduped by name, keys over
-    * 4000 bytes dropped (`OverwriteFS.py:529-531`). */
+    * 4000 bytes dropped (`OverwriteFS.py:529-531`); timeInfo put back
+    * (`OverwriteFS.py:469-478`). The index rules are the seam-shared
+    * [[PortalTransport.normalizeIndexes]], so the local model and the
+    * REST backend restore identically. */
   def restoreProperties(item: Item, backup: Backup): Item = {
-    val dedupedIdx = backup.indexes
-      .groupBy(_._1).map(_._2.head).toSeq
-      .filter(_._2.getBytes("UTF-8").length <= 4000)
     val restored = item.copy(
       serviceProps = backup.serviceProps + ("hasLiveData" -> "false"),
-      indexes = dedupedIdx)
+      indexes = PortalTransport.normalizeIndexes(backup.indexes),
+      timeInfo = backup.timeInfo)
     items(item.id) = restored
     restored
   }
@@ -204,6 +207,18 @@ class Portal(root: String) {
 
   def addIndex(item: Item, name: String, fields: String): Item = {
     val updated = items(item.id).copy(indexes = items(item.id).indexes :+ (name, fields))
+    items(item.id) = updated
+    updated
+  }
+
+  def setIndexes(item: Item, indexes: Seq[(String, String)]): Item = {
+    val updated = items(item.id).copy(indexes = indexes)
+    items(item.id) = updated
+    updated
+  }
+
+  def setTimeInfo(item: Item, timeInfo: Option[String]): Item = {
+    val updated = items(item.id).copy(timeInfo = timeInfo)
     items(item.id) = updated
     updated
   }

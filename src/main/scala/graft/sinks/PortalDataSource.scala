@@ -43,23 +43,39 @@ class PortalDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "portal"
 
   // write path: schema comes from the DataFrame being written; read
-  // path: from the schema recorded in the item at publish time
+  // path: from the schema recorded in the item at publish time —
+  // resolved THROUGH the transport seam, so `spark.read.format("portal")`
+  // works against the local model and a live portal alike
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val root = options.get("root")
     val title = options.get("item")
-    if (root != null && title != null) {
-      val stored = Portal.forRoot(root).findByTitle(title)
-        .flatMap(i => Portal.forRoot(root).itemById(i.id)
-          .serviceProps.get("schema"))
-      stored.map(DataType.fromJson(_).asInstanceOf[StructType])
-        .getOrElse(new StructType())
-    } else new StructType()
+    PortalDataSource.transportFor(options) match {
+      case Some(t) if title != null =>
+        t.findByTitle(title)
+          .flatMap(i => t.props(i.id).get("schema"))
+          .map(DataType.fromJson(_).asInstanceOf[StructType])
+          .getOrElse(new StructType())
+      case _ => new StructType()
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new PortalTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object PortalDataSource {
+  /** Scheme-selected transport from reader/writer options: `portalUrl`
+    * set → live REST backend; else the local model at `root`. */
+  def transportFor(options: CaseInsensitiveStringMap): Option[PortalTransport] =
+    transportFor(Option(options.get("root")), Option(options.get("portalUrl")),
+      Option(options.get("username")).getOrElse(""),
+      Option(options.get("password")).getOrElse(""))
+
+  def transportFor(root: Option[String], portalUrl: Option[String],
+      username: String, password: String): Option[PortalTransport] =
+    portalUrl.map(u => PortalTransport(u, username, password))
+      .orElse(root.map(PortalTransport(_)))
 }
 
 class PortalTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
@@ -68,8 +84,8 @@ class PortalTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
 
   private val root = options.get("root")
   private val title = options.get("item")
-  require(root != null && title != null,
-    "portal sink requires options: root, item")
+  require(title != null && (root != null || options.get("portalUrl") != null),
+    "portal source requires options: item, and root or portalUrl")
 
   override def name(): String = s"portal.$title"
   override def schema(): StructType = writeSchema
@@ -85,16 +101,23 @@ class PortalTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
       Option(options.get("username")).getOrElse(""),
       Option(options.get("password")).getOrElse(""))
 
-  /** Read side: the ACTIVE slot's partition files, one InputPartition
-    * per file, with column pruning. The slot pointer resolves at scan
-    * PLANNING time, so a refresh between planning and execution cannot
-    * tear a read across slots (K10's reader-side atomicity). */
+  /** Read side: the ACTIVE slot's payload through the TRANSPORT seam —
+    * one InputPartition per part handle (local: per staged partition
+    * file; REST: the item-data download), with column pruning. The
+    * slot pointer resolves at scan PLANNING time, so a refresh between
+    * planning and execution cannot tear a read across slots (K10's
+    * reader-side atomicity). */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
-    new PortalScanBuilder(root, title, writeSchema)
+    new PortalScanBuilder(Option(root), title, writeSchema,
+      Option(options.get("portalUrl")),
+      Option(options.get("username")).getOrElse(""),
+      Option(options.get("password")).getOrElse(""))
 }
 
-class PortalScanBuilder(root: String, title: String, fullSchema: StructType)
+class PortalScanBuilder(root: Option[String], title: String,
+    fullSchema: StructType, portalUrl: Option[String],
+    username: String, password: String)
     extends org.apache.spark.sql.connector.read.ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.read._
@@ -107,10 +130,11 @@ class PortalScanBuilder(root: String, title: String, fullSchema: StructType)
   }
 
   override def build(): Scan = new Scan with Batch {
-    private val portal = Portal.forRoot(root)
-    private val item = portal.findByTitle(title).getOrElse(
+    private val transport =
+      PortalDataSource.transportFor(root, portalUrl, username, password).get
+    private val item = transport.findByTitle(title).getOrElse(
       throw new IllegalArgumentException(s"no published item '$title'"))
-    private val slot = portal.itemById(item.id).serviceProps.getOrElse("activeSlot",
+    private val slot = transport.props(item.id).getOrElse("activeSlot",
       throw new IllegalStateException(s"item '$title' has no published slot"))
 
     override def readSchema(): StructType = required
@@ -118,31 +142,33 @@ class PortalScanBuilder(root: String, title: String, fullSchema: StructType)
     override def description(): String =
       s"portal.$title slot=$slot cols=${required.fieldNames.mkString(",")}"
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      val dir = Path.of(root, item.id, slot)
-      if (!Files.isDirectory(dir)) return Array.empty
-      Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".csv"))
-        .map(p => PortalFilePartition(p.toString): InputPartition)
-        .toArray
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      transport.listParts(item.id, slot)
+        .map(h => PortalFilePartition(h): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new PortalReaderFactory(fullSchema, required)
+      new PortalReaderFactory(root, portalUrl, username, password,
+        fullSchema, required)
   }
 }
 
-case class PortalFilePartition(path: String)
+case class PortalFilePartition(handle: String)
     extends org.apache.spark.sql.connector.read.InputPartition
 
-class PortalReaderFactory(fullSchema: StructType, required: StructType)
+/** Serializable factory: carries only strings; the transport is
+  * re-created inside each executor-side reader (the live client's
+  * sockets never serialize). */
+class PortalReaderFactory(root: Option[String], portalUrl: Option[String],
+    username: String, password: String,
+    fullSchema: StructType, required: StructType)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.connector.read._
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val lines = Files.readAllLines(
-        Path.of(p.asInstanceOf[PortalFilePartition].path)).iterator()
+      private val lines =
+        PortalDataSource.transportFor(root, portalUrl, username, password).get
+          .fetchPart(p.asInstanceOf[PortalFilePartition].handle).iterator
       // stored files carry ALL columns in fullSchema order (headerless)
       private val colIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
       private var current: InternalRow = _

@@ -212,6 +212,38 @@ class PortalRestClient(root: String, username: String, password: String,
     node.path("data").asText()
   }
 
+  /** GET /content/items/<id>/definition — the service-definition slice
+    * K9 replays after an overwrite: attribute indexes and the layer's
+    * timeInfo (the surface the reference reads through the admin
+    * manager, `OverwriteFS.py:268-398`). */
+  def serviceDefinition(itemId: String): (Seq[(String, String)], Option[String]) = {
+    val node = get(s"/content/items/$itemId/definition", Nil)
+    if (node.has("error"))
+      throw new java.io.IOException(s"definition $itemId: $node")
+    val idx = (0 until node.path("indexes").size()).map { i =>
+      val n = node.path("indexes").get(i)
+      n.path("name").asText() -> n.path("fields").asText()
+    }
+    val ti = Option(node.path("timeInfo").asText(null)).filter(_.nonEmpty)
+    (idx, ti)
+  }
+
+  /** POST …/items/<id>/updateDefinition — replace the definition slice
+    * (indexes as a JSON array, timeInfo as its blob): the wire path of
+    * the reference's index replay (`OverwriteFS.py:499-558`) and
+    * layer-optimization restore (`:469-478`). */
+  def updateDefinition(itemId: String, indexes: Seq[(String, String)],
+      timeInfo: Option[String]): Boolean = {
+    val arr = mapper.createArrayNode()
+    indexes.foreach { case (name, fields) =>
+      arr.add(mapper.createObjectNode().put("name", name).put("fields", fields))
+    }
+    val node = post(s"/content/users/$username/items/$itemId/updateDefinition",
+      Seq("indexes" -> mapper.writeValueAsString(arr)) ++
+        timeInfo.map("timeInfo" -> _).toSeq)
+    node.path("success").asBoolean(false)
+  }
+
   /** Item property update (also the K11 touch vehicle). */
   def update(itemId: String, props: Map[String, String]): Boolean = {
     val node = post(s"/content/users/$username/items/$itemId/update",

@@ -37,12 +37,26 @@ trait PortalTransport {
   /** Merge properties into the item (the sharing API's update call). */
   def update(itemId: String, props: Map[String, String]): Unit
 
-  /** K9 — snapshot the restorable properties before an overwrite. */
-  def backupProperties(itemId: String): Map[String, String]
+  /** K9 — snapshot the restorable state before an overwrite: free-form
+    * properties PLUS the service-definition pieces the reference
+    * replays (`OverwriteFS.py:499-558`) — attribute indexes and the
+    * layer timeInfo. TYPED so the index rules survive the live seam. */
+  def backupProperties(itemId: String): PortalTransport.PropertyBackup
 
-  /** K9 — reapply the snapshot after an overwrite (hasLiveData forced
-    * false, like the reference's timeInfo restore). */
-  def restoreProperties(itemId: String, backup: Map[String, String]): Unit
+  /** K9 — reapply the snapshot after an overwrite. Both backends apply
+    * [[PortalTransport.PropertyBackup.normalized]]: indexes deduped by
+    * name, >4000-byte keys dropped, hasLiveData forced false (the
+    * reference's timeInfo reset, `OverwriteFS.py:483-486`). */
+  def restoreProperties(itemId: String, backup: PortalTransport.PropertyBackup): Unit
+
+  /** Read plane: opaque part handles for `slot`'s published payload
+    * (local: one handle per staged partition file; REST: the single
+    * item-data payload) — the DSv2 read path plans one InputPartition
+    * per handle. */
+  def listParts(itemId: String, slot: String): Seq[String]
+
+  /** Read plane: the CSV lines behind one [[listParts]] handle. */
+  def fetchPart(handle: String): Seq[String]
 
   /** Publish the item as a hosted service; returns the service id. */
   def publish(itemId: String): String
@@ -61,6 +75,30 @@ trait PortalTransport {
 
 object PortalTransport {
   case class Ref(id: String, title: String, itemType: String, tags: Seq[String])
+
+  /** K9's restorable state, typed across the seam. `indexes` are
+    * (name, fields) pairs; `timeInfo` is the layer's time-settings
+    * blob (the piece the reference re-applies via updateDefinition,
+    * `OverwriteFS.py:469-486`). */
+  case class PropertyBackup(props: Map[String, String],
+      indexes: Seq[(String, String)] = Nil,
+      timeInfo: Option[String] = None) {
+    /** The restore rules, in ONE place so both backends behave
+      * identically: indexes deduped by name (first occurrence wins),
+      * keys over 4000 bytes dropped (`OverwriteFS.py:529-531`),
+      * hasLiveData forced false (`OverwriteFS.py:483-486`). */
+    def normalized: PropertyBackup = copy(
+      props = props + ("hasLiveData" -> "false"),
+      indexes = PortalTransport.normalizeIndexes(indexes))
+  }
+
+  /** Index restore rules shared by the seam and the local model. */
+  def normalizeIndexes(indexes: Seq[(String, String)]): Seq[(String, String)] = {
+    val seen = collection.mutable.LinkedHashSet.empty[String]
+    indexes.filter { case (name, fields) =>
+      fields.getBytes("UTF-8").length <= 4000 && seen.add(name)
+    }
+  }
 
   /** Scheme-selected backend; credentials only matter for http(s). */
   def apply(root: String, username: String = "", password: String = ""): PortalTransport =
@@ -108,15 +146,15 @@ class LocalPortalTransport(portal: Portal, root: String) extends PortalTransport
   override def update(itemId: String, props: Map[String, String]): Unit =
     portal.updateServiceProps(portal.itemById(itemId), props)
 
-  override def backupProperties(itemId: String): Map[String, String] =
-    portal.backupProperties(portal.itemById(itemId)).serviceProps
-
-  override def restoreProperties(itemId: String, backup: Map[String, String]): Unit = {
-    // full model restore (service props + index dedupe + key limits)
-    val item = portal.itemById(itemId)
-    portal.restoreProperties(item,
-      portal.Backup(backup, portal.backupProperties(item).indexes))
+  override def backupProperties(itemId: String): PortalTransport.PropertyBackup = {
+    val b = portal.backupProperties(portal.itemById(itemId))
+    PortalTransport.PropertyBackup(b.serviceProps, b.indexes, b.timeInfo)
   }
+
+  override def restoreProperties(itemId: String,
+      backup: PortalTransport.PropertyBackup): Unit =
+    portal.restoreProperties(portal.itemById(itemId),
+      portal.Backup(backup.props, backup.indexes, backup.timeInfo))
 
   override def publish(itemId: String): String = {
     val src = portal.itemById(itemId)
@@ -149,6 +187,21 @@ class LocalPortalTransport(portal: Portal, root: String) extends PortalTransport
     files.foreach(f => Files.move(f, slotDir.resolve(f.getFileName),
       StandardCopyOption.ATOMIC_MOVE))
   }
+
+  override def listParts(itemId: String, slot: String): Seq[String] = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val dir = Path.of(root, itemId, slot)
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".csv"))
+      .map(_.toString).toSeq.sorted
+  }
+
+  override def fetchPart(handle: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Path.of(handle)).asScala.toSeq
+  }
 }
 
 /** Live backend over the sharing-REST client. Data replacement is the
@@ -180,11 +233,23 @@ class RestPortalTransport(client: PortalRestClient) extends PortalTransport {
       throw new java.io.IOException(s"update failed for $itemId")
   }
 
-  override def backupProperties(itemId: String): Map[String, String] =
-    client.itemProps(itemId)
+  override def backupProperties(itemId: String): PortalTransport.PropertyBackup = {
+    val (indexes, timeInfo) = client.serviceDefinition(itemId)
+    PortalTransport.PropertyBackup(client.itemProps(itemId), indexes, timeInfo)
+  }
 
-  override def restoreProperties(itemId: String, backup: Map[String, String]): Unit =
-    update(itemId, backup + ("hasLiveData" -> "false"))
+  /** The full K9 replay over the wire: properties via item update,
+    * indexes + timeInfo via the definition route — the reference's
+    * index replay (`OverwriteFS.py:499-558`) and layer-optimization
+    * restore (`:469-478`) now have a REST path, with the SAME
+    * normalization rules as the local model. */
+  override def restoreProperties(itemId: String,
+      backup: PortalTransport.PropertyBackup): Unit = {
+    val n = backup.normalized
+    update(itemId, n.props)
+    if (!client.updateDefinition(itemId, n.indexes, n.timeInfo))
+      throw new java.io.IOException(s"updateDefinition failed for $itemId")
+  }
 
   override def publish(itemId: String): String = client.publish(itemId)
 
@@ -212,4 +277,13 @@ class RestPortalTransport(client: PortalRestClient) extends PortalTransport {
       throw new java.io.IOException(s"data upload failed for $itemId")
     files.foreach(java.nio.file.Files.deleteIfExists(_))
   }
+
+  /** One service holds one live payload (A/B = two services in the
+    * reference), so the read plane is the single item-data download
+    * regardless of slot. */
+  override def listParts(itemId: String, slot: String): Seq[String] =
+    Seq(itemId)
+
+  override def fetchPart(handle: String): Seq[String] =
+    client.itemData(handle).linesIterator.toSeq
 }

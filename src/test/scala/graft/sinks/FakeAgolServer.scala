@@ -95,6 +95,15 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
           val rel = portal.allItems.find(_.id == id)
             .map(portal.relatedItems).getOrElse(Nil)
           reply(ex, s"""{"relatedItems":[${rel.map(itemJson).mkString(",")}]}""")
+        case id :: "definition" :: Nil =>
+          portal.allItems.find(_.id == id) match {
+            case Some(i) =>
+              val idx = i.indexes.map { case (n, f) =>
+                s"""{"name":${jstr(n)},"fields":${jstr(f)}}""" }.mkString(",")
+              val ti = i.timeInfo.map(t => s""","timeInfo":${jstr(t)}""").getOrElse("")
+              reply(ex, s"""{"indexes":[$idx]$ti}""")
+            case None => reply(ex, s"""{"error":{"code":400,"message":"Item '$id' not found"}}""")
+          }
         case id :: "data" :: Nil =>
           val body = dataStore.getOrElse(id, "")
           val b = body.getBytes(StandardCharsets.UTF_8)
@@ -134,6 +143,16 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
             case _ =>
               reply(ex, """{"error":{"code":400,"message":"relationship item not found"}}""")
           }
+        case p2 if p2.endsWith("/updateDefinition") =>
+          val id = p2.stripSuffix("/updateDefinition").stripPrefix("items/")
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val arr = mapper.readTree(p.getOrElse("indexes", "[]"))
+          val idx = (0 until arr.size()).map { i =>
+            arr.get(i).path("name").asText() -> arr.get(i).path("fields").asText()
+          }
+          portal.setIndexes(portal.itemById(id), idx)
+          portal.setTimeInfo(portal.itemById(id), p.get("timeInfo"))
+          reply(ex, s"""{"success":true,"id":${jstr(id)}}""")
         case p2 if p2.endsWith("/update") =>
           val id = p2.stripSuffix("/update").stripPrefix("items/")
           val props = p - "token" - "f" - "text"

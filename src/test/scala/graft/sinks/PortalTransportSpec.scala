@@ -61,6 +61,26 @@ class PortalTransportSpec extends AnyFunSuite {
       assert(restored("hasLiveData") == "false") // K9's timeInfo reset
     }
 
+    test(s"[$name] K9 typed index + timeInfo restore crosses the seam") {
+      val t = mk()
+      val item = t.addOrRetry("Indexed", "Feature Service", Nil)
+      // restore a backup carrying a duplicate index name, an oversized
+      // key, and a timeInfo blob — the rules must apply identically on
+      // both backends, and read back through the seam
+      val backup = PortalTransport.PropertyBackup(
+        Map("snippet" -> "s1"),
+        Seq("idx_id" -> "id", "idx_id" -> "id,v",
+          "idx_big" -> ("f" * 4001), "idx_t" -> "ts"),
+        Some("""{"startTimeField":"ts"}"""))
+      t.restoreProperties(item.id, backup)
+      val rt = t.backupProperties(item.id)
+      assert(rt.indexes == Seq("idx_id" -> "id", "idx_t" -> "ts"),
+        "indexes deduped by name (first wins) with >4000-byte keys dropped")
+      assert(rt.timeInfo.contains("""{"startTimeField":"ts"}"""))
+      assert(rt.props("snippet") == "s1")
+      assert(rt.props("hasLiveData") == "false")
+    }
+
     test(s"[$name] relations: relate/related/unrelate; verifyOverwrite refuses WFS dependents") {
       val t = mk()
       val svc = t.addOrRetry("Svc", "Feature Service", Nil)
@@ -144,5 +164,37 @@ class PortalTransportSpec extends AnyFunSuite {
     // no slot directories appeared under the local staging root
     val local = new java.io.File(root).listFiles()
     assert(local == null || local.isEmpty)
+
+    // …and the DSv2 READ path resolves the published payload back
+    // through the SAME REST seam (schema from the item properties,
+    // data from the item-data download)
+    val back = spark.read.format("portal")
+      .option("root", root).option("item", "Rest published")
+      .option("portalUrl", server.base)
+      .option("username", "gcoos").option("password", "fixture-pass")
+      .load()
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(back.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSeq == Seq((1, "x"), (2, "y")))
+    // column pruning still applies through the transport read plane
+    assert(back.select("v").orderBy("v").collect().map(_.getString(0)).toSeq
+      == Seq("x", "y"))
+  }
+
+  test("write→read round trip across A/B slot flips, local backend") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pt_rt_local").toString
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.repartition(2).write.format("portal")
+        .option("root", root).option("item", "rt").mode("append").save()
+    write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val r1 = spark.read.format("portal")
+      .option("root", root).option("item", "rt").load()
+    assert(r1.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    // second publish flips the slot; the read must follow the pointer
+    write(Seq((1, "a2"), (2, "b2")).toDF("id", "v"))
+    val r2 = spark.read.format("portal")
+      .option("root", root).option("item", "rt").load()
+    assert(r2.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a2", "b2"))
   }
 }
