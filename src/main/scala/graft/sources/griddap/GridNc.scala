@@ -162,8 +162,28 @@ object GridNc {
     bos.toByteArray
   }
 
-  def read(bytes: Array[Byte]): Grid = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+  private[griddap] case class VarMeta(name: String, dimIds: Seq[Int],
+      isFloat: Boolean, vsize: Int, begin: Long) {
+    def cellBytes: Int = if (isFloat) 4 else 8
+  }
+  private[griddap] case class Header(version: Int, numrecs: Int,
+      rawDims: Seq[(String, Int)], recordDim: Option[Int],
+      metas: Seq[VarMeta]) {
+    /** Dim list with the record dim's CURRENT length substituted. */
+    def dims: Seq[(String, Int)] = rawDims.zipWithIndex.map { case ((n, len), i) =>
+      (n, if (recordDim.contains(i)) numrecs else len)
+    }
+    def recMetas: Seq[VarMeta] =
+      metas.filter(m => recordDim.exists(m.dimIds.headOption.contains))
+    /** One full record's byte size (sum of every record var's slab). */
+    def recSize: Long = recMetas.map(_.vsize.toLong).sum
+  }
+
+  /** Parse the header ONLY — O(header bytes), independent of how much
+    * data follows. This is what lets the incremental append
+    * ([[appendRecordsToFile]]) touch a growing grid file without
+    * reading its data section. */
+  private[griddap] def parseHeader(buf: ByteBuffer): Header = {
     require(buf.get() == 'C' && buf.get() == 'D' && buf.get() == 'F',
       "not a NetCDF classic file")
     val version = buf.get()
@@ -186,18 +206,11 @@ object GridNc {
       case -1 => None
       case i => Some(i)
     }
-    val dims = rawDims.zipWithIndex.map { case ((n, len), i) =>
-      (n, if (recordDim.contains(i)) numrecs else len)
-    }
-
     val gattTag = buf.getInt; val nGatt = buf.getInt
     require(gattTag == 0 && nGatt == 0,
       "attribute lists unsupported by this subset reader")
-
     val varTag = buf.getInt; val nVars = buf.getInt
     require(varTag == NC_VARIABLE || (varTag == 0 && nVars == 0), "bad var list")
-    case class Meta(name: String, dimIds: Seq[Int], isFloat: Boolean,
-        vsize: Int, begin: Long)
     val metas = (0 until nVars).map { _ =>
       val name = readName()
       val nd = buf.getInt
@@ -209,14 +222,19 @@ object GridNc {
       require(ncType == NC_FLOAT || ncType == NC_DOUBLE,
         s"unsupported nc_type $ncType")
       val vsize = buf.getInt
-      Meta(name, dimIds, ncType == NC_FLOAT, vsize, readOffset())
+      VarMeta(name, dimIds, ncType == NC_FLOAT, vsize, readOffset())
     }
-    // record size = sum of every record var's per-record slab
-    val recMetas = metas.filter(m => recordDim.exists(m.dimIds.headOption.contains))
-    val recSize = recMetas.map(_.vsize.toLong).sum
+    Header(version, numrecs, rawDims, recordDim, metas)
+  }
 
-    val vars = metas.map { m =>
-      val isRec = recordDim.exists(m.dimIds.headOption.contains)
+  def read(bytes: Array[Byte]): Grid = {
+    val h = parseHeader(ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN))
+    val dims = h.dims
+    val numrecs = h.numrecs
+    val recSize = h.recSize
+
+    val vars = h.metas.map { m =>
+      val isRec = h.recordDim.exists(m.dimIds.headOption.contains)
       val cells = m.dimIds.map(dims(_)._2.toLong).product.toInt
       val values = new Array[Double](cells)
       val data = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
@@ -238,7 +256,7 @@ object GridNc {
       }
       Var(m.name, m.dimIds, m.isFloat, values)
     }
-    Grid(dims, vars, recordDim)
+    Grid(dims, vars, h.recordDim)
   }
 
   /** Append records (new time slices) to an existing record-dim file
@@ -283,6 +301,86 @@ object GridNc {
     val patched = ByteBuffer.wrap(outBytes).order(ByteOrder.BIG_ENDIAN)
     patched.putInt(4, base.dims(rd)._2 + newRecs) // numrecs
     outBytes
+  }
+
+  /** INCREMENTAL on-disk append — the NRT grid-refresh write path
+    * (the reference re-downloads growing time dims,
+    * `data_wrangler.py:591-604`; here the published file GROWS
+    * instead of being rewritten):
+    *
+    *  - parses the HEADER only (O(header bytes), via a memory map
+    *    that never touches the data pages);
+    *  - reads the existing `time` coordinate — 8 bytes per record at
+    *    `begin + r*recSize`, O(numrecs) tiny reads, no slab I/O;
+    *  - appends ONLY the extra records whose time is strictly after
+    *    the file's current maximum (idempotent re-delivery: a slice
+    *    already present is skipped);
+    *  - writes the new records' slabs at the tail and patches the
+    *    4-byte `numrecs` field — total write = new bytes + 4.
+    *
+    * Returns the number of records appended. `extra` must share the
+    * record structure (validated against the header). */
+  def appendRecordsToFile(path: java.nio.file.Path, extra: Grid,
+      timeName: String = "time"): Int = {
+    val raf = new java.io.RandomAccessFile(path.toFile, "rw")
+    try {
+      val ch = raf.getChannel
+      val mapped = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+        0, ch.size()).order(ByteOrder.BIG_ENDIAN)
+      val h = parseHeader(mapped.duplicate().order(ByteOrder.BIG_ENDIAN))
+      val rd = h.recordDim.getOrElse(
+        throw new IllegalArgumentException("file has no record dimension"))
+      val erd = extra.recordDim.getOrElse(
+        throw new IllegalArgumentException("extra grid has no record dimension"))
+      // structural validation against the header (no data read)
+      val recMetas = h.recMetas
+      val extraRec = extra.vars.filter(extra.isRecordVar)
+      require(recMetas.map(_.name) == extraRec.map(_.name),
+        s"record variables differ: ${recMetas.map(_.name)} vs ${extraRec.map(_.name)}")
+      recMetas.zip(extraRec).foreach { case (m, v) =>
+        require(m.isFloat == v.isFloat, s"${m.name}: storage type differs") }
+      h.rawDims.indices.filterNot(_ == rd).foreach { i =>
+        require(extra.dims(i) == h.rawDims(i),
+          s"fixed dim mismatch at $i: ${extra.dims(i)} vs ${h.rawDims(i)}")
+      }
+      val recSize = h.recSize
+      // existing max time: the time COORD is one cell per record
+      val timeMeta = recMetas.find(_.name == timeName).getOrElse(
+        throw new IllegalArgumentException(s"no record coord '$timeName'"))
+      var maxT = Double.NegativeInfinity
+      var r = 0
+      while (r < h.numrecs) {
+        val pos = timeMeta.begin + r * recSize
+        val t = if (timeMeta.isFloat) mapped.getFloat(pos.toInt).toDouble
+          else mapped.getDouble(pos.toInt)
+        if (t > maxT) maxT = t
+        r += 1
+      }
+      val extraTimes = extra.coord(timeName)
+      val newIdx = extraTimes.indices.filter(extraTimes(_) > maxT)
+      if (newIdx.isEmpty) return 0
+
+      val extraN = extra.dims(erd)._2
+      raf.seek(ch.size())
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(
+          java.nio.channels.Channels.newOutputStream(ch)))
+      newIdx.foreach { ri =>
+        extraRec.foreach { v =>
+          val slab = v.values.length / extraN
+          var i = 0
+          while (i < slab) {
+            if (v.isFloat) out.writeFloat(v.values(ri * slab + i).toFloat)
+            else out.writeDouble(v.values(ri * slab + i))
+            i += 1
+          }
+        }
+      }
+      out.flush()
+      raf.seek(4)
+      raf.writeInt(h.numrecs + newIdx.size) // patch numrecs
+      newIdx.size
+    } finally raf.close()
   }
 
   /** K4/O1 — publish-side latitude reorientation

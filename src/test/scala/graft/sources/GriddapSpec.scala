@@ -203,6 +203,130 @@ class GriddapSpec extends AnyFunSuite {
     assert(back == orig)
   }
 
+  /** Record-dim (unlimited time) twin of [[fixtureGrid]]: `nt` slices,
+    * same lat/lon structure, time as the record dimension. */
+  def recordGrid(nt: Int, t0Offset: Int = 0): GridNc.Grid = {
+    val nlat = 5; val nlon = 4
+    val t0 = Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
+    val times = Array.tabulate(nt)(i => (t0 + (t0Offset + i) * 3600L).toDouble)
+    def sst(ti: Int, lai: Int, loi: Int) =
+      ((t0Offset + ti) * 10000 + lai * 100 + loi) * 0.25
+    val sstV = Array.tabulate(nt * nlat * nlon) { k =>
+      sst(k / (nlat * nlon), k / nlon % nlat, k % nlon) }
+    GridNc.Grid(
+      dims = Seq(("time", nt), ("latitude", nlat), ("longitude", nlon)),
+      vars = Seq(
+        GridNc.Var("time", Seq(0), isFloat = false, times),
+        GridNc.Var("latitude", Seq(1), isFloat = false,
+          Array.tabulate(nlat)(i => 20.0 + i)),
+        GridNc.Var("longitude", Seq(2), isFloat = false,
+          Array.tabulate(nlon)(i => -95.0 + i)),
+        GridNc.Var("sst", Seq(0, 1, 2), isFloat = false, sstV)),
+      recordDim = Some(0))
+  }
+
+  test("record-dim grid round-trips; record section interleaves per record") {
+    val g = recordGrid(3)
+    val bytes = GridNc.write(g)
+    // numrecs field carries the record count; the dim is stored as 0
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    assert(buf.getInt(4) == 3)
+    val back = GridNc.read(bytes)
+    assert(back.recordDim.contains(0))
+    assert(back.dims == g.dims) // record dim reads back at CURRENT length
+    assert(back.coord("time").toSeq == g.coord("time").toSeq)
+    assert(back.vars.find(_.name == "sst").get.values.toSeq ==
+      g.vars.find(_.name == "sst").get.values.toSeq)
+    // DSv2 source scans a record-dim file like any other
+    val d = Files.createTempDirectory("griddap_rec")
+    Files.write(d.resolve("rec.nc"), bytes)
+    val df = spark.read.format("griddap")
+      .option("dataDir", d.toString).option("dataset", "rec").load()
+    assert(df.count() == 3 * 5 * 4)
+  }
+
+  test("appendRecords grows a record-dim file without touching old bytes") {
+    val base = GridNc.write(recordGrid(3))
+    val appended = GridNc.appendRecords(base, recordGrid(2, t0Offset = 3))
+    // old bytes are a strict prefix, except the 4-byte numrecs patch
+    assert(appended.length > base.length)
+    assert(appended.slice(8, base.length).toSeq == base.slice(8, base.length).toSeq,
+      "append must not rewrite existing header/data bytes")
+    assert(java.nio.ByteBuffer.wrap(appended).getInt(4) == 5)
+    val back = GridNc.read(appended)
+    assert(back.dims.head == ("time", 5))
+    assert(back.coord("time").length == 5)
+    // last slice's first cell = sst(ti=4, 0, 0)
+    val sst = back.vars.find(_.name == "sst").get.values
+    assert(sst(4 * 20) == 4 * 10000 * 0.25)
+  }
+
+  test("appendRecordsToFile writes only the tail + numrecs patch; idempotent on re-delivery") {
+    val d = Files.createTempDirectory("griddap_append")
+    val f = d.resolve("grow.nc")
+    Files.write(f, GridNc.write(recordGrid(3)))
+    val before = Files.readAllBytes(f)
+
+    // fresh download covering old slices 2..3 plus two NEW ones — only
+    // the records after the file's max time are appended
+    val n = GridNc.appendRecordsToFile(f, recordGrid(4, t0Offset = 1))
+    assert(n == 2)
+    val after = Files.readAllBytes(f)
+    val recBytes = 8 + 20 * 8 // one time cell + 5×4 sst cells per record
+    assert(after.length == before.length + 2 * recBytes,
+      "file must grow by exactly the new records' bytes")
+    assert(after.slice(8, before.length).toSeq == before.slice(8, before.length).toSeq,
+      "existing bytes untouched (only numrecs patched)")
+    val back = GridNc.read(after)
+    assert(back.coord("time").length == 5)
+    assert(back.vars.find(_.name == "sst").get.values(4 * 20) == 4 * 10000 * 0.25)
+
+    // re-delivering the same window appends nothing
+    assert(GridNc.appendRecordsToFile(f, recordGrid(4, t0Offset = 1)) == 0)
+    assert(Files.readAllBytes(f).length == after.length)
+  }
+
+  test("filechange stream drives incremental record append, no full rewrite (NRT grid refresh)") {
+    import java.nio.file.attribute.FileTime
+    // upstream: the growing source grid; published: the record-dim file
+    // the refresh APPENDS to (the reference re-downloads growing time
+    // dims; here the publish side grows in O(new slices))
+    val d = Files.createTempDirectory("griddap_nrt")
+    val upstream = d.resolve("upstream.nc")
+    val published = d.resolve("published.nc")
+    Files.write(upstream, GridNc.write(recordGrid(3)))
+    Files.setLastModifiedTime(upstream, FileTime.fromMillis(1000000L))
+    Files.write(published, GridNc.write(recordGrid(3)))
+    val sizes = collection.mutable.ArrayBuffer.empty[Long]
+
+    val q = spark.readStream.format("filechange")
+      .option("path", upstream.toString).load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val fresh = GridNc.read(Files.readAllBytes(upstream))
+          GridNc.appendRecordsToFile(published, fresh)
+          sizes += Files.size(published)
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(sizes.size == 1) // initial change row; nothing new to append
+      val size1 = sizes.last
+
+      // upstream grows by one slice → exactly one record appended
+      Files.write(upstream, GridNc.write(recordGrid(4)))
+      Files.setLastModifiedTime(upstream, FileTime.fromMillis(2000000L))
+      q.processAllAvailable()
+      val recBytes = 8 + 20 * 8
+      assert(sizes.last == size1 + recBytes)
+      val back = GridNc.read(Files.readAllBytes(published))
+      assert(back.coord("time").length == 4)
+    } finally q.stop()
+  }
+
   test("write-read round trip through the endpoint preserves values (K4)") {
     // publish path: lat-flip then write; scan back through the source
     val flipped = GridNc.latFlip(fixtureGrid())
