@@ -205,6 +205,12 @@ class Portal(root: String) {
     updated
   }
 
+  def removeServiceProps(item: Item, keys: Set[String]): Item = {
+    val updated = items(item.id).copy(serviceProps = items(item.id).serviceProps -- keys)
+    items(item.id) = updated
+    updated
+  }
+
   def addIndex(item: Item, name: String, fields: String): Item = {
     val updated = items(item.id).copy(indexes = items(item.id).indexes :+ (name, fields))
     items(item.id) = updated

@@ -242,11 +242,17 @@ class RestPortalTransport(client: PortalRestClient) extends PortalTransport {
     * indexes + timeInfo via the definition route — the reference's
     * index replay (`OverwriteFS.py:499-558`) and layer-optimization
     * restore (`:469-478`) now have a REST path, with the SAME
-    * normalization rules as the local model. */
+    * normalization rules as the local model.
+    *
+    * Restore REPLACES the property set like the local model: the
+    * sharing API's update merges, so keys that appeared after the
+    * backup are tombstoned with empty values (the `clearEmptyFields`
+    * convention) in the same update call. */
   override def restoreProperties(itemId: String,
       backup: PortalTransport.PropertyBackup): Unit = {
     val n = backup.normalized
-    update(itemId, n.props)
+    val stale = client.itemProps(itemId).keySet -- n.props.keySet
+    update(itemId, n.props ++ stale.map(_ -> ""))
     if (!client.updateDefinition(itemId, n.indexes, n.timeInfo))
       throw new java.io.IOException(s"updateDefinition failed for $itemId")
   }

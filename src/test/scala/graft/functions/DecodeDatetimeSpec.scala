@@ -153,4 +153,46 @@ class DecodeDatetimeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("round-trip property: day names inside full formats are skipped, not parsed") {
+    val rnd = new scala.util.Random(13)
+    val days = Seq("Mon", "Tuesday", "Wed", "Thursday", "Fri", "Saturday", "Sun")
+    for (_ <- 1 to 100) {
+      val inst = Instant.ofEpochSecond(rnd.between(0L, 2000000000L) / 60 * 60)
+      val utc = inst.atZone(java.time.ZoneOffset.UTC)
+      val dn = days(rnd.nextInt(days.length)) // deliberately wrong day names too
+      // month-first: a leading number <= 12 is %m (reference assignment)
+      val rendered = f"$dn, ${utc.getMonthValue}%02d/${utc.getDayOfMonth}%02d/" +
+        f"${utc.getYear} ${utc.getHour}%02d:${utc.getMinute}%02d:${utc.getSecond}%02d"
+      assert(dec(rendered).contains(inst),
+        s"day-name form failed for '$rendered'")
+    }
+  }
+
+  test("round-trip property: negative 13-digit epochs under asMicroseconds") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 100) {
+      // pre-1970 instants: 13-digit negative ms (1906..1938), whole seconds
+      val ms = -rnd.between(1000000000000L, 1999999999999L) / 1000 * 1000
+      val got = dec(ms.toString, asMicros = true)
+      assert(got.contains(Instant.ofEpochMilli(ms)),
+        s"negative 13-digit epoch failed for '$ms'")
+    }
+  }
+
+  test("round-trip property: day-of-year forms across years incl. leap day") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 100) {
+      val year = rnd.between(1970, 2100)
+      val doy = rnd.between(1, if (java.time.Year.of(year).isLeap) 367 else 366)
+      val expect = Instant.parse(
+        java.time.LocalDate.ofYearDay(year, doy).toString + "T00:00:00Z")
+      // the reference's %j form: 4-digit year, space, zero-padded 3-digit doy
+      val full = f"$year%04d $doy%03d"
+      assert(dec(full).contains(expect), s"day-of-year failed for '$full'")
+    }
+    // leap-day boundary pinned explicitly
+    assert(dec("2024 366").contains(Instant.parse("2024-12-31T00:00:00Z")))
+    assert(dec("2023 365").contains(Instant.parse("2023-12-31T00:00:00Z")))
+  }
 }

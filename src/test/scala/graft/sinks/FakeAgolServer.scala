@@ -157,8 +157,12 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
           val id = p2.stripSuffix("/update").stripPrefix("items/")
           val props = p - "token" - "f" - "text"
           p.get("text").foreach(dataStore(id) = _)
-          if (props.nonEmpty)
-            portal.updateServiceProps(portal.itemById(id), props)
+          // empty value = clear the key (the clearEmptyFields convention)
+          val (clears, sets) = props.partition(_._2.isEmpty)
+          if (sets.nonEmpty)
+            portal.updateServiceProps(portal.itemById(id), sets)
+          if (clears.nonEmpty)
+            portal.removeServiceProps(portal.itemById(id), clears.keySet)
           portal.touch(portal.itemById(id), System.currentTimeMillis())
           reply(ex, s"""{"success":true,"id":${jstr(id)}}""")
         case p2 if p2.endsWith("/publish") =>

@@ -54,11 +54,14 @@ class PortalTransportSpec extends AnyFunSuite {
       t.update(item.id, Map("snippet" -> "s1", "hasLiveData" -> "true"))
       assert(t.props(item.id)("snippet") == "s1")
       val backup = t.backupProperties(item.id)
-      t.update(item.id, Map("snippet" -> "overwritten"))
+      t.update(item.id, Map("snippet" -> "overwritten", "addedLater" -> "x"))
       t.restoreProperties(item.id, backup)
       val restored = t.props(item.id)
       assert(restored("snippet") == "s1")
       assert(restored("hasLiveData") == "false") // K9's timeInfo reset
+      // restore REPLACES the snapshot: a key that appeared after the
+      // backup must not survive it (REST tombstones via empty values)
+      assert(!restored.contains("addedLater"))
     }
 
     test(s"[$name] K9 typed index + timeInfo restore crosses the seam") {
