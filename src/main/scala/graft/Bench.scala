@@ -59,6 +59,24 @@ object Bench {
     val noisy = results.collect { case (k, m, s) if s > m => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Optional THROUGHPUT experiment (`SPARK_GRAFT_THROUGHPUT=<rounds>`):
+    // the whole query set issued back-to-back for N rounds in this one
+    // long-lived session — amortized planning/codegen, the sustained-
+    // load story against the reference's serial per-dataset loop. Its
+    // line prints BEFORE the total line (driver contract: medians last).
+    sys.env.get("SPARK_GRAFT_THROUGHPUT").map(_.toInt).filter(_ > 0).foreach { rounds =>
+      val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      val t0 = System.nanoTime()
+      var n = 0
+      (1 to rounds).foreach { _ =>
+        names.foreach { case (_, fn) =>
+          try { fn(spark, sfDir).count(); n += 1 }
+          catch { case _: Throwable => }
+        }
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(s"""{"metric":"throughput","value":${r4(n / wall)},"unit":"queries/sec","queries_run":$n,"rounds":$rounds,"wall_sec":${r4(wall)},"sf":"$sfDir"}""")
+    }
     // Spreads + noise flags first on their own line; the medians line
     // LAST so a tail capture of the stream always retains the
     // acceptance signal.

@@ -310,6 +310,27 @@ class Portal(root: String) {
   def imageryDir(item: Item): String =
     java.nio.file.Path.of(root, item.id).toString
 
+  /** K7 NRT — refresh a published imagery item with a fresh grid. A
+    * RECORD-DIM artifact grows incrementally: only slices after the
+    * stored max time are appended ([[graft.sources.griddap.GridNc
+    * .appendRecordsToFile]] — write cost is the new slices' bytes, not
+    * the file). A fixed-dim artifact is rewritten whole (the
+    * pre-record-dim behavior). Fresh slices are reoriented
+    * north→south exactly like the original publish. Returns the
+    * number of records appended (fixed-dim rewrite: the full time
+    * length written). */
+  def refreshImagery(item: Item, fresh: graft.sources.griddap.GridNc.Grid): Int = {
+    import graft.sources.griddap.GridNc
+    val p = java.nio.file.Path.of(root, item.id, "imagery.nc")
+    val flipped = GridNc.latFlip(fresh)
+    if (GridNc.hasRecordDim(p) && flipped.recordDim.isDefined)
+      GridNc.appendRecordsToFile(p, flipped)
+    else {
+      java.nio.file.Files.write(p, GridNc.write(flipped))
+      flipped.dims.headOption.map(_._2).getOrElse(0)
+    }
+  }
+
   /** K7 fallback — `analyze(file_type="raster")` stand-in for the
     * GeoTIFF/IMG road (`agol_wrangler.py:456-460`): inspects the upload
     * and returns the publish parameters, refusing non-raster bytes the

@@ -227,6 +227,18 @@ object GridNc {
     Header(version, numrecs, rawDims, recordDim, metas)
   }
 
+  /** Header-only probe: does the file carry a record (unlimited)
+    * dimension? O(header bytes) via a memory map — no data I/O. */
+  def hasRecordDim(path: java.nio.file.Path): Boolean = {
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val mapped = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
+        0, ch.size()).order(ByteOrder.BIG_ENDIAN)
+      parseHeader(mapped).recordDim.isDefined
+    } finally ch.close()
+  }
+
   def read(bytes: Array[Byte]): Grid = {
     val h = parseHeader(ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN))
     val dims = h.dims

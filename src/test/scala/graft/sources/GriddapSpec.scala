@@ -327,6 +327,37 @@ class GriddapSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("record-dim imagery refresh appends slices instead of rewriting (K7 NRT)") {
+    val portal = graft.sinks.Portal.forRoot(
+      Files.createTempDirectory("portal_img_rec").toString)
+    val item = portal.publishImagery("SST nrt imagery", recordGrid(3))
+    val f = java.nio.file.Path.of(portal.imageryDir(item), "imagery.nc")
+    val before = Files.readAllBytes(f)
+    assert(GridNc.hasRecordDim(f))
+
+    // fresh download overlaps the stored window and adds 2 slices
+    val appended = portal.refreshImagery(item, recordGrid(5))
+    assert(appended == 2)
+    val after = Files.readAllBytes(f)
+    val recBytes = 8 + 20 * 8
+    assert(after.length == before.length + 2 * recBytes)
+    assert(after.slice(8, before.length).toSeq == before.slice(8, before.length).toSeq,
+      "refresh must append, not rewrite")
+    // scannable through the griddap source at the new length
+    val back = spark.read.format("griddap")
+      .option("dataDir", portal.imageryDir(item))
+      .option("dataset", "imagery").load()
+    assert(back.count() == 5 * 5 * 4)
+    // idempotent re-delivery
+    assert(portal.refreshImagery(item, recordGrid(5)) == 0)
+
+    // fixed-dim artifacts keep the rewrite road
+    val fixedItem = portal.publishImagery("SST fixed imagery", fixtureGrid())
+    val pf = java.nio.file.Path.of(portal.imageryDir(fixedItem), "imagery.nc")
+    assert(!GridNc.hasRecordDim(pf))
+    assert(portal.refreshImagery(fixedItem, fixtureGrid()) == 6)
+  }
+
   test("write-read round trip through the endpoint preserves values (K4)") {
     // publish path: lat-flip then write; scan back through the source
     val flipped = GridNc.latFlip(fixtureGrid())
