@@ -396,7 +396,8 @@ object SparkEntry {
     //      md5 simhash (full oracle — banding is exact by pigeonhole);
     //      the xxhash64 SimHash64 path is spec-verified ----
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairsPortable(t(s, dir, "documents"), "text", "doc_id")
+      Dedup.simhashPairsPortable(t(s, dir, "documents"), "text", "doc_id",
+        maxBucket = 0) // pinned 0: the DuckDB oracle computes the EXACT pair set
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))),
 
     // ---- dedup: exact n-gram Jaccard verify over LSH candidates.

@@ -251,9 +251,15 @@ object Dedup {
     * (id, hash) rows — ONE shuffle on id, no interpreted per-bit HOF
     * loop. Banding into 4×15-bit blocks is exact by pigeonhole for
     * hamming ≤ 3, so the pair set is fully determined by the simhash
-    * values — which an md5-capable SQL engine recomputes identically. */
+    * values — which an md5-capable SQL engine recomputes identically.
+    *
+    * `maxBucket` defaults ON (1000) like every other band-join path:
+    * a corpus of near-identical documents lands in the same 15-bit
+    * block buckets and the self-join B²-explodes without the cap. Pin
+    * `maxBucket = 0` when the exact pair set matters more than bounded
+    * fan-out (oracle gates on bounded inputs). */
   def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
+      maxHamming: Int = 3, shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val bits = 60
     val exploded = df.repartition(col(idCol))
       .select(col(idCol).as("id"),
@@ -279,12 +285,14 @@ object Dedup {
       (0 until bits).map { j =>
         when(cnt(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
       }.reduce(_.bitwiseOR(_)).as("sim"))
-    val banded = sim.select(col("id"), col("sim"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("blk"),
-          shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7FFFL)).as("key"))
-      }: _*)).as("band"))
-      .select(col("id"), col("sim"), col("band.blk"), col("band.key"))
+    val banded = capBuckets(
+      sim.select(col("id"), col("sim"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("sim"), b * 15).bitwiseAND(lit(0x7FFFL)).as("key"))
+        }: _*)).as("band"))
+        .select(col("id"), col("sim"), col("band.blk"), col("band.key")),
+      Seq("blk", "key"), "id", maxBucket, "simhash_portable")
     val l = banded.select(col("blk"), col("key"), col("id").as("id1"), col("sim").as("sim1"))
     val r = banded.select(col("blk"), col("key"), col("id").as("id2"), col("sim").as("sim2"))
     l.join(r, Seq("blk", "key")).filter(col("id1") < col("id2"))
