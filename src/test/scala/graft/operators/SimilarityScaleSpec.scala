@@ -77,6 +77,35 @@ class SimilarityScaleSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("lshTopK adaptive planes keep the candidate FRACTION shrinking at 10x rows") {
+    // k >= n makes lshTopK return every probe-filter survivor, so the
+    // row count IS the candidate count. With planes = 0 (adaptive) the
+    // plane count grows with n — adaptivePlanes(400)=4, (4000)=6 —
+    // so the expected candidate fraction DROPS as the corpus grows; a
+    // fixed plane count would hold the fraction constant and pass
+    // 10x the rows to the top-k at 10x data.
+    val dim = 16
+    def vecs(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(42)
+      (1L to n.toLong).map(i =>
+        (i, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    }
+    val q = {
+      val rnd = new scala.util.Random(7)
+      Seq.fill(dim)(rnd.nextGaussian())
+    }
+    val nS = 400; val nL = 4000
+    val cS = Similarity.lshTopK(vecs(nS), "id", "vec", q, k = nS * 10).count()
+    val cL = Similarity.lshTopK(vecs(nL), "id", "vec", q, k = nL * 10).count()
+    val (fS, fL) = (cS.toDouble / nS, cL.toDouble / nL)
+    assert(cS > 0 && cL > 0, "probe must keep some candidates")
+    assert(fL < fS,
+      f"candidate fraction should SHRINK with n under adaptive planes: $fS%.3f -> $fL%.3f")
+    // and the absolute candidate count grows far slower than the data
+    assert(cL.toDouble / cS < 6.0,
+      f"10x rows must not mean ~10x candidates (got ${cL.toDouble / cS}%.1f x)")
+  }
+
   test("multi-table OR-construction finds pairs a single table can miss") {
     // near-identical pairs (small angle): per-table hit prob < 1, so
     // with enough planted pairs the 4-table union strictly dominates
