@@ -215,17 +215,15 @@ object Dedup {
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
       withEstimate: Boolean = false, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val exploded = df.repartition(col(idCol)).select(col(idCol).as("id"),
-      explode(graft.functions.ShingleStrings.shingle_strings(
-        col(textCol), shingleN)).as("s"))
-      .select(col("id"),
-        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("x"))
-    val sigs = exploded.groupBy(col("id")).agg(
-      min((col("x") * uhA(0) + uhB(0)) % uhP).as("m0"),
-      (1 until numHashes).map(i =>
-        min((col("x") * uhA(i) + uhB(i)) % uhP).as(s"m$i")): _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // Signature = ONE native kernel per row (no explode, no shuffle on
+    // id): bit-identical to the md5+conv+min SQL the oracle runs — see
+    // [[graft.functions.PortableSig]]. Null text matches the explode
+    // semantics it replaced (the doc simply doesn't participate).
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.PortableSig.md5_minhash_sig(col(textCol), shingleN,
+        Array.tabulate(numHashes)(uhA), Array.tabulate(numHashes)(uhB), uhP)
+        .as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = capBuckets(
       sigs.select(col("id"),
         explode(array((0 until bands).map { b =>
@@ -260,31 +258,15 @@ object Dedup {
     * fan-out (oracle gates on bounded inputs). */
   def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val bits = 60
-    val exploded = df.repartition(col(idCol))
-      .select(col(idCol).as("id"),
-        explode(graft.functions.ShingleStrings.shingle_strings(
-          col(textCol), shingleN)).as("s"))
-      .select(col("id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-    // Bit votes as 20 PACKED sums (3 counters × 21 bits per long) — 60
-    // separate sum columns widened the aggregate past what codegen
-    // handles gracefully; packed counters keep the agg narrow. 21 bits
-    // caps a doc at 2M shingles, far above any real document.
-    val votes = exploded.groupBy(col("id")).agg(
-      count(lit(1)).as("n"),
-      (0 until bits / 3).map { k =>
-        sum(shiftright(col("h"), 3 * k).bitwiseAND(lit(1L)) +
-          shiftleft(shiftright(col("h"), 3 * k + 1).bitwiseAND(lit(1L)), 21) +
-          shiftleft(shiftright(col("h"), 3 * k + 2).bitwiseAND(lit(1L)), 42))
-          .as(s"p$k")
-      }: _*)
-    def cnt(j: Int) =
-      shiftright(col(s"p${j / 3}"), 21 * (j % 3)).bitwiseAND(lit(0x1FFFFFL))
-    val sim = votes.select(col("id"),
-      (0 until bits).map { j =>
-        when(cnt(j) * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_)).as("sim"))
+    // Simhash = ONE native kernel per row (no explode, no shuffle on
+    // id, no 20-column packed-vote aggregate): the same md5-derived
+    // 60-bit majority the oracle's SQL computes — see
+    // [[graft.functions.PortableSig]]. The band join below is now the
+    // pipeline's ONLY exchange.
+    val sim = df.select(col(idCol).as("id"),
+      graft.functions.PortableSig.md5_simhash60(col(textCol), shingleN)
+        .as("sim"))
+      .filter(col("sim").isNotNull)
     val banded = capBuckets(
       sim.select(col("id"), col("sim"),
         explode(array((0 until 4).map { b =>
