@@ -60,10 +60,12 @@ object ExplainCheck {
     // every hot boilerplate key)
     audit("dedup_spans", mustNotContain =
       Seq("CartesianProduct", "BroadcastNestedLoop", "SortMergeJoin", "Window"))
-    // repetition signals are two-level aggregates (map-side partials);
-    // the final doc-level join is a plain shuffle join, no cross product
-    audit("text_repetition", mustNotContain =
-      Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // repetition signals are ONE native kernel per row (round 5): a
+    // pure filter+project plan — no shuffle may appear at all (the
+    // explode → two-level-aggregate pipelines this replaced were two
+    // full exchanges of every gram occurrence)
+    audit("text_repetition", mustNotContain = Seq("Exchange"))
+    audit("gopher_filter", mustNotContain = Seq("Exchange"))
     // hash sampling is a pure filter: no shuffle anywhere in the plan
     audit("sample_by_hash", mustNotContain = Seq("Exchange"))
     // decontamination: the eval-gram set must be BROADCAST against the

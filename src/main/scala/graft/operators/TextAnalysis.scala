@@ -130,31 +130,23 @@ object TextAnalysis {
     *     frequent token;
     *   - `dup_bigram_frac`: share of bigram OCCURRENCES that are
     *     repeats of an earlier bigram in the same document.
-    * Distributed shape: explode → two-level aggregate — per-(doc,gram)
-    * counts combine map-side, then one row per document; no per-row
-    * quadratic array work, so a 100 TB corpus is two shuffles.
+    * Distributed shape: ONE native single-pass kernel per row
+    * ([[graft.functions.RepetitionStats]]) — no explode, no shuffle at
+    * all (the two explode → two-level-aggregate pipelines this
+    * replaces were two full shuffles of every gram occurrence; the
+    * kernel's per-document hash map is the same state the reduce side
+    * held per (doc, gram) group, without the exchange).
     * Blank documents are dropped (no tokens → no signal). */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
-    val uni = nonBlank
-      .select(col(idCol).as("_id"), explode(toks).as("tok"))
-      .groupBy(col("_id"), col("tok")).count()
-      .groupBy(col("_id"))
-      .agg(round(max(col("count")).cast("double") / sum(col("count")), 6)
-        .as("top_unigram_frac"))
-    val bigrams = zip_with(
-      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat_ws(" ", a, b))
-    val bi = nonBlank
-      .select(col(idCol).as("_id"), explode(bigrams).as("bg"))
-      .groupBy(col("_id"), col("bg")).count()
-      .groupBy(col("_id"))
-      .agg(round((sum(col("count")) - count(lit(1))).cast("double") /
-        sum(col("count")), 6).as("dup_bigram_frac"))
-    uni.join(bi, Seq("_id"), "left")
-      .select(col("_id").as(idCol), col("top_unigram_frac"),
-        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"))
+    val staged = df.filter(length(trim(col(textCol))) > 0)
+      .withColumn("_rs", graft.functions.RepetitionStats.repetition_stats(col(textCol)))
+    staged.select(col(idCol),
+      round(col("_rs").getField("top_count").cast("double") /
+        col("_rs").getField("n_tokens"), 6).as("top_unigram_frac"),
+      when(col("_rs").getField("n_bigrams") > 0,
+        round(col("_rs").getField("dup_bigrams").cast("double") /
+          col("_rs").getField("n_bigrams"), 6))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
   }
 
   /** Composite Gopher-style document filter — the end-user curation op
@@ -162,38 +154,26 @@ object TextAnalysis {
     * top-unigram share cap, duplicate-bigram share cap. Signals are
     * computed UNROUNDED and compared to thresholds with the same
     * operation order on any engine; survivors come back with their
-    * (rounded) signals for auditability. Same two-level aggregate
-    * shape as [[repetitionSignals]] — two shuffles at any corpus
-    * size. */
+    * (rounded) signals for auditability. Same single-pass kernel as
+    * [[repetitionSignals]] — a pure codegen'd filter, zero shuffles
+    * at any corpus size. */
   def gopherFilter(df: DataFrame, textCol: String, idCol: String,
       minTokens: Long = 30, maxTokens: Long = 5000,
       maxTopUnigramFrac: Double = 0.10,
       maxDupBigramFrac: Double = 0.05): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    val nonBlank = df.filter(length(trim(col(textCol))) > 0)
-    val uni = nonBlank
-      .select(col(idCol).as("_id"), explode(toks).as("tok"))
-      .groupBy(col("_id"), col("tok")).count()
-      .groupBy(col("_id"))
-      .agg(sum(col("count")).as("n_tokens"),
-        (max(col("count")).cast("double") / sum(col("count"))).as("tuf"))
-    val bigrams = zip_with(
-      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat_ws(" ", a, b))
-    val bi = nonBlank
-      .select(col(idCol).as("_id"), explode(bigrams).as("bg"))
-      .groupBy(col("_id"), col("bg")).count()
-      .groupBy(col("_id"))
-      .agg(((sum(col("count")) - count(lit(1))).cast("double") /
-        sum(col("count"))).as("dbf"))
-    uni.join(bi, Seq("_id"), "left")
-      .select(col("_id"), col("n_tokens"), col("tuf"),
-        coalesce(col("dbf"), lit(0.0)).as("dbf"))
-      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-        col("tuf") <= maxTopUnigramFrac && col("dbf") <= maxDupBigramFrac)
-      .select(col("_id").as(idCol), col("n_tokens"),
-        round(col("tuf"), 6).as("top_unigram_frac"),
-        round(col("dbf"), 6).as("dup_bigram_frac"))
+    val staged = df.filter(length(trim(col(textCol))) > 0)
+      .withColumn("_rs", graft.functions.RepetitionStats.repetition_stats(col(textCol)))
+    val nTokens = col("_rs").getField("n_tokens")
+    val tuf = col("_rs").getField("top_count").cast("double") / nTokens
+    val dbf = when(col("_rs").getField("n_bigrams") > 0,
+      col("_rs").getField("dup_bigrams").cast("double") /
+        col("_rs").getField("n_bigrams")).otherwise(lit(0.0))
+    staged
+      .filter(nTokens >= minTokens && nTokens <= maxTokens &&
+        tuf <= maxTopUnigramFrac && dbf <= maxDupBigramFrac)
+      .select(col(idCol), nTokens.as("n_tokens"),
+        round(tuf, 6).as("top_unigram_frac"),
+        round(dbf, 6).as("dup_bigram_frac"))
   }
 
   /** PII patterns chosen to mean the same thing in Java regex and RE2
