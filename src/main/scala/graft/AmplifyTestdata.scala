@@ -66,7 +66,10 @@ object AmplifyTestdata {
           }.reduce(_ unionByName _)
       }
       out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
-      println(s"[amplify] $name: ${out.count()} rows -> $dst/$name.parquet")
+      // count from the WRITTEN parquet (footer metadata) — counting
+      // `out` would recompute the whole amplified union a second time
+      val rows = spark.read.parquet(s"$dst/$name.parquet").count()
+      println(s"[amplify] $name: $rows rows -> $dst/$name.parquet")
     }
     spark.stop()
   }

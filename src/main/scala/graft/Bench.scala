@@ -68,14 +68,21 @@ object Bench {
       val names = SparkEntry.queries.toSeq.sortBy(_._1)
       val t0 = System.nanoTime()
       var n = 0
+      val failed = collection.mutable.Map.empty[String, Int]
       (1 to rounds).foreach { _ =>
-        names.foreach { case (_, fn) =>
+        names.foreach { case (name, fn) =>
+          // NonFatal only — an OOM/fatal error must abort the run, not
+          // silently depress the metric; per-query failures are counted
+          // into the artifact so a degraded number explains itself
           try { fn(spark, sfDir).count(); n += 1 }
-          catch { case _: Throwable => }
+          catch { case scala.util.control.NonFatal(_) =>
+            failed(name) = failed.getOrElse(name, 0) + 1 }
         }
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      println(s"""{"metric":"throughput","value":${r4(n / wall)},"unit":"queries/sec","queries_run":$n,"rounds":$rounds,"wall_sec":${r4(wall)},"sf":"$sfDir"}""")
+      val failedJson = failed.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"metric":"throughput","value":${r4(n / wall)},"unit":"queries/sec","queries_run":$n,"failed":$failedJson,"rounds":$rounds,"wall_sec":${r4(wall)},"sf":"$sfDir"}""")
     }
     // Spreads + noise flags first on their own line; the medians line
     // LAST so a tail capture of the stream always retains the

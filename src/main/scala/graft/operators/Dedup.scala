@@ -121,7 +121,13 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // The sigs frame feeds THREE consumers (banding + both est-join
+    // sides). Staging it behind one narrow (id, sig) exchange lets
+    // ReusedExchange share a single evaluation of the shingle+minhash
+    // kernel — without it each consumer re-shingles the corpus, and
+    // the signature computation (the dominant CPU cost) runs 3×.
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleN)
+      .repartition(col("id"))
     val banded = capBuckets(
       sigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band")),
@@ -176,7 +182,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // staged behind one exchange: both verify-join sides reuse a
+    // single evaluation of the shingle kernel (see minhashLshPairs)
     val sh = shingleHashes(df, textCol, idCol, shingleN)
+      .repartition(col("id"))
     val cands = minhashLshPairs(df, textCol, idCol, numHashes, bands, shingleN)
       .select("id1", "id2")
     cands
@@ -219,11 +228,16 @@ object Dedup {
     // id): bit-identical to the md5+conv+min SQL the oracle runs — see
     // [[graft.functions.PortableSig]]. Null text matches the explode
     // semantics it replaced (the doc simply doesn't participate).
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs0 = df.select(col(idCol).as("id"),
       graft.functions.PortableSig.md5_minhash_sig(col(textCol), shingleN,
         Array.tabulate(numHashes)(uhA), Array.tabulate(numHashes)(uhB), uhP)
         .as("sig"))
       .filter(col("sig").isNotNull)
+    // withEstimate adds two sig re-attach joins: stage the kernel
+    // behind one narrow exchange so ReusedExchange evaluates it once
+    // (see minhashLshPairs). The plain pair path has one consumer —
+    // no exchange needed, zero shuffle before the band join.
+    val sigs = if (withEstimate) sigs0.repartition(col("id")) else sigs0
     val banded = capBuckets(
       sigs.select(col("id"),
         explode(array((0 until bands).map { b =>

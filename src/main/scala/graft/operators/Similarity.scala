@@ -142,8 +142,10 @@ object Similarity {
     * `planes = 0` (the default) → [[adaptivePlanes]] from the row
     * count, matching [[lshCandidatePairs]]: a fixed plane count keeps
     * candidate SELECTIVITY constant as n grows, so the filter passes
-    * ever-more rows to the top-k at scale. Oracle gates pin an explicit
-    * plane count for reproducible candidate sets. */
+    * ever-more rows to the top-k at scale. NOTE the adaptive default
+    * pays one counting job over `df` at plan-build time; pass an
+    * explicit plane count to stay fully lazy (oracle gates pin one
+    * anyway for reproducible candidate sets). */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, planes: Int = 0, tables: Int = 2,
       probeRadius: Int = 1): DataFrame = {

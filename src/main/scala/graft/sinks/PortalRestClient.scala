@@ -224,7 +224,14 @@ class PortalRestClient(root: String, username: String, password: String,
       val n = node.path("indexes").get(i)
       n.path("name").asText() -> n.path("fields").asText()
     }
-    val ti = Option(node.path("timeInfo").asText(null)).filter(_.nonEmpty)
+    // a real service definition carries timeInfo as a JSON OBJECT;
+    // string-valued blobs (test fixtures, round-tripped restores) come
+    // back textual — carry either shape verbatim
+    val tiNode = node.path("timeInfo")
+    val ti =
+      if (tiNode.isMissingNode || tiNode.isNull) None
+      else if (tiNode.isTextual) Some(tiNode.asText()).filter(_.nonEmpty)
+      else Some(tiNode.toString)
     (idx, ti)
   }
 
@@ -244,10 +251,15 @@ class PortalRestClient(root: String, username: String, password: String,
     node.path("success").asBoolean(false)
   }
 
-  /** Item property update (also the K11 touch vehicle). */
-  def update(itemId: String, props: Map[String, String]): Boolean = {
-    val node = post(s"/content/users/$username/items/$itemId/update",
-      props.toSeq)
+  /** Item property update (also the K11 touch vehicle).
+    * `clearEmptyFields = true` asks the portal to DELETE keys posted
+    * with empty values (the sharing API's documented flag) — the wire
+    * vehicle for restore-as-replace semantics. */
+  def update(itemId: String, props: Map[String, String],
+      clearEmptyFields: Boolean = false): Boolean = {
+    val params = props.toSeq ++
+      (if (clearEmptyFields) Seq("clearEmptyFields" -> "true") else Nil)
+    val node = post(s"/content/users/$username/items/$itemId/update", params)
     node.path("success").asBoolean(false)
   }
 

@@ -92,12 +92,16 @@ object PortalTransport {
       indexes = PortalTransport.normalizeIndexes(indexes))
   }
 
-  /** Index restore rules shared by the seam and the local model. */
+  /** Index restore rules shared by the seam and the local model.
+    * Order matters: dedupe by name FIRST (first occurrence claims the
+    * name), THEN drop oversized keys — so an oversized first
+    * occurrence shadows later same-name entries and the name is
+    * dropped entirely, exactly the reference's replay order
+    * (`OverwriteFS.py:499-558`). */
   def normalizeIndexes(indexes: Seq[(String, String)]): Seq[(String, String)] = {
     val seen = collection.mutable.LinkedHashSet.empty[String]
-    indexes.filter { case (name, fields) =>
-      fields.getBytes("UTF-8").length <= 4000 && seen.add(name)
-    }
+    indexes.filter { case (name, _) => seen.add(name) }
+      .filter { case (_, fields) => fields.getBytes("UTF-8").length <= 4000 }
   }
 
   /** Scheme-selected backend; credentials only matter for http(s). */
@@ -252,7 +256,11 @@ class RestPortalTransport(client: PortalRestClient) extends PortalTransport {
       backup: PortalTransport.PropertyBackup): Unit = {
     val n = backup.normalized
     val stale = client.itemProps(itemId).keySet -- n.props.keySet
-    update(itemId, n.props ++ stale.map(_ -> ""))
+    // clearEmptyFields=true makes the portal DELETE the tombstoned
+    // keys (a plain update would just store empty strings)
+    if (!client.update(itemId, n.props ++ stale.map(_ -> ""),
+        clearEmptyFields = true))
+      throw new java.io.IOException(s"restore update failed for $itemId")
     if (!client.updateDefinition(itemId, n.indexes, n.timeInfo))
       throw new java.io.IOException(s"updateDefinition failed for $itemId")
   }

@@ -227,16 +227,36 @@ object GridNc {
     Header(version, numrecs, rawDims, recordDim, metas)
   }
 
+  /** Parse a file's header from a bounded WINDOW at the front —
+    * O(header bytes) regardless of file size (no whole-file map, so a
+    * grid past 2 GiB still probes fine). Windows escalate 64 KiB →
+    * 16 MiB for pathologically wide headers. */
+  private def headerOf(ch: java.nio.channels.FileChannel): Header = {
+    val size = ch.size()
+    val windows = Seq(64L * 1024, 16L * 1024 * 1024, Int.MaxValue.toLong)
+      .map(math.min(_, size)).distinct
+    windows.zipWithIndex.foreach { case (len, i) =>
+      val buf = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, len)
+        .order(ByteOrder.BIG_ENDIAN)
+      try return parseHeader(buf)
+      catch {
+        // header extends past this window → widen; at the widest
+        // window the file's header is genuinely truncated/corrupt
+        case e: java.nio.BufferUnderflowException =>
+          if (i == windows.length - 1) throw new IllegalArgumentException(
+            s"NetCDF header truncated or wider than ${len} bytes", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Header-only probe: does the file carry a record (unlimited)
-    * dimension? O(header bytes) via a memory map — no data I/O. */
+    * dimension? O(header bytes) — no data I/O, no whole-file map. */
   def hasRecordDim(path: java.nio.file.Path): Boolean = {
     val ch = java.nio.channels.FileChannel.open(path,
       java.nio.file.StandardOpenOption.READ)
-    try {
-      val mapped = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
-        0, ch.size()).order(ByteOrder.BIG_ENDIAN)
-      parseHeader(mapped).recordDim.isDefined
-    } finally ch.close()
+    try headerOf(ch).recordDim.isDefined
+    finally ch.close()
   }
 
   def read(bytes: Array[Byte]): Grid = {
@@ -337,9 +357,7 @@ object GridNc {
     val raf = new java.io.RandomAccessFile(path.toFile, "rw")
     try {
       val ch = raf.getChannel
-      val mapped = ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY,
-        0, ch.size()).order(ByteOrder.BIG_ENDIAN)
-      val h = parseHeader(mapped.duplicate().order(ByteOrder.BIG_ENDIAN))
+      val h = headerOf(ch)
       val rd = h.recordDim.getOrElse(
         throw new IllegalArgumentException("file has no record dimension"))
       val erd = extra.recordDim.getOrElse(
@@ -356,15 +374,26 @@ object GridNc {
           s"fixed dim mismatch at $i: ${extra.dims(i)} vs ${h.rawDims(i)}")
       }
       val recSize = h.recSize
-      // existing max time: the time COORD is one cell per record
+      // existing max time: the time COORD is one cell per record —
+      // positional channel reads at LONG offsets (8 bytes per record,
+      // no whole-file map, so files past 2 GiB keep appending)
       val timeMeta = recMetas.find(_.name == timeName).getOrElse(
         throw new IllegalArgumentException(s"no record coord '$timeName'"))
+      val cell = java.nio.ByteBuffer.allocate(timeMeta.cellBytes)
+        .order(ByteOrder.BIG_ENDIAN)
       var maxT = Double.NegativeInfinity
       var r = 0
       while (r < h.numrecs) {
+        cell.clear()
         val pos = timeMeta.begin + r * recSize
-        val t = if (timeMeta.isFloat) mapped.getFloat(pos.toInt).toDouble
-          else mapped.getDouble(pos.toInt)
+        var read = 0
+        while (read < timeMeta.cellBytes) {
+          val k = ch.read(cell, pos + read)
+          require(k > 0, s"short read at $pos")
+          read += k
+        }
+        cell.flip()
+        val t = if (timeMeta.isFloat) cell.getFloat.toDouble else cell.getDouble
         if (t > maxT) maxT = t
         r += 1
       }

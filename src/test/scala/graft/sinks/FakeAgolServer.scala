@@ -100,7 +100,11 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
             case Some(i) =>
               val idx = i.indexes.map { case (n, f) =>
                 s"""{"name":${jstr(n)},"fields":${jstr(f)}}""" }.mkString(",")
-              val ti = i.timeInfo.map(t => s""","timeInfo":${jstr(t)}""").getOrElse("")
+              // a JSON-blob timeInfo is served as the OBJECT a real
+              // service definition returns; other strings as text
+              val ti = i.timeInfo.map(t =>
+                s""","timeInfo":${if (t.trim.startsWith("{")) t else jstr(t)}""")
+                .getOrElse("")
               reply(ex, s"""{"indexes":[$idx]$ti}""")
             case None => reply(ex, s"""{"error":{"code":400,"message":"Item '$id' not found"}}""")
           }
@@ -155,14 +159,18 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
           reply(ex, s"""{"success":true,"id":${jstr(id)}}""")
         case p2 if p2.endsWith("/update") =>
           val id = p2.stripSuffix("/update").stripPrefix("items/")
-          val props = p - "token" - "f" - "text"
+          val clearFlag = p.get("clearEmptyFields").contains("true")
+          val props = p - "token" - "f" - "text" - "clearEmptyFields"
           p.get("text").foreach(dataStore(id) = _)
-          // empty value = clear the key (the clearEmptyFields convention)
-          val (clears, sets) = props.partition(_._2.isEmpty)
+          val (empties, sets) = props.partition(_._2.isEmpty)
           if (sets.nonEmpty)
             portal.updateServiceProps(portal.itemById(id), sets)
-          if (clears.nonEmpty)
-            portal.removeServiceProps(portal.itemById(id), clears.keySet)
+          // the sharing API deletes empty-valued keys ONLY under
+          // clearEmptyFields=true; otherwise they are stored verbatim
+          if (empties.nonEmpty) {
+            if (clearFlag) portal.removeServiceProps(portal.itemById(id), empties.keySet)
+            else portal.updateServiceProps(portal.itemById(id), empties)
+          }
           portal.touch(portal.itemById(id), System.currentTimeMillis())
           reply(ex, s"""{"success":true,"id":${jstr(id)}}""")
         case p2 if p2.endsWith("/publish") =>

@@ -73,12 +73,16 @@ class PortalTransportSpec extends AnyFunSuite {
       val backup = PortalTransport.PropertyBackup(
         Map("snippet" -> "s1"),
         Seq("idx_id" -> "id", "idx_id" -> "id,v",
-          "idx_big" -> ("f" * 4001), "idx_t" -> "ts"),
+          "idx_big" -> ("f" * 4001), "idx_t" -> "ts",
+          // an OVERSIZED first occurrence claims the name, so the later
+          // small twin must NOT revive it (dedupe before size filter —
+          // the reference's replay order)
+          "idx_shadow" -> ("g" * 4001), "idx_shadow" -> "ok"),
         Some("""{"startTimeField":"ts"}"""))
       t.restoreProperties(item.id, backup)
       val rt = t.backupProperties(item.id)
       assert(rt.indexes == Seq("idx_id" -> "id", "idx_t" -> "ts"),
-        "indexes deduped by name (first wins) with >4000-byte keys dropped")
+        "indexes deduped by name (first wins) THEN >4000-byte keys dropped")
       assert(rt.timeInfo.contains("""{"startTimeField":"ts"}"""))
       assert(rt.props("snippet") == "s1")
       assert(rt.props("hasLiveData") == "false")
