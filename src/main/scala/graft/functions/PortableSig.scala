@@ -79,7 +79,7 @@ object PortableSig {
     sim
   }
 
-  def md5_minhash_sig(c: Column, n: Int, a: Array[Long], b: Array[Long],
+  def md5_minhash_sig(c: Column, n: Int, a: Seq[Long], b: Seq[Long],
       p: Long): Column =
     GraftSqlBridge.column(Md5MinhashSig(GraftSqlBridge.expression(c), n, a, b, p))
 
@@ -88,17 +88,24 @@ object PortableSig {
 }
 
 case class Md5MinhashSig(child: Expression, n: Int,
-    a: Array[Long], b: Array[Long], p: Long) extends UnaryExpression {
+    a: Seq[Long], b: Seq[Long], p: Long) extends UnaryExpression {
+
+  // Seq params (not Array): case-class equality on arrays is by
+  // REFERENCE, which breaks canonical plan equality after tree
+  // rewrites — and with it exchange/stage reuse for self-joins over
+  // this expression. The kernel gets primitive arrays.
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_minhash_sig"
 
   override def nullSafeEval(input: Any): Any =
-    PortableSig.minhashSig(input.asInstanceOf[UTF8String], n, a, b, p)
+    PortableSig.minhashSig(input.asInstanceOf[UTF8String], n, aArr, bArr, p)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
-    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.PortableSig.minhashSig($c, $n, $aRef, $bRef, ${p}L)")
   }

@@ -121,13 +121,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // The sigs frame feeds THREE consumers (banding + both est-join
-    // sides). Staging it behind one narrow (id, sig) exchange lets
-    // ReusedExchange share a single evaluation of the shingle+minhash
-    // kernel — without it each consumer re-shingles the corpus, and
-    // the signature computation (the dominant CPU cost) runs 3×.
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleN)
-      .repartition(col("id"))
     val banded = capBuckets(
       sigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band")),
@@ -182,10 +176,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    // staged behind one exchange: both verify-join sides reuse a
-    // single evaluation of the shingle kernel (see minhashLshPairs)
     val sh = shingleHashes(df, textCol, idCol, shingleN)
-      .repartition(col("id"))
     val cands = minhashLshPairs(df, textCol, idCol, numHashes, bands, shingleN)
       .select("id1", "id2")
     cands
@@ -228,33 +219,38 @@ object Dedup {
     // id): bit-identical to the md5+conv+min SQL the oracle runs — see
     // [[graft.functions.PortableSig]]. Null text matches the explode
     // semantics it replaced (the doc simply doesn't participate).
-    val sigs0 = df.select(col(idCol).as("id"),
+    val sigs = df.select(col(idCol).as("id"),
       graft.functions.PortableSig.md5_minhash_sig(col(textCol), shingleN,
-        Array.tabulate(numHashes)(uhA), Array.tabulate(numHashes)(uhB), uhP)
+        Seq.tabulate(numHashes)(uhA), Seq.tabulate(numHashes)(uhB), uhP)
         .as("sig"))
       .filter(col("sig").isNotNull)
-    // withEstimate adds two sig re-attach joins: stage the kernel
-    // behind one narrow exchange so ReusedExchange evaluates it once
-    // (see minhashLshPairs). The plain pair path has one consumer —
-    // no exchange needed, zero shuffle before the band join.
-    val sigs = if (withEstimate) sigs0.repartition(col("id")) else sigs0
+    // withEstimate CARRIES the signature through the band join instead
+    // of re-attaching it with two post-hoc joins: the re-attach joins
+    // re-planned the kernel subtree per join side (measured 3× kernel
+    // evaluations — exchange reuse does not survive AQE's broadcast
+    // conversion of the small side), while the carried payload is just
+    // `numHashes` longs per banded row at the portable geometries
+    // (8-16 hashes). est_jaccard is a pure function of the carried
+    // sigs, so any row surviving the (id1, id2) dedupe yields the
+    // identical value.
+    val sigCols = if (withEstimate) Seq(col("sig")) else Nil
     val banded = capBuckets(
-      sigs.select(col("id"),
+      sigs.select(col("id") +: sigCols :+
         explode(array((0 until bands).map { b =>
           md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-        }: _*)).as("band")),
+        }: _*)).as("band"): _*),
       Seq("band"), "id", maxBucket, "minhash_portable")
-    val l = banded.select(col("band"), col("id").as("id1"))
-    val r = banded.select(col("band"), col("id").as("id2"))
-    val pairs = l.join(r, Seq("band")).filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    if (!withEstimate) pairs
-    else pairs
-      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
-      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
+    val l = banded.select(col("band") +: col("id").as("id1") +:
+      sigCols.map(_.as("sig1")): _*)
+    val r = banded.select(col("band") +: col("id").as("id2") +:
+      sigCols.map(_.as("sig2")): _*)
+    val joined = l.join(r, Seq("band")).filter(col("id1") < col("id2"))
+    if (!withEstimate) joined.select("id1", "id2").distinct()
+    else joined
       .select(col("id1"), col("id2"),
         (size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
           x => x)).cast("double") / numHashes).as("est_jaccard"))
+      .dropDuplicates("id1", "id2")
   }
 
   /** Engine-portable simhash: 60-bit simhash over md5-derived shingle
