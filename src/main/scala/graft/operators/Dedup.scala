@@ -116,10 +116,16 @@ object Dedup {
     * `maxBucket` defaults ON (1000): a hot band bucket caps at 1000
     * members → ≤ ~500k pairs instead of B² explosion on one reduce
     * task. Run [[exact]] dedup first so identical docs never reach the
-    * band join; set `maxBucket = 0` to disable. */
+    * band join; set `maxBucket = 0` to disable.
+    *
+    * `withEstimate = false` skips the signature re-attach joins
+    * entirely and returns bare (id1, id2) — callers that only feed a
+    * verify/cluster stage ([[ngramJaccardPairs]], [[dedupByClusters]]
+    * inputs) should use it: the est joins re-plan the signature
+    * kernel per join side. */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, withEstimate: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleN)
     val banded = capBuckets(
@@ -130,7 +136,8 @@ object Dedup {
     val r = banded.select(col("band"), col("id").as("id2"))
     val pairs = l.join(r, Seq("band")).filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    pairs
+    if (!withEstimate) pairs
+    else pairs
       .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
       .select(col("id1"), col("id2"),
@@ -177,8 +184,8 @@ object Dedup {
       threshold: Double, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, shingleN)
-    val cands = minhashLshPairs(df, textCol, idCol, numHashes, bands, shingleN)
-      .select("id1", "id2")
+    val cands = minhashLshPairs(df, textCol, idCol, numHashes, bands, shingleN,
+      withEstimate = false) // bare candidates: est would be discarded here
     cands
       .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("hs", "hs1"), "id1")
       .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("hs", "hs2"), "id2")
