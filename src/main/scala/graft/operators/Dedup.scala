@@ -55,6 +55,63 @@ object Dedup {
   }
   private val capSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Candidate pairs within buckets — the step between banding and
+    * verification in every LSH family here.
+    *
+    * `bounded = true` (the production shape, cap ON): members per
+    * bucket are already ≤ maxBucket, so pairs come from ONE pass —
+    * groupBy(bucket) → sorted BOUNDED collect → pairwise explode.
+    * The whole upstream subtree (scan, signature kernel, banding,
+    * cap window) is evaluated exactly once, and the groupBy reuses
+    * the cap window's partitioning, so no second bucket exchange
+    * forms. (The self-join road plans the upstream once PER SIDE —
+    * measured two full kernel evaluations — and exchange reuse does
+    * not reliably collapse them under AQE.)
+    *
+    * `bounded = false` (cap OFF — exact/oracle mode): a collect
+    * would buffer an unbounded hot bucket in one aggregation buffer,
+    * so the classic self equi-join road is used; it spills instead
+    * of OOMing.
+    *
+    * Payload columns ride next to the ids (`p` → `p1`/`p2`); both
+    * roads emit identical (id1 < id2) pair rows, deduplication across
+    * buckets is the caller's. */
+  private[operators] def bucketPairs(members: DataFrame, bucketCols: Seq[String],
+      idCol: String, payload: Seq[String], bounded: Boolean): DataFrame = {
+    if (!bounded) {
+      val l = members.select(bucketCols.map(col) ++
+        (col(idCol).as("id1") +: payload.map(p => col(p).as(s"${p}1"))): _*)
+      val r = members.select(bucketCols.map(col) ++
+        (col(idCol).as("id2") +: payload.map(p => col(p).as(s"${p}2"))): _*)
+      l.join(r, bucketCols).filter(col("id1") < col("id2"))
+        .drop(bucketCols: _*)
+    } else {
+      val entry =
+        if (payload.isEmpty) col(idCol).as("_e")
+        else struct(col(idCol).as(idCol) +: payload.map(col): _*).as("_e")
+      val withEntry = members.select(bucketCols.map(col) :+ entry: _*)
+      val grouped = withEntry.groupBy(bucketCols.map(col): _*)
+        .agg(sort_array(collect_list(col("_e"))).as("_ms"))
+        .filter(size(col("_ms")) >= 2)
+      val first = grouped.select(col("_ms"), posexplode(col("_ms")))
+        .toDF("_ms", "_i", "_a")
+      val both = first.select(col("_a"),
+        explode(slice(col("_ms"), col("_i") + 2, size(col("_ms")))).as("_b"))
+      val out =
+        if (payload.isEmpty)
+          both.select(col("_a").as("id1"), col("_b").as("id2"))
+        else both.select(
+          (col(s"_a.$idCol").as("id1") +:
+            payload.map(p => col(s"_a.$p").as(s"${p}1"))) ++
+          (col(s"_b.$idCol").as("id2") +:
+            payload.map(p => col(s"_b.$p").as(s"${p}2"))): _*)
+      // a doc CAN land twice in one bucket (two bands hashing to the
+      // same value) — the strict inequality drops the self-pair the
+      // way the join road's filter does
+      out.filter(col("id1") < col("id2"))
+    }
+  }
+
   /** Exact dedup with deterministic winner: lowest `idCol` per identical
     * normalized text wins. One shuffle on the fingerprint; the
     * fingerprint is staged as a column so the exchange/sort/window all
@@ -132,10 +189,8 @@ object Dedup {
       sigs.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band")),
       Seq("band"), "id", maxBucket, "minhash")
-    val l = banded.select(col("band"), col("id").as("id1"))
-    val r = banded.select(col("band"), col("id").as("id2"))
-    val pairs = l.join(r, Seq("band")).filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val pairs = bucketPairs(banded, Seq("band"), "id", Nil,
+      bounded = maxBucket > 0).distinct()
     if (!withEstimate) pairs
     else pairs
       .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
@@ -167,9 +222,8 @@ object Dedup {
         }: _*)).as("band"))
         .select(col("id"), col("sim"), col("band.blk"), col("band.key")),
       Seq("blk", "key"), "id", maxBucket, "simhash")
-    val l = banded.select(col("blk"), col("key"), col("id").as("id1"), col("sim").as("sim1"))
-    val r = banded.select(col("blk"), col("key"), col("id").as("id2"), col("sim").as("sim2"))
-    l.join(r, Seq("blk", "key")).filter(col("id1") < col("id2"))
+    bucketPairs(banded, Seq("blk", "key"), "id", Seq("sim"),
+      bounded = maxBucket > 0)
       .select(col("id1"), col("id2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -247,11 +301,8 @@ object Dedup {
           md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
         }: _*)).as("band"): _*),
       Seq("band"), "id", maxBucket, "minhash_portable")
-    val l = banded.select(col("band") +: col("id").as("id1") +:
-      sigCols.map(_.as("sig1")): _*)
-    val r = banded.select(col("band") +: col("id").as("id2") +:
-      sigCols.map(_.as("sig2")): _*)
-    val joined = l.join(r, Seq("band")).filter(col("id1") < col("id2"))
+    val joined = bucketPairs(banded, Seq("band"), "id",
+      if (withEstimate) Seq("sig") else Nil, bounded = maxBucket > 0)
     if (!withEstimate) joined.select("id1", "id2").distinct()
     else joined
       .select(col("id1"), col("id2"),
@@ -292,9 +343,8 @@ object Dedup {
         }: _*)).as("band"))
         .select(col("id"), col("sim"), col("band.blk"), col("band.key")),
       Seq("blk", "key"), "id", maxBucket, "simhash_portable")
-    val l = banded.select(col("blk"), col("key"), col("id").as("id1"), col("sim").as("sim1"))
-    val r = banded.select(col("blk"), col("key"), col("id").as("id2"), col("sim").as("sim2"))
-    l.join(r, Seq("blk", "key")).filter(col("id1") < col("id2"))
+    bucketPairs(banded, Seq("blk", "key"), "id", Seq("sim"),
+      bounded = maxBucket > 0)
       .select(col("id1"), col("id2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

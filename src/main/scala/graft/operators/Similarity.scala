@@ -116,10 +116,10 @@ object Similarity {
     val members = Dedup.capBuckets(
       keyed.select(col("tbl"), col("bucket"), col("id")),
       Seq("tbl", "bucket"), "id", maxBucket, "srp")
-    val l = members.select(col("tbl"), col("bucket"), col("id").as("id1"))
-    val r = members.select(col("tbl"), col("bucket"), col("id").as("id2"))
-    val pairs = l.join(r, Seq("tbl", "bucket")).filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    // capped buckets → single-pass bounded-collect pair generation;
+    // cap OFF → classic self-join (see Dedup.bucketPairs)
+    val pairs = Dedup.bucketPairs(members, Seq("tbl", "bucket"), "id", Nil,
+      bounded = maxBucket > 0).distinct()
     val vecs = df.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
     pairs
       .join(vecs.select(col("_vid").as("id1"), col("_vv").as("v1")), "id1")

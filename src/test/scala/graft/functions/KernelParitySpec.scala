@@ -92,6 +92,53 @@ class KernelParitySpec extends AnyFunSuite {
     assert(kernel.toSeq == sql.toSeq)
   }
 
+  test("bounded-collect pair generation matches the self-join road across all LSH families") {
+    // a corpus with planted near-dups, exact dups (hot buckets), and
+    // unique docs: with a cap LARGER than any bucket, the bounded road
+    // must emit exactly the pair set the exact (cap-off) join road does
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (
+      (1L to 6L).map(i => (i, base)) ++                      // 6 exact dups
+      Seq(7L -> (base + " tail"), 8L -> (base + " tails")) ++ // near-dups
+      Seq(9L -> "completely different text about query engines and shuffles",
+        10L -> "another unrelated document concerning buoy telemetry data")
+    ).toDF("doc_id", "text")
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // minhash (production xxhash)
+    assert(pairSet(Dedup.minhashLshPairs(corpus, "text", "doc_id", maxBucket = 100000)) ==
+      pairSet(Dedup.minhashLshPairs(corpus, "text", "doc_id", maxBucket = 0)))
+    // minhash portable, with and without est
+    assert(pairSet(Dedup.minhashLshPairsPortable(corpus, "text", "doc_id", maxBucket = 100000)) ==
+      pairSet(Dedup.minhashLshPairsPortable(corpus, "text", "doc_id", maxBucket = 0)))
+    val estB = Dedup.minhashLshPairsPortable(corpus, "text", "doc_id",
+      withEstimate = true, maxBucket = 100000)
+    val estJ = Dedup.minhashLshPairsPortable(corpus, "text", "doc_id",
+      withEstimate = true, maxBucket = 0)
+    def estSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(estSet(estB) == estSet(estJ))
+    // simhash, native and portable (payload-carrying road)
+    assert(pairSet(Dedup.simhashPairs(corpus, "text", "doc_id", maxBucket = 100000)) ==
+      pairSet(Dedup.simhashPairs(corpus, "text", "doc_id", maxBucket = 0)))
+    assert(pairSet(Dedup.simhashPairsPortable(corpus, "text", "doc_id", maxBucket = 100000)) ==
+      pairSet(Dedup.simhashPairsPortable(corpus, "text", "doc_id", maxBucket = 0)))
+    // SRP vector buckets
+    val vecs = (1L to 20L).map(i =>
+      (i, Array.tabulate(8)(j => ((i % 4) + j * 0.1).toFloat))).toDF("id", "vec")
+    assert(pairSet(graft.operators.Similarity.lshCandidatePairs(
+        vecs, "id", "vec", planes = 4, maxBucket = 100000)) ==
+      pairSet(graft.operators.Similarity.lshCandidatePairs(
+        vecs, "id", "vec", planes = 4, maxBucket = 0)))
+    // and the CAP still bites identically on the bounded road: 6 exact
+    // dups capped at 3 members → 3 pairs from that cluster
+    val capped = Dedup.minhashLshPairs(corpus.filter(col("doc_id") <= 6),
+      "text", "doc_id", maxBucket = 3)
+    assert(pairSet(capped) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("PortableSig simhash60 matches the packed-vote formulation") {
     val bits = 60
     val kernel = docs.select(col("doc_id"),
