@@ -94,6 +94,25 @@ object ExplainCheck {
     // the term join degenerated
     audit("tfidf_topterms", mustNotContain = Seq("CartesianProduct"))
 
+    // document chunking: a pure NARROW pipeline (stage tokens, explode
+    // windows) — any exchange means the op stopped scaling linearly
+    audit("chunk_documents", mustNotContain = Seq("Exchange"))
+    // balanced sampling: two-phase windows only — no nested-loop join
+    // and no UNPARTITIONED window over the corpus (phase-1 windows key
+    // on (stratum, sub-bucket), phase 2 on stratum)
+    audit("sample_balanced",
+      mustContain = Seq("Exchange hashpartitioning(lang"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
+    // quantile filter: the per-stratum bounds table re-attaches via
+    // BROADCAST — a sort-merge join would shuffle the corpus to meet a
+    // stratum-sized table
+    audit("quantile_filter", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
+    // centroid classification: centroids ride in the plan — the scoring
+    // pass is one projection, no join and no shuffle at any corpus size
+    audit("ann_centroid_classify",
+      mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))
+
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression
     // here silently turns a zero-transfer probe into a full data fetch

@@ -478,6 +478,17 @@ object SparkEntry {
       Similarity.pqTopK(rest, "vec_id", "embedding", q, k = 10, cbs)
     }),
 
+    // ---- similarity: nearest-centroid (Rocchio) classification —
+    //      per-label mean vectors (rounded to 6 so any engine agrees),
+    //      then one shuffle-free codegen'd argmax-cosine projection ----
+    "ann_centroid_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "label", "embedding")
+      Similarity.classifyByCentroids(emb, "embedding", cents)
+        .select(col("vec_id"), col("label").cast("long").as("true_label"),
+          col("pred").cast("long").as("pred"), col("score"))
+    }),
+
     // ---- dedup: embedding-cosine near-dup pairs (full oracle via the
     //      portable SRP planes) ----
     "dedup_embedding" -> ((s, dir) =>
@@ -624,6 +635,30 @@ object SparkEntry {
     "tfidf_topterms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id",
         k = 3)),
+
+    // ---- text: document chunking into overlapping token windows
+    //      (32-token chunks every 16 — the RAG/context-window prep;
+    //      pure narrow pipeline, zero shuffles) ----
+    "chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 32, stride = 16)),
+
+    // ---- text: balanced sampling — at most 20 docs per language,
+    //      chosen by portable md5 rank (two-phase windows; the full
+    //      per-stratum sort never happens) ----
+    "sample_balanced" -> ((s, dir) =>
+      TextAnalysis.balancedSample(t(s, dir, "documents"), "doc_id", "lang",
+        cap = 20)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // ---- text: per-stratum quantile band — keep docs inside the
+    //      [P10, P90] n_chars band of their source (exact percentile
+    //      pinned for the oracle; operator default is the mergeable
+    //      approx sketch) ----
+    "quantile_filter" -> ((s, dir) =>
+      TextAnalysis.quantileFilter(t(s, dir, "documents"), "n_chars", "source",
+        loQ = 0.10, hiQ = 0.90, exact = true)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
 
     // ---- dedup: benchmark DECONTAMINATION — corpus docs sharing a
     //      13-gram with the eval slice (doc_id % 97 == 0), with the
@@ -1417,6 +1452,57 @@ object SparkEntry {
         |      < CASE WHEN source = 'src1' THEN 40
         |             WHEN source = 'src0' THEN 100
         |             ELSE 10 END""".stripMargin,
+    "chunk_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        | starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(floor((len(t)-1)/16) AS BIGINT) + 1)) AS i
+        |  FROM toks)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(t[i*16+1 : i*16+32], ' ') AS chunk_text,
+        |  CAST(least(32, len(t) - i*16) AS BIGINT) AS n_chunk_tokens
+        |FROM starts""".stripMargin,
+    "sample_balanced" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM r WHERE rn <= 20""".stripMargin,
+    "quantile_filter" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.10), 6) AS lo,
+        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.90), 6) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN b USING (source)
+        |WHERE d.n_chars >= lo AND d.n_chars <= hi""".stripMargin,
+    "ann_centroid_classify" ->
+      """WITH dimed AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |         unnest(range(1, len(embedding)+1)) AS i
+        |  FROM embeddings),
+        | cent AS (
+        |  SELECT label AS cl, list(m ORDER BY i) AS cv FROM (
+        |    SELECT label, i, round(avg(v), 6) AS m FROM dimed GROUP BY label, i)
+        |  GROUP BY label),
+        | scored AS (
+        |  SELECT e.vec_id, e.label, c.cl,
+        |    round(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+        |        p -> p[1]*p[2])) /
+        |      (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x*x)))), 6) AS cos
+        |  FROM embeddings e CROSS JOIN cent c),
+        | best AS (
+        |  SELECT vec_id, label, cl, cos, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cl) AS rn
+        |  FROM scored)
+        |SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+        |  CAST(cl AS BIGINT) AS pred, cos AS score
+        |FROM best WHERE rn = 1""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_lsh_pairs" ->

@@ -283,6 +283,49 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- Nearest-centroid (Rocchio) classification --------------------------
+
+  /** Per-label MEAN vectors — the supervised counterpart of k-means
+    * training: one two-level aggregate (`posexplode` → avg per
+    * (label, dim), map-side partials), result bounded at
+    * labels × dim rows by construction, so the driver collect is
+    * metadata-sized no matter how many vectors feed it. Components
+    * are rounded to 6 places so independently-computed centroids
+    * (e.g. an oracle engine summing in a different order) agree
+    * exactly. Returns (label, centroid) sorted by label. */
+  def labelCentroids(df: DataFrame, labelCol: String,
+      vecCol: String): Seq[(Int, Seq[Double])] = {
+    val rows = df
+      .select(col(labelCol).cast("int").as("_l"), posexplode(col(vecCol)))
+      .groupBy(col("_l"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("m"))
+      .collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (lab, rs) =>
+      lab -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    }
+  }
+
+  /** Nearest-centroid classification: tag every row with the label of
+    * its highest-cosine centroid (ties → smallest label) plus that
+    * cosine, as appended `pred`/`score` columns. One codegen'd
+    * projection — `labels` native cosine kernels per row, centroids
+    * riding in the plan — ZERO shuffles and no join at any corpus
+    * size; the expensive part (the centroid table) is already reduced.
+    * Cosines compare ROUNDED to 6 places so the chosen label is
+    * reproducible across engines. */
+  def classifyByCentroids(df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    val scored = centroids.map { case (lab, c) =>
+      struct(round(cosineToQuery(col(vecCol), c), 6).as("s"), lit(lab).as("l"))
+    }
+    val best = scored.reduce { (a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a)
+    }
+    df.withColumn("pred", best.getField("l"))
+      .withColumn("score", best.getField("s"))
+  }
+
   // ---- Product quantization (PQ) — the COMPRESSED 100-TB ANN path --------
   //
   // At 10¹⁰ vectors even ids+floats don't fit hot storage; PQ stores M

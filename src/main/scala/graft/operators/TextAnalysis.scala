@@ -298,6 +298,95 @@ object TextAnalysis {
         col("bin_first"), col("bin_last"))
   }
 
+  /** Document CHUNKING into fixed token windows — the RAG-ingest /
+    * context-window prep primitive: cut each document into
+    * `chunkTokens`-token windows starting every `stride` tokens
+    * (`stride < chunkTokens` gives overlapping windows; `stride = 0`
+    * means non-overlapping = `chunkTokens`). Output one row per
+    * (document, window): `(idCol, chunk_idx, chunk_text,
+    * n_chunk_tokens)`; the final window may be shorter. Blank
+    * documents produce no chunks.
+    *
+    * Scale shape: a pure NARROW pipeline — tokenization is staged once
+    * per row, windows come from `transform(sequence)` + `posexplode`.
+    * Zero shuffles at any corpus size; output order is inherited from
+    * the scan, and every window start is `chunk_idx * stride`, so
+    * downstream processing can reconstruct provenance without a sort. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 32, stride: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val step = if (stride > 0) stride else chunkTokens
+    val staged = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
+    val lastStart = floor((size(col("_t")) - 1) / lit(step)).cast("int")
+    staged
+      .select(col(idCol), size(col("_t")).as("_n"),
+        posexplode(transform(sequence(lit(0), lastStart),
+          i => array_join(slice(col("_t"), i * step + 1, lit(chunkTokens)), " "))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        least(lit(chunkTokens), col("_n") - col("pos") * step)
+          .cast("long").as("n_chunk_tokens"))
+  }
+
+  /** BALANCED sampling: keep at most `cap` rows per stratum, chosen
+    * deterministically as the `cap` smallest `md5(salt || id)` values
+    * (ties by id) — the "equal share per source/language" primitive
+    * that stops one giant stratum from dominating a corpus mix. The
+    * hash ranking is engine-portable (same rule as [[sampleByHash]]),
+    * so the selected set is reproducible anywhere and stable under
+    * corpus growth everywhere the hash order is (a new row displaces
+    * at most one old row of its stratum).
+    *
+    * Scale shape: a single window per stratum would sort a billion-row
+    * stratum in ONE task, so selection is two-phase — phase 1 ranks
+    * within (stratum, hash sub-bucket) and keeps `cap` per sub-bucket
+    * (the global top-`cap` is a subset of the union by construction);
+    * phase 2 ranks the ≤ `cap`·`subBuckets` survivors per stratum.
+    * The big sort never happens: phase 1 partitions are 1/`subBuckets`
+    * of a stratum, phase 2's input is cap-bounded metadata. */
+  def balancedSample(df: DataFrame, idCol: String, stratumCol: String,
+      cap: Int, salt: String = "", subBuckets: Int = 32): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val staged = df.withColumn("_bk",
+      md5(concat(lit(salt), col(idCol).cast("string"))))
+    val sub = conv(substring(col("_bk"), 1, 4), 16, 10).cast("int") % subBuckets
+    val w1 = Window.partitionBy(col(stratumCol), col("_sb"))
+      .orderBy(col("_bk"), col(idCol))
+    val pre = staged.withColumn("_sb", sub)
+      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= cap)
+    val w2 = Window.partitionBy(col(stratumCol)).orderBy(col("_bk"), col(idCol))
+    pre.withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= cap)
+      .drop("_bk", "_sb", "_r1", "_r2")
+  }
+
+  /** QUANTILE band filter: keep rows whose `valueCol` lies within the
+    * [`loQ`, `hiQ`] quantiles OF THEIR STRATUM — the distribution-aware
+    * outlier trim ("drop the shortest 10% and longest 10% per source")
+    * that a fixed global threshold gets wrong when strata differ.
+    *
+    * The bounds default to `approx_percentile` (fixed-size mergeable
+    * sketch — the only shape that survives billions of rows per
+    * stratum); `exact = true` switches to the interpolated exact
+    * `percentile` for small strata / oracle comparison, which buffers
+    * each group's values and is NOT the 100 TB path. Either way the
+    * bounds table is stratum-sized, so re-attaching it is a broadcast
+    * join — the corpus is never shuffled. Bounds are rounded to 6
+    * places so the kept set is reproducible across engines. */
+  def quantileFilter(df: DataFrame, valueCol: String, stratumCol: String,
+      loQ: Double, hiQ: Double, exact: Boolean = false): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ, "need 0 <= loQ <= hiQ <= 1")
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val bounds = df.groupBy(col(stratumCol))
+      .agg(expr(s"$fn($valueCol, array($loQ, $hiQ))").as("_qb"))
+      .select(col(stratumCol),
+        round(element_at(col("_qb"), 1).cast("double"), 6).as("_lo"),
+        round(element_at(col("_qb"), 2).cast("double"), 6).as("_hi"))
+    df.join(broadcast(bounds), stratumCol)
+      .filter(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
+      .drop("_lo", "_hi")
+  }
+
   /** Corpus VOCABULARY induction: global token frequencies, top `k` by
     * count with lexicographic tie-break — the first pass of a
     * tokenizer build or a frequency-based filter. Tokens are

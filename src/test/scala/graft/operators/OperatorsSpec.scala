@@ -183,6 +183,29 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert((exact intersect approx).size >= 4,
       s"recall too low: ${(exact intersect approx).size}/10")
   }
+
+  test("nearest-centroid classify: separable clusters classify perfectly") {
+    import spark.implicits._
+    // two clean clusters on orthogonal axes + slight noise
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 0f, 1f, 0f)
+      base(1) = (i % 5) * 0.01f
+      (i.toLong, base.toSeq, i % 2)
+    }.toDF("id", "vec", "label")
+    val cents = Similarity.labelCentroids(rows, "label", "vec")
+    assert(cents.map(_._1) == Seq(0, 1))
+    assert(cents.head._2.length == 4)
+    val out = Similarity.classifyByCentroids(rows, "vec", cents)
+    assert(out.columns.toSeq.takeRight(2) == Seq("pred", "score"))
+    assert(out.filter(col("pred") =!= col("label")).count() == 0)
+    // scores are the (rounded) cosine to the winning centroid: in (0, 1]
+    val scores = out.select("score").as[Double].collect()
+    assert(scores.forall(s => s > 0.9 && s <= 1.0))
+    // tie-break: the zero vector scores 0 against every centroid → label 0
+    val zero = Seq((99L, Seq(0f, 0f, 0f, 0f), 1)).toDF("id", "vec", "label")
+    assert(Similarity.classifyByCentroids(zero, "vec", cents)
+      .head().getAs[Int]("pred") == 0)
+  }
 }
 
 class ClustersSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -168,6 +168,69 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out == Seq(("apple", 3L), ("banana", 3L), ("cherry", 2L)))
   }
 
+  test("chunkDocuments: overlapping windows cover every token, final short") {
+    val docs = Seq(
+      (1L, (1 to 23).map(i => s"t$i").mkString(" ")), // 23 toks, stride 8, chunk 10
+      (2L, "just three tokens"),
+      (3L, "  ")                                      // blank → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+      chunkTokens = 10, stride = 8).orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // starts 0, 8, 16 → lengths 10, 10, 7
+    assert(d1.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(10L, 10L, 7L))
+    assert(d1(0).getAs[String]("chunk_text").startsWith("t1 t2 "))
+    assert(d1(1).getAs[String]("chunk_text").startsWith("t9 t10 "))
+    assert(d1(2).getAs[String]("chunk_text") == (17 to 23).map(i => s"t$i").mkString(" "))
+    // overlap: token t9 appears in chunk 0 (pos 9) and opens chunk 1
+    assert(d1(0).getAs[String]("chunk_text").split(" ").contains("t9"))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[Long]("n_chunk_tokens") == 3L)
+    assert(!out.exists(_.getLong(0) == 3L))
+    // non-overlapping default: stride = chunkTokens
+    val plain = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+      chunkTokens = 10).filter(col("doc_id") === 1L).collect()
+    assert(plain.map(_.getAs[Long]("n_chunk_tokens")).sorted.toSeq == Seq(3L, 10L, 10L))
+  }
+
+  test("balancedSample: exact cap per stratum, equal to the single-window rank") {
+    val rows = (1L to 900L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val out = TextAnalysis.balancedSample(rows, "id", "stratum", cap = 25)
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet == Set(25L))
+    // two-phase selection == the straight per-stratum top-cap by (md5, id)
+    val direct = rows
+      .withColumn("_k", md5(col("id").cast("string")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("stratum").orderBy(col("_k"), col("id"))))
+      .filter(col("_rn") <= 25).select("id").as[Long].collect().toSet
+    assert(out.select("id").as[Long].collect().toSet == direct)
+    // a stratum under the cap survives whole
+    val tiny = (1L to 5L).map(i => (i, "only")).toDF("id", "stratum")
+    assert(TextAnalysis.balancedSample(tiny, "id", "stratum", cap = 25)
+      .count() == 5)
+  }
+
+  test("quantileFilter: per-stratum band, approx and exact agree here") {
+    val rows = ((1 to 100).map(i => (i.toLong, "a", i.toLong)) ++
+      (1 to 100).map(i => (100L + i, "b", 1000L + i)))
+      .toDF("id", "stratum", "v")
+    val kept = TextAnalysis.quantileFilter(rows, "v", "stratum",
+      0.10, 0.90, exact = true)
+    val byStratum = kept.groupBy("stratum").agg(
+      min(col("v")).as("lo"), max(col("v")).as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact P10/P90 of 1..100 are 10.9 and 90.1 → kept 11..90
+    assert(byStratum("a") == (11L, 90L))
+    assert(byStratum("b") == (1011L, 1090L))
+    // approx sketch path returns a similar band (not asserted equal)
+    val approx = TextAnalysis.quantileFilter(rows, "v", "stratum", 0.10, 0.90)
+    assert(math.abs(approx.count() - kept.count()) <= 10)
+  }
+
   test("tfidfTopTerms: corpus-wide terms score zero, rare terms rank first") {
     val docs = Seq(
       (1L, "shared shared zebra"),
