@@ -108,6 +108,11 @@ object ExplainCheck {
     // stratum-sized table
     audit("quantile_filter", mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
+    // batch k-NN join: the scored corpus must never shuffle — the only
+    // exchange is the window over the partitions×queries×k survivors
+    // (hash on qid); no join of any kind appears
+    audit("ann_knn_join", mustContain = Seq("Exchange hashpartitioning(qid"),
+      mustNotContain = Seq("Join", "CartesianProduct"))
     // centroid classification: centroids ride in the plan — the scoring
     // pass is one projection, no join and no shuffle at any corpus size
     audit("ann_centroid_classify",

@@ -478,6 +478,21 @@ object SparkEntry {
       Similarity.pqTopK(rest, "vec_id", "embedding", q, k = 10, cbs)
     }),
 
+    // ---- similarity: batch k-NN join — exact top-5 for 5 queries in
+    //      ONE corpus scan (per-partition bounded heaps; only
+    //      partitions×queries×k rows ever shuffle) ----
+    "ann_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toSeq
+      Similarity.knnJoin(emb.filter(col("vec_id") >= 5), "vec_id",
+        "embedding", qs, k = 5)
+        .select(col("qid"), col("vec_id"), round(col("cosine"), 6).as("cos"),
+          col("rank"))
+    }),
+
     // ---- similarity: nearest-centroid (Rocchio) classification —
     //      per-label mean vectors (rounded to 6 so any engine agrees),
     //      then one shuffle-free codegen'd argmax-cosine projection ----
@@ -1480,6 +1495,25 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d JOIN b USING (source)
         |WHERE d.n_chars >= lo AND d.n_chars <= hi""".stripMargin,
+    "ann_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        | c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 5),
+        | scored AS (
+        |  SELECT q.qid, c.vec_id,
+        |    list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) /
+        |    (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+        |  FROM c CROSS JOIN q),
+        | ranked AS (
+        |  SELECT qid, vec_id, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin,
     "ann_centroid_classify" ->
       """WITH dimed AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,

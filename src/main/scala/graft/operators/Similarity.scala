@@ -283,6 +283,83 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- Batch k-NN join ----------------------------------------------------
+
+  /** Batch k-NN JOIN: exact cosine top-`k` for MANY query vectors in
+    * ONE corpus scan. `queries` is a bounded driver-side set (an eval
+    * or probe set — small by definition, like the centroid tables);
+    * it rides into the scan inside the task closure.
+    *
+    * Scale shape: the naive formulation (cross join queries, window
+    * per query) shuffles |corpus| × |queries| scored rows — the 100 TB
+    * killer. Here each partition keeps a BOUNDED top-`k` heap per
+    * query while it streams (genuine per-partition imperative state —
+    * the documented `mapPartitions` case), so exactly
+    * partitions × queries × k candidate rows leave the scan; the
+    * global resolve is a window over that metadata-sized set. Heap
+    * ordering (cosine desc, id asc) matches the final window exactly,
+    * and the dot/norm folds run in index order, so results are
+    * reproducible across engines bit-for-bit (same guarantee as
+    * [[bruteForceTopK]]).
+    *
+    * Output: (qid, `idCol`, cosine, rank) with rank 1..k per query. */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "no queries")
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Double], Double)] = queries.sortBy(_._1).map {
+      case (qid, v) =>
+        (qid, v.toArray, math.sqrt(v.iterator.map(x => x * x).sum))
+    }.toArray
+    val kk = k
+    val local = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        // min-heap on "goodness": head = worst kept (lowest cosine,
+        // ties → HIGHEST id, so a lower id displaces its equal-cosine peer)
+        val ord: Ordering[(Double, Long)] =
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
+        val heaps = qArr.map(_ =>
+          new java.util.PriorityQueue[(Double, Long)](kk, ord))
+        iter.foreach { case (id, vec) =>
+          var q = 0
+          while (q < qArr.length) {
+            val qv = qArr(q)._2
+            val qn = qArr(q)._3
+            var dot = 0.0; var vn = 0.0; var j = 0
+            while (j < qv.length) {
+              val x = vec(j).toDouble
+              dot += x * qv(j); vn += x * x; j += 1
+            }
+            val den = math.sqrt(vn) * qn
+            val cos = if (den == 0) 0.0 else dot / den
+            val h = heaps(q)
+            if (h.size < kk) h.add((cos, id))
+            else {
+              val w = h.peek()
+              if (cos > w._1 || (cos == w._1 && id < w._2)) {
+                h.poll(); h.add((cos, id))
+              }
+            }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          val qid = qArr(q)._1
+          Iterator.continually(h.poll()).takeWhile(_ != null)
+            .map { case (cos, id) => (qid, id, cos) }
+        }
+      }
+      .toDF("qid", "_nid", "cosine")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("_nid"))
+    local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("_nid").as(idCol), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // ---- Nearest-centroid (Rocchio) classification --------------------------
 
   /** Per-label MEAN vectors — the supervised counterpart of k-means

@@ -184,6 +184,31 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"recall too low: ${(exact intersect approx).size}/10")
   }
 
+  test("knnJoin: batch top-k equals per-query bruteForceTopK, any partitioning") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val batch = Similarity.knnJoin(corpus, "vec_id", "embedding", qs, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("rank")))
+      .groupBy(_._1)
+    qs.foreach { case (qid, qv) =>
+      val solo = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qv, 7)
+        .select("vec_id").as[Long].collect().toSeq
+      val got = batch(qid).sortBy(_._3).map(_._2).toSeq
+      assert(got == solo, s"query $qid: $got vs $solo")
+    }
+    // partition-count independence: local heaps + global resolve must
+    // not depend on how the corpus is split
+    val repart = Similarity.knnJoin(corpus.repartition(13), "vec_id",
+      "embedding", qs, k = 7)
+      .select("qid", "vec_id", "rank").collect().toSet
+    assert(repart ==
+      batch.values.flatten.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSet)
+  }
+
   test("nearest-centroid classify: separable clusters classify perfectly") {
     import spark.implicits._
     // two clean clusters on orthogonal axes + slight noise
