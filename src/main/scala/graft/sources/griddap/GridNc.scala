@@ -374,6 +374,15 @@ object GridNc {
           s"fixed dim mismatch at $i: ${extra.dims(i)} vs ${h.rawDims(i)}")
       }
       val recSize = h.recSize
+      // crash consistency: an interrupted previous append can leave
+      // slab bytes past the last COUNTED record (numrecs patches only
+      // after the tail write). Such an orphan tail would silently
+      // become the next append's record bytes at the wrong offsets —
+      // truncate back to the last consistent record boundary first.
+      val expectedEnd = recMetas.map(_.begin).min + h.numrecs.toLong * recSize
+      require(ch.size() >= expectedEnd,
+        s"file shorter than header claims: ${ch.size()} < $expectedEnd")
+      if (ch.size() > expectedEnd) ch.truncate(expectedEnd)
       // existing max time: the time COORD is one cell per record —
       // positional channel reads at LONG offsets (8 bytes per record,
       // no whole-file map, so files past 2 GiB keep appending)

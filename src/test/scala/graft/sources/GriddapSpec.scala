@@ -286,6 +286,35 @@ class GriddapSpec extends AnyFunSuite {
     assert(Files.readAllBytes(f).length == after.length)
   }
 
+  test("appendRecordsToFile truncates the orphan tail of an interrupted append") {
+    val d = Files.createTempDirectory("griddap_crash")
+    val f = d.resolve("crashed.nc")
+    Files.write(f, GridNc.write(recordGrid(3)))
+    val clean = Files.readAllBytes(f)
+    // simulate a crash AFTER tail slabs were written but BEFORE the
+    // numrecs patch: orphan bytes past the last counted record
+    Files.write(f, Array.fill[Byte](57)(0x7F),
+      java.nio.file.StandardOpenOption.APPEND)
+
+    val n = GridNc.appendRecordsToFile(f, recordGrid(2, t0Offset = 3))
+    assert(n == 2)
+    val back = GridNc.read(Files.readAllBytes(f))
+    val t0 = Instant.parse("2024-03-01T00:00:00Z").getEpochSecond
+    assert(back.coord("time").toSeq == (0 until 5).map(i => (t0 + i * 3600L).toDouble))
+    val sst = back.vars.find(_.name == "sst").get.values
+    assert(sst(4 * 20) == 4 * 10000 * 0.25, "new records at clean offsets")
+    // the orphan bytes are gone: size is exactly header + 5 records
+    val recBytes = 8 + 20 * 8
+    assert(Files.readAllBytes(f).length == clean.length + 2 * recBytes)
+
+    // a file SHORTER than its header claims is refused, not misread
+    val g = d.resolve("short.nc")
+    Files.write(g, clean.dropRight(10))
+    assertThrows[IllegalArgumentException] {
+      GridNc.appendRecordsToFile(g, recordGrid(4, t0Offset = 3))
+    }
+  }
+
   test("filechange stream drives incremental record append, no full rewrite (NRT grid refresh)") {
     import java.nio.file.attribute.FileTime
     // upstream: the growing source grid; published: the record-dim file
