@@ -120,6 +120,32 @@ object ScaleProbe {
     probe("tfidf_topterms",
       graft.operators.TextAnalysis.tfidfTopTerms(docs1, "text", "doc_id").count(),
       graft.operators.TextAnalysis.tfidfTopTerms(docsN, "text", "doc_id").count())
+    probe("chunk_documents",
+      graft.operators.TextAnalysis.chunkDocuments(docs1, "text", "doc_id",
+        chunkTokens = 32, stride = 16).count(),
+      graft.operators.TextAnalysis.chunkDocuments(docsN, "text", "doc_id",
+        chunkTokens = 32, stride = 16).count())
+    // balanced sampling: the two-phase selection must stay ~linear even
+    // though the N× corpus concentrates N× rows into the same strata
+    probe("balanced_sample",
+      graft.operators.TextAnalysis.balancedSample(docs1, "doc_id", "lang",
+        cap = 1000).count(),
+      graft.operators.TextAnalysis.balancedSample(docsN, "doc_id", "lang",
+        cap = 1000).count())
+    // batch kNN: cost is queries × corpus scan work; the heap output
+    // (partitions × queries × k rows) must not grow with the corpus
+    val emb1 = Tables.load(spark, sfDir, "embeddings").cache(); emb1.count()
+    val embN = (0 until n).map { c =>
+      emb1.withColumn("vec_id", col("vec_id") + lit(c * 1000000L))
+    }.reduce(_ unionByName _).cache(); embN.count()
+    val knnQs = emb1.orderBy("vec_id").limit(8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    probe("knn_join",
+      graft.operators.Similarity.knnJoin(emb1, "vec_id", "embedding",
+        knnQs, k = 10).count(),
+      graft.operators.Similarity.knnJoin(embN, "vec_id", "embedding",
+        knnQs, k = 10).count())
 
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
