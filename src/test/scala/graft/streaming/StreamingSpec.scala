@@ -155,4 +155,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("dedup_out").count() == ev.count())
     } finally q.stop()
   }
+
+  test("stateless curation ops run unchanged on a stream (chunk, scrub, gopher)") {
+    // the Spark-first payoff: chunkDocuments / scrubPii / gopherFilter
+    // are narrow plans, so the SAME operator code runs under
+    // readStream with no rewrite and matches the batch result exactly
+    val d = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sfDir/documents.parquet"),
+      d.resolve("part-0.parquet"))
+    val batchDocs = graft.Tables.load(spark, sfDir, "documents")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(d.toString)
+    assert(stream.isStreaming)
+
+    val streamed = graft.operators.TextAnalysis.gopherFilter(
+      graft.operators.TextAnalysis.scrubPii(
+        graft.operators.TextAnalysis.chunkDocuments(
+          stream, "text", "doc_id", chunkTokens = 32, stride = 16)
+          .withColumnRenamed("chunk_text", "text"),
+        "text"),
+      "text_clean", "doc_id", minTokens = 5, maxTokens = 32,
+      maxTopUnigramFrac = 0.5, maxDupBigramFrac = 0.6)
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("curation_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("curation_out")
+      val expect = graft.operators.TextAnalysis.gopherFilter(
+        graft.operators.TextAnalysis.scrubPii(
+          graft.operators.TextAnalysis.chunkDocuments(
+            batchDocs, "text", "doc_id", chunkTokens = 32, stride = 16)
+            .withColumnRenamed("chunk_text", "text"),
+          "text"),
+        "text_clean", "doc_id", minTokens = 5, maxTokens = 32,
+        maxTopUnigramFrac = 0.5, maxDupBigramFrac = 0.6)
+      assert(got.count() > 0)
+      assert(got.count() == expect.count())
+      assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+    } finally q.stop()
+  }
 }
