@@ -94,6 +94,12 @@ object ExplainCheck {
     // the term join degenerated
     audit("tfidf_topterms", mustNotContain = Seq("CartesianProduct"))
 
+    // token-budget sampling: the same two-pass cumsum contract as
+    // pack_sequences — corpus window partitioned by _pid, offsets
+    // broadcast, no triangular BNLJ
+    audit("sample_token_budget",
+      mustContain = Seq("Exchange hashpartitioning(_pid"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
     // document chunking: a pure NARROW pipeline (stage tokens, explode
     // windows) — any exchange means the op stopped scaling linearly
     audit("chunk_documents", mustNotContain = Seq("Exchange"))

@@ -675,6 +675,23 @@ object SparkEntry {
         loQ = 0.10, hiQ = 0.90, exact = true)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // ---- text: token-budget subsampling — fill 10k tokens in
+    //      portable md5-rank order (two-pass cumsum; the first
+    //      overflowing doc is excluded) ----
+    "sample_token_budget" -> ((s, dir) =>
+      TextAnalysis.sampleToTokenBudget(t(s, dir, "documents"), "text",
+        "doc_id", budgetTokens = 10000L)),
+
+    // ---- dedup: end-to-end embedding near-dup resolution — SRP pairs
+    //      at cosine ≥ 0.25 → connected components → (id, cluster);
+    //      the full "find and resolve duplicate vectors" flow ----
+    "dedup_embedding_clusters" -> ((s, dir) => {
+      val pairs = Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.25, planes = 8, tables = 2)
+        .select(col("id1"), col("id2"))
+      Dedup.connectedComponents(pairs)
+    }),
+
     // ---- dedup: benchmark DECONTAMINATION — corpus docs sharing a
     //      13-gram with the eval slice (doc_id % 97 == 0), with the
     //      distinct-hit audit count. Eval grams broadcast; the corpus
@@ -1467,6 +1484,33 @@ object SparkEntry {
         |      < CASE WHEN source = 'src1' THEN 40
         |             WHEN source = 'src0' THEN 100
         |             ELSE 10 END""".stripMargin,
+    "sample_token_budget" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS bk
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, n_tokens, sum(n_tokens) OVER (
+        |    ORDER BY bk, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ranked)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum <= 10000""".stripMargin,
+    "dedup_embedding_clusters" ->
+      s"""$srpPairSql,
+         |fpairs AS (SELECT id1, id2 FROM scored WHERE c >= 0.25),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM fpairs
+         |  UNION SELECT id2, id1 FROM fpairs),
+         |walk AS (
+         |  WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT a, a FROM edges
+         |    UNION
+         |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
+         |  SELECT * FROM r)
+         |SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""".stripMargin,
     "chunk_documents" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -387,6 +387,44 @@ object TextAnalysis {
       .drop("_lo", "_hi")
   }
 
+  /** TOKEN-BUDGET subsampling: fill a fixed token budget with documents
+    * chosen in portable md5-rank order — the "give me a reproducible
+    * 1T-token subset" pretraining primitive. Documents are ranked by
+    * `md5(salt || id)` (ties by id), token counts are summed
+    * cumulatively in that order, and a document is kept iff its
+    * INCLUSIVE cumulative count still fits the budget (the first
+    * overflowing document is excluded, nothing after it ever
+    * re-enters). Deterministic, salted, and engine-portable like
+    * [[sampleByHash]] — and nested: a larger budget keeps a superset.
+    *
+    * Scale shape: the global cumulative sum uses the same two-pass
+    * scheme as [[packSequences]] — range-partition by the hash rank,
+    * sum within partitions in parallel, broadcast the P tiny
+    * per-partition totals back as offsets. No single-partition window
+    * ever sees the corpus. Returns (`idCol`, n_tokens, cum_tokens). */
+  def sampleToTokenBudget(df: DataFrame, textCol: String, idCol: String,
+      budgetTokens: Long, salt: String = "", numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"),
+      md5(concat(lit(salt), col(idCol).cast("string"))).as("_bk"))
+    val ranged = withCounts.repartitionByRange(parts, col("_bk"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid")).orderBy(col("_bk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_local_cum", sum(col("n_tokens")).over(w))
+    val sums = local.groupBy(col("_pid")).agg(max(col("_local_cum")).as("_sum"))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("cum_tokens", (col("_offset") + col("_local_cum")).cast("long"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Corpus VOCABULARY induction: global token frequencies, top `k` by
     * count with lexicographic tie-break — the first pass of a
     * tokenizer build or a frequency-based filter. Tokens are

@@ -231,6 +231,30 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(math.abs(approx.count() - kept.count()) <= 10)
   }
 
+  test("sampleToTokenBudget: greedy hash-order prefix, nested, partition-independent") {
+    val docs = (1L to 200L).map(i => (i, (1 to 10).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text") // 10 tokens per doc → budget 95 keeps exactly 9 docs
+    val s95 = TextAnalysis.sampleToTokenBudget(docs, "text", "doc_id", 95L)
+    val rows = s95.orderBy("cum_tokens").collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getAs[Long]("cum_tokens")).toSeq == (1 to 9).map(_ * 10L))
+    assert(rows.last.getAs[Long]("cum_tokens") <= 95L) // overflow doc excluded
+    // nested: a larger budget keeps a superset
+    val s150 = TextAnalysis.sampleToTokenBudget(docs, "text", "doc_id", 150L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s95.select("doc_id").as[Long].collect().toSet.subsetOf(s150))
+    // partition-count independence of the two-pass cumsum
+    val p1 = TextAnalysis.sampleToTokenBudget(docs, "text", "doc_id", 95L,
+      numPartitions = 1).select("doc_id").as[Long].collect().toSet
+    val p7 = TextAnalysis.sampleToTokenBudget(docs, "text", "doc_id", 95L,
+      numPartitions = 7).select("doc_id").as[Long].collect().toSet
+    assert(p1 == p7 && p1 == s95.select("doc_id").as[Long].collect().toSet)
+    // a different salt fills the budget with a different prefix
+    val salted = TextAnalysis.sampleToTokenBudget(docs, "text", "doc_id", 95L,
+      salt = "v2").select("doc_id").as[Long].collect().toSet
+    assert(salted != p1)
+  }
+
   test("tfidfTopTerms: corpus-wide terms score zero, rare terms rank first") {
     val docs = Seq(
       (1L, "shared shared zebra"),
