@@ -168,38 +168,56 @@ object Relational {
 
   // --- §2.7 sorts / top-k ---------------------------------------------------
 
-  /** Scalable global row numbering: `row_number() OVER (ORDER BY …)`
-    * forces every row through ONE partition (WindowExec warns exactly
-    * this), which dies at 100 TB. Two-pass alternative with identical
-    * output: range-repartition by the order keys, number rows within
-    * each partition, then add per-partition offsets (computed from a
-    * tiny per-partition count table, broadcast). */
-  def globalRowNumber(df: DataFrame, order: Seq[Column],
-      numPartitions: Int = 0, outCol: String = "rn"): DataFrame = {
-    val parts = if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+  /** The SHARED two-pass global-prefix scaffold behind
+    * [[globalRowNumber]], [[TextAnalysis.packSequences]] and
+    * [[TextAnalysis.sampleToTokenBudget]]: a global running value
+    * (`row_number`/cumulative sum `OVER (ORDER BY …)`) forces every
+    * row through ONE partition (WindowExec warns exactly this), which
+    * dies at 100 TB. Instead: range-repartition by the order keys,
+    * evaluate `local` (the caller's running expression over the
+    * per-partition window) in parallel, then add per-partition offsets
+    * computed from the P-row totals table.
+    *
+    * The offsets use an UNPARTITIONED window — fine HERE because the
+    * totals table is exactly `parts` rows (metadata-sized, not
+    * data-sized): O(P log P) in one task. (A triangular broadcast
+    * self-join avoids that exchange but generates O(P²) BNLJ pairs —
+    * 5×10⁹ comparisons at P = 100k.) The DATA-path window stays
+    * partitioned by `_pid`.
+    *
+    * Returns the input plus `_pid`, `outLocal` (the within-partition
+    * running value, MONOTONE by construction so the per-partition max
+    * is its total), and `_offset` (sum of earlier partitions' totals);
+    * callers combine and drop the temps. */
+  private[operators] def withGlobalPrefix(df: DataFrame, parts: Int,
+      order: Seq[Column], outLocal: String)(
+      local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("_pid", spark_partition_id())
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
-    val local = ranged.withColumn("_local_rn", row_number().over(w))
-    // Cumulative offsets over the per-partition count table: an
-    // UNPARTITIONED window is fine HERE — the table is exactly `parts`
-    // rows (metadata-sized, not data-sized), so the single-partition
-    // sort costs O(P log P). The previous triangular broadcast
-    // self-join avoided that exchange but generated O(P²) BNLJ pairs —
-    // 5×10⁹ comparisons at P = 100k. The DATA-path window above stays
-    // partitioned by _pid; only the counts aggregate passes through
-    // the single-partition exchange.
-    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val localDf = ranged.withColumn(outLocal, local(w))
+    val sums = localDf.groupBy(col("_pid")).agg(max(col(outLocal)).as("_sum"))
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("_offset", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+    val offsets = sums
+      .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
       .select(col("_pid"), col("_offset"))
-    local.join(broadcast(offsets), "_pid")
+    localDf.join(broadcast(offsets), "_pid")
+  }
+
+  private[operators] def defaultParts(df: DataFrame, numPartitions: Int): Int =
+    if (numPartitions > 0) numPartitions
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Scalable global row numbering — [[withGlobalPrefix]] with a
+    * per-partition `row_number`. Identical output to
+    * `row_number() OVER (ORDER BY …)` at any partition count. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+      numPartitions: Int = 0, outCol: String = "rn"): DataFrame =
+    withGlobalPrefix(df, defaultParts(df, numPartitions), order, "_local_rn")(
+      w => row_number().over(w))
       .withColumn(outCol, (col("_offset") + col("_local_rn")).cast("long"))
       .drop("_pid", "_local_rn", "_offset")
-  }
 
   /** O4 — "latest" selector (`data_wrangler.py:443-446`): single most
     * recent row per key. Window top-1, shuffles once on the key. */

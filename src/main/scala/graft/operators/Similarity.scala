@@ -324,25 +324,28 @@ object Similarity {
         val heaps = qArr.map(_ =>
           new java.util.PriorityQueue[(Double, Long)](kk, ord))
         iter.foreach { case (id, vec) =>
+          // row norm once per row, not once per (row, query)
+          var vn = 0.0; var i = 0
+          while (i < vec.length) {
+            val x = vec(i).toDouble; vn += x * x; i += 1
+          }
+          val rowNorm = math.sqrt(vn)
           var q = 0
           while (q < qArr.length) {
             val qv = qArr(q)._2
             val qn = qArr(q)._3
-            var dot = 0.0; var vn = 0.0; var j = 0
-            while (j < qv.length) {
-              val x = vec(j).toDouble
-              dot += x * qv(j); vn += x * x; j += 1
-            }
-            val den = math.sqrt(vn) * qn
+            var dot = 0.0; var j = 0
+            while (j < qv.length) { dot += vec(j).toDouble * qv(j); j += 1 }
+            val den = rowNorm * qn
             val cos = if (den == 0) 0.0 else dot / den
             val h = heaps(q)
-            if (h.size < kk) h.add((cos, id))
-            else {
-              val w = h.peek()
-              if (cos > w._1 || (cos == w._1 && id < w._2)) {
-                h.poll(); h.add((cos, id))
-              }
-            }
+            val cand = (cos, id)
+            if (h.size < kk) h.add(cand)
+            // admission via the SAME total ordering as the heap and the
+            // final window (NaN ranks largest, like Spark's sort) — a
+            // primitive > here would make NaN handling, and with it the
+            // result, depend on arrival order/partitioning
+            else if (ord.compare(cand, h.peek()) > 0) { h.poll(); h.add(cand) }
             q += 1
           }
         }
@@ -393,13 +396,17 @@ object Similarity {
   def classifyByCentroids(df: DataFrame, vecCol: String,
       centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     require(centroids.nonEmpty, "no centroids")
+    // argmax via ONE greatest() over (score, -label) structs — O(L)
+    // expression nodes. (A when-chain fold references its accumulator
+    // twice per step, doubling the Catalyst tree per label: O(2^L)
+    // planning at realistic label counts.) Struct ordering compares
+    // fields left to right, so max = highest score, ties → highest
+    // -label = SMALLEST label.
     val scored = centroids.map { case (lab, c) =>
-      struct(round(cosineToQuery(col(vecCol), c), 6).as("s"), lit(lab).as("l"))
+      struct(round(cosineToQuery(col(vecCol), c), 6).as("s"), lit(-lab).as("nl"))
     }
-    val best = scored.reduce { (a, b) =>
-      when(b.getField("s") > a.getField("s"), b).otherwise(a)
-    }
-    df.withColumn("pred", best.getField("l"))
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    df.withColumn("pred", -best.getField("nl"))
       .withColumn("score", best.getField("s"))
   }
 

@@ -268,26 +268,11 @@ object TextAnalysis {
     * and flooring division agree on every engine). */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
       ctxLen: Int = 512, numPartitions: Int = 0): DataFrame = {
-    val parts = if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
-    val ranged = withCounts.repartitionByRange(parts, col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_local_cum", sum(col("n_tokens")).over(w))
-    // Cumulative offsets over the P-row totals table: unpartitioned
-    // window on a metadata-sized table (O(P log P) single-partition
-    // sort) — the triangular broadcast join it replaces was O(P²)
-    // BNLJ pairs. The corpus-side cumsum window above stays
-    // partitioned by _pid.
-    val sums = local.groupBy(col("_pid")).agg(max(col("_local_cum")).as("_sum"))
-    val wOff = Window.orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sums
-      .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
-      .select(col("_pid"), col("_offset"))
-    local.join(broadcast(offsets), "_pid")
+    Relational.withGlobalPrefix(withCounts,
+        Relational.defaultParts(df, numPartitions), Seq(col(idCol)), "_local_cum")(
+        w => sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("start_off",
         (col("_offset") + col("_local_cum") - col("n_tokens")).cast("long"))
       .withColumn("bin_first", expr(s"start_off div $ctxLen"))
@@ -315,6 +300,7 @@ object TextAnalysis {
   def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
       chunkTokens: Int = 32, stride: Int = 0): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
+    require(stride >= 0, "stride must be >= 0 (0 = non-overlapping)")
     val step = if (stride > 0) stride else chunkTokens
     val staged = df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("_t"))
@@ -348,7 +334,13 @@ object TextAnalysis {
   def balancedSample(df: DataFrame, idCol: String, stratumCol: String,
       cap: Int, salt: String = "", subBuckets: Int = 32): DataFrame = {
     require(cap > 0, "cap must be positive")
-    val staged = df.withColumn("_bk",
+    // x % 0 is NULL in Spark SQL (no error): subBuckets = 0 would
+    // silently collapse phase 1 into one whole-stratum sort — the
+    // exact failure this design exists to prevent
+    require(subBuckets > 0, "subBuckets must be positive")
+    // null ids rank before every md5 under NULLS FIRST and would fill
+    // the cap; drop them like sampleByHash's null-bucket filter does
+    val staged = df.filter(col(idCol).isNotNull).withColumn("_bk",
       md5(concat(lit(salt), col(idCol).cast("string"))))
     val sub = conv(substring(col("_bk"), 1, 4), 16, 10).cast("int") % subBuckets
     val w1 = Window.partitionBy(col(stratumCol), col("_sb"))
@@ -404,22 +396,13 @@ object TextAnalysis {
     * ever sees the corpus. Returns (`idCol`, n_tokens, cum_tokens). */
   def sampleToTokenBudget(df: DataFrame, textCol: String, idCol: String,
       budgetTokens: Long, salt: String = "", numPartitions: Int = 0): DataFrame = {
-    val parts = if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"),
       md5(concat(lit(salt), col(idCol).cast("string"))).as("_bk"))
-    val ranged = withCounts.repartitionByRange(parts, col("_bk"), col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    val w = Window.partitionBy(col("_pid")).orderBy(col("_bk"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_local_cum", sum(col("n_tokens")).over(w))
-    val sums = local.groupBy(col("_pid")).agg(max(col("_local_cum")).as("_sum"))
-    val wOff = Window.orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sums
-      .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
-      .select(col("_pid"), col("_offset"))
-    local.join(broadcast(offsets), "_pid")
+    Relational.withGlobalPrefix(withCounts,
+        Relational.defaultParts(df, numPartitions),
+        Seq(col("_bk"), col(idCol)), "_local_cum")(
+        w => sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_tokens", (col("_offset") + col("_local_cum")).cast("long"))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col("n_tokens"), col("cum_tokens"))

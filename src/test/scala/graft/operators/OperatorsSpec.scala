@@ -230,6 +230,16 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     val zero = Seq((99L, Seq(0f, 0f, 0f, 0f), 1)).toDF("id", "vec", "label")
     assert(Similarity.classifyByCentroids(zero, "vec", cents)
       .head().getAs[Int]("pred") == 0)
+    // planning stays O(L): 48 labels must plan+run instantly (a
+    // when-chain accumulator fold is O(2^L) Catalyst nodes — this
+    // spec hangs if that regresses)
+    val many = (0 until 48).map { l =>
+      l -> Seq.tabulate(8)(j => if (j == l % 8) 1.0 else 0.001 * l)
+    }
+    val probe = Seq((1L, Seq.tabulate(8)(j => if (j == 3) 1f else 0f), 0))
+      .toDF("id", "vec", "label")
+    val out48 = Similarity.classifyByCentroids(probe, "vec", many)
+    assert(out48.head().getAs[Int]("pred") % 8 == 3)
   }
 }
 
