@@ -108,12 +108,14 @@ object TextAnalysis {
           d.withColumn(s"_score_$code", stopwordCount(col(textCol), stops).cast("int"))
         }
       }
-    val best = codes.tail.foldLeft(
-      struct(col(s"_score_${codes.head}").as("s"), lit(codes.head).as("l"))) {
-      (acc, code) =>
-        when(col(s"_score_$code") > acc.getField("s"),
-          struct(col(s"_score_$code").as("s"), lit(code).as("l"))).otherwise(acc)
+    // argmax via ONE greatest() over (score, -index, code) structs —
+    // O(L) expression nodes (an accumulator fold doubles the tree per
+    // language); ties → highest -index = lexicographically FIRST code,
+    // matching the fold semantics the oracle pins
+    val scored = codes.zipWithIndex.map { case (code, i) =>
+      struct(col(s"_score_$code").as("s"), lit(-i).as("ni"), lit(code).as("l"))
     }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
     staged.withColumn("lang_guess",
       when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
       .drop(codes.map(c => s"_score_$c"): _*)
