@@ -231,6 +231,66 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(math.abs(approx.count() - kept.count()) <= 10)
   }
 
+  test("chunkDocuments properties: non-overlapping chunks reconstruct the text; overlap covers every start") {
+    // deterministic corpus with varied lengths incl. exact-multiple sizes
+    val docs = (1L to 60L).map { i =>
+      (i, (1 to (i % 17 + 1).toInt).map(j => s"t${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val plain = TextAnalysis.chunkDocuments(docs, "text", "doc_id", chunkTokens = 5)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val rebuilt = plain.groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> rows.sortBy(_.getAs[Long]("chunk_idx"))
+        .map(_.getAs[String]("chunk_text")).mkString(" ")
+    }
+    docs.collect().foreach { r =>
+      assert(rebuilt(r.getLong(0)) == r.getString(1),
+        s"doc ${r.getLong(0)} not reconstructed")
+    }
+    // overlapping: every chunk_idx start = idx*stride and token counts
+    // never exceed the window
+    val over = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+      chunkTokens = 5, stride = 2).collect()
+    assert(over.forall(_.getAs[Long]("n_chunk_tokens") <= 5))
+    assert(over.forall(r => r.getAs[Long]("n_chunk_tokens") > 0))
+  }
+
+  test("balancedSample property: per-stratum counts are min(cap, stratum size)") {
+    val rows = (1L to 500L).map { i =>
+      (i, s"s${i % 7}") // strata of sizes 71-72
+    }.toDF("id", "stratum")
+    val sizes = rows.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(10, 71, 200).foreach { cap =>
+      val got = TextAnalysis.balancedSample(rows, "id", "stratum", cap)
+        .groupBy("stratum").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.foreach { case (s, n) =>
+        assert(got(s) == math.min(cap.toLong, n), s"cap=$cap stratum=$s")
+      }
+    }
+  }
+
+  test("sampleToTokenBudget property: kept prefix is maximal in hash order") {
+    val docs = (1L to 100L).map(i =>
+      (i, (1 to (i % 9 + 1).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 150L
+    val kept = TextAnalysis.sampleToTokenBudget(docs, "text", "doc_id", budget)
+      .collect()
+    val total = kept.map(_.getAs[Long]("n_tokens")).sum
+    assert(total <= budget)
+    assert(kept.map(_.getAs[Long]("cum_tokens")).max == total)
+    // maximality: the first EXCLUDED doc in hash order would overflow
+    val keptIds = kept.map(_.getLong(0)).toSet
+    val ranked = docs.withColumn("_bk", md5(col("doc_id").cast("string")))
+      .orderBy("_bk", "doc_id").collect()
+    val firstExcluded = ranked.find(r => !keptIds.contains(r.getLong(0)))
+    firstExcluded.foreach { r =>
+      val n = r.getString(1).split(" ").length
+      assert(total + n > budget, "a fitting doc was excluded")
+    }
+  }
+
   test("sampleToTokenBudget: greedy hash-order prefix, nested, partition-independent") {
     val docs = (1L to 200L).map(i => (i, (1 to 10).map(j => s"w${i}_$j").mkString(" ")))
       .toDF("doc_id", "text") // 10 tokens per doc → budget 95 keeps exactly 9 docs
