@@ -351,21 +351,72 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
-  /** Connected components over near-dup pairs: label propagation to the
-    * minimum reachable id — the step that turns pairwise matches into
-    * keep-one-per-group dedup. Each round does a neighbor-min step AND
-    * a POINTER-JUMP step (`cluster := label(cluster)`), so label
-    * distance halves per round and convergence is O(log diameter) —
-    * a pure neighbor walk is O(diameter), which silently truncates at
-    * `maxIter` on chain-shaped components at scale. `localCheckpoint`
-    * per round cuts the growing lineage. Input: (id1, id2) pairs;
-    * output: (id, cluster) for every id in a pair, cluster = min id of
-    * its component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise matches into keep-one-per-group dedup. Input: (id1, id2)
+    * pairs; output: (id, cluster) for every id in a pair, cluster =
+    * min id of its component.
+    *
+    * TWO TIERS, selected by the materialized edge count:
+    *
+    *  - `≤ localEdgeCap` (default 5M directed edges ≈ 80 MB): one
+    *    BOUNDED collect + driver union-find with path compression —
+    *    exact, one pass, no iteration. After LSH banding + a
+    *    similarity threshold the pair graph is typically corpus-scale
+    *    SMALLER than the corpus, so this is the common case, and it
+    *    avoids the iterative tier's per-round driver synchronization
+    *    (measured: a 19-round convergence at sf0.1 cost ~20 s of
+    *    round overhead for a 2.7k-edge graph the driver resolves in
+    *    milliseconds).
+    *  - above the cap: distributed label propagation to the minimum
+    *    reachable id. Each round does a neighbor-min step AND a
+    *    POINTER-JUMP step (`cluster := label(cluster)`), so label
+    *    distance halves per round and convergence is O(log diameter)
+    *    — a pure neighbor walk is O(diameter), which silently
+    *    truncates at `maxIter` on chain-shaped components at scale.
+    *    `localCheckpoint` per round cuts the growing lineage.
+    *
+    * Both tiers produce identical labels; `localEdgeCap = 0` forces
+    * the distributed tier (used by its convergence specs). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      localEdgeCap: Long = 5000000L): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
       .localCheckpoint() // edges are reused every round — cut the lineage once
+    val edgeCount = edges.count() // free: counts the checkpointed blocks
+
+    if (edgeCount <= localEdgeCap) {
+      // driver union-find over the bounded edge list
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val next = parent.getOrDefault(c, c); parent.put(c, r); c = next
+        }
+        r
+      }
+      val edgeArr = edges.collect() // bounded by localEdgeCap
+      edgeArr.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // union by MIN root so labels are min-of-component
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        } else { parent.putIfAbsent(a, ra); parent.putIfAbsent(b, rb) }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val ids = new java.util.HashSet[Long]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      edgeArr.foreach { row =>
+        Seq(row.getLong(0), row.getLong(1)).foreach { id =>
+          if (ids.add(id)) out += (id -> find(id))
+        }
+      }
+      return out.toSeq.toDF("id", "cluster")
+    }
+
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()

@@ -257,13 +257,17 @@ class ClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(cc(21L) == 20L)
+    // both tiers produce identical labels on the same graph
+    val dist = Dedup.connectedComponents(pairs, localEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == cc)
   }
 
   test("connected components: a 1000-link chain converges within log-rounds") {
     // a pure neighbor walk needs ~1000 rounds here and would silently
     // truncate at maxIter; pointer jumping converges in ~log2(1000)
     val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val cc = Dedup.connectedComponents(chain, maxIter = 15)
+    val cc = Dedup.connectedComponents(chain, maxIter = 15, localEdgeCap = 0)
       .as[(Long, Long)].collect()
     assert(cc.length == 1001)
     assert(cc.forall(_._2 == 0L), s"unconverged labels: ${cc.filter(_._2 != 0L).take(5).toSeq}")
