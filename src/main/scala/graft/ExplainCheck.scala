@@ -94,6 +94,10 @@ object ExplainCheck {
     // the term join degenerated
     audit("tfidf_topterms", mustNotContain = Seq("CartesianProduct"))
 
+    // quality score + blocklist: pure projections/filters over the
+    // single-pass kernel — no shuffle anywhere
+    audit("quality_score", mustNotContain = Seq("Exchange"))
+    audit("blocklist_filter", mustNotContain = Seq("Exchange"))
     // token-budget sampling: the same two-pass cumsum contract as
     // pack_sequences — corpus window partitioned by _pid, offsets
     // broadcast, no triangular BNLJ

@@ -412,11 +412,21 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       // deterministic near-dup graph both engines can derive: same-nation
-      // customers with custkey gap ≤ 3 are "duplicates"
-      val a = cust.select(col("c_custkey").as("id1"), col("c_nationkey").as("n1"))
-      val b = cust.select(col("c_custkey").as("id2"), col("c_nationkey").as("n2"))
-      val pairs = a.join(b, col("n1") === col("n2") &&
-          col("id1") < col("id2") && col("id2") - col("id1") <= 3)
+      // customers with custkey gap ≤ 3 are "duplicates". Pair generation
+      // is BANDED on custkey div 4 (gap ≤ 3 ⇒ the partner is in the same
+      // or the next block), so both joins are equi-joins on
+      // (nation, block) — the naive same-nation join compares every
+      // custkey pair within a nation, O(n²/nations), and was measured
+      // 25× the whole-query cost at sf1. Identical pair set; the two
+      // block joins are disjoint by construction.
+      def side(idc: String) = cust.select(col("c_custkey").as(idc),
+        col("c_nationkey").as("n"), expr("c_custkey div 4").as("blk"))
+      val a = side("id1")
+      val sameBlk = a.join(side("id2"), Seq("n", "blk"))
+      val nextBlk = a.withColumn("blk", col("blk") + 1)
+        .join(side("id2"), Seq("n", "blk"))
+      val pairs = sameBlk.unionByName(nextBlk)
+        .filter(col("id1") < col("id2") && col("id2") - col("id1") <= 3)
         .select("id1", "id2")
       Dedup.connectedComponents(pairs)
     }),
@@ -579,6 +589,20 @@ object SparkEntry {
       TextAnalysis.qualitySignals(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
           col("punct_ratio"), col("digit_ratio"), col("stopword_ratio"))),
+
+    // ---- text: logistic quality score (fixed-weight classifier
+    //      stand-in) + threshold filter — one projection over the
+    //      single-pass stats kernel ----
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "text", minScore = 0.5)
+        .select(col("doc_id"), col("quality_score"))),
+
+    // ---- text: token blocklist filter — drop docs containing any
+    //      listed term (normalized match) ----
+    "blocklist_filter" -> ((s, dir) =>
+      TextAnalysis.blocklistFilter(t(s, dir, "documents"), "text",
+        Seq("vector", "stream"))
+        .select(col("doc_id"), col("source"))),
 
     // ---- text: language ID heuristic ----
     "text_langid" -> ((s, dir) =>
@@ -1484,6 +1508,37 @@ object SparkEntry {
         |      < CASE WHEN source = 'src1' THEN 40
         |             WHEN source = 'src0' THEN 100
         |             ELSE 10 END""".stripMargin,
+    "quality_score" ->
+      """WITH base AS (
+        | SELECT doc_id, text, length(text) AS nc,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS toks,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+        |  length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+        |      'that','was','for','on','with','as','at','by','be'],
+        |      regexp_replace(t, '[^a-z]', '', 'g')))) AS stops
+        | FROM documents),
+        | feats AS (SELECT doc_id,
+        |  round(CASE WHEN toks>0 THEN CAST(nc-(toks-1) AS DOUBLE)/toks ELSE 0 END,4) AS mwl,
+        |  round(CASE WHEN nc>0 THEN CAST(punct AS DOUBLE)/nc ELSE 0 END,6) AS pr,
+        |  round(CASE WHEN nc>0 THEN CAST(uppers AS DOUBLE)/nc ELSE 0 END,6) AS ur,
+        |  round(CASE WHEN nc>0 THEN CAST(digits AS DOUBLE)/nc ELSE 0 END,6) AS dr,
+        |  round(CASE WHEN toks>0 THEN CAST(stops AS DOUBLE)/toks ELSE 0 END,6) AS sr
+        | FROM base)
+        |SELECT doc_id, quality_score FROM (
+        |  SELECT doc_id, round(1.0/(1.0+exp(
+        |    -(-1.0 + sr*4.0 + mwl*0.3 + pr*-2.0 + ur*-3.0 + dr*-3.0))),6)
+        |    AS quality_score
+        |  FROM feats)
+        |WHERE quality_score >= 0.5""".stripMargin,
+    "blocklist_filter" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE len(list_intersect(
+        |  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |  ['vector', 'stream'])) = 0""".stripMargin,
     "sample_token_budget" ->
       """WITH ranked AS (
         |  SELECT doc_id,

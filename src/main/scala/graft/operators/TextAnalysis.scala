@@ -178,6 +178,45 @@ object TextAnalysis {
         round(dbf, 6).as("dup_bigram_frac"))
   }
 
+  /** Fixed weights for [[qualityScore]] — a deterministic stand-in for
+    * a learned quality classifier (the fastText-classifier stage of a
+    * curation pipeline): the FEATURE extraction and score fusion are
+    * the pipeline machinery under test; the weights are config a real
+    * deployment would train. Chosen so prose-like text (stopwords
+    * present, moderate words, few digits/caps) scores high. */
+  val defaultQualityWeights: Seq[(String, Double)] = Seq(
+    "stopword_ratio" -> 4.0, "mean_word_len" -> 0.3,
+    "punct_ratio" -> -2.0, "upper_ratio" -> -3.0, "digit_ratio" -> -3.0)
+
+  /** Logistic quality score in (0,1): `sigmoid(bias + Σ wᵢ·featureᵢ)`
+    * over the [[qualitySignals]] features (which are themselves rounded
+    * to 6 places, so the linear term is engine-exact; the sigmoid is
+    * rounded to 6 as well). One projection over the single-pass stats
+    * kernel — no shuffle, no UDF. `minScore` filters when ≥ 0. */
+  def qualityScore(df: DataFrame, textCol: String,
+      weights: Seq[(String, Double)] = defaultQualityWeights,
+      bias: Double = -1.0, minScore: Double = -1.0): DataFrame = {
+    val z = weights.foldLeft(lit(bias): Column) { case (acc, (f, w)) =>
+      acc + col(f) * w
+    }
+    val scored = qualitySignals(df, textCol)
+      .withColumn("quality_score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+    if (minScore >= 0) scored.filter(col("quality_score") >= minScore) else scored
+  }
+
+  /** Token BLOCKLIST filter — the "drop documents containing any listed
+    * term" curation stage (profanity/spam/boilerplate lists). Matching
+    * is on [[fingerprint]]-normalized tokens (lowercase alnum runs), so
+    * "Spark!" matches a blocklisted "spark". One codegen'd filter, no
+    * shuffle; the list rides in the plan (these lists are thousands of
+    * words, not data-sized). */
+  def blocklistFilter(df: DataFrame, textCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val toks = split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ")
+    df.filter(size(array_intersect(toks, array(blocked.map(lit): _*))) === 0)
+  }
+
   /** PII patterns chosen to mean the same thing in Java regex and RE2
     * (no lookaround): RFC-loose emails and NANP-style `ddd-dddd`
     * phone tails. */

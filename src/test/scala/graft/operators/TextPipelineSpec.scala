@@ -231,6 +231,32 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(math.abs(approx.count() - kept.count()) <= 10)
   }
 
+  test("qualityScore: prose scores above noise, threshold filters") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy with that outcome"),
+      (2L, "X9A2 77B KJQ3 9912 ZZTOP 4485 QQ 99 11 22 33 44"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.qualityScore(docs, "text")
+    val byId = scored.collect().map(r =>
+      r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(byId(1L) > byId(2L), s"prose ${byId(1L)} !> noise ${byId(2L)}")
+    assert(byId.values.forall(s => s > 0.0 && s < 1.0))
+    val kept = TextAnalysis.qualityScore(docs, "text", minScore = byId(1L) - 0.01)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("blocklistFilter: normalized token match drops listed docs") {
+    val docs = Seq(
+      (1L, "perfectly clean prose here"),
+      (2L, "contains the Forbidden! word"),
+      (3L, "forbiddenword is fine (not a token match)")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.blocklistFilter(docs, "text", Seq("forbidden"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
   test("chunkDocuments properties: non-overlapping chunks reconstruct the text; overlap covers every start") {
     // deterministic corpus with varied lengths incl. exact-multiple sizes
     val docs = (1L to 60L).map { i =>
