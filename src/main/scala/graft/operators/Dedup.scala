@@ -125,7 +125,7 @@ object Dedup {
 
   /** Word n-gram shingles of the normalized text, as a deduped array. */
   def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    val toks = TextAnalysis.normalizedTokens(text)
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     array_distinct(
       when(size(toks) >= n,
@@ -358,15 +358,16 @@ object Dedup {
     *
     * TWO TIERS, selected by the materialized edge count:
     *
-    *  - `≤ localEdgeCap` (default 5M directed edges ≈ 80 MB): one
-    *    BOUNDED collect + driver union-find with path compression —
-    *    exact, one pass, no iteration. After LSH banding + a
-    *    similarity threshold the pair graph is typically corpus-scale
-    *    SMALLER than the corpus, so this is the common case, and it
-    *    avoids the iterative tier's per-round driver synchronization
-    *    (measured: a 19-round convergence at sf0.1 cost ~20 s of
-    *    round overhead for a 2.7k-edge graph the driver resolves in
-    *    milliseconds).
+    *  - `≤ localEdgeCap` directed edges (default 2M; LONG ids only —
+    *    other id types always take the distributed tier): one BOUNDED
+    *    collect (the a<b half) + driver union-find with path
+    *    compression — exact, one pass, no iteration, ~150 MB transient
+    *    at the cap. After LSH banding + a similarity threshold the
+    *    pair graph is typically corpus-scale SMALLER than the corpus,
+    *    so this is the common case, and it avoids the iterative
+    *    tier's per-round driver synchronization (measured: a 19-round
+    *    convergence at sf0.1 cost ~20 s of round overhead for a
+    *    2.7k-edge graph the driver resolves in milliseconds).
     *  - above the cap: distributed label propagation to the minimum
     *    reachable id. Each round does a neighbor-min step AND a
     *    POINTER-JUMP step (`cluster := label(cluster)`), so label
@@ -378,15 +379,22 @@ object Dedup {
     * Both tiers produce identical labels; `localEdgeCap = 0` forces
     * the distributed tier (used by its convergence specs). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-      localEdgeCap: Long = 5000000L): DataFrame = {
+      localEdgeCap: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
       .localCheckpoint() // edges are reused every round — cut the lineage once
     val edgeCount = edges.count() // free: counts the checkpointed blocks
 
-    if (edgeCount <= localEdgeCap) {
-      // driver union-find over the bounded edge list
+    // local tier only for LONG ids (the collect reads primitives; other
+    // id types — the distributed tier is type-generic — fall through)
+    val longIds = pairs.schema.take(2).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edgeCount <= localEdgeCap) {
+      // driver union-find over the bounded edge list. Memory: the
+      // collect ships the a<b half (edgeCount/2 rows), and the boxed
+      // parent map holds ≤ |V| entries — ~150 MB transient at the
+      // default cap, far under any realistic driver heap.
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -397,13 +405,13 @@ object Dedup {
         }
         r
       }
-      val edgeArr = edges.collect() // bounded by localEdgeCap
+      val edgeArr = edges.filter(col("a") < col("b")).collect()
       edgeArr.foreach { row =>
         val a = row.getLong(0); val b = row.getLong(1)
         val ra = find(a); val rb = find(b)
         if (ra != rb) { // union by MIN root so labels are min-of-component
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        } else { parent.putIfAbsent(a, ra); parent.putIfAbsent(b, rb) }
+        }
       }
       val spark = pairs.sparkSession
       import spark.implicits._

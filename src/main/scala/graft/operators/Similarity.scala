@@ -339,13 +339,18 @@ object Similarity {
             val den = rowNorm * qn
             val cos = if (den == 0) 0.0 else dot / den
             val h = heaps(q)
-            val cand = (cos, id)
-            if (h.size < kk) h.add(cand)
-            // admission via the SAME total ordering as the heap and the
-            // final window (NaN ranks largest, like Spark's sort) — a
-            // primitive > here would make NaN handling, and with it the
-            // result, depend on arrival order/partitioning
-            else if (ord.compare(cand, h.peek()) > 0) { h.poll(); h.add(cand) }
+            if (h.size < kk) h.add((cos, id))
+            else {
+              // admission consistent with the heap's total ordering and
+              // the final window (java.lang.Double.compare is NaN-total
+              // like Spark's sort) — a primitive > would make NaN
+              // handling depend on arrival order/partitioning. Compared
+              // primitively so the steady-state rejection allocates
+              // nothing; the tuple is built only on admission.
+              val w = h.peek()
+              val c = java.lang.Double.compare(cos, w._1)
+              if (c > 0 || (c == 0 && id < w._2)) { h.poll(); h.add((cos, id)) }
+            }
             q += 1
           }
         }

@@ -126,6 +126,18 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
+  /** THE normalization that defines cross-engine token parity
+    * (fingerprint, vocabulary, tf-idf, blocklist, shingles): lowercase
+    * alnum runs. One definition so a future tweak lands everywhere at
+    * once (the mirrored DuckDB SQL pins the same rule). */
+  private[operators] def normalizedTokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+
+  /** The same rule for driver-side strings (blocklist entries). */
+  private[operators] def normalizeTerm(s: String): Seq[String] =
+    s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      .split(" ").toSeq.filter(_.nonEmpty)
+
   /** Repetition signals (the Gopher-style quality filters for
     * machine-generated/spammy text):
     *   - `top_unigram_frac`: share of tokens taken by the single most
@@ -205,16 +217,18 @@ object TextAnalysis {
   }
 
   /** Token BLOCKLIST filter — the "drop documents containing any listed
-    * term" curation stage (profanity/spam/boilerplate lists). Matching
-    * is on [[fingerprint]]-normalized tokens (lowercase alnum runs), so
-    * "Spark!" matches a blocklisted "spark". One codegen'd filter, no
-    * shuffle; the list rides in the plan (these lists are thousands of
-    * words, not data-sized). */
+    * term" curation stage (profanity/spam/boilerplate lists). BOTH
+    * sides are [[fingerprint]]-normalized (lowercase alnum runs), so
+    * "Spark!" in a document matches a blocklisted "Spark"; an entry
+    * that normalizes to several tokens blocks on ANY of them
+    * (conservative). One codegen'd filter, no shuffle; the list rides
+    * in the plan (these lists are thousands of words, not data-sized). */
   def blocklistFilter(df: DataFrame, textCol: String,
       blocked: Seq[String]): DataFrame = {
-    require(blocked.nonEmpty, "empty blocklist")
-    val toks = split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ")
-    df.filter(size(array_intersect(toks, array(blocked.map(lit): _*))) === 0)
+    val norm = blocked.flatMap(normalizeTerm).distinct
+    require(norm.nonEmpty, "blocklist empty after normalization")
+    df.filter(size(array_intersect(normalizedTokens(col(textCol)),
+      array(norm.map(lit): _*))) === 0)
   }
 
   /** PII patterns chosen to mean the same thing in Java regex and RE2
@@ -456,8 +470,7 @@ object TextAnalysis {
     * aggregate with map-side combine, then top-k as a TakeOrdered —
     * the full vocabulary is never globally sorted. */
   def topVocabulary(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
-    df.select(explode(split(trim(regexp_replace(lower(col(textCol)),
-        "[^a-z0-9]+", " ")), " ")).as("tok"))
+    df.select(explode(normalizedTokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
@@ -474,8 +487,7 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
     val toks = df.select(col(idCol).as("_id"),
-      explode(split(trim(regexp_replace(lower(col(textCol)),
-        "[^a-z0-9]+", " ")), " ")).as("tok"))
+      explode(normalizedTokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
     val tf = toks.groupBy(col("_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

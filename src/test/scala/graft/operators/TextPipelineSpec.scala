@@ -255,6 +255,14 @@ class TextPipelineSpec extends AnyFunSuite {
     val kept = TextAnalysis.blocklistFilter(docs, "text", Seq("forbidden"))
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(1L, 3L))
+    // blocklist entries are normalized too: "FORBIDDEN!" matches the
+    // same docs, and a multi-token entry blocks on ANY of its tokens
+    assert(TextAnalysis.blocklistFilter(docs, "text", Seq("FORBIDDEN!"))
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L, 3L))
+    // "clean-word" → tokens {clean, word}: doc 1 has "clean", doc 2 has
+    // "word" — only doc 3 survives
+    assert(TextAnalysis.blocklistFilter(docs, "text", Seq("clean-word"))
+      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
 
   test("chunkDocuments properties: non-overlapping chunks reconstruct the text; overlap covers every start") {
