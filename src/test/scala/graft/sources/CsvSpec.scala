@@ -23,4 +23,20 @@ class CsvSpec extends AnyFunSuite {
     assert(Csv.join(cells) == "plain,\"a, b\",\"q\"\"q\",")
     assert(Csv.split(Csv.join(cells)).toSeq == cells)
   }
+
+  test("property: split(join(cells)) == cells for adversarial cell content") {
+    // deterministic generator over the characters that exercise every
+    // codec state: quotes, commas, empties, and plain runs
+    val alphabet = Array("", "a", ",", "\"", "\"\"", "x,y", "\",\"", "q\"",
+      "\"q", " lead", "trail ", "a\"b\"c", ",,", "\"\"\"")
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val n = rnd.nextInt(6) + 1
+      val cells = Seq.fill(n)(
+        Seq.fill(rnd.nextInt(4))(alphabet(rnd.nextInt(alphabet.length)))
+          .mkString)
+      val back = Csv.split(Csv.join(cells)).toSeq
+      assert(back == cells, s"round-trip failed for ${cells.map(c => s"[$c]")}")
+    }
+  }
 }
