@@ -665,6 +665,13 @@ object SparkEntry {
       TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id",
         ctxLen = 512)),
 
+    // ---- text: BPE merge training — 8 frequency-ranked merges over
+    //      the corpus word table (greedy left-to-right merge semantics,
+    //      engine-portable via the wrapped-marker encoding) ----
+    "bpe_merges" -> ((s, dir) =>
+      TextAnalysis.trainBpeMerges(t(s, dir, "documents"), "text",
+        numMerges = 8, minPairCount = 1)),
+
     // ---- text: vocabulary induction — global top-100 token
     //      frequencies, count-desc with lexicographic ties ----
     "vocab_topk" -> ((s, dir) =>
@@ -828,6 +835,42 @@ object SparkEntry {
     * [[Similarity.trainCentroids]] (ordered sample, first-k init,
     * first-min tie-break, per-dim mean in sample order) +
     * [[Similarity.ivfTopK]]. k=8, iters=3, nProbe=4, dim=64. */
+  /** Unrolled BPE-merge rounds mirroring [[TextAnalysis.trainBpeMerges]]
+    * (wrapped-marker state, greedy left-to-right `replace` merges,
+    * count-desc lexicographic winner per round). k = 8, minPairCount
+    * pinned 1 by the gate so every round produces a merge. */
+  private def bpeOracleSql(k: Int): String = {
+    val head =
+      """words AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+        |    FROM documents) WHERE w <> '' GROUP BY w),
+        |s0 AS (
+        |  SELECT '|' || array_to_string(
+        |    list_transform(range(1, len(w)+1), i -> w[i:i]), '||') || '|' AS state,
+        |    cnt
+        |  FROM words)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT sy[i] AS l, sy[i+1] AS r, sum(cnt) AS pc FROM (
+         |    SELECT string_split(trim(state, '|'), '||') AS sy, cnt,
+         |      unnest(range(1, len(string_split(trim(state, '|'), '||')))) AS i
+         |    FROM s${i - 1})
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |s$i AS (
+         |  SELECT replace(state, '|'||b.l||'||'||b.r||'|',
+         |    '|'||b.l||b.r||'|') AS state, cnt
+         |  FROM s${i - 1} CROSS JOIN b$i b)""".stripMargin
+    }
+    val finalSel = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
+        s"l||r AS merged, CAST(pc AS BIGINT) AS pair_count FROM b$i"
+    }.mkString("\n UNION ALL ")
+    "WITH " + (head +: rounds).mkString(",\n") + "\n" + finalSel
+  }
+
   private val ivfOracleSql: String = {
     val iters = 3
     def dist(vec: String, cent: String): String =
@@ -1636,6 +1679,7 @@ object SparkEntry {
         |SELECT vec_id, CAST(label AS BIGINT) AS true_label,
         |  CAST(cl AS BIGINT) AS pred, cos AS score
         |FROM best WHERE rn = 1""".stripMargin,
+    "bpe_merges" -> bpeOracleSql(8),
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_lsh_pairs" ->

@@ -476,6 +476,84 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
 
+  /** BPE MERGE TRAINING — the pair-merge loop of a byte-pair-encoding
+    * tokenizer build, distributed and ENGINE-PORTABLE:
+    *
+    *  1. one corpus pass aggregates the word-frequency table
+    *     ([[normalizedTokens]] → (word, cnt)) — after this the working
+    *     set is VOCABULARY-sized, never the corpus;
+    *  2. each round: count adjacent symbol pairs (weighted by word
+    *     frequency, all adjacent positions), pick the most frequent
+    *     pair (ties → lexicographically smallest), and merge it in
+    *     every word.
+    *
+    * Symbol state wraps EVERY symbol in its own markers
+    * (`|h||e||l||l||o|`), so the merge is
+    * `replace(state, "|l||r|", "|lr|")` — each token carries both its
+    * boundaries, so adjacent matches share no delimiter and SQL's
+    * left-to-right non-overlapping `replace` is exactly BPE's greedy
+    * merge rule (`aaa` → `[aa, a]`; `abab` merges BOTH `ab`s) in every
+    * engine, making each round reproducible bit-for-bit by an
+    * independent SQL oracle. (A space-separated encoding is subtly
+    * WRONG here: adjacent matches share the boundary space, so a
+    * single replace pass skips every other occurrence.)
+    *
+    * Scale shape: round r does two vocab-sized aggregates (explode
+    * adjacent pairs → two-level count with map-side partials; winner
+    * via TakeOrdered 1) and one codegen'd projection; the corpus is
+    * touched exactly once, in step 1. The driver holds one winning
+    * pair per round. Each round is a driver-synchronized job, so this
+    * shape suits MODEST merge counts (validation, probing, small
+    * vocabularies); a full 30k-merge tokenizer build should collect
+    * the bounded word-frequency table step 1 produces and run a
+    * single-node trainer over it — the aggregation, not the merge
+    * loop, is the part that needs the cluster. Returns
+    * (rank, lhs, rhs, merged, pair_count), rank 1..numMerges (stops
+    * early when no pair repeats `minPairCount` times). */
+  def trainBpeMerges(df: DataFrame, textCol: String,
+      numMerges: Int = 10, minPairCount: Long = 2): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(normalizedTokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // initial state: every character wrapped in its own |markers|
+    var states = words.select(
+      concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|")).as("state"),
+      col("cnt"))
+      .localCheckpoint() // each round builds on the last — cut lineage
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val syms = expr("split(trim(BOTH '|' FROM state), '\\\\|\\\\|')")
+      val nPairs = greatest(size(syms) - 1, lit(0))
+      val pairs = states.select(col("cnt"),
+          explode(zip_with(slice(syms, lit(1), nPairs),
+            slice(syms, lit(2), nPairs),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (pairs.isEmpty || pairs.head.getAs[Long]("pc") < minPairCount) done = true
+      else {
+        val (l, r, pc) = (pairs.head.getAs[String]("l"),
+          pairs.head.getAs[String]("r"), pairs.head.getAs[Long]("pc"))
+        merges += ((rank.toLong, l, r, l + r, pc))
+        // tokens are alnum-only (normalizedTokens), so the interpolated
+        // literals cannot contain quotes or markers
+        states = states.select(
+          expr(s"replace(state, '|$l||$r|', '|$l$r|')").as("state"),
+          col("cnt"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** TF-IDF keyword extraction: the `k` highest tf·idf terms per
     * document (idf = ln(N/df)); ranking compares the score ROUNDED to
     * 6 places with a lexicographic tie-break, so the chosen terms are

@@ -231,6 +231,36 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(math.abs(approx.count() - kept.count()) <= 10)
   }
 
+  test("trainBpeMerges: frequency-ranked merges with greedy left-to-right overlap") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "aaaa")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 3,
+      minPairCount = 1).orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+    // (l,o) and (o,w) both occur 5x — lexicographic tie-break picks (a,a)?
+    // no: (a,a) occurs 3x in "aaaa". (l,o)/(o,w) at 5 beat it; tie → (l,o)
+    assert(m(0) == (1L, "l", "o", 5L))
+    assert(m(1) == (2L, "lo", "w", 5L))
+    // round 3: (a,a) at 3 beats (low,e) at 2
+    assert(m(2) == (3L, "a", "a", 3L))
+
+    // greedy overlap: merging (a,a) in "aaaa" yields [aa, aa] (BOTH
+    // pairs merge — the boundary-sharing trap would leave [aa, a, a]);
+    // so a 4th round would see (aa,aa) once
+    val m4 = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 4,
+      minPairCount = 1).orderBy("rank").collect()
+    assert(m4.length == 4)
+    val r4 = m4(3)
+    assert((r4.getAs[String]("lhs"), r4.getAs[String]("rhs")) != ("aa", "a") ||
+      r4.getAs[Long]("pair_count") <= 1L)
+    // early stop: demanding pairs seen >= 100 times yields no merges
+    assert(TextAnalysis.trainBpeMerges(docs, "text", numMerges = 3,
+      minPairCount = 100).count() == 0)
+  }
+
   test("qualityScore: prose scores above noise, threshold filters") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was happy with that outcome"),
