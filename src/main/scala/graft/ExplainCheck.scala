@@ -98,6 +98,10 @@ object ExplainCheck {
     // single-pass kernel — no shuffle anywhere
     audit("quality_score", mustNotContain = Seq("Exchange"))
     audit("blocklist_filter", mustNotContain = Seq("Exchange"))
+    // BPE encode: once merges are trained, tokenizing the corpus is a
+    // pure codegen'd string pipeline — merges in the plan, no HOF
+    // lambda, no join, no shuffle (the true 100-TB encode path)
+    audit("bpe_encode", mustNotContain = Seq("Exchange", "Join"))
     // token-budget sampling: the same two-pass cumsum contract as
     // pack_sequences — corpus window partitioned by _pid, offsets
     // broadcast, no triangular BNLJ

@@ -672,6 +672,19 @@ object SparkEntry {
       TextAnalysis.trainBpeMerges(t(s, dir, "documents"), "text",
         numMerges = 8, minPairCount = 1)),
 
+    // ---- text: BPE encode — subword counts under the 8 trained
+    //      merges (pure codegen'd string pipeline, zero shuffle) ----
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.trainBpeMerges(docs, "text",
+        numMerges = 8, minPairCount = 1)
+        .orderBy("rank").collect()
+        .map(r => r.getAs[String]("lhs") -> r.getAs[String]("rhs")).toSeq
+      docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          TextAnalysis.bpeSubwordCount(col("text"), merges).as("n_subwords"))
+    }),
+
     // ---- text: vocabulary induction — global top-100 token
     //      frequencies, count-desc with lexicographic ties ----
     "vocab_topk" -> ((s, dir) =>
@@ -839,7 +852,7 @@ object SparkEntry {
     * (wrapped-marker state, greedy left-to-right `replace` merges,
     * count-desc lexicographic winner per round). k = 8, minPairCount
     * pinned 1 by the gate so every round produces a merge. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeCtes(k: Int): String = {
     val head =
       """words AS (
         |  SELECT w, count(*) AS cnt FROM (
@@ -864,11 +877,38 @@ object SparkEntry {
          |    '|'||b.l||b.r||'|') AS state, cnt
          |  FROM s${i - 1} CROSS JOIN b$i b)""".stripMargin
     }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val finalSel = (1 to k).map { i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, " +
         s"l||r AS merged, CAST(pc AS BIGINT) AS pair_count FROM b$i"
     }.mkString("\n UNION ALL ")
-    "WITH " + (head +: rounds).mkString(",\n") + "\n" + finalSel
+    "WITH " + bpeCtes(k) + "\n" + finalSel
+  }
+
+  /** Encode-side oracle: the same doc-state pipeline as
+    * [[TextAnalysis.bpeSubwordCount]] — wrap every char, mark word
+    * boundaries with '#', apply the k trained merges in rank order,
+    * count subwords as count("||") + nWords. */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val enc0 =
+      """enc0 AS (
+        |  SELECT doc_id, replace(regexp_replace(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+        |    '(.)', '|\1|', 'g'), '| |', '#') AS st
+        |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+    val encs = (1 to k).map { i =>
+      s"""enc$i AS (
+         |  SELECT doc_id, replace(st, '|'||b.l||'||'||b.r||'|',
+         |    '|'||b.l||b.r||'|') AS st
+         |  FROM enc${i - 1} CROSS JOIN b$i b)""".stripMargin
+    }
+    "WITH " + (bpeCtes(k) +: enc0 +: encs).mkString(",\n") + "\n" +
+      s"""SELECT doc_id, CAST(length(st) - length(replace(st, '||', '|')) +
+         |  len(string_split(st, '#')) AS BIGINT) AS n_subwords
+         |FROM enc$k""".stripMargin
   }
 
   private val ivfOracleSql: String = {
@@ -1680,6 +1720,7 @@ object SparkEntry {
         |  CAST(cl AS BIGINT) AS pred, cos AS score
         |FROM best WHERE rn = 1""".stripMargin,
     "bpe_merges" -> bpeOracleSql(8),
+    "bpe_encode" -> bpeEncodeOracleSql(8),
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_lsh_pairs" ->

@@ -554,6 +554,35 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** BPE ENCODE state for a whole document: the normalized text with
+    * every character wrapped in its own markers and words separated by
+    * `#` (`"low lo"` → `"|l||o||w|#|l||o|"`), then the trained merges
+    * applied in rank order. Merge patterns contain only `|`-marks, so
+    * they can never cross the `#` word boundary. Every step is a
+    * codegen'd `regexp_replace`/`replace` — no higher-order function,
+    * no join: the merges ride in the plan. */
+  def bpeState(text: Column, merges: Seq[(String, String)]): Column = {
+    val norm = trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    val init = replace(regexp_replace(norm, "(.)", "|$1|"), lit("| |"), lit("#"))
+    merges.foldLeft(init) { case (st, (l, r)) =>
+      replace(st, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+  }
+
+  /** Subword count under trained BPE merges — the encode-side token
+    * counter (what a context-length budget actually consumes). A word
+    * with s subwords contributes s-1 `||` separators, so
+    * `total = count("||") + nWords`, computed with pure string ops
+    * (`length` minus collapsed length). ZERO shuffle at any corpus
+    * size; engine-portable (the oracle applies the identical chain).
+    * Blank documents count 0. */
+  def bpeSubwordCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val st = bpeState(text, merges)
+    when(length(trim(text)) === 0, lit(0L)).otherwise(
+      (length(st) - length(replace(st, lit("||"), lit("|"))) +
+        size(split(st, "#"))).cast("long"))
+  }
+
   /** TF-IDF keyword extraction: the `k` highest tf·idf terms per
     * document (idf = ln(N/df)); ranking compares the score ROUNDED to
     * 6 places with a lexicographic tie-break, so the chosen terms are

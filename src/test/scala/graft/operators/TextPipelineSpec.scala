@@ -261,6 +261,28 @@ class TextPipelineSpec extends AnyFunSuite {
       minPairCount = 100).count() == 0)
   }
 
+  test("bpeSubwordCount: merges shrink counts; greedy overlap; blanks zero") {
+    val docs = Seq(
+      (1L, "low low lower"),
+      (2L, "aaaa"),
+      (3L, "  ")
+    ).toDF("doc_id", "text")
+    // no merges: every char is a subword
+    val none = docs.select(col("doc_id"),
+      TextAnalysis.bpeSubwordCount(col("text"), Nil).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == Map(1L -> 11L, 2L -> 4L, 3L -> 0L))
+    // merges (l,o) then (lo,w): "low" → 1 subword, "lower" → 3 (low,e,r)
+    val m = Seq("l" -> "o", "lo" -> "w")
+    val merged = docs.select(col("doc_id"),
+      TextAnalysis.bpeSubwordCount(col("text"), m).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged(1L) == 1L + 1L + 3L)
+    // greedy overlap on the encode side too: (a,a) over "aaaa" → [aa, aa]
+    assert(docs.select(TextAnalysis.bpeSubwordCount(col("text"),
+      Seq("a" -> "a")).as("n")).collect()(1).getLong(0) == 2L)
+  }
+
   test("qualityScore: prose scores above noise, threshold filters") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was happy with that outcome"),
