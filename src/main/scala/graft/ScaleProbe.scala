@@ -120,6 +120,14 @@ object ScaleProbe {
     probe("tfidf_topterms",
       graft.operators.TextAnalysis.tfidfTopTerms(docs1, "text", "doc_id").count(),
       graft.operators.TextAnalysis.tfidfTopTerms(docsN, "text", "doc_id").count())
+    // BPE training: one corpus pass builds the word table, then the
+    // merge rounds run on the VOCAB-sized state — cost must track the
+    // corpus scan, not the merge loop
+    probe("bpe_train",
+      graft.operators.TextAnalysis.trainBpeMerges(docs1, "text",
+        numMerges = 5, minPairCount = 1).count(),
+      graft.operators.TextAnalysis.trainBpeMerges(docsN, "text",
+        numMerges = 5, minPairCount = 1).count())
     probe("chunk_documents",
       graft.operators.TextAnalysis.chunkDocuments(docs1, "text", "doc_id",
         chunkTokens = 32, stride = 16).count(),
