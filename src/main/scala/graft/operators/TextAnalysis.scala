@@ -578,7 +578,10 @@ object TextAnalysis {
     * Blank documents count 0. */
   def bpeSubwordCount(text: Column, merges: Seq[(String, String)]): Column = {
     val st = bpeState(text, merges)
-    when(length(trim(text)) === 0, lit(0L)).otherwise(
+    // guard on the STATE being empty, not trim(text): a document of
+    // punctuation/whitespace only normalizes to nothing and must count
+    // 0 (size(split("", "#")) is 1, which would off-by-one it)
+    when(length(st) === 0, lit(0L)).otherwise(
       (length(st) - length(replace(st, lit("||"), lit("|"))) +
         size(split(st, "#"))).cast("long"))
   }

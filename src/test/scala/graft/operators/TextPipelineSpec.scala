@@ -247,15 +247,18 @@ class TextPipelineSpec extends AnyFunSuite {
     // round 3: (a,a) at 3 beats (low,e) at 2
     assert(m(2) == (3L, "a", "a", 3L))
 
-    // greedy overlap: merging (a,a) in "aaaa" yields [aa, aa] (BOTH
-    // pairs merge — the boundary-sharing trap would leave [aa, a, a]);
-    // so a 4th round would see (aa,aa) once
-    val m4 = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 4,
+    // greedy overlap DECIDES a round: merging (a,a) in "aaaa" must
+    // yield [aa, aa], so round 2 sees (aa,aa):2 — under the
+    // boundary-sharing bug the state would be [aa, a, a] and round 2's
+    // winner would be (a,a) again (lexicographic tie vs (aa,a))
+    val aa = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m2 = TextAnalysis.trainBpeMerges(aa, "text", numMerges = 2,
       minPairCount = 1).orderBy("rank").collect()
-    assert(m4.length == 4)
-    val r4 = m4(3)
-    assert((r4.getAs[String]("lhs"), r4.getAs[String]("rhs")) != ("aa", "a") ||
-      r4.getAs[Long]("pair_count") <= 1L)
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count")))
+    assert(m2(0) == (1L, "a", "a", "aa", 6L))       // 3 adjacent x 2 words
+    assert(m2(1) == (2L, "aa", "aa", "aaaa", 2L))   // both pairs merged
     // early stop: demanding pairs seen >= 100 times yields no merges
     assert(TextAnalysis.trainBpeMerges(docs, "text", numMerges = 3,
       minPairCount = 100).count() == 0)
