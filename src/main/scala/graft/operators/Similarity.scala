@@ -314,8 +314,12 @@ object Similarity {
         (qid, v.toArray, math.sqrt(v.iterator.map(x => x * x).sum))
     }.toArray
     val kk = k
-    val local = df.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
+    // explicit widening cast so ANY numeric vector column works —
+    // float→double is exact, and the oracle casts to DOUBLE[] the
+    // same way, so parity is unchanged
+    val local = df.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
       .mapPartitions { iter =>
         // min-heap on "goodness": head = worst kept (lowest cosine,
         // ties → HIGHEST id, so a lower id displaces its equal-cosine peer)
@@ -327,7 +331,7 @@ object Similarity {
           // row norm once per row, not once per (row, query)
           var vn = 0.0; var i = 0
           while (i < vec.length) {
-            val x = vec(i).toDouble; vn += x * x; i += 1
+            val x = vec(i); vn += x * x; i += 1
           }
           val rowNorm = math.sqrt(vn)
           var q = 0
@@ -335,7 +339,7 @@ object Similarity {
             val qv = qArr(q)._2
             val qn = qArr(q)._3
             var dot = 0.0; var j = 0
-            while (j < qv.length) { dot += vec(j).toDouble * qv(j); j += 1 }
+            while (j < qv.length) { dot += vec(j) * qv(j); j += 1 }
             val den = rowNorm * qn
             val cos = if (den == 0) 0.0 else dot / den
             val h = heaps(q)
