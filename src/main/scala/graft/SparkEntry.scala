@@ -29,15 +29,19 @@ object SparkEntry {
     * streaming uses 8 shuffle partitions (state-store provider count
     * follows shuffle partitions; gate results are tiny), and the memory
     * sink table is dropped so repeated runs don't accumulate state. */
-  private def runStreamingGate(s: SparkSession, dir: String, tag: String)(
+  private def runStreamingGate(s: SparkSession, dir: String, tag: String,
+      table: String = "events")(
       transform: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = tag + "_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val events = graft.streaming.EventStream.readEvents(s, s"$dir/events.parquet")
-      val q = transform(events)
+      val src =
+        if (table == "events")
+          graft.streaming.EventStream.readEvents(s, s"$dir/events.parquet")
+        else graft.streaming.EventStream.readParquetStream(s, s"$dir/$table.parquet")
+      val q = transform(src)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -676,6 +680,17 @@ object SparkEntry {
       TextAnalysis.trainBpeMerges(t(s, dir, "documents"), "text",
         numMerges = 8, minPairCount = 1)),
 
+    // ---- T-streaming/chunking: the curation chunker running as a REAL
+    //      streaming query (stateless narrow plan → no rewrite), output
+    //      oracle-checked against the batch SQL — streaming parity is a
+    //      HASH gate, not just a spec. The doc_id % 7 slice keeps the
+    //      sink collect bounded at bench scale ----
+    "t3_streaming_chunks" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t3", table = "documents") { docs =>
+        TextAnalysis.chunkDocuments(docs.filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", chunkTokens = 32, stride = 16)
+      }),
+
     // ---- text: BPE encode — subword counts under the 8 trained
     //      merges (pure codegen'd string pipeline, zero shuffle) ----
     "bpe_encode" -> ((s, dir) => {
@@ -742,6 +757,17 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.25, planes = 8, tables = 2)
         .select(col("id1"), col("id2"))
       Dedup.connectedComponents(pairs)
+    }),
+
+    // ---- dedup: keep-one FILTER form — the rows that survive
+    //      embedding near-dup resolution (losers anti-joined away) ----
+    "dedup_keep_one" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.25, planes = 8, tables = 2)
+        .select(col("id1"), col("id2"))
+      Dedup.dedupByClusters(emb, "vec_id", pairs)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
     }),
 
     // ---- dedup: benchmark DECONTAMINATION — corpus docs sharing a
@@ -1662,10 +1688,40 @@ object SparkEntry {
          |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
          |  SELECT * FROM r)
          |SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""".stripMargin,
+    "dedup_keep_one" ->
+      s"""$srpPairSql,
+         |fpairs AS (SELECT id1, id2 FROM scored WHERE c >= 0.25),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM fpairs
+         |  UNION SELECT id2, id1 FROM fpairs),
+         |walk AS (
+         |  WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT a, a FROM edges
+         |    UNION
+         |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
+         |  SELECT * FROM r),
+         |losers AS (
+         |  SELECT id FROM (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+         |  WHERE id <> cluster)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "chunk_documents" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |  FROM documents WHERE length(trim(text)) > 0),
+        | starts AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST(floor((len(t)-1)/16) AS BIGINT) + 1)) AS i
+        |  FROM toks)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(t[i*16+1 : i*16+32], ' ') AS chunk_text,
+        |  CAST(least(32, len(t) - i*16) AS BIGINT) AS n_chunk_tokens
+        |FROM starts""".stripMargin,
+    "t3_streaming_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE length(trim(text)) > 0 AND doc_id % 7 = 0),
         | starts AS (
         |  SELECT doc_id, t,
         |    unnest(range(0, CAST(floor((len(t)-1)/16) AS BIGINT) + 1)) AS i

@@ -21,19 +21,24 @@ object EventStream {
     * table's TIMESTAMP(NANOS) column the same way Tables.load does:
     * the nanosAsLong session flag surfaces it as LongType and we
     * convert to a µs timestamp. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // the file source streams a DIRECTORY of arriving files; a single
-    // parquet FILE (the synthetic tables' layout) is staged into a temp
-    // dir as its one initial micro-batch
+  /** Generic file-source stream over one parquet table. The file
+    * source streams a DIRECTORY of arriving files; a single parquet
+    * FILE (the synthetic tables' layout) is staged into a temp dir as
+    * its one initial micro-batch. */
+  def readParquetStream(spark: SparkSession, dir: String): DataFrame = {
     val path = java.nio.file.Path.of(dir)
     val streamDir =
       if (java.nio.file.Files.isRegularFile(path)) {
-        val d = java.nio.file.Files.createTempDirectory("events_stream")
+        val d = java.nio.file.Files.createTempDirectory("table_stream")
         java.nio.file.Files.copy(path, d.resolve(path.getFileName))
         d.toString
       } else dir
     val schema = spark.read.parquet(dir).schema
-    val raw = spark.readStream.schema(schema).format("parquet").load(streamDir)
+    spark.readStream.schema(schema).format("parquet").load(streamDir)
+  }
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = readParquetStream(spark, dir)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     else raw
