@@ -14,10 +14,22 @@ import graft.operators.SparkTestSession
 class FileChangeSourceSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  /** Replace `f`'s (content, mtime) ATOMICALLY: writeString bumps the
+    * mtime to now, so a concurrently-polling micro-batch could capture
+    * the intermediate (new content, now) state before the test
+    * back-dates the mtime — staging on a temp file and renaming makes
+    * the two-field update a single visible transition. */
+  private def atomicReplace(f: Path, content: String, mtimeMs: Long): Unit = {
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.setLastModifiedTime(tmp, FileTime.fromMillis(mtimeMs))
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   test("filechange stream: content changes emit, touches and no-ops don't") {
     val f: Path = Files.createTempFile("watched", ".csv")
-    Files.writeString(f, "a,b\n1,2\n")
-    Files.setLastModifiedTime(f, FileTime.fromMillis(1000000L))
+    atomicReplace(f, "a,b\n1,2\n", 1000000L)
 
     val name = "fc_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = spark.readStream.format("filechange")
@@ -37,8 +49,7 @@ class FileChangeSourceSpec extends AnyFunSuite {
       assert(spark.table(name).count() == 1)
 
       // content change (mtime moves too) → one more row
-      Files.writeString(f, "a,b\n1,2\n3,4\n")
-      Files.setLastModifiedTime(f, FileTime.fromMillis(2000000L))
+      atomicReplace(f, "a,b\n1,2\n3,4\n", 2000000L)
       q.processAllAvailable()
       assert(spark.table(name).count() == 2)
 
@@ -49,8 +60,7 @@ class FileChangeSourceSpec extends AnyFunSuite {
 
       // and a further real change still fires (the silent advance
       // didn't wedge the offset)
-      Files.writeString(f, "a,b\n9,9\n")
-      Files.setLastModifiedTime(f, FileTime.fromMillis(4000000L))
+      atomicReplace(f, "a,b\n9,9\n", 4000000L)
       q.processAllAvailable()
       assert(spark.table(name).count() == 3)
       val crcs = spark.table(name).select("crc").collect().map(_.getLong(0))
@@ -199,9 +209,9 @@ class FileChangeSourceSpec extends AnyFunSuite {
         Nrt.activePath(sinkRoot, "upstream_ds", slot1)).count() == 2)
 
       // upstream grows → change row → refresh publishes the new data
-      // into the OTHER slot and flips
-      Files.writeString(src, "id,v\n1,a\n2,b\n3,c\n")
-      Files.setLastModifiedTime(src, FileTime.fromMillis(2000000L))
+      // into the OTHER slot and flips (atomic replace: the stream is
+      // LIVE, a poll between write and back-dated mtime would race)
+      atomicReplace(src, "id,v\n1,a\n2,b\n3,c\n", 2000000L)
       q.processAllAvailable()
       assert(outcomes.toSeq.map(_.changed) == Seq(true, true))
       val slot2 = transport.props(item.id)("activeSlot")
