@@ -19,9 +19,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Trained BPE merges per sfDir (see the bpe_encode gate). */
+  /** Trained BPE merges per sfDir (see the bpe_encode gate), keyed on
+    * the documents table's on-disk fingerprint (file names + sizes +
+    * mtimes) so a regenerated table in the same JVM retrains instead of
+    * silently encoding with stale merges. */
   private val bpeMergeCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[(String, String)]]
+
+  private def tableFingerprint(dir: String, name: String): Long = {
+    val root = new java.io.File(dir, name + ".parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName)
+      else Seq(root)
+    files.foldLeft(17L) { (h, f) =>
+      ((h * 31 + f.getName.hashCode) * 31 + f.length) * 31 + f.lastModified
+    }
+  }
 
   /** Run a streaming transform of the events table end-to-end as a real
     * Structured Streaming query (file source → AvailableNow → memory
@@ -698,7 +711,8 @@ object SparkEntry {
       // memoized per sfDir: training is the bpe_merges gate's cost;
       // this gate measures/audits the ENCODE projection (re-planning
       // the gate — bench iterations, ExplainCheck — shouldn't retrain)
-      val merges = bpeMergeCache.getOrElseUpdate(dir,
+      val merges = bpeMergeCache.getOrElseUpdate(
+        (dir, tableFingerprint(dir, "documents")),
         TextAnalysis.trainBpeMerges(docs, "text",
           numMerges = 8, minPairCount = 1)
           .orderBy("rank").collect()

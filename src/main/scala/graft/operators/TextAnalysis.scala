@@ -498,19 +498,119 @@ object TextAnalysis {
     * WRONG here: adjacent matches share the boundary space, so a
     * single replace pass skips every other occurrence.)
     *
-    * Scale shape: round r does two vocab-sized aggregates (explode
-    * adjacent pairs → two-level count with map-side partials; winner
-    * via TakeOrdered 1) and one codegen'd projection; the corpus is
-    * touched exactly once, in step 1. The driver holds one winning
-    * pair per round. Each round is a driver-synchronized job, so this
-    * shape suits MODEST merge counts (validation, probing, small
-    * vocabularies); a full 30k-merge tokenizer build should collect
-    * the bounded word-frequency table step 1 produces and run a
-    * single-node trainer over it — the aggregation, not the merge
-    * loop, is the part that needs the cluster. Returns
+    * Scale shape: ONE corpus-sized Spark job (step 1's word-frequency
+    * aggregate, map-side partials); the merge loop then runs
+    * DRIVER-SIDE over the collected vocabulary-sized table — a 32k-
+    * merge vocab is 32k in-memory rounds with incremental pair-count
+    * maintenance, not 32k sequential Spark jobs of scheduler latency.
+    * `maxWords` fail-fasts (clear error, no OOM) if the distinct-word
+    * table exceeds the driver budget; raise it, or pre-aggregate the
+    * vocabulary. Bit-identical to [[trainBpeMergesSparkLoop]] (the
+    * all-cluster twin kept for parity auditing). Returns
     * (rank, lhs, rhs, merged, pair_count), rank 1..numMerges (stops
     * early when no pair repeats `minPairCount` times). */
   def trainBpeMerges(df: DataFrame, textCol: String,
+      numMerges: Int = 10, minPairCount: Long = 2,
+      maxWords: Int = 5000000): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(normalizedTokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .limit(maxWords + 1) // bound the collect BEFORE it reaches the driver
+      .as[(String, Long)].collect()
+    require(words.length <= maxWords,
+      s"trainBpeMerges: > $maxWords distinct normalized words; raise maxWords " +
+        "or pre-aggregate the vocabulary before training")
+    localMergeLoop(words, numMerges, minPairCount)
+      .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** The BPE merge loop over an in-memory (word, count) table.
+    * Greedy left-to-right non-overlapping merge (`aaa` → `[aa, a]`;
+    * `abab` merges BOTH `ab`s), most-frequent pair first, ties to the
+    * lexicographically smallest (l, r) — exactly the semantics of the
+    * marker-string `replace` in [[trainBpeMergesSparkLoop]], pinned by
+    * a parity spec. Pair counts are maintained INCREMENTALLY: each
+    * round re-derives only the words that contain the winning pair
+    * (via a pair→words index), so cost per round is the total length
+    * of affected words, not the vocabulary. */
+  private[graft] def localMergeLoop(words: Array[(String, Long)],
+      numMerges: Int, minPairCount: Long): Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val cnts = words.map(_._2)
+    val syms: Array[Array[String]] = words.map(_._1.map(_.toString).toArray)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val ss = syms(i); val c = cnts(i) * sign
+      var j = 0
+      while (j + 1 < ss.length) {
+        val p = (ss(j), ss(j + 1))
+        val nv = pairCount.getOrElse(p, 0L) + c
+        if (nv == 0L) pairCount.remove(p) else pairCount.update(p, nv)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+      if (sign < 0) { // drop the index entries the re-add won't restore
+        var k = 0
+        while (k + 1 < ss.length) {
+          val p = (ss(k), ss(k + 1))
+          pairWords.get(p).foreach { s =>
+            s -= i; if (s.isEmpty) pairWords.remove(p)
+          }
+          k += 1
+        }
+      }
+    }
+    var i = 0
+    while (i < syms.length) { addWord(i, 1L); i += 1 }
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      var best: (String, String) = null
+      var bestPc = Long.MinValue
+      pairCount.foreach { case (p, pc) =>
+        if (pc > bestPc || (pc == bestPc &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestPc = pc
+        }
+      }
+      if (best == null || bestPc < minPairCount) done = true
+      else {
+        val (l, r) = best
+        merges += ((rank.toLong, l, r, l + r, bestPc))
+        val affected = pairWords.getOrElse(best, mutable.Set.empty).toArray
+        var a = 0
+        while (a < affected.length) {
+          val w = affected(a)
+          addWord(w, -1L)
+          val old = syms(w)
+          val out = mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < old.length) {
+            if (j + 1 < old.length && old(j) == l && old(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += old(j); j += 1 }
+          }
+          syms(w) = out.toArray
+          addWord(w, 1L)
+          a += 1
+        }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The all-Spark twin of [[trainBpeMerges]]: one driver-synchronized
+    * Spark job PER MERGE ROUND (two vocab-sized aggregates + a
+    * codegen'd replace projection). Kept as the parity oracle for the
+    * driver-side loop and for clusters where even the distinct-word
+    * table must not be collected. */
+  private[graft] def trainBpeMergesSparkLoop(df: DataFrame, textCol: String,
       numMerges: Int = 10, minPairCount: Long = 2): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = df.sparkSession
@@ -544,13 +644,16 @@ object TextAnalysis {
         merges += ((rank.toLong, l, r, l + r, pc))
         // tokens are alnum-only (normalizedTokens), so the interpolated
         // literals cannot contain quotes or markers
+        val prev = states
         states = states.select(
           expr(s"replace(state, '|$l||$r|', '|$l$r|')").as("state"),
           col("cnt"))
-          .localCheckpoint()
+          .localCheckpoint() // eager: materialized before prev is dropped
+        prev.unpersist()
         rank += 1
       }
     }
+    states.unpersist()
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 

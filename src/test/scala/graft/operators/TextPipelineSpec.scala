@@ -264,6 +264,38 @@ class TextPipelineSpec extends AnyFunSuite {
       minPairCount = 100).count() == 0)
   }
 
+  test("trainBpeMerges: driver-side loop is bit-identical to the Spark loop") {
+    // tie-heavy corpus: equal pair counts force the lexicographic
+    // tie-break every round; repeated chars force the greedy-overlap
+    // rule; multi-merge chains force the incremental index to re-derive
+    // affected words correctly
+    val docs = Seq(
+      (1L, "ab ab ba ba cd cd dc dc"),
+      (2L, "aaaa bbbb abab baba"),
+      (3L, "the theme there then"),
+      (4L, "mississippi mississippi"),
+      (5L, "x1y2 x1y2 y2x1"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    for (nm <- Seq(1, 4, 12, 40); mpc <- Seq(1L, 2L, 3L)) {
+      val local = TextAnalysis.trainBpeMerges(docs, "text", numMerges = nm,
+        minPairCount = mpc).orderBy("rank").collect().map(_.toSeq).toSeq
+      val sparkLoop = TextAnalysis.trainBpeMergesSparkLoop(docs, "text",
+        numMerges = nm, minPairCount = mpc)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(local == sparkLoop, s"numMerges=$nm minPairCount=$mpc")
+    }
+  }
+
+  test("trainBpeMerges: maxWords fail-fast names the knob") {
+    val docs = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trainBpeMerges(docs, "text", numMerges = 2,
+        minPairCount = 1, maxWords = 3)
+    }
+    assert(e.getMessage.contains("maxWords"))
+  }
+
   test("bpeSubwordCount: merges shrink counts; greedy overlap; blanks zero") {
     val docs = Seq(
       (1L, "low low lower"),
