@@ -54,6 +54,9 @@ object ExplainCheck {
     // multimodal decode is a pure projection — an RDD boundary here would
     // deserialize rows and sever column pruning below it
     audit("mm_decode_meta", mustNotContain = Seq("Scan ExistingRDD"))
+    // real JPEG/PNG header decode: synth + parse is a pure projection —
+    // no Exchange, no RDD boundary
+    audit("mm_decode_image", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // span dedup is explode + hash-aggregate winners + reassemble —
     // never a pairwise join, and never a per-span-key window SORT (the
     // min(struct) winner combines map-side; a Window here would sort

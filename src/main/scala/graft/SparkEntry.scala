@@ -551,6 +551,27 @@ object SparkEntry {
           col("meta.height"), col("meta.payload_bytes"))
     }),
 
+    // ---- multimodal: REAL JPEG/PNG header decode — synthesize valid
+    //      format bytes (deterministic from doc_id + text length), then
+    //      parse them back natively (segment walk / CRC-checked IHDR).
+    //      Pure projection: zero Exchange (plan-asserted) ----
+    "mm_decode_image" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          graft.functions.ImageCodec.image_meta(
+            graft.functions.ImageCodec.image_synth(
+              col("doc_id"), col("text"))).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.bit_depth").as("bit_depth"),
+          col("m.channels").as("channels"),
+          col("m.color_type").as("color_type"),
+          // int, not boolean: a nullable BOOLEAN normalizes differently
+          // across parquet readers (None vs NaN); nullable INTEGER is
+          // stable (see color_type)
+          col("m.progressive").cast("int").as("progressive"))
+    }),
+
     // ---- composite corpus-curation pipeline: quality → lang → dedup →
     //      per-source stats (the flagship training-data flow) ----
     "pipeline_corpus" -> ((s, dir) => {
@@ -1422,6 +1443,34 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) % 48 + 1 AS INTEGER) AS height,
         | CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
         |FROM documents""".stripMargin,
+    // mirrors ImageCodec.synthFromDoc: the Spark side builds REAL
+    // JPEG/PNG bytes and parses them back; the oracle recomputes the
+    // same metadata from the deterministic synth rule
+    "mm_decode_image" ->
+      """WITH base AS (
+        | SELECT doc_id, octet_length(encode(text)) AS n,
+        |   CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |     WHEN 3 THEN 4 ELSE 6 END AS ct
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN n % 317 + 1
+        |      ELSE n % 509 + 1 END AS INTEGER) AS width,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN n % 211 + 1
+        |      ELSE n % 331 + 1 END AS INTEGER) AS height,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 8
+        |      WHEN doc_id % 3 = 0 AND ct <> 3 THEN 16
+        |      ELSE 8 END AS INTEGER) AS bit_depth,
+        | CAST(CASE WHEN doc_id % 2 = 0
+        |      THEN (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 3 END)
+        |      ELSE (CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+        |            WHEN 4 THEN 2 ELSE 4 END) END AS INTEGER) AS channels,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE ct END AS INTEGER)
+        |   AS color_type,
+        | CAST(CASE WHEN doc_id % 2 = 0
+        |   THEN CAST(doc_id % 4 = 0 AS INTEGER) ELSE NULL END AS INTEGER)
+        |   AS progressive
+        |FROM base""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,0 +1,237 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL image-format header decode for multimodal binary columns: JPEG
+  * (segment walk to SOF0/SOF2 — dimensions, sample precision, component
+  * count, baseline/progressive) and PNG (signature + CRC-verified IHDR —
+  * dimensions, bit depth, color type). Both byte layouts are public
+  * (JPEG: ITU-T T.81 §B.2; PNG: RFC 2083 §3/§4.1.1); no image library
+  * involved. A native Catalyst expression, so a 100 TB scan decodes
+  * metadata inside whole-stage codegen as a pure projection — no
+  * Exchange, no RDD boundary, column pruning intact.
+  *
+  * Malformed input returns null (truncated bytes, wrong magic, a JPEG
+  * with no SOF frame, a PNG whose IHDR CRC fails) — decoder-robustness
+  * is the common case in crawled training data, and a task crash on one
+  * bad payload is the wrong failure mode at scale.
+  */
+case class ImageMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageCodec.metaSchema
+  override def prettyName: String = "image_meta"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.decodeMetaInternal(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ImageCodec.decodeMetaInternal($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+    copy(child = newChild)
+}
+
+/** `(id, utf8 content) → real JPEG or PNG header bytes` — deterministic
+  * synthesizer for oracle-checked round-trips: every parameter derives
+  * from (id, octet_length(content)), so an external SQL oracle can
+  * recompute the expected metadata without parsing a byte. */
+case class ImageSynth(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    ImageCodec.synthFromDoc(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.ImageCodec.synthFromDoc($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynth =
+    copy(left = newLeft, right = newRight)
+}
+
+object ImageCodec {
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bit_depth", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("color_type", IntegerType),   // PNG only; null for JPEG
+    StructField("progressive", BooleanType))) // JPEG only; null for PNG
+
+  private val PNG_SIG =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  // ---------------------------------------------------------------- decode
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  /** JPEG/PNG sniff + header parse → InternalRow(metaSchema) or null. */
+  def decodeMetaInternal(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 4) null
+    else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) decodeJpeg(bytes)
+    else if (bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) decodePng(bytes)
+    else null
+  }
+
+  /** Segment walk (ITU-T T.81 §B.2): each marked segment after SOI is
+    * `FF <marker> <u16 length incl itself>`; payload bytes may contain
+    * 0xFF, so segments are SKIPPED BY LENGTH, never scanned. Standalone
+    * markers (TEM, RSTn) carry no length. Stops at the first SOF frame
+    * header (C0-CF minus C4/C8/CC, which are DHT/JPG/DAC). */
+  private def decodeJpeg(b: Array[Byte]): InternalRow = {
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return null // lost sync: corrupt stream
+      var m = b(i + 1) & 0xFF
+      // fill bytes: any number of 0xFF may pad before the marker code
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xFF }
+      i += 2
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        // TEM / RSTn: standalone, no length field
+      } else if (m == 0xD9 || m == 0xDA) {
+        return null // EOI or SOS before any SOF: no frame header present
+      } else {
+        if (i + 1 >= b.length) return null
+        val segLen = u16(b, i)
+        if (segLen < 2 || i + segLen > b.length) return null
+        val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isSof) {
+          if (segLen < 8) return null
+          val precision = b(i + 2) & 0xFF
+          val height = u16(b, i + 3)
+          val width = u16(b, i + 5)
+          val ncomp = b(i + 7) & 0xFF
+          val progressive = m == 0xC2 || m == 0xC6 || m == 0xCA || m == 0xCE
+          return InternalRow(UTF8String.fromString("jpeg"), width, height,
+            precision, ncomp, null, progressive)
+        }
+        i += segLen
+      }
+    }
+    null
+  }
+
+  /** PNG (RFC 2083): 8-byte signature, then chunks of
+    * `u32 length | 4-byte type | data | u32 CRC32(type+data)`. IHDR must
+    * be first; its CRC is verified before any field is trusted. Channel
+    * count derives from the color type (0 gray→1, 2 rgb→3, 3 palette→1,
+    * 4 gray+alpha→2, 6 rgba→4). */
+  private def decodePng(b: Array[Byte]): InternalRow = {
+    if (b.length < 8 + 8 + 13 + 4) return null
+    if (u32(b, 8) != 13L) return null
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return null
+    val crc = new java.util.zip.CRC32
+    crc.update(b, 12, 4 + 13)
+    if (crc.getValue != u32(b, 29)) return null
+    val width = u32(b, 16)
+    val height = u32(b, 20)
+    if (width <= 0 || width > Int.MaxValue || height <= 0 || height > Int.MaxValue)
+      return null
+    val bitDepth = b(24) & 0xFF
+    val colorType = b(25) & 0xFF
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return null
+    }
+    InternalRow(UTF8String.fromString("png"), width.toInt, height.toInt,
+      bitDepth, channels, colorType, null)
+  }
+
+  // ----------------------------------------------------------------- synth
+
+  /** Minimal structurally-valid JPEG header stream: SOI, APP0/JFIF, a
+    * COM segment whose payload contains marker-lookalike 0xFF bytes
+    * (exercising skip-by-length), a DQT, the SOF0/SOF2 frame header,
+    * EOI. */
+  def synthJpeg(width: Int, height: Int, channels: Int,
+      progressive: Boolean): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(64 + 3 * channels)
+    out.put(0xFF.toByte).put(0xD8.toByte) // SOI
+    // APP0 "JFIF": version 1.1, no density, no thumbnail
+    out.put(0xFF.toByte).put(0xE0.toByte).putShort(16)
+      .put("JFIF".getBytes("ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte).put(0.toByte)
+      .putShort(1).putShort(1).put(0.toByte).put(0.toByte)
+    // COM with embedded fake markers — a naive FF-scan would derail here
+    val com = Array[Byte](0xFF.toByte, 0xC0.toByte, 0xFF.toByte,
+      0xD9.toByte, 0x00, 0xFF.toByte)
+    out.put(0xFF.toByte).put(0xFE.toByte).putShort((2 + com.length).toShort).put(com)
+    // DQT stub: table 0, 8 zero coefficients (decoder skips by length)
+    out.put(0xFF.toByte).put(0xDB.toByte).putShort(11).put(0.toByte)
+      .put(new Array[Byte](8))
+    // SOF0 (baseline) / SOF2 (progressive)
+    out.put(0xFF.toByte).put(if (progressive) 0xC2.toByte else 0xC0.toByte)
+      .putShort((8 + 3 * channels).toShort)
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(channels.toByte)
+    var c = 0
+    while (c < channels) {
+      out.put((c + 1).toByte).put(0x11.toByte).put(0.toByte); c += 1
+    }
+    out.put(0xFF.toByte).put(0xD9.toByte) // EOI
+    java.util.Arrays.copyOf(out.array(), out.position())
+  }
+
+  /** Signature + CRC-correct IHDR + a filler IDAT + IEND. */
+  def synthPng(width: Int, height: Int, bitDepth: Int,
+      colorType: Int): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PNG_SIG ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01, 0x00, 0x00)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** The deterministic synth rule the `mm_decode_image` oracle mirrors:
+    * even ids are JPEG, odd are PNG; every parameter is a fixed function
+    * of (id, byte length of the text). */
+  def synthFromDoc(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    if (id % 2 == 0) {
+      val w = n % 317 + 1
+      val h = n % 211 + 1
+      val ch = if (id % 6 == 0) 1 else 3
+      synthJpeg(w, h, ch, progressive = id % 4 == 0)
+    } else {
+      val w = n % 509 + 1
+      val h = n % 331 + 1
+      val ct = Array(0, 2, 3, 4, 6)(java.lang.Math.floorMod(id, 5L).toInt)
+      val bd = if (id % 3 == 0 && ct != 3) 16 else 8
+      synthPng(w, h, bd, ct)
+    }
+  }
+
+  def image_meta(c: Column): Column =
+    GraftSqlBridge.column(ImageMeta(GraftSqlBridge.expression(c)))
+
+  def image_synth(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynth(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+}

@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   * with typed metadata (the training-data-pipeline extension of
   * SURVEY.md §8).
   *
-  * The actual media codecs are NOT in this container, so the decode
-  * KERNELS are deterministic stubs over a tiny fake container format —
-  * but everything Spark-side is real and tested: the schema, the binary
+  * REAL image-format header decode (JPEG segment walk, CRC-verified PNG
+  * IHDR) lives in [[graft.functions.ImageCodec]] as a native expression.
+  * This object carries the container plumbing: the schema, the binary
   * column handling, the batched `mapPartitions` execution shape (the
   * Scala analog of `mapInPandas`: process rows in bounded batches so a
-  * real decoder could amortize model/codec setup per batch), and the
-  * partition-parallel execution.
+  * real pixel codec could amortize model/codec setup per batch), and the
+  * partition-parallel execution. Full pixel resize/frame-sample kernels
+  * stay out of scope (no media libraries in this container); the
+  * test-only stand-ins that exercise `mapPayloadBatches` live in the
+  * test sources.
   *
   * Fake container format (header parsed byte-for-byte — the PLUMBING is
   * real): magic "GFTM" | modality u8 | width u16 | height u16 |
@@ -104,40 +107,6 @@ object Multimodal {
           batch.map(_._1).zip(outs)
         }
       }.toDF(idCol, payloadCol)
-  }
-
-  /** STUB resize kernel (`???`-equivalent, deterministic): a real
-    * implementation re-encodes pixels; the stub rewrites the header
-    * dims and truncates payload proportionally — enough to test the
-    * pipeline shape end-to-end. */
-  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val meta = decodeMeta(payload)
-    if (meta == null) null
-    else {
-      val content = payload.drop(14)
-      val scale = math.min(1.0,
-        (w.toDouble * h) / math.max(1, meta.getInt(1) * meta.getInt(2)))
-      val kept = content.take(math.max(1, (content.length * scale).toInt))
-      val buf = ByteBuffer.allocate(14 + kept.length)
-      buf.put(MAGIC).put(payload(4))
-        .putShort(w.toShort).putShort(h.toShort)
-        .put(payload(9)).putInt(ByteBuffer.wrap(payload, 10, 4).getInt)
-        .put(kept)
-      buf.array()
-    }
-  }
-
-  /** STUB frame sampler for "video" payloads: treats the content as
-    * fixed-size frames and keeps every `everyN`-th. */
-  def frameSampleStub(payload: Array[Byte], frameBytes: Int, everyN: Int): Array[Byte] = {
-    if (payload == null || payload.length < 14) null
-    else {
-      val content = payload.drop(14)
-      val kept = content.grouped(frameBytes).zipWithIndex
-        .collect { case (f, i) if i % everyN == 0 => f }
-        .flatten.toArray
-      payload.take(14) ++ kept
-    }
   }
 
   /** Deterministic feature-extraction stub: payload bytes → fixed-dim

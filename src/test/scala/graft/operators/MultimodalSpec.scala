@@ -1,7 +1,45 @@
 package graft.operators
 
+import java.nio.ByteBuffer
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+
+/** Test-only stand-in kernels exercising the [[Multimodal]] plumbing
+  * (real pixel codecs are out of scope in this container — see the
+  * real-format header decode in [[graft.functions.ImageCodec]]). */
+object MultimodalTestKernels {
+  /** Rewrites the container header dims and truncates the payload
+    * proportionally — enough to drive `mapPayloadBatches` end-to-end. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val meta = Multimodal.decodeMeta(payload)
+    if (meta == null) null
+    else {
+      val content = payload.drop(14)
+      val scale = math.min(1.0,
+        (w.toDouble * h) / math.max(1, meta.getInt(1) * meta.getInt(2)))
+      val kept = content.take(math.max(1, (content.length * scale).toInt))
+      val buf = ByteBuffer.allocate(14 + kept.length)
+      buf.put(Multimodal.MAGIC).put(payload(4))
+        .putShort(w.toShort).putShort(h.toShort)
+        .put(payload(9)).putInt(ByteBuffer.wrap(payload, 10, 4).getInt)
+        .put(kept)
+      buf.array()
+    }
+  }
+
+  /** Treats the content as fixed-size frames, keeps every `everyN`-th. */
+  def frameSampleStub(payload: Array[Byte], frameBytes: Int, everyN: Int): Array[Byte] = {
+    if (payload == null || payload.length < 14) null
+    else {
+      val content = payload.drop(14)
+      val kept = content.grouped(frameBytes).zipWithIndex
+        .collect { case (f, i) if i % everyN == 0 => f }
+        .flatten.toArray
+      payload.take(14) ++ kept
+    }
+  }
+}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -33,13 +71,13 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("resize stub rewrites header dims; frame sampler keeps every Nth frame") {
     val p = Multimodal.encodePayload(Array.fill[Byte](100)(7), 0)
-    val resized = Multimodal.resizeStub(p, 4, 4)
+    val resized = MultimodalTestKernels.resizeStub(p, 4, 4)
     val meta = Multimodal.decodeMeta(resized)
     assert(meta.getInt(1) == 4 && meta.getInt(2) == 4)
     assert(meta.getInt(5) < 100) // payload truncated proportionally
 
     val video = Multimodal.encodePayload(Array.tabulate[Byte](40)(_.toByte), 2)
-    val sampled = Multimodal.frameSampleStub(video, frameBytes = 10, everyN = 2)
+    val sampled = MultimodalTestKernels.frameSampleStub(video, frameBytes = 10, everyN = 2)
     assert(sampled.length == 14 + 20) // frames 0 and 2 of 4 kept
   }
 
@@ -60,7 +98,7 @@ class MultimodalSpec extends AnyFunSuite {
       // executes on executors: oversized batches fail the job itself
       require(batch.nonEmpty && batch.length <= 8,
         s"kernel saw batch of ${batch.length}")
-      batch.map(p => Multimodal.resizeStub(p, 4, 4))
+      batch.map(p => MultimodalTestKernels.resizeStub(p, 4, 4))
     }
     val metas = Multimodal.decodeBatched(resized, "doc_id", "payload")
       .select("meta.width", "meta.height").collect()
