@@ -78,6 +78,168 @@ object PortalDataSource {
       .orElse(root.map(PortalTransport(_)))
 }
 
+/** Per-part column min/max statistics, written into the item's
+  * `partStats` property at publish commit and read back at scan
+  * planning to PRUNE part handles that cannot satisfy the pushed
+  * filters — a time-windowed read of a published layer skips
+  * non-overlapping parts instead of re-downloading every one (the
+  * ERDDAP source's bound pushdown, mirrored on the portal read side).
+  *
+  * Stats are ADVISORY: Spark re-evaluates every filter post-scan, so a
+  * missing/undecodable stats property only costs pruning, never
+  * correctness. Values ride in a canonical comparable form per type
+  * (timestamp→µs, date→epoch day, integral/boolean→long, float→double,
+  * string→raw); the wire encoding is line/comma structured with
+  * URL-escaped fields, so no value can corrupt the framing. The merged
+  * `*` entry covers backends whose read plane is a single handle (the
+  * REST item-data download) — a fully out-of-window read prunes to
+  * zero parts there. */
+object PortalStats {
+  import org.apache.spark.sql.sources._
+
+  val PropKey = "partStats"
+  private val MaxEncoded = 100000 // props are small: skip stats, not publish
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Canonical string for one tracked value (already in type domain). */
+  private def canonStr(v: Any): String = v match {
+    case l: Long => l.toString
+    case d: Double => d.toString
+    case s: String => s
+    case other => other.toString
+  }
+
+  private def parseCanon(dt: DataType, s: String): Any = dt match {
+    case TimestampType | DateType | LongType | IntegerType | ShortType |
+         ByteType | BooleanType => s.toLong
+    case DoubleType | FloatType => s.toDouble
+    case _ => s
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0
+  }
+
+  /** Spark pushes filter values as external JVM types; map them into
+    * the canonical domain of the column's type (None = not comparable,
+    * never prune). */
+  private def filterValue(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case (TimestampType, i: java.time.Instant) =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+    case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+    case (LongType | IntegerType | ShortType | ByteType, n: Number) =>
+      Some(n.longValue())
+    case (DoubleType | FloatType, n: Number) => Some(n.doubleValue())
+    case (BooleanType, b: java.lang.Boolean) => Some(if (b) 1L else 0L)
+    case (StringType, s: String) => Some(s)
+    case _ => None
+  }
+
+  /** Encode: record 1 `v1`, record 2 column names, then one record per
+    * part — basename, then (min,max) per column (`-` = no stat).
+    * Records join on `;`, fields on `,` — both are URL-escaped inside
+    * fields, and the whole value stays control-char-free so it can ride
+    * any property wire (JSON, form-encoded) untouched. */
+  def encode(schema: StructType,
+      parts: Seq[(String, Seq[Option[(String, String)]])]): Option[String] = {
+    val header = "v1;" + schema.fields.map(f => enc(f.name)).mkString(",")
+    val lines = parts.map { case (name, stats) =>
+      (enc(name) +: stats.flatMap {
+        case Some((mn, mx)) => Seq("v" + enc(mn), "v" + enc(mx))
+        case None => Seq("-", "-")
+      }).mkString(",")
+    }
+    val out = (header +: lines).mkString(";")
+    if (out.length > MaxEncoded) None else Some(out)
+  }
+
+  /** Decode to basename → (col → (min, max) in canonical domain). */
+  def decode(schema: StructType, encoded: String): Map[String, Map[String, (Any, Any)]] = {
+    try {
+      val lines = encoded.split(";", -1)
+      if (lines.length < 2 || lines(0) != "v1") return Map.empty
+      val cols = lines(1).split(",", -1).map(dec)
+      val types = cols.map(c => schema.fields.find(_.name == c).map(_.dataType))
+      lines.drop(2).filter(_.nonEmpty).map { line =>
+        val f = line.split(",", -1)
+        val name = dec(f(0))
+        val ranges = cols.indices.flatMap { i =>
+          val (mnF, mxF) = (f(1 + 2 * i), f(2 + 2 * i))
+          types(i) match {
+            case Some(dt) if mnF.startsWith("v") && mxF.startsWith("v") =>
+              Some(cols(i) -> (parseCanon(dt, dec(mnF.drop(1))),
+                parseCanon(dt, dec(mxF.drop(1)))))
+            case _ => None
+          }
+        }.toMap
+        name -> ranges
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Elementwise merge of per-part stats → the `*` whole-payload entry. */
+  def merge(schema: StructType,
+      parts: Seq[Seq[Option[(String, String)]]]): Seq[Option[(String, String)]] =
+    schema.fields.indices.map { i =>
+      val present = parts.flatMap(_(i))
+      if (present.isEmpty || present.length < parts.length) None // a stat-less part → unknown range
+      else {
+        val dt = schema.fields(i).dataType
+        val mn = present.map(p => parseCanon(dt, p._1)).minBy(identity)(Ordering.fromLessThan((a, b) => cmp(a, b) < 0))
+        val mx = present.map(p => parseCanon(dt, p._2)).maxBy(identity)(Ordering.fromLessThan((a, b) => cmp(a, b) < 0))
+        Some((canonStr(mn), canonStr(mx)))
+      }
+    }
+
+  /** Can a part whose column ranges are `ranges` contain a row matching
+    * `filter`? Missing range → true (never prune blind). */
+  def mayMatch(schema: StructType, ranges: Map[String, (Any, Any)],
+      filter: Filter): Boolean = {
+    def colRange(c: String): Option[(DataType, Any, Any)] = for {
+      f <- schema.fields.find(_.name == c)
+      r <- ranges.get(c)
+    } yield (f.dataType, r._1, r._2)
+    def bound(c: String, v: Any)(p: (Int, Int) => Boolean): Boolean =
+      colRange(c) match {
+        case Some((dt, mn, mx)) => filterValue(dt, v) match {
+          case Some(fv) => p(cmp(fv, mn), cmp(fv, mx))
+          case None => true
+        }
+        case None => true
+      }
+    filter match {
+      case And(l, r) => mayMatch(schema, ranges, l) && mayMatch(schema, ranges, r)
+      case Or(l, r) => mayMatch(schema, ranges, l) || mayMatch(schema, ranges, r)
+      case EqualTo(c, v) => bound(c, v)((dMin, dMax) => dMin >= 0 && dMax <= 0)
+      case GreaterThan(c, v) => bound(c, v)((_, dMax) => dMax < 0)
+      case GreaterThanOrEqual(c, v) => bound(c, v)((_, dMax) => dMax <= 0)
+      case LessThan(c, v) => bound(c, v)((dMin, _) => dMin > 0)
+      case LessThanOrEqual(c, v) => bound(c, v)((dMin, _) => dMin >= 0)
+      case In(c, vs) => vs.exists(v => bound(c, v)((dMin, dMax) => dMin >= 0 && dMax <= 0))
+      case _ => true
+    }
+  }
+
+  /** Is this a filter shape [[mayMatch]] can ever prune on? */
+  def prunable(filter: Filter): Boolean = filter match {
+    case And(l, r) => prunable(l) || prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In => true
+    case _ => false
+  }
+}
+
 class PortalTable(writeSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
@@ -119,32 +281,59 @@ class PortalScanBuilder(root: Option[String], title: String,
     fullSchema: StructType, portalUrl: Option[String],
     username: String, password: String)
     extends org.apache.spark.sql.connector.read.ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.sources.Filter
 
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(req: StructType): Unit = {
     val names = req.fieldNames.toSet
     required = StructType(fullSchema.filter(f => names.contains(f.name)))
   }
 
+  /** Part-PRUNING pushdown: comparison/equality shapes are accepted for
+    * min/max pruning against the published `partStats`, but every
+    * filter stays residual (we return the full array) — stats are
+    * advisory, Spark re-evaluates post-scan, so stale or absent stats
+    * can only cost pruning, never rows. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(PortalStats.prunable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new Scan with Batch {
     private val transport =
       PortalDataSource.transportFor(root, portalUrl, username, password).get
     private val item = transport.findByTitle(title).getOrElse(
       throw new IllegalArgumentException(s"no published item '$title'"))
-    private val slot = transport.props(item.id).getOrElse("activeSlot",
+    private val props = transport.props(item.id)
+    private val slot = props.getOrElse("activeSlot",
       throw new IllegalStateException(s"item '$title' has no published slot"))
+    private val partStats: Map[String, Map[String, (Any, Any)]] =
+      props.get(PortalStats.PropKey)
+        .map(PortalStats.decode(fullSchema, _)).getOrElse(Map.empty)
 
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"portal.$title slot=$slot cols=${required.fieldNames.mkString(",")}"
+      s"portal.$title slot=$slot cols=${required.fieldNames.mkString(",")}" +
+        (if (pushed.isEmpty) "" else s" pruneFilters=${pushed.mkString(",")}")
 
     override def planInputPartitions(): Array[InputPartition] =
-      transport.listParts(item.id, slot)
-        .map(h => PortalFilePartition(h): InputPartition).toArray
+      transport.listParts(item.id, slot).filter { h =>
+        // stats keyed by part basename; `*` covers single-handle
+        // backends (REST item-data). No stats → never prune.
+        val basename = h.substring(h.lastIndexOf('/') + 1)
+        partStats.get(basename).orElse(partStats.get("*")) match {
+          case Some(ranges) =>
+            pushed.forall(PortalStats.mayMatch(fullSchema, ranges, _))
+          case None => true
+        }
+      }.map(h => PortalFilePartition(h): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
       new PortalReaderFactory(root, portalUrl, username, password,
@@ -220,7 +409,8 @@ class PortalWriteBuilder(root: String, title: String, tags: Seq[String],
 }
 
 case class PortalCommitMessage(path: String, rows: Long, xor: Long,
-    sum: Long) extends WriterCommitMessage
+    sum: Long, stats: Seq[Option[(String, String)]] = Nil)
+    extends WriterCommitMessage
 
 class PortalBatchWrite(root: String, title: String, tags: Seq[String],
     ifChanged: Boolean, schema: StructType, portalUrl: Option[String] = None,
@@ -270,9 +460,20 @@ class PortalBatchWrite(root: String, title: String, tags: Seq[String],
       msgs.filter(_.path.nonEmpty).map(m => Path.of(m.path)).toSeq)
     deleteRecursively(Path.of(stagingDir))
     t.restoreProperties(item.id, backup)
+    // per-part min/max column stats (collected free during the write
+    // pass) → the partStats property, keyed by part basename plus the
+    // merged `*` whole-payload entry — the read path prunes parts on
+    // pushed filters against these
+    val withStats = msgs.filter(m => m.path.nonEmpty && m.stats.nonEmpty)
+    val statEntries = withStats.map(m =>
+      Path.of(m.path).getFileName.toString -> m.stats.toSeq).toSeq
+    val statsProp = PortalStats.encode(schema,
+      statEntries :+ ("*" -> PortalStats.merge(schema, statEntries.map(_._2))))
+      .map(PortalStats.PropKey -> _).toMap
     t.update(item.id, Map(
       "activeSlot" -> inactive, "fingerprint" -> fp, "rows" -> rows.toString,
-      "schema" -> schema.json)) // read path resolves the layout from here
+      "schema" -> schema.json) // read path resolves the layout from here
+      ++ statsProp)
     t.touch(item.id, System.currentTimeMillis())
   }
 
@@ -301,6 +502,41 @@ class PortalDataWriter(stagingDir: String, schema: StructType,
   private var rows = 0L
   private var xor = 0L
   private var sum = 0L
+  // per-column min/max in canonical domain (Long/Double/String); null
+  // until the first non-null value — costs no extra pass over the data
+  private val mins = new Array[Any](schema.length)
+  private val maxs = new Array[Any](schema.length)
+
+  private def trackStats(row: InternalRow): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val v: Any = schema.fields(i).dataType match {
+          case StringType => row.getUTF8String(i).toString
+          case TimestampType | LongType => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case DateType => row.getInt(i).toLong
+          case ShortType => row.getShort(i).toLong
+          case ByteType => row.getByte(i).toLong
+          case BooleanType => if (row.getBoolean(i)) 1L else 0L
+          case DoubleType => row.getDouble(i)
+          case FloatType => row.getFloat(i).toDouble
+          case _ => null
+        }
+        if (v != null) {
+          def lt(a: Any, b: Any): Boolean = (a, b) match {
+            case (x: Long, y: Long) => x < y
+            case (x: Double, y: Double) => x < y
+            case (x: String, y: String) => x < y
+            case _ => false
+          }
+          if (mins(i) == null || lt(v, mins(i))) mins(i) = v
+          if (maxs(i) == null || lt(maxs(i), v)) maxs(i) = v
+        }
+      }
+      i += 1
+    }
+  }
 
   private def fnv1a64(s: String): Long = {
     var h = 0xCBF29CE484222325L
@@ -343,11 +579,16 @@ class PortalDataWriter(stagingDir: String, schema: StructType,
     out.write(line); out.write("\n")
     val h = fnv1a64(line)
     rows += 1; xor ^= h; sum += h
+    trackStats(row)
   }
 
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
-    PortalCommitMessage(path, rows, xor, sum)
+    val stats = schema.fields.indices.map { i =>
+      if (mins(i) == null) None
+      else Some((mins(i).toString, maxs(i).toString))
+    }
+    PortalCommitMessage(path, rows, xor, sum, stats)
   }
 
   override def abort(): Unit = {

@@ -1,0 +1,123 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.types._
+
+import graft.operators.SparkTestSession
+
+/** Filter pushdown on the portal READ table: publish-time per-part
+  * min/max stats prune part handles at scan planning, on both transport
+  * backends. Stats are advisory — every test also checks row-level
+  * results, which Spark guarantees by re-evaluating residual filters. */
+class PortalPushdownSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  private def publishRangeParts(root: String, item: String,
+      portalUrl: Option[String] = None): Unit = {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01T00:00:00Z"), "a"),
+      (2L, ts("2024-01-02T00:00:00Z"), "b"),
+      (10L, ts("2024-02-01T00:00:00Z"), "c"),
+      (11L, ts("2024-02-02T00:00:00Z"), "d"),
+      (20L, ts("2024-03-01T00:00:00Z"), "e"),
+      (21L, ts("2024-03-02T00:00:00Z"), "f")
+    ).toDF("id", "ts", "v")
+      .repartitionByRange(3, col("id")) // 3 parts with disjoint id/ts ranges
+    val w = df.write.format("portal")
+      .option("root", root).option("item", item).mode("append")
+    portalUrl.fold(w) { u =>
+      w.option("portalUrl", u)
+        .option("username", "gcoos").option("password", "fixture-pass")
+    }.save()
+  }
+
+  private val schema = StructType(Seq(StructField("id", LongType),
+    StructField("ts", TimestampType), StructField("v", StringType)))
+
+  private def planParts(root: String, item: String,
+      portalUrl: Option[String],
+      filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+    val b = new PortalScanBuilder(Some(root), item, schema, portalUrl,
+      "gcoos", "fixture-pass")
+    val residual = b.pushFilters(filters)
+    assert(residual.toSeq == filters.toSeq, "all filters must stay residual")
+    b.build().toBatch.planInputPartitions().length
+  }
+
+  test("[local] time-range and equality predicates prune non-overlapping parts") {
+    val root = java.nio.file.Files.createTempDirectory("pp_local").toString
+    publishRangeParts(root, "pruned")
+
+    assert(planParts(root, "pruned", None, Array.empty) == 3)
+    // only the March part overlaps ts >= 2024-02-15
+    assert(planParts(root, "pruned", None,
+      Array(GreaterThanOrEqual("ts", ts("2024-02-15T00:00:00Z")))) == 1)
+    // window fully before the data → zero parts
+    assert(planParts(root, "pruned", None,
+      Array(LessThan("ts", ts("2023-01-01T00:00:00Z")))) == 0)
+    // equality on the numeric column → the one containing part
+    assert(planParts(root, "pruned", None, Array(EqualTo("id", 10L))) == 1)
+    // conjunction that no single part satisfies
+    assert(planParts(root, "pruned", None,
+      Array(GreaterThan("id", 11L), LessThan("ts", ts("2024-02-28T00:00:00Z")))) == 0)
+
+    // end-to-end: the pruned read returns exactly the right rows
+    val out = spark.read.format("portal")
+      .option("root", root).option("item", "pruned").load()
+      .filter(col("ts") >= lit(ts("2024-02-15T00:00:00Z")))
+    assert(out.collect().map(_.getString(2)).sorted.toSeq == Seq("e", "f"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("pruneFilters="), s"pushdown missing from plan:\n$plan")
+  }
+
+  test("[rest] whole-payload stats prune the single-handle read to zero when out of window") {
+    val server = new FakeAgolServer(
+      new Portal(java.nio.file.Files.createTempDirectory("pp_rest_portal").toString),
+      "gcoos", "fixture-pass")
+    val root = java.nio.file.Files.createTempDirectory("pp_rest_stage").toString
+    publishRangeParts(root, "pruned-rest", Some(server.base))
+
+    // REST read plane is one item-data handle; the merged `*` range covers it
+    assert(planParts(root, "pruned-rest", Some(server.base), Array.empty) == 1)
+    assert(planParts(root, "pruned-rest", Some(server.base),
+      Array(GreaterThan("ts", ts("2024-01-15T00:00:00Z")))) == 1)
+    assert(planParts(root, "pruned-rest", Some(server.base),
+      Array(LessThan("ts", ts("2023-01-01T00:00:00Z")))) == 0)
+    assert(planParts(root, "pruned-rest", Some(server.base),
+      Array(EqualTo("id", 999L))) == 0)
+
+    // end-to-end through the REST seam with an in-window filter
+    val out = spark.read.format("portal")
+      .option("root", root).option("item", "pruned-rest")
+      .option("portalUrl", server.base)
+      .option("username", "gcoos").option("password", "fixture-pass")
+      .load().filter(col("id") === 10L)
+    assert(out.collect().map(_.getString(2)).toSeq == Seq("c"))
+  }
+
+  test("stats survive the encode/decode round trip; missing stats never prune") {
+    val parts = Seq(
+      "part-0.csv" -> Seq(Some(("1", "9")), Some(("100", "200")), None),
+      "part-1.csv" -> Seq(Some(("10", "19")), None, Some(("a,b|x", "z\nq")))
+    )
+    val enc = PortalStats.encode(schema, parts).get
+    val dec = PortalStats.decode(schema, enc)
+    assert(dec("part-0.csv")("id") == ((1L, 9L)))
+    assert(dec("part-0.csv")("ts") == ((100L, 200L)))
+    assert(!dec("part-0.csv").contains("v"))
+    assert(dec("part-1.csv")("v") == (("a,b|x", "z\nq"))) // framing survives
+    // a column with a stat-less part must vanish from the merged `*`
+    val merged = PortalStats.merge(schema, parts.map(_._2))
+    assert(merged(0) == Some(("1", "19")))
+    assert(merged(1).isEmpty && merged(2).isEmpty)
+    // garbage property → no stats, no crash, no pruning
+    assert(PortalStats.decode(schema, "not stats at all").isEmpty)
+    assert(PortalStats.mayMatch(schema, Map.empty, EqualTo("id", 5L)))
+  }
+}
