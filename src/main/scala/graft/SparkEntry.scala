@@ -725,6 +725,28 @@ object SparkEntry {
           "text", "doc_id", chunkTokens = 32, stride = 16)
       }),
 
+    // ---- T-streaming/sessionize: the flatMapGroupsWithState session
+    //      operator running as a REAL streaming query, hash-matched vs
+    //      the batch SQL oracle. Emitted = every session closed by a
+    //      later event plus those whose gap timeout passed the final
+    //      watermark (= max event time at delay 0) — the oracle is the
+    //      batch sessionization filtered to exactly that set ----
+    "t4_streaming_sessions" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t4") { events =>
+        val ev = events
+          .select(col("user_id").as("userId"),
+            date_trunc("second", col("ts")).as("ts"))
+          .withWatermark("ts", "0 seconds")
+          .as[graft.operators.Sessionize.Event](
+            org.apache.spark.sql.Encoders.product[graft.operators.Sessionize.Event])
+        graft.operators.Sessionize.streamingSessions(ev, gapSeconds = 600)
+          .toDF()
+          .select(col("userId").as("user_id"),
+            col("sessionStart").as("session_start"),
+            col("sessionEnd").as("session_end"),
+            col("nEvents").as("n_events"))
+      }),
+
     // ---- text: BPE encode — subword counts under the 8 trained
     //      merges (pure codegen'd string pipeline, zero shuffle) ----
     "bpe_encode" -> ((s, dir) => {
@@ -1230,6 +1252,33 @@ object SparkEntry {
     // key columns the result is exactly the distinct key set
     "t2_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the batch sessionization (w6) filtered to sessions the streaming
+    // run EMITS: closed by a later event (not the key's last session)
+    // or gap-timeout fired before the final watermark (strictly —
+    // Spark fires when the watermark advances BEYOND the timeout)
+    "t4_streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch(ts) - epoch(lag(ts) OVER w) > 600 THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM lagged),
+        |summ AS (
+        |  SELECT user_id, session_id, min(ts) AS session_start,
+        |    max(ts) AS session_end, count(*) AS n_events,
+        |    max(session_id) OVER (PARTITION BY user_id) AS last_session
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM summ
+        |WHERE session_id < last_session
+        |   OR epoch(session_end) + 600
+        |      < (SELECT epoch(max(date_trunc('second', ts))) FROM events)""".stripMargin,
     "text_bpe_tokens" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
