@@ -1867,9 +1867,13 @@ object SparkEntry {
         |  FROM embeddings WHERE vec_id >= 5),
         | scored AS (
         |  SELECT q.qid, c.vec_id,
-        |    list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) /
-        |    (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
-        |     sqrt(list_sum(list_transform(q.qv, x -> x*x)))) AS cos
+        |    CASE WHEN sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+        |              sqrt(list_sum(list_transform(q.qv, x -> x*x))) = 0
+        |         THEN 0.0
+        |         ELSE list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) /
+        |              (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+        |               sqrt(list_sum(list_transform(q.qv, x -> x*x))))
+        |    END AS cos
         |  FROM c CROSS JOIN q),
         | ranked AS (
         |  SELECT qid, vec_id, cos, row_number() OVER (

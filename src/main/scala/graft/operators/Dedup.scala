@@ -358,9 +358,10 @@ object Dedup {
     *
     * TWO TIERS, selected by the materialized edge count:
     *
-    *  - `≤ localEdgeCap` directed edges (default 2M; LONG ids only —
-    *    other id types always take the distributed tier): one BOUNDED
-    *    collect (the a<b half) + driver union-find with path
+    *  - `≤ localEdgeCap` directed edges (default 2M; LONG and STRING
+    *    ids — the document-id shapes; other types always take the
+    *    distributed tier): one BOUNDED
+    *    collect (the a<=b half) + driver union-find with path
     *    compression — exact, one pass, no iteration, ~150 MB transient
     *    at the cap. After LSH banding + a similarity threshold the
     *    pair graph is typically corpus-scale SMALLER than the corpus,
@@ -386,43 +387,34 @@ object Dedup {
       .localCheckpoint() // edges are reused every round — cut the lineage once
     val edgeCount = edges.count() // free: counts the checkpointed blocks
 
-    // local tier only for LONG ids (the collect reads primitives; other
-    // id types — the distributed tier is type-generic — fall through)
-    val longIds = pairs.schema.take(2).forall(
-      _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && edgeCount <= localEdgeCap) {
+    // local tier for LONG and STRING ids (the two id shapes documents
+    // actually carry — synthetic longs and UUID strings); other id
+    // types fall through to the type-generic distributed tier
+    val idType = pairs.schema.head.dataType
+    val sameTypes = pairs.schema.take(2).map(_.dataType).distinct.size == 1
+    if (sameTypes && edgeCount <= localEdgeCap &&
+        (idType == org.apache.spark.sql.types.LongType ||
+         idType == org.apache.spark.sql.types.StringType)) {
       // driver union-find over the bounded edge list. Memory: the
-      // collect ships the a<b half (edgeCount/2 rows), and the boxed
-      // parent map holds ≤ |V| entries — ~150 MB transient at the
+      // collect ships the a<=b half (~edgeCount/2 rows; self-loops kept
+      // so vertex-set parity with the distributed tier holds), and the
+      // boxed parent map holds ≤ |V| entries — ~150 MB transient at the
       // default cap, far under any realistic driver heap.
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-        var c = x // path compression
-        while (parent.getOrDefault(c, c) != c) {
-          val next = parent.getOrDefault(c, c); parent.put(c, r); c = next
-        }
-        r
-      }
-      val edgeArr = edges.filter(col("a") < col("b")).collect()
-      edgeArr.foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { // union by MIN root so labels are min-of-component
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
       val spark = pairs.sparkSession
       import spark.implicits._
-      val ids = new java.util.HashSet[Long]()
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      edgeArr.foreach { row =>
-        Seq(row.getLong(0), row.getLong(1)).foreach { id =>
-          if (ids.add(id)) out += (id -> find(id))
-        }
-      }
-      return out.toSeq.toDF("id", "cluster")
+      val half = edges.filter(col("a") <= col("b")).collect()
+      edges.unpersist()
+      return (idType match {
+        case org.apache.spark.sql.types.LongType =>
+          localUnionFind[Long](half.map(r => (r.getLong(0), r.getLong(1))),
+            _ < _).toDF("id", "cluster")
+        case _ =>
+          // min label must agree with the distributed tier's `min` on
+          // UTF8String: BYTE-wise UTF-8 order, not String.compareTo
+          // (they diverge above the BMP)
+          localUnionFind[String](half.map(r => (r.getString(0), r.getString(1))),
+            utf8Lt).toDF("id", "cluster")
+      })
     }
 
     var labels = edges.select(col("a").as("id")).distinct()
@@ -431,6 +423,7 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      val prevLabels = labels
       // neighbor-min: best label among my neighbors
       val viaEdges = edges
         .join(labels.select(col("id").as("b"), col("cluster").as("nb")), "b")
@@ -449,12 +442,59 @@ object Dedup {
       val step2 = step1.join(parents, Seq("cluster"), "left")
         .select(col("id"), col("old"),
           least(col("cluster"), coalesce(col("pc"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before prev is dropped
+      prevLabels.unpersist() // bound block-manager growth across rounds
       changed = step2.filter(col("cluster") < col("old")).count()
       labels = step2.drop("old")
       iter += 1
     }
+    edges.unpersist()
     labels
+  }
+
+  /** Driver union-find with path compression and union-by-min-root, so
+    * labels are the component minimum under `lt` — the same labels the
+    * distributed tier converges to. Emits one (id, root) row per
+    * distinct endpoint, INCLUDING self-loop-only ids. */
+  private def localUnionFind[T](edgeArr: Array[(T, T)],
+      lt: (T, T) => Boolean): Seq[(T, T)] = {
+    val parent = new java.util.HashMap[T, T]()
+    def find(x: T): T = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val next = parent.getOrDefault(c, c); parent.put(c, r); c = next
+      }
+      r
+    }
+    edgeArr.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val ids = new java.util.HashSet[T]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(T, T)]
+    edgeArr.foreach { case (a, b) =>
+      Seq(a, b).foreach { id => if (ids.add(id)) out += (id -> find(id)) }
+    }
+    out.toSeq
+  }
+
+  /** Byte-wise UTF-8 comparison — UTF8String's binary order (what the
+    * distributed tier's `min`/`least` compare by). */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Keep-one-per-cluster dedup: rows whose id is its cluster's minimum

@@ -307,6 +307,10 @@ object Similarity {
       queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
     require(queries.nonEmpty, "no queries")
     require(k > 0, "k must be positive")
+    val qDims = queries.map(_._2.length).distinct
+    require(qDims.size == 1 && qDims.head > 0,
+      s"knnJoin: query vectors must share one non-zero dimension, got $qDims")
+    val dim = qDims.head
     val spark = df.sparkSession
     import spark.implicits._
     val qArr: Array[(Long, Array[Double], Double)] = queries.sortBy(_._1).map {
@@ -328,6 +332,14 @@ object Similarity {
         val heaps = qArr.map(_ =>
           new java.util.PriorityQueue[(Double, Long)](kk, ord))
         iter.foreach { case (id, vec) =>
+          // fail-fast with the offending id: a null or mis-sized corpus
+          // vector would otherwise surface as an opaque executor NPE /
+          // ArrayIndexOutOfBounds (or a silently-truncated dot product
+          // when the corpus vector is LONGER than the query)
+          if (vec == null) throw new IllegalArgumentException(
+            s"knnJoin: null embedding for id=$id")
+          if (vec.length != dim) throw new IllegalArgumentException(
+            s"knnJoin: id=$id has dimension ${vec.length}, queries have $dim")
           // row norm once per row, not once per (row, query)
           var vn = 0.0; var i = 0
           while (i < vec.length) {

@@ -612,6 +612,7 @@ object PortalSink {
     spark.read.schema(schema)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .option("escape", "\"") // RFC-4180 doubled quotes, not backslash
+      .option("multiLine", "true") // quoted CR/LF cells span physical lines
       .csv(s"$root/${item.id}/$slot")
   }
 }

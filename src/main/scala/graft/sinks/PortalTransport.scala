@@ -202,10 +202,11 @@ class LocalPortalTransport(portal: Portal, root: String) extends PortalTransport
       .map(_.toString).toSeq.sorted
   }
 
-  override def fetchPart(handle: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(java.nio.file.Path.of(handle)).asScala.toSeq
-  }
+  override def fetchPart(handle: String): Seq[String] =
+    // RECORD split, not line split: string cells may carry quoted
+    // CR/LF (RFC 4180), which a readAllLines would tear mid-cell
+    graft.sources.erddap.Csv.recordLines(
+      java.nio.file.Files.readString(java.nio.file.Path.of(handle)))
 }
 
 /** Live backend over the sharing-REST client. Data replacement is the
@@ -299,5 +300,5 @@ class RestPortalTransport(client: PortalRestClient) extends PortalTransport {
     Seq(itemId)
 
   override def fetchPart(handle: String): Seq[String] =
-    client.itemData(handle).linesIterator.toSeq
+    graft.sources.erddap.Csv.recordLines(client.itemData(handle))
 }

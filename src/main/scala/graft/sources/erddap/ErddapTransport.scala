@@ -102,10 +102,10 @@ class HttpErddapTransport(
     new String(getBytes(uri), java.nio.charset.StandardCharsets.UTF_8)
 
   override def fetch(url: String): Seq[String] = {
-    // CSV responses may quote fields with embedded newlines; ERDDAP's
-    // csvp format never does, so per-line split is sound (Csv.scala).
-    getString(rebase(url, "tabledap")).split("\r?\n", -1).toSeq
-      .filter(_.nonEmpty)
+    // quote-aware record split: ERDDAP's csvp never embeds newlines,
+    // but plain .csv responses MAY quote them — a record split here
+    // keeps such cells intact instead of tearing the row in half
+    Csv.recordLines(getString(rebase(url, "tabledap"))).filter(_.nonEmpty)
   }
 
   override def dasText(datasetId: String): String =

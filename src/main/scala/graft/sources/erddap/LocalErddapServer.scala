@@ -56,7 +56,9 @@ class LocalErddapServer(dataDir: String) extends ErddapTransport {
       }
     }
 
-    val lines = Files.readAllLines(Path.of(dataDir, s"$datasetId.csv")).asScala.toSeq
+    // record-aware: fixture cells may carry quoted CR/LF (RFC 4180)
+    val lines = Csv.recordLines(
+      Files.readString(Path.of(dataDir, s"$datasetId.csv"))).filter(_.nonEmpty)
     val header = Csv.split(lines.head).toSeq
     val idx = attrs.map(a => header.indexOf(a))
     require(idx.forall(_ >= 0), s"unknown attribute in $attrs vs $header")
@@ -191,7 +193,9 @@ class LocalErddapServer(dataDir: String) extends ErddapTransport {
   /** The reference's ncHeader size probe (`data_wrangler.py:238-266`):
     * row count without data transfer. */
   override def rowCount(datasetId: String): Long =
-    Files.lines(Path.of(dataDir, s"$datasetId.csv")).count() - 1
+    // RECORDS, not physical lines — quoted CR/LF cells span lines
+    Csv.recordLines(Files.readString(Path.of(dataDir, s"$datasetId.csv")))
+      .count(_.nonEmpty) - 1
 
   override def sizeInBytes(datasetId: String): Long =
     Files.size(Path.of(dataDir, s"$datasetId.csv"))

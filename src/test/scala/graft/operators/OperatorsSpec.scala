@@ -209,6 +209,29 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       batch.values.flatten.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSet)
   }
 
+  test("knnJoin: null or mis-sized vectors fail with the offending id, not an opaque crash") {
+    import spark.implicits._
+    val qs = Seq(1L -> Seq(1.0, 0.0))
+    val shortVec = Seq((10L, Seq(1.0)), (11L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Similarity.knnJoin(shortVec, "vec_id", "embedding", qs, k = 2).collect()
+    }
+    assert(e1.getMessage.contains("id=10") && e1.getMessage.contains("dimension"))
+    val nullVec = Seq((20L, Seq(1.0, 2.0)), (21L, null.asInstanceOf[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Similarity.knnJoin(nullVec, "vec_id", "embedding", qs, k = 2).collect()
+    }
+    assert(e2.getMessage.contains("null embedding for id=21"))
+    // mixed-dimension queries refuse up front, before any Spark job
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.knnJoin(nullVec, "vec_id", "embedding",
+        Seq(1L -> Seq(1.0), 2L -> Seq(1.0, 2.0)), k = 1)
+    }
+    assert(e3.getMessage.contains("dimension"))
+  }
+
   test("nearest-centroid classify: separable clusters classify perfectly") {
     import spark.implicits._
     // two clean clusters on orthogonal axes + slight noise
@@ -261,6 +284,38 @@ class ClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
     val dist = Dedup.connectedComponents(pairs, localEdgeCap = 0)
       .as[(Long, Long)].collect().toMap
     assert(dist == cc)
+  }
+
+  test("connected components: self-pairs survive both tiers identically") {
+    // id 7 appears ONLY as a self-pair — it must label itself in BOTH
+    // tiers (the local tier's old a<b half silently dropped it)
+    val pairs = Seq((1L, 2L), (7L, 7L), (2L, 2L)).toDF("id1", "id2")
+    val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, localEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(dist == local)
+  }
+
+  test("connected components: string ids take the local tier with UTF-8 min order") {
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "x"),
+      ("z2", "z10")).toDF("id1", "id2")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(local == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "x" -> "x", "z10" -> "z10", "z2" -> "z10"))
+    val dist = Dedup.connectedComponents(pairs, localEdgeCap = 0)
+      .as[(String, String)].collect().toMap
+    assert(dist == local)
+    // non-ASCII: byte-wise UTF-8 order must agree with the distributed
+    // tier's UTF8String min (é sorts after every ASCII id)
+    val uni = Seq(("é", "e"), ("é", "ê")).toDF("id1", "id2")
+    val uniLocal = Dedup.connectedComponents(uni)
+      .as[(String, String)].collect().toMap
+    val uniDist = Dedup.connectedComponents(uni, localEdgeCap = 0)
+      .as[(String, String)].collect().toMap
+    assert(uniLocal == uniDist)
+    assert(uniLocal.values.toSet == Set("e"))
   }
 
   test("connected components: a 1000-link chain converges within log-rounds") {

@@ -101,6 +101,38 @@ class PortalPushdownSpec extends AnyFunSuite {
     assert(out.collect().map(_.getString(2)).toSeq == Seq("c"))
   }
 
+  test("quoted CR/LF cells round-trip the publish→read path on both backends") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "line1\nline2"), (2L, "crlf\r\ncell"), (3L, "q\"q,\nmix"),
+      (4L, "plain")).toDF("id", "v")
+
+    val localRoot = java.nio.file.Files.createTempDirectory("ml_local").toString
+    df.repartition(2).write.format("portal")
+      .option("root", localRoot).option("item", "ml").mode("append").save()
+    val localBack = spark.read.format("portal")
+      .option("root", localRoot).option("item", "ml").load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(localBack == Map(1L -> "line1\nline2", 2L -> "crlf\r\ncell",
+      3L -> "q\"q,\nmix", 4L -> "plain"))
+
+    val server = new FakeAgolServer(
+      new Portal(java.nio.file.Files.createTempDirectory("ml_rest_p").toString),
+      "gcoos", "fixture-pass")
+    val stageRoot = java.nio.file.Files.createTempDirectory("ml_rest_s").toString
+    df.repartition(2).write.format("portal")
+      .option("root", stageRoot).option("item", "ml-rest")
+      .option("portalUrl", server.base)
+      .option("username", "gcoos").option("password", "fixture-pass")
+      .mode("append").save()
+    val restBack = spark.read.format("portal")
+      .option("root", stageRoot).option("item", "ml-rest")
+      .option("portalUrl", server.base)
+      .option("username", "gcoos").option("password", "fixture-pass")
+      .load().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(restBack == localBack)
+  }
+
   test("stats survive the encode/decode round trip; missing stats never prune") {
     val parts = Seq(
       "part-0.csv" -> Seq(Some(("1", "9")), Some(("100", "200")), None),

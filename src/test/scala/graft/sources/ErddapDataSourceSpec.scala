@@ -257,4 +257,62 @@ class ErddapDataSourceSpec extends AnyFunSuite {
     assert(!plan.contains("erddap-agg"))
     assert(agg.head().getLong(0) == 72)
   }
+
+  // Fixture with quoted CR/LF INSIDE cells: the classic line-based CSV
+  // reader bug — a record spanning physical lines must arrive intact
+  // through the chunked InputPartition reader (multiple time-chunk
+  // partitions, each re-fetching and record-splitting its window).
+  lazy val dir3: java.nio.file.Path = {
+    val d = Files.createTempDirectory("erddap_src3")
+    import graft.sources.erddap.Csv
+    val rows = (0 until 60).map { s =>
+      val t = Instant.parse("2024-06-01T00:00:00Z").plusSeconds(s.toLong)
+      val iso = graft.erddap.ChunkPlanner.isoNoZone(t) + "Z"
+      val note = s % 4 match {
+        case 0 => s"line1\nline2 #$s"     // bare LF inside the cell
+        case 1 => s"crlf\r\ncell #$s"     // CRLF inside the cell
+        case 2 => s"q\"q,\n comma #$s"    // quote + comma + LF
+        case _ => s"plain #$s"
+      }
+      Csv.join(Seq(iso, note, s"$s.5"))
+    }
+    Files.writeString(d.resolve("mn1.csv"),
+      ("time,note,depth_m" +: rows).mkString("\n"))
+    Files.writeString(d.resolve("mn1.das"),
+      """Attributes {
+        |  time {
+        |    String ioos_category "Time";
+        |    Float64 actual_range 1717200000.0, 1717200059.0;
+        |  }
+        |  note {
+        |    String ioos_category "Identifier";
+        |  }
+        |  depth_m {
+        |    Float64 actual_range 0.5, 59.5;
+        |  }
+        |  NC_GLOBAL {
+        |    String title "Multiline fixture";
+        |  }
+        |}""".stripMargin)
+    d
+  }
+
+  test("quoted CR/LF cells survive the chunked partition reader intact") {
+    val df = spark.read.format("erddap")
+      .option("dataDir", dir3.toString)
+      .option("dataset", "mn1")
+      .option("das", dir3.resolve("mn1.das").toString)
+      .option("chunkSize", "15")
+      .load()
+    assert(df.rdd.getNumPartitions == 4) // records DO cross chunk windows
+    assert(df.count() == 60)             // no torn or doubled records
+    val notes = df.select("note").collect().map(_.getString(0))
+    assert(notes.count(_.contains("\n")) == 45)   // cases 0, 1, 2
+    assert(notes.count(_.contains("\r\n")) == 15) // case 1: CR preserved
+    assert(notes.toSet.contains("line1\nline2 #0"))
+    assert(notes.toSet.contains("crlf\r\ncell #1"))
+    assert(notes.toSet.contains("q\"q,\n comma #2"))
+    // the numeric column after the multi-line cell still aligns
+    assert(df.agg(round(sum("depth_m"), 1)).head().getDouble(0) == 1800.0)
+  }
 }
