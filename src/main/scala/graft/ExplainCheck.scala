@@ -46,6 +46,13 @@ object ExplainCheck {
     audit("ann_pq_topk", mustContain = Seq("TakeOrderedAndProject"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
     audit("j7_salted_join")
+    // as-of join is union + carry-forward window: NO join operator of
+    // any kind may appear (an inequality-join formulation plans a BNLJ)
+    audit("j8_asof_join", mustContain = Seq("Window"),
+      mustNotContain = Seq("Join", "CartesianProduct"))
+    // range join must be the bin EQUI-join — never a cross product
+    audit("j9_range_join", mustNotContain =
+      Seq("CartesianProduct", "BroadcastNestedLoop"))
     // griddap: hyperslab pushdown must reach the scan (bbox + pruned cols)
     audit("s8_griddap_scan", mustContain = Seq("griddap", "bbox-pushed"))
     // SRP pairs: bucket equi-join only — a cross join here is the scale bug

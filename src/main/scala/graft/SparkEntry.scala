@@ -274,6 +274,37 @@ object SparkEntry {
         .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
     }),
 
+    // ---- J8 backward as-of join (training-pipeline op): latest click
+    //      at-or-before each purchase per user — union + carry-forward
+    //      window, ONE shuffle on the key, no inequality join ----
+    "j8_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id")) // unique per (key, ts)
+      Relational.asofJoin(purchases, clicks, "user_id", "ts", Seq("click_id"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("ts_right").as("click_ts"), col("click_id"))
+    }),
+
+    // ---- J9 point-in-interval range join (training-pipeline op):
+    //      events inside per-nation day windows — interval bins +
+    //      equi-join on the bin, never a CartesianProduct/BNLJ ----
+    "j9_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .select(col("ts"), col("value"))
+      val iv = t(s, dir, "nation").select(col("n_nationkey"),
+        expr("TIMESTAMP '2024-01-01 00:00:00' + make_dt_interval(n_nationkey)").as("lo"),
+        expr("TIMESTAMP '2024-01-01 00:00:00' + make_dt_interval(n_nationkey + 2)").as("hi"))
+      Relational.rangeJoin(iv, "lo", "hi", ev, "ts", binSeconds = 86400L)
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sv"))
+    }),
+
     // ---- W6 gap-based sessionization (training-pipeline op) ----
     "w6_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1337,6 +1368,26 @@ object SparkEntry {
     "j7_salted_join" ->
       """SELECT p_brand, round(sum(l_quantity),2) AS qty, count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin,
+    // DuckDB's native ASOF JOIN is the independent semantics check for
+    // the union+carry-forward implementation
+    "j8_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts FROM events),
+        |p AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, p.ts, c.ts AS click_ts, c.click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "j9_range_join" ->
+      """WITH e AS (SELECT date_trunc('second', ts) AS ts, value FROM events),
+        |iv AS (SELECT n_nationkey,
+        |  TIMESTAMP '2024-01-01 00:00:00' + n_nationkey * INTERVAL '1 day' AS lo,
+        |  TIMESTAMP '2024-01-01 00:00:00' + n_nationkey * INTERVAL '1 day'
+        |    + INTERVAL '2 days' AS hi
+        |  FROM nation)
+        |SELECT n_nationkey, count(*) AS n_events, round(sum(value), 2) AS sv
+        |FROM iv JOIN e ON e.ts >= lo AND e.ts <= hi GROUP BY 1""".stripMargin,
     "e1_except" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
     "e2_union_dedup" ->

@@ -227,4 +227,78 @@ object Relational {
       .orderBy(col(tsCol).desc +: tieBreak.map(_.desc): _*)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
+
+  // --- time-series joins (training-pipeline extensions) ---------------------
+
+  /** BACKWARD AS-OF LEFT JOIN: for every left row, the single right row
+    * with the greatest `tsCol` ≤ the left row's `tsCol` on the same
+    * key (DuckDB's `ASOF LEFT JOIN`, pandas `merge_asof`). Left rows
+    * with no prior right row keep null right columns; `toleranceSeconds`
+    * additionally nulls matches older than the window.
+    *
+    * Spark-first shape — NO range/inequality join anywhere: both sides
+    * union into one keyed stream, ONE shuffle on the key, and a
+    * carry-forward window (`last(_, ignoreNulls)` over rows ≤ current)
+    * threads the latest right payload to each left row. At equal
+    * timestamps the right row sorts FIRST (side 0 < 1), so same-instant
+    * matches are backward-INCLUSIVE like DuckDB's `>=` bound. Cost is
+    * sort-within-partition of |L|+|R| — immune to the range-join blowup
+    * (a BNLJ here is |L|·|R| comparisons per key).
+    *
+    * The right side must be unique per (key, ts) — pre-aggregate if it
+    * isn't (ties would otherwise resolve by partition order, which no
+    * oracle can reproduce). Output: every left column, then each
+    * `rightCols` column plus `<tsCol>_right`, null when unmatched. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String],
+      toleranceSeconds: Long = Long.MaxValue): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoin: rightCols must be non-empty")
+    val rightTs = tsCol + "_right"
+    val rStructCols = col(tsCol).as(rightTs) +: rightCols.map(col)
+    val rStructType = right.select(rStructCols: _*).schema
+    val lPart = left.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(1).as("_side"),
+      lit(null).cast(rStructType).as("_r"),
+      struct(left.columns.map(col): _*).as("_l"))
+    val rPart = right.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(0).as("_side"),
+      struct(rStructCols: _*).as("_r"),
+      lit(null).cast(left.schema).as("_l"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = lPart.unionByName(rPart)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .withColumn("_m",
+        when(col("_m").isNotNull &&
+            col("_ts").cast("long") - col("_m").getField(rightTs).cast("long")
+              <= toleranceSeconds,
+          col("_m")))
+    val outCols = left.columns.map(c => col("_l").getField(c).as(c)) ++
+      (rightTs +: rightCols).map(c => col("_m").getField(c).as(c))
+    matched.select(outCols.toSeq: _*)
+  }
+
+  /** Point-in-interval RANGE JOIN via time-bin bucketing: pairs every
+    * `points` row whose `ptCol` falls inside [`loCol`, `hiCol`] of an
+    * `intervals` row — WITHOUT the CartesianProduct/BNLJ Spark plans
+    * for a bare inequality join (the 100 TB killer: |I|·|P|
+    * comparisons). Each interval explodes into its covered
+    * `binSeconds`-wide bins (pick binSeconds ≈ typical interval length
+    * so that's a handful of rows); each point maps to exactly ONE bin,
+    * so the bin equi-join shuffles both sides once, emits no
+    * duplicates, and the exact [lo, hi] predicate runs as a residual
+    * filter. Output: all interval columns + all point columns. */
+  def rangeJoin(intervals: DataFrame, loCol: String, hiCol: String,
+      points: DataFrame, ptCol: String, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(floor(col(loCol).cast("long") / binSeconds),
+        floor(col(hiCol).cast("long") / binSeconds))))
+    val pt = points.withColumn("_bin",
+      floor(col(ptCol).cast("long") / binSeconds))
+    iv.join(pt, "_bin")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("_bin")
+  }
 }

@@ -209,6 +209,60 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       batch.values.flatten.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSet)
   }
 
+  test("asofJoin: backward-inclusive match, unmatched nulls, tolerance window") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (1L, ts("2024-01-01 09:00:00"), "p0"), // before any right row
+      (2L, ts("2024-01-01 10:30:00"), "p3")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:00"), 200.0), // equal ts: inclusive match
+      (1L, ts("2024-01-01 11:00:00"), 300.0),
+      (2L, ts("2024-01-01 08:00:00"), 400.0)
+    ).toDF("k", "ts", "price")
+    val out = Relational.asofJoin(left, right, "k", "ts", Seq("price"))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(out == Map("p0" -> null, "p1" -> 200.0, "p2" -> 300.0, "p3" -> 400.0))
+    // tolerance: p3's match is 2.5h old — a 1h window nulls it (and its ts)
+    val tol = Relational.asofJoin(left, right, "k", "ts", Seq("price"),
+      toleranceSeconds = 3600)
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(tol == Map("p0" -> null, "p1" -> 200.0, "p2" -> 300.0, "p3" -> null))
+    // left row count is preserved exactly (left join semantics)
+    assert(Relational.asofJoin(left, right, "k", "ts", Seq("price")).count() == 4)
+  }
+
+  test("rangeJoin: bin bucketing finds exactly the [lo, hi] matches, no dups") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq(
+      ("a", ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")), // spans 3 bins
+      ("b", ts("2024-01-02 12:00:00"), ts("2024-01-02 18:00:00")), // inside one day
+      ("c", ts("2024-06-01 00:00:00"), ts("2024-06-02 00:00:00"))  // no points
+    ).toDF("name", "lo", "hi")
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // on a's lo boundary
+      (2L, ts("2024-01-02 13:00:00")), // inside a AND b
+      (3L, ts("2024-01-03 00:00:00")), // on a's hi boundary
+      (4L, ts("2024-01-03 00:00:01")), // just past a
+      (5L, ts("2024-02-01 00:00:00"))  // matches nothing
+    ).toDF("pid", "pt")
+    val out = Relational.rangeJoin(intervals, "lo", "hi", points, "pt", 86400L)
+      .select("name", "pid").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 2L)))
+    assert(out.length == 4) // multi-bin intervals must not duplicate matches
+    val plan = Relational.rangeJoin(intervals, "lo", "hi", points, "pt", 86400L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("knnJoin: null or mis-sized vectors fail with the offending id, not an opaque crash") {
     import spark.implicits._
     val qs = Seq(1L -> Seq(1.0, 0.0))
