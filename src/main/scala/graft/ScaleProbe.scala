@@ -154,6 +154,33 @@ object ScaleProbe {
         knnQs, k = 10).count(),
       graft.operators.Similarity.knnJoin(embN, "vec_id", "embedding",
         knnQs, k = 10).count())
+    // as-of join: union + carry-forward window — must track the keyed
+    // sort, |L|+|R| per key, never a per-key cross product
+    def asofSides(ev: DataFrame) = (
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id")),
+      ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id")))
+    probe("asof_join", {
+      val (l, r) = asofSides(ev1)
+      graft.operators.Relational.asofJoin(l, r, "user_id", "ts",
+        Seq("click_id")).count()
+    }, {
+      val (l, r) = asofSides(evN)
+      graft.operators.Relational.asofJoin(l, r, "user_id", "ts",
+        Seq("click_id")).count()
+    })
+    // range join: N× points against FIXED intervals — bin equi-join
+    // cost must track the point count, not |intervals|·|points|
+    val ivRange = Tables.load(spark, sfDir, "nation").select(col("n_nationkey"),
+      expr("TIMESTAMP '2024-01-01 00:00:00' + make_dt_interval(n_nationkey)").as("lo"),
+      expr("TIMESTAMP '2024-01-01 00:00:00' + make_dt_interval(n_nationkey + 2)").as("hi"))
+    probe("range_join",
+      graft.operators.Relational.rangeJoin(ivRange, "lo", "hi",
+        ev1.select("ts", "value"), "ts", 86400L).count(),
+      graft.operators.Relational.rangeJoin(ivRange, "lo", "hi",
+        evN.select("ts", "value"), "ts", 86400L).count())
 
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
