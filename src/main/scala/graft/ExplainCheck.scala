@@ -75,6 +75,10 @@ object ExplainCheck {
     // explode → two-level-aggregate pipelines this replaced were two
     // full exchanges of every gram occurrence)
     audit("text_repetition", mustNotContain = Seq("Exchange"))
+    // bigram LM scoring: model joins are keyed (gram key) — the only
+    // nested-loop is the 1-row vocab-scalar broadcast, never a true
+    // cross product over data
+    audit("text_lm_score", mustNotContain = Seq("CartesianProduct"))
     audit("gopher_filter", mustNotContain = Seq("Exchange"))
     // hash sampling is a pure filter: no shuffle anywhere in the plan
     audit("sample_by_hash", mustNotContain = Seq("Exchange"))

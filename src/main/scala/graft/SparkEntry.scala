@@ -796,6 +796,14 @@ object SparkEntry {
           TextAnalysis.bpeSubwordCount(col("text"), merges).as("n_subwords"))
     }),
 
+    // ---- text: bigram LM scoring — the perplexity-style quality
+    //      filter, self-trained on the corpus (add-k smoothing);
+    //      model joins by gram key, everything keyed, no cross
+    //      product ----
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id",
+        k = 0.5)),
+
     // ---- text: vocabulary induction — global top-100 token
     //      frequencies, count-desc with lexicographic ties ----
     "vocab_topk" -> ((s, dir) =>
@@ -1314,6 +1322,32 @@ object SparkEntry {
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin,
+    "text_lm_score" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ') AS lst
+        |  FROM documents
+        |  WHERE length(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g'))) > 0),
+        |docpairs AS (
+        |  SELECT doc_id, lst[g.i] AS w1, lst[g.i + 1] AS w2
+        |  FROM lists, LATERAL unnest(range(1, len(lst))) AS g(i)
+        |  WHERE lst[g.i] <> '' AND lst[g.i + 1] <> ''),
+        |uni AS (
+        |  SELECT u.w1, count(*) AS c1
+        |  FROM (SELECT unnest(lst) AS w1 FROM lists) u
+        |  WHERE u.w1 <> '' GROUP BY 1),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM docpairs GROUP BY 1, 2),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    round(avg(ln((c12 + 0.5) / (c1 + 0.5 * vocab))), 6) AS lm_score,
+        |    count(*) AS n_bigrams
+        |  FROM docpairs d JOIN big USING (w1, w2) JOIN uni USING (w1)
+        |  CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT doc_id, lm_score, coalesce(n_bigrams, 0) AS n_bigrams
+        |FROM documents LEFT JOIN scored USING (doc_id)""".stripMargin,
     "f8_truncate_pad" ->
       """SELECT doc_id, substring(text, 1, 24) AS clipped,
         | rpad(source, 12, ' ') AS padded

@@ -205,6 +205,57 @@ object TextAnalysis {
     * to 6 places, so the linear term is engine-exact; the sigmoid is
     * rounded to 6 as well). One projection over the single-pass stats
     * kernel — no shuffle, no UDF. `minScore` filters when ≥ 0. */
+  /** Bigram language-model scoring — the perplexity-style quality
+    * filter (KenLM's role in CCNet/RefinedWeb curation, self-trained):
+    * fit add-k-smoothed bigram probabilities on the corpus's own
+    * normalized tokens, then score every document by its mean bigram
+    * log-probability. Low scores flag disfluent/boilerplate/generated
+    * text relative to the corpus distribution.
+    *
+    *   p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V),  V = |vocabulary|
+    *   lm_score(doc) = round(avg over doc bigram occurrences of ln p, 6)
+    *
+    * Distributed shape: one explode builds the corpus bigram stream;
+    * model fitting is two two-level aggregates (map-side partials,
+    * bigram- and vocab-sized results); scoring re-joins the stream to
+    * the model BY GRAM KEY (model may exceed broadcast size at corpus
+    * scale — AQE broadcasts when it doesn't) and averages per doc.
+    * Everything is keyed — no cross product anywhere; the only
+    * all-to-one value is the scalar V, which rides a 1-row broadcast.
+    * Docs with fewer than 2 tokens keep a null score (n_bigrams 0). */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, "smoothing k must be positive")
+    val toks = normalizedTokens(col(textCol))
+    val nPairs = greatest(size(toks) - 1, lit(0))
+    val docPairs = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("_id"),
+        explode(zip_with(slice(toks, lit(1), nPairs),
+          slice(toks, lit(2), nPairs),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bigrams = docPairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val unigrams = df.select(explode(toks).as("w1")).filter(col("w1") =!= "")
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = unigrams.select(count(lit(1)).as("_v"))
+    val scored = docPairs
+      .join(bigrams, Seq("w1", "w2"))
+      .join(unigrams, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lp",
+        log((col("c12") + lit(k)) /
+          (col("c1") + lit(k) * col("_v").cast("double"))))
+      .groupBy(col("_id"))
+      .agg(round(avg(col("_lp")), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+    df.join(scored, df(idCol) === scored("_id"), "left")
+      .select(col(idCol), col("lm_score"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   def qualityScore(df: DataFrame, textCol: String,
       weights: Seq[(String, Double)] = defaultQualityWeights,
       bias: Double = -1.0, minScore: Double = -1.0): DataFrame = {

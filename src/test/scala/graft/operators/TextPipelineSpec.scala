@@ -264,6 +264,27 @@ class TextPipelineSpec extends AnyFunSuite {
       minPairCount = 100).count() == 0)
   }
 
+  test("bigramLmScore: hand-computed probabilities, repeat weighting, short docs null") {
+    // corpus: "a b" x2 docs, "a b a c", a 1-token doc, a blank.
+    // c(a,b)=3, c(b,a)=1, c(a,c)=1; c1: a=4, b=3, c=1, solo=1 → V=4
+    // ("solo" forms no bigram but DOES count toward the vocabulary)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b a c"),
+      (4L, "solo"), (5L, " ")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, "text", "doc_id", k = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getDouble(1)), r.getLong(2))).toMap
+    val v = 4.0
+    def p(c12: Double, c1: Double) = (c12 + 0.5) / (c1 + 0.5 * v)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((r6(math.log(p(3, 4))), 1L)))
+    assert(out(2L) == out(1L))
+    // doc 3: bigrams (a,b), (b,a), (a,c) — averaged over 3 occurrences
+    val exp3 = r6((math.log(p(3, 4)) + math.log(p(1, 3)) + math.log(p(1, 4))) / 3)
+    assert(out(3L) == ((exp3, 3L)))
+    assert(out(4L) == ((null, 0L))) // single token: no bigram
+    assert(out(5L) == ((null, 0L))) // blank
+  }
+
   test("trainBpeMerges: driver-side loop is bit-identical to the Spark loop") {
     // tie-heavy corpus: equal pair counts force the lexicographic
     // tie-break every round; repeated chars force the greedy-overlap
