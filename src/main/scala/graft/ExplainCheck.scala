@@ -58,6 +58,9 @@ object ExplainCheck {
     // SRP pairs: bucket equi-join only — a cross join here is the scale bug
     audit("ann_lsh_pairs", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     audit("dedup_simhash", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // winnowing match: fp-bucket equi-join over doc-frequency-capped
+    // fingerprints — never an all-pairs shape
+    audit("dedup_winnow", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     // multimodal decode is a pure projection — an RDD boundary here would
     // deserialize rows and sever column pruning below it
     audit("mm_decode_meta", mustNotContain = Seq("Scan ExistingRDD"))

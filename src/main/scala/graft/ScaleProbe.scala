@@ -154,6 +154,12 @@ object ScaleProbe {
         knnQs, k = 10).count(),
       graft.operators.Similarity.knnJoin(embN, "vec_id", "embedding",
         knnQs, k = 10).count())
+    // winnowing match: explode + keyed windows + doc-frequency-capped
+    // fp-bucket join — the cap must keep pair fan-out bounded even
+    // when the N× corpus multiplies shared-passage structure
+    probe("winnow_matches",
+      graft.operators.Dedup.winnowMatches(docs1, "text", "doc_id").count(),
+      graft.operators.Dedup.winnowMatches(docsN, "text", "doc_id").count())
     // as-of join: union + carry-forward window — must track the keyed
     // sort, |L|+|R| per key, never a per-key cross product
     def asofSides(ev: DataFrame) = (

@@ -796,6 +796,14 @@ object SparkEntry {
           TextAnalysis.bpeSubwordCount(col("text"), merges).as("n_subwords"))
     }),
 
+    // ---- dedup: winnowing (MOSS) partial-overlap matches — shared
+    //      passages inside otherwise-different documents; min-hash per
+    //      sliding shingle window, ubiquitous fingerprints dropped
+    //      (deterministic doc-frequency cap, fp-bucket join bounded) ----
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowMatches(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, window = 4, minShared = 2, maxDocsPerFp = 50)),
+
     // ---- text: bigram LM scoring — the perplexity-style quality
     //      filter, self-trained on the corpus (add-k smoothing);
     //      model joins by gram key, everything keyed, no cross
@@ -1322,6 +1330,29 @@ object SparkEntry {
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents""".stripMargin,
+    "dedup_winnow" ->
+      """WITH nt AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents
+        |  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''),
+        |shp AS (
+        |  SELECT doc_id, g.i - 1 AS pos,
+        |    substr(md5(array_to_string(t[g.i:g.i+2], ' ')), 1, 16) AS fp
+        |  FROM nt, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+        |wmin AS (
+        |  SELECT doc_id, pos,
+        |    min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp,
+        |    max(pos) OVER (PARTITION BY doc_id) AS maxpos
+        |  FROM shp),
+        |sel AS (SELECT DISTINCT doc_id, wfp AS fp FROM wmin
+        |        WHERE pos <= greatest(maxpos - 3, 0)),
+        |kept AS (SELECT fp, doc_id FROM sel
+        |         WHERE fp IN (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "text_lm_score" ->
       """WITH lists AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),

@@ -112,6 +112,66 @@ object Dedup {
     }
   }
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the
+    * MOSS algorithm): hash every POSITIONAL word `shingleN`-gram, then
+    * keep the minimum hash of each sliding `window` of consecutive
+    * shingles — guaranteeing any shared run of ≥ window+shingleN-1
+    * tokens contributes at least one COMMON selected fingerprint, at a
+    * ~2/(window+1) sampling rate. The partial-overlap detector exact
+    * span dedup and whole-doc LSH both miss: shared passages inside
+    * otherwise-different documents.
+    *
+    * Fingerprints are the first 16 hex chars of md5 (engine-portable;
+    * lexicographic min on hex = the same total order everywhere).
+    * Distributed shape: one explode, ONE shuffle on the doc id for the
+    * two windows, distinct. Blank documents select nothing; documents
+    * shorter than a full window keep their single truncated-window
+    * minimum. Returns distinct (id, fp). */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, window: Int = 4): DataFrame = {
+    require(shingleN >= 1 && window >= 1, "shingleN and window must be >= 1")
+    val toks = TextAnalysis.normalizedTokens(col(textCol))
+    val shArr = when(size(toks) >= shingleN,
+        transform(sequence(lit(0), size(toks) - shingleN),
+          i => concat_ws(" ", slice(toks, i + 1, lit(shingleN)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    val posed = df.filter(array_join(toks, "") =!= "")
+      .select(col(idCol).as("id"), posexplode(shArr))
+      .toDF("id", "pos", "sh")
+      .withColumn("fp", substring(md5(col("sh")), 1, 16))
+    val wFrame = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    val wAll = Window.partitionBy(col("id"))
+    posed
+      .withColumn("wfp", min(col("fp")).over(wFrame))
+      .withColumn("_maxpos", max(col("pos")).over(wAll))
+      .filter(col("pos") <= greatest(col("_maxpos") - (window - 1), lit(0)))
+      .select(col("id"), col("wfp").as("fp")).distinct()
+  }
+
+  /** MOSS-style match: document pairs sharing ≥ `minShared` selected
+    * winnowing fingerprints. Ubiquitous fingerprints (doc frequency >
+    * `maxDocsPerFp`) are DROPPED first — boilerplate every document
+    * carries ranks no pair, and the filter is what bounds the
+    * fingerprint-bucket join (each surviving bucket ≤ maxDocsPerFp
+    * members, so pair fan-out is capped and the one-pass bounded
+    * collect road applies). Deterministic — the cap is a doc-frequency
+    * threshold, not a member truncation — so an external oracle
+    * reproduces the exact pair set. */
+  def winnowMatches(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, window: Int = 4, minShared: Int = 2,
+      maxDocsPerFp: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFp >= 2,
+      "minShared >= 1 and maxDocsPerFp >= 2 required")
+    val fps = winnowFingerprints(df, textCol, idCol, shingleN, window)
+    val freq = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+    val kept = fps.join(freq.filter(col("_df") <= maxDocsPerFp)
+      .select(col("fp")), "fp")
+    bucketPairs(kept, Seq("fp"), "id", Nil, bounded = true)
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact dedup with deterministic winner: lowest `idCol` per identical
     * normalized text wins. One shuffle on the fingerprint; the
     * fingerprint is staged as a column so the exchange/sort/window all

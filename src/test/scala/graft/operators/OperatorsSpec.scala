@@ -209,6 +209,42 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       batch.values.flatten.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSet)
   }
 
+  test("winnowing: shared passages guarantee a common fingerprint; boilerplate fp dropped") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon zeta eta theta"),
+      (2L, s"one two three four five $passage six seven eight nine ten"),
+      (3L, "completely unrelated text about oceanographic buoys and sensors"),
+      (4L, "tiny"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    // guarantee: a shared run of >= window+shingleN-1 = 6 tokens yields
+    // at least one COMMON selected fingerprint — the 12-token passage
+    // must connect docs 1 and 2 and nothing else
+    val fps = Dedup.winnowFingerprints(docs, "text", "doc_id")
+    val byDoc = fps.collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    assert(byDoc(4L).size == 1)     // short doc: single truncated window
+    assert(!byDoc.contains(5L))     // blank selects nothing
+    val pairs = Dedup.winnowMatches(docs, "text", "doc_id", minShared = 2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+    // ubiquitous fingerprints rank no pair: 4 IDENTICAL docs select the
+    // same fp set, so every fp has doc-frequency 4 > cap 3 → all dropped
+    val boiler = (1L to 4L).map(i =>
+      (i, "standard header boilerplate text repeated verbatim in every document"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowMatches(boiler, "text", "doc_id",
+      minShared = 1, maxDocsPerFp = 3)
+    assert(capped.count() == 0)
+    // ...and at cap 4 the same corpus pairs everything
+    assert(Dedup.winnowMatches(boiler, "text", "doc_id",
+      minShared = 1, maxDocsPerFp = 4).count() == 6)
+  }
+
   test("asofJoin: backward-inclusive match, unmatched nulls, tolerance window") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
