@@ -123,12 +123,29 @@ object Dedup {
     *
     * Fingerprints are the first 16 hex chars of md5 (engine-portable;
     * lexicographic min on hex = the same total order everywhere).
-    * Distributed shape: one explode, ONE shuffle on the doc id for the
-    * two windows, distinct. Blank documents select nothing; documents
-    * shorter than a full window keep their single truncated-window
-    * minimum. Returns distinct (id, fp). */
+    * Distributed shape: selection is ONE native kernel per row
+    * ([[graft.functions.WinnowSelect]] — the shingle hashing, sliding
+    * minima, and distinct-selection fold in a single pass, so nothing
+    * tokens-sized ever explodes or shuffles); only the ~2/(window+1)-
+    * sampled selected fingerprints leave the row. Blank documents
+    * select nothing; documents shorter than a full window keep their
+    * single truncated-window minimum. Returns distinct (id, fp).
+    * Pinned bit-identical to [[winnowFingerprintsSql]] (the
+    * explode+window formulation the DuckDB oracle mirrors) by a
+    * parity spec. */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, window: Int = 4): DataFrame = {
+      shingleN: Int = 3, window: Int = 4): DataFrame =
+    // the kernel dedupes within the row, so (id, fp) rows are already
+    // distinct — no post-explode distinct (that would be a shuffle)
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.Winnow.winnow_select(
+          col(textCol), shingleN, window)).as("fp"))
+
+  /** The explode + per-doc-window SQL formulation of
+    * [[winnowFingerprints]] — the shape the DuckDB oracle runs, kept
+    * as the kernel's parity twin. */
+  private[graft] def winnowFingerprintsSql(df: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 3, window: Int = 4): DataFrame = {
     require(shingleN >= 1 && window >= 1, "shingleN and window must be >= 1")
     val toks = TextAnalysis.normalizedTokens(col(textCol))
     val shArr = when(size(toks) >= shingleN,

@@ -245,6 +245,31 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       minShared = 1, maxDocsPerFp = 4).count() == 6)
   }
 
+  test("winnowing: native kernel is bit-identical to the explode+window formulation") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for ((n, w) <- Seq((3, 4), (2, 5), (4, 1), (1, 3))) {
+      val kernel = Dedup.winnowFingerprints(docs, "text", "doc_id", n, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val sql = Dedup.winnowFingerprintsSql(docs, "text", "doc_id", n, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kernel == sql, s"shingleN=$n window=$w")
+    }
+    // hostile inputs: unicode, punctuation-only, single char, repeats
+    val edge = Seq((1L, "Héllo, WORLD!! 123"), (2L, "... ---"), (3L, "x"),
+      (4L, "a a a a a a a a"), (5L, "K elvin sign")).toDF("doc_id", "text")
+    val k2 = Dedup.winnowFingerprints(edge, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s2 = Dedup.winnowFingerprintsSql(edge, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(k2 == s2)
+    // plan: the kernel path must be a pure generate/projection — the
+    // per-doc window sort and its exchange are GONE
+    val plan = Dedup.winnowFingerprints(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange"), plan)
+  }
+
   test("asofJoin: backward-inclusive match, unmatched nulls, tolerance window") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
