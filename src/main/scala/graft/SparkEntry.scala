@@ -483,6 +483,24 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     }),
 
+    // ---- dedup: leakage-safe split — sides assigned by the md5
+    //      bucket of the duplicate-cluster representative, so near-dup
+    //      copies never straddle train/test ----
+    "split_by_cluster" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      def side(idc: String) = cust.select(col("c_custkey").as(idc),
+        col("c_nationkey").as("n"), expr("c_custkey div 4").as("blk"))
+      val a = side("id1")
+      val sameBlk = a.join(side("id2"), Seq("n", "blk"))
+      val nextBlk = a.withColumn("blk", col("blk") + 1)
+        .join(side("id2"), Seq("n", "blk"))
+      val pairs = sameBlk.unionByName(nextBlk)
+        .filter(col("id1") < col("id2") && col("id2") - col("id1") <= 3)
+        .select("id1", "id2")
+      Dedup.splitByCluster(cust.select(col("c_custkey"), col("c_nationkey")),
+        "c_custkey", pairs, testPct = 20)
+    }),
+
     // ---- similarity: brute-force cosine top-k ----
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1542,6 +1560,31 @@ object SparkEntry {
         |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
         |  SELECT * FROM r)
         |SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""".stripMargin,
+    // same chain pair graph + recursive-CTE components as
+    // dedup_clusters, then the sampleByHash md5 bucket of the cluster
+    // representative decides the side
+    "split_by_cluster" ->
+      """WITH pairs AS (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey
+        |   AND b.c_custkey - a.c_custkey <= 3),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
+        |  SELECT * FROM r),
+        |labels AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+        |SELECT c_custkey, c_nationkey,
+        |  CASE WHEN ('0x' || substr(md5(CAST(coalesce(cluster, c_custkey)
+        |    AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+        |  THEN 'test' ELSE 'train' END AS split
+        |FROM customer LEFT JOIN labels ON c_custkey = id""".stripMargin,
     "dedup_minhash_oracle" ->
       s"""WITH ${minhashCtes(8, 4, " WHERE doc_id < 500")}
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

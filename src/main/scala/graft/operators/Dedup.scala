@@ -583,6 +583,31 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** LEAKAGE-SAFE train/test split: every row is assigned to a side by
+    * the portable md5 bucket of its duplicate-CLUSTER representative
+    * (component min id; rows in no pair represent themselves), so
+    * near-duplicate copies always land on the SAME side. A row-hash
+    * split leaks: one copy of a near-dup pair trains while its twin
+    * evaluates — the classic silent eval contamination. Same md5-bucket
+    * rule as [[TextAnalysis.sampleByHash]] (reproducible, salted,
+    * engine-portable); nested: testPct 10 ⊂ testPct 20 under one salt.
+    * The label table is pair-graph-sized, joined once on the id.
+    * Returns the input plus a `split` column ("test"/"train"). */
+  def splitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      testPct: Int, salt: String = ""): DataFrame = {
+    require(testPct >= 0 && testPct <= 100, "testPct must be 0..100")
+    val labels = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    val rep = coalesce(col("cluster"), col(idCol)).cast("string")
+    val bucket =
+      conv(substring(md5(concat(lit(salt), rep)), 1, 8), 16, 10)
+        .cast("long") % 100
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("split",
+        when(bucket < testPct, lit("test")).otherwise(lit("train")))
+      .drop("cluster")
+  }
+
   /** Cross-document SPAN dedup (the C4 recipe adapted to whitespace
     * tokens): cut every document into consecutive `span`-token windows,
     * keep each distinct window only at its FIRST occurrence in

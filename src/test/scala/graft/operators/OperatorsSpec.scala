@@ -443,6 +443,33 @@ class ClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cc.forall(_._2 == 0L), s"unconverged labels: ${cc.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("splitByCluster: near-dup clusters never straddle the split; nested and salted") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 100 clusters of 3 (1-2-3 chains), 100 singletons
+    val pairs = (0L until 100L).flatMap { c =>
+      Seq((c * 3 + 1, c * 3 + 2), (c * 3 + 2, c * 3 + 3))
+    }.toDF("id1", "id2")
+    val out = Dedup.splitByCluster(docs, "doc_id", pairs, testPct = 30)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.size == 400)
+    // every cluster is entirely on one side
+    (0L until 100L).foreach { c =>
+      val sides = Seq(c * 3 + 1, c * 3 + 2, c * 3 + 3).map(out).toSet
+      assert(sides.size == 1, s"cluster $c split across sides: $sides")
+    }
+    val testFrac = out.values.count(_ == "test").toDouble / out.size
+    assert(testFrac > 0.15 && testFrac < 0.45, s"testFrac=$testFrac")
+    // nested: the 10% test set is a subset of the 30% one
+    val t10 = Dedup.splitByCluster(docs, "doc_id", pairs, testPct = 10)
+      .filter(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    val t30 = out.filter(_._2 == "test").keySet
+    assert(t10.subsetOf(t30))
+    // a different salt reshuffles
+    val salted = Dedup.splitByCluster(docs, "doc_id", pairs, testPct = 30,
+      salt = "v2").select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(salted != out)
+  }
+
   test("dedupByClusters keeps one row per component plus untouched rows") {
     val docs = Seq((1L, "a"), (2L, "a2"), (3L, "a3"), (9L, "solo"))
       .toDF("doc_id", "text")
