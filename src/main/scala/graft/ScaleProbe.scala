@@ -154,6 +154,11 @@ object ScaleProbe {
         knnQs, k = 10).count(),
       graft.operators.Similarity.knnJoin(embN, "vec_id", "embedding",
         knnQs, k = 10).count())
+    // bigram LM scoring: explode + model aggregates + gram-keyed join —
+    // everything keyed, must track the bigram stream size
+    probe("bigram_lm_score",
+      graft.operators.TextAnalysis.bigramLmScore(docs1, "text", "doc_id").count(),
+      graft.operators.TextAnalysis.bigramLmScore(docsN, "text", "doc_id").count())
     // winnowing match: explode + keyed windows + doc-frequency-capped
     // fp-bucket join — the cap must keep pair fan-out bounded even
     // when the N× corpus multiplies shared-passage structure

@@ -260,10 +260,15 @@ object Relational {
       lit(1).as("_side"),
       lit(null).cast(rStructType).as("_r"),
       struct(left.columns.map(col): _*).as("_l"))
-    val rPart = right.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
-      lit(0).as("_side"),
-      struct(rStructCols: _*).as("_r"),
-      lit(null).cast(left.schema).as("_l"))
+    val rPart = right
+      // SQL join semantics: a null key or null ts never matches — the
+      // union trick would otherwise pair null-key rows with each other
+      // (they land in the same window partition)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+        lit(0).as("_side"),
+        struct(rStructCols: _*).as("_r"),
+        lit(null).cast(left.schema).as("_l"))
     val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = lPart.unionByName(rPart)

@@ -297,6 +297,20 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(tol == Map("p0" -> null, "p1" -> 200.0, "p2" -> 300.0, "p3" -> null))
     // left row count is preserved exactly (left join semantics)
     assert(Relational.asofJoin(left, right, "k", "ts", Seq("price")).count() == 4)
+    // null keys never match each other (SQL join semantics), and a
+    // null-ts left row stays unmatched
+    val lNull = Seq((Some(9L), Some(ts("2024-01-01 10:00:00")), "pk"),
+      (None, Some(ts("2024-01-01 10:00:00")), "pn"),
+      (Some(1L), None, "pt"))
+      .toDF("k", "ts", "tag")
+    val rNull = Seq((None.asInstanceOf[Option[Long]],
+      Some(ts("2024-01-01 09:00:00")), 1.0),
+      (Some(9L), Some(ts("2024-01-01 09:00:00")), 2.0))
+      .toDF("k", "ts", "price")
+    val nOut = Relational.asofJoin(lNull, rNull, "k", "ts", Seq("price"))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(nOut == Map("pk" -> 2.0, "pn" -> null, "pt" -> null))
   }
 
   test("rangeJoin: bin bucketing finds exactly the [lo, hi] matches, no dups") {
