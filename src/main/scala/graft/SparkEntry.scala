@@ -501,6 +501,13 @@ object SparkEntry {
         "c_custkey", pairs, testPct = 20)
     }),
 
+    // ---- similarity/PCA: sample covariance of the embedding column —
+    //      ONE typed single-pass aggregate (d + d(d+1)/2 mergeable
+    //      buffer doubles), d²-bounded result; the front half of the
+    //      PCA → IVF/PQ preprocessing chain ----
+    "pca_covariance" -> ((s, dir) =>
+      graft.operators.Pca.covarianceDf(t(s, dir, "embeddings"), "embedding")),
+
     // ---- similarity: brute-force cosine top-k ----
     "ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1560,6 +1567,20 @@ object SparkEntry {
         |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
         |  SELECT * FROM r)
         |SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""".stripMargin,
+    "pca_covariance" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT gi.i AS i, gj.j AS j, e[gi.i] AS xi, e[gj.j] AS xj
+        |  FROM v,
+        |    LATERAL unnest(generate_series(1, len(e))) gi(i),
+        |    LATERAL unnest(generate_series(1, len(e))) gj(j)
+        |  WHERE gi.i <= gj.j)
+        |SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+        |  -- + 0.0 normalizes IEEE -0.0 (the Spark side rounds through
+        |  -- BigDecimal, which has no signed zero)
+        |  round((sum(xi * xj) - sum(xi) * sum(xj) / count(*))
+        |        / (count(*) - 1), 6) + 0.0 AS cov
+        |FROM pairs GROUP BY 1, 2""".stripMargin,
     // same chain pair graph + recursive-CTE components as
     // dedup_clusters, then the sampleByHash md5 bucket of the cluster
     // representative decides the side

@@ -66,6 +66,39 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(decode("not an image".getBytes("ASCII")).isEmpty)
   }
 
+  test("fuzz: no byte sequence throws — truncations, corruptions, random bytes") {
+    val rnd = new scala.util.Random(1234)
+    val valid = Seq(
+      ImageCodec.synthJpeg(640, 480, 3, progressive = false),
+      ImageCodec.synthJpeg(1, 1, 1, progressive = true),
+      ImageCodec.synthPng(1920, 1080, 8, 6),
+      ImageCodec.synthPng(1, 1, 1, 0))
+    // every truncation of every valid image decodes or returns null
+    valid.foreach { b =>
+      (0 to b.length).foreach { n => decode(b.take(n)) }
+    }
+    // single-byte corruptions at every offset
+    valid.foreach { b =>
+      b.indices.foreach { i =>
+        val c = b.clone(); c(i) = (c(i) ^ (1 + rnd.nextInt(255))).toByte
+        decode(c)
+      }
+    }
+    // random bytes, with and without magic prefixes
+    val prefixes = Seq(Array.emptyByteArray,
+      Array(0xFF.toByte, 0xD8.toByte),
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+        0x0D.toByte, 0x0A.toByte, 0x1A.toByte, 0x0A.toByte))
+    (1 to 2000).foreach { _ =>
+      val p = prefixes(rnd.nextInt(prefixes.length))
+      val body = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(body)
+      decode(p ++ body)
+    }
+    // valid inputs still decode after the fuzz storm (no shared state)
+    assert(decode(valid.head).get.getInt(1) == 640)
+  }
+
   test("expressions: synth+decode is a codegen'd projection with correct rows") {
     val df = Seq((0L, "even doc"), (1L, "odd doc"), (6L, "gray jpeg"),
       (3L, "16-bit png"), (27L, "palette png")).toDF("doc_id", "text")
