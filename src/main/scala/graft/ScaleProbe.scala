@@ -154,6 +154,11 @@ object ScaleProbe {
         knnQs, k = 10).count(),
       graft.operators.Similarity.knnJoin(embN, "vec_id", "embedding",
         knnQs, k = 10).count())
+    // PCA covariance: one typed aggregate pass, d²-bounded buffers —
+    // must track the scan exactly
+    probe("pca_covariance",
+      graft.operators.Pca.covarianceDf(emb1, "embedding").count(),
+      graft.operators.Pca.covarianceDf(embN, "embedding").count())
     // bigram LM scoring: explode + model aggregates + gram-keyed join —
     // everything keyed, must track the bigram stream size
     probe("bigram_lm_score",
