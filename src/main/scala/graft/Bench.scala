@@ -71,10 +71,18 @@ object Bench {
       if (!f.isFile) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        val inner = """"queries"\s*:\s*\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(inner)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // the reference only means anything at ITS scale factor: a 10×
+        // run legitimately exceeds 3× the sf0.1 times, so a recorded
+        // `"sf"` that differs from this run's disables the heuristic
+        val refSf = """"sf"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (refSf.exists(_ != sfDir)) Map.empty
+        else {
+          val inner = """"queries"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(inner)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       }
     }
     val noisySet: Set[String] = results.collect {
