@@ -803,6 +803,31 @@ object SparkEntry {
             col("nEvents").as("n_events"))
       }),
 
+    // ---- T-streaming/join: STREAM-STREAM interval join (click →
+    //      purchase attribution within 1h), both sides watermarked so
+    //      join state expires; inner-join semantics make the
+    //      complete-data result equal the batch join → hash gate ----
+    "t5_streaming_interval_join" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t5") { events =>
+        val ev = events.withColumn("ts", date_trunc("second", col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        graft.streaming.EventStream.intervalJoin(
+            purchases, clicks.withColumnRenamed("click_ts", "ts"),
+            "user_id", "ts", windowSeconds = 3600)
+          // date_trunc is a semantic no-op (values are already
+          // second-truncated) that CLEARS the event-time metadata on
+          // the joined output
+          .select(col("_l.user_id").as("user_id"),
+            col("_l.event_id").as("event_id"),
+            date_trunc("second", col("_lts")).as("ts"),
+            col("_r.click_id").as("click_id"),
+            date_trunc("second", col("_rts")).as("click_ts"))
+      }),
+
     // ---- text: BPE encode — subword counts under the 8 trained
     //      merges (pure codegen'd string pipeline, zero shuffle) ----
     "bpe_encode" -> ((s, dir) => {
@@ -1324,6 +1349,18 @@ object SparkEntry {
     // key columns the result is exactly the distinct key set
     "t2_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // stream-stream inner join == batch join once all data has arrived
+    "t5_streaming_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |      FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts, c.click_id, c.click_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.click_ts <= p.ts
+        | AND c.click_ts >= p.ts - INTERVAL 3600 SECONDS""".stripMargin,
     // the batch sessionization (w6) filtered to sessions the streaming
     // run EMITS: closed by a later event (not the key's last session)
     // or gap-timeout fired before the final watermark (strictly —

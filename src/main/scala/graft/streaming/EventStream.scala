@@ -56,6 +56,35 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sv"))
 
+  /** STREAM-STREAM interval join: purchases matched to the clicks that
+    * preceded them within `windowSeconds` on the same user — the
+    * attribution join, running as a genuine stream-stream inner join.
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, which is exactly what lets Spark EXPIRE
+    * per-key state (an unbounded-condition stream-stream join would
+    * buffer both streams forever — the 100 TB streaming killer).
+    * Inner-join semantics make the complete-data result identical to
+    * the batch join, so a batch SQL oracle checks it exactly. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, windowSeconds: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    // the payload structs must NOT capture the watermarked ts column —
+    // a stream whose output carries two event-time columns (top-level
+    // + struct field) fails analysis; times ride `_lts`/`_rts`, one
+    // event-time column per input stream
+    val lPayload = left.columns.filterNot(_ == tsCol).map(col)
+    val rPayload = right.columns.filterNot(_ == tsCol).map(col)
+    val l = left.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("_k"), col(tsCol).as("_lts"),
+        struct(lPayload.toSeq: _*).as("_l"))
+    val r = right.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("_rk"), col(tsCol).as("_rts"),
+        struct(rPayload.toSeq: _*).as("_r"))
+    l.join(r, col("_k") === col("_rk") &&
+      col("_rts") <= col("_lts") &&
+      col("_rts") >= col("_lts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen within
     * the watermark horizon (`dropDuplicatesWithinWatermark` bounds the
     * dedup state — the streaming face of Dedup.exact for continuous

@@ -126,6 +126,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join exactly") {
+    val events = EventStream.readEvents(spark, eventsDir)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    def sideOf(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id"), col("ts"))
+    val q = EventStream.intervalJoin(sideOf(events, "purchase"),
+        sideOf(events, "click"), "user_id", "ts", windowSeconds = 7200)
+      .select(col("_l.user_id").as("user_id"),
+        col("_l.event_id").as("pid"),
+        date_trunc("second", col("_lts")).as("pts"),
+        col("_r.event_id").as("cid"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ivj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ivj_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val ev = graft.Tables.load(spark, sfDir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val p = sideOf(ev, "purchase").withColumnRenamed("event_id", "pid")
+      val c = sideOf(ev, "click").withColumnRenamed("event_id", "cid")
+        .withColumnRenamed("ts", "cts")
+      val want = p.join(c, Seq("user_id"))
+        .filter(col("cts") <= col("ts") &&
+          col("cts") >= col("ts") - expr("INTERVAL 7200 SECONDS"))
+        .select("user_id", "pid", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streaming: processing-time NRT full-replace refresh") {
     val events = EventStream.readEvents(spark, eventsDir)
     val q = EventStream.nrtRefresh(events, intervalMs = 100)
