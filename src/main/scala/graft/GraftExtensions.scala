@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DecodeDatetimeExpr, MinHash64, MultimodalEncode, MultimodalMeta, ShingleHashes, ShingleStrings, SimHash64, TextStats}
+import graft.functions.{DecodeDatetimeExpr, ImageMeta, ImageSynth, MinHash64, MultimodalEncode, MultimodalMeta, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -61,6 +61,21 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "multimodal_encode expects (bigint, string)")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_meta",
+      (args: Seq[Expression]) => ImageMeta(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_synth",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynth(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_select",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WinnowSelect(c, 3, 4)
+        case Seq(c, Literal(n: Int, _), Literal(w: Int, _)) => WinnowSelect(c, n, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_select expects (text[, int literal, int literal])")
+      }, "scala_udf")
   }
 }
 
@@ -111,6 +126,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => ShingleStrings(c, 3)
         case _ => throw new IllegalArgumentException(
           "shingle_strings expects (text[, int literal])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("image_meta"),
+      info("image_meta",
+        "image_meta(binary) - JPEG/PNG header decode (dims, depth, channels)"),
+      (args: Seq[Expression]) => ImageMeta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      info("winnow_select",
+        "winnow_select(text[, n, w]) - winnowing fingerprint selection"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WinnowSelect(c, 3, 4)
+        case Seq(c, Literal(n: Int, _), Literal(w: Int, _)) => WinnowSelect(c, n, w)
+        case _ => throw new IllegalArgumentException(
+          "winnow_select expects (text[, int literal, int literal])")
       }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),

@@ -34,6 +34,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("SQL surface: image_meta/image_synth round-trip and winnow_select") {
+    val row = spark.sql(
+      """SELECT
+        |  image_meta(image_synth(0L, 'even doc')).format AS fmt,
+        |  image_meta(image_synth(1L, 'odd doc')).format AS fmt2,
+        |  image_meta(CAST('junk' AS BINARY)) AS bad,
+        |  size(winnow_select('the quick brown fox jumps over the lazy dog')) AS nfp,
+        |  winnow_select('a', 3, 4) AS single
+        |""".stripMargin).head()
+    assert(row.getString(0) == "jpeg" && row.getString(1) == "png")
+    assert(row.isNullAt(2))
+    assert(row.getInt(3) >= 1)
+    assert(row.getSeq[String](4).length == 1)
+  }
+
   test("SQL surface: text_stats, shingle_strings, multimodal encode/decode") {
     val row = spark.sql(
       """SELECT
