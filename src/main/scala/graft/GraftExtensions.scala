@@ -133,6 +133,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "image_meta(binary) - JPEG/PNG header decode (dims, depth, channels)"),
       (args: Seq[Expression]) => ImageMeta(args.head)))
     ext.injectFunction((
+      FunctionIdentifier("image_synth"),
+      info("image_synth",
+        "image_synth(bigint, string) - deterministic real JPEG/PNG header bytes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynth(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth expects (bigint, string)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("winnow_select"),
       info("winnow_select",
         "winnow_select(text[, n, w]) - winnowing fingerprint selection"),

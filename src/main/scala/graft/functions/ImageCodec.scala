@@ -21,7 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * is the common case in crawled training data, and a task crash on one
   * bad payload is the wrong failure mode at scale.
   */
-case class ImageMeta(child: Expression) extends UnaryExpression {
+case class ImageMeta(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType)
   override def dataType: DataType = ImageCodec.metaSchema
   override def prettyName: String = "image_meta"
   override def nullable: Boolean = true
@@ -44,7 +47,13 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
   * from (id, octet_length(content)), so an external SQL oracle can
   * recompute the expected metadata without parsing a byte. */
 case class ImageSynth(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // the analyzer inserts implicit casts (an INT literal id widens to
+  // LONG on BOTH eval paths — the interpreted path would otherwise
+  // ClassCastException where codegen silently widens)
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType, StringType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "image_synth"
 

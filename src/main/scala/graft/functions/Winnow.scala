@@ -19,8 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * window for docs shorter than a full window, same md5-hex-prefix
   * fingerprint domain. Empty/blank text selects nothing. */
 case class WinnowSelect(child: Expression, shingleN: Int, window: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(shingleN >= 1 && window >= 1, "shingleN and window must be >= 1")
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "winnow_select"

@@ -181,9 +181,14 @@ object Dedup {
     require(minShared >= 1 && maxDocsPerFp >= 2,
       "minShared >= 1 and maxDocsPerFp >= 2 required")
     val fps = winnowFingerprints(df, textCol, idCol, shingleN, window)
-    val freq = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
-    val kept = fps.join(freq.filter(col("_df") <= maxDocsPerFp)
-      .select(col("fp")), "fp")
+    // doc frequency via a WINDOW over one fp exchange, not an
+    // aggregate + self-join: the join road evaluates the winnow kernel
+    // subtree TWICE (partial aggregation defeats exchange reuse), and
+    // the kernel is the dominant cost; the downstream groupBy reuses
+    // this exchange's partitioning
+    val wf = Window.partitionBy(col("fp"))
+    val kept = fps.withColumn("_df", count(lit(1)).over(wf))
+      .filter(col("_df") <= maxDocsPerFp).drop("_df")
     bucketPairs(kept, Seq("fp"), "id", Nil, bounded = true)
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

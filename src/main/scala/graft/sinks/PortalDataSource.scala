@@ -120,10 +120,28 @@ object PortalStats {
     case _ => s
   }
 
+  /** Byte-wise UTF-8 comparison — Spark's UTF8String binary order.
+    * Java String.compareTo diverges above the BMP (surrogates sort
+    * below U+E000 in UTF-16 but above it in UTF-8 bytes), and stats
+    * compared in a different order than the engine's own filters would
+    * prune parts the residual filter keeps. */
+  private[sinks] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) => utf8Compare(x, y)
     case _ => 0
   }
 
@@ -139,7 +157,10 @@ object PortalStats {
     case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
     case (LongType | IntegerType | ShortType | ByteType, n: Number) =>
       Some(n.longValue())
-    case (DoubleType | FloatType, n: Number) => Some(n.doubleValue())
+    case (DoubleType | FloatType, n: Number) =>
+      // never prune on a NaN comparison: Spark orders NaN greatest and
+      // NaN = NaN true — min/max range logic doesn't model that
+      Some(n.doubleValue()).filterNot(_.isNaN)
     case (BooleanType, b: java.lang.Boolean) => Some(if (b) 1L else 0L)
     case (StringType, s: String) => Some(s)
     case _ => None
@@ -467,13 +488,17 @@ class PortalBatchWrite(root: String, title: String, tags: Seq[String],
     val withStats = msgs.filter(m => m.path.nonEmpty && m.stats.nonEmpty)
     val statEntries = withStats.map(m =>
       Path.of(m.path).getFileName.toString -> m.stats.toSeq).toSeq
+    // the key is ALWAYS written: when stats are skipped (oversized
+    // encoding) the empty value tombstones the PREVIOUS publish's
+    // stats — property updates merge, and pruning a fresh slot against
+    // a stale range would silently drop rows
     val statsProp = PortalStats.encode(schema,
       statEntries :+ ("*" -> PortalStats.merge(schema, statEntries.map(_._2))))
-      .map(PortalStats.PropKey -> _).toMap
+      .getOrElse("")
     t.update(item.id, Map(
       "activeSlot" -> inactive, "fingerprint" -> fp, "rows" -> rows.toString,
-      "schema" -> schema.json) // read path resolves the layout from here
-      ++ statsProp)
+      "schema" -> schema.json, // read path resolves the layout from here
+      PortalStats.PropKey -> statsProp))
     t.touch(item.id, System.currentTimeMillis())
   }
 
@@ -503,14 +528,18 @@ class PortalDataWriter(stagingDir: String, schema: StructType,
   private var xor = 0L
   private var sum = 0L
   // per-column min/max in canonical domain (Long/Double/String); null
-  // until the first non-null value — costs no extra pass over the data
+  // until the first non-null value — costs no extra pass over the data.
+  // A NaN anywhere in a float column POISONS its stat (Spark orders
+  // NaN greatest and NaN = NaN true, which a min/max range can't
+  // model, so the column must never prune for this part).
   private val mins = new Array[Any](schema.length)
   private val maxs = new Array[Any](schema.length)
+  private val poisoned = new Array[Boolean](schema.length)
 
   private def trackStats(row: InternalRow): Unit = {
     var i = 0
     while (i < schema.length) {
-      if (!row.isNullAt(i)) {
+      if (!row.isNullAt(i) && !poisoned(i)) {
         val v: Any = schema.fields(i).dataType match {
           case StringType => row.getUTF8String(i).toString
           case TimestampType | LongType => row.getLong(i)
@@ -523,15 +552,19 @@ class PortalDataWriter(stagingDir: String, schema: StructType,
           case FloatType => row.getFloat(i).toDouble
           case _ => null
         }
-        if (v != null) {
-          def lt(a: Any, b: Any): Boolean = (a, b) match {
-            case (x: Long, y: Long) => x < y
-            case (x: Double, y: Double) => x < y
-            case (x: String, y: String) => x < y
-            case _ => false
-          }
-          if (mins(i) == null || lt(v, mins(i))) mins(i) = v
-          if (maxs(i) == null || lt(maxs(i), v)) maxs(i) = v
+        v match {
+          case d: Double if d.isNaN => poisoned(i) = true
+          case null => ()
+          case _ =>
+            // byte-wise UTF-8 for strings: Spark's own comparison order
+            def lt(a: Any, b: Any): Boolean = (a, b) match {
+              case (x: Long, y: Long) => x < y
+              case (x: Double, y: Double) => x < y
+              case (x: String, y: String) => PortalStats.utf8Compare(x, y) < 0
+              case _ => false
+            }
+            if (mins(i) == null || lt(v, mins(i))) mins(i) = v
+            if (maxs(i) == null || lt(maxs(i), v)) maxs(i) = v
         }
       }
       i += 1
@@ -585,7 +618,7 @@ class PortalDataWriter(stagingDir: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
     val stats = schema.fields.indices.map { i =>
-      if (mins(i) == null) None
+      if (mins(i) == null || poisoned(i)) None
       else Some((mins(i).toString, maxs(i).toString))
     }
     PortalCommitMessage(path, rows, xor, sum, stats)

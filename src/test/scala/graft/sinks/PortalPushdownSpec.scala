@@ -42,8 +42,9 @@ class PortalPushdownSpec extends AnyFunSuite {
 
   private def planParts(root: String, item: String,
       portalUrl: Option[String],
-      filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
-    val b = new PortalScanBuilder(Some(root), item, schema, portalUrl,
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      readSchema: StructType = schema): Int = {
+    val b = new PortalScanBuilder(Some(root), item, readSchema, portalUrl,
       "gcoos", "fixture-pass")
     val residual = b.pushFilters(filters)
     assert(residual.toSeq == filters.toSeq, "all filters must stay residual")
@@ -131,6 +132,56 @@ class PortalPushdownSpec extends AnyFunSuite {
       .option("username", "gcoos").option("password", "fixture-pass")
       .load().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(restBack == localBack)
+  }
+
+  test("republish without stats tombstones the previous partStats — no stale pruning") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pp_stale").toString
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.repartition(1).write.format("portal")
+        .option("root", root).option("item", "stale").mode("append").save()
+    // publish 1: January data, stats recorded
+    write(Seq((1L, ts("2024-01-10T00:00:00Z"))).toDF("id", "t"))
+    // publish 2: February data whose stats are too large to encode
+    // (a multi-hundred-KB string cell) — the key must be TOMBSTONED,
+    // not left pointing at January
+    val big = "x" * 200000
+    write(Seq((2L, ts("2024-02-10T00:00:00Z")), (3L, ts("2024-02-11T00:00:00Z")))
+      .toDF("id", "t").withColumn("pad", lit(big)))
+    // a February read must see its rows — stale January stats would
+    // prune every part to zero
+    val staleSchema = StructType(Seq(StructField("id", LongType),
+      StructField("t", TimestampType), StructField("pad", StringType)))
+    assert(planParts(root, "stale", None,
+      Array(GreaterThanOrEqual("t", ts("2024-02-01T00:00:00Z"))),
+      staleSchema) >= 1)
+    val out = spark.read.format("portal")
+      .option("root", root).option("item", "stale").load()
+      .filter(col("t") >= lit(ts("2024-02-01T00:00:00Z")))
+    assert(out.count() == 2)
+  }
+
+  test("NaN poisons a float column's part stat: the part never prunes on it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pp_nan").toString
+    Seq((1L, Double.NaN), (2L, 5.0), (3L, 7.0)).toDF("id", "d")
+      .repartition(1).write.format("portal")
+      .option("root", root).option("item", "nan").mode("append").save()
+    // without poisoning, min/max would be (NaN, NaN) or (5, 7) —
+    // either wrongly prunes: d = 5 under a NaN range, or d > 100
+    // (which Spark's NaN-greatest ordering MATCHES for the NaN row)
+    val nanSchema = StructType(Seq(StructField("id", LongType),
+      StructField("d", DoubleType)))
+    assert(planParts(root, "nan", None, Array(EqualTo("d", 5.0)), nanSchema) == 1)
+    assert(planParts(root, "nan", None,
+      Array(GreaterThan("d", 100.0)), nanSchema) == 1)
+    val out = spark.read.format("portal")
+      .option("root", root).option("item", "nan").load()
+    assert(out.filter(col("d") === 5.0).count() == 1)
+    assert(out.filter(col("d") > 100.0).count() == 1) // the NaN row
+    // the id column still prunes normally
+    assert(planParts(root, "nan", None,
+      Array(GreaterThan("id", 99L)), nanSchema) == 0)
   }
 
   test("stats survive the encode/decode round trip; missing stats never prune") {
