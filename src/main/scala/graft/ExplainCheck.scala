@@ -149,6 +149,18 @@ object ExplainCheck {
     audit("ann_centroid_classify",
       mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))
 
+    // line-level boilerplate dedup: two-stage doc-frequency count plus a
+    // HASH anti-join of surviving lines — never a nested-loop shape
+    audit("dedup_lines",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // heavy hitters: the exact pass is filter + hash-aggregate over the
+    // candidate-filtered stream — no join of any kind (candidates ride
+    // the plan as an InSet literal)
+    audit("heavy_hitters", mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Join", "CartesianProduct"))
+    // HTML strip is a codegen'd projection chain — zero Exchange
+    audit("text_strip_html", mustNotContain = Seq("Exchange"))
+
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression
     // here silently turns a zero-transfer probe into a full data fetch

@@ -99,6 +99,19 @@ object ScaleProbe {
     probe("text_repetition",
       graft.operators.TextAnalysis.repetitionSignals(docs1, "text", "doc_id").count(),
       graft.operators.TextAnalysis.repetitionSignals(docsN, "text", "doc_id").count())
+    // line dedup: boilerplate concentrates N× in the same lines — the
+    // two-stage doc-frequency count must keep the hot keys combinable
+    def withLines(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      concat_ws("\n", concat(lit("nav-"), (col("doc_id") % 7).cast("string")),
+        col("text"), lit("shared footer line")))
+    probe("dedup_lines",
+      graft.operators.Dedup.dedupLines(withLines(docs1), "text", "doc_id").count(),
+      graft.operators.Dedup.dedupLines(withLines(docsN), "text", "doc_id").count())
+    // heavy hitters: summary-pass state is capacity-bounded regardless
+    // of corpus size; the exact pass shuffles candidates only
+    probe("heavy_hitters",
+      graft.operators.TextAnalysis.heavyHitters(docs1, "text", 2000L).count(),
+      graft.operators.TextAnalysis.heavyHitters(docsN, "text", 2000L).count())
     probe("sessionize",
       graft.operators.Sessionize.assignSessions(ev1, "user_id", "ts", 1800L, Seq("event_id")).count(),
       graft.operators.Sessionize.assignSessions(evN, "user_id", "ts", 1800L, Seq("event_id")).count())

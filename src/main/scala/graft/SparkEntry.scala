@@ -717,6 +717,44 @@ object SparkEntry {
     "dedup_spans" -> ((s, dir) =>
       Dedup.dedupSpans(t(s, dir, "documents"), "text", "doc_id", span = 10)),
 
+    // ---- dedup: RefinedWeb-style line-level boilerplate removal.
+    //      The corpus is single-line, so multi-line documents are
+    //      synthesized inline: a header shared by doc_id % 7, the
+    //      original text, a footer shared by ALL docs, and a unique
+    //      signature line — the shared lines must vanish everywhere,
+    //      the unique ones must all survive ----
+    "dedup_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("nav-"), (col("doc_id") % 7).cast("string")),
+          col("text"),
+          lit("(c) example corpus - all rights reserved"),
+          concat(lit("sig "), col("doc_id").cast("string"))).as("text"))
+      Dedup.dedupLines(docs, "text", "doc_id", minDocs = 3)
+    }),
+
+    // ---- text: exact heavy hitters (>= 0.2% of all tokens) via a
+    //      mergeable Misra-Gries pass + exact candidate count ----
+    "heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), "text",
+        thresholdPpm = 2000L)),
+
+    // ---- text: HTML-strip normalization. Documents are wrapped in a
+    //      deterministic HTML shell (script/style blocks, comments,
+    //      attributes, entities) that the strip must fully remove ----
+    "text_strip_html" -> ((s, dir) => {
+      val html = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+            "</script><style>p { color: red; }</style></head><body><p " +
+            "class=\"doc\">"),
+          col("text"),
+          lit("</p><!-- id --><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot;" +
+            " &#39;s&nbsp;end</div></body></html>")).as("text"))
+      html.select(col("doc_id"),
+        TextAnalysis.stripHtml(col("text")).as("text_clean"))
+    }),
+
     // ---- text: Gopher-style repetition quality signals ----
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "text", "doc_id")),
@@ -1813,6 +1851,62 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_spans_kept
         |FROM ranked WHERE rn = 1
         |GROUP BY doc_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10),
+        |           'nav-' || CAST(doc_id % 7 AS VARCHAR),
+        |           text,
+        |           '(c) example corpus - all rights reserved',
+        |           'sig ' || CAST(doc_id AS VARCHAR)) AS text
+        |  FROM documents),
+        | sp AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM src),
+        | idx AS (SELECT doc_id, l, unnest(range(len(l))) AS pos FROM sp),
+        | ln AS (SELECT doc_id, pos, l[pos + 1] AS line FROM idx),
+        | boiler AS (
+        |  SELECT nline FROM (
+        |    SELECT DISTINCT trim(line) AS nline, doc_id
+        |    FROM ln WHERE trim(line) <> '')
+        |  GROUP BY nline HAVING count(*) >= 3),
+        | kept AS (
+        |  SELECT doc_id, pos, line FROM ln
+        |  WHERE trim(line) NOT IN (SELECT nline FROM boiler))
+        |SELECT doc_id,
+        |       string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+        |       CAST(count(*) AS BIGINT) AS n_lines_kept
+        |FROM kept GROUP BY doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        | c AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> ''
+        |       GROUP BY tok),
+        | t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT tok, CAST(cnt AS BIGINT) AS cnt FROM c, t
+        |WHERE cnt * 1000000 >= 2000 * total""".stripMargin,
+    "text_strip_html" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2;' ||
+        |    '</script><style>p { color: red; }</style></head><body><p ' ||
+        |    'class="doc">' || text ||
+        |    '</p><!-- id --><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot;' ||
+        |    ' &#39;s&nbsp;end</div></body></html>' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        text,
+        |        '<script.*?</script\s*>', ' ', 'gis'),
+        |        '<style.*?</style\s*>', ' ', 'gis'),
+        |        '<!--.*?-->', ' ', 'gs'),
+        |        '<[^>]*>', ' ', 'gs'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text_clean
+        |FROM src""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l

@@ -651,6 +651,45 @@ object Dedup {
         count(lit(1)).as("n_spans_kept"))
   }
 
+  /** LINE-level boilerplate dedup (the RefinedWeb/CCNet recipe): a
+    * trimmed non-blank line that occurs in at least `minDocs` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, license
+    * footers) and is removed from EVERY document; unique prose is
+    * untouched. Documents are reassembled from their surviving lines
+    * in original order; a document whose every line was boilerplate
+    * vanishes (same convention as [[dedupSpans]]). Blank lines are
+    * never counted as boilerplate and always survive.
+    *
+    * Scale shape: one explode, then the doc-frequency count is
+    * TWO-STAGE — distinct (line, doc) pairs first, then a count per
+    * line — so a line repeated a million times inside one document
+    * costs one combine per partition, not a skewed single-key
+    * reduction. The boilerplate set (lines above the threshold) is
+    * data-dependent small next to the corpus; the surviving-line
+    * anti-join shuffles on the line hash and AQE broadcasts the
+    * boilerplate side when it fits. Linear in corpus size — no
+    * pairwise step. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would drop every line)")
+    val lines = df.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines
+      .select(trim(col("line")).as("nline"), col("_id"))
+      .filter(col("nline") =!= "")
+      .distinct()
+      .groupBy(col("nline")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("nline"))
+    lines.join(boiler, trim(col("line")) === col("nline"), "left_anti")
+      .groupBy(col("_id").as(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("text_clean"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   /** Embedding cosine near-dup: candidate pairs whose cosine similarity
     * exceeds `threshold`, generated through Similarity's LSH buckets to
     * avoid the all-pairs product. Defaults inherit the scale-safe

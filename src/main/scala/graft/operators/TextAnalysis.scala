@@ -527,6 +527,116 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
 
+  /** Mergeable Misra-Gries frequent-items summary over normalized
+    * tokens: at most `capacity` counters, every token with true count
+    * > N/(capacity+1) guaranteed present (Agarwal et al., "Mergeable
+    * Summaries", PODS '12 — merge sums counters then subtracts the
+    * (capacity+1)-th largest, preserving the bound). Also carries the
+    * exact total token count, so [[heavyHitters]] needs no separate
+    * counting job. */
+  /** Public only because Spark's generated encoder code must reach it. */
+  case class MgState(counts: Map[String, Long], total: Long)
+
+  private class MgAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[String], MgState, MgState] {
+    override def zero: MgState = MgState(Map.empty, 0L)
+    override def reduce(b: MgState, toks: Seq[String]): MgState = {
+      var m = b.counts
+      var t = b.total
+      toks.foreach { tok =>
+        if (tok.nonEmpty) {
+          t += 1
+          m.get(tok) match {
+            case Some(c) => m = m.updated(tok, c + 1)
+            case None =>
+              if (m.size < capacity) m = m.updated(tok, 1L)
+              else m = m.iterator.collect { // decrement-all: amortized O(1)/token
+                case (k, v) if v > 1 => k -> (v - 1)
+              }.toMap
+          }
+        }
+      }
+      MgState(m, t)
+    }
+    override def merge(a: MgState, b: MgState): MgState = {
+      var m = a.counts
+      b.counts.foreach { case (k, v) => m = m.updated(k, m.getOrElse(k, 0L) + v) }
+      if (m.size > capacity) {
+        val d = m.values.toArray.sorted(Ordering[Long].reverse).apply(capacity)
+        m = m.iterator.collect { case (k, v) if v - d > 0 => k -> (v - d) }.toMap
+      }
+      MgState(m, a.total + b.total)
+    }
+    override def finish(r: MgState): MgState = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MgState] =
+      org.apache.spark.sql.Encoders.product[MgState]
+    override def outputEncoder: org.apache.spark.sql.Encoder[MgState] =
+      org.apache.spark.sql.Encoders.product[MgState]
+  }
+
+  /** EXACT corpus heavy hitters — every normalized token whose global
+    * frequency is at least `thresholdPpm` parts-per-million of the
+    * total token count — WITHOUT ever shuffling the exploded corpus
+    * tokens by token key:
+    *
+    *  1. one corpus scan folds a mergeable Misra-Gries summary
+    *     (summary-sized state per partition, one tiny final merge) —
+    *     its candidate set provably contains every true heavy hitter
+    *     when `capacity > 1e6/thresholdPpm` (held with 2× slack);
+    *  2. a second scan counts ONLY the ≤`capacity` candidate tokens
+    *     exactly (the shuffle carries at most `capacity` distinct
+    *     keys) and keeps those at/above the exact threshold.
+    *
+    * The summary pass can over-admit but never miss, and the exact
+    * pass removes the false positives, so the result is EXACT and
+    * deterministic regardless of partitioning or merge order — the
+    * sketch only bounds the work. Threshold arithmetic is integer
+    * (`cnt * 1e6 >= ppm * total` in decimal), engine-portable.
+    * Returns (tok, cnt). */
+  def heavyHitters(df: DataFrame, textCol: String, thresholdPpm: Long,
+      safety: Int = 2): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in [1, 1e6]")
+    require(safety >= 2, "safety must be >= 2 to preserve the MG no-miss bound")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val capacity = ((1000000L * safety) / thresholdPpm + 1).toInt
+    val st = df.select(normalizedTokens(col(textCol)).as("toks"))
+      .as[Seq[String]]
+      .select(new MgAgg(capacity).toColumn)
+      .head()
+    val cands = st.counts.keys.toSeq.sorted
+    if (cands.isEmpty || st.total == 0L)
+      return Seq.empty[(String, Long)].toDF("tok", "cnt")
+    // exact RHS in decimal: ppm * total can exceed Long at 100-TB counts
+    val rhs = lit(new java.math.BigDecimal(
+      (BigInt(thresholdPpm) * BigInt(st.total)).bigInteger))
+    df.select(explode(normalizedTokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(cands: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("decimal(20,0)") * lit(1000000L) >= rhs)
+  }
+
+  /** HTML → text normalization, fully codegen'd and engine-portable:
+    * strips `<script>`/`<style>` blocks (tag through matching close,
+    * case-insensitive, dot-matches-newline), HTML comments, every
+    * remaining tag, decodes the six ubiquitous entities (`&amp;` LAST,
+    * so `&amp;lt;` yields the literal `&lt;`), and collapses
+    * whitespace runs to single spaces. A deliberate regex chain — the
+    * same RE2-compatible patterns run verbatim in the SQL oracle, and
+    * each stage stays inside whole-stage codegen (no UDF, no native
+    * kernel needed for a cold-path normalization). */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** BPE MERGE TRAINING — the pair-merge loop of a byte-pair-encoding
     * tokenizer build, distributed and ENGINE-PORTABLE:
     *

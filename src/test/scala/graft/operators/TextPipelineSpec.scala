@@ -473,4 +473,115 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(d1.last.getAs[String]("term") == "shared")
     assert(d1.last.getAs[Double]("tfidf") == 0.0)
   }
+
+  test("dedupLines: boilerplate lines vanish everywhere, unique prose survives in order") {
+    val docs = Seq(
+      (1L, "COMMON NAV\nunique one\nfooter"),
+      (2L, "COMMON NAV\nunique two\nfooter"),
+      (3L, "COMMON NAV\nunique three\nfooter"),
+      (4L, "standalone document")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "text", "doc_id", minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getString(1) == "unique one")
+    assert(out(0).getLong(2) == 1L)
+    assert(out(1).getString(1) == "unique two")
+    assert(out(3).getString(1) == "standalone document")
+  }
+
+  test("dedupLines: minDocs counts DISTINCT docs; intra-doc repeats don't trip it") {
+    val docs = Seq(
+      (1L, "repeated\nrepeated\nrepeated\nkeep me"),
+      (2L, "other content")
+    ).toDF("doc_id", "text")
+    // "repeated" occurs 3× but only in ONE doc → not boilerplate
+    val out = Dedup.dedupLines(docs, "text", "doc_id", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "repeated\nrepeated\nrepeated\nkeep me")
+  }
+
+  test("dedupLines: all-boilerplate doc vanishes; blank lines always survive") {
+    val docs = Seq(
+      (1L, "same\n\nmine"),
+      (2L, "same"),
+      (3L, "same")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "text", "doc_id", minDocs = 2)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet == Set(1L)) // docs 2 and 3 were pure boilerplate
+    assert(byId(1L).getString(1) == "\nmine") // blank line kept
+    assert(byId(1L).getLong(2) == 2L)
+  }
+
+  test("dedupLines: trimmed matching — indentation variants count as one line") {
+    val docs = Seq(
+      (1L, "  footer  \nkeep a"),
+      (2L, "footer\nkeep b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "text", "doc_id", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "keep a")
+    assert(out(1).getString(1) == "keep b")
+  }
+
+  test("heavyHitters: exact result equals brute-force counts at the ppm threshold") {
+    // 20 docs; "alpha" in all, "beta" in half, long tail of unique tokens
+    val docs = (1 to 20).map { i =>
+      val beta = if (i % 2 == 0) " beta" else ""
+      (i.toLong, s"alpha$beta tail$i extra$i")
+    }.toDF("doc_id", "text")
+    // total = 20 + 10 + 40 = 70 tokens; alpha 20/70 = 285714 ppm,
+    // beta 10/70 = 142857 ppm, tails 1/70 = 14285 ppm
+    val out = TextAnalysis.heavyHitters(docs, "text", thresholdPpm = 100000L)
+      .orderBy("tok").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("alpha", 20L), ("beta", 10L)))
+  }
+
+  test("heavyHitters: sketch churn across partitions never loses a true hitter") {
+    // force tiny capacity (high ppm → capacity ~ 2e6/ppm) and many
+    // partitions so both the decrement-all and merge paths execute
+    val docs = (1 to 200).map { i =>
+      (i.toLong, s"hot hot hot uniq${i}a uniq${i}b uniq${i}c")
+    }.toDF("doc_id", "text").repartition(16)
+    // total = 1200 tokens, hot = 600 → 500000 ppm; threshold 400000
+    val out = TextAnalysis.heavyHitters(docs, "text", thresholdPpm = 400000L)
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("hot", 600L)))
+  }
+
+  test("heavyHitters: empty corpus yields empty result; knobs validated") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHitters(empty, "text", 1000L).count() == 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(empty, "text", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(empty, "text", 1000L, safety = 1)
+    }
+  }
+
+  test("stripHtml: script/style/comments/tags/entities out, whitespace collapsed") {
+    val html = Seq((1L,
+      "<html><head><script>if (a < b) { x(); }</script>" +
+        "<style>p { color: red }</style></head>" +
+        "<body><p class=\"x\">Tom &amp; Jerry</p><!-- note -->" +
+        "<div>say &quot;hi&quot; &lt;now&gt;   &nbsp;ok</div></body></html>"
+    )).toDF("doc_id", "text")
+    val out = html.select(TextAnalysis.stripHtml(col("text"))).head().getString(0)
+    assert(out == "Tom & Jerry say \"hi\" <now> ok")
+  }
+
+  test("stripHtml: double-escaped entity decodes once (&amp;lt; -> &lt;)") {
+    val out = Seq((1L, "a &amp;lt; b")).toDF("doc_id", "text")
+      .select(TextAnalysis.stripHtml(col("text"))).head().getString(0)
+    assert(out == "a &lt; b")
+  }
+
+  test("stripHtml: plain text passes through with whitespace normalization only") {
+    val out = Seq((1L, "  plain   text,  2 < 3 stays  ")).toDF("doc_id", "text")
+      .select(TextAnalysis.stripHtml(col("text"))).head().getString(0)
+    assert(out == "plain text, 2 < 3 stays")
+  }
 }
