@@ -67,6 +67,9 @@ object ExplainCheck {
     // real JPEG/PNG header decode: synth + parse is a pure projection —
     // no Exchange, no RDD boundary
     audit("mm_decode_image", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    // real BMP pixel path (synth → NN resize → exact channel sums): still
+    // a pure projection — pixels never leave the expression pipeline
+    audit("mm_image_resize", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // span dedup is explode + hash-aggregate winners + reassemble —
     // never a pairwise join, and never a per-span-key window SORT (the
     // min(struct) winner combines map-side; a Window here would sort

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DecodeDatetimeExpr, ImageMeta, ImageSynth, MinHash64, MultimodalEncode, MultimodalMeta, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
+import graft.functions.{DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, MinHash64, MultimodalEncode, MultimodalMeta, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -75,6 +75,20 @@ object GraftExtensions {
         case Seq(c, Literal(n: Int, _), Literal(w: Int, _)) => WinnowSelect(c, n, w)
         case _ => throw new IllegalArgumentException(
           "winnow_select expects (text[, int literal, int literal])")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_synth_bmp",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthBmp(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_bmp expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_pixel_stats",
+      (args: Seq[Expression]) => ImagePixelStats(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("image_resize_nn",
+      (args: Seq[Expression]) => args match {
+        case Seq(b, w, h) => ImageResizeNn(b, w, h)
+        case _ => throw new IllegalArgumentException(
+          "image_resize_nn expects (binary, int, int)")
       }, "scala_udf")
   }
 }
@@ -150,6 +164,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(n: Int, _), Literal(w: Int, _)) => WinnowSelect(c, n, w)
         case _ => throw new IllegalArgumentException(
           "winnow_select expects (text[, int literal, int literal])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("image_synth_bmp"),
+      info("image_synth_bmp",
+        "image_synth_bmp(bigint, string) - deterministic 24bpp gradient BMP"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthBmp(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_bmp expects (bigint, string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("image_pixel_stats"),
+      info("image_pixel_stats",
+        "image_pixel_stats(binary) - exact integer channel sums of a 24bpp BMP"),
+      (args: Seq[Expression]) => ImagePixelStats(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("image_resize_nn"),
+      info("image_resize_nn",
+        "image_resize_nn(binary, w, h) - real nearest-neighbor BMP resize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b, w, h) => ImageResizeNn(b, w, h)
+        case _ => throw new IllegalArgumentException(
+          "image_resize_nn expects (binary, int, int)")
       }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),

@@ -628,6 +628,24 @@ object SparkEntry {
           col("m.progressive").cast("int").as("progressive"))
     }),
 
+    // ---- multimodal: REAL pixel kernels — synthesize a 24bpp gradient
+    //      BMP (pixel values are affine in (x, y, doc_id) mod 256),
+    //      nearest-neighbor resize it to 16×9 for real, then decode the
+    //      resized pixels back to exact integer channel sums. The
+    //      oracle recomputes every resized pixel analytically ----
+    "mm_image_resize" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_resize_nn(
+              ImageCodec.image_synth_bmp(col("doc_id"), col("text")),
+              lit(16), lit(9))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- composite corpus-curation pipeline: quality → lang → dedup →
     //      per-source stats (the flagship training-data flow) ----
     "pipeline_corpus" -> ((s, dir) => {
@@ -1775,6 +1793,28 @@ object SparkEntry {
         |   THEN CAST(doc_id % 4 = 0 AS INTEGER) ELSE NULL END AS INTEGER)
         |   AS progressive
         |FROM base""".stripMargin,
+    "mm_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 37 + 4 AS w,
+        |         octet_length(encode(text)) % 23 + 3 AS h
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id,
+        |         (xs.x * d.w) // 16 AS sx,
+        |         (ys.y * d.h) // 9 AS sy
+        |  FROM dims d, range(16) xs(x), range(9) ys(y))
+        |SELECT doc_id,
+        |       CAST(16 AS INTEGER) AS width,
+        |       CAST(9 AS INTEGER) AS height,
+        |       CAST(144 AS BIGINT) AS n_px,
+        |       CAST(sum((sx * 13 + sy * 17 + doc_id * 3) % 256) AS BIGINT)
+        |         AS sum_r,
+        |       CAST(sum((sx * 7 + sy * 11 + doc_id * 2) % 256) AS BIGINT)
+        |         AS sum_g,
+        |       CAST(sum((sx * 3 + sy * 5 + doc_id) % 256) AS BIGINT)
+        |         AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0

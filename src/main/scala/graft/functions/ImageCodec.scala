@@ -69,6 +69,77 @@ case class ImageSynth(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `(id, utf8 content) → 24bpp gradient BMP` — the pixel-carrying twin
+  * of [[ImageSynth]]; every pixel value is a fixed affine function of
+  * (x, y, id) mod 256 so SQL oracles recompute it analytically. */
+case class ImageSynthBmp(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth_bmp"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    ImageCodec.synthBmp(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.ImageCodec.synthBmp($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynthBmp =
+    copy(left = newLeft, right = newRight)
+}
+
+/** REAL pixel decode: exact integer channel sums over a 24bpp BMP —
+  * null (never a crash) for malformed or unsupported bytes. */
+case class ImagePixelStats(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ImageCodec.pixelStatsSchema
+  override def prettyName: String = "image_pixel_stats"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.pixelStatsInternal(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ImageCodec.pixelStatsInternal($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ImagePixelStats =
+    copy(child = newChild)
+}
+
+/** REAL nearest-neighbor resize over a 24bpp BMP → a new 24bpp BMP.
+  * Null for malformed input or out-of-range target dims. */
+case class ImageResizeNn(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_resize_nn"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bytes: Any, w: Any, h: Any): Any =
+    ImageCodec.resizeNnInternal(bytes.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h) => s"""
+      ${ev.value} = graft.functions.ImageCodec.resizeNnInternal($b, $w, $h);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): ImageResizeNn =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object ImageCodec {
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -96,7 +167,12 @@ object ImageCodec {
     if (bytes == null || bytes.length < 4) null
     else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) decodeJpeg(bytes)
     else if (bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) decodePng(bytes)
-    else null
+    else if (bytes(0) == 'B' && bytes(1) == 'M') {
+      val bmp = parseBmp(bytes)
+      if (bmp == null) null
+      else InternalRow(UTF8String.fromString("bmp"), bmp.width, bmp.height,
+        24, 3, null, null) // bit_depth = bits per pixel (24bpp-only path)
+    } else null
   }
 
   /** Segment walk (ITU-T T.81 §B.2): each marked segment after SOI is
@@ -243,4 +319,152 @@ object ImageCodec {
   def image_synth(id: Column, text: Column): Column =
     GraftSqlBridge.column(ImageSynth(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  // ------------------------------------------------------- BMP pixel path
+  //
+  // The REAL pixel kernels (decode → stats / nearest-neighbor resize)
+  // work on 24-bit uncompressed BMP (Windows BITMAPINFOHEADER — a public
+  // byte layout simple enough to carry real pixels with no image
+  // library): 14-byte file header, 40-byte info header, BGR rows padded
+  // to 4 bytes, bottom-up when height is positive. JPEG/PNG entropy
+  // decode stays out of scope (needs a codec library this container
+  // doesn't ship); the BMP path proves the pixel plumbing end-to-end
+  // with exact integer oracles.
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  private def leS32(b: Array[Byte], i: Int): Int = leU32(b, i).toInt
+
+  /** Parsed 24bpp BMP: logical top-down pixel accessor. Returns null on
+    * anything but an uncompressed BITMAPINFOHEADER 24-bit file whose
+    * pixel array is fully present. */
+  private final class Bmp(val bytes: Array[Byte], val width: Int,
+      val height: Int, pixelOff: Int, bottomUp: Boolean, stride: Int) {
+    /** Byte index of the BLUE sample of logical (x, y), y top-down. */
+    def at(x: Int, y: Int): Int = {
+      val row = if (bottomUp) height - 1 - y else y
+      pixelOff + row * stride + x * 3
+    }
+  }
+
+  private def parseBmp(b: Array[Byte]): Bmp = {
+    if (b == null || b.length < 54) return null
+    if (b(0) != 'B' || b(1) != 'M') return null
+    val pixelOff = leU32(b, 10)
+    val hdrSize = leU32(b, 14)
+    if (hdrSize < 40) return null // BITMAPCOREHEADER etc. not supported
+    val w = leS32(b, 18)
+    val hRaw = leS32(b, 22)
+    if (leU16(b, 26) != 1) return null          // planes
+    if (leU16(b, 28) != 24) return null         // 24bpp only
+    if (leU32(b, 30) != 0L) return null         // BI_RGB (uncompressed)
+    val bottomUp = hRaw >= 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || w > (1 << 20) || h > (1 << 20)) return null
+    val stride = (w * 3 + 3) & ~3
+    if (pixelOff < 54 || pixelOff + stride.toLong * h > b.length) return null
+    new Bmp(b, w, h, pixelOff.toInt, bottomUp, stride)
+  }
+
+  val pixelStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_px", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** Exact integer channel sums over every pixel — integers so an
+    * external oracle matches bit-for-bit with no float rounding pact. */
+  def pixelStatsInternal(bytes: Array[Byte]): InternalRow = {
+    val bmp = parseBmp(bytes)
+    if (bmp == null) return null
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < bmp.height) {
+      var x = 0
+      while (x < bmp.width) {
+        val i = bmp.at(x, y)
+        sb += bmp.bytes(i) & 0xFF
+        sg += bmp.bytes(i + 1) & 0xFF
+        sr += bmp.bytes(i + 2) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(bmp.width, bmp.height, bmp.width.toLong * bmp.height,
+      sr, sg, sb)
+  }
+
+  private def writeBmp(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val size = 54 + stride * h
+    val out = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h) // positive height: bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1 // first stored row is logical bottom
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, row)
+        out.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    out.array()
+  }
+
+  /** Deterministic gradient BMP the `mm_image_resize` oracle mirrors:
+    * dims from the text's byte length, channel values are fixed affine
+    * functions of (x, y, id) mod 256 — so an external SQL oracle can
+    * recompute any pixel, resized or not, without parsing a byte. */
+  def synthBmp(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val w = n % 37 + 4
+    val h = n % 23 + 3
+    writeBmp(w, h, (x, y) => (
+      ((x * 13 + y * 17 + id * 3) % 256).toInt,
+      ((x * 7 + y * 11 + id * 2) % 256).toInt,
+      ((x * 3 + y * 5 + id) % 256).toInt))
+  }
+
+  /** REAL nearest-neighbor resize: source pixel of output (x, y) is
+    * (floor(x·srcW/outW), floor(y·srcH/outH)) in logical top-down
+    * space — up- and down-scaling both work. Returns a new 24bpp BMP;
+    * null for anything [[parseBmp]] refuses. */
+  def resizeNnInternal(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    if (outW <= 0 || outH <= 0 || outW > (1 << 14) || outH > (1 << 14)) return null
+    val bmp = parseBmp(bytes)
+    if (bmp == null) return null
+    writeBmp(outW, outH, (x, y) => {
+      val sx = (x.toLong * bmp.width / outW).toInt
+      val sy = (y.toLong * bmp.height / outH).toInt
+      val i = bmp.at(sx, sy)
+      ((bmp.bytes(i + 2) & 0xFF), (bmp.bytes(i + 1) & 0xFF), (bmp.bytes(i) & 0xFF))
+    })
+  }
+
+  def image_synth_bmp(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynthBmp(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def image_pixel_stats(c: Column): Column =
+    GraftSqlBridge.column(ImagePixelStats(GraftSqlBridge.expression(c)))
+
+  def image_resize_nn(c: Column, w: Column, h: Column): Column =
+    GraftSqlBridge.column(ImageResizeNn(GraftSqlBridge.expression(c),
+      GraftSqlBridge.expression(w), GraftSqlBridge.expression(h)))
 }

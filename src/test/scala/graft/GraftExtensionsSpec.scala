@@ -49,6 +49,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](4).length == 1)
   }
 
+  test("SQL surface: BMP pixel path — synth, resize, exact stats, meta sniff") {
+    val row = spark.sql(
+      """SELECT
+        |  image_meta(image_synth_bmp(7L, 'abc')).format AS fmt,
+        |  image_pixel_stats(image_synth_bmp(7L, 'abc')).width AS w,
+        |  image_pixel_stats(
+        |    image_resize_nn(image_synth_bmp(7L, 'abc'), 4, 3)).n_px AS npx,
+        |  image_pixel_stats(CAST('junk' AS BINARY)) AS bad
+        |""".stripMargin).head()
+    assert(row.getString(0) == "bmp")
+    assert(row.getInt(1) == 3 % 37 + 4)
+    assert(row.getLong(2) == 12L)
+    assert(row.isNullAt(3))
+  }
+
   test("SQL surface: text_stats, shingle_strings, multimodal encode/decode") {
     val row = spark.sql(
       """SELECT

@@ -120,4 +120,130 @@ class ImageCodecSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Scan ExistingRDD"), plan)
   }
+
+  // ------------------------------------------------------- BMP pixel path
+
+  private def stats(bytes: Array[Byte]) =
+    Option(ImageCodec.pixelStatsInternal(bytes))
+
+  /** The synth gradient evaluated in plain Scala — the same formulas the
+    * SQL oracle uses. */
+  private def gradSums(id: Long, w: Int, h: Int,
+      map: (Int, Int) => (Int, Int)): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (sx, sy) = map(x, y)
+      sr += (sx * 13 + sy * 17 + id * 3) % 256
+      sg += (sx * 7 + sy * 11 + id * 2) % 256
+      sb += (sx * 3 + sy * 5 + id) % 256
+    }
+    (sr, sg, sb)
+  }
+
+  test("BMP: synth → pixel stats matches the analytic gradient, stride-padded widths included") {
+    // text lengths chosen so w*3 % 4 covers every padding case (w = n%37+4)
+    for ((id, text) <- Seq((7L, "abc"), (12L, "abcd"), (5L, "abcde"), (99L, "x" * 30))) {
+      val n = text.getBytes("UTF-8").length
+      val w = n % 37 + 4
+      val h = n % 23 + 3
+      val st = stats(ImageCodec.synthBmp(id,
+        org.apache.spark.unsafe.types.UTF8String.fromString(text))).get
+      val (sr, sg, sb) = gradSums(id, w, h, (x, y) => (x, y))
+      assert(st.getInt(0) == w && st.getInt(1) == h)
+      assert(st.getLong(2) == w.toLong * h)
+      assert((st.getLong(3), st.getLong(4), st.getLong(5)) == ((sr, sg, sb)))
+    }
+  }
+
+  test("BMP resize: identity dims preserve sums; downsample maps floor(x*w/W)") {
+    val t = org.apache.spark.unsafe.types.UTF8String.fromString("hello world")
+    val n = 11; val w = n % 37 + 4; val h = n % 23 + 3 // 15 × 14
+    val bmp = ImageCodec.synthBmp(42L, t)
+    val same = ImageCodec.resizeNnInternal(bmp, w, h)
+    assert(java.util.Arrays.equals(same, bmp)) // identity NN == byte-identical
+    val rs = stats(ImageCodec.resizeNnInternal(bmp, 4, 5)).get
+    val (sr, sg, sb) = gradSums(42L, 4, 5,
+      (x, y) => ((x * w / 4), (y * h / 5)))
+    assert(rs.getInt(0) == 4 && rs.getInt(1) == 5)
+    assert((rs.getLong(3), rs.getLong(4), rs.getLong(5)) == ((sr, sg, sb)))
+  }
+
+  test("BMP resize: upsample repeats source pixels; chained resize composes") {
+    val t = org.apache.spark.unsafe.types.UTF8String.fromString("ab")
+    val bmp = ImageCodec.synthBmp(3L, t) // 6 × 5
+    val up = stats(ImageCodec.resizeNnInternal(bmp, 12, 10)).get
+    val (sr, sg, sb) = gradSums(3L, 12, 10, (x, y) => (x * 6 / 12, y * 5 / 10))
+    assert((up.getLong(3), up.getLong(4), up.getLong(5)) == ((sr, sg, sb)))
+    // down then up again lands on the down-sampled grid, not the original
+    val down = ImageCodec.resizeNnInternal(bmp, 3, 2)
+    val back = stats(ImageCodec.resizeNnInternal(down, 6, 4)).get
+    val (r2, g2, b2) = gradSums(3L, 6, 4,
+      (x, y) => ((x * 3 / 6) * 6 / 3, (y * 2 / 4) * 5 / 2))
+    assert((back.getLong(3), back.getLong(4), back.getLong(5)) == ((r2, g2, b2)))
+  }
+
+  test("BMP: top-down (negative height) decodes to the same logical pixels") {
+    // hand-build a 2×2 top-down BMP: rows stored top-first
+    val px = Seq( // (r,g,b) logical rows top-down
+      Seq((10, 20, 30), (40, 50, 60)),
+      Seq((70, 80, 90), (100, 110, 120)))
+    val stride = 8 // 2*3 padded to 4
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 2)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(2).putInt(-2) // NEGATIVE height: top-down
+      .putShort(1).putShort(24).putInt(0).putInt(stride * 2)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    px.foreach { row =>
+      row.foreach { case (r, g, b) =>
+        buf.put(b.toByte).put(g.toByte).put(r.toByte) }
+      buf.put(0.toByte).put(0.toByte)
+    }
+    val st = stats(buf.array()).get
+    assert(st.getInt(0) == 2 && st.getInt(1) == 2)
+    assert(st.getLong(3) == 10L + 40 + 70 + 100)
+    assert(st.getLong(5) == 30L + 60 + 90 + 120)
+    // meta sniff agrees
+    val m = decode(buf.array()).get
+    assert(m.getUTF8String(0).toString == "bmp" && m.getInt(1) == 2 && m.getInt(2) == 2)
+  }
+
+  test("BMP fuzz: truncations, corruptions, random bytes never throw; bad dims null") {
+    val rnd = new scala.util.Random(77)
+    val valid = ImageCodec.synthBmp(5L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("fuzz me"))
+    (0 to valid.length).foreach { n =>
+      stats(valid.take(n)); ImageCodec.resizeNnInternal(valid.take(n), 4, 4)
+    }
+    valid.indices.foreach { i =>
+      val c = valid.clone(); c(i) = (c(i) ^ (1 + rnd.nextInt(255))).toByte
+      stats(c); ImageCodec.resizeNnInternal(c, 4, 4)
+    }
+    (1 to 500).foreach { _ =>
+      val body = new Array[Byte](rnd.nextInt(80)); rnd.nextBytes(body)
+      stats(Array[Byte]('B', 'M') ++ body)
+    }
+    assert(ImageCodec.resizeNnInternal(valid, 0, 4) == null)
+    assert(ImageCodec.resizeNnInternal(valid, 4, 1 << 20) == null)
+    assert(stats(valid).isDefined) // no shared state poisoned by the storm
+  }
+
+  test("BMP expressions: synth → resize → stats is a pure codegen'd projection") {
+    val df = Seq((1L, "one"), (2L, "two two")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        ImageCodec.image_pixel_stats(ImageCodec.image_resize_nn(
+          ImageCodec.image_synth_bmp(col("doc_id"), col("text")),
+          lit(16), lit(9))).as("st"))
+      .select(col("doc_id"), col("st.width"), col("st.n_px"), col("st.sum_r"))
+      .collect()
+    assert(out.forall(r => r.getInt(1) == 16 && r.getLong(2) == 144L))
+    val n = "one".length; val w = n % 37 + 4; val h = n % 23 + 3
+    val (sr, _, _) = gradSums(1L, 16, 9, (x, y) => (x * w / 16, y * h / 9))
+    assert(out.find(_.getLong(0) == 1L).get.getLong(3) == sr)
+    val plan = df.select(ImageCodec.image_pixel_stats(
+        ImageCodec.image_synth_bmp(col("doc_id"), col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Scan ExistingRDD"), plan)
+  }
 }
