@@ -152,6 +152,13 @@ object ExplainCheck {
     audit("ann_centroid_classify",
       mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))
 
+    // shard assignment: the same two-pass cumsum contract as
+    // pack_sequences — corpus window partitioned by _pid, no BNLJ
+    audit("shard_assign",
+      mustContain = Seq("Exchange hashpartitioning(_pid"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
+    // unicode normalization is a codegen'd projection — zero Exchange
+    audit("text_nfc", mustNotContain = Seq("Exchange"))
     // line-level boilerplate dedup: two-stage doc-frequency count plus a
     // HASH anti-join of surviving lines — never a nested-loop shape
     audit("dedup_lines",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, MinHash64, MultimodalEncode, MultimodalMeta, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
+import graft.functions.{DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -75,6 +75,14 @@ object GraftExtensions {
         case Seq(c, Literal(n: Int, _), Literal(w: Int, _)) => WinnowSelect(c, n, w)
         case _ => throw new IllegalArgumentException(
           "winnow_select expects (text[, int literal, int literal])")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NfcNormalize(c)
+        case Seq(c, Literal(f: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          NfcNormalize(c, f.toString)
+        case _ => throw new IllegalArgumentException(
+          "unicode_normalize expects (string[, form literal])")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("image_synth_bmp",
       (args: Seq[Expression]) => args match {
@@ -164,6 +172,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(n: Int, _), Literal(w: Int, _)) => WinnowSelect(c, n, w)
         case _ => throw new IllegalArgumentException(
           "winnow_select expects (text[, int literal, int literal])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(string[, 'NFC'|'NFD'|'NFKC'|'NFKD']) - UAX #15 normalization"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NfcNormalize(c)
+        case Seq(c, Literal(f: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          NfcNormalize(c, f.toString)
+        case _ => throw new IllegalArgumentException(
+          "unicode_normalize expects (string[, form literal])")
       }))
     ext.injectFunction((
       FunctionIdentifier("image_synth_bmp"),

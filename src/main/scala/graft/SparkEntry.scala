@@ -751,6 +751,23 @@ object SparkEntry {
       Dedup.dedupLines(docs, "text", "doc_id", minDocs = 3)
     }),
 
+    // ---- text: balanced output-shard assignment by token budget ----
+    "shard_assign" -> ((s, dir) =>
+      TextAnalysis.shardByTokenBudget(t(s, dir, "documents"), "text", "doc_id",
+        shardTokens = 5000L)),
+
+    // ---- text: Unicode NFC normalization — decomposed accent
+    //      sequences are injected so the normalization must fire ----
+    "text_nfc" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" cafe\u0301 A\u030angstro\u0308m")).as("text"))
+        .select(col("doc_id"),
+          graft.functions.UnicodeNorm.unicode_normalize(col("text")).as("nfc"),
+          length(col("text")).as("len_raw"),
+          length(graft.functions.UnicodeNorm.unicode_normalize(col("text")))
+            .as("len_nfc"))),
+
     // ---- text: exact heavy hitters (>= 0.2% of all tokens) via a
     //      mergeable Misra-Gries pass + exact candidate count ----
     "heavy_hitters" -> ((s, dir) =>
@@ -1915,6 +1932,32 @@ object SparkEntry {
         |       string_agg(line, chr(10) ORDER BY pos) AS text_clean,
         |       CAST(count(*) AS BIGINT) AS n_lines_kept
         |FROM kept GROUP BY doc_id""".stripMargin,
+    "shard_assign" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS bk
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, n_tokens, sum(n_tokens) OVER (
+        |    ORDER BY bk, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+        |      AS start_off
+        |  FROM ranked)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(start_off // 5000 AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+    "text_nfc" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' A' || chr(778) ||
+        |    'ngstro' || chr(776) || 'm' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(text) AS nfc,
+        |  CAST(length(text) AS INTEGER) AS len_raw,
+        |  CAST(length(nfc_normalize(text)) AS INTEGER) AS len_nfc
+        |FROM src""".stripMargin,
     "heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(trim(regexp_replace(lower(text),

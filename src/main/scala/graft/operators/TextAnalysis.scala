@@ -514,6 +514,38 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Balanced output-SHARD assignment — the write-side counterpart of
+    * [[packSequences]]: documents are laid out in portable
+    * `md5(salt || id)` order (deterministic, engine-portable,
+    * partition-count-independent) and cut into consecutive shards of
+    * ~`shardTokens` tokens each; a document belongs to the shard its
+    * START offset falls in, so shards never split a document and
+    * overflow by at most one document. Feed the result to
+    * `df.write.partitionBy("shard")` for size-balanced training-data
+    * files — balanced by TOKENS, which is what a trainer consumes, not
+    * by row count.
+    *
+    * Scale shape: the same two-pass global cumsum as [[packSequences]]
+    * (range-partition by hash rank → parallel local windows →
+    * broadcast P per-partition totals); no single-partition window
+    * ever sees the corpus. Returns (`idCol`, n_tokens, shard). */
+  def shardByTokenBudget(df: DataFrame, textCol: String, idCol: String,
+      shardTokens: Long, salt: String = "", numPartitions: Int = 0): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"),
+      md5(concat(lit(salt), col(idCol).cast("string"))).as("_bk"))
+    Relational.withGlobalPrefix(withCounts,
+        Relational.defaultParts(df, numPartitions),
+        Seq(col("_bk"), col(idCol)), "_local_cum")(
+        w => sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start_off",
+        (col("_offset") + col("_local_cum") - col("n_tokens")).cast("long"))
+      .withColumn("shard",
+        expr(s"start_off div CAST($shardTokens AS BIGINT)").cast("long"))
+      .select(col(idCol), col("n_tokens"), col("shard"))
+  }
+
   /** Corpus VOCABULARY induction: global token frequencies, top `k` by
     * count with lexicographic tie-break — the first pass of a
     * tokenizer build or a frequency-based filter. Tokens are

@@ -584,4 +584,36 @@ class TextPipelineSpec extends AnyFunSuite {
       .select(TextAnalysis.stripHtml(col("text"))).head().getString(0)
     assert(out == "plain text, 2 < 3 stays")
   }
+
+  test("shardByTokenBudget: shards fill in hash order, never split a doc, overflow <= 1 doc") {
+    val docs = (1 to 60).map(i => (i.toLong, ("w " * 10).trim)).toDF("doc_id", "text")
+    val out = TextAnalysis.shardByTokenBudget(docs, "text", "doc_id", shardTokens = 45L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall(_._2 == 10L))
+    // 10-token docs into 45-token shards: starts 0,10,20,30,40 → shard 0
+    // (5 docs, 50 tokens — overflow by one doc), next start 50 → shard 1
+    val perShard = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    assert(perShard.values.forall(_ <= 50L)) // budget + one doc
+    assert(perShard.keySet == (0L until perShard.size).toSet) // consecutive
+    // deterministic and partition-count independent
+    val again = TextAnalysis.shardByTokenBudget(docs.repartition(7), "text",
+      "doc_id", shardTokens = 45L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.map(t => (t._1, t._3)).toMap == again)
+  }
+
+  test("shardByTokenBudget: salt reshuffles the layout; oversized doc gets its own shard start") {
+    val docs = Seq((1L, "a b c"), (2L, ("x " * 100).trim), (3L, "d e")).toDF("doc_id", "text")
+    val base = TextAnalysis.shardByTokenBudget(docs, "text", "doc_id", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val salted = TextAnalysis.shardByTokenBudget(docs, "text", "doc_id", 10L, salt = "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(base.keySet == salted.keySet)
+    // the 100-token doc spans 10 shard budgets — docs after it land >= 10 shards later
+    val big = base(2L)
+    assert(base.values.max >= big) // layout is still consecutive starts
+    intercept[IllegalArgumentException] {
+      TextAnalysis.shardByTokenBudget(docs, "text", "doc_id", 0L)
+    }
+  }
 }
