@@ -152,6 +152,10 @@ object ExplainCheck {
     audit("ann_centroid_classify",
       mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))
 
+    // inverted index: the df-bounds join must be hash-based (the pruned
+    // df table meets the pairs stream on the term key — no BNLJ/cross)
+    audit("inverted_index",
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
     // shard assignment: the same two-pass cumsum contract as
     // pack_sequences — corpus window partitioned by _pid, no BNLJ
     audit("shard_assign",

@@ -112,6 +112,14 @@ object ScaleProbe {
     probe("heavy_hitters",
       graft.operators.TextAnalysis.heavyHitters(docs1, "text", 2000L).count(),
       graft.operators.TextAnalysis.heavyHitters(docsN, "text", 2000L).count())
+    // inverted index: maxDf prunes the amplified stop-words BEFORE any
+    // posting list aggregates — the duplicate-heavy N× corpus is the
+    // adversarial case (every term's df inflates N×)
+    probe("inverted_index",
+      graft.operators.TextAnalysis.invertedIndex(docs1, "text", "doc_id",
+        minDf = 3L, maxDf = 400L, maxPostings = 50).count(),
+      graft.operators.TextAnalysis.invertedIndex(docsN, "text", "doc_id",
+        minDf = 3L, maxDf = 400L, maxPostings = 50).count())
     probe("sessionize",
       graft.operators.Sessionize.assignSessions(ev1, "user_id", "ts", 1800L, Seq("event_id")).count(),
       graft.operators.Sessionize.assignSessions(evN, "user_id", "ts", 1800L, Seq("event_id")).count())

@@ -751,6 +751,11 @@ object SparkEntry {
       Dedup.dedupLines(docs, "text", "doc_id", minDocs = 3)
     }),
 
+    // ---- text: inverted index with df bounds + posting cap ----
+    "inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id",
+        minDf = 3L, maxDf = 400L, maxPostings = 50)),
+
     // ---- text: balanced output-shard assignment by token budget ----
     "shard_assign" -> ((s, dir) =>
       TextAnalysis.shardByTokenBudget(t(s, dir, "documents"), "text", "doc_id",
@@ -1932,6 +1937,20 @@ object SparkEntry {
         |       string_agg(line, chr(10) ORDER BY pos) AS text_clean,
         |       CAST(count(*) AS BIGINT) AS n_lines_kept
         |FROM kept GROUP BY doc_id""".stripMargin,
+    "inverted_index" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        | np AS (SELECT doc_id, term FROM pairs WHERE term <> ''),
+        | dfc AS (
+        |  SELECT term, count(*) AS df FROM np GROUP BY term
+        |  HAVING count(*) >= 3 AND count(*) <= 400)
+        |SELECT np.term, CAST(dfc.df AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(np.doc_id))[1:50], ',') AS postings
+        |FROM np JOIN dfc ON np.term = dfc.term
+        |GROUP BY np.term, dfc.df""".stripMargin,
     "shard_assign" ->
       """WITH ranked AS (
         |  SELECT doc_id,

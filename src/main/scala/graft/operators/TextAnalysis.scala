@@ -546,6 +546,37 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("shard"))
   }
 
+  /** INVERTED INDEX build — term → sorted posting list of document
+    * ids, the retrieval-side primitive (BM25 candidates, contrastive
+    * negatives mining, corpus search): distinct (term, doc) pairs,
+    * document-frequency bounds, and a per-term posting cap.
+    *
+    * Scale shape: the df count runs FIRST (map-side combinable ints),
+    * and terms outside [minDf, maxDf] are pruned BEFORE any posting
+    * list materializes — the maxDf bound is the skew guard: without
+    * it, a stop-word's posting list is a corpus-sized single-key
+    * group. After pruning, every surviving group is ≤ maxDf rows by
+    * construction, so the collect_list is bounded. Postings are
+    * numerically sorted then capped at `maxPostings` (deterministic:
+    * the smallest ids win) and emitted as a comma-joined string for
+    * engine-portable comparison. */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 1L, maxDf: Long = Long.MaxValue,
+      maxPostings: Int = 1000): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, "need 1 <= minDf <= maxDf")
+    require(maxPostings >= 1, "maxPostings must be positive")
+    val pairs = df.select(col(idCol).as("_id"),
+        explode(normalizedTokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val dfCounts = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    pairs.join(dfCounts, "term")
+      .groupBy(col("term"), col("df"))
+      .agg(array_join(transform(
+        slice(array_sort(collect_list(col("_id"))), 1, maxPostings),
+        x => x.cast("string")), ",").as("postings"))
+  }
+
   /** Corpus VOCABULARY induction: global token frequencies, top `k` by
     * count with lexicographic tie-break — the first pass of a
     * tokenizer build or a frequency-based filter. Tokens are

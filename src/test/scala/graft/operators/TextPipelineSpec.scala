@@ -602,6 +602,25 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out.map(t => (t._1, t._3)).toMap == again)
   }
 
+  test("invertedIndex: df bounds prune, postings sorted numerically and capped") {
+    val docs = Seq(
+      (10L, "common alpha beta"),
+      (2L, "common alpha"),
+      (7L, "common alpha solo"),
+      (1L, "common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "text", "doc_id",
+      minDf = 2L, maxDf = 3L, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // "common" df=4 > maxDf → pruned; "beta"/"solo" df=1 < minDf → pruned
+    assert(out.keySet == Set("alpha"))
+    // numeric sort (2 < 7 < 10, not "10" < "2") and cap keeps smallest 2
+    assert(out("alpha") == ((3L, "2,7")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.invertedIndex(docs, "text", "doc_id", minDf = 5L, maxDf = 2L)
+    }
+  }
+
   test("shardByTokenBudget: salt reshuffles the layout; oversized doc gets its own shard start") {
     val docs = Seq((1L, "a b c"), (2L, ("x " * 100).trim), (3L, "d e")).toDF("doc_id", "text")
     val base = TextAnalysis.shardByTokenBudget(docs, "text", "doc_id", 10L)
