@@ -152,6 +152,9 @@ object ExplainCheck {
     audit("ann_centroid_classify",
       mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))
 
+    // upsampling is projection + generator only — no shuffle, no join
+    audit("upsample_sources",
+      mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))
     // inverted index: the df-bounds join must be hash-based (the pruned
     // df table meets the pairs stream on the term key — no BNLJ/cross)
     audit("inverted_index",

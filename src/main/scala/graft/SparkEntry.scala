@@ -751,6 +751,13 @@ object SparkEntry {
       Dedup.dedupLines(docs, "text", "doc_id", minDocs = 3)
     }),
 
+    // ---- text: epoch-weighted source upsampling (books ×2.5 web ×1:
+    //      the pretraining-mix repeat primitive) ----
+    "upsample_sources" -> ((s, dir) =>
+      TextAnalysis.upsampleSources(t(s, dir, "documents"), "doc_id", "source",
+        Map("src1" -> 250, "src2" -> 30, "src3" -> 0), defaultPct = 100)
+        .select(col("doc_id"), col("source"), col("epoch"))),
+
     // ---- text: inverted index with df bounds + posting cap ----
     "inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id",
@@ -1937,6 +1944,23 @@ object SparkEntry {
         |       string_agg(line, chr(10) ORDER BY pos) AS text_clean,
         |       CAST(count(*) AS BIGINT) AS n_lines_kept
         |FROM kept GROUP BY doc_id""".stripMargin,
+    "upsample_sources" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 AS b,
+        |    CASE WHEN source = 'src1' THEN 250
+        |         WHEN source = 'src2' THEN 30
+        |         WHEN source = 'src3' THEN 0
+        |         ELSE 100 END AS pct
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, source,
+        |    pct // 100 + CASE WHEN b < pct % 100 THEN 1 ELSE 0 END AS n
+        |  FROM base)
+        |SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM (
+        |  SELECT doc_id, source, unnest(range(n)) AS epoch FROM c
+        |  WHERE n > 0)""".stripMargin,
     "inverted_index" ->
       """WITH pairs AS (
         |  SELECT DISTINCT doc_id,

@@ -332,6 +332,40 @@ object TextAnalysis {
     df.filter(bucket < pct)
   }
 
+  /** Epoch-weighted source UPSAMPLING — the pretraining-mix REPEAT
+    * primitive ("books ×2.5, web ×1"): every row of a stratum with
+    * weight `w` (integer PERCENT of an epoch — 250 = 2.5 epochs) is
+    * emitted `w div 100` times, plus one extra copy for the
+    * md5-bucketed `w mod 100` percent of rows — deterministic, salted,
+    * engine-portable, and NESTED (raising a weight only adds copies;
+    * the bucket rule is [[mixSources]]', so upsample and downsample
+    * share one hash layout). Output: the input columns plus `epoch`
+    * (0-based copy index; (id, epoch) is unique).
+    *
+    * Scale shape: one codegen'd projection + `explode(sequence)` — no
+    * shuffle, no join; output size is exactly the configured epoch
+    * total. Downstream shuffles see the repeat factor, so keep
+    * upsampling LAST in a pipeline (after filters/dedup). */
+  def upsampleSources(df: DataFrame, idCol: String, stratumCol: String,
+      epochsPct: Map[String, Int], defaultPct: Int = 100,
+      salt: String = ""): DataFrame = {
+    require((epochsPct.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 10000),
+      "epoch weights are integer percent in [0, 10000] (10000 = 100 epochs)")
+    val bucket =
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+        16, 10).cast("long") % 100
+    val pct = epochsPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) =>
+        when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
+    }
+    val copies = floor(pct / 100).cast("int") +
+      when(bucket < pct % 100, 1).otherwise(0)
+    df.withColumn("_n", copies)
+      .filter(col("_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("_n") - 1)))
+      .drop("_n")
+  }
+
   /** Corpus REPORT: per-stratum (source/domain) health statistics — doc
     * count, token totals, mean/median tokens, and the fraction meeting
     * a minimum-length bar. The report a curation run prints before and

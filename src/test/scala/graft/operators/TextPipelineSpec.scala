@@ -602,6 +602,36 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out.map(t => (t._1, t._3)).toMap == again)
   }
 
+  test("upsampleSources: whole epochs copy every row, fractional epochs hash-select, 0 drops") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, if (i <= 100) "books" else if (i <= 200) "web" else "junk"))
+      .toDF("doc_id", "source")
+    val out = TextAnalysis.upsampleSources(docs, "doc_id", "source",
+      Map("books" -> 250, "junk" -> 0), defaultPct = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("web") == 100)          // 1 epoch exactly
+    assert(!bySrc.contains("junk"))      // weight 0 drops the stratum
+    // books: 100 docs x (2 + fractional 50%) — every doc appears 2 or 3
+    // times, totals between 200 and 300, deterministic on repeat
+    val books = out.filter(_._2 == "books")
+    val perDoc = books.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perDoc.values.forall(n => n == 2 || n == 3))
+    assert(books.length > 200 && books.length < 300)
+    // epochs are 0-based consecutive per doc
+    assert(books.groupBy(_._1).values.forall(rows =>
+      rows.map(_._3).sorted.sameElements(0 until rows.length)))
+    // nested: raising a weight only ADDS copies
+    val more = TextAnalysis.upsampleSources(docs, "doc_id", "source",
+      Map("books" -> 280, "junk" -> 0), defaultPct = 100)
+      .collect().filter(_.getString(1) == "books")
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perDoc.forall { case (id, n) => more(id) >= n })
+    intercept[IllegalArgumentException] {
+      TextAnalysis.upsampleSources(docs, "doc_id", "source", Map("books" -> 10001))
+    }
+  }
+
   test("invertedIndex: df bounds prune, postings sorted numerically and capped") {
     val docs = Seq(
       (10L, "common alpha beta"),
