@@ -91,7 +91,11 @@ object GraftExtensions {
           "image_synth_bmp expects (bigint, string)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("image_pixel_stats",
-      (args: Seq[Expression]) => ImagePixelStats(args.head), "scala_udf")
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ImagePixelStats(c)
+        case _ => throw new IllegalArgumentException(
+          "image_pixel_stats expects (binary)")
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("image_resize_nn",
       (args: Seq[Expression]) => args match {
         case Seq(b, w, h) => ImageResizeNn(b, w, h)
@@ -197,7 +201,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("image_pixel_stats"),
       info("image_pixel_stats",
         "image_pixel_stats(binary) - exact integer channel sums of a 24bpp BMP"),
-      (args: Seq[Expression]) => ImagePixelStats(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ImagePixelStats(c)
+        case _ => throw new IllegalArgumentException(
+          "image_pixel_stats expects (binary)")
+      }))
     ext.injectFunction((
       FunctionIdentifier("image_resize_nn"),
       info("image_resize_nn",

@@ -1837,12 +1837,12 @@ object SparkEntry {
         |       CAST(16 AS INTEGER) AS width,
         |       CAST(9 AS INTEGER) AS height,
         |       CAST(144 AS BIGINT) AS n_px,
-        |       CAST(sum((sx * 13 + sy * 17 + doc_id * 3) % 256) AS BIGINT)
-        |         AS sum_r,
-        |       CAST(sum((sx * 7 + sy * 11 + doc_id * 2) % 256) AS BIGINT)
-        |         AS sum_g,
-        |       CAST(sum((sx * 3 + sy * 5 + doc_id) % 256) AS BIGINT)
-        |         AS sum_b
+        |       CAST(sum(((sx * 13 + sy * 17 + doc_id * 3) % 256 + 256) % 256)
+        |         AS BIGINT) AS sum_r,
+        |       CAST(sum(((sx * 7 + sy * 11 + doc_id * 2) % 256 + 256) % 256)
+        |         AS BIGINT) AS sum_g,
+        |       CAST(sum(((sx * 3 + sy * 5 + doc_id) % 256 + 256) % 256)
+        |         AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,

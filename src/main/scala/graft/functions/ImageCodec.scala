@@ -429,16 +429,19 @@ object ImageCodec {
 
   /** Deterministic gradient BMP the `mm_image_resize` oracle mirrors:
     * dims from the text's byte length, channel values are fixed affine
-    * functions of (x, y, id) mod 256 — so an external SQL oracle can
-    * recompute any pixel, resized or not, without parsing a byte. */
+    * functions of (x, y, id) taken mod 256 with FLOOR semantics
+    * (`floorMod`, always in [0, 255]) — sign-following `%` would wrap
+    * negative ids through `.toByte` into values the oracle's own
+    * sign-following `%` doesn't produce. SQL mirrors must write
+    * `((expr) % 256 + 256) % 256`. */
   def synthBmp(id: Long, text: UTF8String): Array[Byte] = {
     val n = text.numBytes
     val w = n % 37 + 4
     val h = n % 23 + 3
     writeBmp(w, h, (x, y) => (
-      ((x * 13 + y * 17 + id * 3) % 256).toInt,
-      ((x * 7 + y * 11 + id * 2) % 256).toInt,
-      ((x * 3 + y * 5 + id) % 256).toInt))
+      java.lang.Math.floorMod(x * 13 + y * 17 + id * 3, 256L).toInt,
+      java.lang.Math.floorMod(x * 7 + y * 11 + id * 2, 256L).toInt,
+      java.lang.Math.floorMod(x * 3 + y * 5 + id, 256L).toInt))
   }
 
   /** REAL nearest-neighbor resize: source pixel of output (x, y) is

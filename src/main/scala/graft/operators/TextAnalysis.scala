@@ -319,18 +319,28 @@ object TextAnalysis {
     * reproducible, salted, and nested per stratum; a stratum absent
     * from `rates` gets `defaultPct`. One codegen'd filter — no shuffle,
     * no per-stratum scan. */
-  def mixSources(df: DataFrame, idCol: String, stratumCol: String,
-      rates: Map[String, Int], defaultPct: Int = 0,
-      salt: String = ""): DataFrame = {
-    val bucket =
-      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
-        16, 10).cast("long") % 100
-    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+  /** THE percent-bucket rule shared by [[mixSources]] (downsample) and
+    * [[upsampleSources]] (repeat): first 8 md5 hex digits of
+    * `salt || id`, mod 100. One definition — the nesting guarantee
+    * between up- and down-sampling holds only while both read the SAME
+    * bucket. */
+  private def stratumBucket(idCol: String, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") % 100
+
+  /** Per-stratum weight lookup as one when-chain (deterministic order). */
+  private def stratumPct(stratumCol: String, rates: Map[String, Int],
+      defaultPct: Int): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
       case (acc, (stratum, p)) =>
         when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
     }
-    df.filter(bucket < pct)
-  }
+
+  def mixSources(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0,
+      salt: String = ""): DataFrame =
+    df.filter(stratumBucket(idCol, salt) <
+      stratumPct(stratumCol, rates, defaultPct))
 
   /** Epoch-weighted source UPSAMPLING — the pretraining-mix REPEAT
     * primitive ("books ×2.5, web ×1"): every row of a stratum with
@@ -351,13 +361,8 @@ object TextAnalysis {
       salt: String = ""): DataFrame = {
     require((epochsPct.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 10000),
       "epoch weights are integer percent in [0, 10000] (10000 = 100 epochs)")
-    val bucket =
-      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
-        16, 10).cast("long") % 100
-    val pct = epochsPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
-      case (acc, (stratum, p)) =>
-        when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
-    }
+    val bucket = stratumBucket(idCol, salt)
+    val pct = stratumPct(stratumCol, epochsPct, defaultPct)
     val copies = floor(pct / 100).cast("int") +
       when(bucket < pct % 100, 1).otherwise(0)
     df.withColumn("_n", copies)
@@ -638,6 +643,7 @@ object TextAnalysis {
       extends org.apache.spark.sql.expressions.Aggregator[Seq[String], MgState, MgState] {
     override def zero: MgState = MgState(Map.empty, 0L)
     override def reduce(b: MgState, toks: Seq[String]): MgState = {
+      if (toks == null) return b // null text decodes to a null Seq
       var m = b.counts
       var t = b.total
       toks.foreach { tok =>

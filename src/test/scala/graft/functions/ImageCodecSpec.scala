@@ -133,16 +133,19 @@ class ImageCodecSpec extends AnyFunSuite {
     var sr = 0L; var sg = 0L; var sb = 0L
     for (y <- 0 until h; x <- 0 until w) {
       val (sx, sy) = map(x, y)
-      sr += (sx * 13 + sy * 17 + id * 3) % 256
-      sg += (sx * 7 + sy * 11 + id * 2) % 256
-      sb += (sx * 3 + sy * 5 + id) % 256
+      sr += java.lang.Math.floorMod(sx * 13 + sy * 17 + id * 3, 256L)
+      sg += java.lang.Math.floorMod(sx * 7 + sy * 11 + id * 2, 256L)
+      sb += java.lang.Math.floorMod(sx * 3 + sy * 5 + id, 256L)
     }
     (sr, sg, sb)
   }
 
   test("BMP: synth → pixel stats matches the analytic gradient, stride-padded widths included") {
-    // text lengths chosen so w*3 % 4 covers every padding case (w = n%37+4)
-    for ((id, text) <- Seq((7L, "abc"), (12L, "abcd"), (5L, "abcde"), (99L, "x" * 30))) {
+    // text lengths chosen so w*3 % 4 covers every padding case (w = n%37+4);
+    // the negative id pins the floorMod contract (sign-following % would
+    // wrap through toByte into oracle-divergent values)
+    for ((id, text) <- Seq((7L, "abc"), (12L, "abcd"), (5L, "abcde"),
+        (99L, "x" * 30), (-42L, "neg id"))) {
       val n = text.getBytes("UTF-8").length
       val w = n % 37 + 4
       val h = n % 23 + 3

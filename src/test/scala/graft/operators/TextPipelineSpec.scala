@@ -554,6 +554,10 @@ class TextPipelineSpec extends AnyFunSuite {
   test("heavyHitters: empty corpus yields empty result; knobs validated") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.heavyHitters(empty, "text", 1000L).count() == 0L)
+    // null text must not crash the summary pass (null Seq after decode)
+    val withNull = Seq((1L, "hot hot"), (2L, null: String)).toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHitters(withNull, "text", 500000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("hot", 2L)))
     intercept[IllegalArgumentException] {
       TextAnalysis.heavyHitters(empty, "text", 0L)
     }
@@ -652,15 +656,26 @@ class TextPipelineSpec extends AnyFunSuite {
   }
 
   test("shardByTokenBudget: salt reshuffles the layout; oversized doc gets its own shard start") {
+    val tokens = Map(1L -> 3L, 2L -> 100L, 3L -> 2L)
     val docs = Seq((1L, "a b c"), (2L, ("x " * 100).trim), (3L, "d e")).toDF("doc_id", "text")
     val base = TextAnalysis.shardByTokenBudget(docs, "text", "doc_id", 10L)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     val salted = TextAnalysis.shardByTokenBudget(docs, "text", "doc_id", 10L, salt = "s1")
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(base.keySet == salted.keySet)
-    // the 100-token doc spans 10 shard budgets — docs after it land >= 10 shards later
-    val big = base(2L)
-    assert(base.values.max >= big) // layout is still consecutive starts
+    // recompute the EXACT expected layout: md5 hash order, shard =
+    // start offset div 10 — the 100-token doc advances the cursor by
+    // 10 whole shard budgets for whatever follows it
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expected(salt: String): Map[Long, Long] = {
+      var off = 0L
+      tokens.keys.toSeq.sortBy(id => (md5hex(salt + id), id)).map { id =>
+        val shard = off / 10; off += tokens(id); id -> shard
+      }.toMap
+    }
+    assert(base == expected(""))
+    assert(salted == expected("s1"))
     intercept[IllegalArgumentException] {
       TextAnalysis.shardByTokenBudget(docs, "text", "doc_id", 0L)
     }
