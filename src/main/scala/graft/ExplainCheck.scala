@@ -152,6 +152,11 @@ object ExplainCheck {
     audit("ann_centroid_classify",
       mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))
 
+    // window packing: two-pass cumsum (corpus window keyed on _pid) then
+    // ONE bin aggregation — no nested-loop shape anywhere
+    audit("pack_windows",
+      mustContain = Seq("Exchange hashpartitioning(_pid"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
     // upsampling is projection + generator only — no shuffle, no join
     audit("upsample_sources",
       mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))

@@ -751,6 +751,12 @@ object SparkEntry {
       Dedup.dedupLines(docs, "text", "doc_id", minDocs = 3)
     }),
 
+    // ---- text: training-sample construction — one row per 512-token
+    //      context window with its doc provenance spans ----
+    "pack_windows" -> ((s, dir) =>
+      TextAnalysis.packWindows(t(s, dir, "documents"), "text", "doc_id",
+        ctxLen = 512)),
+
     // ---- text: epoch-weighted source upsampling (books ×2.5 web ×1:
     //      the pretraining-mix repeat primitive) ----
     "upsample_sources" -> ((s, dir) =>
@@ -1944,6 +1950,36 @@ object SparkEntry {
         |       string_agg(line, chr(10) ORDER BY pos) AS text_clean,
         |       CAST(count(*) AS BIGINT) AS n_lines_kept
         |FROM kept GROUP BY doc_id""".stripMargin,
+    "pack_windows" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_off
+        |  FROM tc WHERE n_tokens > 0),
+        | b AS (
+        |  SELECT doc_id, n_tokens, start_off,
+        |    unnest(range(start_off // 512,
+        |                 (start_off + n_tokens - 1) // 512 + 1)) AS bin
+        |  FROM c),
+        | s AS (
+        |  SELECT bin, doc_id,
+        |    greatest(start_off, bin * 512) - bin * 512 AS span_start,
+        |    least(start_off + n_tokens, bin * 512 + 512)
+        |      - greatest(start_off, bin * 512) AS span_len
+        |  FROM b)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(span_len) AS BIGINT) AS n_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+        |             CAST(span_start AS VARCHAR) || ':' ||
+        |             CAST(span_len AS VARCHAR),
+        |             ',' ORDER BY span_start, doc_id) AS doc_spans
+        |FROM s GROUP BY bin""".stripMargin,
     "upsample_sources" ->
       """WITH base AS (
         |  SELECT doc_id, source,

@@ -428,6 +428,46 @@ object TextAnalysis {
         col("bin_first"), col("bin_last"))
   }
 
+  /** Training-SAMPLE construction — the step after [[packSequences]]:
+    * materialize one row per `ctxLen`-token context WINDOW of the
+    * packed token stream, listing the documents that fill it as
+    * `id:offset_in_window:len` spans (sorted by window offset,
+    * comma-joined — the provenance a dataloader or attention-mask
+    * builder consumes). Documents cross window boundaries exactly as
+    * GPT-style concat-and-chunk packing does; zero-token documents
+    * contribute nothing and are dropped.
+    *
+    * Scale shape: [[packSequences]]' two-pass cumsum, then each doc
+    * explodes into its covered windows (`sequence(bin_first,
+    * bin_last)` — total explosion = tokens/ctxLen + docs, linear) and
+    * ONE groupBy on the window id. A window holds at most `ctxLen`
+    * non-empty docs, so every group — and the collect_list inside it —
+    * is bounded by construction. Returns (bin, n_docs, n_tokens,
+    * doc_spans). */
+  def packWindows(df: DataFrame, textCol: String, idCol: String,
+      ctxLen: Int = 512, numPartitions: Int = 0): DataFrame = {
+    val packed = packSequences(df, textCol, idCol, ctxLen, numPartitions)
+      .filter(col("n_tokens") > 0)
+    val spans = packed
+      .withColumn("bin", explode(sequence(col("bin_first"), col("bin_last"))))
+      .withColumn("win_start", col("bin") * ctxLen)
+      .withColumn("span_start",
+        greatest(col("start_off"), col("win_start")) - col("win_start"))
+      .withColumn("span_len",
+        least(col("start_off") + col("n_tokens"), col("win_start") + ctxLen) -
+          greatest(col("start_off"), col("win_start")))
+    spans.groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("span_len")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(
+            struct(col("span_start"), col(idCol), col("span_len")))),
+          s => concat_ws(":", s.getField(idCol).cast("string"),
+            s.getField("span_start").cast("string"),
+            s.getField("span_len").cast("string"))), ",").as("doc_spans"))
+  }
+
   /** Document CHUNKING into fixed token windows — the RAG-ingest /
     * context-window prep primitive: cut each document into
     * `chunkTokens`-token windows starting every `stride` tokens

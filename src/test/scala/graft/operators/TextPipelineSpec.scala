@@ -606,6 +606,24 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out.map(t => (t._1, t._3)).toMap == again)
   }
 
+  test("packWindows: docs tile windows exactly, cross boundaries, blanks vanish") {
+    val docs = Seq(
+      (1L, "a b c d"),                       // 4 tokens, start 0
+      (2L, "e f g h i j k l"),               // 8 tokens, start 4 — crosses win0/win1
+      (3L, (1 to 12).map(i => s"t$i").mkString(" ")), // 12 tokens, start 12
+      (4L, "   ")                            // blank: contributes nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packWindows(docs, "text", "doc_id", ctxLen = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 10L, "1:0:4,2:4:6"),
+      (1L, 2L, 10L, "2:0:2,3:2:8"),
+      (2L, 1L, 4L, "3:0:4")))
+    // every window except the last is exactly full — the packing invariant
+    assert(out.dropRight(1).forall(_._3 == 10L))
+  }
+
   test("upsampleSources: whole epochs copy every row, fractional epochs hash-select, 0 drops") {
     val docs = (1 to 400).map(i =>
       (i.toLong, if (i <= 100) "books" else if (i <= 200) "web" else "junk"))
