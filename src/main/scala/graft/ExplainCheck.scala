@@ -152,6 +152,9 @@ object ExplainCheck {
     audit("ann_centroid_classify",
       mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))
 
+    // BPE token-id emission: like bpe_encode, a pure codegen'd string
+    // pipeline — zero shuffle, no join at any corpus size
+    audit("bpe_token_ids", mustNotContain = Seq("Exchange", "Join"))
     // window packing: two-pass cumsum (corpus window keyed on _pid) then
     // ONE bin aggregation — no nested-loop shape anywhere
     audit("pack_windows",

@@ -937,6 +937,21 @@ object SparkEntry {
           TextAnalysis.bpeSubwordCount(col("text"), merges).as("n_subwords"))
     }),
 
+    // ---- text: BPE token-id emission — the actual tokenize output
+    //      under the 8 trained merges (pure string pipeline) ----
+    "bpe_token_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = bpeMergeCache.getOrElseUpdate(
+        (dir, tableFingerprint(dir, "documents")),
+        TextAnalysis.trainBpeMerges(docs, "text",
+          numMerges = 8, minPairCount = 1)
+          .orderBy("rank").collect()
+          .map(r => r.getAs[String]("lhs") -> r.getAs[String]("rhs")).toSeq)
+      docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenIds(col("text"), merges).as("token_ids"))
+    }),
+
     // ---- dedup: winnowing (MOSS) partial-overlap matches — shared
     //      passages inside otherwise-different documents; min-hash per
     //      sliding shingle window, ubiquitous fingerprints dropped
@@ -1171,16 +1186,19 @@ object SparkEntry {
     * [[TextAnalysis.bpeSubwordCount]] — wrap every char, mark word
     * boundaries with '#', apply the k trained merges in rank order,
     * count subwords as count("||") + nWords. */
-  private def bpeEncodeOracleSql(k: Int): String = {
+  /** The doc-state encode chain shared by the bpe_encode and
+    * bpe_token_ids oracles: wrap every char, mark word boundaries with
+    * '#', apply the k trained merges in rank order.
+    * LEFT JOIN, not CROSS JOIN: a round past early-stop has an empty
+    * b$i, and a cross join would empty the whole encode chain while
+    * the Spark side just applies fewer merges. */
+  private def bpeEncCtes(k: Int): Seq[String] = {
     val enc0 =
       """enc0 AS (
         |  SELECT doc_id, replace(regexp_replace(
         |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
         |    '(.)', '|\1|', 'g'), '| |', '#') AS st
         |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
-    // LEFT JOIN, not CROSS JOIN: a round past early-stop has an empty
-    // b$i, and a cross join would empty the whole encode chain while
-    // the Spark side just applies fewer merges
     val encs = (1 to k).map { i =>
       s"""enc$i AS (
          |  SELECT doc_id, CASE WHEN b.l IS NULL THEN st
@@ -1188,11 +1206,37 @@ object SparkEntry {
          |    END AS st
          |  FROM enc${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
-    "WITH " + (bpeCtes(k) +: enc0 +: encs).mkString(",\n") + "\n" +
+    enc0 +: encs
+  }
+
+  private def bpeEncodeOracleSql(k: Int): String =
+    "WITH " + (bpeCtes(k) +: bpeEncCtes(k)).mkString(",\n") + "\n" +
       s"""SELECT doc_id, CAST(CASE WHEN st = '' THEN 0 ELSE
          |  length(st) - length(replace(st, '||', '|')) +
          |  len(string_split(st, '#')) END AS BIGINT) AS n_subwords
          |FROM enc$k""".stripMargin
+
+  /** Token-id oracle: the encoded state's wrapped symbols become
+    * `<id>` (base chars 0-35 statically, merge i's product 35+i via
+    * the b$i row — wrapped replacements can't match inside one
+    * another, see TextAnalysis.bpeTokenIds), then the markers collapse
+    * to the comma-joined id list. */
+  private def bpeTokenIdsOracleSql(k: Int): String = {
+    val charChain = (('a' to 'z') ++ ('0' to '9')).zipWithIndex
+      .foldLeft("st") { case (e, (c, i)) => s"replace($e, '|$c|', '<$i>')" }
+    val id0 = s"id0 AS (SELECT doc_id, $charChain AS st FROM enc$k)"
+    val ids = (1 to k).map { i =>
+      s"""id$i AS (
+         |  SELECT doc_id, CASE WHEN b.l IS NULL THEN st
+         |    ELSE replace(st, '|'||b.l||b.r||'|', '<${35 + i}>') END AS st
+         |  FROM id${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }
+    "WITH " + ((bpeCtes(k) +: bpeEncCtes(k)) ++ (id0 +: ids)).mkString(",\n") +
+      "\n" +
+      s"""SELECT doc_id,
+         |  replace(replace(replace(replace(st, '><', ','), '<', ''),
+         |    '>', ''), '#', ',') AS token_ids
+         |FROM id$k""".stripMargin
   }
 
   private val ivfOracleSql: String = {
@@ -2379,6 +2423,7 @@ object SparkEntry {
         |FROM best WHERE rn = 1""".stripMargin,
     "bpe_merges" -> bpeOracleSql(8),
     "bpe_encode" -> bpeEncodeOracleSql(8),
+    "bpe_token_ids" -> bpeTokenIdsOracleSql(8),
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_lsh_pairs" ->

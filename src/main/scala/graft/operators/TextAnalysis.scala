@@ -993,6 +993,38 @@ object TextAnalysis {
         size(split(st, "#"))).cast("long"))
   }
 
+  /** The deterministic BPE vocabulary over normalized text: the 36
+    * base symbols `a-z0-9` get ids 0–35, each merge's product gets
+    * `36 + rank`. If two merges produce the same string (("a","bc")
+    * and ("ab","c") both yield "abc"), the EARLIER rank owns the id —
+    * the later entry can never match an already-replaced symbol, on
+    * either engine. */
+  def bpeVocab(merges: Seq[(String, String)]): Seq[(String, Int)] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString).zipWithIndex ++
+      merges.zipWithIndex.map { case ((l, r), i) => (l + r) -> (36 + i) }
+
+  /** TOKEN-ID emission under trained BPE merges — the actual
+    * tokenize output a trainer consumes (ids in document order,
+    * comma-joined for engine-portable comparison; word boundaries
+    * dissolve exactly as [[bpeSubwordCount]] counts them).
+    *
+    * The symbol→id map is applied as a REPLACE CHAIN over the marker
+    * state, not a join or HOF lookup: every symbol occurrence in the
+    * state is exactly `|sym|` (both delimiters present, no `|` inside
+    * a symbol), so wrapped replacements can never match inside one
+    * another and ANY application order yields the same ids. Pure
+    * codegen'd string pipeline — zero shuffle, no UDF, no join at any
+    * corpus size. Blank documents emit the empty string. */
+  def bpeTokenIds(text: Column, merges: Seq[(String, String)]): Column = {
+    val st = bpeState(text, merges)
+    val replaced = bpeVocab(merges).foldLeft(st) { case (c, (sym, id)) =>
+      replace(c, lit(s"|$sym|"), lit(s"<$id>"))
+    }
+    replace(replace(replace(replace(replaced,
+      lit("><"), lit(",")), lit("<"), lit("")), lit(">"), lit("")),
+      lit("#"), lit(","))
+  }
+
   /** TF-IDF keyword extraction: the `k` highest tf·idf terms per
     * document (idf = ln(N/df)); ranking compares the score ROUNDED to
     * 6 places with a lexicographic tie-break, so the chosen terms are

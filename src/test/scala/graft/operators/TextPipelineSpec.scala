@@ -606,6 +606,30 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out.map(t => (t._1, t._3)).toMap == again)
   }
 
+  test("bpeTokenIds: hand-computed ids, count parity with subword count, dup-symbol rule") {
+    // merges: ("t","h")->th id 36, ("th","e")->the id 37
+    val merges = Seq("t" -> "h", "th" -> "e")
+    val docs = Seq((1L, "the cat"), (2L, "   "), (3L, "ab ab")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.bpeTokenIds(col("text"), merges).as("ids"),
+        TextAnalysis.bpeSubwordCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // "the" -> [the]=37; "cat" -> c(2) a(0) t(19)
+    assert(out(1L) == (("37,2,0,19", 4L)))
+    assert(out(2L) == (("", 0L)))              // blank: empty ids, count 0
+    assert(out(3L) == (("0,1,0,1", 4L)))       // a=0 b=1 per word
+    // id count == subword count on every real doc
+    out.values.filter(_._1.nonEmpty).foreach { case (ids, n) =>
+      assert(ids.split(",").length.toLong == n)
+    }
+    // duplicate merged product: ("a","bc") then ("ab","c") both yield "abc";
+    // the EARLIER rank owns the id (38 never appears)
+    val dup = Seq("b" -> "c", "a" -> "bc", "ab" -> "c")
+    val r = Seq((1L, "abc")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeTokenIds(col("text"), dup)).head().getString(0)
+    assert(r == "37")
+  }
+
   test("packWindows: docs tile windows exactly, cross boundaries, blanks vanish") {
     val docs = Seq(
       (1L, "a b c d"),                       // 4 tokens, start 0
