@@ -138,6 +138,11 @@ object ScaleProbe {
     probe("pack_sequences",
       graft.operators.TextAnalysis.packSequences(docs1, "text", "doc_id").count(),
       graft.operators.TextAnalysis.packSequences(docsN, "text", "doc_id").count())
+    // window packing: the bin explode is tokens/ctxLen + docs rows — must
+    // track the corpus linearly, and no bin group may exceed ctxLen docs
+    probe("pack_windows",
+      graft.operators.TextAnalysis.packWindows(docs1, "text", "doc_id").count(),
+      graft.operators.TextAnalysis.packWindows(docsN, "text", "doc_id").count())
     probe("tfidf_topterms",
       graft.operators.TextAnalysis.tfidfTopTerms(docs1, "text", "doc_id").count(),
       graft.operators.TextAnalysis.tfidfTopTerms(docsN, "text", "doc_id").count())

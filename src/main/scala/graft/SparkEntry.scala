@@ -42,35 +42,36 @@ object SparkEntry {
     * streaming uses 8 shuffle partitions (state-store provider count
     * follows shuffle partitions; gate results are tiny), and the memory
     * sink table is dropped so repeated runs don't accumulate state. */
+  /** Run a streaming transform end-to-end (AvailableNow) through a
+    * PARQUET sink + checkpoint — the production shape: output stays
+    * distributed and exactly-once, never collected to the driver, so
+    * a gate whose result scales with the input (t4 emits one row per
+    * session) works at ANY scale factor. (The previous memory sink
+    * held every row driver-side and had to cap at 100k rows — t4
+    * tripped it at sf1.) */
   private def runStreamingGate(s: SparkSession, dir: String, tag: String,
       table: String = "events")(
       transform: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val name = tag + "_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val outDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_out")
+    val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ck")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    try {
+    val schema = try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val src =
         if (table == "events")
           graft.streaming.EventStream.readEvents(s, s"$dir/events.parquet")
         else graft.streaming.EventStream.readParquetStream(s, s"$dir/$table.parquet")
-      val q = transform(src)
-        .writeStream.format("memory").queryName(name)
+      val out = transform(src)
+      val q = out.writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckDir.toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      out.schema
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    val sink = s.table(name)
-    // gate results are tiny by design; the collect below detaches them
-    // from the dropped temp view — refuse anything stream-sized so the
-    // helper can't be pointed at a real stream
-    require(sink.count() < 100000,
-      s"runStreamingGate($tag): sink too large to collect — gate results " +
-        "must be small aggregates")
-    val out = s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(sink.collect(): _*)),
-      sink.schema)
-    s.catalog.dropTempView(name)
-    out
+    // explicit schema: an empty result leaves no data files to infer from
+    s.read.schema(schema).parquet(outDir.toString)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
