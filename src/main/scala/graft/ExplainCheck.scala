@@ -155,6 +155,7 @@ object ExplainCheck {
     // BPE token-id emission: like bpe_encode, a pure codegen'd string
     // pipeline — zero shuffle, no join at any corpus size
     audit("bpe_token_ids", mustNotContain = Seq("Exchange", "Join"))
+    audit("bpe_roundtrip", mustNotContain = Seq("Exchange", "Join"))
     // window packing: two-pass cumsum (corpus window keyed on _pid) then
     // ONE bin aggregation — no nested-loop shape anywhere
     audit("pack_windows",

@@ -953,6 +953,25 @@ object SparkEntry {
           TextAnalysis.bpeTokenIds(col("text"), merges).as("token_ids"))
     }),
 
+    // ---- text: BPE round trip — decode(encode(text)) must equal the
+    //      normalized text minus spaces; the oracle computes that RHS
+    //      with an INDEPENDENT formula (no BPE anywhere), so a bug in
+    //      either direction of the id pipeline breaks the hash ----
+    "bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = bpeMergeCache.getOrElseUpdate(
+        (dir, tableFingerprint(dir, "documents")),
+        TextAnalysis.trainBpeMerges(docs, "text",
+          numMerges = 8, minPairCount = 1)
+          .orderBy("rank").collect()
+          .map(r => r.getAs[String]("lhs") -> r.getAs[String]("rhs")).toSeq)
+      docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          TextAnalysis.bpeDecodeIds(
+            TextAnalysis.bpeTokenIds(col("text"), merges), merges)
+            .as("decoded"))
+    }),
+
     // ---- dedup: winnowing (MOSS) partial-overlap matches — shared
     //      passages inside otherwise-different documents; min-hash per
     //      sliding shingle window, ubiquitous fingerprints dropped
@@ -2425,6 +2444,13 @@ object SparkEntry {
     "bpe_merges" -> bpeOracleSql(8),
     "bpe_encode" -> bpeEncodeOracleSql(8),
     "bpe_token_ids" -> bpeTokenIdsOracleSql(8),
+    // round-trip RHS: normalized text minus spaces — deliberately
+    // computed WITHOUT any BPE machinery (independent check)
+    "bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  replace(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+        |    ' ', '') AS decoded
+        |FROM documents WHERE length(trim(text)) > 0""".stripMargin,
     "ann_ivf_topk" -> ivfOracleSql,
     "ann_pq_topk" -> pqOracleSql,
     "ann_lsh_pairs" ->

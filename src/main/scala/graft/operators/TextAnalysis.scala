@@ -1025,6 +1025,23 @@ object TextAnalysis {
       lit("#"), lit(","))
   }
 
+  /** Token-id DECODE — the inverse of [[bpeTokenIds]]: a comma-joined
+    * id list becomes the concatenation of its symbols (word boundaries
+    * dissolved during encode and are not recoverable — detokenized
+    * text is the normalized text minus spaces, which is exactly what
+    * the round-trip gate pins against an independent formula). Same
+    * replace-chain shape as encode: each id is wrapped `<id>` first
+    * (`<3>` can never match inside `<37>`), symbols contain no
+    * `<>` so order is immaterial; duplicate merge products map ids to
+    * the same symbol harmlessly. Pure codegen'd string pipeline. */
+  def bpeDecodeIds(ids: Column, merges: Seq[(String, String)]): Column = {
+    val wrapped = regexp_replace(ids, "(\\d+)", "<$1>")
+    val replaced = bpeVocab(merges).foldLeft(wrapped) { case (c, (sym, id)) =>
+      replace(c, lit(s"<$id>"), lit(sym))
+    }
+    replace(replaced, lit(","), lit(""))
+  }
+
   /** TF-IDF keyword extraction: the `k` highest tf·idf terms per
     * document (idf = ln(N/df)); ranking compares the score ROUNDED to
     * 6 places with a lexicographic tie-break, so the chosen terms are

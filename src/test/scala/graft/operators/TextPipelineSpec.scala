@@ -630,6 +630,29 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(r == "37")
   }
 
+  test("bpeDecodeIds: inverse of bpeTokenIds — round trip equals normalized-minus-spaces") {
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "n")
+    val docs = Seq(
+      (1L, "The Thinancient, MANTLE!"),
+      (2L, "a1 b2 c3"),
+      (3L, "...!!!")  // normalizes to nothing
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.bpeDecodeIds(
+          TextAnalysis.bpeTokenIds(col("text"), merges), merges).as("d"),
+        regexp_replace(trim(regexp_replace(lower(col("text")),
+          "[^a-z0-9]+", " ")), " ", "").as("want"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(2), r.getLong(0)))
+    // id "<3>" must not decode inside "<37>": with 38 ids in play the
+    // round trip above already covers multi-digit/single-digit overlap,
+    // but pin one directly
+    val one = Seq((1L, "the")).toDF("doc_id", "text")
+      .select(TextAnalysis.bpeDecodeIds(
+        TextAnalysis.bpeTokenIds(col("text"), merges), merges)).head().getString(0)
+    assert(one == "the")
+  }
+
   test("packWindows: docs tile windows exactly, cross boundaries, blanks vanish") {
     val docs = Seq(
       (1L, "a b c d"),                       // 4 tokens, start 0
