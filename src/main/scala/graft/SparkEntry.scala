@@ -26,6 +26,18 @@ object SparkEntry {
   private val bpeMergeCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[(String, String)]]
 
+  /** The 8 trained merges for `dir`'s documents table — memoized per
+    * on-disk fingerprint: training is the bpe_merges gate's cost; the
+    * encode-side gates measure their projections, and re-planning them
+    * (bench iterations, ExplainCheck) must not retrain. */
+  private def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.getOrElseUpdate(
+      (dir, tableFingerprint(dir, "documents")),
+      TextAnalysis.trainBpeMerges(t(s, dir, "documents"), "text",
+        numMerges = 8, minPairCount = 1)
+        .orderBy("rank").collect()
+        .map(r => r.getAs[String]("lhs") -> r.getAs[String]("rhs")).toSeq)
+
   private def tableFingerprint(dir: String, name: String): Long = {
     val root = new java.io.File(dir, name + ".parquet")
     val files =
@@ -36,23 +48,40 @@ object SparkEntry {
     }
   }
 
-  /** Run a streaming transform of the events table end-to-end as a real
-    * Structured Streaming query (file source → AvailableNow → memory
-    * sink) and hand back its result DETACHED from the session: stateful
-    * streaming uses 8 shuffle partitions (state-store provider count
-    * follows shuffle partitions; gate results are tiny), and the memory
-    * sink table is dropped so repeated runs don't accumulate state. */
+  /** One live output dir per streaming gate tag: a new run for the same
+    * tag deletes the previous run's dir (so bench iterations can't
+    * accumulate result sets), and a JVM shutdown hook sweeps whatever
+    * is live at exit. Checkpoints are deleted as soon as the query
+    * terminates — they're pure waste once AvailableNow drains. */
+  private val liveStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private lazy val streamDirSweeper: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      liveStreamDirs.values().forEach(deleteTree)))
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f =>
+          try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => })
+    }
+
   /** Run a streaming transform end-to-end (AvailableNow) through a
     * PARQUET sink + checkpoint — the production shape: output stays
     * distributed and exactly-once, never collected to the driver, so
     * a gate whose result scales with the input (t4 emits one row per
     * session) works at ANY scale factor. (The previous memory sink
     * held every row driver-side and had to cap at 100k rows — t4
-    * tripped it at sf1.) */
+    * tripped it at sf1.) Stateful streaming uses 8 shuffle partitions
+    * (state-store provider count follows shuffle partitions). The
+    * returned DataFrame reads the latest run's files lazily; a LATER
+    * run of the same tag invalidates it (bench/verify consume each
+    * result before re-invoking the gate). */
   private def runStreamingGate(s: SparkSession, dir: String, tag: String,
       table: String = "events")(
       transform: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    streamDirSweeper // install the exit sweep once
     val outDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_out")
     val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ck")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -69,7 +98,11 @@ object SparkEntry {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       out.schema
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteTree(ckDir)
+    }
+    Option(liveStreamDirs.put(tag, outDir)).foreach(deleteTree)
     // explicit schema: an empty result leaves no data files to infer from
     s.read.schema(schema).parquet(outDir.toString)
   }
@@ -866,7 +899,8 @@ object SparkEntry {
     //      streaming query (stateless narrow plan → no rewrite), output
     //      oracle-checked against the batch SQL — streaming parity is a
     //      HASH gate, not just a spec. The doc_id % 7 slice keeps the
-    //      sink collect bounded at bench scale ----
+    //      gate cheap at bench scale (chunks explode rows ~30x); the
+    //      parquet sink itself has no size cap ----
     "t3_streaming_chunks" -> ((s, dir) =>
       runStreamingGate(s, dir, "t3", table = "documents") { docs =>
         TextAnalysis.chunkDocuments(docs.filter(col("doc_id") % 7 === 0),
@@ -924,15 +958,7 @@ object SparkEntry {
     //      merges (pure codegen'd string pipeline, zero shuffle) ----
     "bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // memoized per sfDir: training is the bpe_merges gate's cost;
-      // this gate measures/audits the ENCODE projection (re-planning
-      // the gate — bench iterations, ExplainCheck — shouldn't retrain)
-      val merges = bpeMergeCache.getOrElseUpdate(
-        (dir, tableFingerprint(dir, "documents")),
-        TextAnalysis.trainBpeMerges(docs, "text",
-          numMerges = 8, minPairCount = 1)
-          .orderBy("rank").collect()
-          .map(r => r.getAs[String]("lhs") -> r.getAs[String]("rhs")).toSeq)
+      val merges = trainedMerges(s, dir)
       docs.filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           TextAnalysis.bpeSubwordCount(col("text"), merges).as("n_subwords"))
@@ -942,12 +968,7 @@ object SparkEntry {
     //      under the 8 trained merges (pure string pipeline) ----
     "bpe_token_ids" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = bpeMergeCache.getOrElseUpdate(
-        (dir, tableFingerprint(dir, "documents")),
-        TextAnalysis.trainBpeMerges(docs, "text",
-          numMerges = 8, minPairCount = 1)
-          .orderBy("rank").collect()
-          .map(r => r.getAs[String]("lhs") -> r.getAs[String]("rhs")).toSeq)
+      val merges = trainedMerges(s, dir)
       docs.filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           TextAnalysis.bpeTokenIds(col("text"), merges).as("token_ids"))
@@ -959,12 +980,7 @@ object SparkEntry {
     //      either direction of the id pipeline breaks the hash ----
     "bpe_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = bpeMergeCache.getOrElseUpdate(
-        (dir, tableFingerprint(dir, "documents")),
-        TextAnalysis.trainBpeMerges(docs, "text",
-          numMerges = 8, minPairCount = 1)
-          .orderBy("rank").collect()
-          .map(r => r.getAs[String]("lhs") -> r.getAs[String]("rhs")).toSeq)
+      val merges = trainedMerges(s, dir)
       docs.filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           TextAnalysis.bpeDecodeIds(
