@@ -161,6 +161,11 @@ object ExplainCheck {
     audit("pack_windows",
       mustContain = Seq("Exchange hashpartitioning(_pid"),
       mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
+    // stratified packing: every window keys on (source, _pid) or the
+    // stratum — NO unpartitioned window may appear anywhere
+    audit("pack_windows_by_source",
+      mustNotContain = Seq("Exchange SinglePartition",
+        "BroadcastNestedLoop", "CartesianProduct"))
     // upsampling is projection + generator only — no shuffle, no join
     audit("upsample_sources",
       mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))

@@ -143,6 +143,13 @@ object ScaleProbe {
     probe("pack_windows",
       graft.operators.TextAnalysis.packWindows(docs1, "text", "doc_id").count(),
       graft.operators.TextAnalysis.packWindows(docsN, "text", "doc_id").count())
+    // stratified packing: the N× corpus concentrates N× rows into the
+    // same strata — per-(stratum, partition) windows must stay parallel
+    probe("pack_windows_by_source",
+      graft.operators.TextAnalysis.packWindowsBySource(docs1, "text",
+        "doc_id", "source").count(),
+      graft.operators.TextAnalysis.packWindowsBySource(docsN, "text",
+        "doc_id", "source").count())
     probe("tfidf_topterms",
       graft.operators.TextAnalysis.tfidfTopTerms(docs1, "text", "doc_id").count(),
       graft.operators.TextAnalysis.tfidfTopTerms(docsN, "text", "doc_id").count())

@@ -791,6 +791,12 @@ object SparkEntry {
       TextAnalysis.packWindows(t(s, dir, "documents"), "text", "doc_id",
         ctxLen = 512)),
 
+    // ---- text: window packing with a HARD source boundary — no
+    //      context window mixes sources ----
+    "pack_windows_by_source" -> ((s, dir) =>
+      TextAnalysis.packWindowsBySource(t(s, dir, "documents"), "text",
+        "doc_id", "source", ctxLen = 512)),
+
     // ---- text: epoch-weighted source upsampling (books ×2.5 web ×1:
     //      the pretraining-mix repeat primitive) ----
     "upsample_sources" -> ((s, dir) =>
@@ -2060,6 +2066,36 @@ object SparkEntry {
         |             CAST(span_len AS VARCHAR),
         |             ',' ORDER BY span_start, doc_id) AS doc_spans
         |FROM s GROUP BY bin""".stripMargin,
+    "pack_windows_by_source" ->
+      """WITH tc AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        | c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_off
+        |  FROM tc WHERE n_tokens > 0),
+        | b AS (
+        |  SELECT source, doc_id, n_tokens, start_off,
+        |    unnest(range(start_off // 512,
+        |                 (start_off + n_tokens - 1) // 512 + 1)) AS bin
+        |  FROM c),
+        | s AS (
+        |  SELECT source, bin, doc_id,
+        |    greatest(start_off, bin * 512) - bin * 512 AS span_start,
+        |    least(start_off + n_tokens, bin * 512 + 512)
+        |      - greatest(start_off, bin * 512) AS span_len
+        |  FROM b)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(span_len) AS BIGINT) AS n_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+        |             CAST(span_start AS VARCHAR) || ':' ||
+        |             CAST(span_len AS VARCHAR),
+        |             ',' ORDER BY span_start, doc_id) AS doc_spans
+        |FROM s GROUP BY source, bin""".stripMargin,
     "upsample_sources" ->
       """WITH base AS (
         |  SELECT doc_id, source,

@@ -205,6 +205,35 @@ object Relational {
     localDf.join(broadcast(offsets), "_pid")
   }
 
+  /** [[withGlobalPrefix]] generalized to PER-STRATUM running values
+    * (one independent cumsum per source/domain): range-partition by
+    * (stratum, order) so each stratum's rows are contiguous across
+    * partitions, evaluate the local window per (stratum, partition),
+    * then add offsets from the (stratum × partition)-row totals table —
+    * the offsets window partitions by stratum over ≤P rows each, so no
+    * task ever sees more than P totals. The totals table must stay
+    * broadcast-sized: strata × partitions rows — fine for
+    * sources/domains (10³×10³), NOT for per-user strata; use a keyed
+    * window directly when the stratum key is high-cardinality (each
+    * stratum is then small enough to sort in one task). */
+  private[operators] def withStratumPrefix(df: DataFrame, parts: Int,
+      stratumCols: Seq[String], order: Seq[Column], outLocal: String)(
+      local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
+    val stratum = stratumCols.map(col)
+    val ranged = df.repartitionByRange(parts, (stratum ++ order): _*)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(stratum :+ col("_pid"): _*).orderBy(order: _*)
+    val localDf = ranged.withColumn(outLocal, local(w))
+    val sums = localDf.groupBy(stratum :+ col("_pid"): _*)
+      .agg(max(col(outLocal)).as("_sum"))
+    val wOff = Window.partitionBy(stratum: _*).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
+      .select(stratum :+ col("_pid") :+ col("_offset"): _*)
+    localDf.join(broadcast(offsets), stratumCols :+ "_pid")
+  }
+
   private[operators] def defaultParts(df: DataFrame, numPartitions: Int): Int =
     if (numPartitions > 0) numPartitions
     else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

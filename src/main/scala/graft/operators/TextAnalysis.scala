@@ -468,6 +468,51 @@ object TextAnalysis {
             s.getField("span_len").cast("string"))), ",").as("doc_spans"))
   }
 
+  /** [[packWindows]] with a HARD STRATUM BOUNDARY — one independent
+    * packed token stream per `stratumCol` value (source/domain), so a
+    * context window NEVER mixes strata: the "don't cross document
+    * collections in one training sample" constraint. Windows are
+    * numbered per stratum; each stratum's final window may be short.
+    *
+    * Scale shape: [[Relational.withStratumPrefix]] — per-(stratum,
+    * partition) local cumsum windows, offsets from the
+    * stratum×partition totals table (broadcast-sized for
+    * source/domain-grade strata). Returns (stratum, bin, n_docs,
+    * n_tokens, doc_spans). */
+  def packWindowsBySource(df: DataFrame, textCol: String, idCol: String,
+      stratumCol: String, ctxLen: Int = 512, numPartitions: Int = 0): DataFrame = {
+    val withCounts = df.select(col(stratumCol), col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"))
+    val packed = Relational.withStratumPrefix(withCounts,
+        Relational.defaultParts(df, numPartitions),
+        Seq(stratumCol), Seq(col(idCol)), "_local_cum")(
+        w => sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start_off",
+        (col("_offset") + col("_local_cum") - col("n_tokens")).cast("long"))
+      .filter(col("n_tokens") > 0)
+    packed
+      .withColumn("bin_first", expr(s"start_off div $ctxLen"))
+      .withColumn("bin_last", expr(s"(start_off + n_tokens - 1) div $ctxLen"))
+      .withColumn("bin", explode(sequence(col("bin_first"), col("bin_last"))))
+      .withColumn("win_start", col("bin") * ctxLen)
+      .withColumn("span_start",
+        greatest(col("start_off"), col("win_start")) - col("win_start"))
+      .withColumn("span_len",
+        least(col("start_off") + col("n_tokens"), col("win_start") + ctxLen) -
+          greatest(col("start_off"), col("win_start")))
+      .groupBy(col(stratumCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("span_len")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(
+            struct(col("span_start"), col(idCol), col("span_len")))),
+          s => concat_ws(":", s.getField(idCol).cast("string"),
+            s.getField("span_start").cast("string"),
+            s.getField("span_len").cast("string"))), ",").as("doc_spans"))
+  }
+
   /** Document CHUNKING into fixed token windows — the RAG-ingest /
     * context-window prep primitive: cut each document into
     * `chunkTokens`-token windows starting every `stride` tokens

@@ -671,6 +671,28 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out.dropRight(1).forall(_._3 == 10L))
   }
 
+  test("packWindowsBySource: hard stratum boundary — windows never mix sources") {
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4"),      // a: 4 + 8 = 12 tokens → bins 0,1 (ctx 10)
+      (2L, "a", "x1 x2 x3 x4 x5 x6 x7 x8"),
+      (3L, "b", "y1 y2 y3")          // b: 3 tokens → its own bin 0
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packWindowsBySource(docs, "text", "doc_id",
+      "source", ctxLen = 10)
+      .orderBy("source", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 2L, 10L, "1:0:4,2:4:6"),
+      ("a", 1L, 1L, 2L, "2:0:2"),
+      ("b", 0L, 1L, 3L, "3:0:3")))
+    // equivalence: per-source result == global packWindows run on each
+    // source's slice alone
+    val alone = TextAnalysis.packWindows(
+      docs.filter(col("source") === "a").drop("source"), "text", "doc_id", 10)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(alone.toSeq == Seq((0L, "1:0:4,2:4:6"), (1L, "2:0:2")))
+  }
+
   test("upsampleSources: whole epochs copy every row, fractional epochs hash-select, 0 drops") {
     val docs = (1 to 400).map(i =>
       (i.toLong, if (i <= 100) "books" else if (i <= 200) "web" else "junk"))
