@@ -980,6 +980,15 @@ object SparkEntry {
           TextAnalysis.bpeTokenIds(col("text"), merges).as("token_ids"))
     }),
 
+    // ---- text: the trained BPE vocabulary as a table (id -> symbol),
+    //      the vocab.json analog a tokenizer ships with ----
+    "bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeVocab(trainedMerges(s, dir))
+        .map { case (sym, id) => (id.toLong, sym) }
+        .toDF("token_id", "symbol")
+    }),
+
     // ---- text: BPE round trip — decode(encode(text)) must equal the
     //      normalized text minus spaces; the oracle computes that RHS
     //      with an INDEPENDENT formula (no BPE anywhere), so a bug in
@@ -1279,6 +1288,20 @@ object SparkEntry {
          |  replace(replace(replace(replace(st, '><', ','), '<', ''),
          |    '>', ''), '#', ',') AS token_ids
          |FROM id$k""".stripMargin
+  }
+
+  /** Vocab oracle: 36 static base-symbol rows + one row per trained
+    * merge (id 35+i from the b$i CTE; empty past early-stop → no row,
+    * matching the Scala side's shorter merges list). */
+  private def bpeVocabOracleSql(k: Int): String = {
+    val base = (('a' to 'z') ++ ('0' to '9')).zipWithIndex.map { case (c, i) =>
+      s"SELECT $i AS id, '$c' AS symbol"
+    }.mkString("\n UNION ALL ")
+    val merged = (1 to k).map { i =>
+      s"SELECT ${35 + i} AS id, l||r AS symbol FROM b$i"
+    }.mkString("\n UNION ALL ")
+    "WITH " + bpeCtes(k) + "\n" +
+      s"SELECT CAST(id AS BIGINT) AS token_id, symbol FROM (\n$base\n UNION ALL $merged)"
   }
 
   private val ivfOracleSql: String = {
@@ -2496,6 +2519,7 @@ object SparkEntry {
     "bpe_merges" -> bpeOracleSql(8),
     "bpe_encode" -> bpeEncodeOracleSql(8),
     "bpe_token_ids" -> bpeTokenIdsOracleSql(8),
+    "bpe_vocab" -> bpeVocabOracleSql(8),
     // round-trip RHS: normalized text minus spaces — deliberately
     // computed WITHOUT any BPE machinery (independent check)
     "bpe_roundtrip" ->
