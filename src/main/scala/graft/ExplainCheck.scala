@@ -166,6 +166,10 @@ object ExplainCheck {
     audit("pack_windows_by_source",
       mustNotContain = Seq("Exchange SinglePartition",
         "BroadcastNestedLoop", "CartesianProduct"))
+    // hard-negative mining: the co-membership anti-join meets the tiny
+    // candidate set — never a cross product over the corpus
+    audit("ann_hard_negatives",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     // upsampling is projection + generator only — no shuffle, no join
     audit("upsample_sources",
       mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))

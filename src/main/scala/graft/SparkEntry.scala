@@ -632,6 +632,23 @@ object SparkEntry {
         "embedding", threshold = 0.25, planes = 8, tables = 2)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos"))),
 
+    // ---- ANN: hard-negative mining — top-k cosine neighbors per query
+    //      EXCLUDING near-duplicate cluster co-members (the contrastive
+    //      training negative set; exact via the k + maxCluster pad) ----
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toSeq
+      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.25, planes = 8, tables = 2)
+      Similarity.mineHardNegatives(emb.filter(col("vec_id") >= 5), "vec_id",
+        "embedding", qs, k = 5, pairs)
+        .select(col("qid"), col("vec_id"), round(col("cosine"), 6).as("cos"),
+          col("neg_rank"))
+    }),
+
     // ---- multimodal: binary container ingest + batched header decode ----
     "mm_decode_meta" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2412,6 +2429,49 @@ object SparkEntry {
          |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
          |  SELECT * FROM r)
          |SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""".stripMargin,
+    "ann_hard_negatives" ->
+      s"""$srpPairSql,
+         |fpairs AS (SELECT id1, id2 FROM scored WHERE c >= 0.25),
+         |edges AS (
+         |  SELECT id1 AS a, id2 AS b FROM fpairs
+         |  UNION SELECT id2, id1 FROM fpairs),
+         |walk AS (
+         |  WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT a, a FROM edges
+         |    UNION
+         |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
+         |  SELECT * FROM r),
+         |cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+         |q2 AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |c2 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id >= 5),
+         |scored2 AS (
+         |  SELECT q2.qid, c2.vec_id,
+         |    CASE WHEN sqrt(list_sum(list_transform(c2.v, x -> x*x))) *
+         |              sqrt(list_sum(list_transform(q2.qv, x -> x*x))) = 0
+         |         THEN 0.0
+         |         ELSE list_sum(list_transform(list_zip(c2.v, q2.qv),
+         |                p -> p[1]*p[2])) /
+         |              (sqrt(list_sum(list_transform(c2.v, x -> x*x))) *
+         |               sqrt(list_sum(list_transform(q2.qv, x -> x*x))))
+         |    END AS cos
+         |  FROM c2 CROSS JOIN q2),
+         |excl AS (
+         |  SELECT a.id AS qid, b.id AS vid
+         |  FROM cl a JOIN cl b ON a.cluster = b.cluster),
+         |kept AS (
+         |  SELECT s.qid, s.vec_id, s.cos FROM scored2 s
+         |  LEFT JOIN excl e ON s.qid = e.qid AND s.vec_id = e.vid
+         |  WHERE e.qid IS NULL),
+         |ranked2 AS (
+         |  SELECT qid, vec_id, cos, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  FROM kept)
+         |SELECT qid, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS neg_rank
+         |FROM ranked2 WHERE rn <= 5""".stripMargin,
     "dedup_keep_one" ->
       s"""$srpPairSql,
          |fpairs AS (SELECT id1, id2 FROM scored WHERE c >= 0.25),

@@ -384,6 +384,46 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** HARD-NEGATIVE mining for embedding-model training: for each
+    * query, the `k` most-similar corpus vectors that are NOT
+    * near-duplicates of it — "hard" because they rank at the top by
+    * cosine, "negative" because duplicate-cluster co-membership (under
+    * `dupPairs`, e.g. [[Dedup.embeddingNearDupPairs]] output) is
+    * excluded, so a positive can never leak into the negative set.
+    *
+    * EXACT despite the filter: candidates come from ONE [[knnJoin]]
+    * scan at `k + maxClusterSize` (the largest possible number of
+    * excluded rows in any query's top list — a query can lose at most
+    * its own cluster's members), so after exclusion at least `k` true
+    * negatives remain and re-ranking them is exact. The co-membership
+    * exclusion set is the per-cluster pair closure (Σ n_c² rows —
+    * bounded by the same skew caps that bound the dedup pair
+    * generation); the anti-join meets the queries×(k+pad)-row
+    * candidate set, never the corpus. Returns
+    * (qid, `idCol`, cosine, neg_rank 1..k). */
+  def mineHardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[(Long, Seq[Double])], k: Int,
+      dupPairs: DataFrame): DataFrame = {
+    require(k > 0, "k must be positive")
+    val clusters = Dedup.connectedComponents(dupPairs)
+    val maxCluster = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val kPad = k + math.min(maxCluster, 1000000L).toInt
+    val cand = knnJoin(df, idCol, vecCol, queries, kPad)
+    val excl = clusters.select(col("cluster"), col("id").as("qid"))
+      .join(clusters.select(col("cluster"), col("id").as(idCol)), "cluster")
+      .select(col("qid"), col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col(idCol))
+    cand.join(excl, Seq("qid", idCol), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("qid"), col(idCol), col("cosine"), col("neg_rank"))
+  }
+
   // ---- Nearest-centroid (Rocchio) classification --------------------------
 
   /** Per-label MEAN vectors — the supervised counterpart of k-means

@@ -237,4 +237,31 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(!native.exists(p => p._1 == 5L || p._2 == 5L))
     assert(!portable.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("mineHardNegatives: near-dup cluster co-members excluded, rank exact after pad") {
+    import spark.implicits._
+    // corpus: 10 is a near-dup of query 1 (and of 13 transitively); 11
+    // ranks next by cosine; 12 is orthogonal
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.001f)),
+      (13L, Seq(0.999f, 0.01f)),
+      (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(1L -> Seq(1.0, 0.0))
+    // duplicate clusters: {1, 10, 13} via two edges
+    val pairs = Seq((1L, 10L), (10L, 13L)).toDF("id1", "id2")
+    val out = Similarity.mineHardNegatives(corpus, "vec_id", "embedding",
+      queries, k = 2, pairs)
+      .orderBy("neg_rank").collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    // 10 and 13 are cluster co-members of the query → excluded even
+    // though they have the TOP cosines; 11 then 12 fill the k = 2 set
+    assert(out.toSeq == Seq((11L, 1L), (12L, 2L)))
+    // no dup pairs at all → plain knn result
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val plain = Similarity.mineHardNegatives(corpus, "vec_id", "embedding",
+      queries, k = 2, none).orderBy("neg_rank").collect().map(_.getLong(1))
+    assert(plain.toSeq == Seq(10L, 13L))
+  }
 }
