@@ -6,7 +6,7 @@ produced by graft.Verify. Not part of the library — developer tooling only.
 
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
 """
-import sys, json, math, glob
+import sys, json, math, glob, os
 import duckdb
 import pandas as pd
 
@@ -35,8 +35,13 @@ def canon(df):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; Spark-written fixtures
+        # (AmplifyTestdata) are directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
