@@ -34,6 +34,11 @@ def canon(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # bound DuckDB so a quadratic oracle at a big scale factor fails
+    # with a clear error instead of an OOM kill; knobs overridable
+    con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '32GB')}'")
+    con.execute(f"SET threads={os.environ.get('SELFCHECK_THREADS', '16')}")
+    skip = set(filter(None, os.environ.get("SELFCHECK_SKIP", "").split(",")))
     for t in TABLES:
         # driver fixtures are single files; Spark-written fixtures
         # (AmplifyTestdata) are directories of part files
@@ -45,6 +50,9 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP  {name} (SELFCHECK_SKIP)")
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISS  {name}: no spark output")
