@@ -7,14 +7,17 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** REAL image-format header decode for multimodal binary columns: JPEG
+/** REAL image-format decode for multimodal binary columns: JPEG header
   * (segment walk to SOF0/SOF2 — dimensions, sample precision, component
-  * count, baseline/progressive) and PNG (signature + CRC-verified IHDR —
-  * dimensions, bit depth, color type). Both byte layouts are public
-  * (JPEG: ITU-T T.81 §B.2; PNG: RFC 2083 §3/§4.1.1); no image library
-  * involved. A native Catalyst expression, so a 100 TB scan decodes
-  * metadata inside whole-stage codegen as a pure projection — no
-  * Exchange, no RDD boundary, column pruning intact.
+  * count, baseline/progressive), PNG header (signature + CRC-verified
+  * IHDR — dimensions, bit depth, color type), and FULL PNG pixel decode
+  * (IDAT concatenation → zlib inflate via the JDK's
+  * `java.util.zip.Inflater` → all five scanline unfilters per RFC 2083
+  * §6 — None/Sub/Up/Average/Paeth). All byte layouts are public
+  * (JPEG: ITU-T T.81 §B.2; PNG: RFC 2083); no image library
+  * involved — DEFLATE ships in the JDK. Native Catalyst expressions, so
+  * a 100 TB scan decodes inside whole-stage codegen as a pure
+  * projection — no Exchange, no RDD boundary, column pruning intact.
   *
   * Malformed input returns null (truncated bytes, wrong magic, a JPEG
   * with no SOF frame, a PNG whose IHDR CRC fails) — decoder-robustness
@@ -239,6 +242,222 @@ object ImageCodec {
       bitDepth, channels, colorType, null)
   }
 
+  // ------------------------------------------------------ PNG pixel codec
+  //
+  // FULL 8-bit PNG decode with no image library: PNG's compression is
+  // DEFLATE in a zlib wrapper (RFC 1950/1951), and `java.util.zip
+  // .Inflater` ships in every JDK — so the only format work is chunk
+  // walking, scanline unfiltering (the five filters of RFC 2083 §6),
+  // and sample layout. Supported: bit depth 8, color types 0 (gray),
+  // 2 (RGB), 4 (gray+alpha), 6 (RGBA), interlace 0. Palette (3),
+  // 16-bit, and Adam7 return null — robustness, not a crash.
+
+  /** Decoded PNG: `samples` is row-major top-down, `channels` samples
+    * per pixel, one byte per sample. */
+  final class PngImage(val width: Int, val height: Int,
+      val channels: Int, val colorType: Int, val samples: Array[Byte])
+
+  /** Max decoded sample bytes (64 MiB) — an inflate bound so a
+    * crafted tiny payload can't balloon a task's memory. */
+  private val MAX_SAMPLES = 1 << 26
+
+  def decodePngPixels(b: Array[Byte]): PngImage = {
+    if (b == null || b.length < 8 + 8 + 13 + 4) return null
+    if (!b.take(8).sameElements(PNG_SIG)) return null
+    // IHDR must be first (same checks as the header path)
+    if (u32(b, 8) != 13L) return null
+    if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return null
+    val ihdrCrc = new java.util.zip.CRC32
+    ihdrCrc.update(b, 12, 4 + 13)
+    if (ihdrCrc.getValue != u32(b, 29)) return null
+    val w = u32(b, 16)
+    val h = u32(b, 20)
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
+    val bitDepth = b(24) & 0xFF
+    val colorType = b(25) & 0xFF
+    if (bitDepth != 8) return null
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return null // palette needs PLTE; out of the typed path
+    }
+    if ((b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0 || (b(28) & 0xFF) != 0)
+      return null // compression/filter method, interlace: only 0 defined
+    val width = w.toInt; val height = h.toInt
+    val rowBytes = width.toLong * ch
+    val rawLen = (rowBytes + 1) * height // +1 filter byte per scanline
+    if (rawLen > MAX_SAMPLES) return null
+
+    // chunk walk: concatenate every IDAT payload (CRC-verified), stop
+    // at IEND; unknown ancillary chunks are skipped by length
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8 + 8 + 13 + 4
+    var sawEnd = false
+    while (!sawEnd) {
+      if (i + 8 > b.length) return null
+      val len = u32(b, i)
+      if (len < 0 || len > Int.MaxValue - 12 || i + 12 + len > b.length) return null
+      val typ = new String(b, i + 4, 4, "ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, i + 4, 4 + len.toInt)
+      if (crc.getValue != u32(b, i + 8 + len.toInt)) return null
+      typ match {
+        case "IDAT" => idat.write(b, i + 8, len.toInt)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary: skip
+      }
+      i += 12 + len.toInt
+    }
+    val comp = idat.toByteArray
+    if (comp.isEmpty) return null
+
+    // zlib inflate to the exact expected size
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = try inf.inflate(raw, off, raw.length - off) catch {
+          case _: java.util.zip.DataFormatException => return null
+        }
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        off += n
+      }
+      if (off != raw.length) return null
+    } finally inf.end()
+
+    // unfilter (RFC 2083 §6.1): bpp = channels at bit depth 8
+    val stride = rowBytes.toInt
+    val out = new Array[Byte](stride * height)
+    val bpp = ch
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xFF
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      val prior = dst - stride
+      filter match {
+        case 0 => System.arraycopy(raw, src, out, dst, stride)
+        case 1 => // Sub
+          var x = 0
+          while (x < stride) {
+            val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+            out(dst + x) = ((raw(src + x) & 0xFF) + left).toByte
+            x += 1
+          }
+        case 2 => // Up
+          var x = 0
+          while (x < stride) {
+            val up = if (y > 0) out(prior + x) & 0xFF else 0
+            out(dst + x) = ((raw(src + x) & 0xFF) + up).toByte
+            x += 1
+          }
+        case 3 => // Average
+          var x = 0
+          while (x < stride) {
+            val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+            val up = if (y > 0) out(prior + x) & 0xFF else 0
+            out(dst + x) = ((raw(src + x) & 0xFF) + ((left + up) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          var x = 0
+          while (x < stride) {
+            val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+            val up = if (y > 0) out(prior + x) & 0xFF else 0
+            val ul = if (y > 0 && x >= bpp) out(prior + x - bpp) & 0xFF else 0
+            out(dst + x) = ((raw(src + x) & 0xFF) + paeth(left, up, ul)).toByte
+            x += 1
+          }
+        case _ => return null
+      }
+      y += 1
+    }
+    new PngImage(width, height, ch, colorType, out)
+  }
+
+  /** Paeth predictor (RFC 2083 §6.6) — exact integer form. */
+  private def paeth(a: Int, bUp: Int, c: Int): Int = {
+    val p = a + bUp - c
+    val pa = math.abs(p - a); val pb = math.abs(p - bUp); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) bUp else c
+  }
+
+  /** Encode raw top-down samples as a real zlib-compressed PNG. Each
+    * scanline's filter type comes from `filterOf(y)` — the synthesizer
+    * cycles all five so decode round-trips exercise every unfilter;
+    * production re-encode (resize output) uses filter 0. The
+    * compressed stream is split across two IDAT chunks when it is
+    * long enough, so multi-IDAT concatenation stays a tested path. */
+  def encodePng(width: Int, height: Int, colorType: Int,
+      samples: Array[Byte], filterOf: Int => Int): Array[Byte] = {
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => throw new IllegalArgumentException(s"colorType $colorType")
+    }
+    val stride = width * ch
+    require(samples.length == stride * height, "sample length mismatch")
+    val bpp = ch
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val f = filterOf(y) % 5
+      raw(y * (stride + 1)) = f.toByte
+      val src = y * stride
+      val dst = y * (stride + 1) + 1
+      val prior = src - stride
+      var x = 0
+      while (x < stride) {
+        val cur = samples(src + x) & 0xFF
+        val left = if (x >= bpp) samples(src + x - bpp) & 0xFF else 0
+        val up = if (y > 0) samples(prior + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= bpp) samples(prior + x - bpp) & 0xFF else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 => paeth(left, up, ul)
+        }
+        raw(dst + x) = (cur - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // zlib deflate (Deflater default = zlib wrapper, per RFC 1950)
+    val def_ = new java.util.zip.Deflater()
+    val comp = try {
+      def_.setInput(raw); def_.finish()
+      val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      val tmp = new Array[Byte](8192)
+      while (!def_.finished()) {
+        val n = def_.deflate(tmp)
+        buf.write(tmp, 0, n)
+      }
+      buf.toByteArray
+    } finally def_.end()
+
+    def chunk(typ: String, data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + len)
+      out.putInt(len).put(typ.getBytes("ASCII")).put(data, off, len)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("ASCII")); crc.update(data, off, len)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val idats =
+      if (comp.length >= 32) {
+        val mid = comp.length / 2
+        chunk("IDAT", comp, 0, mid) ++ chunk("IDAT", comp, mid, comp.length - mid)
+      } else chunk("IDAT", comp, 0, comp.length)
+    PNG_SIG ++ chunk("IHDR", ihdr, 0, 13) ++ idats ++
+      chunk("IEND", Array.emptyByteArray, 0, 0)
+  }
+
   // ----------------------------------------------------------------- synth
 
   /** Minimal structurally-valid JPEG header stream: SOI, APP0/JFIF, a
@@ -377,11 +596,43 @@ object ImageCodec {
     StructField("n_px", LongType),
     StructField("sum_r", LongType),
     StructField("sum_g", LongType),
-    StructField("sum_b", LongType)))
+    StructField("sum_b", LongType),
+    StructField("sum_a", LongType))) // null unless the source has alpha
 
   /** Exact integer channel sums over every pixel — integers so an
-    * external oracle matches bit-for-bit with no float rounding pact. */
+    * external oracle matches bit-for-bit with no float rounding pact.
+    * Sniffs the payload: 24bpp BMP or 8-bit PNG (gray/RGB/gray+alpha/
+    * RGBA — FULL decode through inflate + unfilter). Grayscale
+    * replicates into r=g=b so downstream logic is channel-uniform. */
   def pixelStatsInternal(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 2) return null
+    if (bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) {
+      val png = decodePngPixels(bytes)
+      if (png == null) return null
+      var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+      val s = png.samples
+      val ch = png.channels
+      var i = 0
+      while (i < s.length) {
+        ch match {
+          case 1 =>
+            val v = (s(i) & 0xFF).toLong; sr += v; sg += v; sb += v
+          case 2 =>
+            val v = (s(i) & 0xFF).toLong; sr += v; sg += v; sb += v
+            sa += s(i + 1) & 0xFF
+          case 3 =>
+            sr += s(i) & 0xFF; sg += s(i + 1) & 0xFF; sb += s(i + 2) & 0xFF
+          case _ =>
+            sr += s(i) & 0xFF; sg += s(i + 1) & 0xFF; sb += s(i + 2) & 0xFF
+            sa += s(i + 3) & 0xFF
+        }
+        i += ch
+      }
+      val hasAlpha = ch == 2 || ch == 4
+      return InternalRow(png.width, png.height,
+        png.width.toLong * png.height, sr, sg, sb,
+        if (hasAlpha) sa else null)
+    }
     val bmp = parseBmp(bytes)
     if (bmp == null) return null
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -398,7 +649,7 @@ object ImageCodec {
       y += 1
     }
     InternalRow(bmp.width, bmp.height, bmp.width.toLong * bmp.height,
-      sr, sg, sb)
+      sr, sg, sb, null)
   }
 
   private def writeBmp(w: Int, h: Int,
