@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
+import graft.functions.{DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthPng, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -198,9 +198,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "image_synth_bmp expects (bigint, string)")
       }))
     ext.injectFunction((
+      FunctionIdentifier("image_synth_png"),
+      info("image_synth_png",
+        "image_synth_png(bigint, string) - deterministic real 8-bit PNG with pixels"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthPng(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_png expects (bigint, string)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("image_pixel_stats"),
       info("image_pixel_stats",
-        "image_pixel_stats(binary) - exact integer channel sums of a 24bpp BMP"),
+        "image_pixel_stats(binary) - exact integer channel sums of a 24bpp BMP " +
+          "or 8-bit PNG (gray/RGB/gray+alpha/RGBA; sum_a null without alpha)"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
@@ -209,7 +219,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("image_resize_nn"),
       info("image_resize_nn",
-        "image_resize_nn(binary, w, h) - real nearest-neighbor BMP resize"),
+        "image_resize_nn(binary, w, h) - real nearest-neighbor resize " +
+          "(24bpp BMP or 8-bit PNG; output format matches input)"),
       (args: Seq[Expression]) => args match {
         case Seq(b, w, h) => ImageResizeNn(b, w, h)
         case _ => throw new IllegalArgumentException(

@@ -697,6 +697,40 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // ---- multimodal: FULL PNG pixel decode — synthesize a real
+    //      zlib-compressed 8-bit PNG (color type cycling gray/RGB/
+    //      gray+alpha/RGBA, scanline filters cycling all five RFC 2083
+    //      types, two IDAT chunks), then inflate + unfilter it back to
+    //      exact integer channel sums. The oracle recomputes the sums
+    //      analytically from the affine sample rule ----
+    "mm_png_pixel_stats" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_synth_png(col("doc_id"), col("text"))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"), col("st.sum_a").as("sum_a"))
+    }),
+
+    // ---- multimodal: PNG→PNG resize — full decode, nearest-neighbor
+    //      resample in sample space, re-encode through the zlib PNG
+    //      writer, decode AGAIN for stats. Exercises the whole codec
+    //      round-trip per row; still a pure zero-Exchange projection ----
+    "mm_png_resize" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_resize_nn(
+              ImageCodec.image_synth_png(col("doc_id"), col("text")),
+              lit(11), lit(6))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"), col("st.sum_a").as("sum_a"))
+    }),
+
     // ---- composite corpus-curation pipeline: quality → lang → dedup →
     //      per-source stats (the flagship training-data flow) ----
     "pipeline_corpus" -> ((s, dir) => {
@@ -1976,6 +2010,66 @@ object SparkEntry {
         |       CAST(sum(((sx * 3 + sy * 5 + doc_id) % 256 + 256) % 256)
         |         AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id""".stripMargin,
+    // mirrors ImageCodec.synthPngPixels: sample value for channel slot c
+    // is floorMod(x*(3+2c) + y*(5+2c) + id*(c+1), 256); color type
+    // cycles gray/RGB/gray+alpha/RGBA by doc_id % 4. The Spark side
+    // decodes REAL zlib-compressed PNG bytes; the oracle never parses a
+    // byte — it recomputes the channel sums analytically.
+    "mm_png_pixel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS cti,
+        |         octet_length(encode(text)) % 29 + 4 AS w,
+        |         octet_length(encode(text)) % 19 + 3 AS h
+        |  FROM documents),
+        | vals AS (
+        |  SELECT d.doc_id, d.cti, d.w, d.h,
+        |         ((xs.x*3 + ys.y*5 + d.doc_id) % 256 + 256) % 256 AS v0,
+        |         ((xs.x*5 + ys.y*7 + d.doc_id*2) % 256 + 256) % 256 AS v1,
+        |         ((xs.x*7 + ys.y*9 + d.doc_id*3) % 256 + 256) % 256 AS v2,
+        |         ((xs.x*9 + ys.y*11 + d.doc_id*4) % 256 + 256) % 256 AS v3
+        |  FROM dims d, range(32) xs(x), range(21) ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(v0) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN cti IN (0, 2) THEN v0 ELSE v1 END) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(sum(CASE WHEN cti IN (0, 2) THEN v0 ELSE v2 END) AS BIGINT)
+        |    AS sum_b,
+        |  CAST(CASE WHEN max(cti) = 2 THEN sum(v1)
+        |            WHEN max(cti) = 3 THEN sum(v3) END AS BIGINT) AS sum_a
+        |FROM vals GROUP BY doc_id""".stripMargin,
+    "mm_png_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS cti,
+        |         octet_length(encode(text)) % 29 + 4 AS w,
+        |         octet_length(encode(text)) % 19 + 3 AS h
+        |  FROM documents),
+        | vals AS (
+        |  SELECT d.doc_id, d.cti,
+        |         (xs.x * d.w) // 11 AS sx, (ys.y * d.h) // 6 AS sy
+        |  FROM dims d, range(11) xs(x), range(6) ys(y)),
+        | chans AS (
+        |  SELECT doc_id, cti,
+        |         ((sx*3 + sy*5 + doc_id) % 256 + 256) % 256 AS v0,
+        |         ((sx*5 + sy*7 + doc_id*2) % 256 + 256) % 256 AS v1,
+        |         ((sx*7 + sy*9 + doc_id*3) % 256 + 256) % 256 AS v2,
+        |         ((sx*9 + sy*11 + doc_id*4) % 256 + 256) % 256 AS v3
+        |  FROM vals)
+        |SELECT doc_id,
+        |  CAST(11 AS INTEGER) AS width,
+        |  CAST(6 AS INTEGER) AS height,
+        |  CAST(66 AS BIGINT) AS n_px,
+        |  CAST(sum(v0) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN cti IN (0, 2) THEN v0 ELSE v1 END) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(sum(CASE WHEN cti IN (0, 2) THEN v0 ELSE v2 END) AS BIGINT)
+        |    AS sum_b,
+        |  CAST(CASE WHEN max(cti) = 2 THEN sum(v1)
+        |            WHEN max(cti) = 3 THEN sum(v3) END AS BIGINT) AS sum_a
+        |FROM chans GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0

@@ -18,17 +18,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader refuses. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[configure]]), the
-    * column then arrives as LongType nanos and is converted to a µs
-    * timestamp here — semantics match DuckDB reading the same file at
-    * second/µs granularity. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (Spark's
+    * vectorized reader refuses it; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
+    * nanos) and as TIMESTAMP(MICROS) without the UTC-adjusted flag
+    * (arrives as TIMESTAMP_NTZ — which watermarks reject). Both are
+    * normalized here to a session-tz (UTC) µs TIMESTAMP, matching DuckDB
+    * reading the same file. */
+  def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType => // nanosAsLong: LongType nanos → µs timestamp
+        df.withColumn(tsCol, timestamp_micros((col(tsCol) / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // under UTC session tz this preserves the wall-clock instant
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else df
+    if (name == "events") normalizeTs(df, "ts") else df
   }
 
   /** Session configs every entry point needs for the synthetic tables. */

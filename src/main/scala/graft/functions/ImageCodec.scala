@@ -116,7 +116,34 @@ case class ImagePixelStats(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
-/** REAL nearest-neighbor resize over a 24bpp BMP → a new 24bpp BMP.
+/** `(id, utf8 content) → real 8-bit PNG with pixels` — the PNG twin of
+  * [[ImageSynthBmp]]: a fully decodable zlib-compressed PNG whose
+  * sample values are fixed affine functions of (x, y, channel, id) mod
+  * 256, so SQL oracles recompute channel sums analytically. Scanline
+  * filters cycle through all five RFC 2083 types (offset by id) and the
+  * stream splits across two IDAT chunks, so every decode path stays
+  * production-exercised. */
+case class ImageSynthPng(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth_png"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    ImageCodec.synthPngPixels(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.ImageCodec.synthPngPixels($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynthPng =
+    copy(left = newLeft, right = newRight)
+}
+
+/** REAL nearest-neighbor resize: 24bpp BMP → BMP, or 8-bit PNG → PNG
+  * (gray/RGB/gray+alpha/RGBA — full decode, resample, re-encode).
   * Null for malformed input or out-of-range target dims. */
 case class ImageResizeNn(first: Expression, second: Expression,
     third: Expression)
@@ -320,7 +347,11 @@ object ImageCodec {
         val n = try inf.inflate(raw, off, raw.length - off) catch {
           case _: java.util.zip.DataFormatException => return null
         }
-        if (n == 0 && inf.needsInput()) return null // truncated stream
+        // Any zero-progress iteration is terminal: with all input set and
+        // output space free, 0 means truncated input OR a preset-dictionary
+        // stream (FDICT set → needsDictionary, needsInput stays false) —
+        // looping again would spin forever on a crafted payload.
+        if (n == 0) return null
         off += n
       }
       if (off != raw.length) return null
@@ -401,7 +432,7 @@ object ImageCodec {
     val raw = new Array[Byte]((stride + 1) * height)
     var y = 0
     while (y < height) {
-      val f = filterOf(y) % 5
+      val f = java.lang.Math.floorMod(filterOf(y), 5)
       raw(y * (stride + 1)) = f.toByte
       val src = y * stride
       val dst = y * (stride + 1) + 1
@@ -545,10 +576,10 @@ object ImageCodec {
   // work on 24-bit uncompressed BMP (Windows BITMAPINFOHEADER — a public
   // byte layout simple enough to carry real pixels with no image
   // library): 14-byte file header, 40-byte info header, BGR rows padded
-  // to 4 bytes, bottom-up when height is positive. JPEG/PNG entropy
-  // decode stays out of scope (needs a codec library this container
-  // doesn't ship); the BMP path proves the pixel plumbing end-to-end
-  // with exact integer oracles.
+  // to 4 bytes, bottom-up when height is positive. 8-bit PNG rides the
+  // full decode above (inflate + unfilter); only JPEG entropy decode
+  // stays out of scope (needs a codec library this container doesn't
+  // ship). Both pixel paths carry exact integer oracles.
 
   private def leU16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
@@ -697,10 +728,33 @@ object ImageCodec {
 
   /** REAL nearest-neighbor resize: source pixel of output (x, y) is
     * (floor(x·srcW/outW), floor(y·srcH/outH)) in logical top-down
-    * space — up- and down-scaling both work. Returns a new 24bpp BMP;
-    * null for anything [[parseBmp]] refuses. */
+    * space — up- and down-scaling both work. Output format matches the
+    * input: 24bpp BMP → BMP, decodable 8-bit PNG → PNG (re-encoded via
+    * [[encodePng]], filter 0); null for anything the decoders refuse. */
   def resizeNnInternal(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
     if (outW <= 0 || outH <= 0 || outW > (1 << 14) || outH > (1 << 14)) return null
+    if (bytes != null && bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) {
+      val png = decodePngPixels(bytes)
+      if (png == null) return null
+      val ch = png.channels
+      if (outW.toLong * outH * ch > MAX_SAMPLES) return null
+      val out = new Array[Byte](outW * outH * ch)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * png.height / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * png.width / outW).toInt
+          val s = (sy * png.width + sx) * ch
+          val d = (y * outW + x) * ch
+          var c = 0
+          while (c < ch) { out(d + c) = png.samples(s + c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      return encodePng(outW, outH, png.colorType, out, _ => 0)
+    }
     val bmp = parseBmp(bytes)
     if (bmp == null) return null
     writeBmp(outW, outH, (x, y) => {
@@ -710,6 +764,42 @@ object ImageCodec {
       ((bmp.bytes(i + 2) & 0xFF), (bmp.bytes(i + 1) & 0xFF), (bmp.bytes(i) & 0xFF))
     })
   }
+
+  /** Deterministic pixel-carrying PNG the `mm_png_*` oracles mirror:
+    * dims from the text's byte length, color type cycles gray / RGB /
+    * gray+alpha / RGBA by id, and sample value for channel slot c is
+    * `floorMod(x·(3+2c) + y·(5+2c) + id·(c+1), 256)` — the same FLOOR
+    * contract as [[synthBmp]], so SQL mirrors write
+    * `((expr) % 256 + 256) % 256`. Filters cycle all five types. */
+  def synthPngPixels(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val w = n % 29 + 4
+    val h = n % 19 + 3
+    val ct = Array(0, 2, 4, 6)(java.lang.Math.floorMod(id, 4L).toInt)
+    val ch = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+    val samples = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          samples((y * w + x) * ch + c) = java.lang.Math.floorMod(
+            x.toLong * (3 + 2 * c) + y.toLong * (5 + 2 * c) + id * (c + 1),
+            256L).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(w, h, ct, samples,
+      yy => java.lang.Math.floorMod(yy + id, 5L).toInt)
+  }
+
+  def image_synth_png(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynthPng(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
   def image_synth_bmp(id: Column, text: Column): Column =
     GraftSqlBridge.column(ImageSynthBmp(

@@ -37,12 +37,8 @@ object EventStream {
     spark.readStream.schema(schema).format("parquet").load(streamDir)
   }
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val raw = readParquetStream(spark, dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else raw
-  }
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.normalizeTs(readParquetStream(spark, dir), "ts")
 
   /** Watermarked tumbling-window aggregation (the streaming version of
     * the w3_hourly_window batch query): late events beyond

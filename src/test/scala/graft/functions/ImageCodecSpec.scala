@@ -232,6 +232,162 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(stats(valid).isDefined) // no shared state poisoned by the storm
   }
 
+  // ------------------------------------------------------- PNG pixel path
+
+  private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + data.length)
+    out.putInt(data.length).put(typ.getBytes("ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("ASCII")); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  private def chOf(ct: Int) = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+
+  test("PNG encode→decode round-trips exact samples: color types × filters, cycling, multi-IDAT") {
+    val rnd = new scala.util.Random(42)
+    for (ct <- Seq(0, 2, 4, 6); filterMode <- -1 to 4) {
+      val ch = chOf(ct)
+      val (w, h) = (13, 11)
+      val samples = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val filterOf: Int => Int = if (filterMode < 0) identity else (_ => filterMode)
+      val png = ImageCodec.encodePng(w, h, ct, samples, filterOf)
+      val dec = ImageCodec.decodePngPixels(png)
+      assert(dec != null, s"ct=$ct filter=$filterMode")
+      assert(dec.width == w && dec.height == h && dec.channels == ch
+        && dec.colorType == ct)
+      assert(java.util.Arrays.equals(dec.samples, samples), s"ct=$ct filter=$filterMode")
+    }
+    // incompressible RGBA image → compressed stream ≥ 32 bytes → the
+    // encoder splits it across two IDAT chunks; count them on the wire
+    val big = Array.fill(32 * 24 * 4)(rnd.nextInt(256).toByte)
+    val png = ImageCodec.encodePng(32, 24, 6, big, _ % 5)
+    def countIdat(b: Array[Byte]): Int = {
+      var i = 8; var n = 0
+      while (i + 8 <= b.length) {
+        val len = ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+          ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+        if (new String(b, i + 4, 4, "ASCII") == "IDAT") n += 1
+        i += 12 + len
+      }
+      n
+    }
+    assert(countIdat(png) == 2)
+    assert(java.util.Arrays.equals(ImageCodec.decodePngPixels(png).samples, big))
+  }
+
+  test("PNG encode: negative filterOf values floor-mod into 0-4 instead of crashing") {
+    val samples = Array.tabulate(6 * 4 * 3)(i => (i * 7).toByte)
+    for (neg <- Seq(-1, -3, -5, Int.MinValue + 4)) {
+      val png = ImageCodec.encodePng(6, 4, 2, samples, _ => neg)
+      val dec = ImageCodec.decodePngPixels(png)
+      assert(dec != null && java.util.Arrays.equals(dec.samples, samples), s"filter=$neg")
+    }
+    // and a y-dependent mix of signs
+    val png = ImageCodec.encodePng(6, 4, 2, samples, y => y - 2)
+    assert(java.util.Arrays.equals(ImageCodec.decodePngPixels(png).samples, samples))
+  }
+
+  test("PNG: FDICT preset-dictionary stream returns null promptly instead of spinning") {
+    // zlib header with FDICT set: CMF=0x78, FLG=0x3F (bit 5 set, and
+    // 0x783F % 31 == 0), then a 4-byte DICTID. Inflater.inflate returns
+    // 0 with needsDictionary()=true forever — the decoder must bail.
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val fdict = Array[Byte](0x78, 0x3F, 0x01, 0x02, 0x03, 0x04)
+    val png = pngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", fdict) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val t0 = System.nanoTime
+    assert(ImageCodec.decodePngPixels(png) == null)
+    assert(ImageCodec.pixelStatsInternal(png) == null)
+    assert(System.nanoTime - t0 < 2e9, "decode did not return promptly")
+    // truncated-but-valid-prefix stream (needsInput) also returns null
+    val trunc = pngSig ++ pngChunk("IHDR", java.nio.ByteBuffer.allocate(13)
+        .putInt(4).putInt(4).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()) ++
+      pngChunk("IDAT", Array[Byte](0x78, 0x01, 0x00)) ++ // cut mid-stream
+      pngChunk("IEND", Array.emptyByteArray)
+    assert(ImageCodec.decodePngPixels(trunc) == null)
+  }
+
+  /** Analytic channel sums for the synthPngPixels affine rule. */
+  private def pngGradSums(id: Long, w: Int, h: Int, ch: Int,
+      map: (Int, Int) => (Int, Int)): Array[Long] = {
+    val sums = new Array[Long](ch)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+      val (sx, sy) = map(x, y)
+      sums(c) += java.lang.Math.floorMod(
+        sx.toLong * (3 + 2 * c) + sy.toLong * (5 + 2 * c) + id * (c + 1), 256L)
+    }
+    sums
+  }
+
+  test("PNG synth → pixel stats matches the analytic gradient for every color type") {
+    for ((id, text) <- Seq((0L, "gray"), (1L, "rgb doc"), (2L, "gray+alpha!"),
+        (3L, "rgba here"), (-6L, "negative gray+alpha"), (7L, "x" * 40))) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      val n = u.numBytes
+      val (w, h) = (n % 29 + 4, n % 19 + 3)
+      val ct = Array(0, 2, 4, 6)(java.lang.Math.floorMod(id, 4L).toInt)
+      val ch = chOf(ct)
+      val st = stats(ImageCodec.synthPngPixels(id, u)).get
+      val s = pngGradSums(id, w, h, ch, (x, y) => (x, y))
+      assert(st.getInt(0) == w && st.getInt(1) == h && st.getLong(2) == w.toLong * h)
+      val (er, eg, eb, ea) = ct match {
+        case 0 => (s(0), s(0), s(0), null)
+        case 2 => (s(0), s(1), s(2), null)
+        case 4 => (s(0), s(0), s(0), s(1))
+        case _ => (s(0), s(1), s(2), s(3))
+      }
+      assert((st.getLong(3), st.getLong(4), st.getLong(5)) == ((er, eg, eb)), s"id=$id")
+      if (ea == null) assert(st.isNullAt(6)) else assert(st.getLong(6) == ea)
+    }
+  }
+
+  test("PNG resize: decode → NN resample → re-encode, stats match the mapped gradient") {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("resize me now")
+    val n = u.numBytes // 13 → w=17, h=16
+    val (w, h) = (n % 29 + 4, n % 19 + 3)
+    val id = 3L // ct=6 RGBA
+    val png = ImageCodec.synthPngPixels(id, u)
+    val out = ImageCodec.resizeNnInternal(png, 5, 4)
+    assert(out != null && out.take(8).sameElements(pngSig)) // PNG in → PNG out
+    val m = decode(out).get
+    assert(m.getUTF8String(0).toString == "png" && m.getInt(1) == 5
+      && m.getInt(2) == 4 && m.getInt(5) == 6)
+    val st = stats(out).get
+    val s = pngGradSums(id, 5, 4, 4, (x, y) => (x * w / 5, y * h / 4))
+    assert((st.getLong(3), st.getLong(4), st.getLong(5), st.getLong(6))
+      == ((s(0), s(1), s(2), s(3))))
+    // upsample works too and stays exact
+    val up = stats(ImageCodec.resizeNnInternal(png, w * 2, h * 2)).get
+    val su = pngGradSums(id, w * 2, h * 2, 4, (x, y) => (x / 2, y / 2))
+    assert(up.getLong(3) == su(0) && up.getLong(6) == su(3))
+    // malformed PNG input → null, not a crash
+    val bad = png.clone(); bad(20) = (bad(20) ^ 0x7F).toByte
+    assert(ImageCodec.resizeNnInternal(bad, 5, 4) == null)
+  }
+
+  test("PNG expressions: synth → resize → stats is a pure codegen'd projection") {
+    val df = Seq((1L, "one"), (2L, "two two"), (3L, "three"), (4L, "fourfour"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        ImageCodec.image_pixel_stats(ImageCodec.image_resize_nn(
+          ImageCodec.image_synth_png(col("doc_id"), col("text")),
+          lit(6), lit(5))).as("st"))
+      .select(col("doc_id"), col("st.width"), col("st.n_px"), col("st.sum_r"))
+      .collect()
+    assert(out.forall(r => r.getInt(1) == 6 && r.getLong(2) == 30L))
+    val plan = df.select(ImageCodec.image_pixel_stats(
+        ImageCodec.image_synth_png(col("doc_id"), col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Scan ExistingRDD"), plan)
+  }
+
   test("BMP expressions: synth → resize → stats is a pure codegen'd projection") {
     val df = Seq((1L, "one"), (2L, "two two")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"),
