@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthPng, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthPng, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -101,6 +101,28 @@ object GraftExtensions {
         case Seq(b, w, h) => ImageResizeNn(b, w, h)
         case _ => throw new IllegalArgumentException(
           "image_resize_nn expects (binary, int, int)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_synth_png",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthPng(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_png expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("audio_meta",
+      (args: Seq[Expression]) => AudioMeta(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_pcm_stats",
+      (args: Seq[Expression]) => AudioPcmStats(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_frame_sample",
+      (args: Seq[Expression]) => args match {
+        case Seq(b, k) => AudioFrameSample(b, k)
+        case _ => throw new IllegalArgumentException(
+          "audio_frame_sample expects (binary, int)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("audio_synth_wav",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => AudioSynthWav(id, text)
+        case _ => throw new IllegalArgumentException(
+          "audio_synth_wav expects (bigint, string)")
       }, "scala_udf")
   }
 }
@@ -225,6 +247,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(b, w, h) => ImageResizeNn(b, w, h)
         case _ => throw new IllegalArgumentException(
           "image_resize_nn expects (binary, int, int)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("audio_meta"),
+      info("audio_meta",
+        "audio_meta(binary) - RIFF/WAVE 16-bit PCM header decode (channels, rate, frames, duration)"),
+      (args: Seq[Expression]) => AudioMeta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("audio_pcm_stats"),
+      info("audio_pcm_stats",
+        "audio_pcm_stats(binary) - exact per-channel sums + peak of 16-bit PCM WAV"),
+      (args: Seq[Expression]) => AudioPcmStats(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("audio_frame_sample"),
+      info("audio_frame_sample",
+        "audio_frame_sample(binary, k) - keep every k-th PCM frame, re-emit a valid WAV"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b, k) => AudioFrameSample(b, k)
+        case _ => throw new IllegalArgumentException(
+          "audio_frame_sample expects (binary, int)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("audio_synth_wav"),
+      info("audio_synth_wav",
+        "audio_synth_wav(bigint, string) - deterministic real 16-bit PCM WAV bytes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => AudioSynthWav(id, text)
+        case _ => throw new IllegalArgumentException(
+          "audio_synth_wav expects (bigint, string)")
       }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),

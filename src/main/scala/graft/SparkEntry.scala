@@ -731,6 +731,44 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"), col("st.sum_a").as("sum_a"))
     }),
 
+    // ---- multimodal: REAL audio decode — synthesize RIFF/WAVE 16-bit
+    //      PCM bytes (mono/stereo cycling by id, an odd-length LIST
+    //      chunk exercising the RIFF pad rule), parse the header AND
+    //      decode every frame to exact per-channel sums + peak. The
+    //      oracle recomputes from the affine sample rule ----
+    "mm_audio_stats" -> ((s, dir) => {
+      import graft.functions.AudioCodec
+      val wav = AudioCodec.audio_synth_wav(col("doc_id"), col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          AudioCodec.audio_meta(wav).as("m"),
+          AudioCodec.audio_pcm_stats(wav).as("st"))
+        .select(col("doc_id"),
+          col("st.channels").as("channels"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("m.duration_us").as("duration_us"),
+          col("st.sum_l").as("sum_l"), col("st.sum_r").as("sum_r"),
+          col("st.peak").as("peak"))
+    }),
+
+    // ---- multimodal: audio frame decimation — keep every 3rd PCM
+    //      frame, re-emit a VALID WAV, decode it again for stats (the
+    //      audio analog of video frame sampling) ----
+    "mm_audio_sample" -> ((s, dir) => {
+      import graft.functions.AudioCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          AudioCodec.audio_pcm_stats(
+            AudioCodec.audio_frame_sample(
+              AudioCodec.audio_synth_wav(col("doc_id"), col("text")),
+              lit(3))).as("st"))
+        .select(col("doc_id"),
+          col("st.channels").as("channels"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.sum_l").as("sum_l"), col("st.sum_r").as("sum_r"),
+          col("st.peak").as("peak"))
+    }),
+
     // ---- composite corpus-curation pipeline: quality → lang → dedup →
     //      per-source stats (the flagship training-data flow) ----
     "pipeline_corpus" -> ((s, dir) => {
@@ -2069,6 +2107,58 @@ object SparkEntry {
         |    AS sum_b,
         |  CAST(CASE WHEN max(cti) = 2 THEN sum(v1)
         |            WHEN max(cti) = 3 THEN sum(v3) END AS BIGINT) AS sum_a
+        |FROM chans GROUP BY doc_id""".stripMargin,
+    // mirrors AudioCodec.synthWav: sample (i, c) =
+    // floorMod(i*(7+2c) + id*(3+c), 65536) - 32768; frames from the
+    // text's byte length, channels/rate cycle by doc_id. The Spark side
+    // decodes REAL RIFF/WAVE bytes; the oracle recomputes analytically.
+    "mm_audio_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 241 + 20 AS f,
+        |         ((doc_id % 2) + 2) % 2 + 1 AS ch,
+        |         CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 8000
+        |           WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS rate
+        |  FROM documents),
+        | vals AS (
+        |  SELECT d.doc_id, d.f, d.ch, d.rate,
+        |         ((s.i*7 + d.doc_id*3) % 65536 + 65536) % 65536 - 32768 AS v0,
+        |         ((s.i*9 + d.doc_id*4) % 65536 + 65536) % 65536 - 32768 AS v1
+        |  FROM dims d, range(261) s(i) WHERE s.i < d.f)
+        |SELECT doc_id,
+        |  CAST(max(ch) AS INTEGER) AS channels,
+        |  CAST(max(rate) AS INTEGER) AS sample_rate,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST((max(f) * 1000000) // max(rate) AS BIGINT) AS duration_us,
+        |  CAST(sum(v0) AS BIGINT) AS sum_l,
+        |  CAST(CASE WHEN max(ch) = 2 THEN sum(v1) END AS BIGINT) AS sum_r,
+        |  CAST(max(greatest(abs(v0),
+        |    CASE WHEN ch = 2 THEN abs(v1) ELSE 0 END)) AS INTEGER) AS peak
+        |FROM vals GROUP BY doc_id""".stripMargin,
+    "mm_audio_sample" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 241 + 20 AS f,
+        |         ((doc_id % 2) + 2) % 2 + 1 AS ch,
+        |         CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 8000
+        |           WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS rate
+        |  FROM documents),
+        | vals AS (
+        |  SELECT d.doc_id, d.ch, d.rate, s.j * 3 AS i
+        |  FROM dims d, range(87) s(j) WHERE s.j < (d.f + 2) // 3),
+        | chans AS (
+        |  SELECT doc_id, ch, rate,
+        |         ((i*7 + doc_id*3) % 65536 + 65536) % 65536 - 32768 AS v0,
+        |         ((i*9 + doc_id*4) % 65536 + 65536) % 65536 - 32768 AS v1
+        |  FROM vals)
+        |SELECT doc_id,
+        |  CAST(max(ch) AS INTEGER) AS channels,
+        |  CAST(max(rate) AS INTEGER) AS sample_rate,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(v0) AS BIGINT) AS sum_l,
+        |  CAST(CASE WHEN max(ch) = 2 THEN sum(v1) END AS BIGINT) AS sum_r,
+        |  CAST(max(greatest(abs(v0),
+        |    CASE WHEN ch = 2 THEN abs(v1) ELSE 0 END)) AS INTEGER) AS peak
         |FROM chans GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.SparkTestSession
+
+class AudioCodecSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def meta(b: Array[Byte]) = Option(AudioCodec.metaInternal(b))
+  private def stats(b: Array[Byte]) = Option(AudioCodec.statsInternal(b))
+
+  private def sample(i: Long, c: Int, id: Long): Long =
+    java.lang.Math.floorMod(i * (7 + 2 * c) + id * (3 + c), 65536L) - 32768L
+
+  test("WAV encode → meta round-trips: channels, rate, frames, duration") {
+    for ((ch, rate, nf) <- Seq((1, 8000, 100), (2, 44100, 37), (4, 22050, 3))) {
+      val frames = Array.tabulate(nf * ch)(i => (i * 31).toShort)
+      val m = meta(AudioCodec.encodeWav(ch, rate, frames)).get
+      assert(m.getUTF8String(0).toString == "pcm16")
+      assert(m.getInt(1) == ch && m.getInt(2) == rate)
+      assert(m.getLong(3) == nf)
+      assert(m.getLong(4) == nf * 1000000L / rate)
+    }
+  }
+
+  test("synth → stats matches the analytic rule, mono and stereo, negative ids") {
+    for ((id, text) <- Seq((0L, "mono doc"), (1L, "stereo doc"), (2L, "m2"),
+        (7L, "x" * 50), (-5L, "negative id"), (100L, ""))) {
+      val u = UTF8String.fromString(text)
+      val n = u.numBytes
+      val nf = n % 241 + 20
+      val ch = java.lang.Math.floorMod(id, 2L).toInt + 1
+      val rate = Array(8000, 16000, 22050, 44100)(
+        java.lang.Math.floorMod(id, 4L).toInt)
+      val st = stats(AudioCodec.synthWav(id, u)).get
+      assert(st.getInt(0) == ch && st.getInt(1) == rate && st.getLong(2) == nf)
+      var sl = 0L; var sr = 0L; var peak = 0L
+      for (i <- 0 until nf) {
+        val v0 = sample(i, 0, id); sl += v0; peak = peak.max(math.abs(v0))
+        if (ch == 2) { val v1 = sample(i, 1, id); sr += v1; peak = peak.max(math.abs(v1)) }
+      }
+      assert(st.getLong(3) == sl, s"id=$id")
+      if (ch == 2) assert(st.getLong(4) == sr) else assert(st.isNullAt(4))
+      assert(st.getInt(5) == peak, s"id=$id")
+      // the spliced odd-length LIST chunk didn't derail the meta path
+      val m = meta(AudioCodec.synthWav(id, u)).get
+      assert(m.getLong(3) == nf && m.getLong(4) == nf * 1000000L / rate)
+    }
+  }
+
+  test("frame sampling keeps every k-th frame and re-emits a decodable WAV") {
+    val u = UTF8String.fromString("decimate this audio")
+    val id = 1L // stereo
+    val nf = u.numBytes % 241 + 20
+    val wav = AudioCodec.synthWav(id, u)
+    for (k <- Seq(1, 2, 3, 7, 1000)) {
+      val out = AudioCodec.frameSampleInternal(wav, k)
+      val st = stats(out).get
+      val expN = (nf + k - 1) / k
+      assert(st.getLong(2) == expN, s"k=$k")
+      var sl = 0L; var sr = 0L
+      for (j <- 0 until expN) {
+        sl += sample(j.toLong * k, 0, id); sr += sample(j.toLong * k, 1, id)
+      }
+      assert(st.getLong(3) == sl && st.getLong(4) == sr, s"k=$k")
+      assert(st.getInt(1) == stats(wav).get.getInt(1)) // rate preserved
+    }
+    // k=1 is an exact identity on frames (header canonicalized)
+    val same = AudioCodec.frameSampleInternal(wav, 1)
+    assert(stats(same).get.getLong(3) == stats(wav).get.getLong(3))
+    assert(AudioCodec.frameSampleInternal(wav, 0) == null)
+    assert(AudioCodec.frameSampleInternal(wav, -3) == null)
+  }
+
+  test("malformed WAV: truncations, corruptions, random bytes never throw") {
+    val rnd = new scala.util.Random(99)
+    val valid = AudioCodec.synthWav(3L, UTF8String.fromString("fuzz wav"))
+    (0 to valid.length).foreach { n =>
+      meta(valid.take(n)); stats(valid.take(n))
+      AudioCodec.frameSampleInternal(valid.take(n), 2)
+    }
+    valid.indices.foreach { i =>
+      val c = valid.clone(); c(i) = (c(i) ^ (1 + rnd.nextInt(255))).toByte
+      meta(c); stats(c)
+    }
+    (1 to 500).foreach { _ =>
+      val body = new Array[Byte](rnd.nextInt(100)); rnd.nextBytes(body)
+      meta(Array[Byte]('R', 'I', 'F', 'F') ++ body)
+    }
+    // non-PCM format code, bad bit depth, odd data length → null
+    val fmtOff = valid.indexOfSlice("fmt ".getBytes("ASCII"))
+    val badFmt = valid.clone(); badFmt(fmtOff + 8) = 3 // IEEE float
+    assert(stats(badFmt).isEmpty)
+    val badBits = valid.clone(); badBits(fmtOff + 22) = 8
+    assert(stats(badBits).isEmpty)
+    assert(stats(valid).isDefined) // storm didn't poison shared state
+  }
+
+  test("expressions: synth → frame-sample → stats is a pure codegen'd projection") {
+    val df = Seq((0L, "mono"), (1L, "stereo here"), (2L, "another mono"),
+      (3L, "another stereo")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        AudioCodec.audio_pcm_stats(AudioCodec.audio_frame_sample(
+          AudioCodec.audio_synth_wav(col("doc_id"), col("text")),
+          lit(3))).as("st"))
+      .select(col("doc_id"), col("st.channels"), col("st.n_frames"),
+        col("st.sum_l"), col("st.peak"))
+      .collect()
+    assert(out.length == 4)
+    val mono = out.find(_.getLong(0) == 0L).get
+    val nf0 = ("mono".getBytes("UTF-8").length % 241 + 20 + 2) / 3
+    assert(mono.getInt(1) == 1 && mono.getLong(2) == nf0)
+    val plan = df.select(AudioCodec.audio_pcm_stats(
+        AudioCodec.audio_synth_wav(col("doc_id"), col("text"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Scan ExistingRDD"), plan)
+  }
+
+  test("SQL surface: registered functions run end-to-end") {
+    graft.GraftExtensions.register(spark)
+    Seq((5L, "sql audio")).toDF("doc_id", "text").createOrReplaceTempView("adoc")
+    val r = spark.sql(
+      """SELECT audio_meta(audio_synth_wav(doc_id, text)).n_frames AS nf,
+        |       audio_pcm_stats(audio_frame_sample(
+        |         audio_synth_wav(doc_id, text), 2)).n_frames AS nh
+        |FROM adoc""".stripMargin).collect().head
+    val nf = "sql audio".getBytes("UTF-8").length % 241 + 20
+    assert(r.getLong(0) == nf && r.getLong(1) == (nf + 1) / 2)
+  }
+}
