@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthPng, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthPng, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -123,6 +123,22 @@ object GraftExtensions {
         case Seq(id, text) => AudioSynthWav(id, text)
         case _ => throw new IllegalArgumentException(
           "audio_synth_wav expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("video_meta",
+      (args: Seq[Expression]) => VideoMeta(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("video_pixel_stats",
+      (args: Seq[Expression]) => VideoPixelStats(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("video_frame_sample",
+      (args: Seq[Expression]) => args match {
+        case Seq(b, k) => VideoFrameSample(b, k)
+        case _ => throw new IllegalArgumentException(
+          "video_frame_sample expects (binary, int)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("video_synth_avi",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => VideoSynthAvi(id, text)
+        case _ => throw new IllegalArgumentException(
+          "video_synth_avi expects (bigint, string)")
       }, "scala_udf")
   }
 }
@@ -275,6 +291,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(id, text) => AudioSynthWav(id, text)
         case _ => throw new IllegalArgumentException(
           "audio_synth_wav expects (bigint, string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("video_meta"),
+      info("video_meta",
+        "video_meta(binary) - AVI/DIB container decode (dims, frames, frame period)"),
+      (args: Seq[Expression]) => VideoMeta(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("video_pixel_stats"),
+      info("video_pixel_stats",
+        "video_pixel_stats(binary) - exact channel sums over every frame of an AVI/DIB clip"),
+      (args: Seq[Expression]) => VideoPixelStats(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("video_frame_sample"),
+      info("video_frame_sample",
+        "video_frame_sample(binary, k) - keep every k-th frame, re-emit a valid AVI"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b, k) => VideoFrameSample(b, k)
+        case _ => throw new IllegalArgumentException(
+          "video_frame_sample expects (binary, int)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("video_synth_avi"),
+      info("video_synth_avi",
+        "video_synth_avi(bigint, string) - deterministic real AVI with 24bpp DIB frames"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => VideoSynthAvi(id, text)
+        case _ => throw new IllegalArgumentException(
+          "video_synth_avi expects (bigint, string)")
       }))
     ext.injectFunction((
       FunctionIdentifier("text_stats"),

@@ -769,6 +769,43 @@ object SparkEntry {
           col("st.peak").as("peak"))
     }),
 
+    // ---- multimodal: REAL video decode — synthesize an AVI (RIFF)
+    //      container of uncompressed 24bpp DIB frames, parse the
+    //      hdrl/avih headers AND decode every pixel of every frame to
+    //      exact channel sums. The oracle recomputes analytically from
+    //      the per-frame affine pixel rule ----
+    "mm_video_stats" -> ((s, dir) => {
+      import graft.functions.VideoCodec
+      val avi = VideoCodec.video_synth_avi(col("doc_id"), col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          VideoCodec.video_meta(avi).as("m"),
+          VideoCodec.video_pixel_stats(avi).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.n_frames").as("n_frames"),
+          col("m.us_per_frame").as("us_per_frame"),
+          col("m.duration_us").as("duration_us"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
+    // ---- multimodal: video frame sampling — keep every 2nd frame,
+    //      re-emit a VALID AVI, decode it again for stats (the core
+    //      video op of a training-data pipeline, done for real) ----
+    "mm_video_sample" -> ((s, dir) => {
+      import graft.functions.VideoCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          VideoCodec.video_pixel_stats(
+            VideoCodec.video_frame_sample(
+              VideoCodec.video_synth_avi(col("doc_id"), col("text")),
+              lit(2))).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.n_frames").as("n_frames"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- composite corpus-curation pipeline: quality → lang → dedup →
     //      per-source stats (the flagship training-data flow) ----
     "pipeline_corpus" -> ((s, dir) => {
@@ -2160,6 +2197,60 @@ object SparkEntry {
         |  CAST(max(greatest(abs(v0),
         |    CASE WHEN ch = 2 THEN abs(v1) ELSE 0 END)) AS INTEGER) AS peak
         |FROM chans GROUP BY doc_id""".stripMargin,
+    // mirrors VideoCodec.synthAvi: frame t's pixel (x, y) channels are
+    // the BMP gradient extended with a frame term (r: +t*19, g: +t*23,
+    // b: +t*29). The Spark side walks a REAL RIFF/AVI container; the
+    // oracle recomputes the channel sums analytically.
+    "mm_video_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 21 + 4 AS w,
+        |         octet_length(encode(text)) % 13 + 3 AS h,
+        |         octet_length(encode(text)) % 17 + 2 AS f,
+        |         CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 33333
+        |           WHEN 1 THEN 40000 WHEN 2 THEN 16667 ELSE 20000 END AS us
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.w, d.h, d.f, d.us, xs.x, ys.y, ts.t
+        |  FROM dims d, range(24) xs(x), range(15) ys(y), range(18) ts(t)
+        |  WHERE xs.x < d.w AND ys.y < d.h AND ts.t < d.f)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(max(f) AS BIGINT) AS n_frames,
+        |  CAST(max(us) AS BIGINT) AS us_per_frame,
+        |  CAST(max(f) * max(us) AS BIGINT) AS duration_us,
+        |  CAST(sum(((x*13 + y*17 + t*19 + doc_id*3) % 256 + 256) % 256)
+        |    AS BIGINT) AS sum_r,
+        |  CAST(sum(((x*7 + y*11 + t*23 + doc_id*2) % 256 + 256) % 256)
+        |    AS BIGINT) AS sum_g,
+        |  CAST(sum(((x*3 + y*5 + t*29 + doc_id) % 256 + 256) % 256)
+        |    AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
+    "mm_video_sample" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 21 + 4 AS w,
+        |         octet_length(encode(text)) % 13 + 3 AS h,
+        |         octet_length(encode(text)) % 17 + 2 AS f
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.w, d.h, (d.f + 1) // 2 AS nf,
+        |         xs.x, ys.y, js.j * 2 AS t
+        |  FROM dims d, range(24) xs(x), range(15) ys(y), range(9) js(j)
+        |  WHERE xs.x < d.w AND ys.y < d.h AND js.j < (d.f + 1) // 2)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(max(w) * max(h) * max(nf) AS BIGINT) AS n_px,
+        |  CAST(sum(((x*13 + y*17 + t*19 + doc_id*3) % 256 + 256) % 256)
+        |    AS BIGINT) AS sum_r,
+        |  CAST(sum(((x*7 + y*11 + t*23 + doc_id*2) % 256 + 256) % 256)
+        |    AS BIGINT) AS sum_g,
+        |  CAST(sum(((x*3 + y*5 + t*29 + doc_id) % 256 + 256) % 256)
+        |    AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
