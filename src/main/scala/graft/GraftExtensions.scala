@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthPng, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthPng, ImageSynthPngPal, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -107,6 +107,12 @@ object GraftExtensions {
         case Seq(id, text) => ImageSynthPng(id, text)
         case _ => throw new IllegalArgumentException(
           "image_synth_png expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_synth_png_pal",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthPngPal(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_png_pal expects (bigint, string)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("audio_meta",
       (args: Seq[Expression]) => AudioMeta(args.head), "scala_udf")
@@ -245,10 +251,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "image_synth_png expects (bigint, string)")
       }))
     ext.injectFunction((
+      FunctionIdentifier("image_synth_png_pal"),
+      info("image_synth_png_pal",
+        "image_synth_png_pal(bigint, string) - deterministic real palette (PLTE) PNG"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthPngPal(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_png_pal expects (bigint, string)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("image_pixel_stats"),
       info("image_pixel_stats",
         "image_pixel_stats(binary) - exact integer channel sums of a 24bpp BMP " +
-          "or 8-bit PNG (gray/RGB/gray+alpha/RGBA; sum_a null without alpha)"),
+          "or 8-bit PNG (gray/RGB/palette/gray+alpha/RGBA; sum_a null without alpha)"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(

@@ -714,6 +714,21 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"), col("st.sum_a").as("sum_a"))
     }),
 
+    // ---- multimodal: PALETTE PNG decode — a real PLTE-backed color
+    //      type 3 image (indices AND palette both affine in the
+    //      inputs), decoded through inflate + unfilter + palette
+    //      expansion to exact RGB sums ----
+    "mm_png_palette" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_synth_png_pal(col("doc_id"), col("text"))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- multimodal: PNG→PNG resize — full decode, nearest-neighbor
     //      resample in sample space, re-encode through the zlib PNG
     //      writer, decode AGAIN for stats. Exercises the whole codec
@@ -2116,6 +2131,30 @@ object SparkEntry {
         |  CAST(CASE WHEN max(cti) = 2 THEN sum(v1)
         |            WHEN max(cti) = 3 THEN sum(v3) END AS BIGINT) AS sum_a
         |FROM vals GROUP BY doc_id""".stripMargin,
+    // mirrors ImageCodec.synthPngPalette: pixel (x, y) holds palette
+    // index floorMod(x*3 + y*5 + id, ps) with ps = floorMod(id,15)+2;
+    // entry e expands to r = (e*5 + id*7) mod 256, g = (e*11 + id*3)
+    // mod 256, b = (e*13 + id) mod 256 — the oracle composes the two
+    // affine rules
+    "mm_png_palette" ->
+      """WITH dims AS (
+        |  SELECT doc_id, ((doc_id % 15) + 15) % 15 + 2 AS ps,
+        |         octet_length(encode(text)) % 31 + 4 AS w,
+        |         octet_length(encode(text)) % 17 + 3 AS h
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         ((xs.x*3 + ys.y*5 + d.doc_id) % d.ps + d.ps) % d.ps AS e
+        |  FROM dims d, range(34) xs(x), range(19) ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(((e*5 + doc_id*7) % 256 + 256) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum(((e*11 + doc_id*3) % 256 + 256) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum(((e*13 + doc_id) % 256 + 256) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
     "mm_png_resize" ->
       """WITH dims AS (
         |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS cti,

@@ -142,8 +142,33 @@ case class ImageSynthPng(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `(id, utf8 content) → real palette PNG (color type 3)` — the
+  * indexed-color twin of [[ImageSynthPng]]: a PLTE-backed image whose
+  * palette entries AND pixel indices are fixed affine functions of the
+  * inputs, so SQL oracles recompute the expanded RGB sums by composing
+  * the two rules. */
+case class ImageSynthPngPal(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth_png_pal"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    ImageCodec.synthPngPalette(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.ImageCodec.synthPngPalette($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynthPngPal =
+    copy(left = newLeft, right = newRight)
+}
+
 /** REAL nearest-neighbor resize: 24bpp BMP → BMP, or 8-bit PNG → PNG
-  * (gray/RGB/gray+alpha/RGBA — full decode, resample, re-encode).
+  * (gray/RGB/gray+alpha/RGBA, plus palette input expanded to truecolor
+  * output — full decode, resample, re-encode).
   * Null for malformed input or out-of-range target dims. */
 case class ImageResizeNn(first: Expression, second: Expression,
     third: Expression)
@@ -305,7 +330,8 @@ object ImageCodec {
     if (bitDepth != 8) return null
     val ch = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case _ => return null // palette needs PLTE; out of the typed path
+      case 3 => 1 // palette: one index byte per pixel; expanded via PLTE below
+      case _ => return null
     }
     if ((b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0 || (b(28) & 0xFF) != 0)
       return null // compression/filter method, interlace: only 0 defined
@@ -313,10 +339,12 @@ object ImageCodec {
     val rowBytes = width.toLong * ch
     val rawLen = (rowBytes + 1) * height // +1 filter byte per scanline
     if (rawLen > MAX_SAMPLES) return null
+    if (colorType == 3 && width.toLong * height * 3 > MAX_SAMPLES) return null
 
-    // chunk walk: concatenate every IDAT payload (CRC-verified), stop
-    // at IEND; unknown ancillary chunks are skipped by length
+    // chunk walk: concatenate every IDAT payload (CRC-verified), grab
+    // PLTE for the palette path, stop at IEND; ancillary chunks skipped
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var i = 8 + 8 + 13 + 4
     var sawEnd = false
     while (!sawEnd) {
@@ -329,11 +357,16 @@ object ImageCodec {
       if (crc.getValue != u32(b, i + 8 + len.toInt)) return null
       typ match {
         case "IDAT" => idat.write(b, i + 8, len.toInt)
+        case "PLTE" =>
+          // must precede IDAT; 1-256 3-byte entries (RFC 2083 §4.1.2)
+          if (idat.size > 0 || len == 0 || len % 3 != 0 || len > 768) return null
+          plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len.toInt)
         case "IEND" => sawEnd = true
         case _ => // ancillary: skip
       }
       i += 12 + len.toInt
     }
+    if (colorType == 3 && plte == null) return null // palette image needs PLTE
     val comp = idat.toByteArray
     if (comp.isEmpty) return null
 
@@ -404,6 +437,22 @@ object ImageCodec {
       }
       y += 1
     }
+    if (colorType == 3) {
+      // expand palette indices to RGB; an index past the palette end is
+      // corruption (RFC 2083 §4.1.2), not a clampable value
+      val entries = plte.length / 3
+      val rgb = new Array[Byte](width * height * 3)
+      var p = 0
+      while (p < out.length) {
+        val idx = out(p) & 0xFF
+        if (idx >= entries) return null
+        rgb(p * 3) = plte(idx * 3)
+        rgb(p * 3 + 1) = plte(idx * 3 + 1)
+        rgb(p * 3 + 2) = plte(idx * 3 + 2)
+        p += 1
+      }
+      return new PngImage(width, height, 3, colorType, rgb)
+    }
     new PngImage(width, height, ch, colorType, out)
   }
 
@@ -421,9 +470,15 @@ object ImageCodec {
     * compressed stream is split across two IDAT chunks when it is
     * long enough, so multi-IDAT concatenation stays a tested path. */
   def encodePng(width: Int, height: Int, colorType: Int,
-      samples: Array[Byte], filterOf: Int => Int): Array[Byte] = {
+      samples: Array[Byte], filterOf: Int => Int,
+      palette: Array[Byte] = null): Array[Byte] = {
     val ch = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case 3 =>
+        require(palette != null && palette.length > 0 &&
+          palette.length % 3 == 0 && palette.length <= 768,
+          "colorType 3 needs a 1-256 entry RGB palette")
+        1 // samples are palette indices
       case _ => throw new IllegalArgumentException(s"colorType $colorType")
     }
     val stride = width * ch
@@ -485,7 +540,10 @@ object ImageCodec {
         val mid = comp.length / 2
         chunk("IDAT", comp, 0, mid) ++ chunk("IDAT", comp, mid, comp.length - mid)
       } else chunk("IDAT", comp, 0, comp.length)
-    PNG_SIG ++ chunk("IHDR", ihdr, 0, 13) ++ idats ++
+    val plteChunk =
+      if (colorType == 3) chunk("PLTE", palette, 0, palette.length)
+      else Array.emptyByteArray
+    PNG_SIG ++ chunk("IHDR", ihdr, 0, 13) ++ plteChunk ++ idats ++
       chunk("IEND", Array.emptyByteArray, 0, 0)
   }
 
@@ -753,7 +811,10 @@ object ImageCodec {
         }
         y += 1
       }
-      return encodePng(outW, outH, png.colorType, out, _ => 0)
+      // palette input resizes to truecolor output (indices were already
+      // expanded to RGB; re-quantizing to a palette would lose pixels)
+      val outCt = if (png.colorType == 3) 2 else png.colorType
+      return encodePng(outW, outH, outCt, out, _ => 0)
     }
     val bmp = parseBmp(bytes)
     if (bmp == null) return null
@@ -797,8 +858,47 @@ object ImageCodec {
       yy => java.lang.Math.floorMod(yy + id, 5L).toInt)
   }
 
+  /** Deterministic PALETTE PNG (color type 3) the `mm_png_palette`
+    * oracle mirrors: palette entry e is
+    * `(floorMod(e·5 + id·7, 256), floorMod(e·11 + id·3, 256),
+    * floorMod(e·13 + id, 256))` and pixel (x, y) holds index
+    * `floorMod(x·3 + y·5 + id, paletteSize)` with paletteSize =
+    * floorMod(id, 15) + 2 — so SQL oracles compose the two affine
+    * rules and never touch a byte. Filters cycle all five types. */
+  def synthPngPalette(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val w = n % 31 + 4
+    val h = n % 17 + 3
+    val entries = java.lang.Math.floorMod(id, 15L).toInt + 2
+    val plte = new Array[Byte](entries * 3)
+    var e = 0
+    while (e < entries) {
+      plte(e * 3) = java.lang.Math.floorMod(e * 5L + id * 7, 256L).toByte
+      plte(e * 3 + 1) = java.lang.Math.floorMod(e * 11L + id * 3, 256L).toByte
+      plte(e * 3 + 2) = java.lang.Math.floorMod(e * 13L + id, 256L).toByte
+      e += 1
+    }
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) =
+          java.lang.Math.floorMod(x * 3L + y * 5L + id, entries.toLong).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(w, h, 3, idx,
+      yy => java.lang.Math.floorMod(yy + id, 5L).toInt, plte)
+  }
+
   def image_synth_png(id: Column, text: Column): Column =
     GraftSqlBridge.column(ImageSynthPng(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def image_synth_png_pal(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynthPngPal(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
   def image_synth_bmp(id: Column, text: Column): Column =

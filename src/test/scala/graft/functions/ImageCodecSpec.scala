@@ -372,6 +372,74 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.resizeNnInternal(bad, 5, 4) == null)
   }
 
+  test("palette PNG: encode → decode expands PLTE indices to exact RGB") {
+    val rnd = new scala.util.Random(7)
+    val plte = Array.tabulate(16 * 3)(i => (i * 37 + 5).toByte)
+    val (w, h) = (9, 7)
+    val idx = Array.fill(w * h)(rnd.nextInt(16).toByte)
+    for (filterMode <- -1 to 4) {
+      val filterOf: Int => Int = if (filterMode < 0) identity else (_ => filterMode)
+      val png = ImageCodec.encodePng(w, h, 3, idx, filterOf, plte)
+      val dec = ImageCodec.decodePngPixels(png)
+      assert(dec != null && dec.channels == 3 && dec.colorType == 3)
+      for (p <- 0 until w * h; c <- 0 until 3)
+        assert(dec.samples(p * 3 + c) == plte((idx(p) & 0xFF) * 3 + c),
+          s"pixel $p ch $c filter $filterMode")
+    }
+    // meta still reports the on-wire shape: 1 channel, color type 3
+    val m = decode(ImageCodec.encodePng(w, h, 3, idx, _ => 0, plte)).get
+    assert(m.getInt(4) == 1 && m.getInt(5) == 3)
+  }
+
+  test("palette PNG: synth → stats matches the composed affine rules; resize → truecolor") {
+    for ((id, text) <- Seq((0L, "two entries"), (5L, "seven-ish"),
+        (-9L, "negative id"), (14L, "x" * 28))) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      val n = u.numBytes
+      val (w, h) = (n % 31 + 4, n % 17 + 3)
+      val ps = java.lang.Math.floorMod(id, 15L).toInt + 2
+      val st = stats(ImageCodec.synthPngPalette(id, u)).get
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val e = java.lang.Math.floorMod(x * 3L + y * 5L + id, ps.toLong)
+        sr += java.lang.Math.floorMod(e * 5 + id * 7, 256L)
+        sg += java.lang.Math.floorMod(e * 11 + id * 3, 256L)
+        sb += java.lang.Math.floorMod(e * 13 + id, 256L)
+      }
+      assert(st.getInt(0) == w && st.getInt(1) == h)
+      assert((st.getLong(3), st.getLong(4), st.getLong(5)) == ((sr, sg, sb)), s"id=$id")
+      assert(st.isNullAt(6)) // no alpha channel
+    }
+    // resize expands to truecolor (color type 2) with NN-mapped pixels
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("resizable pal")
+    val out = ImageCodec.resizeNnInternal(ImageCodec.synthPngPalette(3L, u), 6, 5)
+    val m = decode(out).get
+    assert(m.getInt(5) == 2 && m.getInt(1) == 6 && m.getInt(2) == 5)
+    assert(stats(out).isDefined)
+  }
+
+  test("palette PNG: missing PLTE, PLTE after IDAT, out-of-range index all null") {
+    val plte = Array.tabulate(4 * 3)(i => i.toByte)
+    val idx = Array.tabulate(6 * 4)(i => (i % 4).toByte)
+    val good = ImageCodec.encodePng(6, 4, 3, idx, _ => 0, plte)
+    assert(ImageCodec.decodePngPixels(good) != null)
+    // strip the PLTE chunk (starts right after IHDR at offset 33)
+    val plteLen = 12 + plte.length
+    val noPlte = good.take(33) ++ good.drop(33 + plteLen)
+    assert(ImageCodec.decodePngPixels(noPlte) == null)
+    // move PLTE after the IDATs (re-assemble: sig+IHDR, IDAT.., PLTE, IEND)
+    val iendLen = 12
+    val moved = good.take(33) ++
+      good.slice(33 + plteLen, good.length - iendLen) ++
+      good.slice(33, 33 + plteLen) ++ good.takeRight(iendLen)
+    assert(ImageCodec.decodePngPixels(moved) == null)
+    // an index past the palette end is corruption
+    val badIdx = idx.clone(); badIdx(5) = 9 // only 4 entries
+    val bad = ImageCodec.encodePng(6, 4, 3, badIdx, _ => 0, plte)
+    assert(ImageCodec.decodePngPixels(bad) == null)
+    assert(ImageCodec.pixelStatsInternal(bad) == null)
+  }
+
   test("PNG expressions: synth → resize → stats is a pure codegen'd projection") {
     val df = Seq((1L, "one"), (2L, "two two"), (3L, "three"), (4L, "fourfour"))
       .toDF("doc_id", "text")
