@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthPng, ImageSynthPngPal, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthPng, ImageSynthPng16, ImageSynthPngPal, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -113,6 +113,12 @@ object GraftExtensions {
         case Seq(id, text) => ImageSynthPngPal(id, text)
         case _ => throw new IllegalArgumentException(
           "image_synth_png_pal expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_synth_png16",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthPng16(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_png16 expects (bigint, string)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("audio_meta",
       (args: Seq[Expression]) => AudioMeta(args.head), "scala_udf")
@@ -260,10 +266,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "image_synth_png_pal expects (bigint, string)")
       }))
     ext.injectFunction((
+      FunctionIdentifier("image_synth_png16"),
+      info("image_synth_png16",
+        "image_synth_png16(bigint, string) - deterministic real 16-bit PNG"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthPng16(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_png16 expects (bigint, string)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("image_pixel_stats"),
       info("image_pixel_stats",
         "image_pixel_stats(binary) - exact integer channel sums of a 24bpp BMP " +
-          "or 8-bit PNG (gray/RGB/palette/gray+alpha/RGBA; sum_a null without alpha)"),
+          "or 8/16-bit PNG (gray/RGB/palette/gray+alpha/RGBA; sum_a null without alpha)"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(

@@ -729,6 +729,21 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // ---- multimodal: 16-BIT PNG decode — two big-endian bytes per
+    //      sample, gray or RGB by id parity, full-range (0..65535)
+    //      channel sums; resize preserves the deep samples (16-bit in →
+    //      16-bit out → decoded again) ----
+    "mm_png_deep" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_synth_png16(col("doc_id"), col("text"))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- multimodal: PNG→PNG resize — full decode, nearest-neighbor
     //      resample in sample space, re-encode through the zlib PNG
     //      writer, decode AGAIN for stats. Exercises the whole codec
@@ -2154,6 +2169,30 @@ object SparkEntry {
         |  CAST(sum(((e*5 + doc_id*7) % 256 + 256) % 256) AS BIGINT) AS sum_r,
         |  CAST(sum(((e*11 + doc_id*3) % 256 + 256) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum(((e*13 + doc_id) % 256 + 256) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
+    // mirrors ImageCodec.synthPng16: sample (x, y, c) =
+    // floorMod(x*(31+2c) + y*(47+2c) + id*(c+1), 65536); id parity
+    // picks gray (r=g=b from c=0) vs RGB
+    "mm_png_deep" ->
+      """WITH dims AS (
+        |  SELECT doc_id, ((doc_id % 2) + 2) % 2 = 0 AS gray,
+        |         octet_length(encode(text)) % 23 + 4 AS w,
+        |         octet_length(encode(text)) % 15 + 3 AS h
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.gray, d.w, d.h,
+        |    ((xs.x*31 + ys.y*47 + d.doc_id) % 65536 + 65536) % 65536 AS v0,
+        |    ((xs.x*33 + ys.y*49 + d.doc_id*2) % 65536 + 65536) % 65536 AS v1,
+        |    ((xs.x*35 + ys.y*51 + d.doc_id*3) % 65536 + 65536) % 65536 AS v2
+        |  FROM dims d, range(26) xs(x), range(17) ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(v0) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN gray THEN v0 ELSE v1 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN gray THEN v0 ELSE v2 END) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id""".stripMargin,
     "mm_png_resize" ->
       """WITH dims AS (

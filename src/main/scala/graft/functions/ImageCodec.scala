@@ -166,9 +166,32 @@ case class ImageSynthPngPal(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** REAL nearest-neighbor resize: 24bpp BMP → BMP, or 8-bit PNG → PNG
-  * (gray/RGB/gray+alpha/RGBA, plus palette input expanded to truecolor
-  * output — full decode, resample, re-encode).
+/** `(id, utf8 content) → real 16-bit PNG` — the deep-sample twin of
+  * [[ImageSynthPng]]: gray or RGB by id parity, two big-endian bytes
+  * per sample, values a fixed affine function mod 2^16 so SQL oracles
+  * recompute the full-range channel sums analytically. */
+case class ImageSynthPng16(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth_png16"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    ImageCodec.synthPng16(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.ImageCodec.synthPng16($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynthPng16 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** REAL nearest-neighbor resize: 24bpp BMP → BMP, or 8/16-bit PNG →
+  * PNG (gray/RGB/gray+alpha/RGBA at either depth, palette input
+  * expanded to truecolor output — full decode, resample, re-encode).
   * Null for malformed input or out-of-range target dims. */
 case class ImageResizeNn(first: Expression, second: Expression,
     third: Expression)
@@ -300,14 +323,17 @@ object ImageCodec {
   // DEFLATE in a zlib wrapper (RFC 1950/1951), and `java.util.zip
   // .Inflater` ships in every JDK — so the only format work is chunk
   // walking, scanline unfiltering (the five filters of RFC 2083 §6),
-  // and sample layout. Supported: bit depth 8, color types 0 (gray),
-  // 2 (RGB), 4 (gray+alpha), 6 (RGBA), interlace 0. Palette (3),
-  // 16-bit, and Adam7 return null — robustness, not a crash.
+  // and sample layout. Supported: bit depths 8 and 16, color types 0
+  // (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), and 3 (palette, 8-bit,
+  // expanded through PLTE), interlace 0. Sub-byte depths and Adam7
+  // return null — robustness, not a crash.
 
   /** Decoded PNG: `samples` is row-major top-down, `channels` samples
-    * per pixel, one byte per sample. */
+    * per pixel, one byte per sample at depth 8 / two big-endian bytes
+    * at depth 16 (`bitDepth` says which). */
   final class PngImage(val width: Int, val height: Int,
-      val channels: Int, val colorType: Int, val samples: Array[Byte])
+      val channels: Int, val colorType: Int, val samples: Array[Byte],
+      val bitDepth: Int = 8)
 
   /** Max decoded sample bytes (64 MiB) — an inflate bound so a
     * crafted tiny payload can't balloon a task's memory. */
@@ -327,7 +353,8 @@ object ImageCodec {
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
     val bitDepth = b(24) & 0xFF
     val colorType = b(25) & 0xFF
-    if (bitDepth != 8) return null
+    if (bitDepth != 8 && bitDepth != 16) return null
+    if (colorType == 3 && bitDepth != 8) return null // RFC 2083 §2: palette ≤ 8
     val ch = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case 3 => 1 // palette: one index byte per pixel; expanded via PLTE below
@@ -336,7 +363,8 @@ object ImageCodec {
     if ((b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0 || (b(28) & 0xFF) != 0)
       return null // compression/filter method, interlace: only 0 defined
     val width = w.toInt; val height = h.toInt
-    val rowBytes = width.toLong * ch
+    val bps = bitDepth / 8 // bytes per sample
+    val rowBytes = width.toLong * ch * bps
     val rawLen = (rowBytes + 1) * height // +1 filter byte per scanline
     if (rawLen > MAX_SAMPLES) return null
     if (colorType == 3 && width.toLong * height * 3 > MAX_SAMPLES) return null
@@ -390,10 +418,12 @@ object ImageCodec {
       if (off != raw.length) return null
     } finally inf.end()
 
-    // unfilter (RFC 2083 §6.1): bpp = channels at bit depth 8
+    // unfilter (RFC 2083 §6.1): byte-wise with bpp = whole bytes per
+    // pixel — the same code serves depth 8 and 16 (filters operate on
+    // bytes regardless of sample width)
     val stride = rowBytes.toInt
     val out = new Array[Byte](stride * height)
-    val bpp = ch
+    val bpp = ch * bps
     var y = 0
     while (y < height) {
       val filter = raw(y * (stride + 1)) & 0xFF
@@ -453,7 +483,7 @@ object ImageCodec {
       }
       return new PngImage(width, height, 3, colorType, rgb)
     }
-    new PngImage(width, height, ch, colorType, out)
+    new PngImage(width, height, ch, colorType, out, bitDepth)
   }
 
   /** Paeth predictor (RFC 2083 §6.6) — exact integer form. */
@@ -471,19 +501,22 @@ object ImageCodec {
     * long enough, so multi-IDAT concatenation stays a tested path. */
   def encodePng(width: Int, height: Int, colorType: Int,
       samples: Array[Byte], filterOf: Int => Int,
-      palette: Array[Byte] = null): Array[Byte] = {
+      palette: Array[Byte] = null, bitDepth: Int = 8): Array[Byte] = {
+    require(bitDepth == 8 || bitDepth == 16, s"bitDepth $bitDepth")
     val ch = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case 3 =>
         require(palette != null && palette.length > 0 &&
           palette.length % 3 == 0 && palette.length <= 768,
           "colorType 3 needs a 1-256 entry RGB palette")
+        require(bitDepth == 8, "palette is 8-bit only here")
         1 // samples are palette indices
       case _ => throw new IllegalArgumentException(s"colorType $colorType")
     }
-    val stride = width * ch
+    val bps = bitDepth / 8
+    val stride = width * ch * bps
     require(samples.length == stride * height, "sample length mismatch")
-    val bpp = ch
+    val bpp = ch * bps
     val raw = new Array[Byte]((stride + 1) * height)
     var y = 0
     while (y < height) {
@@ -533,7 +566,7 @@ object ImageCodec {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
-      .put(8.toByte).put(colorType.toByte)
+      .put(bitDepth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     val idats =
       if (comp.length >= 32) {
@@ -701,19 +734,26 @@ object ImageCodec {
       var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
       val s = png.samples
       val ch = png.channels
+      val bps = png.bitDepth / 8
+      // sample accessor: byte at depth 8, big-endian u16 at depth 16 —
+      // sums are over the FULL sample range (0..65535 for 16-bit)
+      def at(i: Int): Long =
+        if (bps == 1) (s(i) & 0xFF).toLong
+        else ((s(i * 2) & 0xFFL) << 8) | (s(i * 2 + 1) & 0xFFL)
+      val nSamples = s.length / bps
       var i = 0
-      while (i < s.length) {
+      while (i < nSamples) {
         ch match {
           case 1 =>
-            val v = (s(i) & 0xFF).toLong; sr += v; sg += v; sb += v
+            val v = at(i); sr += v; sg += v; sb += v
           case 2 =>
-            val v = (s(i) & 0xFF).toLong; sr += v; sg += v; sb += v
-            sa += s(i + 1) & 0xFF
+            val v = at(i); sr += v; sg += v; sb += v
+            sa += at(i + 1)
           case 3 =>
-            sr += s(i) & 0xFF; sg += s(i + 1) & 0xFF; sb += s(i + 2) & 0xFF
+            sr += at(i); sg += at(i + 1); sb += at(i + 2)
           case _ =>
-            sr += s(i) & 0xFF; sg += s(i + 1) & 0xFF; sb += s(i + 2) & 0xFF
-            sa += s(i + 3) & 0xFF
+            sr += at(i); sg += at(i + 1); sb += at(i + 2)
+            sa += at(i + 3)
         }
         i += ch
       }
@@ -794,27 +834,28 @@ object ImageCodec {
     if (bytes != null && bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) {
       val png = decodePngPixels(bytes)
       if (png == null) return null
-      val ch = png.channels
-      if (outW.toLong * outH * ch > MAX_SAMPLES) return null
-      val out = new Array[Byte](outW * outH * ch)
+      val pxBytes = png.channels * (png.bitDepth / 8)
+      if (outW.toLong * outH * pxBytes > MAX_SAMPLES) return null
+      val out = new Array[Byte](outW * outH * pxBytes)
       var y = 0
       while (y < outH) {
         val sy = (y.toLong * png.height / outH).toInt
         var x = 0
         while (x < outW) {
           val sx = (x.toLong * png.width / outW).toInt
-          val s = (sy * png.width + sx) * ch
-          val d = (y * outW + x) * ch
+          val s = (sy * png.width + sx) * pxBytes
+          val d = (y * outW + x) * pxBytes
           var c = 0
-          while (c < ch) { out(d + c) = png.samples(s + c); c += 1 }
+          while (c < pxBytes) { out(d + c) = png.samples(s + c); c += 1 }
           x += 1
         }
         y += 1
       }
       // palette input resizes to truecolor output (indices were already
-      // expanded to RGB; re-quantizing to a palette would lose pixels)
+      // expanded to RGB; re-quantizing to a palette would lose pixels);
+      // depth is preserved (16-bit in → 16-bit out)
       val outCt = if (png.colorType == 3) 2 else png.colorType
-      return encodePng(outW, outH, outCt, out, _ => 0)
+      return encodePng(outW, outH, outCt, out, _ => 0, null, png.bitDepth)
     }
     val bmp = parseBmp(bytes)
     if (bmp == null) return null
@@ -897,8 +938,45 @@ object ImageCodec {
     GraftSqlBridge.column(ImageSynthPng(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
+  /** Deterministic 16-BIT PNG (gray or RGB by id parity) the
+    * `mm_png_deep` oracle mirrors: sample (x, y, channel c) is
+    * `floorMod(x·(31+2c) + y·(47+2c) + id·(c+1), 65536)` stored
+    * big-endian per the PNG network byte order. */
+  def synthPng16(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val w = n % 23 + 4
+    val h = n % 15 + 3
+    val ct = if (java.lang.Math.floorMod(id, 2L) == 0L) 0 else 2
+    val ch = if (ct == 0) 1 else 3
+    val samples = new Array[Byte](w * h * ch * 2)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          val v = java.lang.Math.floorMod(
+            x.toLong * (31 + 2 * c) + y.toLong * (47 + 2 * c) + id * (c + 1),
+            65536L).toInt
+          val o = ((y * w + x) * ch + c) * 2
+          samples(o) = (v >> 8).toByte
+          samples(o + 1) = v.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(w, h, ct, samples,
+      yy => java.lang.Math.floorMod(yy + id, 5L).toInt, null, 16)
+  }
+
   def image_synth_png_pal(id: Column, text: Column): Column =
     GraftSqlBridge.column(ImageSynthPngPal(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def image_synth_png16(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynthPng16(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
   def image_synth_bmp(id: Column, text: Column): Column =

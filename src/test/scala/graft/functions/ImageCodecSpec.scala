@@ -440,6 +440,61 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.pixelStatsInternal(bad) == null)
   }
 
+  test("16-bit PNG: encode → decode round-trips exact big-endian samples, all filters") {
+    val rnd = new scala.util.Random(16)
+    for (ct <- Seq(0, 2, 4, 6); filterMode <- -1 to 4) {
+      val ch = chOf(ct)
+      val (w, h) = (7, 5)
+      val samples = Array.fill(w * h * ch * 2)(rnd.nextInt(256).toByte)
+      val filterOf: Int => Int = if (filterMode < 0) identity else (_ => filterMode)
+      val png = ImageCodec.encodePng(w, h, ct, samples, filterOf, null, 16)
+      val dec = ImageCodec.decodePngPixels(png)
+      assert(dec != null && dec.bitDepth == 16 && dec.channels == ch)
+      assert(java.util.Arrays.equals(dec.samples, samples), s"ct=$ct filter=$filterMode")
+    }
+  }
+
+  test("16-bit PNG: synth → stats sums full-range values; resize preserves depth") {
+    for ((id, text) <- Seq((0L, "gray deep"), (1L, "rgb deep img"),
+        (-4L, "neg gray"), (9L, "y" * 31))) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      val n = u.numBytes
+      val (w, h) = (n % 23 + 4, n % 15 + 3)
+      val gray = java.lang.Math.floorMod(id, 2L) == 0L
+      val st = stats(ImageCodec.synthPng16(id, u)).get
+      var s0 = 0L; var s1 = 0L; var s2 = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        s0 += java.lang.Math.floorMod(x * 31L + y * 47L + id, 65536L)
+        s1 += java.lang.Math.floorMod(x * 33L + y * 49L + id * 2, 65536L)
+        s2 += java.lang.Math.floorMod(x * 35L + y * 51L + id * 3, 65536L)
+      }
+      assert(st.getInt(0) == w && st.getInt(1) == h)
+      if (gray) assert((st.getLong(3), st.getLong(4), st.getLong(5)) == ((s0, s0, s0)))
+      else assert((st.getLong(3), st.getLong(4), st.getLong(5)) == ((s0, s1, s2)), s"id=$id")
+      assert(st.isNullAt(6))
+    }
+    // a sample value beyond the 8-bit ceiling survives decode intact:
+    // pin one pixel analytically on a large-id image
+    val big = stats(ImageCodec.synthPng16(40001L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("p"))).get
+    // 1 char → w=5, h=4, id odd → RGB; v0(0,0) = floorMod(40001, 65536) > 255
+    var exp = 0L
+    for (y <- 0 until 4; x <- 0 until 5)
+      exp += java.lang.Math.floorMod(x * 31L + y * 47L + 40001L, 65536L)
+    assert(big.getLong(3) == exp && exp > 255L * 20)
+    // resize: 16-bit in → 16-bit out, NN-mapped deep samples intact
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("deep resize")
+    val n = u.numBytes; val (w, h) = (n % 23 + 4, n % 15 + 3)
+    val out = ImageCodec.resizeNnInternal(ImageCodec.synthPng16(1L, u), 5, 4)
+    val m = decode(out).get
+    assert(m.getInt(3) == 16 && m.getInt(1) == 5 && m.getInt(2) == 4)
+    val rs = stats(out).get
+    var e0 = 0L
+    for (y <- 0 until 4; x <- 0 until 5)
+      e0 += java.lang.Math.floorMod((x * w / 5) * 31L + (y * h / 4) * 47L + 1L, 65536L)
+    assert(rs.getLong(3) == e0)
+  }
+
   test("PNG expressions: synth → resize → stats is a pure codegen'd projection") {
     val df = Seq((1L, "one"), (2L, "two two"), (3L, "three"), (4L, "fourfour"))
       .toDF("doc_id", "text")
