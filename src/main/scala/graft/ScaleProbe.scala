@@ -161,6 +161,23 @@ object ScaleProbe {
         numMerges = 5, minPairCount = 1).count(),
       graft.operators.TextAnalysis.trainBpeMerges(docsN, "text",
         numMerges = 5, minPairCount = 1).count())
+    // multimodal codecs: synth → full pixel/frame decode is a pure
+    // narrow projection — time must track rows linearly (no shuffle,
+    // no driver state, per-row cost independent of corpus size)
+    def mmDecode(df: DataFrame) = df.select(
+      graft.functions.ImageCodec.image_pixel_stats(
+        graft.functions.ImageCodec.image_synth_png(
+          col("doc_id"), col("text"))).as("i"),
+      graft.functions.AudioCodec.audio_pcm_stats(
+        graft.functions.AudioCodec.audio_synth_wav(
+          col("doc_id"), col("text"))).as("a"),
+      graft.functions.VideoCodec.video_pixel_stats(
+        graft.functions.VideoCodec.video_synth_avi(
+          col("doc_id"), col("text"))).as("v"))
+      .filter(col("i").isNotNull && col("a").isNotNull && col("v").isNotNull)
+    probe("multimodal_decode",
+      mmDecode(docs1).count(),
+      mmDecode(docsN).count())
     probe("chunk_documents",
       graft.operators.TextAnalysis.chunkDocuments(docs1, "text", "doc_id",
         chunkTokens = 32, stride = 16).count(),

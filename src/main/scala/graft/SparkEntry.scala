@@ -836,6 +836,31 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // ---- multimodal: mixed-modality ROUTER — one binary column holds
+    //      PNG, WAV, or AVI bytes per row (the crawled-data reality);
+    //      each decoder sniffs its own magic and the projection routes
+    //      on whichever succeeds. Pure composition of the three meta
+    //      expressions — no new operator, no Exchange ----
+    "mm_router" -> ((s, dir) => {
+      import graft.functions.{AudioCodec, ImageCodec, VideoCodec}
+      val m = pmod(col("doc_id"), lit(3))
+      val payload = when(m === 0,
+          ImageCodec.image_synth_png(col("doc_id"), col("text")))
+        .when(m === 1, AudioCodec.audio_synth_wav(col("doc_id"), col("text")))
+        .otherwise(VideoCodec.video_synth_avi(col("doc_id"), col("text")))
+      t(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          ImageCodec.image_meta(col("payload")).as("im"),
+          AudioCodec.audio_meta(col("payload")).as("am"),
+          VideoCodec.video_meta(col("payload")).as("vm"))
+        .select(col("doc_id"),
+          coalesce(col("im.format"), col("am.format"), col("vm.format"))
+            .as("kind"),
+          coalesce(col("im.width"), col("vm.width")).as("width"),
+          coalesce(col("am.n_frames"), col("vm.n_frames"), lit(1L))
+            .as("n_frames"))
+    }),
+
     // ---- composite corpus-curation pipeline: quality → lang → dedup →
     //      per-source stats (the flagship training-data flow) ----
     "pipeline_corpus" -> ((s, dir) => {
@@ -2223,6 +2248,20 @@ object SparkEntry {
         |  CAST(CASE WHEN max(cti) = 2 THEN sum(v1)
         |            WHEN max(cti) = 3 THEN sum(v3) END AS BIGINT) AS sum_a
         |FROM chans GROUP BY doc_id""".stripMargin,
+    // router: modality by doc_id % 3 (png / wav / avi); each branch's
+    // dims mirror the corresponding synth rule
+    "mm_router" ->
+      """WITH base AS (
+        |  SELECT doc_id, ((doc_id % 3) + 3) % 3 AS m,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'pcm16' ELSE 'avi' END AS kind,
+        |  CAST(CASE m WHEN 0 THEN n % 29 + 4 WHEN 2 THEN n % 21 + 4 END
+        |    AS INTEGER) AS width,
+        |  CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN n % 241 + 20
+        |    ELSE n % 17 + 2 END AS BIGINT) AS n_frames
+        |FROM base""".stripMargin,
     // mirrors AudioCodec.synthWav: sample (i, c) =
     // floorMod(i*(7+2c) + id*(3+c), 65536) - 32768; frames from the
     // text's byte length, channels/rate cycle by doc_id. The Spark side
