@@ -117,6 +117,26 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       println(s"""{"metric":"throughput","value":${r4(n / wall)},"unit":"queries/sec","queries_run":$n,"failed":$failedJson,"rounds":$rounds,"wall_sec":${r4(wall)},"sf":"$sfDir"}""")
     }
+    // Pure-projection gates are under-measured by `.count()`: Catalyst
+    // prunes columns the aggregate never reads, so a decode expression
+    // costs ~nothing in the headline numbers (kept as-is for
+    // round-over-round comparability). This SECOND pass times the mm_*
+    // decode gates via queryExecution.toRdd.count(), which materializes
+    // every output column — the cost a writer or downstream consumer
+    // actually pays for the codec work.
+    val forced = SparkEntry.queries.toSeq
+      .filter(_._1.startsWith("mm_")).sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
+          catch { case scala.util.control.NonFatal(_) => }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        (name, times(1))
+      }
+    val forcedJson = forced.map { case (k, v) => "\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"decode_forced","queries":$forcedJson,"total":${r4(forced.map(_._2).sum)},"iters":3,"sf":"$sfDir"}""")
     // Ordering is the self-defense: the big per-query maps print first,
     // then a COMPACT one-line summary LAST, so a bounded tail capture
     // of the stream always retains the headline total even when the

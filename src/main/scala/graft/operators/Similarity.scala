@@ -392,13 +392,16 @@ object Similarity {
     * excluded, so a positive can never leak into the negative set.
     *
     * EXACT despite the filter: candidates come from ONE [[knnJoin]]
-    * scan at `k + maxClusterSize` (the largest possible number of
-    * excluded rows in any query's top list — a query can lose at most
-    * its own cluster's members), so after exclusion at least `k` true
-    * negatives remain and re-ranking them is exact. The co-membership
-    * exclusion set is the per-cluster pair closure (Σ n_c² rows —
-    * bounded by the same skew caps that bound the dedup pair
-    * generation); the anti-join meets the queries×(k+pad)-row
+    * scan at `k + maxQueryClusterSize` — a query can lose at most ITS
+    * OWN cluster's members from its top list, so the pad only needs
+    * the largest cluster containing a QUERY id, not the corpus-wide
+    * maximum (a corpus-wide pad is correct but scale-hostile: one
+    * dense boilerplate cluster of n members anywhere inflates every
+    * per-partition heap to k+n — measured 13× at 10× data before this
+    * bound was tightened). The co-membership exclusion set is built the
+    * same way: query rows only, joined to their cluster's members —
+    * |queries| × maxQueryCluster rows, never the Σ n_c² corpus-wide
+    * pair closure. The anti-join meets the queries×(k+pad)-row
     * candidate set, never the corpus. Returns
     * (qid, `idCol`, cosine, neg_rank 1..k). */
   def mineHardNegatives(df: DataFrame, idCol: String, vecCol: String,
@@ -406,14 +409,20 @@ object Similarity {
       dupPairs: DataFrame): DataFrame = {
     require(k > 0, "k must be positive")
     val clusters = Dedup.connectedComponents(dupPairs)
-    val maxCluster = clusters.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head() match {
+    val qids = queries.map(_._1)
+    // clusters that contain a query id (≤ |queries| rows after distinct)
+    val qClusters = clusters.filter(col("id").isin(qids: _*))
+      .select(col("cluster"), col("id").as("qid"))
+    val maxQCluster = clusters
+      .join(qClusters.select(col("cluster")).distinct(), "cluster")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
-    val kPad = k + math.min(maxCluster, 1000000L).toInt
+    val kPad = k + math.min(maxQCluster, 1000000L).toInt
     val cand = knnJoin(df, idCol, vecCol, queries, kPad)
-    val excl = clusters.select(col("cluster"), col("id").as("qid"))
+    val excl = qClusters
       .join(clusters.select(col("cluster"), col("id").as(idCol)), "cluster")
       .select(col("qid"), col(idCol))
     val w = org.apache.spark.sql.expressions.Window

@@ -264,4 +264,31 @@ class SimilarityScaleSpec extends AnyFunSuite {
       queries, k = 2, none).orderBy("neg_rank").collect().map(_.getLong(1))
     assert(plain.toSeq == Seq(10L, 13L))
   }
+
+  test("mineHardNegatives: a dense cluster with NO query member neither pads nor excludes") {
+    import spark.implicits._
+    // 50 mutually-near-dup corpus vectors (one big cluster, ids 100+)
+    // that contain NO query id, plus the query's own 2-member cluster.
+    // The pad must come from the QUERY's cluster (2), not the dense
+    // one (50) — and the dense cluster's members must stay eligible
+    // negatives (excluding them would be wrong, they're not the
+    // query's duplicates).
+    val dense = (0 until 50).map(i => (100L + i, Seq(0.8f + i * 0.001f, 0.6f)))
+    val corpus = (Seq(
+      (10L, Seq(1.0f, 0.001f)),  // query's near-dup
+      (12L, Seq(0.0f, 1.0f))     // orthogonal filler
+    ) ++ dense).toDF("vec_id", "embedding")
+    val queries = Seq(1L -> Seq(1.0, 0.0))
+    val pairs = (Seq((1L, 10L)) ++
+      (0 until 49).map(i => (100L + i, 101L + i))).toDF("id1", "id2")
+    val out = Similarity.mineHardNegatives(corpus, "vec_id", "embedding",
+      queries, k = 3, pairs).orderBy("neg_rank").collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    // 10 is excluded (query's cluster); the best dense-cluster members
+    // fill the ranks — highest first component wins on cosine
+    assert(out.length == 3)
+    assert(!out.exists(_._1 == 10L))
+    assert(out.forall { case (id, _) => id >= 100L })
+    assert(out.map(_._1).toSeq == Seq(149L, 148L, 147L))
+  }
 }
