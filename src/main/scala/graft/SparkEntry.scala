@@ -714,6 +714,24 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"), col("st.sum_a").as("sum_a"))
     }),
 
+    // ---- multimodal: BASELINE JPEG entropy decode — real Huffman
+    //      tables (carried in DHT), byte-stuffed entropy data, restart
+    //      markers, DC DPCM, dequantize + IDCT per block. The synth is
+    //      BLOCK-CONSTANT so the lossy transform round-trips exactly
+    //      (flat quant: a constant block is one DC coefficient) and the
+    //      oracle recomputes every pixel analytically, incl. the fixed
+    //      floor(x+0.5) YCbCr→RGB rounding ----
+    "mm_jpeg_pixel_stats" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_synth_jpeg_px(col("doc_id"), col("text"))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- multimodal: PALETTE PNG decode — a real PLTE-backed color
     //      type 3 image (indices AND palette both affine in the
     //      inputs), decoded through inflate + unfilter + palette
@@ -2171,6 +2189,45 @@ object SparkEntry {
         |  CAST(CASE WHEN max(cti) = 2 THEN sum(v1)
         |            WHEN max(cti) = 3 THEN sum(v3) END AS BIGINT) AS sum_a
         |FROM vals GROUP BY doc_id""".stripMargin,
+    // mirrors JpegCodec.synthJpegPixels: every 8×8 block constant
+    // (value affine in blockX/blockY/id), gray vs YCbCr by id parity;
+    // the YCbCr→RGB conversion uses the decoder's exact constants with
+    // floor(x+0.5) rounding — the e0 suffixes force DOUBLE arithmetic
+    // (a bare 1.402 is DECIMAL in DuckDB, which rounds differently)
+    "mm_jpeg_pixel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, ((doc_id % 2) + 2) % 2 = 0 AS gray,
+        |         octet_length(encode(text)) % 39 + 8 AS w,
+        |         octet_length(encode(text)) % 25 + 8 AS h
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.gray, d.w, d.h, xs.x // 8 AS bx, ys.y // 8 AS by
+        |  FROM dims d, range(46) xs(x), range(32) ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h),
+        | blocks AS (
+        |  SELECT doc_id, gray, w, h,
+        |    ((bx*7 + by*11 + doc_id) % 256 + 256) % 256 AS gv,
+        |    ((bx*5 + by*7 + doc_id) % 256 + 256) % 256 AS yv,
+        |    ((bx*3 + by*13 + doc_id*2) % 256 + 256) % 256 - 128 AS cb,
+        |    ((bx*11 + by*3 + doc_id*3) % 256 + 256) % 256 - 128 AS cr
+        |  FROM px),
+        | rgb AS (
+        |  SELECT doc_id, gray, w, h, gv,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv + 1.402e0*cr + 0.5e0) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv - 0.344136e0*cb - 0.714136e0*cr + 0.5e0) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv + 1.772e0*cb + 0.5e0) AS BIGINT))) AS b
+        |  FROM blocks)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE r END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE g END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE b END) AS BIGINT) AS sum_b
+        |FROM rgb GROUP BY doc_id""".stripMargin,
     // mirrors ImageCodec.synthPngPalette: pixel (x, y) holds palette
     // index floorMod(x*3 + y*5 + id, ps) with ps = floorMod(id,15)+2;
     // entry e expands to r = (e*5 + id*7) mod 256, g = (e*11 + id*3)

@@ -189,9 +189,36 @@ case class ImageSynthPng16(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** REAL nearest-neighbor resize: 24bpp BMP → BMP, or 8/16-bit PNG →
+/** `(id, utf8 content) → real baseline JPEG with pixels` — a
+  * BLOCK-CONSTANT image (see [[JpegCodec]]'s exactness note: constant
+  * 8×8 blocks survive the DCT round-trip exactly under a flat
+  * quantization table), gray or YCbCr by id parity, restart markers on
+  * ids divisible by 3 — so the `mm_jpeg_pixel_stats` oracle recomputes
+  * the decoded sums analytically while the decoder exercises real
+  * Huffman/stuffing/restart machinery. */
+case class ImageSynthJpegPx(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth_jpeg_px"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    JpegCodec.synthJpegPixels(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.JpegCodec.synthJpegPixels($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynthJpegPx =
+    copy(left = newLeft, right = newRight)
+}
+
+/** REAL nearest-neighbor resize: 24bpp BMP → BMP, 8/16-bit PNG →
   * PNG (gray/RGB/gray+alpha/RGBA at either depth, palette input
-  * expanded to truecolor output — full decode, resample, re-encode).
+  * expanded to truecolor output), or baseline JPEG → lossless PNG —
+  * full decode, resample, re-encode.
   * Null for malformed input or out-of-range target dims. */
 case class ImageResizeNn(first: Expression, second: Expression,
     third: Expression)
@@ -728,6 +755,27 @@ object ImageCodec {
     * replicates into r=g=b so downstream logic is channel-uniform. */
   def pixelStatsInternal(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length < 2) return null
+    if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
+      // baseline JPEG: full entropy decode (JpegCodec), gray replicated
+      val img = JpegCodec.decodePixels(bytes)
+      if (img == null) return null
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val s = img.samples
+      if (img.channels == 1) {
+        var i = 0
+        while (i < s.length) {
+          val v = (s(i) & 0xFF).toLong; sr += v; sg += v; sb += v; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < s.length) {
+          sr += s(i) & 0xFF; sg += s(i + 1) & 0xFF; sb += s(i + 2) & 0xFF
+          i += 3
+        }
+      }
+      return InternalRow(img.width, img.height,
+        img.width.toLong * img.height, sr, sg, sb, null)
+    }
     if (bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) {
       val png = decodePngPixels(bytes)
       if (png == null) return null
@@ -831,6 +879,32 @@ object ImageCodec {
     * [[encodePng]], filter 0); null for anything the decoders refuse. */
   def resizeNnInternal(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
     if (outW <= 0 || outH <= 0 || outW > (1 << 14) || outH > (1 << 14)) return null
+    if (bytes != null && bytes.length >= 2 &&
+        (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
+      // JPEG input: full decode, NN resample, re-emit LOSSLESSLY as PNG
+      // (a JPEG re-encode would quantize a second time; the resize
+      // output should carry exactly the resampled pixels)
+      val img = JpegCodec.decodePixels(bytes)
+      if (img == null) return null
+      val ch = img.channels
+      if (outW.toLong * outH * ch > MAX_SAMPLES) return null
+      val out = new Array[Byte](outW * outH * ch)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * img.height / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * img.width / outW).toInt
+          val s = (sy * img.width + sx) * ch
+          val d = (y * outW + x) * ch
+          var c = 0
+          while (c < ch) { out(d + c) = img.samples(s + c); c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      return encodePng(outW, outH, if (ch == 1) 0 else 2, out, _ => 0)
+    }
     if (bytes != null && bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) {
       val png = decodePngPixels(bytes)
       if (png == null) return null
@@ -977,6 +1051,10 @@ object ImageCodec {
 
   def image_synth_png16(id: Column, text: Column): Column =
     GraftSqlBridge.column(ImageSynthPng16(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def image_synth_jpeg_px(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynthJpegPx(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
   def image_synth_bmp(id: Column, text: Column): Column =

@@ -1,0 +1,582 @@
+package graft.functions
+
+/** BASELINE JPEG entropy codec — the real thing, no image library:
+  * marker segment walk, DQT quantization tables, DHT Huffman tables
+  * (read from the stream, so ANY baseline 4:4:4 / grayscale JPEG
+  * decodes, not just this repo's), byte-stuffed entropy-coded data,
+  * restart markers, DC DPCM + AC run/size decoding through the zigzag,
+  * dequantization, a double-precision IDCT per 8×8 block, and JFIF
+  * YCbCr→RGB with a FIXED deterministic rounding (`floor(x + 0.5)`,
+  * clamped) so an external SQL oracle can reproduce the conversion
+  * bit-for-bit. All byte layouts are public (ITU-T T.81; JFIF 1.02).
+  *
+  * Scope: sequential baseline (SOF0), 8-bit samples, 1 component
+  * (grayscale) or 3 components (YCbCr) with NO chroma subsampling
+  * (all sampling factors 1×1 — "4:4:4"). Progressive, subsampled,
+  * arithmetic-coded, and 12-bit streams return null — robustness, not
+  * a crash; the header path ([[ImageCodec.decodeMetaInternal]]) still
+  * reports their dimensions.
+  *
+  * Exactness: JPEG is lossy in general, but a block-constant image
+  * (every 8×8 block one value) survives the DCT→quantize→IDCT
+  * round-trip EXACTLY under a flat (all-ones) quantization table: the
+  * forward transform of a constant block is a lone DC coefficient
+  * 8·(v−128) (every AC basis sums to zero), and the inverse recovers v
+  * precisely. The [[synthJpegPixels]] generator exploits this so the
+  * `mm_jpeg_pixel_stats` gate is hash-exact against an analytic SQL
+  * oracle while the decoder stays fully general — arbitrary-content
+  * round-trips are spec-bounded (|error| ≤ 1 per sample at flat
+  * quantization) instead.
+  */
+object JpegCodec {
+
+  /** Decoded image: 1 (gray) or 3 (RGB) interleaved byte samples. */
+  final class Image(val width: Int, val height: Int, val channels: Int,
+      val samples: Array[Byte])
+
+  private val MAX_DIM = 1 << 14
+
+  /** zigzag position → natural block index (row-major). */
+  private val ZIGZAG: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // IDCT/FDCT basis: cos((2x+1)uπ/16) with the C(0)=1/√2 normalization
+  private val COS: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+  private val CNORM: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  // ------------------------------------------------------------ Huffman
+
+  /** Canonical JPEG Huffman table (T.81 Annex C): `bits(i)` codes of
+    * length i+1, symbol values in canonical order. */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxcode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    /** −1 on invalid code / exhausted input. */
+    def decode(r: BitReader): Int = {
+      var code = 0; var len = 0
+      while (len < 16) {
+        val bit = r.nextBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        len += 1
+        if (maxcode(len) >= 0 && code <= maxcode(len))
+          return vals(valptr(len) + code - mincode(len))
+      }
+      -1
+    }
+  }
+
+  /** MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    * any real marker ends the stream (callers handle RSTn
+    * explicitly at aligned restart boundaries). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        if (pos >= b.length) return -1
+        var v = b(pos) & 0xFF
+        pos += 1
+        if (v == 0xFF) {
+          if (pos >= b.length) return -1
+          val m = b(pos) & 0xFF
+          if (m != 0x00) { pos -= 1; return -1 } // a marker: rewind to FF
+          pos += 1 // stuffed zero: the data byte is 0xFF
+        }
+        buf = v; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val bit = nextBit(); if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit; i += 1
+      }
+      v
+    }
+    def align(): Unit = cnt = 0
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  // ------------------------------------------------------------- decode
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+
+  /** Full baseline decode → [[Image]] (gray or RGB) or null. */
+  def decodePixels(b: Array[Byte]): Image = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
+    val quant = new Array[Array[Int]](4)
+    val huffDc = new Array[Huff](4)
+    val huffAc = new Array[Huff](4)
+    var dri = 0
+    var width = 0; var height = 0
+    var nComp = 0
+    var compId: Array[Int] = null
+    var compTq: Array[Int] = null
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return null
+      var m = b(i + 1) & 0xFF
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xFF }
+      i += 2
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        // standalone
+      } else if (m == 0xD9) {
+        return null // EOI before SOS
+      } else {
+        if (i + 1 >= b.length) return null
+        val segLen = u16(b, i)
+        if (segLen < 2 || i + segLen > b.length) return null
+        m match {
+          case 0xDB => // DQT: one or more (PqTq, 64/128 bytes) entries
+            var j = i + 2
+            while (j < i + segLen) {
+              val pq = (b(j) & 0xF0) >> 4
+              val tq = b(j) & 0x0F
+              if (tq > 3) return null
+              if (pq != 0) return null // 8-bit tables only (baseline)
+              if (j + 1 + 64 > i + segLen) return null
+              quant(tq) = Array.tabulate(64)(k => b(j + 1 + k) & 0xFF)
+              j += 65
+            }
+          case 0xC4 => // DHT: one or more (TcTh, 16 counts, vals) entries
+            var j = i + 2
+            while (j < i + segLen) {
+              val tc = (b(j) & 0xF0) >> 4
+              val th = b(j) & 0x0F
+              if (tc > 1 || th > 3) return null
+              if (j + 17 > i + segLen) return null
+              val bits = Array.tabulate(16)(k => b(j + 1 + k) & 0xFF)
+              val nv = bits.sum
+              if (nv == 0 || nv > 256 || j + 17 + nv > i + segLen) return null
+              val vals = Array.tabulate(nv)(k => b(j + 17 + k) & 0xFF)
+              if (tc == 0) huffDc(th) = new Huff(bits, vals)
+              else huffAc(th) = new Huff(bits, vals)
+              j += 17 + nv
+            }
+          case 0xC0 => // SOF0 baseline
+            if (segLen < 8) return null
+            if ((b(i + 2) & 0xFF) != 8) return null // 8-bit samples
+            height = u16(b, i + 3); width = u16(b, i + 5)
+            nComp = b(i + 7) & 0xFF
+            if (width <= 0 || height <= 0 || width > MAX_DIM || height > MAX_DIM)
+              return null
+            if (nComp != 1 && nComp != 3) return null
+            if (segLen < 8 + 3 * nComp) return null
+            compId = new Array[Int](nComp)
+            compTq = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(i + 8 + 3 * c) & 0xFF
+              if ((b(i + 9 + 3 * c) & 0xFF) != 0x11) return null // 4:4:4 only
+              compTq(c) = b(i + 10 + 3 * c) & 0xFF
+              if (compTq(c) > 3) return null
+              c += 1
+            }
+          case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+               0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return null // non-baseline frame: out of the pixel path
+          case 0xDD => // DRI
+            if (segLen < 4) return null
+            dri = u16(b, i + 2)
+          case 0xDA => // SOS → entropy decode
+            if (nComp == 0) return null // SOS before SOF
+            if (segLen < 3) return null
+            val ns = b(i + 2) & 0xFF
+            if (ns != nComp || segLen < 3 + 2 * ns + 3) return null
+            val dcSel = new Array[Int](nComp)
+            val acSel = new Array[Int](nComp)
+            var c = 0
+            while (c < ns) {
+              val cs = b(i + 3 + 2 * c) & 0xFF
+              val idx = compId.indexOf(cs)
+              if (idx < 0) return null
+              dcSel(idx) = (b(i + 4 + 2 * c) & 0xF0) >> 4
+              acSel(idx) = b(i + 4 + 2 * c) & 0x0F
+              if (dcSel(idx) > 3 || acSel(idx) > 3) return null
+              c += 1
+            }
+            return decodeScan(b, i + segLen, width, height, nComp,
+              compTq, dcSel, acSel, quant, huffDc, huffAc, dri)
+          case _ => // APPn / COM / unknown: skip
+        }
+        i += segLen
+      }
+    }
+    null
+  }
+
+  private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
+      nComp: Int, compTq: Array[Int], dcSel: Array[Int], acSel: Array[Int],
+      quant: Array[Array[Int]], huffDc: Array[Huff], huffAc: Array[Huff],
+      dri: Int): Image = {
+    var c = 0
+    while (c < nComp) {
+      if (quant(compTq(c)) == null) return null
+      if (huffDc(dcSel(c)) == null || huffAc(acSel(c)) == null) return null
+      c += 1
+    }
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    if (bw.toLong * bh * nComp * 64 > (1 << 28)) return null
+    // per-component padded planes
+    val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val block = new Array[Double](64)
+    val r = new BitReader(b, start)
+    var mcu = 0
+    val nMcu = bw * bh
+    var rstIdx = 0
+    while (mcu < nMcu) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        // aligned RSTn between restart intervals; resets DC prediction
+        r.align()
+        if (r.pos + 1 >= b.length) return null
+        if ((b(r.pos) & 0xFF) != 0xFF ||
+          (b(r.pos + 1) & 0xFF) != (0xD0 + rstIdx)) return null
+        r.pos += 2
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+      val bx = mcu % bw
+      val by = mcu / bw
+      var comp = 0
+      while (comp < nComp) {
+        java.util.Arrays.fill(coef, 0)
+        // DC
+        val s = huffDc(dcSel(comp)).decode(r)
+        if (s < 0 || s > 11) return null
+        val diffBits = r.receive(s)
+        if (diffBits == Int.MinValue) return null
+        pred(comp) += extend(diffBits, s)
+        coef(0) = pred(comp)
+        // AC
+        var k = 1
+        var done = false
+        while (k < 64 && !done) {
+          val rs = huffAc(acSel(comp)).decode(r)
+          if (rs < 0) return null
+          val run = (rs >> 4) & 0xF
+          val size = rs & 0xF
+          if (size == 0) {
+            if (rs == 0x00) done = true      // EOB
+            else if (rs == 0xF0) k += 16     // ZRL
+            else return null
+          } else {
+            k += run
+            if (k > 63) return null
+            val vb = r.receive(size)
+            if (vb == Int.MinValue) return null
+            coef(k) = extend(vb, size)
+            k += 1
+          }
+        }
+        // dequantize through the zigzag, IDCT, level shift, clamp
+        val q = quant(compTq(comp))
+        var z = 0
+        while (z < 64) { block(ZIGZAG(z)) = coef(z).toDouble * q(z); z += 1 }
+        val plane = planes(comp)
+        val rowW = bw * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var sum = 0.0
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                sum += CNORM(u) * CNORM(v) * block(v * 8 + u) *
+                  COS(x)(u) * COS(y)(v)
+                u += 1
+              }
+              v += 1
+            }
+            val px = math.floor(sum / 4.0 + 128.0 + 0.5).toInt
+            plane((by * 8 + y) * rowW + bx * 8 + x) =
+              if (px < 0) 0 else if (px > 255) 255 else px
+            x += 1
+          }
+          y += 1
+        }
+        comp += 1
+      }
+      mcu += 1
+    }
+    // crop + color-convert
+    val rowW = bw * 8
+    if (nComp == 1) {
+      val out = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(0)(y * rowW + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      new Image(width, height, 1, out)
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = planes(0)(y * rowW + x).toDouble
+          val cb = planes(1)(y * rowW + x).toDouble - 128.0
+          val cr = planes(2)(y * rowW + x).toDouble - 128.0
+          val o = (y * width + x) * 3
+          out(o) = clamp8(yy + 1.402 * cr)
+          out(o + 1) = clamp8(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp8(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      new Image(width, height, 3, out)
+    }
+  }
+
+  /** The FIXED output rounding the SQL oracle mirrors:
+    * `clamp(floor(x + 0.5), 0, 255)`. */
+  private def clamp8(x: Double): Byte = {
+    val v = math.floor(x + 0.5).toInt
+    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+  }
+
+  // ------------------------------------------------------------- encode
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((bits >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf)
+          if (buf == 0xFF) out.write(0x00) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flushWithOnes(): Unit = while (cnt != 0) put(1, 1)
+  }
+
+  /** Simple VALID canonical tables (emitted in DHT, so any conformant
+    * decoder — including this file's — reads them back): 12 DC
+    * categories at 4 bits, the 162 baseline AC symbols at 8 bits.
+    * Neither uses an all-ones code. */
+  private val DC_BITS = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DC_VALS = Array.tabulate(12)(identity)
+  private val AC_VALS: Array[Int] = {
+    val buf = collection.mutable.ArrayBuffer[Int](0x00, 0xF0) // EOB, ZRL
+    for (run <- 0 to 15; size <- 1 to 10) buf += ((run << 4) | size)
+    buf.toArray // 162 symbols
+  }
+  private val AC_BITS = Array(0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  private def canonicalCodes(bits: Array[Int]): Array[(Int, Int)] = {
+    // (code, length) per symbol in canonical order
+    val out = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var code = 0
+    var l = 1
+    while (l <= 16) {
+      var k = 0
+      while (k < bits(l - 1)) { out += ((code, l)); code += 1; k += 1 }
+      code <<= 1
+      l += 1
+    }
+    out.toArray
+  }
+  private val DC_CODE = canonicalCodes(DC_BITS) // index by category
+  private val AC_CODE: Map[Int, (Int, Int)] =
+    AC_VALS.zip(canonicalCodes(AC_BITS)).toMap
+
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode planes (values 0..255; 1 = gray, 3 = YCbCr, no
+    * subsampling) as a baseline JFIF stream with a FLAT quantization
+    * table. `dri` > 0 emits a DRI segment and RSTn markers every
+    * `dri` MCUs — the restart path stays production-exercised. */
+  def encode(width: Int, height: Int, planes: Array[Array[Int]],
+      dri: Int = 0): Array[Byte] = {
+    val nComp = planes.length
+    require(nComp == 1 || nComp == 3, "1 or 3 planes")
+    require(planes.forall(_.length == width * height), "plane size")
+    val out = new java.io.ByteArrayOutputStream()
+    def word(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8) // SOI
+    // APP0 JFIF
+    marker(0xE0); word(16)
+    out.write("JFIF".getBytes("ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); word(1); word(1)
+    out.write(0); out.write(0)
+    // DQT: table 0, flat
+    marker(0xDB); word(2 + 65); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    // DHT: DC table 0 + AC table 0
+    marker(0xC4); word(2 + (17 + DC_VALS.length) + (17 + AC_VALS.length))
+    out.write(0x00); DC_BITS.foreach(out.write); DC_VALS.foreach(out.write)
+    out.write(0x10); AC_BITS.foreach(out.write); AC_VALS.foreach(out.write)
+    // SOF0
+    marker(0xC0); word(8 + 3 * nComp)
+    out.write(8); word(height); word(width); out.write(nComp)
+    var c = 0
+    while (c < nComp) { out.write(c + 1); out.write(0x11); out.write(0); c += 1 }
+    if (dri > 0) { marker(0xDD); word(4); word(dri) }
+    // SOS
+    marker(0xDA); word(6 + 2 * nComp)
+    out.write(nComp)
+    c = 0
+    while (c < nComp) { out.write(c + 1); out.write(0x00); c += 1 }
+    out.write(0); out.write(63); out.write(0)
+
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val pred = new Array[Int](nComp)
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var w = new BitWriter(out)
+    var rstIdx = 0
+    var mcu = 0
+    while (mcu < bw * bh) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        w.flushWithOnes()
+        marker(0xD0 + rstIdx)
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+        w = new BitWriter(out)
+      }
+      val bx = mcu % bw
+      val by = mcu / bw
+      c = 0
+      while (c < nComp) {
+        val plane = planes(c)
+        // sample the block, replicating the last row/column past edges
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(by * 8 + y, height - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bx * 8 + x, width - 1)
+            block(y * 8 + x) = plane(sy * width + sx).toDouble - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // forward DCT → round → (flat quant) → zigzag
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var sum = 0.0
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                sum += block(yy * 8 + xx) * COS(xx)(u) * COS(yy)(v)
+                xx += 1
+              }
+              yy += 1
+            }
+            val f = 0.25 * CNORM(u) * CNORM(v) * sum
+            coef(ZIGZAG.indexOf(v * 8 + u)) = math.round(f).toInt
+            u += 1
+          }
+          v += 1
+        }
+        // NOTE: indexOf above is O(64) — fine at synth sizes; a real
+        // bulk encoder would precompute the inverse permutation
+        val diff = coef(0) - pred(c)
+        pred(c) = coef(0)
+        val s = category(diff)
+        val (dcCode, dcLen) = DC_CODE(s)
+        w.put(dcCode, dcLen)
+        if (s > 0)
+          w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        // AC with run-lengths
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val a = coef(k)
+          if (a == 0) run += 1
+          else {
+            while (run > 15) { val (zc, zl) = AC_CODE(0xF0); w.put(zc, zl); run -= 16 }
+            val sz = category(a)
+            val (acC, acL) = AC_CODE((run << 4) | sz)
+            w.put(acC, acL)
+            w.put(if (a < 0) a + (1 << sz) - 1 else a, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = AC_CODE(0x00); w.put(ec, el) }
+        c += 1
+      }
+      mcu += 1
+    }
+    w.flushWithOnes()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------- synth
+
+  /** Deterministic BLOCK-CONSTANT baseline JPEG the `mm_jpeg_*` oracle
+    * mirrors exactly (see the exactness note in the header): dims from
+    * the text's byte length (NOT multiples of 8, so partial edge
+    * blocks stay exercised), gray vs YCbCr by id parity, every 8×8
+    * block's value affine in (blockX, blockY, id), restart markers
+    * every 2 MCUs when id % 3 == 0. */
+  def synthJpegPixels(id: Long, text: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val w = n % 39 + 8
+    val h = n % 25 + 8
+    val gray = java.lang.Math.floorMod(id, 2L) == 0L
+    val dri = if (java.lang.Math.floorMod(id, 3L) == 0L) 2 else 0
+    def plane(a: Long, bcoef: Long, coff: Long): Array[Int] =
+      Array.tabulate(w * h) { i =>
+        val bx = (i % w) / 8; val by = (i / w) / 8
+        java.lang.Math.floorMod(bx * a + by * bcoef + id * coff, 256L).toInt
+      }
+    val planes =
+      if (gray) Array(plane(7, 11, 1))
+      else Array(plane(5, 7, 1), plane(3, 13, 2), plane(11, 3, 3))
+    encode(w, h, planes, dri)
+  }
+}
