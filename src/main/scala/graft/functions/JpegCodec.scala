@@ -36,6 +36,14 @@ object JpegCodec {
 
   private val MAX_DIM = 1 << 14
 
+  /** natural block index → zigzag position (inverse of [[ZIGZAG]]). */
+  private lazy val ZIG_OF: Array[Int] = {
+    val inv = new Array[Int](64)
+    var z = 0
+    while (z < 64) { inv(ZIGZAG(z)) = z; z += 1 }
+    inv
+  }
+
   /** zigzag position → natural block index (row-major). */
   private val ZIGZAG: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -249,6 +257,7 @@ object JpegCodec {
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val block = new Array[Double](64)
+    val idctTmp = new Array[Double](64)
     val r = new BitReader(b, start)
     var mcu = 0
     val nMcu = bw * bh
@@ -297,10 +306,29 @@ object JpegCodec {
             k += 1
           }
         }
-        // dequantize through the zigzag, IDCT, level shift, clamp
+        // dequantize through the zigzag, then a SEPARABLE IDCT
+        // (column pass into tmp, row pass out — 8× fewer multiplies
+        // than the direct double sum; same double-precision result
+        // class, so block-constant exactness is unchanged)
         val q = quant(compTq(comp))
         var z = 0
         while (z < 64) { block(ZIGZAG(z)) = coef(z).toDouble * q(z); z += 1 }
+        val tmp = idctTmp
+        var u = 0
+        while (u < 8) {
+          var y = 0
+          while (y < 8) {
+            var sum = 0.0
+            var v = 0
+            while (v < 8) {
+              sum += CNORM(v) * block(v * 8 + u) * COS(y)(v)
+              v += 1
+            }
+            tmp(u * 8 + y) = sum
+            y += 1
+          }
+          u += 1
+        }
         val plane = planes(comp)
         val rowW = bw * 8
         var y = 0
@@ -308,15 +336,10 @@ object JpegCodec {
           var x = 0
           while (x < 8) {
             var sum = 0.0
-            var v = 0
-            while (v < 8) {
-              var u = 0
-              while (u < 8) {
-                sum += CNORM(u) * CNORM(v) * block(v * 8 + u) *
-                  COS(x)(u) * COS(y)(v)
-                u += 1
-              }
-              v += 1
+            var uu = 0
+            while (uu < 8) {
+              sum += CNORM(uu) * tmp(uu * 8 + y) * COS(x)(uu)
+              uu += 1
             }
             val px = math.floor(sum / 4.0 + 128.0 + 0.5).toInt
             plane((by * 8 + y) * rowW + bx * 8 + x) =
@@ -471,6 +494,7 @@ object JpegCodec {
     val pred = new Array[Int](nComp)
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
+    val fdctTmp = new Array[Double](64)
     var w = new BitWriter(out)
     var rstIdx = 0
     var mcu = 0
@@ -499,29 +523,39 @@ object JpegCodec {
           }
           y += 1
         }
-        // forward DCT → round → (flat quant) → zigzag
+        // forward DCT (separable: row pass into tmp, column pass out)
+        // → round → (flat quant) → zigzag via the precomputed inverse
+        var u = 0
+        while (u < 8) {
+          var yy = 0
+          while (yy < 8) {
+            var sum = 0.0
+            var xx = 0
+            while (xx < 8) {
+              sum += block(yy * 8 + xx) * COS(xx)(u)
+              xx += 1
+            }
+            fdctTmp(u * 8 + yy) = sum
+            yy += 1
+          }
+          u += 1
+        }
         var v = 0
         while (v < 8) {
-          var u = 0
-          while (u < 8) {
+          var uu = 0
+          while (uu < 8) {
             var sum = 0.0
             var yy = 0
             while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                sum += block(yy * 8 + xx) * COS(xx)(u) * COS(yy)(v)
-                xx += 1
-              }
+              sum += fdctTmp(uu * 8 + yy) * COS(yy)(v)
               yy += 1
             }
-            val f = 0.25 * CNORM(u) * CNORM(v) * sum
-            coef(ZIGZAG.indexOf(v * 8 + u)) = math.round(f).toInt
-            u += 1
+            val f = 0.25 * CNORM(uu) * CNORM(v) * sum
+            coef(ZIG_OF(v * 8 + uu)) = math.round(f).toInt
+            uu += 1
           }
           v += 1
         }
-        // NOTE: indexOf above is O(64) — fine at synth sizes; a real
-        // bulk encoder would precompute the inverse permutation
         val diff = coef(0) - pred(c)
         pred(c) = coef(0)
         val s = category(diff)
