@@ -74,6 +74,7 @@ object ExplainCheck {
     audit("mm_png_palette", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_png_deep", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_jpeg_pixel_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_jpeg_420", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_png_resize", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_audio_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_audio_sample", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngPal, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngPal, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -125,6 +125,12 @@ object GraftExtensions {
         case Seq(id, text) => ImageSynthJpegPx(id, text)
         case _ => throw new IllegalArgumentException(
           "image_synth_jpeg_px expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_synth_jpeg420",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthJpeg420(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_jpeg420 expects (bigint, string)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("audio_meta",
       (args: Seq[Expression]) => AudioMeta(args.head), "scala_udf")
@@ -279,6 +285,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(id, text) => ImageSynthJpegPx(id, text)
         case _ => throw new IllegalArgumentException(
           "image_synth_jpeg_px expects (bigint, string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("image_synth_jpeg420"),
+      info("image_synth_jpeg420",
+        "image_synth_jpeg420(bigint, string) - deterministic real 4:2:0 baseline JPEG"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthJpeg420(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_jpeg420 expects (bigint, string)")
       }))
     ext.injectFunction((
       FunctionIdentifier("image_synth_png16"),

@@ -732,6 +732,22 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // ---- multimodal: 4:2:0 chroma-subsampled JPEG (the layout most
+    //      real JPEGs ship) — interleaved MCUs carry 4 Y blocks per
+    //      chroma block; decode replicate-upsamples chroma. Chroma
+    //      blocks live on the SUBSAMPLED grid, so the oracle indexes
+    //      them by (x/16, y/16) ----
+    "mm_jpeg_420" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_synth_jpeg420(col("doc_id"), col("text"))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- multimodal: PALETTE PNG decode — a real PLTE-backed color
     //      type 3 image (indices AND palette both affine in the
     //      inputs), decoded through inflate + unfilter + palette
@@ -2228,6 +2244,39 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN gray THEN gv ELSE g END) AS BIGINT) AS sum_g,
         |  CAST(sum(CASE WHEN gray THEN gv ELSE b END) AS BIGINT) AS sum_b
         |FROM rgb GROUP BY doc_id""".stripMargin,
+    // mirrors JpegCodec.synthJpeg420: Y block (x//8, y//8) on the full
+    // grid, chroma block (x//16, y//16) on the subsampled grid, same
+    // fixed-rounding YCbCr→RGB as mm_jpeg_pixel_stats
+    "mm_jpeg_420" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 37 + 8 AS w,
+        |         octet_length(encode(text)) % 23 + 8 AS h
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |         xs.x // 8 AS ybx, ys.y // 8 AS yby,
+        |         xs.x // 16 AS cbx, ys.y // 16 AS cby
+        |  FROM dims d, range(44) xs(x), range(30) ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h),
+        | blocks AS (
+        |  SELECT doc_id, w, h,
+        |    ((ybx*5 + yby*7 + doc_id) % 256 + 256) % 256 AS yv,
+        |    ((cbx*3 + cby*13 + doc_id*2) % 256 + 256) % 256 - 128 AS cb,
+        |    ((cbx*11 + cby*3 + doc_id*3) % 256 + 256) % 256 - 128 AS cr
+        |  FROM px)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(greatest(0, least(255,
+        |    CAST(floor(yv + 1.402e0*cr + 0.5e0) AS BIGINT)))) AS BIGINT) AS sum_r,
+        |  CAST(sum(greatest(0, least(255,
+        |    CAST(floor(yv - 0.344136e0*cb - 0.714136e0*cr + 0.5e0) AS BIGINT))))
+        |    AS BIGINT) AS sum_g,
+        |  CAST(sum(greatest(0, least(255,
+        |    CAST(floor(yv + 1.772e0*cb + 0.5e0) AS BIGINT)))) AS BIGINT) AS sum_b
+        |FROM blocks GROUP BY doc_id""".stripMargin,
     // mirrors ImageCodec.synthPngPalette: pixel (x, y) holds palette
     // index floorMod(x*3 + y*5 + id, ps) with ps = floorMod(id,15)+2;
     // entry e expands to r = (e*5 + id*7) mod 256, g = (e*11 + id*3)

@@ -215,6 +215,30 @@ case class ImageSynthJpegPx(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `(id, utf8 content) → real 4:2:0 baseline JPEG` — the
+  * chroma-subsampled twin of [[ImageSynthJpegPx]] (the layout most
+  * real JPEGs ship): Y blocks constant on the full grid, chroma blocks
+  * constant on the subsampled grid, so replicate-upsampling decode is
+  * exact and the oracle stays analytic. */
+case class ImageSynthJpeg420(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth_jpeg420"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    JpegCodec.synthJpeg420(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.JpegCodec.synthJpeg420($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynthJpeg420 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** REAL nearest-neighbor resize: 24bpp BMP → BMP, 8/16-bit PNG →
   * PNG (gray/RGB/gray+alpha/RGBA at either depth, palette input
   * expanded to truecolor output), or baseline JPEG → lossless PNG —
@@ -1055,6 +1079,10 @@ object ImageCodec {
 
   def image_synth_jpeg_px(id: Column, text: Column): Column =
     GraftSqlBridge.column(ImageSynthJpegPx(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def image_synth_jpeg420(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynthJpeg420(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
   def image_synth_bmp(id: Column, text: Column): Column =

@@ -146,6 +146,8 @@ object JpegCodec {
     var nComp = 0
     var compId: Array[Int] = null
     var compTq: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var i = 2
     while (i + 1 < b.length) {
       if ((b(i) & 0xFF) != 0xFF) return null
@@ -198,14 +200,22 @@ object JpegCodec {
             if (segLen < 8 + 3 * nComp) return null
             compId = new Array[Int](nComp)
             compTq = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
               compId(c) = b(i + 8 + 3 * c) & 0xFF
-              if ((b(i + 9 + 3 * c) & 0xFF) != 0x11) return null // 4:4:4 only
+              val samp = b(i + 9 + 3 * c) & 0xFF
+              compH(c) = (samp >> 4) & 0xF
+              compV(c) = samp & 0xF
+              // factors 1 and 2 cover 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+                return null
               compTq(c) = b(i + 10 + 3 * c) & 0xFF
               if (compTq(c) > 3) return null
               c += 1
             }
+            if (nComp == 1) { compH(0) = 1; compV(0) = 1 } // single-comp scan: 1 block/MCU
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
                0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
             return null // non-baseline frame: out of the pixel path
@@ -230,7 +240,7 @@ object JpegCodec {
               c += 1
             }
             return decodeScan(b, i + segLen, width, height, nComp,
-              compTq, dcSel, acSel, quant, huffDc, huffAc, dri)
+              compTq, compH, compV, dcSel, acSel, quant, huffDc, huffAc, dri)
           case _ => // APPn / COM / unknown: skip
         }
         i += segLen
@@ -239,8 +249,14 @@ object JpegCodec {
     null
   }
 
+  /** Interleaved-scan decode for ANY factor mix in {1,2}² — 4:4:4,
+    * 4:2:2, 4:2:0, 4:4:0. Each MCU carries hc×vc blocks per component;
+    * subsampled components are upsampled to full resolution by sample
+    * replication (`x·hc/hmax`, `y·vc/vmax` — the deterministic nearest
+    * rule an oracle can mirror). */
   private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
-      nComp: Int, compTq: Array[Int], dcSel: Array[Int], acSel: Array[Int],
+      nComp: Int, compTq: Array[Int], compH: Array[Int], compV: Array[Int],
+      dcSel: Array[Int], acSel: Array[Int],
       quant: Array[Array[Int]], huffDc: Array[Huff], huffAc: Array[Huff],
       dri: Int): Image = {
     var c = 0
@@ -249,18 +265,26 @@ object JpegCodec {
       if (huffDc(dcSel(c)) == null || huffAc(acSel(c)) == null) return null
       c += 1
     }
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    if (bw.toLong * bh * nComp * 64 > (1 << 28)) return null
-    // per-component padded planes
-    val planes = Array.fill(nComp)(new Array[Int](bw * 8 * bh * 8))
+    val hmax = compH.max
+    val vmax = compV.max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    var totalBlocks = 0L
+    c = 0
+    while (c < nComp) {
+      totalBlocks += mcusX.toLong * mcusY * compH(c) * compV(c); c += 1
+    }
+    if (totalBlocks * 64 > (1 << 28)) return null
+    val compBw = Array.tabulate(nComp)(cc => mcusX * compH(cc))
+    val planes = Array.tabulate(nComp)(cc =>
+      new Array[Int](compBw(cc) * 8 * mcusY * compV(cc) * 8))
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     val block = new Array[Double](64)
     val idctTmp = new Array[Double](64)
     val r = new BitReader(b, start)
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = mcusX * mcusY
     var rstIdx = 0
     while (mcu < nMcu) {
       if (dri > 0 && mcu > 0 && mcu % dri == 0) {
@@ -273,88 +297,98 @@ object JpegCodec {
         rstIdx = (rstIdx + 1) % 8
         java.util.Arrays.fill(pred, 0)
       }
-      val bx = mcu % bw
-      val by = mcu / bw
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
       var comp = 0
       while (comp < nComp) {
-        java.util.Arrays.fill(coef, 0)
-        // DC
-        val s = huffDc(dcSel(comp)).decode(r)
-        if (s < 0 || s > 11) return null
-        val diffBits = r.receive(s)
-        if (diffBits == Int.MinValue) return null
-        pred(comp) += extend(diffBits, s)
-        coef(0) = pred(comp)
-        // AC
-        var k = 1
-        var done = false
-        while (k < 64 && !done) {
-          val rs = huffAc(acSel(comp)).decode(r)
-          if (rs < 0) return null
-          val run = (rs >> 4) & 0xF
-          val size = rs & 0xF
-          if (size == 0) {
-            if (rs == 0x00) done = true      // EOB
-            else if (rs == 0xF0) k += 16     // ZRL
-            else return null
-          } else {
-            k += run
-            if (k > 63) return null
-            val vb = r.receive(size)
-            if (vb == Int.MinValue) return null
-            coef(k) = extend(vb, size)
-            k += 1
-          }
-        }
-        // dequantize through the zigzag, then a SEPARABLE IDCT
-        // (column pass into tmp, row pass out — 8× fewer multiplies
-        // than the direct double sum; same double-precision result
-        // class, so block-constant exactness is unchanged)
-        val q = quant(compTq(comp))
-        var z = 0
-        while (z < 64) { block(ZIGZAG(z)) = coef(z).toDouble * q(z); z += 1 }
-        val tmp = idctTmp
-        var u = 0
-        while (u < 8) {
-          var y = 0
-          while (y < 8) {
-            var sum = 0.0
-            var v = 0
-            while (v < 8) {
-              sum += CNORM(v) * block(v * 8 + u) * COS(y)(v)
-              v += 1
+        var v0 = 0
+        while (v0 < compV(comp)) {
+          var u0 = 0
+          while (u0 < compH(comp)) {
+            java.util.Arrays.fill(coef, 0)
+            // DC
+            val s = huffDc(dcSel(comp)).decode(r)
+            if (s < 0 || s > 11) return null
+            val diffBits = r.receive(s)
+            if (diffBits == Int.MinValue) return null
+            pred(comp) += extend(diffBits, s)
+            coef(0) = pred(comp)
+            // AC
+            var k = 1
+            var done = false
+            while (k < 64 && !done) {
+              val rs = huffAc(acSel(comp)).decode(r)
+              if (rs < 0) return null
+              val run = (rs >> 4) & 0xF
+              val size = rs & 0xF
+              if (size == 0) {
+                if (rs == 0x00) done = true      // EOB
+                else if (rs == 0xF0) k += 16     // ZRL
+                else return null
+              } else {
+                k += run
+                if (k > 63) return null
+                val vb = r.receive(size)
+                if (vb == Int.MinValue) return null
+                coef(k) = extend(vb, size)
+                k += 1
+              }
             }
-            tmp(u * 8 + y) = sum
-            y += 1
-          }
-          u += 1
-        }
-        val plane = planes(comp)
-        val rowW = bw * 8
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var sum = 0.0
-            var uu = 0
-            while (uu < 8) {
-              sum += CNORM(uu) * tmp(uu * 8 + y) * COS(x)(uu)
-              uu += 1
+            // dequantize through the zigzag, then a SEPARABLE IDCT
+            // (column pass into tmp, row pass out — 8× fewer multiplies
+            // than the direct double sum; same double-precision result
+            // class, so block-constant exactness is unchanged)
+            val q = quant(compTq(comp))
+            var z = 0
+            while (z < 64) { block(ZIGZAG(z)) = coef(z).toDouble * q(z); z += 1 }
+            val tmp = idctTmp
+            var u = 0
+            while (u < 8) {
+              var y = 0
+              while (y < 8) {
+                var sum = 0.0
+                var v = 0
+                while (v < 8) {
+                  sum += CNORM(v) * block(v * 8 + u) * COS(y)(v)
+                  v += 1
+                }
+                tmp(u * 8 + y) = sum
+                y += 1
+              }
+              u += 1
             }
-            val px = math.floor(sum / 4.0 + 128.0 + 0.5).toInt
-            plane((by * 8 + y) * rowW + bx * 8 + x) =
-              if (px < 0) 0 else if (px > 255) 255 else px
-            x += 1
+            val plane = planes(comp)
+            val rowW = compBw(comp) * 8
+            val bx = mx * compH(comp) + u0
+            val by = my * compV(comp) + v0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var sum = 0.0
+                var uu = 0
+                while (uu < 8) {
+                  sum += CNORM(uu) * tmp(uu * 8 + y) * COS(x)(uu)
+                  uu += 1
+                }
+                val px = math.floor(sum / 4.0 + 128.0 + 0.5).toInt
+                plane((by * 8 + y) * rowW + bx * 8 + x) =
+                  if (px < 0) 0 else if (px > 255) 255 else px
+                x += 1
+              }
+              y += 1
+            }
+            u0 += 1
           }
-          y += 1
+          v0 += 1
         }
         comp += 1
       }
       mcu += 1
     }
-    // crop + color-convert
-    val rowW = bw * 8
+    // crop + replicate-upsample + color-convert
     if (nComp == 1) {
+      val rowW = compBw(0) * 8
       val out = new Array[Byte](width * height)
       var y = 0
       while (y < height) {
@@ -367,14 +401,20 @@ object JpegCodec {
       }
       new Image(width, height, 1, out)
     } else {
+      val rowY = compBw(0) * 8
+      val rowCb = compBw(1) * 8
+      val rowCr = compBw(2) * 8
       val out = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
+        val yCb = y * compV(1) / vmax
+        val yCr = y * compV(2) / vmax
+        val yY = y * compV(0) / vmax
         var x = 0
         while (x < width) {
-          val yy = planes(0)(y * rowW + x).toDouble
-          val cb = planes(1)(y * rowW + x).toDouble - 128.0
-          val cr = planes(2)(y * rowW + x).toDouble - 128.0
+          val yy = planes(0)(yY * rowY + x * compH(0) / hmax).toDouble
+          val cb = planes(1)(yCb * rowCb + x * compH(1) / hmax).toDouble - 128.0
+          val cr = planes(2)(yCr * rowCr + x * compH(2) / hmax).toDouble - 128.0
           val o = (y * width + x) * 3
           out(o) = clamp8(yy + 1.402 * cr)
           out(o + 1) = clamp8(yy - 0.344136 * cb - 0.714136 * cr)
@@ -451,15 +491,27 @@ object JpegCodec {
     s
   }
 
-  /** Encode planes (values 0..255; 1 = gray, 3 = YCbCr, no
-    * subsampling) as a baseline JFIF stream with a FLAT quantization
-    * table. `dri` > 0 emits a DRI segment and RSTn markers every
-    * `dri` MCUs — the restart path stays production-exercised. */
+  /** Encode planes (values 0..255; 1 = gray, 3 = YCbCr) as a baseline
+    * JFIF stream with a FLAT quantization table. `fH`/`fV` give
+    * per-component sampling factors (all-1s when omitted — 4:4:4);
+    * subsampled components pass planes at their REDUCED dimensions
+    * (`ceil(dim·f/fmax)`). `dri` > 0 emits a DRI segment and RSTn
+    * markers every `dri` MCUs — the restart path stays
+    * production-exercised. */
   def encode(width: Int, height: Int, planes: Array[Array[Int]],
-      dri: Int = 0): Array[Byte] = {
+      dri: Int = 0, fH: Array[Int] = null, fV: Array[Int] = null): Array[Byte] = {
     val nComp = planes.length
     require(nComp == 1 || nComp == 3, "1 or 3 planes")
-    require(planes.forall(_.length == width * height), "plane size")
+    val sh = if (fH == null) Array.fill(nComp)(1) else fH
+    val sv = if (fV == null) Array.fill(nComp)(1) else fV
+    require(sh.length == nComp && sv.length == nComp, "factor arity")
+    require(sh.forall(f => f == 1 || f == 2) && sv.forall(f => f == 1 || f == 2),
+      "factors in {1,2}")
+    val hmax = sh.max; val vmax = sv.max
+    val pw = Array.tabulate(nComp)(c => (width * sh(c) + hmax - 1) / hmax)
+    val ph = Array.tabulate(nComp)(c => (height * sv(c) + vmax - 1) / vmax)
+    (0 until nComp).foreach(c =>
+      require(planes(c).length == pw(c) * ph(c), s"plane $c size"))
     val out = new java.io.ByteArrayOutputStream()
     def word(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
     def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
@@ -480,7 +532,9 @@ object JpegCodec {
     marker(0xC0); word(8 + 3 * nComp)
     out.write(8); word(height); word(width); out.write(nComp)
     var c = 0
-    while (c < nComp) { out.write(c + 1); out.write(0x11); out.write(0); c += 1 }
+    while (c < nComp) {
+      out.write(c + 1); out.write((sh(c) << 4) | sv(c)); out.write(0); c += 1
+    }
     if (dri > 0) { marker(0xDD); word(4); word(dri) }
     // SOS
     marker(0xDA); word(6 + 2 * nComp)
@@ -489,8 +543,8 @@ object JpegCodec {
     while (c < nComp) { out.write(c + 1); out.write(0x00); c += 1 }
     out.write(0); out.write(63); out.write(0)
 
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
     val pred = new Array[Int](nComp)
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
@@ -498,7 +552,7 @@ object JpegCodec {
     var w = new BitWriter(out)
     var rstIdx = 0
     var mcu = 0
-    while (mcu < bw * bh) {
+    while (mcu < mcusX * mcusY) {
       if (dri > 0 && mcu > 0 && mcu % dri == 0) {
         w.flushWithOnes()
         marker(0xD0 + rstIdx)
@@ -506,19 +560,25 @@ object JpegCodec {
         java.util.Arrays.fill(pred, 0)
         w = new BitWriter(out)
       }
-      val bx = mcu % bw
-      val by = mcu / bw
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
       c = 0
       while (c < nComp) {
+       var v0 = 0
+       while (v0 < sv(c)) {
+        var u0 = 0
+        while (u0 < sh(c)) {
         val plane = planes(c)
+        val bx = mx * sh(c) + u0
+        val by = my * sv(c) + v0
         // sample the block, replicating the last row/column past edges
         var y = 0
         while (y < 8) {
-          val sy = math.min(by * 8 + y, height - 1)
+          val sy = math.min(by * 8 + y, ph(c) - 1)
           var x = 0
           while (x < 8) {
-            val sx = math.min(bx * 8 + x, width - 1)
-            block(y * 8 + x) = plane(sy * width + sx).toDouble - 128.0
+            val sx = math.min(bx * 8 + x, pw(c) - 1)
+            block(y * 8 + x) = plane(sy * pw(c) + sx).toDouble - 128.0
             x += 1
           }
           y += 1
@@ -580,7 +640,11 @@ object JpegCodec {
           k += 1
         }
         if (run > 0) { val (ec, el) = AC_CODE(0x00); w.put(ec, el) }
-        c += 1
+        u0 += 1
+        }
+        v0 += 1
+       }
+       c += 1
       }
       mcu += 1
     }
@@ -597,6 +661,30 @@ object JpegCodec {
     * blocks stay exercised), gray vs YCbCr by id parity, every 8×8
     * block's value affine in (blockX, blockY, id), restart markers
     * every 2 MCUs when id % 3 == 0. */
+  /** The 4:2:0 twin of [[synthJpegPixels]]: Y constant per full-grid
+    * 8×8 block, chroma constant per SUBSAMPLED-grid 8×8 block (16×16
+    * at full resolution) — so decode (replicate-upsample) is exact and
+    * the oracle indexes chroma blocks by (x/16, y/16). */
+  def synthJpeg420(id: Long, text: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val w = n % 37 + 8
+    val h = n % 23 + 8
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    val dri = if (java.lang.Math.floorMod(id, 3L) == 0L) 2 else 0
+    val py = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      java.lang.Math.floorMod(bx * 5L + by * 7L + id, 256L).toInt
+    }
+    def sub(a: Long, bcoef: Long, coff: Long): Array[Int] =
+      Array.tabulate(cw * ch) { i =>
+        val bx = (i % cw) / 8; val by = (i / cw) / 8
+        java.lang.Math.floorMod(bx * a + by * bcoef + id * coff, 256L).toInt
+      }
+    encode(w, h, Array(py, sub(3, 13, 2), sub(11, 3, 3)), dri,
+      Array(2, 1, 1), Array(2, 1, 1))
+  }
+
   def synthJpegPixels(id: Long, text: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
     val n = text.numBytes
     val w = n % 39 + 8

@@ -148,6 +148,96 @@ class JpegCodecSpec extends AnyFunSuite {
     assert((png.samples((3 * 9 + 4) * 3) & 0xFF) == expR)
   }
 
+  test("4:2:0: block-constant planes round-trip exactly through interleaved MCUs") {
+    for ((id, w, h) <- Seq((9L, 21, 13), (4L, 32, 32), (0L, 17, 25), (7L, 44, 30))) {
+      val (cw, chh) = ((w + 1) / 2, (h + 1) / 2)
+      val py = Array.tabulate(w * h) { i =>
+        val bx = (i % w) / 8; val by = (i / w) / 8
+        java.lang.Math.floorMod(bx * 5L + by * 7L + id, 256L).toInt
+      }
+      def sub(a: Long, b: Long, c: Long) = Array.tabulate(cw * chh) { i =>
+        val bx = (i % cw) / 8; val by = (i / cw) / 8
+        java.lang.Math.floorMod(bx * a + by * b + id * c, 256L).toInt
+      }
+      val pcb = sub(3, 13, 2); val pcr = sub(11, 3, 3)
+      val dri = if (id % 2 == 0) 1 else 0 // restart every MCU on even ids
+      val jpeg = JpegCodec.encode(w, h, Array(py, pcb, pcr), dri,
+        Array(2, 1, 1), Array(2, 1, 1))
+      val dec = JpegCodec.decodePixels(jpeg)
+      assert(dec != null && dec.width == w && dec.height == h && dec.channels == 3)
+      def c8(x: Double) = math.max(0, math.min(255, math.floor(x + 0.5).toInt))
+      for (y <- 0 until h; x <- 0 until w) {
+        val yv = py(y * w + x)
+        val cb = pcb((y / 2) * cw + x / 2) - 128.0
+        val cr = pcr((y / 2) * cw + x / 2) - 128.0
+        val o = (y * w + x) * 3
+        assert((dec.samples(o) & 0xFF) == c8(yv + 1.402 * cr), s"id=$id px ($x,$y)")
+        assert((dec.samples(o + 1) & 0xFF) ==
+          c8(yv - 0.344136 * cb - 0.714136 * cr))
+        assert((dec.samples(o + 2) & 0xFF) == c8(yv + 1.772 * cb))
+      }
+    }
+  }
+
+  test("4:2:2 and 4:4:0 factor mixes decode; arbitrary 4:2:0 content bounded") {
+    val rnd = new scala.util.Random(22)
+    val (w, h) = (19, 14)
+    // 4:2:2 — chroma halved horizontally only
+    val cw22 = (w + 1) / 2
+    val y1 = Array.fill(w * h)(rnd.nextInt(256))
+    val cb1 = Array.fill(cw22 * h)(rnd.nextInt(256))
+    val cr1 = Array.fill(cw22 * h)(rnd.nextInt(256))
+    val d22 = JpegCodec.decodePixels(JpegCodec.encode(w, h,
+      Array(y1, cb1, cr1), 0, Array(2, 1, 1), Array(1, 1, 1)))
+    assert(d22 != null && d22.width == w)
+    // 4:4:0 — halved vertically only
+    val ch40 = (h + 1) / 2
+    val d40 = JpegCodec.decodePixels(JpegCodec.encode(w, h,
+      Array(y1, Array.fill(w * ch40)(rnd.nextInt(256)),
+        Array.fill(w * ch40)(rnd.nextInt(256))),
+      0, Array(1, 1, 1), Array(2, 1, 1)))
+    assert(d40 != null && d40.height == h)
+    // arbitrary 4:2:0 content: Y within ±1 of source after round-trip
+    val cw = (w + 1) / 2; val chh = (h + 1) / 2
+    val cb2 = Array.fill(cw * chh)(rnd.nextInt(256))
+    val cr2 = Array.fill(cw * chh)(rnd.nextInt(256))
+    val d20 = JpegCodec.decodePixels(JpegCodec.encode(w, h,
+      Array(y1, cb2, cr2), 0, Array(2, 1, 1), Array(2, 1, 1)))
+    assert(d20 != null)
+    def c8(x: Double) = math.max(0, math.min(255, math.floor(x + 0.5).toInt))
+    for (y <- 0 until h; x <- 0 until w) {
+      val cb = cb2((y / 2) * cw + x / 2) - 128.0
+      val cr = cr2((y / 2) * cw + x / 2) - 128.0
+      // reconstruct the decoded Y from R (Y = R - 1.402·Cr ± decode err)
+      val r = d20.samples((y * w + x) * 3) & 0xFF
+      val expR = c8(y1(y * w + x) + 1.402 * cr)
+      assert(math.abs(r - expR) <= 2, s"px ($x,$y): $r vs $expR")
+    }
+  }
+
+  test("synth 4:2:0 → pixel stats matches the analytic two-grid rule") {
+    for ((id, text) <- Seq((0L, "sub gray-ish"), (1L, "sub color"),
+        (3L, "restart sub"), (-7L, "negative sub"))) {
+      val u = UTF8String.fromString(text)
+      val n = u.numBytes
+      val (w, h) = (n % 37 + 8, n % 23 + 8)
+      val st = ImageCodec.pixelStatsInternal(JpegCodec.synthJpeg420(id, u))
+      assert(st != null, s"id=$id")
+      assert(st.getInt(0) == w && st.getInt(1) == h)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      def c8(x: Double) = math.max(0L, math.min(255L, math.floor(x + 0.5).toLong))
+      for (y <- 0 until h; x <- 0 until w) {
+        val yv = java.lang.Math.floorMod((x / 8) * 5L + (y / 8) * 7L + id, 256L).toDouble
+        val cb = java.lang.Math.floorMod((x / 16) * 3L + (y / 16) * 13L + id * 2, 256L) - 128.0
+        val cr = java.lang.Math.floorMod((x / 16) * 11L + (y / 16) * 3L + id * 3, 256L) - 128.0
+        sr += c8(yv + 1.402 * cr)
+        sg += c8(yv - 0.344136 * cb - 0.714136 * cr)
+        sb += c8(yv + 1.772 * cb)
+      }
+      assert((st.getLong(3), st.getLong(4), st.getLong(5)) == ((sr, sg, sb)), s"id=$id")
+    }
+  }
+
   test("malformed JPEG: truncations, corruptions, random bytes never throw or hang") {
     val rnd = new scala.util.Random(2468)
     val valid = JpegCodec.synthJpegPixels(7L, UTF8String.fromString("fuzz jpeg"))
