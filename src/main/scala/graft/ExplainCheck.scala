@@ -77,6 +77,7 @@ object ExplainCheck {
     audit("mm_jpeg_420", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_png_resize", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_audio_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_audio_g711", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_audio_sample", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_video_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_video_sample", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngPal, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngPal, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -147,6 +147,12 @@ object GraftExtensions {
         case Seq(id, text) => AudioSynthWav(id, text)
         case _ => throw new IllegalArgumentException(
           "audio_synth_wav expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("audio_synth_g711",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => AudioSynthG711(id, text)
+        case _ => throw new IllegalArgumentException(
+          "audio_synth_g711 expects (bigint, string)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("video_meta",
       (args: Seq[Expression]) => VideoMeta(args.head), "scala_udf")
@@ -351,6 +357,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(id, text) => AudioSynthWav(id, text)
         case _ => throw new IllegalArgumentException(
           "audio_synth_wav expects (bigint, string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("audio_synth_g711"),
+      info("audio_synth_g711",
+        "audio_synth_g711(bigint, string) - deterministic real G.711 ulaw/alaw WAV bytes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => AudioSynthG711(id, text)
+        case _ => throw new IllegalArgumentException(
+          "audio_synth_g711 expects (bigint, string)")
       }))
     ext.injectFunction((
       FunctionIdentifier("video_meta"),

@@ -166,6 +166,9 @@ object ScaleProbe {
     // no driver state, per-row cost independent of corpus size)
     def mmDecode(df: DataFrame) = df.select(
       graft.functions.ImageCodec.image_pixel_stats(
+        graft.functions.ImageCodec.image_synth_jpeg420(
+          col("doc_id"), col("text"))).as("j"),
+      graft.functions.ImageCodec.image_pixel_stats(
         graft.functions.ImageCodec.image_synth_png(
           col("doc_id"), col("text"))).as("i"),
       graft.functions.AudioCodec.audio_pcm_stats(

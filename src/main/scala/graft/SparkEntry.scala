@@ -815,6 +815,24 @@ object SparkEntry {
           col("st.peak").as("peak"))
     }),
 
+    // ---- multimodal: G.711 companded audio (μ-law/A-law — the
+    //      telephony/speech-corpus encodings) — 8-bit code bytes
+    //      expanded to linear by the CCITT integer formulas; the
+    //      oracle reproduces the expansion arithmetic in SQL ----
+    "mm_audio_g711" -> ((s, dir) => {
+      import graft.functions.AudioCodec
+      val wav = AudioCodec.audio_synth_g711(col("doc_id"), col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          AudioCodec.audio_meta(wav).as("m"),
+          AudioCodec.audio_pcm_stats(wav).as("st"))
+        .select(col("doc_id"), col("m.format").as("kind"),
+          col("st.channels").as("channels"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.sum_l").as("sum_l"), col("st.sum_r").as("sum_r"),
+          col("st.peak").as("peak"))
+    }),
+
     // ---- multimodal: audio frame decimation — keep every 3rd PCM
     //      frame, re-emit a VALID WAV, decode it again for stats (the
     //      audio analog of video frame sampling) ----
@@ -877,11 +895,12 @@ object SparkEntry {
     //      expressions — no new operator, no Exchange ----
     "mm_router" -> ((s, dir) => {
       import graft.functions.{AudioCodec, ImageCodec, VideoCodec}
-      val m = pmod(col("doc_id"), lit(3))
+      val m = pmod(col("doc_id"), lit(4))
       val payload = when(m === 0,
           ImageCodec.image_synth_png(col("doc_id"), col("text")))
         .when(m === 1, AudioCodec.audio_synth_wav(col("doc_id"), col("text")))
-        .otherwise(VideoCodec.video_synth_avi(col("doc_id"), col("text")))
+        .when(m === 2, VideoCodec.video_synth_avi(col("doc_id"), col("text")))
+        .otherwise(ImageCodec.image_synth_jpeg420(col("doc_id"), col("text")))
       t(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
         .select(col("doc_id"),
           ImageCodec.image_meta(col("payload")).as("im"),
@@ -2354,19 +2373,20 @@ object SparkEntry {
         |  CAST(CASE WHEN max(cti) = 2 THEN sum(v1)
         |            WHEN max(cti) = 3 THEN sum(v3) END AS BIGINT) AS sum_a
         |FROM chans GROUP BY doc_id""".stripMargin,
-    // router: modality by doc_id % 3 (png / wav / avi); each branch's
-    // dims mirror the corresponding synth rule
+    // router: modality by doc_id % 4 (png / wav / avi / 4:2:0 jpeg);
+    // each branch's dims mirror the corresponding synth rule
     "mm_router" ->
       """WITH base AS (
-        |  SELECT doc_id, ((doc_id % 3) + 3) % 3 AS m,
+        |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS m,
         |         octet_length(encode(text)) AS n
         |  FROM documents)
         |SELECT doc_id,
-        |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'pcm16' ELSE 'avi' END AS kind,
-        |  CAST(CASE m WHEN 0 THEN n % 29 + 4 WHEN 2 THEN n % 21 + 4 END
-        |    AS INTEGER) AS width,
+        |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'pcm16' WHEN 2 THEN 'avi'
+        |    ELSE 'jpeg' END AS kind,
+        |  CAST(CASE m WHEN 0 THEN n % 29 + 4 WHEN 2 THEN n % 21 + 4
+        |    WHEN 3 THEN n % 37 + 8 END AS INTEGER) AS width,
         |  CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN n % 241 + 20
-        |    ELSE n % 17 + 2 END AS BIGINT) AS n_frames
+        |    WHEN 2 THEN n % 17 + 2 ELSE 1 END AS BIGINT) AS n_frames
         |FROM base""".stripMargin,
     // mirrors AudioCodec.synthWav: sample (i, c) =
     // floorMod(i*(7+2c) + id*(3+c), 65536) - 32768; frames from the
@@ -2390,6 +2410,71 @@ object SparkEntry {
         |  CAST(max(rate) AS INTEGER) AS sample_rate,
         |  CAST(count(*) AS BIGINT) AS n_frames,
         |  CAST((max(f) * 1000000) // max(rate) AS BIGINT) AS duration_us,
+        |  CAST(sum(v0) AS BIGINT) AS sum_l,
+        |  CAST(CASE WHEN max(ch) = 2 THEN sum(v1) END AS BIGINT) AS sum_r,
+        |  CAST(max(greatest(abs(v0),
+        |    CASE WHEN ch = 2 THEN abs(v1) ELSE 0 END)) AS INTEGER) AS peak
+        |FROM vals GROUP BY doc_id""".stripMargin,
+    // mirrors AudioCodec.synthWavG711 + the CCITT G.711 expansions:
+    // μ-law (even ids): u = 255-code; t = (((u&15)*8)+132) << ((u>>4)&7);
+    // v = sign(u&128) ? 132-t : t-132. A-law (odd): a = code XOR 85;
+    // seg = (a&112)>>4; base = (a&15)*16; t = seg=0 ? base+8 :
+    // (base+264) << (seg-1); v = (a&128) ? t : -t
+    "mm_audio_g711" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 241 + 20 AS f,
+        |         ((doc_id % 4) + 4) % 4 AS m4,
+        |         ((doc_id % 2) + 2) % 2 = 0 AS ulaw
+        |  FROM documents),
+        | codes AS (
+        |  SELECT d.doc_id, d.m4, d.ulaw, d.f,
+        |         d.m4 // 2 + 1 AS ch,
+        |         CASE d.m4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |           WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |         ((s.i*7 + d.doc_id*3) % 256 + 256) % 256 AS c0,
+        |         ((s.i*9 + d.doc_id*4) % 256 + 256) % 256 AS c1
+        |  FROM dims d, range(261) s(i) WHERE s.i < d.f),
+        | vals AS (
+        |  SELECT doc_id, ulaw, ch, rate, f,
+        |   CASE WHEN ulaw THEN
+        |     CASE WHEN ((255 - c0) & 128) <> 0
+        |       THEN 132 - (((((255 - c0) & 15) * 8) + 132) << (((255 - c0) >> 4) & 7))
+        |       ELSE (((((255 - c0) & 15) * 8) + 132) << (((255 - c0) >> 4) & 7)) - 132 END
+        |   ELSE
+        |     CASE WHEN (xor(c0, 85) & 128) <> 0 THEN
+        |       CASE WHEN ((xor(c0, 85) & 112) >> 4) = 0
+        |         THEN (xor(c0, 85) & 15) * 16 + 8
+        |         ELSE ((xor(c0, 85) & 15) * 16 + 264)
+        |           << (greatest(1, (xor(c0, 85) & 112) >> 4) - 1) END
+        |     ELSE -(
+        |       CASE WHEN ((xor(c0, 85) & 112) >> 4) = 0
+        |         THEN (xor(c0, 85) & 15) * 16 + 8
+        |         ELSE ((xor(c0, 85) & 15) * 16 + 264)
+        |           << (greatest(1, (xor(c0, 85) & 112) >> 4) - 1) END) END
+        |   END AS v0,
+        |   CASE WHEN ulaw THEN
+        |     CASE WHEN ((255 - c1) & 128) <> 0
+        |       THEN 132 - (((((255 - c1) & 15) * 8) + 132) << (((255 - c1) >> 4) & 7))
+        |       ELSE (((((255 - c1) & 15) * 8) + 132) << (((255 - c1) >> 4) & 7)) - 132 END
+        |   ELSE
+        |     CASE WHEN (xor(c1, 85) & 128) <> 0 THEN
+        |       CASE WHEN ((xor(c1, 85) & 112) >> 4) = 0
+        |         THEN (xor(c1, 85) & 15) * 16 + 8
+        |         ELSE ((xor(c1, 85) & 15) * 16 + 264)
+        |           << (greatest(1, (xor(c1, 85) & 112) >> 4) - 1) END
+        |     ELSE -(
+        |       CASE WHEN ((xor(c1, 85) & 112) >> 4) = 0
+        |         THEN (xor(c1, 85) & 15) * 16 + 8
+        |         ELSE ((xor(c1, 85) & 15) * 16 + 264)
+        |           << (greatest(1, (xor(c1, 85) & 112) >> 4) - 1) END) END
+        |   END AS v1
+        |  FROM codes)
+        |SELECT doc_id,
+        |  CASE WHEN max(CAST(ulaw AS INTEGER)) = 1 THEN 'ulaw' ELSE 'alaw' END AS kind,
+        |  CAST(max(ch) AS INTEGER) AS channels,
+        |  CAST(max(rate) AS INTEGER) AS sample_rate,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
         |  CAST(sum(v0) AS BIGINT) AS sum_l,
         |  CAST(CASE WHEN max(ch) = 2 THEN sum(v1) END AS BIGINT) AS sum_r,
         |  CAST(max(greatest(abs(v0),

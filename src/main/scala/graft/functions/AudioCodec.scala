@@ -89,6 +89,29 @@ case class AudioFrameSample(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `(id, utf8 content) → real G.711 μ-law/A-law WAV bytes` — the
+  * companded-telephony twin of [[AudioSynthWav]]: 8-bit code bytes
+  * affine in the inputs, expanded to linear by the decoder's CCITT
+  * integer formulas, which a SQL oracle reproduces exactly. */
+case class AudioSynthG711(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "audio_synth_g711"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    AudioCodec.synthWavG711(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.AudioCodec.synthWavG711($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AudioSynthG711 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `(id, utf8 content) → real RIFF/WAVE bytes` — deterministic
   * synthesizer for oracle-checked round-trips: frame count from the
   * text's byte length, channel count / sample rate from the id, and
@@ -146,39 +169,73 @@ object AudioCodec {
 
   private def tag(b: Array[Byte], i: Int): String = new String(b, i, 4, "ASCII")
 
-  /** Parsed 16-bit PCM WAV: `dataOff ..< dataOff + nFrames*channels*2`
-    * holds interleaved little-endian i16 frames. */
-  final class Wav(val bytes: Array[Byte], val channels: Int,
-      val sampleRate: Int, val nFrames: Long, val dataOff: Int)
+  /** Parsed WAV: `dataOff` starts `nFrames` interleaved frames of
+    * `channels × bytesPerSample` bytes. `format` is the fmt-chunk
+    * code: 1 = integer PCM (16-bit), 6 = G.711 A-law, 7 = G.711 μ-law
+    * (both 8-bit companded — expanded to linear by [[sampleAt]]). */
+  final class Wav(val bytes: Array[Byte], val format: Int,
+      val channels: Int, val sampleRate: Int, val nFrames: Long,
+      val dataOff: Int) {
+    val bytesPerSample: Int = if (format == 1) 2 else 1
+    /** Linear sample value of (frame f, channel c). */
+    def sampleAt(f: Int, c: Int): Int = {
+      val off = dataOff + (f * channels + c) * bytesPerSample
+      format match {
+        case 1 => leI16(bytes, off)
+        case 7 => AudioCodec.ulawToLinear(bytes(off) & 0xFF)
+        case _ => AudioCodec.alawToLinear(bytes(off) & 0xFF)
+      }
+    }
+  }
+
+  /** G.711 μ-law expansion (CCITT reference form — BIAS 0x84):
+    * deterministic integer math an SQL oracle mirrors directly. */
+  def ulawToLinear(code: Int): Int = {
+    val u = ~code & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law expansion (CCITT reference form — XOR 0x55 mask). */
+  def alawToLinear(code: Int): Int = {
+    val a = code ^ 0x55
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0F) << 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
 
   /** RIFF walk: "RIFF" u32size "WAVE", then `tag u32len payload`
     * chunks, each padded to even length. `fmt ` must precede `data`;
-    * only format 1 (integer PCM) at 16 bits is accepted. Returns null
-    * on anything malformed — truncated chunks, a data length that
-    * overruns the buffer, zero channels, a data size that is not a
-    * whole number of frames. */
+    * accepted encodings: format 1 (integer PCM) at 16 bits, formats
+    * 7/6 (G.711 μ-law/A-law) at 8 bits. Returns null on anything
+    * malformed — truncated chunks, a data length that overruns the
+    * buffer, zero channels, a data size that is not a whole number of
+    * frames. */
   def parseWav(b: Array[Byte]): Wav = {
     if (b == null || b.length < 44) return null
     if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return null
     var i = 12
-    var channels = -1; var rate = -1; var bits = -1
+    var channels = -1; var rate = -1; var bits = -1; var format = -1
     while (i + 8 <= b.length) {
       val t = tag(b, i)
       val len = leU32(b, i + 4)
       if (len < 0 || len > MAX_DATA || i + 8 + len > b.length) return null
       if (t == "fmt ") {
         if (len < 16) return null
-        val fmt = leU16(b, i + 8)
-        if (fmt != 1) return null // integer PCM only
+        format = leU16(b, i + 8)
         channels = leU16(b, i + 10)
         rate = leU32(b, i + 12).toInt
         bits = leU16(b, i + 22)
-        if (channels < 1 || channels > 64 || rate <= 0 || bits != 16) return null
+        val ok = (format == 1 && bits == 16) ||
+          ((format == 6 || format == 7) && bits == 8)
+        if (!ok || channels < 1 || channels > 64 || rate <= 0) return null
       } else if (t == "data") {
         if (channels < 0) return null // fmt must come first
-        val blockAlign = channels * 2
+        val blockAlign = channels * (if (format == 1) 2 else 1)
         if (len % blockAlign != 0) return null
-        return new Wav(b, channels, rate, len / blockAlign, i + 8)
+        return new Wav(b, format, channels, rate, len / blockAlign, i + 8)
       }
       i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
     }
@@ -188,7 +245,10 @@ object AudioCodec {
   def metaInternal(b: Array[Byte]): InternalRow = {
     val w = parseWav(b)
     if (w == null) return null
-    InternalRow(UTF8String.fromString("pcm16"), w.channels, w.sampleRate,
+    val fmt = w.format match {
+      case 1 => "pcm16"; case 7 => "ulaw"; case _ => "alaw"
+    }
+    InternalRow(UTF8String.fromString(fmt), w.channels, w.sampleRate,
       w.nFrames, w.nFrames * 1000000L / w.sampleRate)
   }
 
@@ -201,25 +261,22 @@ object AudioCodec {
     if (w == null) return null
     var sumL = 0L; var sumR = 0L; var peak = 0
     val ch = w.channels
-    val step = ch * 2
-    var off = w.dataOff
-    var f = 0L
+    var f = 0
     while (f < w.nFrames) {
-      val l = leI16(w.bytes, off)
+      val l = w.sampleAt(f, 0)
       sumL += l
       if (math.abs(l) > peak) peak = math.abs(l)
       if (ch > 1) {
-        val r = leI16(w.bytes, off + 2)
+        val r = w.sampleAt(f, 1)
         sumR += r
         if (math.abs(r) > peak) peak = math.abs(r)
       }
       var c = 2
       while (c < ch) {
-        val v = math.abs(leI16(w.bytes, off + 2 * c))
+        val v = math.abs(w.sampleAt(f, c))
         if (v > peak) peak = v
         c += 1
       }
-      off += step
       f += 1
     }
     InternalRow(ch, w.sampleRate, w.nFrames, sumL,
@@ -230,45 +287,87 @@ object AudioCodec {
     * length by construction at 16 bits). */
   def encodeWav(channels: Int, rate: Int, frames: Array[Short]): Array[Byte] = {
     require(channels >= 1 && frames.length % channels == 0)
-    val dataLen = frames.length * 2
-    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+    val data = new Array[Byte](frames.length * 2)
+    var i = 0
+    while (i < frames.length) {
+      data(i * 2) = frames(i).toByte
+      data(i * 2 + 1) = (frames(i) >> 8).toByte
+      i += 1
+    }
+    encodeWavBytes(1, 16, channels, rate, data)
+  }
+
+  /** General WAV writer over raw sample bytes: format 1 (PCM) or 6/7
+    * (G.711 A-law/μ-law, one byte per sample). Odd data lengths get
+    * the RIFF pad byte. */
+  def encodeWavBytes(format: Int, bitsPerSample: Int, channels: Int,
+      rate: Int, data: Array[Byte]): Array[Byte] = {
+    val bps = bitsPerSample / 8
+    val blockAlign = channels * bps
+    require(data.length % blockAlign == 0, "partial frame")
+    val pad = data.length & 1
+    val out = java.nio.ByteBuffer.allocate(44 + data.length + pad)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+    out.put("RIFF".getBytes("ASCII")).putInt(36 + data.length + pad)
       .put("WAVE".getBytes("ASCII"))
     out.put("fmt ".getBytes("ASCII")).putInt(16)
-      .putShort(1).putShort(channels.toShort).putInt(rate)
-      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
-    out.put("data".getBytes("ASCII")).putInt(dataLen)
-    var i = 0
-    while (i < frames.length) { out.putShort(frames(i)); i += 1 }
+      .putShort(format.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("ASCII")).putInt(data.length).put(data)
+    if (pad == 1) out.put(0.toByte)
     out.array()
   }
 
   /** Every k-th frame (0, k, 2k, …) re-encoded as a valid WAV at the
-    * SAME sample rate — decimation without filtering, the exact analog
-    * of sampling every k-th video frame. Null for k < 1 or bytes the
-    * parser refuses. */
+    * SAME sample rate and the SAME encoding (PCM16 stays PCM16, G.711
+    * stays companded — raw frame bytes are copied, never re-encoded) —
+    * decimation without filtering, the exact analog of sampling every
+    * k-th video frame. Null for k < 1 or bytes the parser refuses. */
   def frameSampleInternal(b: Array[Byte], k: Int): Array[Byte] = {
     if (k < 1) return null
     val w = parseWav(b)
     if (w == null) return null
     val outFrames = ((w.nFrames + k - 1) / k).toInt
-    val ch = w.channels
-    val frames = new Array[Short](outFrames * ch)
+    val blockAlign = w.channels * w.bytesPerSample
+    val data = new Array[Byte](outFrames * blockAlign)
     var f = 0
     while (f < outFrames) {
-      val src = w.dataOff + (f.toLong * k * ch * 2).toInt
-      var c = 0
-      while (c < ch) {
-        frames(f * ch + c) = leU16(w.bytes, src + 2 * c).toShort
-        c += 1
-      }
+      System.arraycopy(w.bytes, w.dataOff + f * k * blockAlign,
+        data, f * blockAlign, blockAlign)
       f += 1
     }
-    encodeWav(ch, w.sampleRate, frames)
+    encodeWavBytes(w.format, w.bytesPerSample * 8, w.channels,
+      w.sampleRate, data)
   }
 
   private val RATES = Array(8000, 16000, 22050, 44100)
+
+  /** The G.711 synth rule the `mm_audio_g711` oracle mirrors: frames
+    * from the text length, companded CODE bytes affine mod 256 (the
+    * oracle expands them with the same CCITT integer formulas), μ-law
+    * on even ids / A-law on odd, mono for id%4 in {0,1} / stereo in
+    * {2,3}. Odd byte counts exercise the RIFF data pad. */
+  def synthWavG711(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val nf = n % 241 + 20
+    val m4 = java.lang.Math.floorMod(id, 4L).toInt
+    val ch = m4 / 2 + 1
+    val rate = RATES(m4)
+    val format = if (java.lang.Math.floorMod(id, 2L) == 0L) 7 else 6
+    val data = new Array[Byte](nf * ch)
+    var i = 0
+    while (i < nf) {
+      var c = 0
+      while (c < ch) {
+        data(i * ch + c) = java.lang.Math.floorMod(
+          i.toLong * (7 + 2 * c) + id * (3 + c), 256L).toByte
+        c += 1
+      }
+      i += 1
+    }
+    encodeWavBytes(format, 8, ch, rate, data)
+  }
 
   /** The deterministic synth rule the `mm_audio_*` oracles mirror:
     * frames = n % 241 + 20 (n = byte length of the text), channels =
@@ -319,5 +418,9 @@ object AudioCodec {
 
   def audio_synth_wav(id: Column, text: Column): Column =
     GraftSqlBridge.column(AudioSynthWav(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def audio_synth_g711(id: Column, text: Column): Column =
+    GraftSqlBridge.column(AudioSynthG711(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 }

@@ -76,6 +76,70 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.frameSampleInternal(wav, -3) == null)
   }
 
+  test("G.711 expansion: CCITT reference values and symmetry") {
+    // μ-law (16-bit scale, BIAS 132): 0xFF is exact zero, 0x00/0x80
+    // the extreme magnitudes (±(8158<<2)−BIAS = ±32124)
+    assert(AudioCodec.ulawToLinear(0xFF) == 0)
+    assert(AudioCodec.ulawToLinear(0x00) == -32124)
+    assert(AudioCodec.ulawToLinear(0x80) == 32124)
+    assert(AudioCodec.ulawToLinear(0x7F) == -0) // smallest negative step
+    // μ-law codes with/without sign bit expand to mirrored magnitudes
+    for (c <- 0 until 128)
+      assert(AudioCodec.ulawToLinear(c) == -AudioCodec.ulawToLinear(c | 0x80))
+    // A-law (same scale): 0x55 (after the XOR mask → 0) is the smallest
+    // negative step, 0x2A/0xAA the extremes (±504<<6 = ±32256)
+    assert(AudioCodec.alawToLinear(0x55) == -8)
+    assert(AudioCodec.alawToLinear(0xD5) == 8)
+    assert(AudioCodec.alawToLinear(0x2A) == -32256)
+    assert(AudioCodec.alawToLinear(0xAA) == 32256)
+    for (c <- 0 until 128)
+      assert(AudioCodec.alawToLinear(c) == -AudioCodec.alawToLinear(c | 0x80))
+    // both expansions are monotone in magnitude within a segment
+    for (seg <- 0 until 8; m <- 0 until 15) {
+      val a = (seg << 4) | m
+      assert(AudioCodec.ulawToLinear(a | 0x80) > AudioCodec.ulawToLinear((a + 1) | 0x80))
+    }
+  }
+
+  test("G.711 synth → stats matches Scala-side expansion; decimation preserves encoding") {
+    for ((id, text) <- Seq((0L, "ulaw mono"), (1L, "alaw mono"),
+        (2L, "ulaw stereo!"), (3L, "alaw stereo"), (-6L, "negative ulaw"))) {
+      val u = UTF8String.fromString(text)
+      val n = u.numBytes
+      val nf = n % 241 + 20
+      val m4 = java.lang.Math.floorMod(id, 4L).toInt
+      val ch = m4 / 2 + 1
+      val ulaw = java.lang.Math.floorMod(id, 2L) == 0L
+      val wav = AudioCodec.synthWavG711(id, u)
+      val m = meta(wav).get
+      assert(m.getUTF8String(0).toString == (if (ulaw) "ulaw" else "alaw"))
+      assert(m.getInt(1) == ch && m.getLong(3) == nf)
+      val st = stats(wav).get
+      def expand(code: Int) =
+        if (ulaw) AudioCodec.ulawToLinear(code) else AudioCodec.alawToLinear(code)
+      var sl = 0L; var sr = 0L; var peak = 0L
+      for (i <- 0 until nf; c <- 0 until ch) {
+        val code = java.lang.Math.floorMod(
+          i.toLong * (7 + 2 * c) + id * (3 + c), 256L).toInt
+        val v = expand(code)
+        if (c == 0) sl += v else sr += v
+        peak = peak.max(math.abs(v))
+      }
+      assert(st.getLong(3) == sl, s"id=$id")
+      if (ch == 2) assert(st.getLong(4) == sr) else assert(st.isNullAt(4))
+      assert(st.getInt(5) == peak)
+      // decimation: every 2nd frame, SAME companded encoding out
+      val half = AudioCodec.frameSampleInternal(wav, 2)
+      val hm = meta(half).get
+      assert(hm.getUTF8String(0).toString == (if (ulaw) "ulaw" else "alaw"))
+      assert(hm.getLong(3) == (nf + 1) / 2)
+      var sl2 = 0L
+      for (j <- 0 until (nf + 1) / 2)
+        sl2 += expand(java.lang.Math.floorMod(j.toLong * 2 * 7 + id * 3, 256L).toInt)
+      assert(stats(half).get.getLong(3) == sl2)
+    }
+  }
+
   test("malformed WAV: truncations, corruptions, random bytes never throw") {
     val rnd = new scala.util.Random(99)
     val valid = AudioCodec.synthWav(3L, UTF8String.fromString("fuzz wav"))
