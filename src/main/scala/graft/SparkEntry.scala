@@ -914,6 +914,36 @@ object SparkEntry {
             .as("n_frames"))
     }),
 
+    // ---- composite multimodal pipeline: route mixed binary payloads
+    //      by sniffed magic, then aggregate per modality — the
+    //      multimodal twin of pipeline_corpus (one groupBy over four
+    //      keys; decode stays in the map side) ----
+    "pipeline_multimodal" -> ((s, dir) => {
+      import graft.functions.{AudioCodec, ImageCodec, VideoCodec}
+      val m = pmod(col("doc_id"), lit(4))
+      val payload = when(m === 0,
+          ImageCodec.image_synth_png(col("doc_id"), col("text")))
+        .when(m === 1, AudioCodec.audio_synth_wav(col("doc_id"), col("text")))
+        .when(m === 2, VideoCodec.video_synth_avi(col("doc_id"), col("text")))
+        .otherwise(ImageCodec.image_synth_jpeg420(col("doc_id"), col("text")))
+      t(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          ImageCodec.image_meta(col("payload")).as("im"),
+          AudioCodec.audio_meta(col("payload")).as("am"),
+          VideoCodec.video_meta(col("payload")).as("vm"))
+        .select(
+          coalesce(col("im.format"), col("am.format"), col("vm.format"))
+            .as("kind"),
+          coalesce(col("am.n_frames"), col("vm.n_frames"), lit(1L))
+            .as("n_frames"),
+          coalesce(col("am.duration_us"), col("vm.duration_us"), lit(0L))
+            .as("duration_us"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_frames")).as("total_frames"),
+          sum(col("duration_us")).as("total_duration_us"))
+    }),
+
     // ---- composite corpus-curation pipeline: quality → lang → dedup →
     //      per-source stats (the flagship training-data flow) ----
     "pipeline_corpus" -> ((s, dir) => {
@@ -2388,6 +2418,34 @@ object SparkEntry {
         |  CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN n % 241 + 20
         |    WHEN 2 THEN n % 17 + 2 ELSE 1 END AS BIGINT) AS n_frames
         |FROM base""".stripMargin,
+    // the multimodal pipeline aggregate: counts/frames/durations per
+    // routed kind, all derivable from the synth rules (wav duration =
+    // frames*1e6 // rate with rate by id%4; avi = frames * us_per_frame)
+    "pipeline_multimodal" ->
+      """WITH base AS (
+        |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS m,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        | rows_ AS (
+        |  SELECT
+        |   CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'pcm16' WHEN 2 THEN 'avi'
+        |     ELSE 'jpeg' END AS kind,
+        |   CASE m WHEN 1 THEN n % 241 + 20 WHEN 2 THEN n % 17 + 2
+        |     ELSE 1 END AS n_frames,
+        |   CASE m
+        |    WHEN 1 THEN ((n % 241 + 20) * 1000000) //
+        |      (CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |        WHEN 2 THEN 22050 ELSE 44100 END)
+        |    WHEN 2 THEN (n % 17 + 2) *
+        |      (CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 33333 WHEN 1 THEN 40000
+        |        WHEN 2 THEN 16667 ELSE 20000 END)
+        |    ELSE 0 END AS duration_us
+        |  FROM base)
+        |SELECT kind,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        |  CAST(sum(duration_us) AS BIGINT) AS total_duration_us
+        |FROM rows_ GROUP BY kind""".stripMargin,
     // mirrors AudioCodec.synthWav: sample (i, c) =
     // floorMod(i*(7+2c) + id*(3+c), 65536) - 32768; frames from the
     // text's byte length, channels/rate cycle by doc_id. The Spark side
