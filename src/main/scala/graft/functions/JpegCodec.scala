@@ -11,11 +11,12 @@ package graft.functions
   * bit-for-bit. All byte layouts are public (ITU-T T.81; JFIF 1.02).
   *
   * Scope: sequential baseline (SOF0), 8-bit samples, 1 component
-  * (grayscale) or 3 components (YCbCr) with NO chroma subsampling
-  * (all sampling factors 1×1 — "4:4:4"). Progressive, subsampled,
-  * arithmetic-coded, and 12-bit streams return null — robustness, not
-  * a crash; the header path ([[ImageCodec.decodeMetaInternal]]) still
-  * reports their dimensions.
+  * (grayscale) or 3 components (YCbCr) with any sampling-factor mix
+  * in {1,2}² — 4:4:4, 4:2:2, 4:2:0, 4:4:0; subsampled chroma is
+  * replicate-upsampled. Progressive, arithmetic-coded, 12-bit, and
+  * factor-4 streams return null — robustness, not a crash; the header
+  * path ([[ImageCodec.decodeMetaInternal]]) still reports their
+  * dimensions.
   *
   * Exactness: JPEG is lossy in general, but a block-constant image
   * (every 8×8 block one value) survives the DCT→quantize→IDCT
