@@ -748,6 +748,21 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // ---- multimodal: Adam7-INTERLACED PNG — seven-pass wire layout
+    //      with per-pass scanline filtering, dims down to 1×1 (empty
+    //      passes). Interlacing only reorders scanlines, so the oracle
+    //      is the same per-pixel affine rule as mm_png_pixel_stats ----
+    "mm_png_interlaced" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_synth_png_i7(col("doc_id"), col("text"))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"), col("st.sum_a").as("sum_a"))
+    }),
+
     // ---- multimodal: PALETTE PNG decode — a real PLTE-backed color
     //      type 3 image (indices AND palette both affine in the
     //      inputs), decoded through inflate + unfilter + palette
@@ -2374,6 +2389,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN gray THEN v0 ELSE v1 END) AS BIGINT) AS sum_g,
         |  CAST(sum(CASE WHEN gray THEN v0 ELSE v2 END) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id""".stripMargin,
+    // mirrors ImageCodec.synthPngInterlaced: identical value rule to
+    // mm_png_pixel_stats (Adam7 only reorders the wire), tiny dims
+    "mm_png_interlaced" ->
+      """WITH dims AS (
+        |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS cti,
+        |         octet_length(encode(text)) % 27 + 1 AS w,
+        |         octet_length(encode(text)) % 21 + 1 AS h
+        |  FROM documents),
+        | vals AS (
+        |  SELECT d.doc_id, d.cti, d.w, d.h,
+        |         ((xs.x*3 + ys.y*5 + d.doc_id) % 256 + 256) % 256 AS v0,
+        |         ((xs.x*5 + ys.y*7 + d.doc_id*2) % 256 + 256) % 256 AS v1,
+        |         ((xs.x*7 + ys.y*9 + d.doc_id*3) % 256 + 256) % 256 AS v2,
+        |         ((xs.x*9 + ys.y*11 + d.doc_id*4) % 256 + 256) % 256 AS v3
+        |  FROM dims d, range(27) xs(x), range(21) ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(v0) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN cti IN (0, 2) THEN v0 ELSE v1 END) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(sum(CASE WHEN cti IN (0, 2) THEN v0 ELSE v2 END) AS BIGINT)
+        |    AS sum_b,
+        |  CAST(CASE WHEN max(cti) = 2 THEN sum(v1)
+        |            WHEN max(cti) = 3 THEN sum(v3) END AS BIGINT) AS sum_a
+        |FROM vals GROUP BY doc_id""".stripMargin,
     "mm_png_resize" ->
       """WITH dims AS (
         |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS cti,

@@ -142,6 +142,28 @@ case class ImageSynthPng(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `(id, utf8 content) → real Adam7-INTERLACED PNG` — same pixel rule
+  * as [[ImageSynthPng]] carried through the seven-pass wire layout
+  * (per-pass scanline filtering, empty passes at tiny dims). */
+case class ImageSynthPngI7(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth_png_i7"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    ImageCodec.synthPngInterlaced(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.ImageCodec.synthPngInterlaced($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynthPngI7 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `(id, utf8 content) → real palette PNG (color type 3)` — the
   * indexed-color twin of [[ImageSynthPng]]: a PLTE-backed image whose
   * palette entries AND pixel indices are fixed affine functions of the
@@ -411,13 +433,28 @@ object ImageCodec {
       case 3 => 1 // palette: one index byte per pixel; expanded via PLTE below
       case _ => return null
     }
-    if ((b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0 || (b(28) & 0xFF) != 0)
-      return null // compression/filter method, interlace: only 0 defined
+    if ((b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0)
+      return null // compression/filter method: only 0 defined
+    val interlace = b(28) & 0xFF
+    if (interlace != 0 && interlace != 1) return null // 0 = none, 1 = Adam7
     val width = w.toInt; val height = h.toInt
     val bps = bitDepth / 8 // bytes per sample
     val rowBytes = width.toLong * ch * bps
-    val rawLen = (rowBytes + 1) * height // +1 filter byte per scanline
-    if (rawLen > MAX_SAMPLES) return null
+    // expected inflated size: one filter byte per scanline; Adam7
+    // scanlines are per-PASS rows (empty passes contribute nothing)
+    val rawLen =
+      if (interlace == 0) (rowBytes + 1) * height
+      else {
+        var total = 0L
+        var p = 0
+        while (p < 7) {
+          val (pw, ph) = adam7Dims(width, height, p)
+          if (pw > 0 && ph > 0) total += (pw.toLong * ch * bps + 1) * ph
+          p += 1
+        }
+        total
+      }
+    if (rawLen <= 0 || rawLen > MAX_SAMPLES) return null
     if (colorType == 3 && width.toLong * height * 3 > MAX_SAMPLES) return null
 
     // chunk walk: concatenate every IDAT payload (CRC-verified), grab
@@ -471,52 +508,39 @@ object ImageCodec {
 
     // unfilter (RFC 2083 §6.1): byte-wise with bpp = whole bytes per
     // pixel — the same code serves depth 8 and 16 (filters operate on
-    // bytes regardless of sample width)
+    // bytes regardless of sample width), and each Adam7 pass is its own
+    // filter context (prior row = previous row OF THE PASS)
     val stride = rowBytes.toInt
     val out = new Array[Byte](stride * height)
     val bpp = ch * bps
-    var y = 0
-    while (y < height) {
-      val filter = raw(y * (stride + 1)) & 0xFF
-      val src = y * (stride + 1) + 1
-      val dst = y * stride
-      val prior = dst - stride
-      filter match {
-        case 0 => System.arraycopy(raw, src, out, dst, stride)
-        case 1 => // Sub
-          var x = 0
-          while (x < stride) {
-            val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
-            out(dst + x) = ((raw(src + x) & 0xFF) + left).toByte
-            x += 1
+    if (interlace == 0) {
+      if (!unfilterRows(raw, 0, out, stride, height, bpp)) return null
+    } else {
+      var rawOff = 0
+      var p = 0
+      while (p < 7) {
+        val (pw, ph) = adam7Dims(width, height, p)
+        if (pw > 0 && ph > 0) {
+          val passStride = pw * bpp
+          val pass = new Array[Byte](passStride * ph)
+          if (!unfilterRows(raw, rawOff, pass, passStride, ph, bpp)) return null
+          rawOff += (passStride + 1) * ph
+          // scatter pass pixels to their Adam7 positions
+          val (x0, y0, dx, dy) = ADAM7(p)
+          var j = 0
+          while (j < ph) {
+            val fy = y0 + j * dy
+            var i = 0
+            while (i < pw) {
+              System.arraycopy(pass, (j * pw + i) * bpp,
+                out, (fy * width + x0 + i * dx) * bpp, bpp)
+              i += 1
+            }
+            j += 1
           }
-        case 2 => // Up
-          var x = 0
-          while (x < stride) {
-            val up = if (y > 0) out(prior + x) & 0xFF else 0
-            out(dst + x) = ((raw(src + x) & 0xFF) + up).toByte
-            x += 1
-          }
-        case 3 => // Average
-          var x = 0
-          while (x < stride) {
-            val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
-            val up = if (y > 0) out(prior + x) & 0xFF else 0
-            out(dst + x) = ((raw(src + x) & 0xFF) + ((left + up) >> 1)).toByte
-            x += 1
-          }
-        case 4 => // Paeth
-          var x = 0
-          while (x < stride) {
-            val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
-            val up = if (y > 0) out(prior + x) & 0xFF else 0
-            val ul = if (y > 0 && x >= bpp) out(prior + x - bpp) & 0xFF else 0
-            out(dst + x) = ((raw(src + x) & 0xFF) + paeth(left, up, ul)).toByte
-            x += 1
-          }
-        case _ => return null
+        }
+        p += 1
       }
-      y += 1
     }
     if (colorType == 3) {
       // expand palette indices to RGB; an index past the palette end is
@@ -537,6 +561,69 @@ object ImageCodec {
     new PngImage(width, height, ch, colorType, out, bitDepth)
   }
 
+  /** Adam7 pass table: (x0, y0, dx, dy) per pass (RFC 2083 §2.6). */
+  private val ADAM7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Pixel dims of Adam7 pass `p` for a w×h image (0 when empty). */
+  private def adam7Dims(w: Int, h: Int, p: Int): (Int, Int) = {
+    val (x0, y0, dx, dy) = ADAM7(p)
+    (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
+  }
+
+  /** Unfilter `nRows` contiguous scanlines (each `1 + rowBytes` in
+    * `raw` starting at `rawOff`) into `out` (stride `rowBytes`).
+    * False on an undefined filter type or short input. */
+  private def unfilterRows(raw: Array[Byte], rawOff: Int, out: Array[Byte],
+      rowBytes: Int, nRows: Int, bpp: Int): Boolean = {
+    if (rawOff + (rowBytes + 1).toLong * nRows > raw.length) return false
+    var y = 0
+    while (y < nRows) {
+      val filter = raw(rawOff + y * (rowBytes + 1)) & 0xFF
+      val src = rawOff + y * (rowBytes + 1) + 1
+      val dst = y * rowBytes
+      val prior = dst - rowBytes
+      filter match {
+        case 0 => System.arraycopy(raw, src, out, dst, rowBytes)
+        case 1 => // Sub
+          var x = 0
+          while (x < rowBytes) {
+            val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+            out(dst + x) = ((raw(src + x) & 0xFF) + left).toByte
+            x += 1
+          }
+        case 2 => // Up
+          var x = 0
+          while (x < rowBytes) {
+            val up = if (y > 0) out(prior + x) & 0xFF else 0
+            out(dst + x) = ((raw(src + x) & 0xFF) + up).toByte
+            x += 1
+          }
+        case 3 => // Average
+          var x = 0
+          while (x < rowBytes) {
+            val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+            val up = if (y > 0) out(prior + x) & 0xFF else 0
+            out(dst + x) = ((raw(src + x) & 0xFF) + ((left + up) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          var x = 0
+          while (x < rowBytes) {
+            val left = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
+            val up = if (y > 0) out(prior + x) & 0xFF else 0
+            val ul = if (y > 0 && x >= bpp) out(prior + x - bpp) & 0xFF else 0
+            out(dst + x) = ((raw(src + x) & 0xFF) + paeth(left, up, ul)).toByte
+            x += 1
+          }
+        case _ => return false
+      }
+      y += 1
+    }
+    true
+  }
+
   /** Paeth predictor (RFC 2083 §6.6) — exact integer form. */
   private def paeth(a: Int, bUp: Int, c: Int): Int = {
     val p = a + bUp - c
@@ -550,34 +637,21 @@ object ImageCodec {
     * production re-encode (resize output) uses filter 0. The
     * compressed stream is split across two IDAT chunks when it is
     * long enough, so multi-IDAT concatenation stays a tested path. */
-  def encodePng(width: Int, height: Int, colorType: Int,
-      samples: Array[Byte], filterOf: Int => Int,
-      palette: Array[Byte] = null, bitDepth: Int = 8): Array[Byte] = {
-    require(bitDepth == 8 || bitDepth == 16, s"bitDepth $bitDepth")
-    val ch = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case 3 =>
-        require(palette != null && palette.length > 0 &&
-          palette.length % 3 == 0 && palette.length <= 768,
-          "colorType 3 needs a 1-256 entry RGB palette")
-        require(bitDepth == 8, "palette is 8-bit only here")
-        1 // samples are palette indices
-      case _ => throw new IllegalArgumentException(s"colorType $colorType")
-    }
-    val bps = bitDepth / 8
-    val stride = width * ch * bps
-    require(samples.length == stride * height, "sample length mismatch")
-    val bpp = ch * bps
-    val raw = new Array[Byte]((stride + 1) * height)
+  /** Filter `nRows` contiguous rows of `samples` (stride `rowBytes`)
+    * into filter-byte-prefixed scanlines; `filterOfRow` picks the
+    * per-row filter type (floor-modded into 0-4). */
+  private def filterRows(samples: Array[Byte], rowBytes: Int, nRows: Int,
+      bpp: Int, filterOfRow: Int => Int): Array[Byte] = {
+    val raw = new Array[Byte]((rowBytes + 1) * nRows)
     var y = 0
-    while (y < height) {
-      val f = java.lang.Math.floorMod(filterOf(y), 5)
-      raw(y * (stride + 1)) = f.toByte
-      val src = y * stride
-      val dst = y * (stride + 1) + 1
-      val prior = src - stride
+    while (y < nRows) {
+      val f = java.lang.Math.floorMod(filterOfRow(y), 5)
+      raw(y * (rowBytes + 1)) = f.toByte
+      val src = y * rowBytes
+      val dst = y * (rowBytes + 1) + 1
+      val prior = src - rowBytes
       var x = 0
-      while (x < stride) {
+      while (x < rowBytes) {
         val cur = samples(src + x) & 0xFF
         val left = if (x >= bpp) samples(src + x - bpp) & 0xFF else 0
         val up = if (y > 0) samples(prior + x) & 0xFF else 0
@@ -594,6 +668,59 @@ object ImageCodec {
       }
       y += 1
     }
+    raw
+  }
+
+  def encodePng(width: Int, height: Int, colorType: Int,
+      samples: Array[Byte], filterOf: Int => Int,
+      palette: Array[Byte] = null, bitDepth: Int = 8,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(bitDepth == 8 || bitDepth == 16, s"bitDepth $bitDepth")
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case 3 =>
+        require(palette != null && palette.length > 0 &&
+          palette.length % 3 == 0 && palette.length <= 768,
+          "colorType 3 needs a 1-256 entry RGB palette")
+        require(bitDepth == 8, "palette is 8-bit only here")
+        1 // samples are palette indices
+      case _ => throw new IllegalArgumentException(s"colorType $colorType")
+    }
+    val bps = bitDepth / 8
+    val stride = width * ch * bps
+    require(samples.length == stride * height, "sample length mismatch")
+    val bpp = ch * bps
+    val raw: Array[Byte] =
+      if (!interlaced) filterRows(samples, stride, height, bpp, filterOf)
+      else {
+        // Adam7: gather each pass's pixels contiguous, filter the pass
+        // as its own sub-image (filter type keyed by the FINAL row so
+        // decode coverage still cycles), concatenate in pass order
+        val buf = new java.io.ByteArrayOutputStream()
+        var p = 0
+        while (p < 7) {
+          val (pw, ph) = adam7Dims(width, height, p)
+          if (pw > 0 && ph > 0) {
+            val (x0, y0, dx, dy) = ADAM7(p)
+            val pass = new Array[Byte](pw * ph * bpp)
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                System.arraycopy(samples,
+                  ((y0 + j * dy) * width + x0 + i * dx) * bpp,
+                  pass, (j * pw + i) * bpp, bpp)
+                i += 1
+              }
+              j += 1
+            }
+            buf.write(filterRows(pass, pw * bpp, ph, bpp,
+              j => filterOf(y0 + j * dy)))
+          }
+          p += 1
+        }
+        buf.toByteArray
+      }
     // zlib deflate (Deflater default = zlib wrapper, per RFC 1950)
     val def_ = new java.util.zip.Deflater()
     val comp = try {
@@ -618,7 +745,8 @@ object ImageCodec {
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
       .put(bitDepth.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(0.toByte).put(0.toByte)
+      .put((if (interlaced) 1 else 0).toByte).array()
     val idats =
       if (comp.length >= 32) {
         val mid = comp.length / 2
@@ -1032,8 +1160,43 @@ object ImageCodec {
       yy => java.lang.Math.floorMod(yy + id, 5L).toInt, plte)
   }
 
+  /** The Adam7-INTERLACED twin of [[synthPngPixels]] — same per-pixel
+    * affine value rule (interlacing only reorders scanlines on the
+    * wire, so the `mm_png_interlaced` oracle is the same formula), but
+    * dims go down to 1×1 so EMPTY passes stay exercised. */
+  def synthPngInterlaced(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val w = n % 27 + 1
+    val h = n % 21 + 1
+    val ct = Array(0, 2, 4, 6)(java.lang.Math.floorMod(id, 4L).toInt)
+    val ch = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+    val samples = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          samples((y * w + x) * ch + c) = java.lang.Math.floorMod(
+            x.toLong * (3 + 2 * c) + y.toLong * (5 + 2 * c) + id * (c + 1),
+            256L).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(w, h, ct, samples,
+      yy => java.lang.Math.floorMod(yy + id, 5L).toInt, null, 8,
+      interlaced = true)
+  }
+
   def image_synth_png(id: Column, text: Column): Column =
     GraftSqlBridge.column(ImageSynthPng(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def image_synth_png_i7(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynthPngI7(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
   /** Deterministic 16-BIT PNG (gray or RGB by id parity) the

@@ -33,6 +33,38 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlaced PNG: random dims (incl. sub-8) round-trip to the same pixels") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 50) {
+      val w = 1 + rnd.nextInt(36)
+      val h = 1 + rnd.nextInt(28)
+      val ct = Seq(0, 2, 4, 6)(rnd.nextInt(4))
+      val depth = if (rnd.nextBoolean()) 8 else 16
+      val ch = ct match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+      val samples = Array.fill(w * h * ch * (depth / 8))(rnd.nextInt(256).toByte)
+      val filters = Array.tabulate(math.max(h, 1))(_ => rnd.nextInt(5))
+      val i7 = ImageCodec.encodePng(w, h, ct, samples,
+        y => filters(y % filters.length), null, depth, interlaced = true)
+      val dec = ImageCodec.decodePngPixels(i7)
+      assert(dec != null, s"trial $trial ${w}x$h ct=$ct depth=$depth")
+      assert(java.util.Arrays.equals(dec.samples, samples),
+        s"trial $trial ${w}x$h ct=$ct depth=$depth")
+      // and the interlaced wire decodes to the SAME pixels as the
+      // plain wire — interlacing is transport, not content
+      val plain = ImageCodec.decodePngPixels(ImageCodec.encodePng(
+        w, h, ct, samples, _ => 0, null, depth))
+      assert(java.util.Arrays.equals(dec.samples, plain.samples))
+      // meta path reports the same header regardless of interlace
+      val m = ImageCodec.decodeMetaInternal(i7)
+      assert(m.getInt(1) == w && m.getInt(2) == h)
+    }
+    // 1×1: only pass 1 carries the pixel; every other pass is empty
+    val one = ImageCodec.encodePng(1, 1, 0, Array(42.toByte), _ => 4,
+      null, 8, interlaced = true)
+    val d1 = ImageCodec.decodePngPixels(one)
+    assert(d1 != null && d1.samples(0) == 42.toByte)
+  }
+
   test("PNG palette: random palettes and index maps expand exactly") {
     val rnd = new scala.util.Random(7777)
     for (trial <- 0 until 30) {
