@@ -73,6 +73,7 @@ object ExplainCheck {
     audit("mm_png_pixel_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_png_palette", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_png_interlaced", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_png_tiny", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_png_deep", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_jpeg_pixel_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_jpeg_420", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -107,6 +107,12 @@ object GraftExtensions {
         case Seq(id, text) => ImageSynthPng(id, text)
         case _ => throw new IllegalArgumentException(
           "image_synth_png expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_synth_png_tiny",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthPngTiny(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_png_tiny expects (bigint, string)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("image_synth_png_i7",
       (args: Seq[Expression]) => args match {
@@ -288,6 +294,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(id, text) => ImageSynthPngI7(id, text)
         case _ => throw new IllegalArgumentException(
           "image_synth_png_i7 expects (bigint, string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("image_synth_png_tiny"),
+      info("image_synth_png_tiny",
+        "image_synth_png_tiny(bigint, string) - deterministic real 1/2/4-bit gray PNG"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthPngTiny(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_png_tiny expects (bigint, string)")
       }))
     ext.injectFunction((
       FunctionIdentifier("image_synth_png_pal"),

@@ -763,6 +763,20 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"), col("st.sum_a").as("sum_a"))
     }),
 
+    // ---- multimodal: SUB-BYTE PNG (depths 1/2/4) — MSB-first bit
+    //      unpacking after the byte-wise unfilter, Adam7 on even ids,
+    //      sums over the NATIVE code range (0..2^depth−1) ----
+    "mm_png_tiny" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_synth_png_tiny(col("doc_id"), col("text"))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- multimodal: PALETTE PNG decode — a real PLTE-backed color
     //      type 3 image (indices AND palette both affine in the
     //      inputs), decoded through inflate + unfilter + palette
@@ -2341,6 +2355,29 @@ object SparkEntry {
         |  CAST(sum(greatest(0, least(255,
         |    CAST(floor(yv + 1.772e0*cb + 0.5e0) AS BIGINT)))) AS BIGINT) AS sum_b
         |FROM blocks GROUP BY doc_id""".stripMargin,
+    // mirrors ImageCodec.synthPngTiny: gray code value
+    // floorMod(x*3 + y*5 + id, 2^depth), depth cycling 1/2/4 by id
+    "mm_png_tiny" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 2 WHEN 1 THEN 4
+        |           ELSE 16 END AS maxv,
+        |         octet_length(encode(text)) % 33 + 1 AS w,
+        |         octet_length(encode(text)) % 19 + 1 AS h
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.w, d.h,
+        |    ((xs.x*3 + ys.y*5 + d.doc_id) % d.maxv + d.maxv) % d.maxv AS v
+        |  FROM dims d, range(33) xs(x), range(19) ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS sum_r,
+        |  CAST(sum(v) AS BIGINT) AS sum_g,
+        |  CAST(sum(v) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id""".stripMargin,
     // mirrors ImageCodec.synthPngPalette: pixel (x, y) holds palette
     // index floorMod(x*3 + y*5 + id, ps) with ps = floorMod(id,15)+2;
     // entry e expands to r = (e*5 + id*7) mod 256, g = (e*11 + id*3)

@@ -164,6 +164,29 @@ case class ImageSynthPngI7(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `(id, utf8 content) → real SUB-BYTE gray PNG (depth 1/2/4)` — raw
+  * code values affine mod 2^depth, MSB-first bit packing, Adam7 on
+  * even ids, so both bit-depth unpacking and the interlace interact
+  * under oracle check. */
+case class ImageSynthPngTiny(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth_png_tiny"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    ImageCodec.synthPngTiny(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.ImageCodec.synthPngTiny($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynthPngTiny =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `(id, utf8 content) → real palette PNG (color type 3)` — the
   * indexed-color twin of [[ImageSynthPng]]: a PLTE-backed image whose
   * palette entries AND pixel indices are fixed affine functions of the
@@ -426,20 +449,26 @@ object ImageCodec {
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return null
     val bitDepth = b(24) & 0xFF
     val colorType = b(25) & 0xFF
-    if (bitDepth != 8 && bitDepth != 16) return null
-    if (colorType == 3 && bitDepth != 8) return null // RFC 2083 §2: palette ≤ 8
+    // RFC 2083 §2: gray allows 1/2/4/8/16, palette 1/2/4/8, the rest 8/16
+    val depthOk = colorType match {
+      case 0 => Seq(1, 2, 4, 8, 16).contains(bitDepth)
+      case 3 => Seq(1, 2, 4, 8).contains(bitDepth)
+      case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+      case _ => false
+    }
+    if (!depthOk) return null
     val ch = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case 3 => 1 // palette: one index byte per pixel; expanded via PLTE below
-      case _ => return null
+      case _ => 1 // palette: one index per pixel; expanded via PLTE below
     }
     if ((b(26) & 0xFF) != 0 || (b(27) & 0xFF) != 0)
       return null // compression/filter method: only 0 defined
     val interlace = b(28) & 0xFF
     if (interlace != 0 && interlace != 1) return null // 0 = none, 1 = Adam7
     val width = w.toInt; val height = h.toInt
-    val bps = bitDepth / 8 // bytes per sample
-    val rowBytes = width.toLong * ch * bps
+    val bps = math.max(1, bitDepth / 8) // bytes per UNPACKED sample
+    def packedRow(px: Int): Long = (px.toLong * ch * bitDepth + 7) / 8
+    val rowBytes = packedRow(width)
     // expected inflated size: one filter byte per scanline; Adam7
     // scanlines are per-PASS rows (empty passes contribute nothing)
     val rawLen =
@@ -449,12 +478,13 @@ object ImageCodec {
         var p = 0
         while (p < 7) {
           val (pw, ph) = adam7Dims(width, height, p)
-          if (pw > 0 && ph > 0) total += (pw.toLong * ch * bps + 1) * ph
+          if (pw > 0 && ph > 0) total += (packedRow(pw) + 1) * ph
           p += 1
         }
         total
       }
     if (rawLen <= 0 || rawLen > MAX_SAMPLES) return null
+    if (width.toLong * height * ch * bps > MAX_SAMPLES) return null
     if (colorType == 3 && width.toLong * height * 3 > MAX_SAMPLES) return null
 
     // chunk walk: concatenate every IDAT payload (CRC-verified), grab
@@ -507,24 +537,34 @@ object ImageCodec {
     } finally inf.end()
 
     // unfilter (RFC 2083 §6.1): byte-wise with bpp = whole bytes per
-    // pixel — the same code serves depth 8 and 16 (filters operate on
-    // bytes regardless of sample width), and each Adam7 pass is its own
-    // filter context (prior row = previous row OF THE PASS)
-    val stride = rowBytes.toInt
-    val out = new Array[Byte](stride * height)
-    val bpp = ch * bps
+    // pixel (min 1 — sub-byte depths filter on packed bytes) — the
+    // same code serves every depth, and each Adam7 pass is its own
+    // filter context (prior row = previous row OF THE PASS). Sub-byte
+    // rows unpack to one RAW code byte per sample after unfiltering.
+    val bpp = math.max(1, ch * bitDepth / 8)
+    val sampleBytes = ch * bps // unpacked bytes per pixel
+    var out: Array[Byte] = null
     if (interlace == 0) {
-      if (!unfilterRows(raw, 0, out, stride, height, bpp)) return null
+      val stride = rowBytes.toInt
+      val packed = new Array[Byte](stride * height)
+      if (!unfilterRows(raw, 0, packed, stride, height, bpp)) return null
+      out =
+        if (bitDepth >= 8) packed
+        else unpackRows(packed, stride, height, width, bitDepth)
     } else {
+      out = new Array[Byte](width * height * sampleBytes)
       var rawOff = 0
       var p = 0
       while (p < 7) {
         val (pw, ph) = adam7Dims(width, height, p)
         if (pw > 0 && ph > 0) {
-          val passStride = pw * bpp
-          val pass = new Array[Byte](passStride * ph)
-          if (!unfilterRows(raw, rawOff, pass, passStride, ph, bpp)) return null
+          val passStride = packedRow(pw).toInt
+          val packed = new Array[Byte](passStride * ph)
+          if (!unfilterRows(raw, rawOff, packed, passStride, ph, bpp)) return null
           rawOff += (passStride + 1) * ph
+          val pass =
+            if (bitDepth >= 8) packed
+            else unpackRows(packed, passStride, ph, pw, bitDepth)
           // scatter pass pixels to their Adam7 positions
           val (x0, y0, dx, dy) = ADAM7(p)
           var j = 0
@@ -532,8 +572,8 @@ object ImageCodec {
             val fy = y0 + j * dy
             var i = 0
             while (i < pw) {
-              System.arraycopy(pass, (j * pw + i) * bpp,
-                out, (fy * width + x0 + i * dx) * bpp, bpp)
+              System.arraycopy(pass, (j * pw + i) * sampleBytes,
+                out, (fy * width + x0 + i * dx) * sampleBytes, sampleBytes)
               i += 1
             }
             j += 1
@@ -624,6 +664,52 @@ object ImageCodec {
     true
   }
 
+  /** Unpack `nRows` rows of MSB-first `depth`-bit samples (depth 1, 2
+    * or 4; `rowBytes` packed bytes per row) into one byte per sample
+    * carrying the RAW code value (0..2^depth−1 — native-range
+    * semantics, same contract as the 16-bit path's 0..65535 sums). */
+  private def unpackRows(packed: Array[Byte], rowBytes: Int, nRows: Int,
+      widthPx: Int, depth: Int): Array[Byte] = {
+    val out = new Array[Byte](widthPx * nRows)
+    val perByte = 8 / depth
+    val mask = (1 << depth) - 1
+    var y = 0
+    while (y < nRows) {
+      var x = 0
+      while (x < widthPx) {
+        val b = packed(y * rowBytes + x / perByte) & 0xFF
+        val shift = 8 - depth * (x % perByte + 1)
+        out(y * widthPx + x) = ((b >> shift) & mask).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Pack one-byte-per-sample raw values into MSB-first `depth`-bit
+    * rows (the inverse of [[unpackRows]]); values must fit the depth. */
+  private def packRows(samples: Array[Byte], widthPx: Int, nRows: Int,
+      depth: Int): Array[Byte] = {
+    val rowBytes = (widthPx * depth + 7) / 8
+    val out = new Array[Byte](rowBytes * nRows)
+    val perByte = 8 / depth
+    var y = 0
+    while (y < nRows) {
+      var x = 0
+      while (x < widthPx) {
+        val v = samples(y * widthPx + x) & 0xFF
+        require(v < (1 << depth), s"value $v exceeds $depth-bit depth")
+        val shift = 8 - depth * (x % perByte + 1)
+        val idx = y * rowBytes + x / perByte
+        out(idx) = (out(idx) | (v << shift)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Paeth predictor (RFC 2083 §6.6) — exact integer form. */
   private def paeth(a: Int, bUp: Int, c: Int): Int = {
     val p = a + bUp - c
@@ -675,47 +761,56 @@ object ImageCodec {
       samples: Array[Byte], filterOf: Int => Int,
       palette: Array[Byte] = null, bitDepth: Int = 8,
       interlaced: Boolean = false): Array[Byte] = {
-    require(bitDepth == 8 || bitDepth == 16, s"bitDepth $bitDepth")
+    val subByteOk = (colorType == 0 || colorType == 3) &&
+      (bitDepth == 1 || bitDepth == 2 || bitDepth == 4)
+    require(bitDepth == 8 || bitDepth == 16 || subByteOk, s"bitDepth $bitDepth")
     val ch = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case 3 =>
         require(palette != null && palette.length > 0 &&
           palette.length % 3 == 0 && palette.length <= 768,
           "colorType 3 needs a 1-256 entry RGB palette")
-        require(bitDepth == 8, "palette is 8-bit only here")
         1 // samples are palette indices
       case _ => throw new IllegalArgumentException(s"colorType $colorType")
     }
-    val bps = bitDepth / 8
-    val stride = width * ch * bps
+    val bps = math.max(1, bitDepth / 8)
+    val stride = width * ch * bps // UNPACKED stride (1 byte per raw sample)
     require(samples.length == stride * height, "sample length mismatch")
-    val bpp = ch * bps
+    val bpp = math.max(1, ch * bitDepth / 8)
+    // sub-byte depths pack raw sample bytes into bit rows BEFORE the
+    // filter pass (filters operate on the packed bytes, bpp = 1)
+    def packIfSub(px: Array[Byte], widthPx: Int, nRows: Int): Array[Byte] =
+      if (bitDepth >= 8) px else packRows(px, widthPx, nRows, bitDepth)
+    def packedRowB(px: Int): Int = ((px.toLong * ch * bitDepth + 7) / 8).toInt
     val raw: Array[Byte] =
-      if (!interlaced) filterRows(samples, stride, height, bpp, filterOf)
+      if (!interlaced)
+        filterRows(packIfSub(samples, width, height),
+          packedRowB(width), height, bpp, filterOf)
       else {
         // Adam7: gather each pass's pixels contiguous, filter the pass
         // as its own sub-image (filter type keyed by the FINAL row so
         // decode coverage still cycles), concatenate in pass order
+        val sb = ch * bps
         val buf = new java.io.ByteArrayOutputStream()
         var p = 0
         while (p < 7) {
           val (pw, ph) = adam7Dims(width, height, p)
           if (pw > 0 && ph > 0) {
             val (x0, y0, dx, dy) = ADAM7(p)
-            val pass = new Array[Byte](pw * ph * bpp)
+            val pass = new Array[Byte](pw * ph * sb)
             var j = 0
             while (j < ph) {
               var i = 0
               while (i < pw) {
                 System.arraycopy(samples,
-                  ((y0 + j * dy) * width + x0 + i * dx) * bpp,
-                  pass, (j * pw + i) * bpp, bpp)
+                  ((y0 + j * dy) * width + x0 + i * dx) * sb,
+                  pass, (j * pw + i) * sb, sb)
                 i += 1
               }
               j += 1
             }
-            buf.write(filterRows(pass, pw * bpp, ph, bpp,
-              j => filterOf(y0 + j * dy)))
+            buf.write(filterRows(packIfSub(pass, pw, ph),
+              packedRowB(pw), ph, bpp, j => filterOf(y0 + j * dy)))
           }
           p += 1
         }
@@ -934,9 +1029,10 @@ object ImageCodec {
       var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
       val s = png.samples
       val ch = png.channels
-      val bps = png.bitDepth / 8
-      // sample accessor: byte at depth 8, big-endian u16 at depth 16 —
-      // sums are over the FULL sample range (0..65535 for 16-bit)
+      val bps = if (png.bitDepth == 16) 2 else 1
+      // sample accessor: one byte below depth 16 (sub-byte depths are
+      // already unpacked to RAW code values), big-endian u16 at 16 —
+      // sums are over the NATIVE sample range (0..2^depth−1)
       def at(i: Int): Long =
         if (bps == 1) (s(i) & 0xFF).toLong
         else ((s(i * 2) & 0xFFL) << 8) | (s(i * 2 + 1) & 0xFFL)
@@ -1060,7 +1156,7 @@ object ImageCodec {
     if (bytes != null && bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) {
       val png = decodePngPixels(bytes)
       if (png == null) return null
-      val pxBytes = png.channels * (png.bitDepth / 8)
+      val pxBytes = png.channels * (if (png.bitDepth == 16) 2 else 1)
       if (outW.toLong * outH * pxBytes > MAX_SAMPLES) return null
       val out = new Array[Byte](outW * outH * pxBytes)
       var y = 0
@@ -1195,8 +1291,37 @@ object ImageCodec {
     GraftSqlBridge.column(ImageSynthPng(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
+  /** SUB-BYTE gray PNG (depth cycling 1/2/4 by id, Adam7 on even
+    * ids): raw code value `floorMod(x·3 + y·5 + id, 2^depth)` per
+    * pixel — the `mm_png_tiny` oracle mirrors the same rule. */
+  def synthPngTiny(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val w = n % 33 + 1
+    val h = n % 19 + 1
+    val depth = Array(1, 2, 4)(java.lang.Math.floorMod(id, 3L).toInt)
+    val maxv = 1 << depth
+    val samples = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        samples(y * w + x) =
+          java.lang.Math.floorMod(x * 3L + y * 5L + id, maxv.toLong).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(w, h, 0, samples,
+      yy => java.lang.Math.floorMod(yy + id, 5L).toInt, null, depth,
+      interlaced = java.lang.Math.floorMod(id, 2L) == 0L)
+  }
+
   def image_synth_png_i7(id: Column, text: Column): Column =
     GraftSqlBridge.column(ImageSynthPngI7(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def image_synth_png_tiny(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynthPngTiny(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
   /** Deterministic 16-BIT PNG (gray or RGB by id parity) the

@@ -65,6 +65,41 @@ class CodecPropertySpec extends AnyFunSuite {
     assert(d1 != null && d1.samples(0) == 42.toByte)
   }
 
+  test("sub-byte PNG: 1/2/4-bit gray and palette round-trip raw codes, both wire layouts") {
+    val rnd = new scala.util.Random(2468)
+    for (trial <- 0 until 60) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(25)
+      val depth = Seq(1, 2, 4)(rnd.nextInt(3))
+      val maxv = 1 << depth
+      val interlaced = rnd.nextBoolean()
+      val palette = rnd.nextBoolean()
+      val samples = Array.fill(w * h)(rnd.nextInt(maxv).toByte)
+      val filters = Array.fill(math.max(h, 1))(rnd.nextInt(5))
+      if (palette) {
+        val plte = Array.fill(maxv * 3)(rnd.nextInt(256).toByte)
+        val png = ImageCodec.encodePng(w, h, 3, samples,
+          y => filters(y % filters.length), plte, depth, interlaced)
+        val dec = ImageCodec.decodePngPixels(png)
+        assert(dec != null && dec.channels == 3,
+          s"trial $trial pal ${w}x$h d=$depth i=$interlaced")
+        for (p <- 0 until w * h; c <- 0 until 3)
+          assert(dec.samples(p * 3 + c) == plte((samples(p) & 0xFF) * 3 + c),
+            s"trial $trial pal px $p")
+      } else {
+        val png = ImageCodec.encodePng(w, h, 0, samples,
+          y => filters(y % filters.length), null, depth, interlaced)
+        val dec = ImageCodec.decodePngPixels(png)
+        assert(dec != null && dec.bitDepth == depth,
+          s"trial $trial gray ${w}x$h d=$depth i=$interlaced")
+        assert(java.util.Arrays.equals(dec.samples, samples),
+          s"trial $trial gray ${w}x$h d=$depth i=$interlaced")
+        // meta agrees on the declared depth
+        assert(ImageCodec.decodeMetaInternal(png).getInt(3) == depth)
+      }
+    }
+  }
+
   test("PNG palette: random palettes and index maps expand exactly") {
     val rnd = new scala.util.Random(7777)
     for (trial <- 0 until 30) {
