@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegProg, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -143,6 +143,12 @@ object GraftExtensions {
         case Seq(id, text) => ImageSynthJpeg420(id, text)
         case _ => throw new IllegalArgumentException(
           "image_synth_jpeg420 expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_synth_jpeg_prog",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthJpegProg(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_jpeg_prog expects (bigint, string)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("audio_meta",
       (args: Seq[Expression]) => AudioMeta(args.head), "scala_udf")
@@ -330,6 +336,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(id, text) => ImageSynthJpeg420(id, text)
         case _ => throw new IllegalArgumentException(
           "image_synth_jpeg420 expects (bigint, string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("image_synth_jpeg_prog"),
+      info("image_synth_jpeg_prog",
+        "image_synth_jpeg_prog(bigint, string) - deterministic real progressive (SOF2) JPEG"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => ImageSynthJpegProg(id, text)
+        case _ => throw new IllegalArgumentException(
+          "image_synth_jpeg_prog expects (bigint, string)")
       }))
     ext.injectFunction((
       FunctionIdentifier("image_synth_png16"),

@@ -748,6 +748,22 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // ---- multimodal: PROGRESSIVE (SOF2) JPEG — multi-scan spectral
+    //      selection + successive approximation (DC/AC first and
+    //      refinement scans, EOBn runs), block-constant so the lossy
+    //      transform round-trips exactly; chroma on the /16 grid for
+    //      the 4:2:0 ids (every fifth color id), /8 otherwise ----
+    "mm_jpeg_progressive" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          ImageCodec.image_pixel_stats(
+            ImageCodec.image_synth_jpeg_prog(col("doc_id"), col("text"))).as("st"))
+        .select(col("doc_id"), col("st.width").as("width"),
+          col("st.height").as("height"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- multimodal: Adam7-INTERLACED PNG — seven-pass wire layout
     //      with per-pass scanline filtering, dims down to 1×1 (empty
     //      passes). Interlacing only reorders scanlines, so the oracle
@@ -2355,6 +2371,47 @@ object SparkEntry {
         |  CAST(sum(greatest(0, least(255,
         |    CAST(floor(yv + 1.772e0*cb + 0.5e0) AS BIGINT)))) AS BIGINT) AS sum_b
         |FROM blocks GROUP BY doc_id""".stripMargin,
+    // mirrors JpegCodec.synthJpegProg: the baseline block rules with the
+    // chroma grid switching to /16 for the 4:2:0 ids (color, id%5==0);
+    // progressive scans reconstruct the very same coefficients, so the
+    // analytic oracle is unchanged from the baseline gates
+    "mm_jpeg_progressive" ->
+      """WITH dims AS (
+        |  SELECT doc_id, ((doc_id % 2) + 2) % 2 = 0 AS gray,
+        |         ((doc_id % 2) + 2) % 2 = 1 AND ((doc_id % 5) + 5) % 5 = 0 AS sub,
+        |         octet_length(encode(text)) % 35 + 8 AS w,
+        |         octet_length(encode(text)) % 27 + 8 AS h
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.gray, d.w, d.h, xs.x // 8 AS bx, ys.y // 8 AS by,
+        |         CASE WHEN d.sub THEN xs.x // 16 ELSE xs.x // 8 END AS cbx,
+        |         CASE WHEN d.sub THEN ys.y // 16 ELSE ys.y // 8 END AS cby
+        |  FROM dims d, range(42) xs(x), range(34) ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h),
+        | blocks AS (
+        |  SELECT doc_id, gray, w, h,
+        |    ((bx*7 + by*11 + doc_id) % 256 + 256) % 256 AS gv,
+        |    ((bx*5 + by*7 + doc_id) % 256 + 256) % 256 AS yv,
+        |    ((cbx*3 + cby*13 + doc_id*2) % 256 + 256) % 256 - 128 AS cb,
+        |    ((cbx*11 + cby*3 + doc_id*3) % 256 + 256) % 256 - 128 AS cr
+        |  FROM px),
+        | rgb AS (
+        |  SELECT doc_id, gray, w, h, gv,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv + 1.402e0*cr + 0.5e0) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv - 0.344136e0*cb - 0.714136e0*cr + 0.5e0) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv + 1.772e0*cb + 0.5e0) AS BIGINT))) AS b
+        |  FROM blocks)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE r END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE g END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE b END) AS BIGINT) AS sum_b
+        |FROM rgb GROUP BY doc_id""".stripMargin,
     // mirrors ImageCodec.synthPngTiny: gray code value
     // floorMod(x*3 + y*5 + id, 2^depth), depth cycling 1/2/4 by id
     "mm_png_tiny" ->

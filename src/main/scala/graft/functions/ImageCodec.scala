@@ -284,6 +284,31 @@ case class ImageSynthJpeg420(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `(id, utf8 content) → real PROGRESSIVE (SOF2) JPEG` — the
+  * multi-scan twin of [[ImageSynthJpegPx]]: DC-first/DC-refinement and
+  * per-band AC-first/AC-refinement scans with successive approximation
+  * (Al=1 → 0) and EOBn runs, block-constant so the decode is exact and
+  * the `mm_jpeg_progressive` oracle stays analytic; 4:2:0 chroma on
+  * every fifth color id, restart markers on ids divisible by 3. */
+case class ImageSynthJpegProg(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "image_synth_jpeg_prog"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    JpegCodec.synthJpegProg(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.JpegCodec.synthJpegProg($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ImageSynthJpegProg =
+    copy(left = newLeft, right = newRight)
+}
+
 /** REAL nearest-neighbor resize: 24bpp BMP → BMP, 8/16-bit PNG →
   * PNG (gray/RGB/gray+alpha/RGBA at either depth, palette input
   * expanded to truecolor output), or baseline JPEG → lossless PNG —
@@ -941,10 +966,10 @@ object ImageCodec {
   // work on 24-bit uncompressed BMP (Windows BITMAPINFOHEADER — a public
   // byte layout simple enough to carry real pixels with no image
   // library): 14-byte file header, 40-byte info header, BGR rows padded
-  // to 4 bytes, bottom-up when height is positive. 8-bit PNG rides the
-  // full decode above (inflate + unfilter); only JPEG entropy decode
-  // stays out of scope (needs a codec library this container doesn't
-  // ship). Both pixel paths carry exact integer oracles.
+  // to 4 bytes, bottom-up when height is positive. PNG rides the full
+  // decode above (inflate + unfilter, all depths/color types, Adam7);
+  // JPEG — baseline AND progressive (SOF0/SOF2) — rides JpegCodec's
+  // entropy decode. All pixel paths carry exact integer oracles.
 
   private def leU16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
@@ -1003,7 +1028,7 @@ object ImageCodec {
   def pixelStatsInternal(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length < 2) return null
     if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
-      // baseline JPEG: full entropy decode (JpegCodec), gray replicated
+      // JPEG (baseline or progressive): full entropy decode, gray replicated
       val img = JpegCodec.decodePixels(bytes)
       if (img == null) return null
       var sr = 0L; var sg = 0L; var sb = 0L
@@ -1367,6 +1392,10 @@ object ImageCodec {
 
   def image_synth_jpeg_px(id: Column, text: Column): Column =
     GraftSqlBridge.column(ImageSynthJpegPx(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def image_synth_jpeg_prog(id: Column, text: Column): Column =
+    GraftSqlBridge.column(ImageSynthJpegProg(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 
   def image_synth_jpeg420(id: Column, text: Column): Column =

@@ -253,11 +253,91 @@ class JpegCodecSpec extends AnyFunSuite {
       val body = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(body)
       JpegCodec.decodePixels(Array(0xFF.toByte, 0xD8.toByte) ++ body)
     }
-    // progressive (SOF2) streams stay on the header-only path
+    // a scanless SOF2 header stub is refused (EOI with zero scans); the
+    // header-only path still reports it
     val prog = ImageCodec.synthJpeg(64, 48, 3, progressive = true)
     assert(JpegCodec.decodePixels(prog) == null)
     assert(ImageCodec.decodeMetaInternal(prog) != null)
     assert(JpegCodec.decodePixels(valid) != null) // state not poisoned
+  }
+
+  test("progressive == baseline decode, bit-exact, on arbitrary content") {
+    val rnd = new scala.util.Random(77)
+    // gray, 4:4:4 color, 4:2:0 color; with and without restart markers
+    for (((kind, dri), caseIdx) <- Seq(("gray", 0), ("gray", 2), ("444", 0),
+        ("444", 3), ("420", 0), ("420", 1)).zipWithIndex) {
+      val (w, h) = (19 + caseIdx, 14 + caseIdx)
+      val y = Array.fill(w * h)(rnd.nextInt(256))
+      val (planes, fh, fv) = kind match {
+        case "gray" => (Array(y), null, null)
+        case "444" => (Array(y, Array.fill(w * h)(rnd.nextInt(256)),
+          Array.fill(w * h)(rnd.nextInt(256))), null, null)
+        case _ =>
+          val cw = (w + 1) / 2; val ch = (h + 1) / 2
+          (Array(y, Array.fill(cw * ch)(rnd.nextInt(256)),
+            Array.fill(cw * ch)(rnd.nextInt(256))),
+            Array(2, 1, 1), Array(2, 1, 1))
+      }
+      val base = JpegCodec.decodePixels(JpegCodec.encode(w, h, planes, dri, fh, fv))
+      val prog = JpegCodec.decodePixels(
+        JpegCodec.encodeProgressive(w, h, planes, dri, fh, fv))
+      assert(base != null && prog != null, s"$kind dri=$dri")
+      assert(prog.width == base.width && prog.height == base.height
+        && prog.channels == base.channels)
+      // identical coefficients through the same IDCT ⇒ identical pixels
+      assert(java.util.Arrays.equals(prog.samples, base.samples),
+        s"$kind dri=$dri: progressive decode diverged from baseline")
+    }
+  }
+
+  test("progressive block-constant synth → pixel stats matches the analytic rule") {
+    for ((id, text) <- Seq((0L, "prog gray"), (1L, "prog color!"),
+        (5L, "prog 420 subsampled"), (15L, "prog 420 + rst" * 2),
+        (3L, "prog restart"), (-9L, "negative prog"), (6L, "g" * 30))) {
+      val u = UTF8String.fromString(text)
+      val n = u.numBytes
+      val (w, h) = (n % 35 + 8, n % 27 + 8)
+      val gray = java.lang.Math.floorMod(id, 2L) == 0L
+      val sub = !gray && java.lang.Math.floorMod(id, 5L) == 0L
+      val st = ImageCodec.pixelStatsInternal(JpegCodec.synthJpegProg(id, u))
+      assert(st != null, s"id=$id")
+      assert(st.getInt(0) == w && st.getInt(1) == h, s"id=$id")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      def c8(x: Double) = math.max(0L, math.min(255L, math.floor(x + 0.5).toLong))
+      for (y <- 0 until h; x <- 0 until w) {
+        if (gray) {
+          val v = java.lang.Math.floorMod((x / 8) * 7L + (y / 8) * 11L + id, 256L)
+          sr += v; sg += v; sb += v
+        } else {
+          val cd = if (sub) 16 else 8 // chroma block size at full resolution
+          val yv = java.lang.Math.floorMod((x / 8) * 5L + (y / 8) * 7L + id, 256L).toDouble
+          val cb = java.lang.Math.floorMod((x / cd) * 3L + (y / cd) * 13L + id * 2, 256L) - 128.0
+          val cr = java.lang.Math.floorMod((x / cd) * 11L + (y / cd) * 3L + id * 3, 256L) - 128.0
+          sr += c8(yv + 1.402 * cr)
+          sg += c8(yv - 0.344136 * cb - 0.714136 * cr)
+          sb += c8(yv + 1.772 * cb)
+        }
+      }
+      assert((st.getLong(3), st.getLong(4), st.getLong(5)) == ((sr, sg, sb)), s"id=$id")
+    }
+  }
+
+  test("progressive streams: truncation and bit-flip fuzz never throws or hangs") {
+    val rnd = new scala.util.Random(1357)
+    val valid = JpegCodec.synthJpegProg(1L, UTF8String.fromString("fuzz prog"))
+    (0 to valid.length).foreach { n =>
+      JpegCodec.decodePixels(valid.take(n))
+    }
+    valid.indices.foreach { i =>
+      val c = valid.clone(); c(i) = (c(i) ^ (1 + rnd.nextInt(255))).toByte
+      JpegCodec.decodePixels(c)
+    }
+    assert(JpegCodec.decodePixels(valid) != null)
+    // progressive rides resize too (decode → NN resample → lossless PNG)
+    val out = ImageCodec.resizeNnInternal(valid, 7, 5)
+    assert(out != null)
+    val m = ImageCodec.decodeMetaInternal(out)
+    assert(m.getUTF8String(0).toString == "png" && m.getInt(1) == 7)
   }
 
   test("expressions: synth → stats is a pure codegen'd projection") {
