@@ -180,6 +180,12 @@ object ExplainCheck {
     audit("pack_windows_by_source",
       mustNotContain = Seq("Exchange SinglePartition",
         "BroadcastNestedLoop", "CartesianProduct"))
+    // keyed high-cardinality stratified packing: ONE hash exchange on
+    // the stratum key, no totals-table broadcast, no unpartitioned
+    // window — each (small) stratum sorts inside a single task
+    audit("pack_windows_keyed",
+      mustNotContain = Seq("Exchange SinglePartition", "BroadcastExchange",
+        "BroadcastNestedLoop", "CartesianProduct", "Join"))
     // hard-negative mining: the co-membership anti-join meets the tiny
     // candidate set — never a cross product over the corpus
     audit("ann_hard_negatives",

@@ -150,6 +150,18 @@ object ScaleProbe {
         "doc_id", "source").count(),
       graft.operators.TextAnalysis.packWindowsBySource(docsN, "text",
         "doc_id", "source").count())
+    // keyed high-cardinality stratified packing: per-user-grade strata
+    // through ONE keyed window — cost tracks the corpus, not the
+    // stratum count (no totals table, no broadcast)
+    probe("pack_windows_keyed",
+      graft.operators.TextAnalysis.packWindowsBySource(
+        docs1.withColumn("user_bucket", pmod(col("doc_id"), lit(97L))),
+        "text", "doc_id", "user_bucket", ctxLen = 128,
+        highCardinalityStrata = true).count(),
+      graft.operators.TextAnalysis.packWindowsBySource(
+        docsN.withColumn("user_bucket", pmod(col("doc_id"), lit(97L))),
+        "text", "doc_id", "user_bucket", ctxLen = 128,
+        highCardinalityStrata = true).count())
     probe("tfidf_topterms",
       graft.operators.TextAnalysis.tfidfTopTerms(docs1, "text", "doc_id").count(),
       graft.operators.TextAnalysis.tfidfTopTerms(docsN, "text", "doc_id").count())

@@ -1106,6 +1106,17 @@ object SparkEntry {
       TextAnalysis.packWindowsBySource(t(s, dir, "documents"), "text",
         "doc_id", "source", ctxLen = 512)),
 
+    // ---- text: window packing with a HIGH-CARDINALITY stratum key
+    //      (per-user-grade) — the keyed-window path: one shuffle on the
+    //      stratum, no stratum×partition totals table, each stratum
+    //      sorted inside one task ----
+    "pack_windows_keyed" -> ((s, dir) =>
+      TextAnalysis.packWindowsBySource(
+        t(s, dir, "documents").withColumn("user_bucket",
+          pmod(col("doc_id"), lit(97L))),
+        "text", "doc_id", "user_bucket", ctxLen = 128,
+        highCardinalityStrata = true)),
+
     // ---- text: epoch-weighted source upsampling (books ×2.5 web ×1:
     //      the pretraining-mix repeat primitive) ----
     "upsample_sources" -> ((s, dir) =>
@@ -2914,6 +2925,39 @@ object SparkEntry {
         |             CAST(span_len AS VARCHAR),
         |             ',' ORDER BY span_start, doc_id) AS doc_spans
         |FROM s GROUP BY source, bin""".stripMargin,
+    // the keyed-window twin of pack_windows_by_source: same packing rule
+    // with a synthetic per-user stratum (doc_id mod 97) and 128-token
+    // windows — the oracle is path-independent
+    "pack_windows_keyed" ->
+      """WITH tc AS (
+        |  SELECT ((doc_id % 97) + 97) % 97 AS user_bucket, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        | c AS (
+        |  SELECT user_bucket, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY user_bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_off
+        |  FROM tc WHERE n_tokens > 0),
+        | b AS (
+        |  SELECT user_bucket, doc_id, n_tokens, start_off,
+        |    unnest(range(start_off // 128,
+        |                 (start_off + n_tokens - 1) // 128 + 1)) AS bin
+        |  FROM c),
+        | s AS (
+        |  SELECT user_bucket, bin, doc_id,
+        |    greatest(start_off, bin * 128) - bin * 128 AS span_start,
+        |    least(start_off + n_tokens, bin * 128 + 128)
+        |      - greatest(start_off, bin * 128) AS span_len
+        |  FROM b)
+        |SELECT user_bucket, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(span_len) AS BIGINT) AS n_tokens,
+        |  string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+        |             CAST(span_start AS VARCHAR) || ':' ||
+        |             CAST(span_len AS VARCHAR),
+        |             ',' ORDER BY span_start, doc_id) AS doc_spans
+        |FROM s GROUP BY user_bucket, bin""".stripMargin,
     "upsample_sources" ->
       """WITH base AS (
         |  SELECT doc_id, source,

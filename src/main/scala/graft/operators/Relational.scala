@@ -234,6 +234,27 @@ object Relational {
     localDf.join(broadcast(offsets), stratumCols :+ "_pid")
   }
 
+  /** HIGH-CARDINALITY twin of [[withStratumPrefix]]: when the stratum
+    * key has too many distinct values for the stratum×partition totals
+    * table to stay broadcast-sized (per-user / per-session strata), the
+    * two-pass scaffold's broadcast join becomes the bottleneck — but by
+    * the same token each stratum is SMALL, so the running value can be
+    * computed in ONE keyed window: hash-partition by stratum, sort each
+    * stratum inside its task. One shuffle, no totals table, no
+    * broadcast; the opposite trade of the two-pass path (which exists
+    * precisely because few-strata windows put whole strata in one
+    * task). Emits the same `_pid`/`_offset`/`outLocal` columns
+    * (constant 0 offsets) so callers' combine step is identical —
+    * parity-spec'd against [[withStratumPrefix]]. */
+  private[operators] def withStratumPrefixKeyed(df: DataFrame,
+      stratumCols: Seq[String], order: Seq[Column], outLocal: String)(
+      local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
+    val w = Window.partitionBy(stratumCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(outLocal, local(w))
+      .withColumn("_pid", lit(0))
+      .withColumn("_offset", lit(0L))
+  }
+
   private[operators] def defaultParts(df: DataFrame, numPartitions: Int): Int =
     if (numPartitions > 0) numPartitions
     else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -477,17 +477,29 @@ object TextAnalysis {
     * Scale shape: [[Relational.withStratumPrefix]] — per-(stratum,
     * partition) local cumsum windows, offsets from the
     * stratum×partition totals table (broadcast-sized for
-    * source/domain-grade strata). Returns (stratum, bin, n_docs,
+    * source/domain-grade strata). For HIGH-CARDINALITY strata
+    * (per-user / per-session keys, where that totals table outgrows a
+    * broadcast but every stratum is small), pass
+    * `highCardinalityStrata = true` to switch to
+    * [[Relational.withStratumPrefixKeyed]] — one keyed window, one
+    * shuffle, each stratum sorted inside a single task. Both paths are
+    * parity-spec'd identical. Returns (stratum, bin, n_docs,
     * n_tokens, doc_spans). */
   def packWindowsBySource(df: DataFrame, textCol: String, idCol: String,
-      stratumCol: String, ctxLen: Int = 512, numPartitions: Int = 0): DataFrame = {
+      stratumCol: String, ctxLen: Int = 512, numPartitions: Int = 0,
+      highCardinalityStrata: Boolean = false): DataFrame = {
     val withCounts = df.select(col(stratumCol), col(idCol),
       tokenCount(col(textCol)).as("n_tokens"))
-    val packed = Relational.withStratumPrefix(withCounts,
-        Relational.defaultParts(df, numPartitions),
-        Seq(stratumCol), Seq(col(idCol)), "_local_cum")(
-        w => sum(col("n_tokens")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cum: org.apache.spark.sql.expressions.WindowSpec => Column =
+      w => sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val packed = (if (highCardinalityStrata)
+        Relational.withStratumPrefixKeyed(withCounts,
+          Seq(stratumCol), Seq(col(idCol)), "_local_cum")(cum)
+      else
+        Relational.withStratumPrefix(withCounts,
+          Relational.defaultParts(df, numPartitions),
+          Seq(stratumCol), Seq(col(idCol)), "_local_cum")(cum))
       .withColumn("start_off",
         (col("_offset") + col("_local_cum") - col("n_tokens")).cast("long"))
       .filter(col("n_tokens") > 0)

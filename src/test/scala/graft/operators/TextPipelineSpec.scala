@@ -693,6 +693,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(alone.toSeq == Seq((0L, "1:0:4,2:4:6"), (1L, "2:0:2")))
   }
 
+  test("packWindowsBySource: keyed high-cardinality path is bit-identical to the two-pass path") {
+    // many small strata — the shape the keyed path exists for
+    val rnd = new scala.util.Random(41)
+    val docs = (1 to 300).map { i =>
+      val nTok = rnd.nextInt(9) // incl. blank docs
+      (i.toLong, s"u${i % 53}", (1 to nTok).map(t => s"w$t").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSeq
+    val twoPass = canon(TextAnalysis.packWindowsBySource(
+      docs, "text", "doc_id", "source", ctxLen = 7))
+    val keyed = canon(TextAnalysis.packWindowsBySource(
+      docs, "text", "doc_id", "source", ctxLen = 7,
+      highCardinalityStrata = true))
+    assert(keyed == twoPass)
+    // the keyed plan carries NO broadcast join and NO totals-table
+    // aggregate — one hash exchange on the stratum key
+    val plan = TextAnalysis.packWindowsBySource(
+      docs, "text", "doc_id", "source", ctxLen = 7,
+      highCardinalityStrata = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"), plan)
+  }
+
   test("upsampleSources: whole epochs copy every row, fractional epochs hash-select, 0 drops") {
     val docs = (1 to 400).map(i =>
       (i.toLong, if (i <= 100) "books" else if (i <= 200) "web" else "junk"))
