@@ -180,6 +180,10 @@ object ExplainCheck {
     audit("pack_windows_by_source",
       mustNotContain = Seq("Exchange SinglePartition",
         "BroadcastNestedLoop", "CartesianProduct"))
+    // z-order code: min/max inline as plan literals — the code itself
+    // is a pure shift/mask projection, no join and no shuffle
+    audit("zorder_cluster",
+      mustNotContain = Seq("Exchange", "Join", "CartesianProduct"))
     // keyed high-cardinality stratified packing: ONE hash exchange on
     // the stratum key, no totals-table broadcast, no unpartitioned
     // window — each (small) stratum sorts inside a single task

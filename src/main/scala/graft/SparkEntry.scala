@@ -1117,6 +1117,16 @@ object SparkEntry {
         "text", "doc_id", "user_bucket", ctxLen = 128,
         highCardinalityStrata = true)),
 
+    // ---- layout: Z-ORDER (Morton) clustering code — scale each
+    //      dimension to 16 bits against its global min/max, interleave
+    //      the bits; range-partitioning by this code makes parquet
+    //      min/max stats selective on BOTH columns at once ----
+    "zorder_cluster" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        Relational.zorderColumn(li, Seq("l_partkey", "l_suppkey")).as("zval"))
+    }),
+
     // ---- text: epoch-weighted source upsampling (books ×2.5 web ×1:
     //      the pretraining-mix repeat primitive) ----
     "upsample_sources" -> ((s, dir) =>
@@ -2958,6 +2968,33 @@ object SparkEntry {
         |             CAST(span_len AS VARCHAR),
         |             ',' ORDER BY span_start, doc_id) AS doc_spans
         |FROM s GROUP BY user_bucket, bin""".stripMargin,
+    // mirrors Relational.zorderColumn: global min/max scaling to 16
+    // bits (pure integer division) then bit interleaving — the
+    // interleave expression is GENERATED to match the Spark plan's
+    // shift/mask tree term for term
+    "zorder_cluster" -> {
+      val interleave = (for (i <- 0 until 16; j <- 0 until 2) yield
+        s"(((s$j >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+      s"""WITH st AS (
+         |  SELECT CAST(min(l_partkey) AS BIGINT) AS mn0,
+         |         CAST(max(l_partkey) AS BIGINT) AS mx0,
+         |         CAST(min(l_suppkey) AS BIGINT) AS mn1,
+         |         CAST(max(l_suppkey) AS BIGINT) AS mx1
+         |  FROM lineitem),
+         | sc AS (
+         |  SELECT l.l_orderkey, l.l_linenumber,
+         |    CASE WHEN st.mx0 > st.mn0
+         |         THEN ((CAST(l.l_partkey AS BIGINT) - st.mn0) * 65535)
+         |              // (st.mx0 - st.mn0)
+         |         ELSE 0 END AS s0,
+         |    CASE WHEN st.mx1 > st.mn1
+         |         THEN ((CAST(l.l_suppkey AS BIGINT) - st.mn1) * 65535)
+         |              // (st.mx1 - st.mn1)
+         |         ELSE 0 END AS s1
+         |  FROM lineitem l, st)
+         |SELECT l_orderkey, l_linenumber, CAST($interleave AS BIGINT) AS zval
+         |FROM sc""".stripMargin
+    },
     "upsample_sources" ->
       """WITH base AS (
         |  SELECT doc_id, source,

@@ -269,6 +269,52 @@ object Relational {
       .withColumn(outCol, (col("_offset") + col("_local_rn")).cast("long"))
       .drop("_pid", "_local_rn", "_offset")
 
+  /** Morton (Z-ORDER) code over `cols` — the multi-dimensional data
+    * CLUSTERING primitive: rows close in every dimension land close on
+    * the one-dimensional curve, so range-partitioning by the code makes
+    * a 100-TB table's min/max footer stats selective on EVERY clustered
+    * column at once (multi-column scan pruning, not just the leading
+    * sort key).
+    *
+    * Each dimension is scaled to a `bits`-bit integer against its
+    * GLOBAL min/max — ONE tiny aggregate pass whose 2·d values inline
+    * into the plan as literals (driver-held metadata, not data) — then
+    * the bits interleave: bit i of dimension j lands at position
+    * i·d + j. Pure integer arithmetic (`DIV`), so an external SQL
+    * oracle reproduces the code bit-for-bit. Inputs must cast to
+    * BIGINT; constant dimensions map to 0. `bits · cols.size` ≤ 63. */
+  def zorderColumn(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 63,
+      "need 1+ columns and bits*dims <= 63")
+    val d = cols.size
+    val m = (1L << bits) - 1
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = cols.zipWithIndex.map { case (c, j) =>
+      val mn = stats.getLong(2 * j)
+      val mx = stats.getLong(2 * j + 1)
+      if (mx <= mn) lit(0L)
+      else expr(s"CAST(((CAST(`$c` AS BIGINT) - $mn) * $m) DIV ${mx - mn} AS BIGINT)")
+    }
+    (for (i <- 0 until bits; j <- 0 until d) yield
+      shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * d + j))
+      .reduce(_.bitwiseOR(_)).as("zval")
+  }
+
+  /** Cluster a table on the Z-curve: compute [[zorderColumn]], then
+    * range-partition + sort by it — the write-side layout step before a
+    * parquet sink, so every output file covers a small hyper-box of the
+    * clustered dimensions and downstream scans prune on any of them.
+    * One extra full-table pass (the min/max aggregate) plus the one
+    * range shuffle any re-layout needs. */
+  def zorderBy(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      numPartitions: Int = 0): DataFrame =
+    df.withColumn("_z", zorderColumn(df, cols, bits))
+      .repartitionByRange(defaultParts(df, numPartitions), col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+
   /** O4 — "latest" selector (`data_wrangler.py:443-446`): single most
     * recent row per key. Window top-1, shuffles once on the key. */
   def latestPerKey(df: DataFrame, keyCol: String, tsCol: String,

@@ -556,4 +556,60 @@ class GlobalRowNumberSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("rangepartitioning") || plan.contains("REPARTITION_BY_"),
       s"expected range repartition in plan:\n$plan")
   }
+
+  test("zorderColumn: exact Morton interleave, monotone per dimension, edge codes") {
+    import spark.implicits._
+    // a full 8×8 grid scaled over [0,7] with bits=3: the scale step is
+    // the identity, so the code is the pure textbook interleave
+    val grid = (for (x <- 0 to 7; y <- 0 to 7) yield (x, y)).toDF("x", "y")
+    val out = grid.select(col("x"), col("y"),
+        Relational.zorderColumn(grid, Seq("x", "y"), bits = 3))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    def morton(x: Int, y: Int): Long =
+      (0 until 3).map(i => (((x >> i) & 1) << (2 * i)) |
+        (((y >> i) & 1) << (2 * i + 1))).sum.toLong
+    for (x <- 0 to 7; y <- 0 to 7)
+      assert(out((x, y)) == morton(x, y), s"($x,$y)")
+    assert(out((0, 0)) == 0L && out((7, 7)) == 63L)
+    // monotone in each dimension with the other fixed
+    for (y <- 0 to 7; x <- 0 to 6) assert(out((x, y)) < out((x + 1, y)))
+    for (x <- 0 to 7; y <- 0 to 6) assert(out((x, y)) < out((x, y + 1)))
+    // constant dimension contributes zero bits, never divides by zero
+    val flat = Seq((1, 5), (2, 5), (3, 5)).toDF("a", "b")
+    val fz = flat.select(Relational.zorderColumn(flat, Seq("a", "b"), 4))
+      .collect().map(_.getLong(0))
+    assert(fz.sameElements(fz.sorted) && fz.distinct.length == 3)
+  }
+
+  test("zorderBy: range-partitions on the code; locality beats single-column sort") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val plan = Relational.zorderBy(li, Seq("l_partkey", "l_suppkey"),
+      numPartitions = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(_z"), plan)
+    // the property z-order exists for: the TYPICAL partition's bounding
+    // box covers a bounded fraction of EVERY clustered dimension (a
+    // curve-discontinuity straddler can still be wide — hence mean, not
+    // max) — a single-column sort leaves the other dimension at full
+    // range in EVERY partition, so min/max stats never prune on it
+    def meanFraction(df: org.apache.spark.sql.DataFrame): Double = {
+      val whole = li.agg(
+        (max("l_partkey") - min("l_partkey")).cast("double"),
+        (max("l_suppkey") - min("l_suppkey")).cast("double")).head()
+      val parts = df.withColumn("_p", spark_partition_id())
+        .groupBy("_p").agg(
+          (max("l_partkey") - min("l_partkey")).as("dx"),
+          (max("l_suppkey") - min("l_suppkey")).as("dy"))
+        .collect()
+      val fr = parts.map(r => math.max(
+        r.getAs[Number]("dx").doubleValue / whole.getDouble(0),
+        r.getAs[Number]("dy").doubleValue / whole.getDouble(1)))
+      fr.sum / fr.length
+    }
+    val zMean = meanFraction(
+      Relational.zorderBy(li, Seq("l_partkey", "l_suppkey"), numPartitions = 8))
+    val sortMean = meanFraction(
+      li.repartitionByRange(8, col("l_partkey")))
+    assert(zMean < sortMean,
+      s"z-order mean dim fraction $zMean should beat single-column sort $sortMean")
+  }
 }
