@@ -102,6 +102,11 @@ object ExplainCheck {
     audit("gopher_filter", mustNotContain = Seq("Exchange"))
     // hash sampling is a pure filter: no shuffle anywhere in the plan
     audit("sample_by_hash", mustNotContain = Seq("Exchange"))
+    // BM25: query terms and per-term df join BROADCAST against the
+    // matched postings — a sort-merge join here would shuffle the
+    // corpus by term; the only nested-loop is the 1-row stats scalar
+    audit("bm25_topk", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
     // decontamination: the eval-gram set must be BROADCAST against the
     // corpus scan — a sort-merge join here shuffles the whole corpus by
     // gram, the 100 TB killer this operator is designed to avoid

@@ -198,6 +198,16 @@ object ScaleProbe {
         chunkTokens = 32, stride = 16).count(),
       graft.operators.TextAnalysis.chunkDocuments(docsN, "text", "doc_id",
         chunkTokens = 32, stride = 16).count())
+    // BM25: hot query terms match N× more postings, but the heap
+    // output stays partitions × queries × k — cost must track the
+    // corpus scan, not the posting-list sort
+    val bm25Qs = Seq(1L -> "spark window join", 2L -> "vector scan batch",
+      3L -> "customer hash merge sort")
+    probe("bm25_topk",
+      graft.operators.TextAnalysis.bm25TopK(docs1, "text", "doc_id",
+        bm25Qs, k = 10).count(),
+      graft.operators.TextAnalysis.bm25TopK(docsN, "text", "doc_id",
+        bm25Qs, k = 10).count())
     // balanced sampling: the two-phase selection must stay ~linear even
     // though the N× corpus concentrates N× rows into the same strata
     probe("balanced_sample",

@@ -38,6 +38,13 @@ object SparkEntry {
         .orderBy("rank").collect()
         .map(r => r.getAs[String]("lhs") -> r.getAs[String]("rhs")).toSeq)
 
+  /** The bm25_topk gate's fixed query set — one definition, mirrored
+    * term-by-term in the oracle's VALUES list. */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark window join",
+    2L -> "vector scan batch",
+    3L -> "customer hash merge sort")
+
   private def tableFingerprint(dir: String, name: String): Long = {
     val root = new java.io.File(dir, name + ".parquet")
     val files =
@@ -1138,6 +1145,14 @@ object SparkEntry {
     "inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id",
         minDf = 3L, maxDf = 400L, maxPostings = 50)),
+
+    // ---- text: BM25 top-k retrieval — three queries, Lucene idf,
+    //      k1=1.2 b=0.75; the corpus tf is pruned by an isin() hash
+    //      probe (no join) and top-k flows through bounded
+    //      per-partition heaps, never a global sort ----
+    "bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        queries = bm25Queries, k = 5)),
 
     // ---- text: balanced output-shard assignment by token budget ----
     "shard_assign" -> ((s, dir) =>
@@ -3026,6 +3041,45 @@ object SparkEntry {
         |  array_to_string(list_sort(list(np.doc_id))[1:50], ',') AS postings
         |FROM np JOIN dfc ON np.term = dfc.term
         |GROUP BY np.term, dfc.df""".stripMargin,
+    // mirrors TextAnalysis.bm25TopK: Lucene non-negative idf, k1=1.2
+    // b=0.75, scores rounded to 6 dp BEFORE ranking, ties by doc_id.
+    // e0 suffixes force DOUBLE (bare 0.5 is DECIMAL in DuckDB)
+    "bm25_topk" ->
+      """WITH q(qid, tok) AS (VALUES
+        |    (1, 'spark'), (1, 'window'), (1, 'join'),
+        |    (2, 'vector'), (2, 'scan'), (2, 'batch'),
+        |    (3, 'customer'), (3, 'hash'), (3, 'merge'), (3, 'sort')),
+        | lists AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(
+        |    lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS lst
+        |  FROM documents),
+        | base AS (SELECT doc_id, len(lst) AS dl FROM lists),
+        | tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(lst) AS tok FROM lists)
+        |  WHERE tok IN (SELECT DISTINCT tok FROM q)
+        |  GROUP BY 1, 2),
+        | dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        | stats AS (SELECT count(*) AS n, sum(dl) AS sdl FROM base),
+        | scored AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    round(sum(
+        |      ln(1e0 + (n - df + 0.5e0) / (df + 0.5e0)) *
+        |      (tf * 2.2e0) /
+        |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl /
+        |        (CAST(sdl AS DOUBLE) / n)))), 6) AS score
+        |  FROM tf
+        |  JOIN q USING (tok) JOIN dfreq USING (tok)
+        |  JOIN base USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        | ranked AS (
+        |  SELECT qid, doc_id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT CAST(qid AS BIGINT) AS query_id, doc_id, score,
+        |  CAST(rn AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin,
     "shard_assign" ->
       """WITH ranked AS (
         |  SELECT doc_id,

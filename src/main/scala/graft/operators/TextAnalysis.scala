@@ -1123,4 +1123,118 @@ object TextAnalysis {
       .select(col("_id").as(idCol), col("tok").as("term"),
         col("score").as("tfidf"), col("_rn").cast("long").as("rank"))
   }
+
+  /** BM25 top-k retrieval: for each (query_id, query_text) pair, the
+    * `k` highest-scoring documents under Okapi BM25 with the
+    * Lucene-style non-negative idf
+    * `ln(1 + (N - df + 0.5) / (df + 0.5))` — the candidate-fetch
+    * primitive of every retrieval / RAG / decontamination-by-search
+    * pipeline. Tokenization is [[normalizedTokens]] (the engine-wide
+    * parity rule); query terms are deduplicated per query, so a
+    * repeated query word scores once (the standard bag-of-QUERY-TERMS
+    * form).
+    *
+    * Distributed shape, in corpus-pass order:
+    *   1. ONE narrow projection computes per-doc token lists and
+    *      doc length; one (doc, term) aggregate with map-side combine
+    *      builds tf. The corpus is read once.
+    *   2. Query terms are a driver-side handful — tf is filtered by an
+    *      isin() on the distinct term set (a codegen'd hash probe, no
+    *      join, no shuffle), so only postings of QUERY terms survive;
+    *      df for those terms is a tiny aggregate, joined back
+    *      broadcast. The corpus-sized tf table is never joined by term
+    *      against anything non-broadcast.
+    *   3. N and total doc length are one metadata-sized aggregate,
+    *      broadcast into the scorer.
+    *   4. Per-(query, doc) scores aggregate over matched terms (one
+    *      shuffle of matched postings only), then top-k per query uses
+    *      the [[graft.operators.Similarity.knnJoin]] heap shape: a
+    *      bounded per-partition heap per query emits at most
+    *      partitions×queries×k rows into the final metadata-sized
+    *      rank window — the scored set is never globally sorted and
+    *      the per-query window never sees more than P×k rows.
+    *
+    * Determinism: scores are rounded to 6 dp BEFORE ranking and ties
+    * break by ascending doc id — heap admission, heap ordering, and
+    * the final window all use exactly that ordering, so results are
+    * reproducible across engines (the DuckDB oracle mirrors the same
+    * formula and rounding).
+    *
+    * Output: (query_id, `idCol`, score, rank) with rank 1..k. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Long, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "no queries")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids")
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // (qid, term) pairs, terms deduped per query — driver-side tiny
+    val qPairs: Seq[(Long, String)] = queries.flatMap { case (qid, qt) =>
+      normalizeTerm(qt).distinct.map(t => (qid, t))
+    }
+    require(qPairs.nonEmpty, "queries normalize to zero terms")
+    val qTerms: Seq[String] = qPairs.map(_._2).distinct
+    val toks = normalizedTokens(col(textCol))
+    // one corpus pass: doc length alongside the token list, narrow
+    val base = df.select(col(idCol).cast("long").as("_id"),
+      filter(toks, t => t =!= "").as("_toks"))
+      .select(col("_id"), size(col("_toks")).as("_dl"), col("_toks"))
+    // tf over query terms only: the isin() prunes before the aggregate,
+    // so the shuffle carries matched postings, not the corpus
+    val tf = base.select(col("_id"), col("_dl"),
+        explode(col("_toks")).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("_id"), col("_dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // df per query term (tiny: ≤ |qTerms| rows) + corpus stats
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sdl"))
+    val qdf = qPairs.toDF("qid", "tok")
+    val scored = tf
+      .join(broadcast(qdf), Seq("tok"))
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl", col("_sdl").cast("double") / col("_n"))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("_contrib",
+        col("_idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col("qid"), col("_id"))
+      .agg(round(sum(col("_contrib")), 6).as("score"))
+    // bounded per-partition top-k heaps (knnJoin shape): emit ≤ q×k
+    // rows per partition, then a metadata-sized rank window
+    val qids: Array[Long] = queries.map(_._1).sorted.toArray
+    val kk = k
+    val local = scored.as[(Long, Long, Double)].mapPartitions { iter =>
+      val idx = qids.zipWithIndex.toMap
+      // min-heap: head = worst kept (lowest score, ties → HIGHEST id)
+      val ord: Ordering[(Double, Long)] =
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long.reverse)
+      val heaps = qids.map(_ =>
+        new java.util.PriorityQueue[(Double, Long)](kk, ord))
+      iter.foreach { case (qid, id, sc) =>
+        val h = heaps(idx(qid))
+        if (h.size < kk) h.add((sc, id))
+        else {
+          val w = h.peek()
+          val c = java.lang.Double.compare(sc, w._1)
+          if (c > 0 || (c == 0 && id < w._2)) { h.poll(); h.add((sc, id)) }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        Iterator.continually(h.poll()).takeWhile(_ != null)
+          .map { case (sc, id) => (qids(q), id, sc) }
+      }
+    }.toDF("query_id", "_did", "score")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("_did"))
+    local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("_did").as(idCol), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
 }

@@ -792,4 +792,70 @@ class TextPipelineSpec extends AnyFunSuite {
       TextAnalysis.shardByTokenBudget(docs, "text", "doc_id", 0L)
     }
   }
+
+  test("bm25TopK: hand-computed scores, idf and length normalization") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana banana"),
+      (4L, "cherry date elderberry")
+    ).toDF("doc_id", "text")
+    // N=4, dl = 3/2/4/3, avgdl = 3; df(apple)=2 → idf = ln 2
+    val out = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      queries = Seq(1L -> "apple"), k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    val ln2 = math.log(2.0)
+    // d1: tf=2 dl=3 → ln2 * 4.4 / (2 + 1.2·(0.25 + 0.75·3/3))
+    val d1 = math.rint(ln2 * 4.4 / 3.2 * 1e6) / 1e6
+    // d2: tf=1 dl=2 → ln2 * 2.2 / (1 + 1.2·(0.25 + 0.75·2/3))
+    val d2 = math.rint(ln2 * 2.2 / 1.9 * 1e6) / 1e6
+    assert(out(0).getAs[Double]("score") == d1)
+    assert(out(1).getAs[Double]("score") == d2)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+  }
+
+  test("bm25TopK: multi-term sum, rare term outranks common, query dedup") {
+    val docs = Seq(
+      (1L, "common common common rare"),
+      (2L, "common common common common"),
+      (3L, "common filler filler filler"),
+      (4L, "filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      queries = Seq(7L -> "Common, RARE rare!"), k = 2).collect()
+    // doc 1 holds the only "rare" → its summed score must rank first
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.head.getLong(1) == 1L)
+    assert(out.length == 2)
+    // query-term dedup: "rare rare" scores once — identical to "rare"
+    val once = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      queries = Seq(7L -> "common rare"), k = 2).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(byRank.map(r => (r.getLong(1), r.getDouble(2))).toMap == once)
+  }
+
+  test("bm25TopK: k bound per query, unmatched query yields no rows, guards") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "text", "doc_id",
+      queries = Seq(1L -> "alpha", 2L -> "zzz absent"), k = 2)
+    val rows = out.collect()
+    assert(rows.forall(_.getLong(0) == 1L), "query 2 matches nothing")
+    assert(rows.length == 2, "k caps matches per query")
+    // equal scores (identical tf/dl) tie-break by ascending doc_id
+    assert(rows.sortBy(_.getAs[Long]("rank")).map(_.getLong(1)).toSeq ==
+      Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq(1L -> "a"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, "text", "doc_id",
+        Seq(1L -> "a", 1L -> "b"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs, "text", "doc_id", Seq(1L -> "!!!"), k = 1)
+    }
+  }
 }
