@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegProg, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, GifFrameSample, GifMeta, GifSynth, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegProg, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -95,6 +95,24 @@ object GraftExtensions {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("gif_synth",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => GifSynth(id, text)
+        case _ => throw new IllegalArgumentException(
+          "gif_synth expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("gif_meta",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => GifMeta(c)
+        case _ => throw new IllegalArgumentException(
+          "gif_meta expects (binary)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("gif_frame_sample",
+      (args: Seq[Expression]) => args match {
+        case Seq(b, k) => GifFrameSample(b, k)
+        case _ => throw new IllegalArgumentException(
+          "gif_frame_sample expects (binary, int)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("image_resize_nn",
       (args: Seq[Expression]) => args match {
@@ -358,12 +376,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("image_pixel_stats"),
       info("image_pixel_stats",
-        "image_pixel_stats(binary) - exact integer channel sums of a 24bpp BMP " +
-          "or 8/16-bit PNG (gray/RGB/palette/gray+alpha/RGBA; sum_a null without alpha)"),
+        "image_pixel_stats(binary) - exact integer channel sums of a 24bpp BMP, " +
+          "8/16-bit PNG (gray/RGB/palette/gray+alpha/RGBA; sum_a null without " +
+          "alpha), JPEG, or GIF (summed over composed frames)"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gif_synth"),
+      info("gif_synth",
+        "gif_synth(bigint, string) - deterministic real animated GIF (LZW, " +
+          "8-color global table, 1-3 frames, alternate frames interlaced)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => GifSynth(id, text)
+        case _ => throw new IllegalArgumentException(
+          "gif_synth expects (bigint, string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gif_meta"),
+      info("gif_meta",
+        "gif_meta(binary) - (width, height, n_frames, palette_size, interlaced) " +
+          "of a GIF, null if malformed"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => GifMeta(c)
+        case _ => throw new IllegalArgumentException(
+          "gif_meta expects (binary)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gif_frame_sample"),
+      info("gif_frame_sample",
+        "gif_frame_sample(binary, k) - every k-th composed frame re-encoded " +
+          "as a valid GIF through the real LZW encoder"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b, k) => GifFrameSample(b, k)
+        case _ => throw new IllegalArgumentException(
+          "gif_frame_sample expects (binary, int)")
       }))
     ext.injectFunction((
       FunctionIdentifier("image_resize_nn"),

@@ -188,8 +188,12 @@ object ScaleProbe {
           col("doc_id"), col("text"))).as("a"),
       graft.functions.VideoCodec.video_pixel_stats(
         graft.functions.VideoCodec.video_synth_avi(
-          col("doc_id"), col("text"))).as("v"))
-      .filter(col("i").isNotNull && col("a").isNotNull && col("v").isNotNull)
+          col("doc_id"), col("text"))).as("v"),
+      graft.functions.ImageCodec.image_pixel_stats(
+        graft.functions.GifCodec.gif_synth(
+          col("doc_id"), col("text"))).as("g"))
+      .filter(col("i").isNotNull && col("a").isNotNull &&
+        col("v").isNotNull && col("g").isNotNull)
     probe("multimodal_decode",
       mmDecode(docs1).count(),
       mmDecode(docsN).count())

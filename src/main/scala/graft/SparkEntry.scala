@@ -786,6 +786,41 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"), col("st.sum_a").as("sum_a"))
     }),
 
+    // ---- multimodal: REAL GIF decode — variable-width LZW, 8-color
+    //      global table, 1–3 composed animation frames, alternate
+    //      frames interlaced (wire order only). The oracle recomputes
+    //      channel sums from the affine palette/index rule ----
+    "mm_gif_pixel_stats" -> ((s, dir) => {
+      import graft.functions.{GifCodec, ImageCodec}
+      t(s, dir, "documents").select(col("doc_id"),
+          GifCodec.gif_synth(col("doc_id"), col("text")).as("g"))
+        .select(col("doc_id"),
+          ImageCodec.image_pixel_stats(col("g")).as("st"),
+          GifCodec.gif_meta(col("g")).as("mt"))
+        .select(col("doc_id"), col("mt.width").as("width"),
+          col("mt.height").as("height"), col("mt.n_frames").as("n_frames"),
+          col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
+    // ---- multimodal: GIF frame sampling — every 2nd composed frame
+    //      re-encoded through the real LZW encoder as a valid GIF,
+    //      then re-decoded; oracle keeps even frame indices ----
+    "mm_gif_frames" -> ((s, dir) => {
+      import graft.functions.{GifCodec, ImageCodec}
+      t(s, dir, "documents").select(col("doc_id"),
+          GifCodec.gif_frame_sample(
+            GifCodec.gif_synth(col("doc_id"), col("text")), lit(2)).as("g"))
+        .select(col("doc_id"),
+          ImageCodec.image_pixel_stats(col("g")).as("st"),
+          GifCodec.gif_meta(col("g")).as("mt"))
+        .select(col("doc_id"), col("mt.n_frames").as("n_frames"),
+          col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- multimodal: SUB-BYTE PNG (depths 1/2/4) — MSB-first bit
     //      unpacking after the byte-wise unfilter, Adam7 on even ids,
     //      sums over the NATIVE code range (0..2^depth−1) ----
@@ -946,24 +981,26 @@ object SparkEntry {
     //      on whichever succeeds. Pure composition of the three meta
     //      expressions — no new operator, no Exchange ----
     "mm_router" -> ((s, dir) => {
-      import graft.functions.{AudioCodec, ImageCodec, VideoCodec}
-      val m = pmod(col("doc_id"), lit(4))
+      import graft.functions.{AudioCodec, GifCodec, ImageCodec, VideoCodec}
+      val m = pmod(col("doc_id"), lit(5))
       val payload = when(m === 0,
           ImageCodec.image_synth_png(col("doc_id"), col("text")))
         .when(m === 1, AudioCodec.audio_synth_wav(col("doc_id"), col("text")))
         .when(m === 2, VideoCodec.video_synth_avi(col("doc_id"), col("text")))
-        .otherwise(ImageCodec.image_synth_jpeg420(col("doc_id"), col("text")))
+        .when(m === 3, ImageCodec.image_synth_jpeg420(col("doc_id"), col("text")))
+        .otherwise(GifCodec.gif_synth(col("doc_id"), col("text")))
       t(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
         .select(col("doc_id"),
           ImageCodec.image_meta(col("payload")).as("im"),
           AudioCodec.audio_meta(col("payload")).as("am"),
-          VideoCodec.video_meta(col("payload")).as("vm"))
+          VideoCodec.video_meta(col("payload")).as("vm"),
+          GifCodec.gif_meta(col("payload")).as("gm"))
         .select(col("doc_id"),
           coalesce(col("im.format"), col("am.format"), col("vm.format"))
             .as("kind"),
           coalesce(col("im.width"), col("vm.width")).as("width"),
-          coalesce(col("am.n_frames"), col("vm.n_frames"), lit(1L))
-            .as("n_frames"))
+          coalesce(col("gm.n_frames").cast("long"), col("am.n_frames"),
+            col("vm.n_frames"), lit(1L)).as("n_frames"))
     }),
 
     // ---- composite multimodal pipeline: route mixed binary payloads
@@ -971,23 +1008,25 @@ object SparkEntry {
     //      multimodal twin of pipeline_corpus (one groupBy over four
     //      keys; decode stays in the map side) ----
     "pipeline_multimodal" -> ((s, dir) => {
-      import graft.functions.{AudioCodec, ImageCodec, VideoCodec}
-      val m = pmod(col("doc_id"), lit(4))
+      import graft.functions.{AudioCodec, GifCodec, ImageCodec, VideoCodec}
+      val m = pmod(col("doc_id"), lit(5))
       val payload = when(m === 0,
           ImageCodec.image_synth_png(col("doc_id"), col("text")))
         .when(m === 1, AudioCodec.audio_synth_wav(col("doc_id"), col("text")))
         .when(m === 2, VideoCodec.video_synth_avi(col("doc_id"), col("text")))
-        .otherwise(ImageCodec.image_synth_jpeg420(col("doc_id"), col("text")))
+        .when(m === 3, ImageCodec.image_synth_jpeg420(col("doc_id"), col("text")))
+        .otherwise(GifCodec.gif_synth(col("doc_id"), col("text")))
       t(s, dir, "documents").select(col("doc_id"), payload.as("payload"))
         .select(col("doc_id"),
           ImageCodec.image_meta(col("payload")).as("im"),
           AudioCodec.audio_meta(col("payload")).as("am"),
-          VideoCodec.video_meta(col("payload")).as("vm"))
+          VideoCodec.video_meta(col("payload")).as("vm"),
+          GifCodec.gif_meta(col("payload")).as("gm"))
         .select(
           coalesce(col("im.format"), col("am.format"), col("vm.format"))
             .as("kind"),
-          coalesce(col("am.n_frames"), col("vm.n_frames"), lit(1L))
-            .as("n_frames"),
+          coalesce(col("gm.n_frames").cast("long"), col("am.n_frames"),
+            col("vm.n_frames"), lit(1L)).as("n_frames"),
           coalesce(col("am.duration_us"), col("vm.duration_us"), lit(0L))
             .as("duration_us"))
         .groupBy(col("kind"))
@@ -2335,6 +2374,52 @@ object SparkEntry {
         |  CAST(CASE WHEN max(cti) = 2 THEN sum(v1)
         |            WHEN max(cti) = 3 THEN sum(v3) END AS BIGINT) AS sum_a
         |FROM vals GROUP BY doc_id""".stripMargin,
+    // mirrors GifCodec.synthGif: w = n%21+4, h = n%11+3, frames =
+    // floorMod(id,3)+1, 8-color palette and per-pixel index both
+    // affine with floor-mod semantics; interlace is wire-order only,
+    // so the oracle never sees it
+    "mm_gif_pixel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) % 21 + 4 AS w,
+        |    octet_length(encode(text)) % 11 + 3 AS h,
+        |    ((doc_id % 3) + 3) % 3 + 1 AS nf
+        |  FROM documents),
+        | vals AS (
+        |  SELECT d.doc_id, d.w, d.h, d.nf,
+        |    ((xs.x*3 + ys.y*5 + fs.f*7 + d.doc_id) % 8 + 8) % 8 AS j
+        |  FROM dims d, range(25) xs(x), range(14) ys(y), range(3) fs(f)
+        |  WHERE xs.x < d.w AND ys.y < d.h AND fs.f < d.nf)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(max(nf) AS INTEGER) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(((j*31 + doc_id) % 256 + 256) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum(((j*57 + doc_id*2) % 256 + 256) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum(((j*89 + doc_id*3) % 256 + 256) % 256) AS BIGINT) AS sum_b
+        |FROM vals GROUP BY doc_id""".stripMargin,
+    // every-2nd-frame sampling: the oracle keeps even frame indices
+    "mm_gif_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) % 21 + 4 AS w,
+        |    octet_length(encode(text)) % 11 + 3 AS h,
+        |    ((doc_id % 3) + 3) % 3 + 1 AS nf
+        |  FROM documents),
+        | vals AS (
+        |  SELECT d.doc_id, d.w, d.h, d.nf,
+        |    ((xs.x*3 + ys.y*5 + fs.f*7 + d.doc_id) % 8 + 8) % 8 AS j
+        |  FROM dims d, range(25) xs(x), range(14) ys(y), range(3) fs(f)
+        |  WHERE xs.x < d.w AND ys.y < d.h AND fs.f < d.nf
+        |    AND fs.f % 2 = 0)
+        |SELECT doc_id,
+        |  CAST((max(nf) + 1) // 2 AS INTEGER) AS n_frames,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(((j*31 + doc_id) % 256 + 256) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum(((j*57 + doc_id*2) % 256 + 256) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum(((j*89 + doc_id*3) % 256 + 256) % 256) AS BIGINT) AS sum_b
+        |FROM vals GROUP BY doc_id""".stripMargin,
     // mirrors JpegCodec.synthJpegPixels: every 8×8 block constant
     // (value affine in blockX/blockY/id), gray vs YCbCr by id parity;
     // the YCbCr→RGB conversion uses the decoder's exact constants with
@@ -2580,30 +2665,33 @@ object SparkEntry {
     // each branch's dims mirror the corresponding synth rule
     "mm_router" ->
       """WITH base AS (
-        |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS m,
+        |  SELECT doc_id, ((doc_id % 5) + 5) % 5 AS m,
         |         octet_length(encode(text)) AS n
         |  FROM documents)
         |SELECT doc_id,
         |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'pcm16' WHEN 2 THEN 'avi'
-        |    ELSE 'jpeg' END AS kind,
+        |    WHEN 3 THEN 'jpeg' ELSE 'gif' END AS kind,
         |  CAST(CASE m WHEN 0 THEN n % 29 + 4 WHEN 2 THEN n % 21 + 4
-        |    WHEN 3 THEN n % 37 + 8 END AS INTEGER) AS width,
+        |    WHEN 3 THEN n % 37 + 8 WHEN 4 THEN n % 21 + 4
+        |    END AS INTEGER) AS width,
         |  CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN n % 241 + 20
-        |    WHEN 2 THEN n % 17 + 2 ELSE 1 END AS BIGINT) AS n_frames
+        |    WHEN 2 THEN n % 17 + 2 WHEN 4 THEN ((doc_id % 3) + 3) % 3 + 1
+        |    ELSE 1 END AS BIGINT) AS n_frames
         |FROM base""".stripMargin,
     // the multimodal pipeline aggregate: counts/frames/durations per
     // routed kind, all derivable from the synth rules (wav duration =
     // frames*1e6 // rate with rate by id%4; avi = frames * us_per_frame)
     "pipeline_multimodal" ->
       """WITH base AS (
-        |  SELECT doc_id, ((doc_id % 4) + 4) % 4 AS m,
+        |  SELECT doc_id, ((doc_id % 5) + 5) % 5 AS m,
         |         octet_length(encode(text)) AS n
         |  FROM documents),
         | rows_ AS (
         |  SELECT
         |   CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'pcm16' WHEN 2 THEN 'avi'
-        |     ELSE 'jpeg' END AS kind,
+        |     WHEN 3 THEN 'jpeg' ELSE 'gif' END AS kind,
         |   CASE m WHEN 1 THEN n % 241 + 20 WHEN 2 THEN n % 17 + 2
+        |     WHEN 4 THEN ((doc_id % 3) + 3) % 3 + 1
         |     ELSE 1 END AS n_frames,
         |   CASE m
         |    WHEN 1 THEN ((n % 241 + 20) * 1000000) //

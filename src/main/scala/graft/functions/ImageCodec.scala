@@ -371,6 +371,11 @@ object ImageCodec {
       if (bmp == null) null
       else InternalRow(UTF8String.fromString("bmp"), bmp.width, bmp.height,
         24, 3, null, null) // bit_depth = bits per pixel (24bpp-only path)
+    } else if (GifCodec.isGif(bytes)) {
+      val gif = GifCodec.decode(bytes)
+      if (gif == null) null
+      else InternalRow(UTF8String.fromString("gif"), gif.width, gif.height,
+        8, 3, null, null) // palette indices expand to 8-bit RGB
     } else null
   }
 
@@ -1083,6 +1088,7 @@ object ImageCodec {
         png.width.toLong * png.height, sr, sg, sb,
         if (hasAlpha) sa else null)
     }
+    if (GifCodec.isGif(bytes)) return GifCodec.pixelStats(bytes)
     val bmp = parseBmp(bytes)
     if (bmp == null) return null
     var sr = 0L; var sg = 0L; var sb = 0L

@@ -64,6 +64,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.isNullAt(3))
   }
 
+  test("SQL surface: GIF synth, meta, frame sample, pixel-stats routing") {
+    val row = spark.sql(
+      """SELECT
+        |  image_meta(gif_synth(2L, 'abcd')).format AS fmt,
+        |  gif_meta(gif_synth(2L, 'abcd')).n_frames AS nf,
+        |  gif_meta(gif_frame_sample(gif_synth(2L, 'abcd'), 2)).n_frames AS nfs,
+        |  image_pixel_stats(gif_synth(2L, 'abcd')).n_px AS npx,
+        |  gif_meta(CAST('junk' AS BINARY)) AS bad
+        |""".stripMargin).head()
+    assert(row.getString(0) == "gif")
+    assert(row.getInt(1) == 3)    // id=2 → 3 frames
+    assert(row.getInt(2) == 2)    // sampled: frames 0, 2
+    assert(row.getLong(3) == (4 % 21 + 4).toLong * (4 % 11 + 3) * 3)
+    assert(row.isNullAt(4))
+  }
+
   test("SQL surface: text_stats, shingle_strings, multimodal encode/decode") {
     val row = spark.sql(
       """SELECT
