@@ -104,6 +104,11 @@ object ExplainCheck {
     audit("gopher_filter", mustNotContain = Seq("Exchange"))
     // hash sampling is a pure filter: no shuffle anywhere in the plan
     audit("sample_by_hash", mustNotContain = Seq("Exchange"))
+    // bloom semi join: the codegen'd probe must sit in the plan as a
+    // Filter BELOW the confirm join — non-members die before any
+    // exchange; no cross product anywhere
+    audit("j10_bloom_semi", mustContain = Seq("bloom_might_contain"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     // BM25: query terms and per-term df join BROADCAST against the
     // matched postings — a sort-merge join here would shuffle the
     // corpus by term; the only nested-loop is the 1-row stats scalar

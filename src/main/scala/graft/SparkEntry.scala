@@ -346,6 +346,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sv"))
     }),
 
+    // ---- J10 bloom-pruned exact semi join: the too-big-to-broadcast
+    //      membership pattern — probe filter sheds non-members before
+    //      the shuffle, exact confirm join kills false positives ----
+    "j10_bloom_semi" -> ((s, dir) => {
+      val keys = t(s, dir, "orders")
+        .filter(col("o_orderpriority").startsWith("1"))
+        .select(col("o_orderkey"))
+      Relational.bloomSemiJoin(t(s, dir, "lineitem"), "l_orderkey",
+        keys, "o_orderkey", expectedItems = 100000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ---- W6 gap-based sessionization (training-pipeline op) ----
     "w6_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2099,6 +2111,11 @@ object SparkEntry {
         |  FROM nation)
         |SELECT n_nationkey, count(*) AS n_events, round(sum(value), 2) AS sv
         |FROM iv JOIN e ON e.ts >= lo AND e.ts <= hi GROUP BY 1""".stripMargin,
+    // the bloom prefilter is result-invisible: plain semi-join oracle
+    "j10_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority LIKE '1%')""".stripMargin,
     "e1_except" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
     "e2_union_dedup" ->

@@ -612,4 +612,49 @@ class GlobalRowNumberSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(zMean < sortMean,
       s"z-order mean dim fraction $zMean should beat single-column sort $sortMean")
   }
+
+  test("bloomSemiJoin: exact despite forced false positives, long and string keys") {
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val keys = (1L to 2000L by 7).map(Tuple1(_)).toDF("kk")
+    // fpp 0.5 guarantees plenty of bloom false positives — the confirm
+    // join must still produce the exact semi-join result
+    val got = Relational.bloomSemiJoin(big, "k", keys, "kk",
+      expectedItems = 300L, fpp = 0.5)
+      .select("k").as[Long].collect().toSet
+    val want = big.join(keys, big("k") === keys("kk"), "left_semi")
+      .select("k").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+    // string keys route through the UTF-8 binary probe
+    val bigS = big.select(concat(lit("id-"), col("k")).as("k"), col("payload"))
+    val keysS = keys.select(concat(lit("id-"), col("kk")).as("kk"))
+    val gotS = Relational.bloomSemiJoin(bigS, "k", keysS, "kk",
+      expectedItems = 300L, fpp = 0.3)
+      .select("k").as[String].collect().toSet
+    assert(gotS == want.map(i => s"id-$i"))
+  }
+
+  test("bloom filter: members always hit, non-members mostly pruned, bytes reusable") {
+    import spark.implicits._
+    val keys = (1L to 1000L).map(Tuple1(_)).toDF("k")
+    val bytes = graft.functions.BloomOps.buildFilter(keys, "k",
+      expectedItems = 1000L, fpp = 0.01)
+    val probe = (1L to 5000L).map(Tuple1(_)).toDF("k")
+      .filter(graft.functions.BloomOps.mightContain(col("k"), bytes))
+      .as[Long].collect().toSet
+    assert((1L to 1000L).forall(probe.contains), "no false negatives, ever")
+    val fps = probe.count(_ > 1000L)
+    assert(fps < 200, s"~1% fpp expected, got $fps/4000 false positives")
+    // the serialized form round-trips through a file (the persisted
+    // exclusion-list shape)
+    val f = java.nio.file.Files.createTempFile("bloom", ".bin")
+    java.nio.file.Files.write(f, bytes)
+    val again = java.nio.file.Files.readAllBytes(f)
+    java.nio.file.Files.delete(f)
+    val hits = probe.count(_ <= 1000L)
+    val rehits = (1L to 1000L).map(Tuple1(_)).toDF("k")
+      .filter(graft.functions.BloomOps.mightContain(col("k"), again))
+      .as[Long].collect().length
+    assert(rehits == hits && rehits == 1000)
+  }
 }
