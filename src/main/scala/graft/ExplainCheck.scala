@@ -86,6 +86,7 @@ object ExplainCheck {
     audit("mm_router", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_gif_pixel_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_gif_frames", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_tiff_pixel_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // span dedup is explode + hash-aggregate winners + reassemble —
     // never a pairwise join, and never a per-span-key window SORT (the
     // min(struct) winner combines map-side; a Window here would sort

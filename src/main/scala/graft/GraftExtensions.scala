@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, GifFrameSample, GifMeta, GifSynth, ImageMeta, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegProg, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, GifFrameSample, GifMeta, GifSynth, ImageMeta, TiffMeta, TiffSynth, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegProg, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -95,6 +95,18 @@ object GraftExtensions {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("tiff_synth",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => TiffSynth(id, text)
+        case _ => throw new IllegalArgumentException(
+          "tiff_synth expects (bigint, string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("tiff_meta",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => TiffMeta(c)
+        case _ => throw new IllegalArgumentException(
+          "tiff_meta expects (binary)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("gif_synth",
       (args: Seq[Expression]) => args match {
@@ -383,6 +395,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("tiff_synth"),
+      info("tiff_synth",
+        "tiff_synth(bigint, string) - deterministic real TIFF (gray/RGB/" +
+          "palette by id, both byte orders, PackBits on even ids)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => TiffSynth(id, text)
+        case _ => throw new IllegalArgumentException(
+          "tiff_synth expects (bigint, string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("tiff_meta"),
+      info("tiff_meta",
+        "tiff_meta(binary) - (width, height, channels, photometric, " +
+          "compression, big_endian) of a TIFF, null if malformed"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => TiffMeta(c)
+        case _ => throw new IllegalArgumentException(
+          "tiff_meta expects (binary)")
       }))
     ext.injectFunction((
       FunctionIdentifier("gif_synth"),

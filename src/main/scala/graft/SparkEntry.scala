@@ -833,6 +833,25 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // ---- multimodal: REAL TIFF decode — both byte orders, gray/RGB/
+    //      palette photometrics cycling by id, PackBits RLE on even
+    //      ids, multi-strip assembly. Oracle mirrors the synth rule ----
+    "mm_tiff_pixel_stats" -> ((s, dir) => {
+      import graft.functions.{ImageCodec, TiffCodec}
+      t(s, dir, "documents").select(col("doc_id"),
+          TiffCodec.tiff_synth(col("doc_id"), col("text")).as("ti"))
+        .select(col("doc_id"),
+          ImageCodec.image_pixel_stats(col("ti")).as("st"),
+          TiffCodec.tiff_meta(col("ti")).as("mt"))
+        .select(col("doc_id"), col("mt.width").as("width"),
+          col("mt.height").as("height"),
+          col("mt.photometric").as("photometric"),
+          col("mt.compression").as("compression"),
+          col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- multimodal: SUB-BYTE PNG (depths 1/2/4) — MSB-first bit
     //      unpacking after the byte-wise unfilter, Adam7 on even ids,
     //      sums over the NATIVE code range (0..2^depth−1) ----
@@ -2436,6 +2455,43 @@ object SparkEntry {
         |  CAST(sum(((j*31 + doc_id) % 256 + 256) % 256) AS BIGINT) AS sum_r,
         |  CAST(sum(((j*57 + doc_id*2) % 256 + 256) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum(((j*89 + doc_id*3) % 256 + 256) % 256) AS BIGINT) AS sum_b
+        |FROM vals GROUP BY doc_id""".stripMargin,
+    // mirrors TiffCodec.synthTiff: photometric 1/2/3 by id, gray base
+    // value (x*3+y*5+id) fm 256 doubles as the palette index; PackBits
+    // and byte order are wire-level only
+    "mm_tiff_pixel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) % 19 + 4 AS w,
+        |    octet_length(encode(text)) % 9 + 3 AS h,
+        |    ((doc_id % 3) + 3) % 3 + 1 AS pm,
+        |    CASE WHEN ((doc_id % 2) + 2) % 2 = 0 THEN 32773 ELSE 1 END AS comp
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.w, d.h, d.pm, d.comp,
+        |    ((xs.x*3 + ys.y*5 + d.doc_id) % 256 + 256) % 256 AS base,
+        |    ((xs.x*5 + ys.y*6 + d.doc_id*2) % 256 + 256) % 256 AS g2,
+        |    ((xs.x*7 + ys.y*7 + d.doc_id*3) % 256 + 256) % 256 AS b2
+        |  FROM dims d, range(23) xs(x), range(12) ys(y)
+        |  WHERE xs.x < d.w AND ys.y < d.h),
+        | vals AS (
+        |  SELECT doc_id, w, h, pm, comp,
+        |    CASE pm WHEN 1 THEN base WHEN 2 THEN base
+        |      ELSE ((base*31 + doc_id) % 256 + 256) % 256 END AS r,
+        |    CASE pm WHEN 1 THEN base WHEN 2 THEN g2
+        |      ELSE ((base*57 + doc_id*2) % 256 + 256) % 256 END AS g,
+        |    CASE pm WHEN 1 THEN base WHEN 2 THEN b2
+        |      ELSE ((base*89 + doc_id*3) % 256 + 256) % 256 END AS b
+        |  FROM px)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(max(pm) AS INTEGER) AS photometric,
+        |  CAST(max(comp) AS INTEGER) AS compression,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM vals GROUP BY doc_id""".stripMargin,
     // mirrors JpegCodec.synthJpegPixels: every 8×8 block constant
     // (value affine in blockX/blockY/id), gray vs YCbCr by id parity;

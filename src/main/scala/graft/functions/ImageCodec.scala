@@ -376,6 +376,11 @@ object ImageCodec {
       if (gif == null) null
       else InternalRow(UTF8String.fromString("gif"), gif.width, gif.height,
         8, 3, null, null) // palette indices expand to 8-bit RGB
+    } else if (TiffCodec.isTiff(bytes)) {
+      val t = TiffCodec.decode(bytes)
+      if (t == null) null
+      else InternalRow(UTF8String.fromString("tiff"), t.width, t.height,
+        8, t.channels, null, null)
     } else null
   }
 
@@ -1089,6 +1094,7 @@ object ImageCodec {
         if (hasAlpha) sa else null)
     }
     if (GifCodec.isGif(bytes)) return GifCodec.pixelStats(bytes)
+    if (TiffCodec.isTiff(bytes)) return TiffCodec.pixelStats(bytes)
     val bmp = parseBmp(bytes)
     if (bmp == null) return null
     var sr = 0L; var sg = 0L; var sb = 0L

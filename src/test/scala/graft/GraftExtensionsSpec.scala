@@ -64,6 +64,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.isNullAt(3))
   }
 
+  test("SQL surface: TIFF synth, meta, pixel-stats routing") {
+    val row = spark.sql(
+      """SELECT
+        |  image_meta(tiff_synth(1L, 'abcd')).format AS fmt,
+        |  tiff_meta(tiff_synth(1L, 'abcd')).photometric AS pm,
+        |  tiff_meta(tiff_synth(1L, 'abcd')).big_endian AS be,
+        |  image_pixel_stats(tiff_synth(1L, 'abcd')).n_px AS npx,
+        |  tiff_meta(CAST('junk' AS BINARY)) AS bad
+        |""".stripMargin).head()
+    assert(row.getString(0) == "tiff")
+    assert(row.getInt(1) == 2 && row.getBoolean(2)) // id=1: RGB, big-endian
+    assert(row.getLong(3) == (4 % 19 + 4).toLong * (4 % 9 + 3))
+    assert(row.isNullAt(4))
+  }
+
   test("SQL surface: GIF synth, meta, frame sample, pixel-stats routing") {
     val row = spark.sql(
       """SELECT
