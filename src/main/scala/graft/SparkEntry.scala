@@ -38,6 +38,18 @@ object SparkEntry {
         .orderBy("rank").collect()
         .map(r => r.getAs[String]("lhs") -> r.getAs[String]("rhs")).toSeq)
 
+  /** Deterministic crawl-style URL per document (sub/site/tld all
+    * affine in doc_id) — the url_domains/domain_cap gates' input; the
+    * oracle recomputes host/domain from the same rule without parsing. */
+  private def synthUrl: org.apache.spark.sql.Column =
+    concat(lit("https://"),
+      element_at(array(lit("www"), lit("api"), lit("cdn"), lit("blog")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+      lit(".site"), pmod(col("doc_id"), lit(11)).cast("string"),
+      element_at(array(lit(".com"), lit(".co.uk"), lit(".org")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+      lit("/p/"), col("doc_id").cast("string"), lit("?u=1"))
+
   /** The bm25_topk gate's fixed query set — one definition, mirrored
     * term-by-term in the oracle's VALUES list. */
   private val bm25Queries: Seq[(Long, String)] = Seq(
@@ -1215,6 +1227,22 @@ object SparkEntry {
     "inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "text", "doc_id",
         minDf = 3L, maxDf = 400L, maxPostings = 50)),
+
+    // ---- text: URL → host + registered domain (public-suffix-aware:
+    //      .co.uk keeps three labels) over synthesized crawl URLs ----
+    "url_domains" -> ((s, dir) =>
+      TextAnalysis.urlDomains(
+        t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
+        "url", "doc_id")),
+
+    // ---- text: per-domain frequency cap (10 docs per registered
+    //      domain by portable md5 rank) — the anti-hot-host mix
+    //      control; rides the two-phase balanced-sample windows ----
+    "domain_cap" -> ((s, dir) =>
+      TextAnalysis.capPerDomain(
+        t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
+        "url", "doc_id", cap = 10)
+        .select(col("doc_id"), col("domain"))),
 
     // ---- text: BM25 top-k retrieval — three queries, Lucene idf,
     //      k1=1.2 b=0.75; the corpus tf is pruned by an isin() hash
@@ -3202,6 +3230,34 @@ object SparkEntry {
         |  array_to_string(list_sort(list(np.doc_id))[1:50], ',') AS postings
         |FROM np JOIN dfc ON np.term = dfc.term
         |GROUP BY np.term, dfc.df""".stripMargin,
+    // host/domain recomputed from the synthUrl rule — the .co.uk rows
+    // pin the multi-label public-suffix branch
+    "url_domains" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'api'
+        |      WHEN 2 THEN 'cdn' ELSE 'blog' END AS sub,
+        |    'site' || CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) AS site,
+        |    CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN '.com'
+        |      WHEN 1 THEN '.co.uk' ELSE '.org' END AS tld
+        |  FROM documents)
+        |SELECT doc_id, sub || '.' || site || tld AS host,
+        |  site || tld AS domain
+        |FROM base""".stripMargin,
+    // the cap mirrors sample_balanced's portable md5 rank per domain
+    "domain_cap" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) ||
+        |    CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN '.com'
+        |      WHEN 1 THEN '.co.uk' ELSE '.org' END AS domain
+        |  FROM documents),
+        | r AS (
+        |  SELECT doc_id, domain, row_number() OVER (
+        |    PARTITION BY domain
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM base)
+        |SELECT doc_id, domain FROM r WHERE rn <= 10""".stripMargin,
     // mirrors TextAnalysis.bm25TopK: Lucene non-negative idf, k1=1.2
     // b=0.75, scores rounded to 6 dp BEFORE ranking, ties by doc_id.
     // e0 suffixes force DOUBLE (bare 0.5 is DECIMAL in DuckDB)

@@ -1124,6 +1124,65 @@ object TextAnalysis {
         col("score").as("tfidf"), col("_rn").cast("long").as("rank"))
   }
 
+  /** Two-label public suffixes the registered-domain rule keeps
+    * together — a built-in subset of the Public Suffix List's most
+    * common entries (the full PSL is a deployment input: pass your own
+    * list). One definition, mirrored literally in oracle SQL. */
+  val defaultMultiSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr",
+    "com.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.sg", "org.sg", "edu.sg", "gov.sg",
+    "com.tr", "org.tr", "gov.tr", "edu.tr",
+    "co.za", "org.za", "gov.za", "ac.za",
+    "com.ar", "org.ar", "gob.ar", "edu.ar")
+
+  /** REGISTERED domain of a lowercase hostname: the label left of the
+    * public suffix — `www.a.example.co.uk` → `example.co.uk`,
+    * `cdn.example.com` → `example.com`. Domain-level grouping is how
+    * web-corpus curation caps, scores, and blocklists crawl data (one
+    * hot host must not dominate a training mix). Pure codegen'd string
+    * ops; a single-label host passes through unchanged. */
+  def registeredDomain(host: Column,
+      multiSuffixes: Seq[String] = defaultMultiSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val isMulti = last2.isin(multiSuffixes: _*)
+    when(n >= 3 && isMulti,
+        concat_ws(".", element_at(labels, -3), last2))
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** Host + registered domain per row from a URL column (null host for
+    * unparseable URLs — crawled data's normal case, never a crash).
+    * One narrow projection; `try_parse_url` is Spark's native null-on-malformed expression (ANSI `parse_url` throws). */
+  def urlDomains(df: DataFrame, urlCol: String, idCol: String,
+      multiSuffixes: Seq[String] = defaultMultiSuffixes): DataFrame =
+    df.select(col(idCol),
+        lower(try_parse_url(col(urlCol), lit("HOST"))).as("host"))
+      .select(col(idCol), col("host"),
+        registeredDomain(col("host"), multiSuffixes).as("domain"))
+
+  /** At most `cap` rows per REGISTERED DOMAIN, selected by portable
+    * md5 rank — the anti-boilerplate frequency cap of web-corpus
+    * curation (RefinedWeb-style): no single domain may contribute more
+    * than its share. Rides [[balancedSample]]'s two-phase windows, so
+    * a million-page hot domain never sorts in one task. */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
+      cap: Int, multiSuffixes: Seq[String] = defaultMultiSuffixes): DataFrame = {
+    val withDomain = df.withColumn("domain",
+      registeredDomain(lower(try_parse_url(col(urlCol), lit("HOST"))),
+        multiSuffixes))
+    balancedSample(withDomain, idCol, "domain", cap)
+  }
+
   /** BM25 top-k retrieval: for each (query_id, query_text) pair, the
     * `k` highest-scoring documents under Okapi BM25 with the
     * Lucene-style non-negative idf

@@ -793,6 +793,51 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("registeredDomain: public-suffix awareness, deep subdomains, edge shapes") {
+    val hosts = Seq(
+      "www.example.com" -> "example.com",
+      "a.b.c.example.co.uk" -> "example.co.uk",
+      "example.co.uk" -> "example.co.uk",
+      "co.uk" -> "co.uk",          // the suffix alone: nothing to its left
+      "example.com" -> "example.com",
+      "localhost" -> "localhost",  // single label passes through
+      "cdn.shop.com.au" -> "shop.com.au",
+      "deep.stack.gob.mx" -> "stack.gob.mx",
+      "not.a.multi.org" -> "multi.org"
+    ).toDF("host", "want")
+    val out = hosts.withColumn("got",
+      TextAnalysis.registeredDomain(col("host"))).collect()
+    out.foreach(r => assert(r.getAs[String]("got") == r.getAs[String]("want"),
+      r.getAs[String]("host")))
+    // custom suffix list overrides the default
+    val custom = Seq(Tuple1("x.y.internal")).toDF("host")
+      .select(TextAnalysis.registeredDomain(col("host"),
+        Seq("y.internal")).as("d")).head().getString(0)
+    assert(custom == "x.y.internal")
+  }
+
+  test("urlDomains and capPerDomain: parse, group, cap; bad URLs yield null host") {
+    val docs = Seq(
+      (1L, "https://www.example.co.uk/a?b=1"),
+      (2L, "https://cdn.example.co.uk/c"),
+      (3L, "https://api.other.com/d"),
+      (4L, "http://other.com/e"),
+      (5L, "::not a url::")
+    ).toDF("doc_id", "url")
+    val d = TextAnalysis.urlDomains(docs, "url", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(d(1L) == (Some("www.example.co.uk"), Some("example.co.uk")))
+    assert(d(2L)._2 == Some("example.co.uk"))
+    assert(d(3L)._2 == Some("other.com"))
+    assert(d(4L)._2 == Some("other.com"))
+    assert(d(5L)._1.isEmpty)
+    val capped = TextAnalysis.capPerDomain(docs.filter(col("doc_id") < 5),
+      "url", "doc_id", cap = 1)
+      .select("domain").as[String].collect().sorted
+    assert(capped.toSeq == Seq("example.co.uk", "other.com"))
+  }
+
   test("bm25TopK: hand-computed scores, idf and length normalization") {
     val docs = Seq(
       (1L, "apple banana apple"),
