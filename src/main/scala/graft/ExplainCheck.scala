@@ -105,6 +105,9 @@ object ExplainCheck {
     audit("gopher_filter", mustNotContain = Seq("Exchange"))
     // hash sampling is a pure filter: no shuffle anywhere in the plan
     audit("sample_by_hash", mustNotContain = Seq("Exchange"))
+    // WARC splitting is synth → parse → explode: a narrow Generate,
+    // no shuffle, no RDD boundary
+    audit("warc_records", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // URL → domain is a pure codegen'd string projection: no shuffle
     audit("url_domains", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // bloom semi join: the codegen'd probe must sit in the plan as a

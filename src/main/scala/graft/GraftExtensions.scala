@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, GifFrameSample, GifMeta, GifSynth, ImageMeta, TiffMeta, TiffSynth, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegProg, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, GifFrameSample, GifMeta, GifSynth, ImageMeta, TiffMeta, TiffSynth, WarcRecords, WarcSynth, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegProg, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -95,6 +95,18 @@ object GraftExtensions {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("warc_records",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WarcRecords(c)
+        case _ => throw new IllegalArgumentException(
+          "warc_records expects (binary)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("warc_synth",
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => WarcSynth(id, text)
+        case _ => throw new IllegalArgumentException(
+          "warc_synth expects (bigint, string)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("tiff_synth",
       (args: Seq[Expression]) => args match {
@@ -395,6 +407,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("warc_records"),
+      info("warc_records",
+        "warc_records(binary) - array of WARC records (type, uri, date, " +
+          "length, http status/content-type, body); null if not WARC"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WarcRecords(c)
+        case _ => throw new IllegalArgumentException(
+          "warc_records expects (binary)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("warc_synth"),
+      info("warc_synth",
+        "warc_synth(bigint, string) - deterministic multi-record WARC"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, text) => WarcSynth(id, text)
+        case _ => throw new IllegalArgumentException(
+          "warc_synth expects (bigint, string)")
       }))
     ext.injectFunction((
       FunctionIdentifier("tiff_synth"),
