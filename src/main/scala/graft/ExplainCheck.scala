@@ -110,6 +110,7 @@ object ExplainCheck {
     audit("warc_records", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // URL → domain is a pure codegen'd string projection: no shuffle
     audit("url_domains", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("robots_filter", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // bloom semi join: the codegen'd probe must sit in the plan as a
     // Filter BELOW the confirm join — non-members die before any
     // exchange; no cross product anywhere

@@ -1247,6 +1247,24 @@ object SparkEntry {
           col("r.body").cast("string").as("body"))
     }),
 
+    // ---- text: robots.txt compliance (RFC 9309) — group selection by
+    //      UA specificity, longest-pattern decision, Allow tie-break;
+    //      even ids carry a crawler-specific group, odd ids fall to * ----
+    "robots_filter" -> ((s, dir) => {
+      import graft.functions.RobotsOps
+      val robots = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("User-agent: crawler0\nDisallow: /a"),
+            pmod(col("doc_id"), lit(3)).cast("string"), lit("\n\n")))
+          .otherwise(lit("")),
+        lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+      val path = element_at(array(lit("/a1/x"), lit("/private/z"),
+        lit("/private/ok"), lit("/home")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      t(s, dir, "documents").select(col("doc_id"), path.as("path"),
+        RobotsOps.robots_allowed(robots, path, "crawler0-bot").as("allowed"))
+    }),
+
     // ---- text: URL → host + registered domain (public-suffix-aware:
     //      .co.uk keeps three labels) over synthesized crawl URLs ----
     "url_domains" -> ((s, dir) =>
@@ -3284,6 +3302,19 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS body_len,
         |  body
         |FROM t""".stripMargin,
+    // mirrors the synthesized robots decision table: even ids select
+    // the crawler0 group (only /a{id%3} disallowed), odd ids the *
+    // group (/private disallowed, /private/ok re-allowed by length)
+    "robots_filter" ->
+      """SELECT doc_id,
+        |  CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN '/a1/x'
+        |    WHEN 1 THEN '/private/z' WHEN 2 THEN '/private/ok'
+        |    ELSE '/home' END AS path,
+        |  NOT ((((doc_id % 4) + 4) % 4 = 0 AND ((doc_id % 3) + 3) % 3 = 1
+        |        AND ((doc_id % 2) + 2) % 2 = 0)
+        |    OR (((doc_id % 4) + 4) % 4 = 1 AND ((doc_id % 2) + 2) % 2 = 1))
+        |    AS allowed
+        |FROM documents""".stripMargin,
     // host/domain recomputed from the synthUrl rule — the .co.uk rows
     // pin the multi-label public-suffix branch
     "url_domains" ->

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt evaluation per RFC 9309 (the Robots Exclusion Protocol —
+  * crawl-compliance filtering is a first-class step of any web-corpus
+  * pipeline): group selection by most-specific matching User-agent
+  * (falling back to `*`), Allow/Disallow path rules with `*` wildcards
+  * and the `$` end anchor, longest-pattern-wins with Allow breaking
+  * ties, no-match → allowed.
+  *
+  * `robots_allowed(robots_txt, path)` evaluates one URL path against
+  * one robots body (the crawl-time shape: a domain-keyed robots table
+  * broadcast-joined to the URL stream, then this filter — parse cost is
+  * microseconds against typical files and stays inside codegen).
+  * Null inputs → null; an empty/garbage robots body allows everything
+  * (the protocol's permissive default). */
+case class RobotsAllowed(left: Expression, right: Expression, agent: String)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(agent != null && agent.nonEmpty, "agent required")
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "robots_allowed"
+  override def nullSafeEval(txt: Any, path: Any): Any =
+    RobotsOps.allowed(txt.asInstanceOf[UTF8String].toString, agent,
+      path.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"""${ev.value} = graft.functions.RobotsOps.allowed(
+         |  $t.toString(), $ref, $p.toString());""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsAllowed =
+    copy(left = newLeft, right = newRight)
+}
+
+object RobotsOps {
+  /** One rule: allow?, raw pattern. */
+  private final case class Rule(allow: Boolean, pattern: String)
+
+  /** Parse and select the rule group for `agent`: groups open with one
+    * or more consecutive User-agent lines; the group whose UA token is
+    * the LONGEST substring of `agent` (case-insensitive) wins, `*`
+    * matches any agent at the lowest specificity. Unknown directives
+    * and comments are skipped per spec. */
+  private def rulesFor(txt: String, agent: String): Seq[Rule] = {
+    val la = agent.toLowerCase
+    var bestLen = -1          // specificity of the winning group
+    var best = List.empty[Rule]
+    var curAgents = List.empty[String]
+    var curRules = List.empty[Rule]
+    var inGroup = false       // currently collecting rules (past UA lines)
+    def close(): Unit = {
+      if (curAgents.nonEmpty) {
+        // group specificity = best of its UA tokens vs our agent
+        val spec = curAgents.map {
+          case "*" => 0
+          case ua if la.contains(ua) => ua.length
+          case _ => -1
+        }.max
+        if (spec > bestLen) { bestLen = spec; best = curRules.reverse }
+      }
+      curAgents = Nil; curRules = Nil; inGroup = false
+    }
+    txt.split("\n").foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw
+      }
+      val l = noComment.trim
+      val c = l.indexOf(':')
+      if (c > 0) {
+        val key = l.substring(0, c).trim.toLowerCase
+        val value = l.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inGroup) close()
+            curAgents ::= value.toLowerCase
+          case "allow" | "disallow" =>
+            inGroup = true
+            // empty Disallow means "allow all" — representable as a
+            // rule that matches nothing (skip it, per spec)
+            if (value.nonEmpty)
+              curRules ::= Rule(key == "allow", value)
+          case _ => if (curAgents.nonEmpty) inGroup = true // sitemap etc.
+        }
+      }
+    }
+    close()
+    if (bestLen < 0) Nil else best
+  }
+
+  /** RFC 9309 pattern match: literal octets, `*` any run, `$` only as
+    * a final end-anchor. Iterative greedy-with-backtrack (the classic
+    * glob loop — no regex compilation per row). */
+  private[functions] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    if (p.isEmpty) return !anchored || path.isEmpty
+    var pi = 0; var si = 0
+    var starPi = -1; var starSi = -1
+    while (si < path.length) {
+      if (pi < p.length && (p.charAt(pi) == path.charAt(si))) { pi += 1; si += 1 }
+      else if (pi < p.length && p.charAt(pi) == '*') { starPi = pi; pi += 1; starSi = si }
+      else if (starPi >= 0) { pi = starPi + 1; starSi += 1; si = starSi }
+      else return false
+      // unanchored patterns are prefix matches: pattern consumed → hit
+      if (pi == p.length && !anchored) return true
+    }
+    while (pi < p.length && p.charAt(pi) == '*') pi += 1
+    pi == p.length // anchored: must also have consumed the whole path
+  }
+
+  /** The decision: longest matching pattern wins, Allow beats Disallow
+    * at equal length, nothing matched → allowed. */
+  def allowed(txt: String, agent: String, path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rulesFor(txt, agent).foreach { r =>
+      if (patternMatches(r.pattern, path)) {
+        val len = r.pattern.length
+        if (len > bestLen) { bestLen = len; bestAllow = r.allow }
+        else if (len == bestLen && r.allow) bestAllow = true // Allow wins ties
+      }
+    }
+    bestLen < 0 || bestAllow
+  }
+
+  def robots_allowed(txt: Column, path: Column, agent: String): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(RobotsAllowed(
+      org.apache.spark.sql.GraftSqlBridge.expression(txt),
+      org.apache.spark.sql.GraftSqlBridge.expression(path), agent))
+}

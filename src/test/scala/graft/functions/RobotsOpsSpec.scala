@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.SparkTestSession
+
+/** RFC 9309 robots evaluation: wildcard/anchor matching, group
+  * selection, longest-match + Allow tie-break, permissive defaults. */
+class RobotsOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("patternMatches: prefixes, wildcards, end anchors, backtracking") {
+    assert(RobotsOps.patternMatches("/fish", "/fish/salmon"))
+    assert(RobotsOps.patternMatches("/fish", "/fishheads"))
+    assert(!RobotsOps.patternMatches("/fish", "/Fish")) // case-sensitive paths
+    assert(RobotsOps.patternMatches("/*.php", "/index.php"))
+    assert(RobotsOps.patternMatches("/*.php", "/folder/any.php.html"))
+    assert(RobotsOps.patternMatches("/*.php$", "/filename.php"))
+    assert(!RobotsOps.patternMatches("/*.php$", "/filename.php?x=1"))
+    assert(RobotsOps.patternMatches("/fish*.php", "/fishheads/catfish.php?p=2"))
+    assert(RobotsOps.patternMatches("/a*b*c", "/aXbYbZc-tail"))
+    assert(!RobotsOps.patternMatches("/a*b*c$", "/aXbYbZc-tail"))
+    assert(RobotsOps.patternMatches("/p$", "/p"))
+    assert(!RobotsOps.patternMatches("/p$", "/page"))
+  }
+
+  test("decision: longest match wins, Allow breaks ties, no match allows") {
+    val txt =
+      """User-agent: *
+        |Disallow: /
+        |Allow: /public
+        |""".stripMargin
+    assert(RobotsOps.allowed(txt, "anybot", "/public/page"))
+    assert(!RobotsOps.allowed(txt, "anybot", "/private"))
+    val tie =
+      """User-agent: *
+        |Disallow: /page
+        |Allow: /page
+        |""".stripMargin
+    assert(RobotsOps.allowed(tie, "anybot", "/page"))
+    assert(RobotsOps.allowed("", "anybot", "/anything"))
+    assert(RobotsOps.allowed("# only comments\n", "anybot", "/x"))
+    // empty Disallow means allow-all
+    assert(RobotsOps.allowed("User-agent: *\nDisallow:\n", "b", "/x"))
+  }
+
+  test("group selection: specificity over *, shared UA lines, case-insensitive") {
+    val txt =
+      """User-agent: googlebot-news
+        |Disallow: /news-secret
+        |
+        |User-agent: googlebot
+        |User-agent: otherbot
+        |Disallow: /general
+        |
+        |User-agent: *
+        |Disallow: /everything
+        |""".stripMargin
+    // most specific UA token substring wins
+    assert(!RobotsOps.allowed(txt, "Googlebot-News/2.1", "/news-secret"))
+    assert(RobotsOps.allowed(txt, "Googlebot-News/2.1", "/general"))
+    assert(RobotsOps.allowed(txt, "Googlebot-News/2.1", "/everything"))
+    assert(!RobotsOps.allowed(txt, "Googlebot/2.1", "/general"))
+    assert(RobotsOps.allowed(txt, "Googlebot/2.1", "/everything"))
+    assert(!RobotsOps.allowed(txt, "OtherBot", "/general"))
+    assert(!RobotsOps.allowed(txt, "randombot", "/everything"))
+    assert(RobotsOps.allowed(txt, "randombot", "/general"))
+  }
+
+  test("expression: null-safe, codegen path over a DataFrame") {
+    val txt = "User-agent: *\nDisallow: /no\n"
+    val df = Seq(
+      (1L, txt, "/no/way"), (2L, txt, "/yes"), (3L, null, "/no/way")
+    ).toDF("id", "robots", "path")
+    val out = df.select(col("id"),
+      RobotsOps.robots_allowed(col("robots"), col("path"), "bot").as("a"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else Boolean.box(r.getBoolean(1)))).toMap
+    assert(out(1L) == java.lang.Boolean.FALSE)
+    assert(out(2L) == java.lang.Boolean.TRUE)
+    assert(out(3L) == null)
+  }
+}
