@@ -111,6 +111,7 @@ object ExplainCheck {
     // URL → domain is a pure codegen'd string projection: no shuffle
     audit("url_domains", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("robots_filter", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("text_fix_mojibake", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // bloom semi join: the codegen'd probe must sit in the plan as a
     // Filter BELOW the confirm join — non-members die before any
     // exchange; no cross product anywhere

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, GifFrameSample, GifMeta, GifSynth, ImageMeta, TiffMeta, TiffSynth, WarcRecords, WarcSynth, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegProg, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
+import graft.functions.{AudioFrameSample, AudioMeta, AudioPcmStats, AudioSynthG711, AudioSynthWav, DecodeDatetimeExpr, FixMojibake, GifFrameSample, GifMeta, GifSynth, ImageMeta, TiffMeta, TiffSynth, WarcRecords, WarcSynth, ImagePixelStats, ImageResizeNn, ImageSynth, ImageSynthBmp, ImageSynthJpeg420, ImageSynthJpegProg, ImageSynthJpegPx, ImageSynthPng, ImageSynthPng16, ImageSynthPngI7, ImageSynthPngPal, ImageSynthPngTiny, MinHash64, MultimodalEncode, MultimodalMeta, NfcNormalize, RobotsAllowed, ShingleHashes, ShingleStrings, SimHash64, TextStats, VideoFrameSample, VideoMeta, VideoPixelStats, VideoSynthAvi, WinnowSelect}
 
 /** Session extensions exposing the engine's native expressions to SQL:
   *
@@ -95,6 +95,19 @@ object GraftExtensions {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("fix_mojibake",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => FixMojibake(c)
+        case _ => throw new IllegalArgumentException(
+          "fix_mojibake expects (string)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("robots_allowed",
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, Literal(a: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          RobotsAllowed(t, p, a.toString)
+        case _ => throw new IllegalArgumentException(
+          "robots_allowed expects (robots_txt, path, agent string literal)")
       }, "scala_udf")
     reg.createOrReplaceTempFunction("warc_records",
       (args: Seq[Expression]) => args match {
@@ -407,6 +420,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("fix_mojibake"),
+      info("fix_mojibake",
+        "fix_mojibake(string) - invert cp1252/latin-1 double-encoding " +
+          "(ftfy-style); correctly-encoded text is untouched"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => FixMojibake(c)
+        case _ => throw new IllegalArgumentException(
+          "fix_mojibake expects (string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("robots_allowed"),
+      info("robots_allowed",
+        "robots_allowed(robots_txt, path, agent literal) - RFC 9309 " +
+          "decision: longest matching Allow/Disallow pattern, Allow ties"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, p, Literal(a: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          RobotsAllowed(t, p, a.toString)
+        case _ => throw new IllegalArgumentException(
+          "robots_allowed expects (robots_txt, path, agent string literal)")
       }))
     ext.injectFunction((
       FunctionIdentifier("warc_records"),

@@ -1247,6 +1247,22 @@ object SparkEntry {
           col("r.body").cast("string").as("body"))
     }),
 
+    // ---- text: mojibake repair — cp1252-minted double-encoding is
+    //      appended to every document and must invert exactly, while
+    //      an already-clean accent suffix passes through untouched ----
+    "text_fix_mojibake" -> ((s, dir) => {
+      import graft.functions.Mojibake
+      val clean = "café naïve — “ok’ №"
+      val broken = new String(
+        clean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.Charset.forName("windows-1252"))
+      t(s, dir, "documents").select(col("doc_id"),
+        Mojibake.fix_mojibake(concat(col("text"), lit(" " + broken)))
+          .as("fixed"),
+        Mojibake.fix_mojibake(concat(col("text"), lit(" " + clean)))
+          .as("untouched"))
+    }),
+
     // ---- text: robots.txt compliance (RFC 9309) — group selection by
     //      UA specificity, longest-pattern decision, Allow tie-break;
     //      even ids carry a crawler-specific group, odd ids fall to * ----
@@ -3302,6 +3318,12 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS body_len,
         |  body
         |FROM t""".stripMargin,
+    // both columns repair/pass-through to the same clean suffix
+    "text_fix_mojibake" ->
+      """SELECT doc_id,
+        |  text || ' café naïve — “ok’ №' AS fixed,
+        |  text || ' café naïve — “ok’ №' AS untouched
+        |FROM documents""".stripMargin,
     // mirrors the synthesized robots decision table: even ids select
     // the crawler0 group (only /a{id%3} disallowed), odd ids the *
     // group (/private disallowed, /private/ok re-allowed by length)
