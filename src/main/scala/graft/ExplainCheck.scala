@@ -112,6 +112,9 @@ object ExplainCheck {
     audit("url_domains", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("robots_filter", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("text_fix_mojibake", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    // exact-N sampling: per-partition heaps, never a global sort
+    audit("sample_exact_n", mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("Exchange rangepartitioning"))
     // bloom semi join: the codegen'd probe must sit in the plan as a
     // Filter BELOW the confirm join — non-members die before any
     // exchange; no cross product anywhere

@@ -1247,6 +1247,27 @@ object SparkEntry {
           col("r.body").cast("string").as("body"))
     }),
 
+    // ---- text: exact-N uniform sample by portable md5 rank — plans
+    //      as TakeOrderedAndProject, never a global sort ----
+    "sample_exact_n" -> ((s, dir) =>
+      TextAnalysis.sampleExactN(t(s, dir, "documents"), "doc_id", n = 25)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // ---- text: corpus snapshot delta (CDC) — v2 = v1 with ids%7==0
+    //      dropped, ids%5==0 text-mutated, and a fresh shifted-id set
+    //      added; every class must label correctly by fingerprint ----
+    "corpus_delta" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2kept = v1.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2-edit"))).otherwise(col("text")))
+      val v2new = v1.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      TextAnalysis.corpusDelta(v1, v2kept.unionByName(v2new),
+        "text", "doc_id")
+    }),
+
     // ---- text: mojibake repair — cp1252-minted double-encoding is
     //      appended to every document and must invert exactly, while
     //      an already-clean accent suffix passes through untouched ----
@@ -3318,6 +3339,21 @@ object SparkEntry {
         |  CAST(length(body) AS BIGINT) AS body_len,
         |  body
         |FROM t""".stripMargin,
+    "sample_exact_n" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IS NOT NULL
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25""".stripMargin,
+    // delta classes from the v2 construction rule: ids%7=0 removed,
+    // else ids%5=0 changed, shifted copies of ids%3=0 added
+    "corpus_delta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'removed'
+        |       WHEN doc_id % 5 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS delta
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, 'added' AS delta
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     // both columns repair/pass-through to the same clean suffix
     "text_fix_mojibake" ->
       """SELECT doc_id,

@@ -313,6 +313,42 @@ object TextAnalysis {
       conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8),
         16, 10).cast("long") % 100 < pct)
 
+  /** EXACT-N uniform sample: the `n` rows with the smallest portable
+    * md5 rank — fixed-size eval/calibration set selection where a
+    * percentage filter's size variance is unacceptable. Plans as
+    * TakeOrderedAndProject (per-partition top-n heaps merged on the
+    * driver, the corpus is never globally sorted), deterministic and
+    * salt-nestable like every other sampler here. */
+  def sampleExactN(df: DataFrame, idCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.filter(col(idCol).isNotNull)
+      .withColumn("_bk", md5(concat(lit(salt), col(idCol).cast("string"))))
+      .orderBy(col("_bk"), col(idCol))
+      .limit(n)
+      .drop("_bk")
+  }
+
+  /** Corpus snapshot DELTA: classify every id across two corpus
+    * versions as added / removed / changed / unchanged by content
+    * fingerprint — the CDC primitive for incremental re-processing
+    * (only `added`+`changed` need re-embedding, re-dedup, re-scoring).
+    * One full outer join on id; fingerprints are the engine-wide
+    * [[fingerprint]] rule so deltas reproduce across engines. */
+  def corpusDelta(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("_id"),
+      fingerprint(col(textCol)).as("_ofp"))
+    val nw = newDf.select(col(idCol).as("_id"),
+      fingerprint(col(textCol)).as("_nfp"))
+    o.join(nw, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_ofp").isNull, "added")
+          .when(col("_nfp").isNull, "removed")
+          .when(col("_ofp") =!= col("_nfp"), "changed")
+          .otherwise("unchanged").as("delta"))
+  }
+
   /** Corpus MIXING: per-stratum deterministic sampling rates — the
     * pretraining-mix primitive ("keep 100% of books, 30% of web, 5% of
     * logs"). Same md5-bucket rule as [[sampleByHash]], so mixes are

@@ -793,6 +793,45 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleExactN: exact size, deterministic, salt-sensitive, null-id-safe") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = ((1L to 100L).map(i => (i: java.lang.Long)) :+
+      (null: java.lang.Long)).toDF("doc_id")
+    val a = TextAnalysis.sampleExactN(docs, "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a.length == 10 && a.distinct.length == 10)
+    val b = TextAnalysis.sampleExactN(docs, "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b, "deterministic")
+    val expected = (1L to 100L).sortBy(i => (md5hex(i.toString), i)).take(10)
+    assert(a.sorted == expected.sorted, "matches the portable md5 rank")
+    val salted = TextAnalysis.sampleExactN(docs, "doc_id", 10, salt = "s")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(salted.toSet != a.toSet)
+    // n >= corpus: everything (minus null ids) survives
+    assert(TextAnalysis.sampleExactN(docs, "doc_id", 500).count() == 100)
+  }
+
+  test("corpusDelta: added/removed/changed/unchanged all classify by fingerprint") {
+    val v1 = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha text"),          // unchanged
+      (2L, "beta text edited"),               // changed
+      (4L, "fresh doc")                       // added; 3 removed
+    ).toDF("doc_id", "text")
+    val d = TextAnalysis.corpusDelta(v1, v2, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // normalization-invariant: punctuation/case shifts are NOT changes
+    val v2b = Seq((1L, "ALPHA, text!"), (2L, "beta text"), (3L, "gamma text"))
+      .toDF("doc_id", "text")
+    val d2 = TextAnalysis.corpusDelta(v1, v2b, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2(1L) == "unchanged")
+  }
+
   test("registeredDomain: public-suffix awareness, deep subdomains, edge shapes") {
     val hosts = Seq(
       "www.example.com" -> "example.com",
