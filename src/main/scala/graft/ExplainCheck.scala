@@ -115,6 +115,10 @@ object ExplainCheck {
     // exact-N sampling: per-partition heaps, never a global sort
     audit("sample_exact_n", mustContain = Seq("TakeOrderedAndProject"),
       mustNotContain = Seq("Exchange rangepartitioning"))
+    // spatial radius join: grid-cell EQUI-join, never a cross product
+    // or nested-loop compare of every pair
+    audit("j11_spatial_radius",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
     // bloom semi join: the codegen'd probe must sit in the plan as a
     // Filter BELOW the confirm join — non-members die before any
     // exchange; no cross product anywhere

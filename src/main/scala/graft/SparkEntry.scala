@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Glider, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Glider, Multimodal, Relational, Similarity, Spatial, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -368,6 +368,21 @@ object SparkEntry {
       Relational.bloomSemiJoin(t(s, dir, "lineitem"), "l_orderkey",
         keys, "o_orderkey", expectedItems = 100000L, fpp = 0.01)
         .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- J11 spatial radius join: deterministic platform positions
+    //      minted from the keys, all pairs within 500 km — grid-cell
+    //      equi-join + haversine confirm, never a cross join ----
+    "j11_spatial_radius" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 7919 % 1200) / 10.0 - 60.0).as("c_lat"),
+        ((col("c_custkey") * 104729 % 3600) / 10.0 - 180.0).as("c_lon"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 7907 % 1200) / 10.0 - 60.0).as("s_lat"),
+        ((col("s_suppkey") * 104717 % 3600) / 10.0 - 180.0).as("s_lon"))
+      Spatial.withinRadiusJoin(c, su, "c_lat", "c_lon", "s_lat", "s_lon",
+        radiusM = 500000.0)
+        .select(col("c_custkey"), col("s_suppkey"))
     }),
 
     // ---- W6 gap-based sessionization (training-pipeline op) ----
@@ -2237,6 +2252,21 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority LIKE '1%')""".stripMargin,
+    // the grid is pruning only: the oracle is the plain cross join +
+    // haversine the operator must equal pair-for-pair
+    "j11_spatial_radius" ->
+      """WITH c AS (SELECT c_custkey,
+        |  (c_custkey*7919 % 1200)/10.0 - 60.0 AS lat,
+        |  (c_custkey*104729 % 3600)/10.0 - 180.0 AS lon FROM customer),
+        |s AS (SELECT s_suppkey,
+        |  (s_suppkey*7907 % 1200)/10.0 - 60.0 AS lat,
+        |  (s_suppkey*104717 % 3600)/10.0 - 180.0 AS lon FROM supplier)
+        |SELECT c_custkey, s_suppkey FROM c CROSS JOIN s
+        |WHERE 2*6371008.8*asin(sqrt(
+        |    sin(radians(s.lat-c.lat)/2)*sin(radians(s.lat-c.lat)/2)
+        |    + cos(radians(c.lat))*cos(radians(s.lat))
+        |      *sin(radians(s.lon-c.lon)/2)*sin(radians(s.lon-c.lon)/2)))
+        |  <= 500000.0""".stripMargin,
     "e1_except" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
     "e2_union_dedup" ->
