@@ -108,6 +108,7 @@ object ExplainCheck {
     // WARC splitting is synth → parse → explode: a narrow Generate,
     // no shuffle, no RDD boundary
     audit("warc_records", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("warc_records_gz", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // URL → domain is a pure codegen'd string projection: no shuffle
     audit("url_domains", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("robots_filter", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))

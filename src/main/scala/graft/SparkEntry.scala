@@ -1262,6 +1262,26 @@ object SparkEntry {
           col("r.body").cast("string").as("body"))
     }),
 
+    // ---- same records over the Common Crawl WIRE layout: one gzip
+    //      member per record, concatenated (.warc.gz) — the parser
+    //      sniffs the magic, inflates the member chain, and must land
+    //      on byte-identical fields ----
+    "warc_records_gz" -> ((s, dir) => {
+      import graft.functions.WarcCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          explode(WarcCodec.warc_records(
+            WarcCodec.warc_synth_gz(col("doc_id"), col("text")))).as("r"))
+        .select(col("doc_id"),
+          col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.warc_date").as("warc_date"),
+          col("r.content_length").as("content_length"),
+          col("r.http_status").as("http_status"),
+          col("r.http_content_type").as("http_content_type"),
+          length(col("r.body")).cast("long").as("body_len"),
+          col("r.body").cast("string").as("body"))
+    }),
+
     // ---- text: exact-N uniform sample by portable md5 rank — plans
     //      as TakeOrderedAndProject, never a global sort ----
     "sample_exact_n" -> ((s, dir) =>
@@ -1986,6 +2006,43 @@ object SparkEntry {
        |      $simBits AS sim
        |  FROM votes)""".stripMargin
   }
+
+  // mirrors WarcCodec.synthWarc record-by-record: response records'
+  // content_length counts the full HTTP payload (status line + headers
+  // + CRLFs + body), others just the body; gzip framing is
+  // result-invisible so the plain and .gz gates share this oracle
+  private val warcRecordsOracle: String =
+    """WITH recs AS (
+      |  SELECT doc_id, f.r AS r
+      |  FROM documents, range(3) f(r)
+      |  WHERE f.r < ((doc_id % 3) + 3) % 3 + 1),
+      | t AS (
+      |  SELECT doc_id, r, ((doc_id + r) % 3 + 3) % 3 AS ty,
+      |    'payload-' || CAST(doc_id AS VARCHAR) || '-' ||
+      |      CAST(r AS VARCHAR) AS body,
+      |    CASE ((doc_id + r + 1) % 3 + 3) % 3 WHEN 0 THEN '200 OK'
+      |      WHEN 1 THEN '404 Not Found'
+      |      ELSE '301 Moved Permanently' END AS statusline
+      |  FROM recs)
+      |SELECT doc_id,
+      |  CASE ty WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+      |    ELSE 'metadata' END AS warc_type,
+      |  'https://site' || CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) ||
+      |    '.example/p/' || CAST(r AS VARCHAR) AS target_uri,
+      |  '2024-01-01T00:00:00Z' AS warc_date,
+      |  CAST(CASE WHEN ty = 0 THEN
+      |      9 + length(statusline) + 2 +
+      |      23 + 2 +
+      |      16 + length(CAST(length(body) AS VARCHAR)) + 2 +
+      |      2 + length(body)
+      |    ELSE length(body) END AS BIGINT) AS content_length,
+      |  CAST(CASE WHEN ty = 0 THEN
+      |    CASE ((doc_id + r + 1) % 3 + 3) % 3 WHEN 0 THEN 200
+      |      WHEN 1 THEN 404 ELSE 301 END END AS INTEGER) AS http_status,
+      |  CASE WHEN ty = 0 THEN 'text/html' END AS http_content_type,
+      |  CAST(length(body) AS BIGINT) AS body_len,
+      |  body
+      |FROM t""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -3334,41 +3391,8 @@ object SparkEntry {
         |  array_to_string(list_sort(list(np.doc_id))[1:50], ',') AS postings
         |FROM np JOIN dfc ON np.term = dfc.term
         |GROUP BY np.term, dfc.df""".stripMargin,
-    // mirrors WarcCodec.synthWarc record-by-record: response records'
-    // content_length counts the full HTTP payload (status line +
-    // headers + CRLFs + body), others just the body
-    "warc_records" ->
-      """WITH recs AS (
-        |  SELECT doc_id, f.r AS r
-        |  FROM documents, range(3) f(r)
-        |  WHERE f.r < ((doc_id % 3) + 3) % 3 + 1),
-        | t AS (
-        |  SELECT doc_id, r, ((doc_id + r) % 3 + 3) % 3 AS ty,
-        |    'payload-' || CAST(doc_id AS VARCHAR) || '-' ||
-        |      CAST(r AS VARCHAR) AS body,
-        |    CASE ((doc_id + r + 1) % 3 + 3) % 3 WHEN 0 THEN '200 OK'
-        |      WHEN 1 THEN '404 Not Found'
-        |      ELSE '301 Moved Permanently' END AS statusline
-        |  FROM recs)
-        |SELECT doc_id,
-        |  CASE ty WHEN 0 THEN 'response' WHEN 1 THEN 'request'
-        |    ELSE 'metadata' END AS warc_type,
-        |  'https://site' || CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) ||
-        |    '.example/p/' || CAST(r AS VARCHAR) AS target_uri,
-        |  '2024-01-01T00:00:00Z' AS warc_date,
-        |  CAST(CASE WHEN ty = 0 THEN
-        |      9 + length(statusline) + 2 +
-        |      23 + 2 +
-        |      16 + length(CAST(length(body) AS VARCHAR)) + 2 +
-        |      2 + length(body)
-        |    ELSE length(body) END AS BIGINT) AS content_length,
-        |  CAST(CASE WHEN ty = 0 THEN
-        |    CASE ((doc_id + r + 1) % 3 + 3) % 3 WHEN 0 THEN 200
-        |      WHEN 1 THEN 404 ELSE 301 END END AS INTEGER) AS http_status,
-        |  CASE WHEN ty = 0 THEN 'text/html' END AS http_content_type,
-        |  CAST(length(body) AS BIGINT) AS body_len,
-        |  body
-        |FROM t""".stripMargin,
+    "warc_records" -> warcRecordsOracle,
+    "warc_records_gz" -> warcRecordsOracle,
     "sample_exact_n" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IS NOT NULL

@@ -60,6 +60,24 @@ case class WarcSynth(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[WarcSynth]]'s records as real `.warc.gz` bytes — one gzip member
+  * per record, concatenated (the Common Crawl wire layout). */
+case class WarcSynthGz(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "warc_synth_gz"
+  override def nullSafeEval(id: Any, text: Any): Any =
+    WarcCodec.synthWarcGz(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.WarcCodec.synthWarcGz($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WarcSynthGz =
+    copy(left = newLeft, right = newRight)
+}
+
 object WarcCodec {
   val recordSchema: StructType = StructType(Seq(
     StructField("warc_type", StringType),
@@ -71,6 +89,11 @@ object WarcCodec {
     StructField("body", BinaryType)))           // HTTP body, or raw payload
 
   private val MAX_RECORDS = 1 << 16
+
+  /** Decompressed-size cap (zip-bomb guard): inflation stops here and
+    * the truncated tail falls under the parser's normal truncation
+    * tolerance — records before the cut are kept, never a task OOM. */
+  private val MAX_INFLATED = 512 << 20
 
   /** ASCII line starting at `i`, up to CRLF; returns (line, nextIndex)
     * or null at a malformed/unterminated line. */
@@ -101,8 +124,43 @@ object WarcCodec {
     (m.toMap, pos)
   }
 
+  /** Entry point: sniffs the gzip magic and inflates first — real
+    * Common Crawl `.warc.gz` files are a CONCATENATION of gzip members
+    * (one per record, RFC 1952 multi-member), which inflates to the
+    * plain container the walker below already handles. */
   def parseInternal(b: Array[Byte]): GenericArrayData = {
     if (b == null || b.length < 12) return null
+    if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
+      val raw = gunzipMembers(b)
+      if (raw == null) return null
+      return parsePlain(raw)
+    }
+    parsePlain(b)
+  }
+
+  /** Inflate every gzip member in sequence (GZIPInputStream chains
+    * RFC 1952 members natively). A corrupt header on the FIRST member
+    * → null (malformed input); corruption later keeps the prefix —
+    * the parser's truncated-tail tolerance applies. */
+  private def gunzipMembers(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b), 64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0 && out.size < MAX_INFLATED) {
+        out.write(buf, 0, math.min(n, MAX_INFLATED - out.size))
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException =>
+        if (out.size == 0) null else out.toByteArray
+    }
+  }
+
+  private def parsePlain(b: Array[Byte]): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var i = 0
     var first = true
@@ -168,37 +226,56 @@ object WarcCodec {
     * HTTP payload with status 200/404/301 by floorMod(id+r,3) of the
     * NEXT index (r+1), text/html content type, and body
     * `payload-{id}-{r}`; non-responses carry the raw body bytes. */
-  def synthWarc(id: Long, text: UTF8String): Array[Byte] = {
-    val nrec = java.lang.Math.floorMod(id, 3L).toInt + 1
+  private def synthRecord(id: Long, r: Int): Array[Byte] = {
     val sb = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit =
       sb.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val t = java.lang.Math.floorMod(id + r, 3L).toInt
+    val wtype = t match {
+      case 0 => "response"; case 1 => "request"; case _ => "metadata"
+    }
+    val uri = s"https://site${java.lang.Math.floorMod(id, 11L)}.example/p/$r"
+    val body = s"payload-$id-$r"
+    val payload =
+      if (t == 0) {
+        val status = java.lang.Math.floorMod(id + r + 1, 3L).toInt match {
+          case 0 => "200 OK"; case 1 => "404 Not Found"
+          case _ => "301 Moved Permanently"
+        }
+        s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n$body"
+      } else body
+    w("WARC/1.0\r\n")
+    w(s"WARC-Type: $wtype\r\n")
+    w(s"WARC-Target-URI: $uri\r\n")
+    w("WARC-Date: 2024-01-01T00:00:00Z\r\n")
+    if (t == 0) w("Content-Type: application/http;msgtype=response\r\n")
+    w(s"Content-Length: ${payload.getBytes.length}\r\n")
+    w("\r\n")
+    w(payload)
+    w("\r\n\r\n")
+    sb.toByteArray
+  }
+
+  def synthWarc(id: Long, text: UTF8String): Array[Byte] = {
+    val nrec = java.lang.Math.floorMod(id, 3L).toInt + 1
+    val sb = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r < nrec) { sb.write(synthRecord(id, r)); r += 1 }
+    sb.toByteArray
+  }
+
+  /** The same records as [[synthWarc]] but as REAL `.warc.gz` bytes:
+    * each record its own gzip member, members concatenated — the
+    * Common Crawl wire layout. */
+  def synthWarcGz(id: Long, text: UTF8String): Array[Byte] = {
+    val nrec = java.lang.Math.floorMod(id, 3L).toInt + 1
+    val sb = new java.io.ByteArrayOutputStream()
     var r = 0
     while (r < nrec) {
-      val t = java.lang.Math.floorMod(id + r, 3L).toInt
-      val wtype = t match {
-        case 0 => "response"; case 1 => "request"; case _ => "metadata"
-      }
-      val uri = s"https://site${java.lang.Math.floorMod(id, 11L)}.example/p/$r"
-      val body = s"payload-$id-$r"
-      val payload =
-        if (t == 0) {
-          val status = java.lang.Math.floorMod(id + r + 1, 3L).toInt match {
-            case 0 => "200 OK"; case 1 => "404 Not Found"
-            case _ => "301 Moved Permanently"
-          }
-          s"HTTP/1.1 $status\r\nContent-Type: text/html\r\n" +
-            s"Content-Length: ${body.length}\r\n\r\n$body"
-        } else body
-      w("WARC/1.0\r\n")
-      w(s"WARC-Type: $wtype\r\n")
-      w(s"WARC-Target-URI: $uri\r\n")
-      w("WARC-Date: 2024-01-01T00:00:00Z\r\n")
-      if (t == 0) w("Content-Type: application/http;msgtype=response\r\n")
-      w(s"Content-Length: ${payload.getBytes.length}\r\n")
-      w("\r\n")
-      w(payload)
-      w("\r\n\r\n")
+      val gz = new java.util.zip.GZIPOutputStream(sb)
+      gz.write(synthRecord(id, r))
+      gz.finish()
       r += 1
     }
     sb.toByteArray
@@ -211,6 +288,10 @@ object WarcCodec {
       org.apache.spark.sql.GraftSqlBridge.expression(c)))
   def warc_synth(id: Column, text: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(WarcSynth(
+      org.apache.spark.sql.GraftSqlBridge.expression(id),
+      org.apache.spark.sql.GraftSqlBridge.expression(text)))
+  def warc_synth_gz(id: Column, text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(WarcSynthGz(
       org.apache.spark.sql.GraftSqlBridge.expression(id),
       org.apache.spark.sql.GraftSqlBridge.expression(text)))
 }

@@ -82,4 +82,48 @@ class WarcCodecSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("gzip member chain: .warc.gz parses to the exact plain-container fields") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 23L)) {
+      val plain = parse(WarcCodec.synthWarc(id, UTF8String.fromString("u"))).get
+      val gz = parse(WarcCodec.synthWarcGz(id, UTF8String.fromString("u"))).get
+      assert(gz.length == plain.length, s"id $id")
+      gz.zip(plain).foreach { case (g, p) =>
+        (0 until 7).foreach { f =>
+          assert(g.isNullAt(f) == p.isNullAt(f))
+          if (!g.isNullAt(f)) f match {
+            case 3 => assert(g.getLong(3) == p.getLong(3))
+            case 4 => assert(g.getInt(4) == p.getInt(4))
+            case 6 => assert(g.getBinary(6).toSeq == p.getBinary(6).toSeq)
+            case i => assert(g.getUTF8String(i).toString ==
+              p.getUTF8String(i).toString)
+          }
+        }
+      }
+    }
+  }
+
+  test("gzip corruption: bad first header is null, later corruption keeps prefix") {
+    val gz = WarcCodec.synthWarcGz(2L, UTF8String.fromString("u")) // 3 members
+    // flip a byte inside the FIRST member's deflate stream
+    val broken = gz.clone(); broken(12) = (broken(12) ^ 0x55).toByte
+    // either null (unreadable) or fewer records than the clean parse —
+    // never an exception, never fabricated records
+    val cleanN = parse(gz).get.length
+    val b = parse(broken)
+    assert(b.isEmpty || b.get.length <= cleanN)
+    // truncated mid-stream: complete earlier members survive, the
+    // half-inflated tail record is dropped
+    val cut = java.util.Arrays.copyOfRange(gz, 0, gz.length / 2)
+    val c = parse(cut)
+    assert(c.isEmpty || c.get.length < cleanN)
+    // a lone valid member still parses
+    val one = parse({
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n".getBytes)
+      g.finish(); bos.toByteArray
+    }).get
+    assert(one.length == 1 && one.head.getUTF8String(0).toString == "metadata")
+  }
 }
