@@ -83,6 +83,8 @@ object ExplainCheck {
     audit("mm_audio_sample", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_video_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_video_sample", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_mjpeg_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_mjpeg_sample", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_router", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_gif_pixel_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_gif_frames", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))

@@ -1033,6 +1033,40 @@ object SparkEntry {
           col("st.sum_b").as("sum_b"))
     }),
 
+    // ---- multimodal: MJPEG-in-AVI — every `00dc` chunk one real
+    //      baseline JPEG; stats run the full entropy decode per frame
+    //      (block-constant planes, so the lossy transform round-trips
+    //      exactly and the oracle composes the affine + YCbCr rules) ----
+    "mm_mjpeg_stats" -> ((s, dir) => {
+      import graft.functions.VideoCodec
+      val avi = VideoCodec.video_synth_mjpeg(col("doc_id"), col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          VideoCodec.video_meta(avi).as("m"),
+          VideoCodec.video_pixel_stats(avi).as("st"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.n_frames").as("n_frames"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
+    // ---- multimodal: MJPEG frame sampling — every 2nd JPEG copied
+    //      VERBATIM (bytes move, pixels never decode on the sampling
+    //      path), then re-parsed and decoded for stats ----
+    "mm_mjpeg_sample" -> ((s, dir) => {
+      import graft.functions.VideoCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          VideoCodec.video_pixel_stats(
+            VideoCodec.video_frame_sample(
+              VideoCodec.video_synth_mjpeg(col("doc_id"), col("text")),
+              lit(2))).as("st"))
+        .select(col("doc_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.n_frames").as("n_frames"), col("st.n_px").as("n_px"),
+          col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+          col("st.sum_b").as("sum_b"))
+    }),
+
     // ---- multimodal: mixed-modality ROUTER — one binary column holds
     //      PNG, WAV, or AVI bytes per row (the crawled-data reality);
     //      each decoder sniffs its own magic and the projection routes
@@ -3140,6 +3174,82 @@ object SparkEntry {
         |  CAST(sum(((x*3 + y*5 + t*29 + doc_id) % 256 + 256) % 256)
         |    AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id""".stripMargin,
+    // mirrors VideoCodec.synthAviMjpeg: block-constant planes with a
+    // frame term, fixed-rounding YCbCr→RGB (same rule as the still
+    // mm_jpeg_pixel_stats oracle), gray when doc_id is even
+    "mm_mjpeg_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, ((doc_id % 2) + 2) % 2 = 0 AS gray,
+        |         octet_length(encode(text)) % 39 + 8 AS w,
+        |         octet_length(encode(text)) % 25 + 8 AS h,
+        |         octet_length(encode(text)) % 5 + 2 AS f
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.gray, d.w, d.h, d.f,
+        |         xs.x // 8 AS bx, ys.y // 8 AS by, ts.t
+        |  FROM dims d, range(47) xs(x), range(33) ys(y), range(7) ts(t)
+        |  WHERE xs.x < d.w AND ys.y < d.h AND ts.t < d.f),
+        | blocks AS (
+        |  SELECT doc_id, gray, w, h, f,
+        |    ((bx*7 + by*11 + t*19 + doc_id) % 256 + 256) % 256 AS gv,
+        |    ((bx*5 + by*7 + t*17 + doc_id) % 256 + 256) % 256 AS yv,
+        |    ((bx*3 + by*13 + t*5 + doc_id*2) % 256 + 256) % 256 - 128 AS cb,
+        |    ((bx*11 + by*3 + t*7 + doc_id*3) % 256 + 256) % 256 - 128 AS cr
+        |  FROM px),
+        | rgb AS (
+        |  SELECT doc_id, gray, w, h, f, gv,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv + 1.402e0*cr + 0.5e0) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv - 0.344136e0*cb - 0.714136e0*cr + 0.5e0) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv + 1.772e0*cb + 0.5e0) AS BIGINT))) AS b
+        |  FROM blocks)
+        |SELECT doc_id, 'avi-mjpeg' AS format,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(max(f) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE r END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE g END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE b END) AS BIGINT) AS sum_b
+        |FROM rgb GROUP BY doc_id""".stripMargin,
+    "mm_mjpeg_sample" ->
+      """WITH dims AS (
+        |  SELECT doc_id, ((doc_id % 2) + 2) % 2 = 0 AS gray,
+        |         octet_length(encode(text)) % 39 + 8 AS w,
+        |         octet_length(encode(text)) % 25 + 8 AS h,
+        |         octet_length(encode(text)) % 5 + 2 AS f
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, d.gray, d.w, d.h, (d.f + 1) // 2 AS nf,
+        |         xs.x // 8 AS bx, ys.y // 8 AS by, js.j * 2 AS t
+        |  FROM dims d, range(47) xs(x), range(33) ys(y), range(4) js(j)
+        |  WHERE xs.x < d.w AND ys.y < d.h AND js.j < (d.f + 1) // 2),
+        | blocks AS (
+        |  SELECT doc_id, gray, w, h, nf,
+        |    ((bx*7 + by*11 + t*19 + doc_id) % 256 + 256) % 256 AS gv,
+        |    ((bx*5 + by*7 + t*17 + doc_id) % 256 + 256) % 256 AS yv,
+        |    ((bx*3 + by*13 + t*5 + doc_id*2) % 256 + 256) % 256 - 128 AS cb,
+        |    ((bx*11 + by*3 + t*7 + doc_id*3) % 256 + 256) % 256 - 128 AS cr
+        |  FROM px),
+        | rgb AS (
+        |  SELECT doc_id, gray, w, h, nf, gv,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv + 1.402e0*cr + 0.5e0) AS BIGINT))) AS r,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv - 0.344136e0*cb - 0.714136e0*cr + 0.5e0) AS BIGINT))) AS g,
+        |    greatest(0, least(255,
+        |      CAST(floor(yv + 1.772e0*cb + 0.5e0) AS BIGINT))) AS b
+        |  FROM blocks)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(max(w) * max(h) * max(nf) AS BIGINT) AS n_px,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE r END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE g END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN gray THEN gv ELSE b END) AS BIGINT) AS sum_b
+        |FROM rgb GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0

@@ -138,4 +138,85 @@ class VideoCodecSpec extends AnyFunSuite {
     val f = "sql video".getBytes("UTF-8").length % 17 + 2
     assert(r.getLong(0) == f && r.getLong(1) == (f + 2) / 3)
   }
+
+  /** Analytic MJPEG sums mirroring the oracle rule: block-constant
+    * planes, fixed-rounding YCbCr→RGB for color, raw gray samples. */
+  private def mjpegSums(id: Long, w: Int, h: Int, nf: Int,
+      tOf: Int => Int): (Long, Long, Long) = {
+    val gray = java.lang.Math.floorMod(id, 2L) == 0L
+    def clamp(v: Double): Long =
+      math.max(0L, math.min(255L, math.floor(v + 0.5).toLong))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (j <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+      val t = tOf(j); val bx = x / 8; val by = y / 8
+      if (gray) {
+        val gv = java.lang.Math.floorMod(bx * 7L + by * 11L + t * 19L + id, 256L)
+        sr += gv; sg += gv; sb += gv
+      } else {
+        val yv = java.lang.Math.floorMod(bx * 5L + by * 7L + t * 17L + id, 256L).toDouble
+        val cb = java.lang.Math.floorMod(bx * 3L + by * 13L + t * 5L + id * 2, 256L) - 128.0
+        val cr = java.lang.Math.floorMod(bx * 11L + by * 3L + t * 7L + id * 3, 256L) - 128.0
+        sr += clamp(yv + 1.402 * cr)
+        sg += clamp(yv - 0.344136 * cb - 0.714136 * cr)
+        sb += clamp(yv + 1.772 * cb)
+      }
+    }
+    (sr, sg, sb)
+  }
+
+  test("MJPEG: synth → meta/stats runs the real JPEG decode per frame") {
+    for ((id, text) <- Seq((0L, "mjpeg gray dri"), (1L, "mjpeg color clip"),
+        (3L, "color with restarts!"), (6L, "gray dri again"), (-5L, "neg"))) {
+      val u = UTF8String.fromString(text)
+      val n = u.numBytes
+      val (w, h, f) = (n % 39 + 8, n % 25 + 8, n % 5 + 2)
+      val avi = VideoCodec.synthAviMjpeg(id, u)
+      val m = meta(avi).get
+      assert(m.getUTF8String(0).toString == "avi-mjpeg")
+      assert(m.getInt(1) == w && m.getInt(2) == h && m.getLong(3) == f)
+      val st = stats(avi).get
+      assert(st.getInt(0) == w && st.getInt(1) == h && st.getLong(2) == f)
+      val (sr, sg, sb) = mjpegSums(id, w, h, f, identity)
+      assert((st.getLong(4), st.getLong(5), st.getLong(6)) == ((sr, sg, sb)),
+        s"id=$id")
+    }
+  }
+
+  test("MJPEG frame sampling copies JPEG bytes verbatim, never transcodes") {
+    val u = UTF8String.fromString("sample mjpeg!")
+    val id = 7L
+    val n = u.numBytes
+    val (w, h, f) = (n % 39 + 8, n % 25 + 8, n % 5 + 2)
+    val avi = VideoCodec.synthAviMjpeg(id, u)
+    val sampled = VideoCodec.frameSampleInternal(avi, 2)
+    assert(sampled != null)
+    val a = VideoCodec.parseAvi(sampled)
+    assert(a.mjpeg && a.frameOffs.length == (f + 1) / 2)
+    // byte-identical to the source frames 0, 2, 4…
+    val src = VideoCodec.parseAvi(avi)
+    for (j <- a.frameOffs.indices) {
+      val want = java.util.Arrays.copyOfRange(src.bytes,
+        src.frameOffs(j * 2), src.frameOffs(j * 2) + src.frameLens(j * 2))
+      val got = java.util.Arrays.copyOfRange(a.bytes,
+        a.frameOffs(j), a.frameOffs(j) + a.frameLens(j))
+      assert(java.util.Arrays.equals(want, got), s"frame $j")
+    }
+    val st = stats(sampled).get
+    val (sr, sg, sb) = mjpegSums(id, w, h, (f + 1) / 2, _ * 2)
+    assert((st.getLong(4), st.getLong(5), st.getLong(6)) == ((sr, sg, sb)))
+  }
+
+  test("MJPEG malformed: non-JPEG chunk bytes or dim mismatch are null, not a throw") {
+    val good = VideoCodec.synthAviMjpeg(1L, UTF8String.fromString("corrupt me"))
+    val a = VideoCodec.parseAvi(good)
+    // stomp the first frame's SOI marker: parse refuses the container
+    val noSoi = good.clone(); noSoi(a.frameOffs(0)) = 0
+    assert(meta(noSoi).isEmpty && stats(noSoi).isEmpty)
+    // corrupt deep inside the first frame's entropy data: parse still
+    // walks the container but the frame decode fails → stats null
+    val badScan = good.clone()
+    for (i <- a.frameOffs(0) + 20 until a.frameOffs(0) + a.frameLens(0) - 2)
+      badScan(i) = 0x55
+    assert(stats(badScan).isEmpty)
+  }
 }
