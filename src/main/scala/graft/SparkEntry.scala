@@ -960,6 +960,24 @@ object SparkEntry {
           col("st.peak").as("peak"))
     }),
 
+    // ---- multimodal: wider PCM matrix — 8-bit excess-128, 24-bit
+    //      signed LE, IEEE float32 (the ML-audio-corpus layouts);
+    //      float samples map through floor(v·32767 + 0.5) so stats
+    //      stay exact integers the oracle recomputes ----
+    "mm_audio_deep" -> ((s, dir) => {
+      import graft.functions.AudioCodec
+      val wav = AudioCodec.audio_synth_deep(col("doc_id"), col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          AudioCodec.audio_meta(wav).as("m"),
+          AudioCodec.audio_pcm_stats(wav).as("st"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("st.channels").as("channels"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.sum_l").as("sum_l"), col("st.sum_r").as("sum_r"),
+          col("st.peak").as("peak"))
+    }),
+
     // ---- multimodal: G.711 companded audio (μ-law/A-law — the
     //      telephony/speech-corpus encodings) — 8-bit code bytes
     //      expanded to linear by the CCITT integer formulas; the
@@ -3029,6 +3047,43 @@ object SparkEntry {
         |  CAST(CASE WHEN max(ch) = 2 THEN sum(v1) END AS BIGINT) AS sum_r,
         |  CAST(max(greatest(abs(v0),
         |    CASE WHEN ch = 2 THEN abs(v1) ELSE 0 END)) AS INTEGER) AS peak
+        |FROM vals GROUP BY doc_id""".stripMargin,
+    // mirrors AudioCodec.synthWavDeep: with e = i·(7+2c) + id·(3+c),
+    // 8-bit decodes to floorMod(e,256)−128, 24-bit to
+    // floorMod(e,2^24)−2^23, float32 stores (floorMod(e,131072)−65536)
+    // /65536 exactly and decodes through floor(v·32767 + 0.5)
+    "mm_audio_deep" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 97 + 10 AS f,
+        |         ((doc_id % 2) + 2) % 2 + 1 AS ch,
+        |         ((doc_id % 3) + 3) % 3 AS kind,
+        |         CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 8000
+        |           WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS rate
+        |  FROM documents),
+        | sm AS (
+        |  SELECT d.doc_id, d.f, d.ch, d.kind, d.rate, cs.c,
+        |    s.i*(7 + 2*cs.c) + d.doc_id*(3 + cs.c) AS e
+        |  FROM dims d, range(107) s(i), range(2) cs(c)
+        |  WHERE s.i < d.f AND cs.c < d.ch),
+        | vals AS (
+        |  SELECT doc_id, f, ch, kind, rate, c,
+        |    CASE kind
+        |      WHEN 0 THEN ((e % 256 + 256) % 256) - 128
+        |      WHEN 1 THEN ((e % 16777216 + 16777216) % 16777216) - 8388608
+        |      ELSE CAST(floor((((e % 131072 + 131072) % 131072 - 65536)
+        |        / 65536.0e0) * 32767.0e0 + 0.5e0) AS BIGINT)
+        |    END AS v
+        |  FROM sm)
+        |SELECT doc_id,
+        |  CASE max(kind) WHEN 0 THEN 'pcm8' WHEN 1 THEN 'pcm24'
+        |    ELSE 'float32' END AS format,
+        |  CAST(max(ch) AS INTEGER) AS channels,
+        |  CAST(max(rate) AS INTEGER) AS sample_rate,
+        |  CAST(max(f) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_l,
+        |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_r,
+        |  CAST(max(abs(v)) AS INTEGER) AS peak
         |FROM vals GROUP BY doc_id""".stripMargin,
     // mirrors AudioCodec.synthWavG711 + the CCITT G.711 expansions:
     // μ-law (even ids): u = 255-code; t = (((u&15)*8)+132) << ((u>>4)&7);

@@ -137,6 +137,27 @@ case class AudioSynthWav(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Wider PCM matrix: 8-bit / 24-bit / IEEE-float32 WAV per
+  * [[AudioCodec.synthWavDeep]]'s deterministic rule. */
+case class AudioSynthDeep(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "audio_synth_deep"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    AudioCodec.synthWavDeep(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.AudioCodec.synthWavDeep($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AudioSynthDeep =
+    copy(left = newLeft, right = newRight)
+}
+
 object AudioCodec {
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),       // "pcm16"
@@ -171,17 +192,34 @@ object AudioCodec {
 
   /** Parsed WAV: `dataOff` starts `nFrames` interleaved frames of
     * `channels × bytesPerSample` bytes. `format` is the fmt-chunk
-    * code: 1 = integer PCM (16-bit), 6 = G.711 A-law, 7 = G.711 μ-law
-    * (both 8-bit companded — expanded to linear by [[sampleAt]]). */
-  final class Wav(val bytes: Array[Byte], val format: Int,
+    * code: 1 = integer PCM (8-bit unsigned / 16-bit / 24-bit signed
+    * LE), 3 = IEEE float32, 6 = G.711 A-law, 7 = G.711 μ-law (both
+    * 8-bit companded) — all expanded to a LINEAR integer by
+    * [[sampleAt]]. Float samples map through the fixed-rounding rule
+    * `floor(v·32767 + 0.5)` (clamped, non-finite → 0) so float stats
+    * stay exact integers an SQL oracle recomputes. */
+  final class Wav(val bytes: Array[Byte], val format: Int, val bits: Int,
       val channels: Int, val sampleRate: Int, val nFrames: Long,
       val dataOff: Int) {
-    val bytesPerSample: Int = if (format == 1) 2 else 1
+    val bytesPerSample: Int = bits / 8
     /** Linear sample value of (frame f, channel c). */
     def sampleAt(f: Int, c: Int): Int = {
       val off = dataOff + (f * channels + c) * bytesPerSample
       format match {
-        case 1 => leI16(bytes, off)
+        case 1 => bits match {
+          case 16 => leI16(bytes, off)
+          case 8 => (bytes(off) & 0xFF) - 128 // excess-128 convention
+          case _ => // 24-bit signed little-endian
+            (((bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+              ((bytes(off + 2) & 0xFF) << 16)) << 8) >> 8
+        }
+        case 3 =>
+          val v = java.lang.Float.intBitsToFloat(leU32(bytes, off).toInt)
+          if (!java.lang.Float.isFinite(v)) 0
+          else {
+            val d = math.floor(v.toDouble * 32767.0 + 0.5)
+            if (d > 65536.0) 65536 else if (d < -65536.0) -65536 else d.toInt
+          }
         case 7 => AudioCodec.ulawToLinear(bytes(off) & 0xFF)
         case _ => AudioCodec.alawToLinear(bytes(off) & 0xFF)
       }
@@ -208,11 +246,11 @@ object AudioCodec {
 
   /** RIFF walk: "RIFF" u32size "WAVE", then `tag u32len payload`
     * chunks, each padded to even length. `fmt ` must precede `data`;
-    * accepted encodings: format 1 (integer PCM) at 16 bits, formats
-    * 7/6 (G.711 μ-law/A-law) at 8 bits. Returns null on anything
-    * malformed — truncated chunks, a data length that overruns the
-    * buffer, zero channels, a data size that is not a whole number of
-    * frames. */
+    * accepted encodings: format 1 (integer PCM) at 8/16/24 bits,
+    * format 3 (IEEE float) at 32 bits, formats 7/6 (G.711 μ-law/A-law)
+    * at 8 bits. Returns null on anything malformed — truncated chunks,
+    * a data length that overruns the buffer, zero channels, a data
+    * size that is not a whole number of frames. */
   def parseWav(b: Array[Byte]): Wav = {
     if (b == null || b.length < 44) return null
     if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return null
@@ -228,14 +266,15 @@ object AudioCodec {
         channels = leU16(b, i + 10)
         rate = leU32(b, i + 12).toInt
         bits = leU16(b, i + 22)
-        val ok = (format == 1 && bits == 16) ||
+        val ok = (format == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
+          (format == 3 && bits == 32) ||
           ((format == 6 || format == 7) && bits == 8)
         if (!ok || channels < 1 || channels > 64 || rate <= 0) return null
       } else if (t == "data") {
         if (channels < 0) return null // fmt must come first
-        val blockAlign = channels * (if (format == 1) 2 else 1)
+        val blockAlign = channels * (bits / 8)
         if (len % blockAlign != 0) return null
-        return new Wav(b, format, channels, rate, len / blockAlign, i + 8)
+        return new Wav(b, format, bits, channels, rate, len / blockAlign, i + 8)
       }
       i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
     }
@@ -246,7 +285,8 @@ object AudioCodec {
     val w = parseWav(b)
     if (w == null) return null
     val fmt = w.format match {
-      case 1 => "pcm16"; case 7 => "ulaw"; case _ => "alaw"
+      case 1 => s"pcm${w.bits}"; case 3 => "float32"
+      case 7 => "ulaw"; case _ => "alaw"
     }
     InternalRow(UTF8String.fromString(fmt), w.channels, w.sampleRate,
       w.nFrames, w.nFrames * 1000000L / w.sampleRate)
@@ -406,6 +446,52 @@ object AudioCodec {
     out
   }
 
+  /** The wider-PCM-matrix rule the `mm_audio_deep` oracle mirrors:
+    * depth cycles 8-bit / 24-bit / float32 by id mod 3, channels =
+    * id mod 2 + 1, rate by id mod 4, frames = n % 97 + 10. With
+    * e = i·(7+2c) + id·(3+c): integer depths store
+    * `floorMod(e, 2^bits) − 2^(bits−1)` (8-bit as the excess-128
+    * byte); float32 stores `(floorMod(e, 131072) − 65536) / 65536`
+    * EXACTLY (≤17 significant bits), which the decoder maps through
+    * `floor(v·32767 + 0.5)` — every linear value integer-recomputable
+    * in SQL. */
+  def synthWavDeep(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val nf = n % 97 + 10
+    val ch = java.lang.Math.floorMod(id, 2L).toInt + 1
+    val rate = RATES(java.lang.Math.floorMod(id, 4L).toInt)
+    val kind = java.lang.Math.floorMod(id, 3L).toInt
+    def e(i: Int, c: Int): Long = i.toLong * (7 + 2 * c) + id * (3 + c)
+    kind match {
+      case 0 =>
+        val data = new Array[Byte](nf * ch)
+        for (i <- 0 until nf; c <- 0 until ch)
+          data(i * ch + c) = java.lang.Math.floorMod(e(i, c), 256L).toByte
+        encodeWavBytes(1, 8, ch, rate, data)
+      case 1 =>
+        val data = new Array[Byte](nf * ch * 3)
+        for (i <- 0 until nf; c <- 0 until ch) {
+          // signed value in [-2^23, 2^23): its two's-complement low 3
+          // bytes ARE the 24-bit LE wire form
+          val v = java.lang.Math.floorMod(e(i, c), 1L << 24).toInt - (1 << 23)
+          val o = (i * ch + c) * 3
+          data(o) = v.toByte; data(o + 1) = (v >> 8).toByte
+          data(o + 2) = (v >> 16).toByte
+        }
+        encodeWavBytes(1, 24, ch, rate, data)
+      case _ =>
+        val data = new Array[Byte](nf * ch * 4)
+        for (i <- 0 until nf; c <- 0 until ch) {
+          val m = java.lang.Math.floorMod(e(i, c), 131072L) - 65536L
+          val bits = java.lang.Float.floatToIntBits(m.toFloat / 65536.0f)
+          val o = (i * ch + c) * 4
+          data(o) = bits.toByte; data(o + 1) = (bits >> 8).toByte
+          data(o + 2) = (bits >> 16).toByte; data(o + 3) = (bits >> 24).toByte
+        }
+        encodeWavBytes(3, 32, ch, rate, data)
+    }
+  }
+
   def audio_meta(c: Column): Column =
     GraftSqlBridge.column(AudioMeta(GraftSqlBridge.expression(c)))
 
@@ -422,5 +508,9 @@ object AudioCodec {
 
   def audio_synth_g711(id: Column, text: Column): Column =
     GraftSqlBridge.column(AudioSynthG711(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def audio_synth_deep(id: Column, text: Column): Column =
+    GraftSqlBridge.column(AudioSynthDeep(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 }

@@ -155,11 +155,14 @@ class AudioCodecSpec extends AnyFunSuite {
       val body = new Array[Byte](rnd.nextInt(100)); rnd.nextBytes(body)
       meta(Array[Byte]('R', 'I', 'F', 'F') ++ body)
     }
-    // non-PCM format code, bad bit depth, odd data length → null
+    // unknown format code, bad bit depth, odd data length → null
     val fmtOff = valid.indexOfSlice("fmt ".getBytes("ASCII"))
-    val badFmt = valid.clone(); badFmt(fmtOff + 8) = 3 // IEEE float
+    val badFmt = valid.clone(); badFmt(fmtOff + 8) = 2 // ADPCM: unsupported
     assert(stats(badFmt).isEmpty)
-    val badBits = valid.clone(); badBits(fmtOff + 22) = 8
+    // float32 demands 32 bits — a float header over 16-bit data refuses
+    val badFloat = valid.clone(); badFloat(fmtOff + 8) = 3
+    assert(stats(badFloat).isEmpty)
+    val badBits = valid.clone(); badBits(fmtOff + 22) = 12
     assert(stats(badBits).isEmpty)
     assert(stats(valid).isDefined) // storm didn't poison shared state
   }
@@ -194,5 +197,56 @@ class AudioCodecSpec extends AnyFunSuite {
         |FROM adoc""".stripMargin).collect().head
     val nf = "sql audio".getBytes("UTF-8").length % 241 + 20
     assert(r.getLong(0) == nf && r.getLong(1) == (nf + 1) / 2)
+  }
+
+  test("deep PCM matrix: 8/24-bit and float32 decode to the analytic linear rule") {
+    // kind by id mod 3: 0→pcm8, 1→pcm24, 2→float32
+    for ((id, want) <- Seq((0L, "pcm8"), (1L, "pcm24"), (2L, "float32"),
+        (3L, "pcm8"), (4L, "pcm24"), (5L, "float32"), (-1L, "float32"))) {
+      val u = UTF8String.fromString(s"deep audio $id")
+      val n = u.numBytes
+      val nf = n % 97 + 10
+      val ch = java.lang.Math.floorMod(id, 2L).toInt + 1
+      val wav = AudioCodec.synthWavDeep(id, u)
+      val m = Option(AudioCodec.metaInternal(wav)).get
+      assert(m.getUTF8String(0).toString == want, s"id=$id")
+      assert(m.getInt(1) == ch && m.getLong(3) == nf)
+      def expect(i: Int, c: Int): Long = {
+        val e = i.toLong * (7 + 2 * c) + id * (3 + c)
+        java.lang.Math.floorMod(id, 3L).toInt match {
+          case 0 => java.lang.Math.floorMod(e, 256L) - 128
+          case 1 => java.lang.Math.floorMod(e, 1L << 24) - (1L << 23)
+          case _ =>
+            val v = (java.lang.Math.floorMod(e, 131072L) - 65536L) / 65536.0
+            math.floor(v * 32767.0 + 0.5).toLong
+        }
+      }
+      var sl = 0L; var sr = 0L; var pk = 0L
+      for (i <- 0 until nf; c <- 0 until ch) {
+        val v = expect(i, c)
+        if (c == 0) sl += v else sr += v
+        pk = math.max(pk, math.abs(v))
+      }
+      val st = Option(AudioCodec.statsInternal(wav)).get
+      assert(st.getLong(3) == sl, s"sum_l id=$id")
+      if (ch == 2) assert(st.getLong(4) == sr) else assert(st.isNullAt(4))
+      assert(st.getInt(5) == pk.toInt, s"peak id=$id")
+      // decimation works at every width and keeps the encoding
+      val half = AudioCodec.frameSampleInternal(wav, 2)
+      val mh = Option(AudioCodec.metaInternal(half)).get
+      assert(mh.getUTF8String(0).toString == want)
+      assert(mh.getLong(3) == (nf + 1) / 2)
+    }
+  }
+
+  test("float32: non-finite samples decode to 0, never a throw") {
+    val nan = java.lang.Float.floatToIntBits(Float.NaN)
+    val inf = java.lang.Float.floatToIntBits(Float.PositiveInfinity)
+    val data = new Array[Byte](8)
+    for ((bits, o) <- Seq((nan, 0), (inf, 4)))
+      for (k <- 0 until 4) data(o + k) = (bits >> (8 * k)).toByte
+    val wav = AudioCodec.encodeWavBytes(3, 32, 1, 8000, data)
+    val st = Option(AudioCodec.statsInternal(wav)).get
+    assert(st.getLong(3) == 0L && st.getInt(5) == 0)
   }
 }
