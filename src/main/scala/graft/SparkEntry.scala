@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Glider, Multimodal, Relational, Similarity, Spatial, TextAnalysis}
+import graft.operators.{Dedup, Glider, LinkGraph, Multimodal, Relational, Similarity, Spatial, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1332,6 +1332,23 @@ object SparkEntry {
           col("r.http_content_type").as("http_content_type"),
           length(col("r.body")).cast("long").as("body_len"),
           col("r.body").cast("string").as("body"))
+    }),
+
+    // ---- graph: damped PageRank over a deterministic link graph
+    //      (doc i → (3i+1, 5i+2, 7i+3) mod N) — 5 fixed power-iteration
+    //      rounds, lineage checkpoint-truncated per round; the oracle
+    //      unrolls the same 5 rounds in SQL ----
+    "pagerank_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)),
+          pmod(col("doc_id") * 7 + 3, lit(n)))).as("dst"))
+      LinkGraph.pageRank(edges, "src", "dst", iterations = 5,
+        idCol = "doc_id")
+        .select(col("doc_id"), round(col("rank"), 9).as("rank"))
     }),
 
     // ---- text: exact-N uniform sample by portable md5 rank — plans
@@ -3558,6 +3575,36 @@ object SparkEntry {
         |GROUP BY np.term, dfc.df""".stripMargin,
     "warc_records" -> warcRecordsOracle,
     "warc_records_gz" -> warcRecordsOracle,
+    // the same 5 power-iteration rounds unrolled; (1 - 0.85)/n is kept
+    // as the literal two-op form so both engines compute the identical
+    // IEEE double, and ranks round to 9 decimals (values ~2e-3, cross-
+    // engine summation-order noise ~1e-17 — eight orders of margin)
+    "pagerank_links" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (SELECT nd.id,
+           |  (1 - 0.85)/(SELECT n FROM nn)
+           |    + 0.85*coalesce(sum(p.r/dg.deg), 0) AS r
+           |  FROM nodes nd
+           |  LEFT JOIN edges e ON e.dst = nd.id
+           |  LEFT JOIN $prev p ON p.id = e.src
+           |  LEFT JOIN deg dg ON dg.src = e.src
+           |  GROUP BY nd.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         | nodes AS (SELECT doc_id AS id FROM documents),
+         | edges AS (
+         |  SELECT DISTINCT id AS src, dst FROM (
+         |    SELECT id, (id*3+1) % (SELECT n FROM nn) AS dst FROM nodes
+         |    UNION ALL SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes
+         |    UNION ALL SELECT id, (id*7+3) % (SELECT n FROM nn) FROM nodes)),
+         | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         | r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS r FROM nodes),
+         | ${round("r0", "r1")},
+         | ${round("r1", "r2")},
+         | ${round("r2", "r3")},
+         | ${round("r3", "r4")},
+         | ${round("r4", "r5")}
+         |SELECT id AS doc_id, round(r, 9) AS rank FROM r5""".stripMargin
+    },
     "sample_exact_n" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IS NOT NULL

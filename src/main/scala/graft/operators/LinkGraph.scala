@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for web-crawl curation. Domain/page authority
+  * is a standing quality signal in pretraining pipelines (crawl
+  * frontier prioritization, per-domain quality weighting next to
+  * [[TextAnalysis.capPerDomain]] and the robots/URL filters), and the
+  * reference's catalog graph (dataset→item dependencies) asks the same
+  * "who is pointed at by whom" question at small scale.
+  *
+  * PageRank here is the classic damped power iteration, Spark-shaped:
+  * a FIXED number of iterations, each one distributed join + keyed
+  * aggregation (shuffle keyed by destination — the same partitioning
+  * every round, so AQE reuses the layout), with lineage truncated per
+  * round via `localCheckpoint` so the plan never grows with the
+  * iteration count — the same discipline as
+  * [[Dedup.connectedComponents]]. Ranks and edges never visit the
+  * driver; the only driver-side scalars are the node count and the
+  * per-round dangling mass (one number each).
+  */
+object LinkGraph {
+
+  /** Damped PageRank after exactly `iterations` rounds.
+    *
+    * Input `edges` is a directed edge list; duplicates are collapsed
+    * (a page linking twice votes once — the convention crawl graphs
+    * use). The node set is the union of sources, destinations, and
+    * the optional `nodes` frame (isolated pages rank, they just
+    * receive only the teleport share). Dangling nodes (no out-links)
+    * spread their mass uniformly, so total rank stays 1 every round.
+    *
+    * rank_{t+1}(v) = (1−d)/N + d·( Σ_{(u,v)∈E} rank_t(u)/outdeg(u)
+    *                               + dangling_t/N )
+    *
+    * Returns one row per node: (`idCol`, rank). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, damping: Double = 0.85,
+      nodes: DataFrame = null, idCol: String = "id"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst")).distinct()
+    var all = e.select(col("_src").as("_id"))
+      .unionByName(e.select(col("_dst").as("_id")))
+    if (nodes != null)
+      all = all.unionByName(nodes.select(col(nodes.columns.head)
+        .cast("long").as("_id")))
+    val nodeIds = all.distinct().localCheckpoint(true)
+    val n = nodeIds.count()
+    if (n == 0) return nodeIds.select(col("_id").as(idCol),
+      lit(0.0).as("rank"))
+    // out-degrees once; nodes absent here are dangling
+    val deg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
+      .localCheckpoint(true)
+    var ranks = nodeIds.withColumn("_rank", lit(1.0 / n))
+    var it = 0
+    while (it < iterations) {
+      val withDeg = ranks.join(deg,
+        ranks("_id") === deg("_src"), "left")
+        .select(col("_id"), col("_rank"), col("_deg"))
+      // dangling mass: one scalar to the driver per round
+      val dangling = withDeg.filter(col("_deg").isNull)
+        .agg(coalesce(sum(col("_rank")), lit(0.0))).head().getDouble(0)
+      val contribs = e
+        .join(withDeg.filter(col("_deg").isNotNull),
+          e("_src") === withDeg("_id"))
+        .select(col("_dst").as("_id"),
+          (col("_rank") / col("_deg")).as("_c"))
+        .groupBy("_id").agg(sum(col("_c")).as("_c"))
+      ranks = nodeIds.join(contribs, Seq("_id"), "left")
+        .select(col("_id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("_c"), lit(0.0)) + lit(dangling / n)))
+            .as("_rank"))
+        .localCheckpoint(true) // truncate lineage: flat plan per round
+      it += 1
+    }
+    ranks.select(col("_id").as(idCol), col("_rank").as("rank"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank vs an independent in-test reference implementation, plus
+  * the structural invariants (mass conservation, dangling handling,
+  * duplicate collapse, isolated nodes). */
+class LinkGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Dense reference PageRank over node ids 0..n-1. */
+  private def reference(n: Int, edges: Seq[(Int, Int)], iters: Int,
+      d: Double = 0.85): Array[Double] = {
+    val uniq = edges.distinct
+    val out = Array.fill(n)(0)
+    uniq.foreach { case (s, _) => out(s) += 1 }
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iters) {
+      val next = Array.fill(n)((1.0 - d) / n)
+      val dangling = (0 until n).filter(out(_) == 0).map(r).sum
+      for (v <- 0 until n) next(v) += d * dangling / n
+      uniq.foreach { case (s, t) => next(t) += d * r(s) / out(s) }
+      r = next
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Int, Int)], iters: Int,
+      nodes: Seq[Int] = Nil): Map[Long, Double] = {
+    val e = edges.toDF("src", "dst")
+    val nd = if (nodes.isEmpty) null else nodes.toDF("id")
+    LinkGraph.pageRank(e, "src", "dst", iters, nodes = nd)
+      .as[(Long, Double)].collect().toMap
+  }
+
+  test("matches the dense reference on a mixed graph with dangling nodes") {
+    // 0→1, 0→2, 1→2, 2→0, 3 dangling, 4→0 ; node 5 isolated (via nodes)
+    val edges = Seq((0, 1), (0, 2), (1, 2), (2, 0), (4, 0), (0, 1) /* dup */)
+    for (iters <- Seq(1, 3, 10)) {
+      val got = run(edges, iters, nodes = Seq(3, 5))
+      val want = reference(6, edges, iters)
+      assert(got.size == 6)
+      for (v <- 0 until 6)
+        assert(math.abs(got(v.toLong) - want(v)) < 1e-12, s"node $v iters $iters")
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conserved")
+    }
+  }
+
+  test("symmetric cycle converges to uniform; star concentrates on the hub") {
+    val cycle = run(Seq((0, 1), (1, 2), (2, 0)), 8)
+    cycle.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+    val starEdges = Seq((1, 0), (2, 0), (3, 0), (0, 1))
+    val star = run(starEdges, 10)
+    val want = reference(4, starEdges, 10)
+    for (v <- 0 until 4)
+      assert(math.abs(star(v.toLong) - want(v)) < 1e-12, s"node $v")
+    // the leaves tie and rank below both the hub and its sole target
+    assert(math.abs(star(2L) - star(3L)) < 1e-12, "leaves tie")
+    assert(star(2L) < star(0L) && star(2L) < star(1L))
+  }
+
+  test("all-dangling graph: teleport-only fixed point stays uniform") {
+    // nodes exist only through the nodes frame; no edges at all
+    val got = run(Seq.empty[(Int, Int)], 4, nodes = Seq(0, 1, 2, 3))
+    got.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+  }
+}
