@@ -116,6 +116,7 @@ object ExplainCheck {
     audit("url_domains", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("robots_filter", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("text_fix_mojibake", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("html_links", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // exact-N sampling: per-partition heaps, never a global sort
     audit("sample_exact_n", mustContain = Seq("TakeOrderedAndProject"),
       mustNotContain = Seq("Exchange rangepartitioning"))

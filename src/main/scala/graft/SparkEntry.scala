@@ -1334,6 +1334,29 @@ object SparkEntry {
           col("r.body").cast("string").as("body"))
     }),
 
+    // ---- crawl: hyperlink harvesting — anchors scanned out of HTML
+    //      (quote styles, comments, entity decode) and resolved per
+    //      RFC 3986 against the page URL; absolute, protocol-relative,
+    //      root-relative and ../ shapes all land on the oracle's
+    //      directly-constructed URLs ----
+    "html_links" -> ((s, dir) => {
+      import graft.functions.HtmlOps
+      val base = concat(lit("https://base"), pmod(col("doc_id"), lit(11)),
+        lit(".example/dir/page"), col("doc_id"), lit(".html"))
+      val html = concat(
+        lit("<html><body><a href=\"https://abs"), pmod(col("doc_id"), lit(7)),
+        lit(".example/p?a=1&amp;b=2\">x</a>"),
+        lit("<a href='//cdn"), pmod(col("doc_id"), lit(5)),
+        lit(".example/c.js'>y</a>"),
+        lit("<a href=/root"), col("doc_id"), lit(".html>z</a>"),
+        lit("<a href=\"../up"), col("doc_id"), lit(".html#frag\">w</a>"),
+        lit("<!--<a href=\"no.html\">--><a href=\"mailto:x@y\">m</a>"),
+        lit("</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(HtmlOps.html_links(html, base)).as("link"))
+    }),
+
     // ---- graph: damped PageRank over a deterministic link graph
     //      (doc i → (3i+1, 5i+2, 7i+3) mod N) — 5 fixed power-iteration
     //      rounds, lineage checkpoint-truncated per round; the oracle
@@ -3575,6 +3598,24 @@ object SparkEntry {
         |GROUP BY np.term, dfc.df""".stripMargin,
     "warc_records" -> warcRecordsOracle,
     "warc_records_gz" -> warcRecordsOracle,
+    // the four surviving anchors' resolved URLs constructed directly
+    // (comment + mailto anchors drop; entities decode; ../ climbs out
+    // of /dir/; fragment drops)
+    "html_links" ->
+      """SELECT doc_id,
+        |  'https://abs' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/p?a=1&b=2' AS link FROM documents
+        |UNION ALL SELECT doc_id,
+        |  'https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example/c.js'
+        |  FROM documents
+        |UNION ALL SELECT doc_id,
+        |  'https://base' || CAST(doc_id % 11 AS VARCHAR) ||
+        |    '.example/root' || CAST(doc_id AS VARCHAR) || '.html'
+        |  FROM documents
+        |UNION ALL SELECT doc_id,
+        |  'https://base' || CAST(doc_id % 11 AS VARCHAR) ||
+        |    '.example/up' || CAST(doc_id AS VARCHAR) || '.html'
+        |  FROM documents""".stripMargin,
     // the same 5 power-iteration rounds unrolled; (1 - 0.85)/n is kept
     // as the literal two-op form so both engines compute the identical
     // IEEE double, and ranks round to 9 decimals (values ~2e-3, cross-

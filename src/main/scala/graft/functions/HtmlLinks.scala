@@ -1,0 +1,233 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hyperlink harvesting — the step between WARC payloads and the link
+  * graph ([[graft.operators.LinkGraph.pageRank]]): scan anchor tags
+  * out of raw HTML and resolve each href against the page URL per
+  * RFC 3986 §5 (merge + remove_dot_segments), so a crawl pipeline goes
+  * bytes → absolute out-links in one projection.
+  *
+  * Contract: `<a ... href=...>` only (double/single/unquoted values,
+  * any attribute order, case-insensitive), entity-decoded (`&amp;` and
+  * friends — URLs in HTML are entity-encoded), fragments dropped,
+  * non-navigational schemes (javascript/mailto/data/tel) skipped,
+  * comments and script/style bodies ignored. Malformed HTML never
+  * throws — the scanner just keeps walking. */
+case class HtmlLinks(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "html_links"
+  override def nullable: Boolean = true
+  override def nullSafeEval(html: Any, base: Any): Any =
+    HtmlOps.linksInternal(html.asInstanceOf[UTF8String].toString,
+      base.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, b) => s"""
+      ${ev.value} = graft.functions.HtmlOps.linksInternal(
+        $h.toString(), $b.toString());
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HtmlLinks =
+    copy(left = newLeft, right = newRight)
+}
+
+object HtmlOps {
+
+  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:".r
+  private val SkipSchemes = Set("javascript", "mailto", "data", "tel", "about")
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  def removeDotSegments(path: String): String = {
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val cut = out.lastIndexOf("/")
+        out.setLength(if (cut < 0) 0 else cut)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val from = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', from)
+        val seg = if (next < 0) in else in.substring(0, next)
+        out.append(seg)
+        in = if (next < 0) "" else in.substring(next)
+      }
+    }
+    out.toString
+  }
+
+  /** RFC 3986 §5.3 reference resolution (fragments dropped — a crawl
+    * graph's node is the document, not the anchor within it). Returns
+    * null for an unusable base. */
+  def resolveUrl(base: String, ref0: String): String = {
+    // split the base: scheme://authority path ?query
+    val sm = SchemeRe.findFirstIn(base).orNull
+    if (sm == null || !base.regionMatches(sm.length, "//", 0, 2)) return null
+    val scheme = sm.dropRight(1)
+    val authStart = sm.length + 2
+    val pathStart = {
+      val i = base.indexWhere(c => c == '/' || c == '?' || c == '#', authStart)
+      if (i < 0) base.length else i
+    }
+    val authority = base.substring(authStart, pathStart)
+    val afterAuth = base.substring(pathStart)
+    val (basePathQ, _) = splitFragment(afterAuth)
+    val (basePath, baseQuery) = splitQuery(basePathQ)
+
+    val (refNoFrag, _) = splitFragment(ref0)
+    val ref = refNoFrag
+    val refScheme = SchemeRe.findFirstIn(ref).orNull
+    if (refScheme != null)
+      return ref // absolute; RFC keeps it verbatim (minus fragment)
+    if (ref.startsWith("//")) return s"$scheme:$ref"
+    if (ref.isEmpty)
+      return s"$scheme://$authority$basePath" +
+        (if (baseQuery == null) "" else s"?$baseQuery")
+    if (ref.startsWith("?"))
+      return s"$scheme://$authority$basePath$ref"
+    val (refPath, refQuery) = splitQuery(ref)
+    val merged =
+      if (refPath.startsWith("/")) refPath
+      else {
+        // merge (§5.3.3): base path up to its last slash, else "/"
+        val cut = basePath.lastIndexOf('/')
+        (if (cut < 0) "/" else basePath.substring(0, cut + 1)) + refPath
+      }
+    s"$scheme://$authority${removeDotSegments(merged)}" +
+      (if (refQuery == null) "" else s"?$refQuery")
+  }
+
+  private def splitFragment(s: String): (String, String) = {
+    val i = s.indexOf('#')
+    if (i < 0) (s, null) else (s.substring(0, i), s.substring(i + 1))
+  }
+
+  private def splitQuery(s: String): (String, String) = {
+    val i = s.indexOf('?')
+    if (i < 0) (s, null) else (s.substring(0, i), s.substring(i + 1))
+  }
+
+  /** The five entities HTML-encoded URLs actually carry. */
+  private def decodeEntities(s: String): String =
+    if (s.indexOf('&') < 0) s
+    else s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+
+  def linksInternal(html: String, base: String): GenericArrayData = {
+    val hrefs = extractHrefs(html)
+    if (hrefs == null) return null
+    val out = new scala.collection.mutable.ArrayBuffer[Any](hrefs.length)
+    var i = 0
+    while (i < hrefs.length) {
+      val raw = decodeEntities(hrefs(i)).trim
+      val sch = SchemeRe.findFirstIn(raw).map(_.dropRight(1).toLowerCase).orNull
+      if (raw.nonEmpty && (sch == null || !SkipSchemes.contains(sch))) {
+        val resolved = resolveUrl(base, raw)
+        if (resolved != null) out += UTF8String.fromString(resolved)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Raw href values of anchor tags, in document order. Comments and
+    * script/style element bodies are skipped wholesale. */
+  def extractHrefs(html: String): Array[String] = {
+    if (html == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) return out.toArray
+      if (html.regionMatches(lt, "<!--", 0, 4)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (regionMatchesIgnoreCase(html, lt, "<script")) {
+        i = skipElement(html, lt, "script")
+      } else if (regionMatchesIgnoreCase(html, lt, "<style")) {
+        i = skipElement(html, lt, "style")
+      } else if ((html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A') &&
+        (lt + 2 >= n || !Character.isLetterOrDigit(html.charAt(lt + 2)))) {
+        val gt = html.indexOf('>', lt)
+        val end = if (gt < 0) n else gt
+        val href = findHref(html, lt + 2, end)
+        if (href != null) out += href
+        i = end + 1
+      } else i = lt + 1
+    }
+    out.toArray
+  }
+
+  private def regionMatchesIgnoreCase(s: String, off: Int, pat: String): Boolean =
+    s.regionMatches(true, off, pat, 0, pat.length)
+
+  /** Past the matching `</tag` close (or end of input). */
+  private def skipElement(html: String, from: Int, tag: String): Int = {
+    var i = html.indexOf('>', from)
+    if (i < 0) return html.length
+    val close = "</" + tag
+    while (i < html.length) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return html.length
+      if (regionMatchesIgnoreCase(html, lt, close)) {
+        val gt = html.indexOf('>', lt)
+        return if (gt < 0) html.length else gt + 1
+      }
+      i = lt + 1
+    }
+    html.length
+  }
+
+  /** The href attribute value inside [from, end): quoted with either
+    * quote or bare up to whitespace/'>'. */
+  private def findHref(html: String, from: Int, end: Int): String = {
+    var i = from
+    while (i + 5 <= end) {
+      // attribute names are whitespace-separated: a preceding '-' means
+      // data-href, not href
+      if (regionMatchesIgnoreCase(html, i, "href") &&
+        (i == from || Character.isWhitespace(html.charAt(i - 1)))) {
+        var j = i + 4
+        while (j < end && Character.isWhitespace(html.charAt(j))) j += 1
+        if (j < end && html.charAt(j) == '=') {
+          j += 1
+          while (j < end && Character.isWhitespace(html.charAt(j))) j += 1
+          if (j >= end) return null
+          val c = html.charAt(j)
+          if (c == '"' || c == '\'') {
+            val close = html.indexOf(c, j + 1)
+            return if (close < 0 || close > end) null
+            else html.substring(j + 1, close)
+          }
+          var k = j
+          while (k < end && !Character.isWhitespace(html.charAt(k))) k += 1
+          return html.substring(j, k)
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  // ---------------------------------------------------------- Column API
+
+  def html_links(html: Column, base: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(HtmlLinks(
+      org.apache.spark.sql.GraftSqlBridge.expression(html),
+      org.apache.spark.sql.GraftSqlBridge.expression(base)))
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** href scanning + RFC 3986 §5.4 reference-resolution vectors. */
+class HtmlLinksSpec extends AnyFunSuite {
+
+  test("RFC 3986 5.4.1 normal resolution examples") {
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y",
+      ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x",
+      "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    for ((ref, want) <- cases)
+      assert(HtmlOps.resolveUrl(base, ref) == want, s"ref <$ref>")
+    // fragments drop (crawl-graph nodes are documents)
+    assert(HtmlOps.resolveUrl(base, "#s") == "http://a/b/c/d;p?q")
+    assert(HtmlOps.resolveUrl(base, "g#s") == "http://a/b/c/g")
+    assert(HtmlOps.resolveUrl(base, "g?y#s") == "http://a/b/c/g?y")
+  }
+
+  test("RFC 3986 5.4.2 abnormal resolution examples") {
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "http:g" -> "http:g") // strict parsers keep absolute refs verbatim
+    for ((ref, want) <- cases)
+      assert(HtmlOps.resolveUrl(base, ref) == want, s"ref <$ref>")
+  }
+
+  test("href scanning: quote styles, attribute order, case, entities") {
+    val html =
+      """<html><body>
+        |<a href="https://x.example/a?p=1&amp;q=2">double</a>
+        |<A HREF='b.html'>single upper</A>
+        |<a class=nav href=c.html>unquoted</a>
+        |<a data-href="not-this.html" href = "d.html">spaced equals</a>
+        |<a name="anchor-without-href">none</a>
+        |<abbr href="not-an-anchor.html">abbr</abbr>
+        |<!-- <a href="commented.html">x</a> -->
+        |<script>var a = '<a href="scripted.html">';</script>
+        |<style>a[href="styled.html"] { color: red }</style>
+        |<a href="javascript:void(0)">js</a>
+        |<a href="mailto:x@example.com">mail</a>
+        |<a href="#frag-only">frag</a>
+        |</body></html>""".stripMargin
+    val got = HtmlOps.extractHrefs(html).toSeq
+    assert(got == Seq("https://x.example/a?p=1&amp;q=2", "b.html", "c.html",
+      "d.html", "javascript:void(0)", "mailto:x@example.com", "#frag-only"))
+    val links = Option(HtmlOps.linksInternal(html,
+      "https://base.example/dir/page.html")).get
+    val arr = (0 until links.numElements()).map(links.getUTF8String(_).toString)
+    assert(arr == Seq(
+      "https://x.example/a?p=1&q=2", // entity-decoded
+      "https://base.example/dir/b.html",
+      "https://base.example/dir/c.html",
+      "https://base.example/dir/d.html",
+      "https://base.example/dir/page.html")) // fragment-only → the page
+  }
+
+  test("malformed HTML never throws; unusable base yields no links") {
+    for (h <- Seq("", "<", "<a", "<a href", "<a href=", "<a href=\"unclosed",
+        "<script>never closed", "<!-- never closed", "<a href='x' <a href='y'>"))
+      HtmlOps.extractHrefs(h) // must not throw
+    val l = Option(HtmlOps.linksInternal("<a href='x.html'>x</a>", "not a url")).get
+    assert(l.numElements() == 0)
+  }
+}
