@@ -54,6 +54,11 @@ object LinkGraph {
     // out-degrees once; nodes absent here are dangling
     val deg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
       .localCheckpoint(true)
+    // whether dangling nodes exist at all is decided ONCE — when the
+    // graph has none (the common case after crawl preprocessing), no
+    // per-round pass computes a mass that is identically zero
+    val hasDangling = nodeIds.join(deg,
+      nodeIds("_id") === deg("_src"), "left_anti").limit(1).count() > 0
     var ranks = nodeIds.withColumn("_rank", lit(1.0 / n))
     var it = 0
     while (it < iterations) {
@@ -61,8 +66,10 @@ object LinkGraph {
         ranks("_id") === deg("_src"), "left")
         .select(col("_id"), col("_rank"), col("_deg"))
       // dangling mass: one scalar to the driver per round
-      val dangling = withDeg.filter(col("_deg").isNull)
-        .agg(coalesce(sum(col("_rank")), lit(0.0))).head().getDouble(0)
+      val dangling =
+        if (!hasDangling) 0.0
+        else withDeg.filter(col("_deg").isNull)
+          .agg(coalesce(sum(col("_rank")), lit(0.0))).head().getDouble(0)
       val contribs = e
         .join(withDeg.filter(col("_deg").isNotNull),
           e("_src") === withDeg("_id"))
