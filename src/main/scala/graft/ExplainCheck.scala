@@ -117,6 +117,10 @@ object ExplainCheck {
     audit("robots_filter", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("text_fix_mojibake", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("html_links", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    // KMV sketch: object-hash aggregate with a map-side partial
+    // (bounded O(k) state travels the exchange, not raw hashes)
+    audit("kmv_distinct", mustContain = Seq("ObjectHashAggregate",
+      "partial_kmv_sketch"))
     // exact-N sampling: per-partition heaps, never a global sort
     audit("sample_exact_n", mustContain = Seq("TakeOrderedAndProject"),
       mustNotContain = Seq("Exchange rangepartitioning"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Glider, LinkGraph, Multimodal, Relational, Similarity, Spatial, TextAnalysis}
+import graft.operators.{Dedup, Glider, LinkGraph, Multimodal, Relational, Similarity, Sketches, Spatial, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1333,6 +1333,15 @@ object SparkEntry {
           length(col("r.body")).cast("long").as("body_len"),
           col("r.body").cast("string").as("body"))
     }),
+
+    // ---- sketch: KMV (bottom-k) distinct count — deterministic
+    //      mergeable cardinality sketch; the oracle recomputes the
+    //      same k smallest md5-52bit hashes and lands on the exact
+    //      same estimate double ----
+    "kmv_distinct" -> ((s, dir) =>
+      Sketches.kmvDistinct(t(s, dir, "lineitem"),
+        "l_returnflag", "l_partkey", k = 64)
+        .select(col("l_returnflag"), col("est"), col("kept"), col("kth"))),
 
     // ---- crawl: hyperlink harvesting — anchors scanned out of HTML
     //      (quote styles, comments, entity decode) and resolved per
@@ -3598,6 +3607,26 @@ object SparkEntry {
         |GROUP BY np.term, dfc.df""".stripMargin,
     "warc_records" -> warcRecordsOracle,
     "warc_records_gz" -> warcRecordsOracle,
+    // the k smallest distinct 13-hex-digit md5 hashes per group; both
+    // engines compute (63·2^52)/h_k as the same two IEEE double ops,
+    // so the estimate hash-matches without rounding
+    "kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag AS g,
+        |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13))
+        |      AS UBIGINT) AS h
+        |  FROM lineitem WHERE l_partkey IS NOT NULL),
+        | r AS (SELECT g, h,
+        |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+        | a AS (SELECT g,
+        |    max(CASE WHEN rn <= 64 THEN h END) AS hk,
+        |    sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS kept
+        |  FROM r GROUP BY g)
+        |SELECT g AS l_returnflag,
+        |  CASE WHEN kept < 64 THEN CAST(kept AS DOUBLE)
+        |       ELSE (63e0 * 4503599627370496e0) / hk END AS est,
+        |  CAST(kept AS INTEGER) AS kept,
+        |  CAST(CASE WHEN kept >= 64 THEN hk END AS BIGINT) AS kth
+        |FROM a""".stripMargin,
     // the four surviving anchors' resolved URLs constructed directly
     // (comment + mailto anchors drop; entities decode; ../ climbs out
     // of /dir/; fragment drops)

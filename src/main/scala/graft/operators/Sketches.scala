@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlBridge
+
+/** Mergeable summary sketches for 100 TB-scale profiling. The first
+  * entry is the KMV distinct-count sketch ([[graft.functions
+  * .KmvSketchAgg]]) — chosen over HLL exactly because its estimate is
+  * a deterministic function of the hashed input, so corpus profiles
+  * computed on different engines (or re-computed months later) agree
+  * bit-for-bit and the DuckDB oracle can hash-match it. */
+object Sketches {
+
+  /** 2⁵² — the hash space: 13 md5 hex digits, exact in a double. */
+  val HashSpace: Double = 4503599627370496.0
+
+  /** Portable 52-bit hash: the first 13 hex digits of md5 of the
+    * value's string form — the same engine-portable rule every sampler
+    * here uses, numeric instead of lexicographic. Codegen'd
+    * projection; the aggregate above consumes these longs. */
+  def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
+
+  /** Estimated distinct `valueCol` per `groupCol`:
+    * (group, est, kept, kth). Exact (est = kept) below k distinct
+    * values, (k−1)·2⁵²/h₍ₖ₎ past it; null values don't count. One
+    * hash-partitioned aggregation with O(k) state per group and
+    * map-side partial combine — no sort, no collect_set. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val sk = GraftSqlBridge.column(
+      graft.functions.KmvSketchAgg(
+        GraftSqlBridge.expression(kmvHash(col(valueCol))), k)
+        .toAggregateExpression())
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sk.as("_sk"))
+      .select(col(groupCol), col("_sk.est").as("est"),
+        col("_sk.kept").as("kept"), col("_sk.kth").as("kth"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** KMV sketch: exact below k, estimate quality past it, partition
+  * invariance (the mergeability proof), null handling. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long)], k: Int, parts: Int = 4) =
+    Sketches.kmvDistinct(
+      rows.toDF("g", "v").repartition(parts), "g", "v", k)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getInt(2))).toMap
+
+  test("below k distinct values the sketch is EXACT") {
+    val rows = (1L to 40L).map(v => ("a", v)) ++
+      (1L to 40L).map(v => ("a", v)) ++ // duplicates don't count
+      (1L to 7L).map(v => ("b", v))
+    val got = run(rows, k = 64)
+    assert(got("a") == ((40.0, 40)))
+    assert(got("b") == ((7.0, 7)))
+  }
+
+  test("past k the estimate lands within 3 standard errors") {
+    val n = 5000
+    val rows = (1L to n.toLong).map(v => ("g", v))
+    for (k <- Seq(64, 256)) {
+      val (est, kept) = run(rows, k)("g")
+      assert(kept == k)
+      val se = n / math.sqrt(k - 2.0) // KMV relative error ~ 1/sqrt(k-2)
+      assert(math.abs(est - n) < 3 * se, s"k=$k est=$est")
+    }
+  }
+
+  test("partition-invariant: 1, 4, 32 partitions give the identical answer") {
+    val rows = (1L to 3000L).map(v => ("g", v * 17 % 997)) // dups + spread
+    val answers = Seq(1, 4, 32).map(p => run(rows, k = 32, parts = p)("g"))
+    assert(answers.distinct.size == 1, s"answers: $answers")
+  }
+
+  test("nulls don't count; empty groups don't appear") {
+    val df = Seq(("a", java.lang.Long.valueOf(1L)), ("a", null),
+      ("b", null)).toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, "g", "v", 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 1.0)) // b had only nulls → filtered out
+  }
+}
