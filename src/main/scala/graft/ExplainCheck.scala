@@ -82,6 +82,7 @@ object ExplainCheck {
     audit("mm_audio_g711", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_audio_sample", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_audio_deep", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_audio_adpcm", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_video_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_video_sample", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_mjpeg_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))

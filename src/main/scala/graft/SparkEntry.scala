@@ -978,6 +978,22 @@ object SparkEntry {
           col("st.peak").as("peak"))
     }),
 
+    // ---- multimodal: mono IMA ADPCM (format 17) — the stateful
+    //      4-bit companded codec; the oracle unrolls the decoder
+    //      recurrence (predictor + step index per nibble) in a
+    //      recursive CTE over the public 89-entry step table ----
+    "mm_audio_adpcm" -> ((s, dir) => {
+      import graft.functions.AudioCodec
+      val wav = AudioCodec.audio_synth_adpcm(col("doc_id"), col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          AudioCodec.audio_meta(wav).as("m"),
+          AudioCodec.audio_pcm_stats(wav).as("st"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.n_frames").as("n_frames"),
+          col("st.sum_l").as("sum_l"), col("st.peak").as("peak"))
+    }),
+
     // ---- multimodal: G.711 companded audio (μ-law/A-law — the
     //      telephony/speech-corpus encodings) — 8-bit code bytes
     //      expanded to linear by the CCITT integer formulas; the
@@ -3097,6 +3113,56 @@ object SparkEntry {
         |  CAST(max(greatest(abs(v0),
         |    CASE WHEN ch = 2 THEN abs(v1) ELSE 0 END)) AS INTEGER) AS peak
         |FROM vals GROUP BY doc_id""".stripMargin,
+    // the IMA decoder recurrence unrolled: per (doc, block), 16
+    // recursive steps carry (predictor, step-index) through the nibble
+    // stream; the 89-entry step table is inlined as VALUES and the
+    // block header predictor is itself sample 0
+    "mm_audio_adpcm" -> {
+      val steps = graft.functions.AudioCodec.AdpcmSteps.zipWithIndex
+        .map { case (st, i) => s"($i,$st)" }.mkString(",")
+      s"""WITH RECURSIVE dims AS (
+         |  SELECT doc_id, octet_length(encode(text)) % 5 + 2 AS nb,
+         |    CASE ((doc_id % 4) + 4) % 4 WHEN 0 THEN 8000
+         |      WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS rate
+         |  FROM documents),
+         | blocks AS (
+         |  SELECT d.doc_id, d.nb, d.rate, bs.b,
+         |    ((d.doc_id*31 + bs.b*17) % 65536 + 65536) % 65536 - 32768 AS pred0,
+         |    ((d.doc_id*7 + bs.b*3) % 89 + 89) % 89 AS idx0
+         |  FROM dims d, range(7) bs(b) WHERE bs.b < d.nb),
+         | steps(i, step) AS (VALUES $steps),
+         | st AS (
+         |  SELECT doc_id, b, 0 AS s, pred0 AS pred, idx0 AS idx,
+         |    CAST(pred0 AS BIGINT) AS emitted
+         |  FROM blocks
+         |  UNION ALL
+         |  SELECT doc_id, b, s + 1,
+         |    greatest(-32768, least(32767,
+         |      pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+         |    greatest(0, least(88,
+         |      idx + CASE WHEN nib % 8 < 4 THEN -1 ELSE (nib % 8 - 3) * 2 END)),
+         |    CAST(greatest(-32768, least(32767,
+         |      pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS BIGINT)
+         |  FROM (
+         |    SELECT st.doc_id, st.b, st.s, st.pred, st.idx,
+         |      ((st.s*5 + st.b*11 + st.doc_id) % 16 + 16) % 16 AS nib,
+         |      sp.step // 8
+         |        + CASE WHEN ((st.s*5 + st.b*11 + st.doc_id) % 16 + 16) % 16
+         |            % 2 = 1 THEN sp.step // 4 ELSE 0 END
+         |        + CASE WHEN ((st.s*5 + st.b*11 + st.doc_id) % 16 + 16) % 16
+         |            // 2 % 2 = 1 THEN sp.step // 2 ELSE 0 END
+         |        + CASE WHEN ((st.s*5 + st.b*11 + st.doc_id) % 16 + 16) % 16
+         |            // 4 % 2 = 1 THEN sp.step ELSE 0 END AS diff
+         |    FROM st JOIN steps sp ON sp.i = st.idx
+         |    WHERE st.s < 16) q)
+         |SELECT s.doc_id, 'adpcm' AS format,
+         |  CAST(max(d.rate) AS INTEGER) AS sample_rate,
+         |  CAST(max(d.nb) * 17 AS BIGINT) AS n_frames,
+         |  CAST(sum(s.emitted) AS BIGINT) AS sum_l,
+         |  CAST(max(abs(s.emitted)) AS INTEGER) AS peak
+         |FROM st s JOIN dims d ON d.doc_id = s.doc_id
+         |GROUP BY s.doc_id""".stripMargin
+    },
     // mirrors AudioCodec.synthWavDeep: with e = i·(7+2c) + id·(3+c),
     // 8-bit decodes to floorMod(e,256)−128, 24-bit to
     // floorMod(e,2^24)−2^23, float32 stores (floorMod(e,131072)−65536)

@@ -158,6 +158,26 @@ case class AudioSynthDeep(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Mono IMA ADPCM WAV per [[AudioCodec.synthWavAdpcm]]'s rule. */
+case class AudioSynthAdpcm(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "audio_synth_adpcm"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    AudioCodec.synthWavAdpcm(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, text) =>
+      s"graft.functions.AudioCodec.synthWavAdpcm($id, $text)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AudioSynthAdpcm =
+    copy(left = newLeft, right = newRight)
+}
+
 object AudioCodec {
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),       // "pcm16"
@@ -200,7 +220,8 @@ object AudioCodec {
     * stay exact integers an SQL oracle recomputes. */
   final class Wav(val bytes: Array[Byte], val format: Int, val bits: Int,
       val channels: Int, val sampleRate: Int, val nFrames: Long,
-      val dataOff: Int) {
+      val dataOff: Int, val blockAlign: Int = 0,
+      val samplesPerBlock: Int = 0) {
     val bytesPerSample: Int = bits / 8
     /** Linear sample value of (frame f, channel c). */
     def sampleAt(f: Int, c: Int): Int = {
@@ -256,6 +277,7 @@ object AudioCodec {
     if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return null
     var i = 12
     var channels = -1; var rate = -1; var bits = -1; var format = -1
+    var blockAlign = -1; var spb = -1
     while (i + 8 <= b.length) {
       val t = tag(b, i)
       val len = leU32(b, i + 4)
@@ -265,16 +287,32 @@ object AudioCodec {
         format = leU16(b, i + 8)
         channels = leU16(b, i + 10)
         rate = leU32(b, i + 12).toInt
+        blockAlign = leU16(b, i + 20)
         bits = leU16(b, i + 22)
         val ok = (format == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
           (format == 3 && bits == 32) ||
-          ((format == 6 || format == 7) && bits == 8)
+          ((format == 6 || format == 7) && bits == 8) ||
+          (format == 17 && bits == 4)
         if (!ok || channels < 1 || channels > 64 || rate <= 0) return null
+        if (format == 17) {
+          // IMA ADPCM (MONO — the speech-corpus norm): the fmt
+          // extension carries samplesPerBlock, which must agree with
+          // the block geometry (4-byte header + 2 nibbles/byte + the
+          // header sample itself)
+          if (channels != 1 || len < 20 || blockAlign < 5) return null
+          spb = leU16(b, i + 26)
+          if (spb != (blockAlign - 4) * 2 + 1) return null
+        }
       } else if (t == "data") {
         if (channels < 0) return null // fmt must come first
-        val blockAlign = channels * (bits / 8)
-        if (len % blockAlign != 0) return null
-        return new Wav(b, format, bits, channels, rate, len / blockAlign, i + 8)
+        if (format == 17) {
+          if (len % blockAlign != 0) return null
+          return new Wav(b, format, bits, channels, rate,
+            (len / blockAlign) * spb, i + 8, blockAlign, spb)
+        }
+        val ba = channels * (bits / 8)
+        if (len % ba != 0) return null
+        return new Wav(b, format, bits, channels, rate, len / ba, i + 8)
       }
       i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
     }
@@ -285,7 +323,7 @@ object AudioCodec {
     val w = parseWav(b)
     if (w == null) return null
     val fmt = w.format match {
-      case 1 => s"pcm${w.bits}"; case 3 => "float32"
+      case 1 => s"pcm${w.bits}"; case 3 => "float32"; case 17 => "adpcm"
       case 7 => "ulaw"; case _ => "alaw"
     }
     InternalRow(UTF8String.fromString(fmt), w.channels, w.sampleRate,
@@ -299,6 +337,18 @@ object AudioCodec {
   def statsInternal(b: Array[Byte]): InternalRow = {
     val w = parseWav(b)
     if (w == null) return null
+    if (w.format == 17) {
+      // sequential-stateful: no random access, one pass over blocks
+      val samples = decodeAdpcmMono(w)
+      var sumL = 0L; var peak = 0
+      var i = 0
+      while (i < samples.length) {
+        sumL += samples(i)
+        if (math.abs(samples(i)) > peak) peak = math.abs(samples(i))
+        i += 1
+      }
+      return InternalRow(1, w.sampleRate, w.nFrames, sumL, null, peak)
+    }
     var sumL = 0L; var sumR = 0L; var peak = 0
     val ch = w.channels
     var f = 0
@@ -321,6 +371,68 @@ object AudioCodec {
     }
     InternalRow(ch, w.sampleRate, w.nFrames, sumL,
       if (ch > 1) sumR else null, peak)
+  }
+
+  /** IMA/DVI ADPCM step-size table (the public 89-entry table from the
+    * IMA Digital Audio Pack recommendation). */
+  val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index adjustment per nibble (sign bit ignored): −1 for magnitudes
+    * 0–3, then +2/+4/+6/+8. */
+  def adpcmIndexDelta(nibble: Int): Int = {
+    val m = nibble & 7
+    if (m < 4) -1 else (m - 3) * 2
+  }
+
+  /** One IMA ADPCM step: given state (pred, idx) and a nibble, the new
+    * (pred, idx). Public reference recurrence — diff accumulates
+    * step/8 + conditional step/4, step/2, step; sign bit subtracts. */
+  def adpcmStep(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val step = AdpcmSteps(idx)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, idx + adpcmIndexDelta(nibble)))
+    (p, i)
+  }
+
+  /** All samples of a mono IMA ADPCM stream, block by block: each
+    * block's 4-byte header carries the initial predictor (itself
+    * sample 0 of the block) and step index; nibbles follow low-first
+    * two per byte. */
+  def decodeAdpcmMono(w: Wav): Array[Int] = {
+    val nBlocks = (w.nFrames / w.samplesPerBlock).toInt
+    val out = new Array[Int](w.nFrames.toInt)
+    var o = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = w.dataOff + blk * w.blockAlign
+      var pred = leI16(w.bytes, base)
+      var idx = math.max(0, math.min(88, w.bytes(base + 2) & 0xFF))
+      out(o) = pred; o += 1
+      var j = 4
+      while (j < w.blockAlign) {
+        val byte = w.bytes(base + j) & 0xFF
+        val (p1, i1) = adpcmStep(pred, idx, byte & 0x0F)
+        out(o) = p1; o += 1
+        val (p2, i2) = adpcmStep(p1, i1, byte >> 4)
+        out(o) = p2; o += 1
+        pred = p2; idx = i2
+        j += 1
+      }
+      blk += 1
+    }
+    out
   }
 
   /** Canonical 44-byte-header WAV writer (fmt before data, even data
@@ -368,6 +480,16 @@ object AudioCodec {
     if (k < 1) return null
     val w = parseWav(b)
     if (w == null) return null
+    if (w.format == 17) {
+      // a stateful companded stream can't copy raw frames: decimating
+      // ADPCM decodes once and emits linear PCM16 (documented semantic)
+      val samples = decodeAdpcmMono(w)
+      val outN = (samples.length + k - 1) / k
+      val frames = new Array[Short](outN)
+      var i = 0
+      while (i < outN) { frames(i) = samples(i * k).toShort; i += 1 }
+      return encodeWav(1, w.sampleRate, frames)
+    }
     val outFrames = ((w.nFrames + k - 1) / k).toInt
     val blockAlign = w.channels * w.bytesPerSample
     val data = new Array[Byte](outFrames * blockAlign)
@@ -446,6 +568,48 @@ object AudioCodec {
     out
   }
 
+  /** The mono IMA ADPCM rule the `mm_audio_adpcm` oracle mirrors by
+    * unrolling the decoder recurrence in SQL: blockAlign 12 → 8 nibble
+    * bytes → 17 samples/block; nblocks = n%5+2; block b's header
+    * predictor is `floorMod(id·31 + b·17, 65536) − 32768` (emitted as
+    * the block's first sample), header index `floorMod(id·7 + b·3,
+    * 89)`, and nibble s (0–15) is `floorMod(s·5 + b·11 + id, 16)`. */
+  def synthWavAdpcm(id: Long, text: UTF8String): Array[Byte] = {
+    val n = text.numBytes
+    val nblocks = n % 5 + 2
+    val blockAlign = 12
+    val spb = (blockAlign - 4) * 2 + 1
+    val rate = RATES(java.lang.Math.floorMod(id, 4L).toInt)
+    val data = new Array[Byte](nblocks * blockAlign)
+    var b = 0
+    while (b < nblocks) {
+      val base = b * blockAlign
+      val pred = java.lang.Math.floorMod(id * 31 + b * 17, 65536L).toInt - 32768
+      data(base) = pred.toByte
+      data(base + 1) = (pred >> 8).toByte
+      data(base + 2) = java.lang.Math.floorMod(id * 7 + b * 3, 89L).toByte
+      data(base + 3) = 0
+      var j = 0
+      while (j < 8) {
+        val lo = java.lang.Math.floorMod((2 * j) * 5L + b * 11L + id, 16L).toInt
+        val hi = java.lang.Math.floorMod((2 * j + 1) * 5L + b * 11L + id, 16L).toInt
+        data(base + 4 + j) = (lo | (hi << 4)).toByte
+        j += 1
+      }
+      b += 1
+    }
+    val out = java.nio.ByteBuffer.allocate(48 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ASCII")).putInt(40 + data.length)
+      .put("WAVE".getBytes("ASCII"))
+    out.put("fmt ".getBytes("ASCII")).putInt(20)
+      .putShort(17).putShort(1).putInt(rate)
+      .putInt(rate * blockAlign / spb).putShort(blockAlign.toShort)
+      .putShort(4).putShort(2).putShort(spb.toShort)
+    out.put("data".getBytes("ASCII")).putInt(data.length).put(data)
+    out.array()
+  }
+
   /** The wider-PCM-matrix rule the `mm_audio_deep` oracle mirrors:
     * depth cycles 8-bit / 24-bit / float32 by id mod 3, channels =
     * id mod 2 + 1, rate by id mod 4, frames = n % 97 + 10. With
@@ -512,5 +676,9 @@ object AudioCodec {
 
   def audio_synth_deep(id: Column, text: Column): Column =
     GraftSqlBridge.column(AudioSynthDeep(
+      GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
+
+  def audio_synth_adpcm(id: Column, text: Column): Column =
+    GraftSqlBridge.column(AudioSynthAdpcm(
       GraftSqlBridge.expression(id), GraftSqlBridge.expression(text)))
 }

@@ -239,6 +239,75 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("IMA ADPCM: synth decodes to an independent reference recurrence") {
+    // independent in-test decoder (reimplemented from the IMA spec)
+    def refDecode(id: Long, nblocks: Int): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      for (b <- 0 until nblocks) {
+        var pred = (java.lang.Math.floorMod(id * 31 + b * 17, 65536L) - 32768L).toInt
+        var idx = java.lang.Math.floorMod(id * 7 + b * 3, 89L).toInt
+        out += pred
+        for (s <- 0 until 16) {
+          val nib = java.lang.Math.floorMod(s * 5L + b * 11L + id, 16L).toInt
+          val step = AudioCodec.AdpcmSteps(idx)
+          var diff = step / 8
+          if ((nib & 1) != 0) diff += step / 4
+          if ((nib & 2) != 0) diff += step / 2
+          if ((nib & 4) != 0) diff += step
+          pred = math.max(-32768, math.min(32767,
+            if ((nib & 8) != 0) pred - diff else pred + diff))
+          idx = math.max(0, math.min(88, idx +
+            (if ((nib & 7) < 4) -1 else ((nib & 7) - 3) * 2)))
+          out += pred
+        }
+      }
+      out.toSeq
+    }
+    for (id <- Seq(0L, 1L, 5L, 42L, -3L)) {
+      val u = UTF8String.fromString(s"adpcm clip $id")
+      val nblocks = u.numBytes % 5 + 2
+      val wav = AudioCodec.synthWavAdpcm(id, u)
+      val w = AudioCodec.parseWav(wav)
+      assert(w.format == 17 && w.nFrames == nblocks * 17)
+      val got = AudioCodec.decodeAdpcmMono(w).toSeq
+      assert(got == refDecode(id, nblocks), s"id=$id")
+      val m = Option(AudioCodec.metaInternal(wav)).get
+      assert(m.getUTF8String(0).toString == "adpcm")
+      val st = Option(AudioCodec.statsInternal(wav)).get
+      assert(st.getLong(3) == got.map(_.toLong).sum)
+      assert(st.getInt(5) == got.map(math.abs).max)
+      assert(st.isNullAt(4), "mono: sum_r null")
+    }
+  }
+
+  test("IMA ADPCM decimation decodes once and emits linear PCM16") {
+    val u = UTF8String.fromString("decimate adpcm")
+    val wav = AudioCodec.synthWavAdpcm(9L, u)
+    val full = AudioCodec.decodeAdpcmMono(AudioCodec.parseWav(wav))
+    val half = AudioCodec.frameSampleInternal(wav, 2)
+    val w2 = AudioCodec.parseWav(half)
+    assert(w2.format == 1 && w2.bits == 16, "output is plain PCM16")
+    assert(w2.nFrames == (full.length + 1) / 2)
+    val st = Option(AudioCodec.statsInternal(half)).get
+    val expect = full.indices.collect { case i if i % 2 == 0 => full(i).toLong }
+    assert(st.getLong(3) == expect.sum)
+  }
+
+  test("IMA ADPCM malformed: bad geometry or stereo header refuses") {
+    val good = AudioCodec.synthWavAdpcm(1L, UTF8String.fromString("x"))
+    val fmtOff = good.indexOfSlice("fmt ".getBytes("ASCII"))
+    val stereo = good.clone(); stereo(fmtOff + 10) = 2
+    assert(AudioCodec.parseWav(stereo) == null)
+    // samplesPerBlock inconsistent with blockAlign
+    val badSpb = good.clone(); badSpb(fmtOff + 26) = 99
+    assert(AudioCodec.parseWav(badSpb) == null)
+    // data not a whole number of blocks
+    val cut = java.util.Arrays.copyOfRange(good, 0, good.length - 5)
+    val dataLenOff = good.indexOfSlice("data".getBytes("ASCII")) + 4
+    cut(dataLenOff) = (cut.length - dataLenOff - 4).toByte
+    assert(AudioCodec.parseWav(cut) == null)
+  }
+
   test("float32: non-finite samples decode to 0, never a throw") {
     val nan = java.lang.Float.floatToIntBits(Float.NaN)
     val inf = java.lang.Float.floatToIntBits(Float.PositiveInfinity)
