@@ -277,6 +277,42 @@ object ScaleProbe {
       graft.operators.Relational.rangeJoin(ivRange, "lo", "hi",
         evN.select("ts", "value"), "ts", 86400L).count())
 
+    // spatial radius join: N× probe points against FIXED stations —
+    // the grid-cell equi-join must track the probe count, never
+    // |probes|·|stations| like the cross join it replaces
+    def spatialPoints(df: DataFrame): DataFrame = df.select(
+      (pmod(col("doc_id") * 37, lit(1200)) / 10.0 - 60.0).as("lat"),
+      (pmod(col("doc_id") * 91, lit(3600)) / 10.0 - 180.0).as("lon"))
+    val stationsFixed = docs1.select(
+      (pmod(col("doc_id") * 53, lit(1200)) / 10.0 - 60.0).as("slat"),
+      (pmod(col("doc_id") * 113, lit(3600)) / 10.0 - 180.0).as("slon")).cache()
+    stationsFixed.count()
+    probe("spatial_radius_join",
+      graft.operators.Spatial.withinRadiusJoin(spatialPoints(docs1),
+        stationsFixed, "lat", "lon", "slat", "slon", 300000.0).count(),
+      graft.operators.Spatial.withinRadiusJoin(spatialPoints(docsN),
+        stationsFixed, "lat", "lon", "slat", "slon", 300000.0).count())
+
+    // PageRank: N× nodes and edges at a FIXED iteration count — each
+    // round is one join + keyed agg, so time tracks the edge count
+    def prRank(df: DataFrame): Long = {
+      val cnt = df.count()
+      val edges = df.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(cnt)),
+          pmod(col("doc_id") * 5 + 2, lit(cnt)))).as("dst"))
+      graft.operators.LinkGraph.pageRank(edges, "src", "dst",
+        iterations = 3).count()
+    }
+    probe("pagerank", prRank(docs1), prRank(docsN))
+
+    // KMV sketch: N× rows through the bounded-state aggregate — O(k)
+    // buffers mean time tracks the scan, not the distinct count
+    probe("kmv_distinct",
+      graft.operators.Sketches.kmvDistinct(ev1, "event_type",
+        "user_id", 64).count(),
+      graft.operators.Sketches.kmvDistinct(evN, "event_type",
+        "user_id", 64).count())
+
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
     val dupN = (0 until n).map { c =>
