@@ -118,6 +118,7 @@ object ExplainCheck {
     audit("robots_filter", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("text_fix_mojibake", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("html_links", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("sitemap_urls", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // KMV sketch: object-hash aggregate with a map-side partial
     // (bounded O(k) state travels the exchange, not raw hashes)
     audit("kmv_distinct", mustContain = Seq("ObjectHashAggregate",

@@ -1350,6 +1350,31 @@ object SparkEntry {
           col("r.body").cast("string").as("body"))
     }),
 
+    // ---- crawl: sitemap.xml parsing — urlset entries with the four
+    //      protocol fields, namespace-qualified, exploded one row per
+    //      URL (the crawl-frontier seeding step) ----
+    "sitemap_urls" -> ((s, dir) => {
+      import graft.functions.Sitemap
+      def urlEntry(j: Int) = concat(
+        lit("<url><loc>https://site"), pmod(col("doc_id"), lit(11)),
+        lit(s".example/p/"), col("doc_id"), lit(s"/$j</loc>"),
+        lit("<lastmod>2024-0"), pmod(col("doc_id"), lit(9)) + 1,
+        lit("-01</lastmod><changefreq>"),
+        element_at(array(lit("daily"), lit("weekly"), lit("monthly")),
+          (pmod(col("doc_id") + lit(j), lit(3)) + 1).cast("int")),
+        lit("</changefreq><priority>0."), pmod(col("doc_id") + lit(j), lit(10)),
+        lit("</priority></url>"))
+      val xml = concat(
+        lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        urlEntry(0), urlEntry(1), lit("</urlset>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Sitemap.sitemap_entries(xml)).as("e"))
+        .select(col("doc_id"), col("e.kind").as("kind"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+          col("e.changefreq").as("changefreq"),
+          col("e.priority").as("priority"))
+    }),
+
     // ---- sketch: KMV (bottom-k) distinct count — deterministic
     //      mergeable cardinality sketch; the oracle recomputes the
     //      same k smallest md5-52bit hashes and lands on the exact
@@ -3673,6 +3698,18 @@ object SparkEntry {
         |GROUP BY np.term, dfc.df""".stripMargin,
     "warc_records" -> warcRecordsOracle,
     "warc_records_gz" -> warcRecordsOracle,
+    // two constructed url entries per document, fields recomputed
+    // directly from the synthesis rule
+    "sitemap_urls" ->
+      """SELECT doc_id, 'url' AS kind,
+        |  'https://site' || CAST(doc_id % 11 AS VARCHAR) || '.example/p/' ||
+        |    CAST(doc_id AS VARCHAR) || '/' || CAST(j.j AS VARCHAR) AS loc,
+        |  '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod,
+        |  CASE (doc_id + j.j) % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+        |    ELSE 'monthly' END AS changefreq,
+        |  CAST('0.' || CAST((doc_id + j.j) % 10 AS VARCHAR) AS DOUBLE)
+        |    AS priority
+        |FROM documents, range(2) j(j)""".stripMargin,
     // the k smallest distinct 13-hex-digit md5 hashes per group; both
     // engines compute (63·2^52)/h_k as the same two IEEE double ops,
     // so the estimate hash-matches without rounding
