@@ -1384,6 +1384,15 @@ object SparkEntry {
         "l_returnflag", "l_partkey", k = 64)
         .select(col("l_returnflag"), col("est"), col("kept"), col("kth"))),
 
+    // ---- sketch: KMV set resemblance — estimated Jaccard between
+    //      every group pair from merged bottom-k sketches (one data
+    //      pass; the pairwise stage is G² sketch rows, metadata-sized
+    //      at any corpus scale) ----
+    "kmv_resemblance" -> ((s, dir) =>
+      Sketches.kmvResemblance(t(s, dir, "orders"),
+        "o_orderpriority", "o_custkey", k = 64)
+        .select(col("g1"), col("g2"), col("jaccard"))),
+
     // ---- crawl: hyperlink harvesting — anchors scanned out of HTML
     //      (quote styles, comments, entity decode) and resolved per
     //      RFC 3986 against the page URL; absolute, protocol-relative,
@@ -3730,6 +3739,23 @@ object SparkEntry {
         |  CAST(kept AS INTEGER) AS kept,
         |  CAST(CASE WHEN kept >= 64 THEN hk END AS BIGINT) AS kth
         |FROM a""".stripMargin,
+    // Broder's estimator over the bottom-64 of the union, recomputed
+    // with DuckDB list algebra on the same 52-bit hashes
+    "kmv_resemblance" ->
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS g,
+        |    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+        |      AS UBIGINT) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        | r AS (SELECT g, h,
+        |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+        | sk AS (SELECT g, list(h ORDER BY h) AS hs
+        |   FROM r WHERE rn <= 64 GROUP BY g)
+        |SELECT a.g AS g1, b.g AS g2,
+        |  CAST(len(list_filter(list_sort(list_distinct(a.hs || b.hs))[1:64],
+        |      x -> list_contains(a.hs, x) AND list_contains(b.hs, x)))
+        |    AS DOUBLE)
+        |  / len(list_sort(list_distinct(a.hs || b.hs))[1:64]) AS jaccard
+        |FROM sk a JOIN sk b ON a.g < b.g""".stripMargin,
     // the four surviving anchors' resolved URLs constructed directly
     // (comment + mailto anchors drop; entities decode; ../ climbs out
     // of /dir/; fragment drops)

@@ -89,3 +89,69 @@ case class KmvSketchAgg(child: Expression, k: Int,
       newChildren: IndexedSeq[Expression]): KmvSketchAgg =
     copy(child = newChildren.head)
 }
+
+/** The same bounded bottom-k buffer, evaluated to the SORTED hash
+  * array itself — the mergeable form set algebra needs: resemblance
+  * (Jaccard) between two groups is computed from the union of their
+  * sketches, so the sketch has to travel, not just its estimate. */
+case class KmvSetAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(k >= 2, "k must be >= 2")
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_set"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.asInstanceOf[Long])
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      buf.add(it.next())
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    out.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.putLong(it.next())
+    out.array()
+  }
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { s.add(in.getLong); i += 1 }
+    s
+  }
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSetAgg =
+    copy(child = newChildren.head)
+}

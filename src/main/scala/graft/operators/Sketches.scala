@@ -39,4 +39,29 @@ object Sketches {
       .select(col(groupCol), col("_sk.est").as("est"),
         col("_sk.kept").as("kept"), col("_sk.kth").as("kth"))
   }
+
+  /** Estimated Jaccard resemblance between every PAIR of groups from
+    * their bottom-k sketches (Broder's resemblance estimator over the
+    * bottom-k of the union): J(A,B) ≈ |M ∩ Â ∩ B̂| / |M| with
+    * M = bottom-k(Â ∪ B̂). One sketch pass over the data (the same
+    * bounded aggregate as [[kmvDistinct]]), then the PAIRWISE stage
+    * runs on one row per group — sketches are k longs, so the G²
+    * comparison is metadata-sized however big the data was. Emits
+    * each unordered pair once (g1 < g2). */
+  def kmvResemblance(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val sk = GraftSqlBridge.column(
+      graft.functions.KmvSetAgg(
+        GraftSqlBridge.expression(kmvHash(col(valueCol))), k)
+        .toAggregateExpression())
+    val sketches = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol)).agg(sk.as("_hs"))
+    val a = sketches.select(col(groupCol).as("g1"), col("_hs").as("_h1"))
+    val b = sketches.select(col(groupCol).as("g2"), col("_hs").as("_h2"))
+    val m = slice(array_sort(array_union(col("_h1"), col("_h2"))), 1, k)
+    a.join(b, col("g1") < col("g2"))
+      .select(col("g1"), col("g2"),
+        (size(array_intersect(m, array_intersect(col("_h1"), col("_h2"))))
+          .cast("double") / size(m)).as("jaccard"))
+  }
 }

@@ -41,6 +41,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(answers.distinct.size == 1, s"answers: $answers")
   }
 
+  test("resemblance: disjoint ~0, identical = 1, half-overlap tracks truth") {
+    val rows =
+      (1L to 800L).map(v => ("a", v)) ++
+      (1L to 800L).map(v => ("b", v)) ++            // b == a → J = 1
+      (401L to 1200L).map(v => ("c", v)) ++          // |a∩c|/|a∪c| = 400/1200
+      (5001L to 5800L).map(v => ("d", v))            // disjoint from a
+    val j = Sketches.kmvResemblance(rows.toDF("g", "v"), "g", "v", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(j(("a", "b")) == 1.0)
+    assert(math.abs(j(("a", "c")) - 400.0 / 1200.0) < 0.1, j(("a", "c")))
+    assert(j(("a", "d")) < 0.05)
+    // symmetric emission: only g1 < g2 pairs, all 6 of them
+    assert(j.size == 6 && j.keys.forall { case (x, y) => x < y })
+  }
+
+  test("resemblance is partition-invariant (sketch mergeability)") {
+    val rows = (1L to 1000L).map(v => ("a", v)) ++
+      (500L to 1500L).map(v => ("b", v))
+    val answers = Seq(1, 8, 32).map { p =>
+      Sketches.kmvResemblance(rows.toDF("g", "v").repartition(p),
+        "g", "v", k = 64).collect().map(_.getDouble(2)).toSeq
+    }
+    assert(answers.distinct.size == 1)
+  }
+
   test("nulls don't count; empty groups don't appear") {
     val df = Seq(("a", java.lang.Long.valueOf(1L)), ("a", null),
       ("b", null)).toDF("g", "v")
