@@ -284,6 +284,14 @@ object SparkEntry {
           .select(col("user_id"), col("event_type"))
       }),
 
+    // ---- T6 streaming KMV: the bottom-k sketch aggregate running
+    //      inside a watermarked windowed streaming aggregation —
+    //      deterministic, so streaming equals batch equals oracle ----
+    "t6_streaming_kmv" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t6") { events =>
+        graft.streaming.EventStream.hourlyKmvDistinct(events, "user_id", 64)
+      }),
+
     // ---- W4/W5 row numbering + M running increment (scalable two-pass
     //      global numbering — no single-partition window) ----
     "w5_row_number" -> ((s, dir) =>
@@ -3738,6 +3746,29 @@ object SparkEntry {
         |       ELSE (63e0 * 4503599627370496e0) / hk END AS est,
         |  CAST(kept AS INTEGER) AS kept,
         |  CAST(CASE WHEN kept >= 64 THEN hk END AS BIGINT) AS kth
+        |FROM a""".stripMargin,
+    // the hourly-window twin of kmv_distinct: per (hour, type) rank of
+    // the same 52-bit hashes; streaming and batch agree because the
+    // sketch is deterministic
+    "t6_streaming_kmv" ->
+      """WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS win_start,
+        |    event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+        |      AS UBIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND date_trunc('hour', ts) + INTERVAL 2 HOUR
+        |      <= (SELECT date_trunc('microsecond', max(ts)) FROM events)),
+        | r AS (SELECT win_start, event_type, h, row_number()
+        |    OVER (PARTITION BY win_start, event_type ORDER BY h) AS rn
+        |  FROM h),
+        | a AS (SELECT win_start, event_type,
+        |    max(CASE WHEN rn <= 64 THEN h END) AS hk,
+        |    sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS kept
+        |  FROM r GROUP BY 1, 2)
+        |SELECT win_start, event_type,
+        |  CASE WHEN kept < 64 THEN CAST(kept AS DOUBLE)
+        |       ELSE (63e0 * 4503599627370496e0) / hk END AS est,
+        |  CAST(kept AS INTEGER) AS kept
         |FROM a""".stripMargin,
     // Broder's estimator over the bottom-64 of the union, recomputed
     // with DuckDB list algebra on the same 52-bit hashes

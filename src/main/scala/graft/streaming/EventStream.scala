@@ -52,6 +52,27 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sv"))
 
+  /** Streaming KMV: hourly windowed distinct-`valueCol` ESTIMATES per
+    * event type, through the same bounded bottom-k aggregate as the
+    * batch path ([[graft.functions.KmvSketchAgg]]) — O(k) state per
+    * open window in the state store, exact below k, deterministic
+    * above it, so the streaming result equals the batch result over
+    * the same events (the parity property the gate checks). */
+  def hourlyKmvDistinct(events: DataFrame, valueCol: String, k: Int = 64,
+      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame = {
+    val sk = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.KmvSketchAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          graft.operators.Sketches.kmvHash(col(valueCol))), k)
+        .toAggregateExpression())
+    events.filter(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(sk.as("_sk"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("_sk.est").as("est"), col("_sk.kept").as("kept"))
+  }
+
   /** STREAM-STREAM interval join: purchases matched to the clicks that
     * preceded them within `windowSeconds` on the same user — the
     * attribution join, running as a genuine stream-stream inner join.
