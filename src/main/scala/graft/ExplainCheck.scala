@@ -119,6 +119,7 @@ object ExplainCheck {
     audit("text_fix_mojibake", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("html_links", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("sitemap_urls", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("robots_sitemaps", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // KMV sketch: object-hash aggregate with a map-side partial
     // (bounded O(k) state travels the exchange, not raw hashes)
     audit("kmv_distinct", mustContain = Seq("ObjectHashAggregate",

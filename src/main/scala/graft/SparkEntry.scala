@@ -1496,6 +1496,26 @@ object SparkEntry {
         RobotsOps.robots_allowed(robots, path, "crawler0-bot").as("allowed"))
     }),
 
+    // ---- crawl: Sitemap directives out of robots.txt — group-
+    //      independent per RFC 9309 §2.2.4, collected file-wide in
+    //      order (comments stripped, blanks skipped) ----
+    "robots_sitemaps" -> ((s, dir) => {
+      import graft.functions.RobotsOps
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private\n"),
+        lit("Sitemap: https://s"), pmod(col("doc_id"), lit(7)),
+        lit(".example/sitemap.xml  # primary\n"),
+        lit("User-agent: other\nAllow: /\n"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("sitemap: https://s"), pmod(col("doc_id"), lit(7)),
+            lit(".example/news.xml\n"))).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(RobotsOps.robots_sitemaps(robots)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("sitemap_url"))
+    }),
+
     // ---- text: URL → host + registered domain (public-suffix-aware:
     //      .co.uk keeps three labels) over synthesized crawl URLs ----
     "url_domains" -> ((s, dir) =>
@@ -3869,6 +3889,18 @@ object SparkEntry {
         |    OR (((doc_id % 4) + 4) % 4 = 1 AND ((doc_id % 2) + 2) % 2 = 1))
         |    AS allowed
         |FROM documents""".stripMargin,
+    // the primary directive (comment-stripped) always at pos 0; even
+    // ids add a lowercase second directive at pos 1
+    "robots_sitemaps" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |  'https://s' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/sitemap.xml' AS sitemap_url
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+        |  'https://s' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/news.xml' AS sitemap_url
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     // host/domain recomputed from the synthUrl rule — the .co.uk rows
     // pin the multi-label public-suffix branch
     "url_domains" ->

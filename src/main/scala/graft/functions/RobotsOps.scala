@@ -40,6 +40,29 @@ case class RobotsAllowed(left: Expression, right: Expression, agent: String)
     copy(left = newLeft, right = newRight)
 }
 
+/** `Sitemap:` directives out of robots.txt — group-independent per
+  * RFC 9309 §2.2.4, collected file-wide in order. */
+case class RobotsSitemaps(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "robots_sitemaps"
+  override def nullSafeEval(txt: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      RobotsOps.sitemapUtf8(txt.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.functions.RobotsOps.sitemapUtf8($t.toString()));
+    """)
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
+}
+
 object RobotsOps {
   /** One rule: allow?, raw pattern. */
   private final case class Rule(allow: Boolean, pattern: String)
@@ -131,8 +154,33 @@ object RobotsOps {
     bestLen < 0 || bestAllow
   }
 
+  /** `Sitemap:` directives, in file order — RFC 9309 §2.2.4 treats
+    * them as group-independent, so they collect from the whole file
+    * regardless of user-agent sections. The values are absolute URLs
+    * per the sitemaps.org protocol; they feed [[Sitemap]] parsing to
+    * seed the crawl frontier. */
+  def sitemapUrls(txt: String): Array[String] = {
+    if (txt == null) return Array.empty
+    txt.split("\r?\n").iterator
+      .map(l => { val c = l.indexOf('#'); if (c >= 0) l.substring(0, c) else l })
+      .flatMap { l =>
+        val i = l.indexOf(':')
+        if (i <= 0) None
+        else if (!l.substring(0, i).trim.equalsIgnoreCase("sitemap")) None
+        else Some(l.substring(i + 1).trim).filter(_.nonEmpty)
+      }.toArray
+  }
+
+  /** Codegen-facing form: the directive values as UTF8String[]. */
+  def sitemapUtf8(txt: String): Array[AnyRef] =
+    sitemapUrls(txt).map(UTF8String.fromString(_): AnyRef)
+
   def robots_allowed(txt: Column, path: Column, agent: String): Column =
     org.apache.spark.sql.GraftSqlBridge.column(RobotsAllowed(
       org.apache.spark.sql.GraftSqlBridge.expression(txt),
       org.apache.spark.sql.GraftSqlBridge.expression(path), agent))
+
+  def robots_sitemaps(txt: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(RobotsSitemaps(
+      org.apache.spark.sql.GraftSqlBridge.expression(txt)))
 }

@@ -82,4 +82,26 @@ class RobotsOpsSpec extends AnyFunSuite {
     assert(out(2L) == java.lang.Boolean.TRUE)
     assert(out(3L) == null)
   }
+
+  test("sitemapUrls: file-wide, group-independent, comment-stripped, in order") {
+    val txt =
+      """# top comment
+        |User-agent: googlebot
+        |Disallow: /a
+        |Sitemap: https://x.example/a.xml
+        |
+        |User-agent: *
+        |Allow: /
+        |sitemap: https://x.example/b.xml   # case-insensitive directive
+        |SITEMAP: https://x.example/c.xml
+        |Sitemap:
+        |Crawl-delay: 5
+        |""".stripMargin
+    assert(RobotsOps.sitemapUrls(txt).toSeq == Seq(
+      "https://x.example/a.xml", "https://x.example/b.xml",
+      "https://x.example/c.xml"))
+    assert(RobotsOps.sitemapUrls("").isEmpty)
+    assert(RobotsOps.sitemapUrls(null).isEmpty)
+    assert(RobotsOps.sitemapUrls("User-agent: *\nDisallow:").isEmpty)
+  }
 }
