@@ -1424,6 +1424,35 @@ object SparkEntry {
           explode(HtmlOps.html_links(html, base)).as("link"))
     }),
 
+    // ---- crawl: COMPOSITE pipeline — HTML → anchors resolved per
+    //      RFC 3986 → robots.txt compliance on the link path → public-
+    //      suffix domain extraction → per-domain link/doc profile. The
+    //      root-relative links die at the robots gate; everything
+    //      composes as plain projections + one aggregation ----
+    "pipeline_crawl" -> ((s, dir) => {
+      import graft.functions.{HtmlOps, RobotsOps}
+      val base = concat(lit("https://base"), pmod(col("doc_id"), lit(11)),
+        lit(".example/dir/page"), col("doc_id"), lit(".html"))
+      val html = concat(
+        lit("<html><body><a href=\"https://abs"), pmod(col("doc_id"), lit(7)),
+        lit(".example/p?a=1&amp;b=2\">x</a>"),
+        lit("<a href='//cdn"), pmod(col("doc_id"), lit(5)),
+        lit(".example/c.js'>y</a>"),
+        lit("<a href=/root"), col("doc_id"), lit(".html>z</a>"),
+        lit("<a href=\"../up"), col("doc_id"), lit(".html#frag\">w</a>"),
+        lit("</body></html>"))
+      val robots = lit("User-agent: *\nDisallow: /root\nAllow: /\n")
+      val links = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(HtmlOps.html_links(html, base)).as("link"))
+        .filter(RobotsOps.robots_allowed(robots,
+          try_parse_url(col("link"), lit("PATH")), "graftbot"))
+      TextAnalysis.urlDomains(links, "link", "doc_id")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
     // ---- graph: damped PageRank over a deterministic link graph
     //      (doc i → (3i+1, 5i+2, 7i+3) mod N) — 5 fixed power-iteration
     //      rounds, lineage checkpoint-truncated per round; the oracle
@@ -3825,6 +3854,20 @@ object SparkEntry {
         |  'https://base' || CAST(doc_id % 11 AS VARCHAR) ||
         |    '.example/up' || CAST(doc_id AS VARCHAR) || '.html'
         |  FROM documents""".stripMargin,
+    // three links survive robots (the /root shape is disallowed); the
+    // surviving domains are recomputed directly from the synth rule
+    "pipeline_crawl" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    'abs' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS domain
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example' FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    'base' || CAST(doc_id % 11 AS VARCHAR) || '.example' FROM documents)
+        |SELECT domain, count(*) AS n_links,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM l GROUP BY domain""".stripMargin,
     // the same 5 power-iteration rounds unrolled; (1 - 0.85)/n is kept
     // as the literal two-op form so both engines compute the identical
     // IEEE double, and ranks round to 9 decimals (values ~2e-3, cross-
