@@ -127,6 +127,8 @@ object ExplainCheck {
     // exact-N sampling: per-partition heaps, never a global sort
     audit("sample_exact_n", mustContain = Seq("TakeOrderedAndProject"),
       mustNotContain = Seq("Exchange rangepartitioning"))
+    audit("sample_weighted", mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("Exchange rangepartitioning"))
     // spatial radius join: grid-cell EQUI-join, never a cross product
     // or nested-loop compare of every pair
     audit("j11_spatial_radius",

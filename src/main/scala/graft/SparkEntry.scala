@@ -1476,6 +1476,13 @@ object SparkEntry {
       TextAnalysis.sampleExactN(t(s, dir, "documents"), "doc_id", n = 25)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // ---- text: weighted exact-N sample (Efraimidis–Spirakis A-ES,
+    //      deterministic) — longer documents favored by n_chars ----
+    "sample_weighted" -> ((s, dir) =>
+      TextAnalysis.sampleWeighted(t(s, dir, "documents"), "doc_id",
+        "n_chars", n = 30)
+        .select(col("doc_id"), col("n_chars"), col("source"))),
+
     // ---- text: corpus snapshot delta (CDC) — v2 = v1 with ids%7==0
     //      dropped, ids%5==0 text-mutated, and a fresh shifted-id set
     //      added; every class must label correctly by fingerprint ----
@@ -3902,6 +3909,16 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IS NOT NULL
         |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25""".stripMargin,
+    // the A-ES priority ln(u)/w recomputed on the same 52-bit hash;
+    // priorities are random-spread doubles, so the rank-30 boundary is
+    // far beyond any cross-engine ulp difference in ln()
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars, source FROM documents
+        |WHERE doc_id IS NOT NULL AND n_chars > 0
+        |ORDER BY ln((CAST(concat('0x',
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT) + 1.0)
+        |  / 4503599627370497e0) / n_chars DESC, doc_id
+        |LIMIT 30""".stripMargin,
     // delta classes from the v2 construction rule: ids%7=0 removed,
     // else ids%5=0 changed, shifted copies of ids%3=0 added
     "corpus_delta" ->

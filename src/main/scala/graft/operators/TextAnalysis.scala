@@ -329,6 +329,29 @@ object TextAnalysis {
       .drop("_bk")
   }
 
+  /** WEIGHTED exact-N sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, deterministic): each row draws u ∈ (0, 1] from its portable
+    * 52-bit md5 rank and competes with priority ln(u)/weight — the n
+    * LARGEST priorities win, which reproduces weighted sampling
+    * without replacement exactly (higher weight → better odds). The
+    * quality-weighted corpus-selection primitive ("sample 1M docs
+    * proportional to quality score"), deterministic and salt-nestable
+    * like every sampler here; rows with weight ≤ 0 or null id are
+    * excluded. Plans as TakeOrderedAndProject — per-partition top-n
+    * heaps, the corpus is never globally sorted. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, "n must be positive")
+    // (h + 1) / (2^52 + 1) ∈ (0, 1]: never 0, so ln is finite
+    val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 13), 16, 10).cast("double") + lit(1.0)) / lit(4503599627370497.0)
+    df.filter(col(idCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_pri", log(u) / col(weightCol))
+      .orderBy(col("_pri").desc, col(idCol))
+      .limit(n)
+      .drop("_pri")
+  }
+
   /** Corpus snapshot DELTA: classify every id across two corpus
     * versions as added / removed / changed / unchanged by content
     * fingerprint — the CDC primitive for incremental re-processing

@@ -813,6 +813,27 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.sampleExactN(docs, "doc_id", 500).count() == 100)
   }
 
+  test("sampleWeighted: deterministic, weight-sensitive, excludes nonpositive") {
+    val docs = ((1L to 200L).map(i =>
+      (i, if (i <= 100) 1.0 else 10.0)) ++ Seq((300L, 0.0), (301L, -2.0)))
+      .toDF("doc_id", "w")
+    val a = TextAnalysis.sampleWeighted(docs, "doc_id", "w", 40)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a.length == 40 && a.distinct.length == 40)
+    assert(!a.contains(300L) && !a.contains(301L), "w <= 0 excluded")
+    val b = TextAnalysis.sampleWeighted(docs, "doc_id", "w", 40)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b, "deterministic")
+    // 10x-weighted half dominates: across salts it wins ~10:1 odds
+    val heavyShare = (0 until 8).map { s =>
+      TextAnalysis.sampleWeighted(docs, "doc_id", "w", 40, salt = s.toString)
+        .select("doc_id").as[Long].collect().count(_ > 100L)
+    }.sum / 8.0
+    assert(heavyShare > 28, s"heavy half won only $heavyShare of 40")
+    // n >= population: everything positive-weighted survives
+    assert(TextAnalysis.sampleWeighted(docs, "doc_id", "w", 500).count() == 200)
+  }
+
   test("corpusDelta: added/removed/changed/unchanged all classify by fingerprint") {
     val v1 = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
       .toDF("doc_id", "text")
