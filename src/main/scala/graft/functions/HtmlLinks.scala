@@ -121,11 +121,14 @@ object HtmlOps {
     if (i < 0) (s, null) else (s.substring(0, i), s.substring(i + 1))
   }
 
-  /** The five entities HTML-encoded URLs actually carry. */
+  /** The five entities HTML-encoded URLs actually carry. `&amp;` must
+    * decode LAST: decoding it first turns `&amp;lt;` into `&lt;`,
+    * which the next pass double-decodes into a character the page
+    * never contained. */
   private def decodeEntities(s: String): String =
     if (s.indexOf('&') < 0) s
-    else s.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'")
+    else s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
 
   def linksInternal(html: String, base: String): GenericArrayData = {
     val hrefs = extractHrefs(html)
@@ -193,33 +196,40 @@ object HtmlOps {
     html.length
   }
 
-  /** The href attribute value inside [from, end): quoted with either
-    * quote or bare up to whitespace/'>'. */
+  /** The href attribute value inside [from, end), by walking the
+    * tag's attributes left-to-right (name, optional =value with either
+    * quote style or bare). A substring scan would match 'href' INSIDE
+    * an earlier attribute's quoted value ("use href=evil here") and
+    * return garbage — tokenizing can't. */
   private def findHref(html: String, from: Int, end: Int): String = {
     var i = from
-    while (i + 5 <= end) {
-      // attribute names are whitespace-separated: a preceding '-' means
-      // data-href, not href
-      if (regionMatchesIgnoreCase(html, i, "href") &&
-        (i == from || Character.isWhitespace(html.charAt(i - 1)))) {
-        var j = i + 4
-        while (j < end && Character.isWhitespace(html.charAt(j))) j += 1
-        if (j < end && html.charAt(j) == '=') {
-          j += 1
-          while (j < end && Character.isWhitespace(html.charAt(j))) j += 1
-          if (j >= end) return null
-          val c = html.charAt(j)
-          if (c == '"' || c == '\'') {
-            val close = html.indexOf(c, j + 1)
-            return if (close < 0 || close > end) null
-            else html.substring(j + 1, close)
-          }
-          var k = j
-          while (k < end && !Character.isWhitespace(html.charAt(k))) k += 1
-          return html.substring(j, k)
+    while (i < end) {
+      while (i < end && (Character.isWhitespace(html.charAt(i)) ||
+        html.charAt(i) == '/')) i += 1
+      if (i >= end) return null
+      // attribute name
+      val nameStart = i
+      while (i < end && !Character.isWhitespace(html.charAt(i)) &&
+        html.charAt(i) != '=' && html.charAt(i) != '/') i += 1
+      val isHref = i - nameStart == 4 &&
+        regionMatchesIgnoreCase(html, nameStart, "href")
+      while (i < end && Character.isWhitespace(html.charAt(i))) i += 1
+      if (i < end && html.charAt(i) == '=') {
+        i += 1
+        while (i < end && Character.isWhitespace(html.charAt(i))) i += 1
+        if (i >= end) return null
+        val c = html.charAt(i)
+        if (c == '"' || c == '\'') {
+          val close = html.indexOf(c, i + 1)
+          if (close < 0 || close > end) return null
+          if (isHref) return html.substring(i + 1, close)
+          i = close + 1
+        } else {
+          val vStart = i
+          while (i < end && !Character.isWhitespace(html.charAt(i))) i += 1
+          if (isHref) return html.substring(vStart, i)
         }
-      }
-      i += 1
+      } else if (isHref) return null // bare href attribute, no value
     }
     null
   }

@@ -45,15 +45,26 @@ object Sitemap {
     StructField("changefreq", StringType),
     StructField("priority", DoubleType)))
 
+  /** One configured builder per executor thread — factory discovery is
+    * a ServiceLoader classpath walk, far too heavy for a per-row
+    * projection; `reset()` restores a clean builder between rows. */
+  private val builders =
+    new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+      override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+        val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(true)
+        // no external entities: a crawled sitemap is hostile input
+        f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+        f.newDocumentBuilder()
+      }
+    }
+
   def parseInternal(xml: String): GenericArrayData = {
     if (xml == null) return null
     val doc = try {
-      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      f.setNamespaceAware(true)
-      // no external entities: a crawled sitemap is hostile input
-      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      f.newDocumentBuilder().parse(new org.xml.sax.InputSource(
-        new java.io.StringReader(xml)))
+      val b = builders.get()
+      b.reset()
+      b.parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
     } catch { case _: Exception => return null }
     val root = doc.getDocumentElement
     if (root == null) return null

@@ -143,9 +143,13 @@ object WarcCodec {
     * → null (malformed input); corruption later keeps the prefix —
     * the parser's truncated-tail tolerance applies. */
   private def gunzipMembers(b: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+    // size hint in LONG space: b.length * 4 overflows Int past 512 MiB
+    // and a negative hint throws OUTSIDE any catch
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length.toLong * 4, 1L << 20).toInt)
+    var in: java.util.zip.GZIPInputStream = null
     try {
-      val in = new java.util.zip.GZIPInputStream(
+      in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(b), 64 * 1024)
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
@@ -157,6 +161,10 @@ object WarcCodec {
     } catch {
       case _: java.io.IOException =>
         if (out.size == 0) null else out.toByteArray
+    } finally {
+      // releases the native Inflater NOW — leaving it to the cleaner
+      // leaks off-heap zlib buffers across millions of rows
+      if (in != null) try in.close() catch { case _: java.io.IOException => }
     }
   }
 
@@ -276,6 +284,7 @@ object WarcCodec {
       val gz = new java.util.zip.GZIPOutputStream(sb)
       gz.write(synthRecord(id, r))
       gz.finish()
+      gz.close() // release the native Deflater immediately
       r += 1
     }
     sb.toByteArray

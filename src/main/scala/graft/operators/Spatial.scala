@@ -26,14 +26,11 @@ object Spatial {
   /** IUGG mean Earth radius, meters. */
   val EarthRadiusM: Double = 6371008.8
 
-  /** Meters per degree of latitude at its MINIMUM (near the equator,
-    * where the meridian is flattest) — sizing lat cells with the
-    * minimum guarantees a cell is never shorter than the radius. */
+  /** Meters per degree of latitude UNDER THE HAVERSINE MODEL, with
+    * slack: the model's meridian is exactly R·π/180 ≈ 111194.93 m/deg
+    * (from sin²(d/2R) ≥ sin²(Δφ/2), Δφ ≤ d/R with no approximation),
+    * and sizing with a smaller constant only widens cells. */
   private val MinMetersPerDegLat = 110500.0
-
-  /** Meters per degree of longitude AT THE EQUATOR; multiply by
-    * cos(lat) for the local value. */
-  private val MetersPerDegLonEq = 111319.4908
 
   /** Sentinel cell id for the polar caps (see [[withinRadiusJoin]]). */
   private val PolarCell = Long.MinValue
@@ -80,10 +77,18 @@ object Spatial {
     require(radiusM > 0, "radiusM must be positive")
     require(maxAbsLat > 0 && maxAbsLat < 90, "maxAbsLat must be in (0, 90)")
     val latCellDeg = radiusM / MinMetersPerDegLat
-    val minLonCellDeg = radiusM /
-      (MetersPerDegLonEq * math.cos(math.toRadians(maxAbsLat)))
+    // exact haversine inversion for the longitude bound: for any pair
+    // within r at |lat| ≤ maxAbsLat,
+    //   sin²(d/2R) ≥ cosφ₁·cosφ₂·sin²(Δλ/2) ≥ cos²(maxAbsLat)·sin²(Δλ/2)
+    // so Δλ ≤ 2·asin(sin(r/2R)/cos(maxAbsLat)) — a LINEAR meters-per-
+    // degree bound underestimates this (asin convexity) and lets
+    // within-radius pairs land two cells apart near the band edge
+    val sinHalf = math.sin(math.min(math.Pi, radiusM / EarthRadiusM) / 2)
+    val asinArg = sinHalf / math.cos(math.toRadians(maxAbsLat))
+    val minLonCellDeg =
+      if (asinArg >= 1.0) 360.0 else math.toDegrees(2 * math.asin(asinArg))
     // FLOOR, then widen every cell to exactly 360/nLon: with ceil the
-    // last modular cell is a sliver narrower than the radius and
+    // last modular cell is a sliver narrower than the bound and
     // adjacency breaks right at the antimeridian
     val nLon = math.max(1L, math.floor(360.0 / minLonCellDeg).toLong)
     val lonCellDeg = 360.0 / nLon

@@ -86,6 +86,30 @@ class HtmlLinksSpec extends AnyFunSuite {
       "https://base.example/dir/page.html")) // fragment-only → the page
   }
 
+  test("href token inside an earlier attribute's value is not an href") {
+    // regression: a substring scan matched 'href' inside the title
+    // value and returned 'evil', losing the real link
+    val html = """<a title="use href=evil here" href="/real">x</a>"""
+    assert(HtmlOps.extractHrefs(html).toSeq == Seq("/real"))
+    // and a single-quoted decoy around an unquoted real value
+    val h2 = """<a alt='see href="nope"' href=ok.html>y</a>"""
+    assert(HtmlOps.extractHrefs(h2).toSeq == Seq("ok.html"))
+    // bare boolean attributes before the href
+    val h3 = """<a download hidden href="z.html">z</a>"""
+    assert(HtmlOps.extractHrefs(h3).toSeq == Seq("z.html"))
+    // a bare href with no value yields nothing, not a crash
+    assert(HtmlOps.extractHrefs("""<a href>x</a>""").isEmpty)
+  }
+
+  test("nested entities decode exactly once, &amp; last") {
+    // regression: decoding &amp; first turned &amp;lt; into a literal <
+    val html = """<a href="/p?x=&amp;lt;b&amp;amp;c">x</a>"""
+    val links = Option(HtmlOps.linksInternal(html,
+      "https://h.example/")).get
+    assert(links.getUTF8String(0).toString ==
+      "https://h.example/p?x=&lt;b&amp;c")
+  }
+
   test("malformed HTML never throws; unusable base yields no links") {
     for (h <- Seq("", "<", "<a", "<a href", "<a href=", "<a href=\"unclosed",
         "<script>never closed", "<!-- never closed", "<a href='x' <a href='y'>"))

@@ -89,6 +89,23 @@ class SpatialSpec extends AnyFunSuite {
     assert(n == 1, "no duplicate via the polar bucket")
   }
 
+  test("band-edge pairs at adversarial radii never straddle two cells") {
+    // regression: with a linear meters-per-degree lon bound, radius
+    // 493937.22 m at lat 66.0 (the default band edge) gave 10.909°
+    // cells while the true within-radius Δλ reaches 10.9091° — the
+    // pair below sat two cells apart and was silently dropped
+    val r = 493937.22
+    val ls = Seq((1L, 66.0, 0.0))
+    val rs = Seq((2L, 66.0, 10.9090), (3L, 66.0, 10.95), (4L, 66.0, 11.5))
+    val expected = bruteforce(ls, rs, r)
+    assert(joined(ls, rs, r) == expected)
+    // sweep radii against a same-lat fan of points: grid == brute force
+    for (rr <- Seq(100000.0, 250000.0, 493937.22, 700000.0)) {
+      val fan = (0 until 40).map(i => (10L + i, 65.99, i * 0.37))
+      assert(joined(ls, fan, rr) == bruteforce(ls, fan, rr), s"radius $rr")
+    }
+  }
+
   test("no matches yields an empty frame, not an error") {
     assert(joined(Seq((1L, 0.0, 0.0)), Seq((2L, 50.0, 120.0)), 1000.0).isEmpty)
   }
