@@ -96,6 +96,16 @@ object SparkEntry {
     * returned DataFrame reads the latest run's files lazily; a LATER
     * run of the same tag invalidates it (bench/verify consume each
     * result before re-invoking the gate). */
+  /** Per-tag (setup_sec, work_sec) of the LAST streaming-gate run:
+    * work = sum of the micro-batch `triggerExecution` durations from
+    * the query's progress events, setup = wall minus work (stream
+    * construction, checkpoint init, source listing, shutdown). Bench
+    * reads this so the 2×-budget comparison can see how much of a
+    * streaming gate's wall time is fixed micro-batch choreography
+    * rather than data work. */
+  val streamGateTimings =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
+
   private def runStreamingGate(s: SparkSession, dir: String, tag: String,
       table: String = "events")(
       transform: DataFrame => DataFrame): DataFrame = {
@@ -106,6 +116,7 @@ object SparkEntry {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val schema = try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      val t0 = System.nanoTime()
       val src =
         if (table == "events")
           graft.streaming.EventStream.readEvents(s, s"$dir/events.parquet")
@@ -116,6 +127,12 @@ object SparkEntry {
         .option("checkpointLocation", ckDir.toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val work = q.recentProgress.iterator.map { p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .fold(0.0)(_.doubleValue() / 1000.0)
+      }.sum
+      streamGateTimings.put(tag, (math.max(0.0, wall - work), work))
       out.schema
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)

@@ -142,25 +142,33 @@ object GifCodec {
     val canvas = new Array[Byte](w * h * 3)
     var idxCanvas: Array[Byte] = new Array[Byte](w * h)
     val bgIdx = if (gct != null && bg * 3 + 2 < gct.length) bg else 0
-    def fillBackground(): Unit = {
+    // restore-to-background, restricted to a sub-rectangle (the full
+    // canvas at init; the frame rect for disposal method 2)
+    def fillBackground(rx: Int, ry: Int, rw: Int, rh: Int): Unit = {
       if (gct != null) {
-        var p = 0
-        while (p < w * h) {
-          canvas(p * 3) = gct(bgIdx * 3)
-          canvas(p * 3 + 1) = gct(bgIdx * 3 + 1)
-          canvas(p * 3 + 2) = gct(bgIdx * 3 + 2)
-          if (idxCanvas != null) idxCanvas(p) = bgIdx.toByte
-          p += 1
+        var y = ry
+        while (y < ry + rh) {
+          var x = rx
+          while (x < rx + rw) {
+            val p = y * w + x
+            canvas(p * 3) = gct(bgIdx * 3)
+            canvas(p * 3 + 1) = gct(bgIdx * 3 + 1)
+            canvas(p * 3 + 2) = gct(bgIdx * 3 + 2)
+            if (idxCanvas != null) idxCanvas(p) = bgIdx.toByte
+            x += 1
+          }
+          y += 1
         }
       }
     }
-    fillBackground()
+    fillBackground(0, 0, w, h)
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val idxFrames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var anyInterlaced = false
     var transparentIdx = -1  // from the pending GCE, -1 = none
     var disposal = 0
-    var totalPx = 0L
+    var totalPx = 0L      // LZW-decoded frame-rect pixels
+    var storedBytes = 0L  // composed-canvas snapshot bytes actually kept
     while (i < b.length) {
       (b(i) & 0xFF) match {
         case 0x3B => // trailer
@@ -241,7 +249,11 @@ object GifCodec {
               }
               wire => order(wire)
             }
-          // compose onto the canvas (disposal handled after snapshot)
+          // compose onto the canvas (disposal handled after snapshot);
+          // disposal 3 = restore-previous needs the pre-draw canvas
+          val preDraw = if (disposal == 3) canvas.clone() else null
+          val preDrawIdx =
+            if (disposal == 3 && idxCanvas != null) idxCanvas.clone() else null
           val maxIdx = pal.length / 3
           var wireRow = 0
           while (wireRow < fh) {
@@ -263,9 +275,21 @@ object GifCodec {
           }
           // the index-space view survives only GCT-drawn opaque frames
           if (localPal || transparentIdx >= 0) idxCanvas = null
+          // bomb guard on what decode actually ALLOCATES: each stored
+          // frame is a full w*h*3 canvas clone (+ w*h index clone) no
+          // matter how small the frame rect, so a tiny GIF with a big
+          // logical screen and thousands of 1x1 frames must trip here
+          storedBytes += w.toLong * h * 3 +
+            (if (idxCanvas != null) w.toLong * h else 0L)
+          if (storedBytes > MAX_PIXELS) return null
           frames += canvas.clone()
           if (idxCanvas != null) idxFrames += idxCanvas.clone()
-          if (disposal == 2) fillBackground()
+          if (disposal == 2) fillBackground(fx, fy, fw, fh)
+          else if (disposal == 3 && preDraw != null) {
+            System.arraycopy(preDraw, 0, canvas, 0, canvas.length)
+            if (idxCanvas != null && preDrawIdx != null)
+              System.arraycopy(preDrawIdx, 0, idxCanvas, 0, idxCanvas.length)
+          }
           transparentIdx = -1
           disposal = 0
         case _ => return null

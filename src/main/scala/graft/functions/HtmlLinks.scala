@@ -166,7 +166,7 @@ object HtmlOps {
         i = skipElement(html, lt, "style")
       } else if ((html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A') &&
         (lt + 2 >= n || !Character.isLetterOrDigit(html.charAt(lt + 2)))) {
-        val gt = html.indexOf('>', lt)
+        val gt = tagEnd(html, lt)
         val end = if (gt < 0) n else gt
         val href = findHref(html, lt + 2, end)
         if (href != null) out += href
@@ -178,6 +178,22 @@ object HtmlOps {
 
   private def regionMatchesIgnoreCase(s: String, off: Int, pat: String): Boolean =
     s.regionMatches(true, off, pat, 0, pat.length)
+
+  /** Index of the tag-closing '>' from `lt`, quote-aware: '>' is legal
+    * inside a quoted attribute value (href="/a?x>y"), so a bare
+    * indexOf('>') would cut the tag short and drop the link. */
+  private def tagEnd(html: String, lt: Int): Int = {
+    var i = lt
+    var quote: Char = 0
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    -1
+  }
 
   /** Past the matching `</tag` close (or end of input). */
   private def skipElement(html: String, from: Int, tag: String): Int = {

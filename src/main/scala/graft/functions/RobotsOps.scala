@@ -88,6 +88,10 @@ object RobotsOps {
           case _ => -1
         }.max
         if (spec > bestLen) { bestLen = spec; best = curRules.reverse }
+        // RFC 9309 §2.2.1: rules from ALL groups matching the same
+        // user-agent combine — a second `User-agent: *` (or same-UA)
+        // group appends to the winner rather than being discarded
+        else if (spec >= 0 && spec == bestLen) best = best ++ curRules.reverse
       }
       curAgents = Nil; curRules = Nil; inGroup = false
     }

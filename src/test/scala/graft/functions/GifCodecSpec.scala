@@ -154,6 +154,105 @@ class GifCodecSpec extends AnyFunSuite {
     assert(rgbOf(g, 2, 1, 1) == (40, 50, 60))
   }
 
+  test("disposal 2 restores only the frame's sub-rectangle, not the whole canvas") {
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    def w16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val full = Array.fill(12)(1.toByte)
+    val fullLzw = GifCodec.lzwEncode(full, 2)
+    val patchLzw = GifCodec.lzwEncode(Array[Byte](3, 3), 2)
+    val dotLzw = GifCodec.lzwEncode(Array[Byte](2), 2)
+    val bytes =
+      "GIF89a".getBytes ++ w16(4) ++ w16(3) ++
+        Array((0x80 | 0x01).toByte, 0.toByte, 0.toByte) ++ pal ++
+        // frame 1: full canvas of index 1
+        Array(0x2C.toByte) ++ w16(0) ++ w16(0) ++ w16(4) ++ w16(3) ++
+        Array(0.toByte, 2.toByte, fullLzw.length.toByte) ++ fullLzw ++
+        Array(0.toByte) ++
+        // GCE disposal 2, then frame 2: 2x1 patch at (1,1)
+        Array(0x21.toByte, 0xF9.toByte, 4.toByte, (2 << 2).toByte,
+          0.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+        Array(0x2C.toByte) ++ w16(1) ++ w16(1) ++ w16(2) ++ w16(1) ++
+        Array(0.toByte, 2.toByte, patchLzw.length.toByte) ++ patchLzw ++
+        Array(0.toByte) ++
+        // frame 3: 1x1 dot at (0,0) — rest of the canvas shows through
+        Array(0x2C.toByte) ++ w16(0) ++ w16(0) ++ w16(1) ++ w16(1) ++
+        Array(0.toByte, 2.toByte, dotLzw.length.toByte) ++ dotLzw ++
+        Array(0.toByte, 0x3B.toByte)
+    val g = GifCodec.decode(bytes)
+    assert(g != null && g.frames.length == 3)
+    // frame 3: only the (1,1)-(2,1) rect went back to background idx 0
+    assert(rgbOf(g, 2, 1, 1) == (10, 20, 30))
+    assert(rgbOf(g, 2, 2, 1) == (10, 20, 30))
+    // outside the disposed rect frame 1's index 1 survives
+    assert(rgbOf(g, 2, 3, 1) == (40, 50, 60))
+    assert(rgbOf(g, 2, 0, 2) == (40, 50, 60))
+    // the new dot drew on top
+    assert(rgbOf(g, 2, 0, 0) == (70, 80, 90))
+  }
+
+  test("disposal 3 restores the pre-frame canvas (restore-previous)") {
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    def w16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val full = Array.fill(12)(1.toByte)
+    val fullLzw = GifCodec.lzwEncode(full, 2)
+    val dot3 = GifCodec.lzwEncode(Array[Byte](3), 2)
+    val dot2 = GifCodec.lzwEncode(Array[Byte](2), 2)
+    val bytes =
+      "GIF89a".getBytes ++ w16(4) ++ w16(3) ++
+        Array((0x80 | 0x01).toByte, 0.toByte, 0.toByte) ++ pal ++
+        Array(0x2C.toByte) ++ w16(0) ++ w16(0) ++ w16(4) ++ w16(3) ++
+        Array(0.toByte, 2.toByte, fullLzw.length.toByte) ++ fullLzw ++
+        Array(0.toByte) ++
+        // GCE disposal 3, then a 1x1 dot of index 3 at (0,0)
+        Array(0x21.toByte, 0xF9.toByte, 4.toByte, (3 << 2).toByte,
+          0.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+        Array(0x2C.toByte) ++ w16(0) ++ w16(0) ++ w16(1) ++ w16(1) ++
+        Array(0.toByte, 2.toByte, dot3.length.toByte) ++ dot3 ++
+        Array(0.toByte) ++
+        // frame 3: 1x1 dot of index 2 at (1,0)
+        Array(0x2C.toByte) ++ w16(1) ++ w16(0) ++ w16(1) ++ w16(1) ++
+        Array(0.toByte, 2.toByte, dot2.length.toByte) ++ dot2 ++
+        Array(0.toByte, 0x3B.toByte)
+    val g = GifCodec.decode(bytes)
+    assert(g != null && g.frames.length == 3)
+    // frame 2 snapshot: the dot is visible
+    assert(rgbOf(g, 1, 0, 0) == (100, 110, 120))
+    // frame 3: (0,0) reverted to frame 1's index 1, new dot at (1,0)
+    assert(rgbOf(g, 2, 0, 0) == (40, 50, 60))
+    assert(rgbOf(g, 2, 1, 0) == (70, 80, 90))
+    // index-space view stayed live (GCT, opaque) → exact re-encode path
+    assert(g.indexFrames != null)
+    val s = GifCodec.decode(GifCodec.frameSample(bytes, 1))
+    assert(s != null && s.frames.length == 3)
+    for (f <- 0 until 3)
+      assert(s.frames(f).toSeq == g.frames(f).toSeq, s"f=$f")
+  }
+
+  test("canvas bomb: big logical screen + many tiny frames trips the byte bound") {
+    // 2000x2000 screen = 12 MB RGB (+4 MB index) per STORED frame; ten
+    // 1x1 frames total ~20 bytes each on the wire but would clone
+    // ~160 MB of canvases — decode must refuse, not allocate
+    val pal = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    def w16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val dotLzw = GifCodec.lzwEncode(Array[Byte](2), 2)
+    val frame =
+      Array(0x2C.toByte) ++ w16(0) ++ w16(0) ++ w16(1) ++ w16(1) ++
+        Array(0.toByte, 2.toByte, dotLzw.length.toByte) ++ dotLzw ++
+        Array(0.toByte)
+    val bytes =
+      "GIF89a".getBytes ++ w16(2000) ++ w16(2000) ++
+        Array((0x80 | 0x01).toByte, 0.toByte, 0.toByte) ++ pal ++
+        Array.fill(10)(frame).flatten ++ Array(0x3B.toByte)
+    assert(bytes.length < 300) // the attack payload really is tiny
+    assert(GifCodec.decode(bytes) == null)
+    // sanity: the same screen with ONE frame is under the bound and decodes
+    val one =
+      "GIF89a".getBytes ++ w16(2000) ++ w16(2000) ++
+        Array((0x80 | 0x01).toByte, 0.toByte, 0.toByte) ++ pal ++
+        frame ++ Array(0x3B.toByte)
+    assert(GifCodec.decode(one) != null)
+  }
+
   test("transparent index leaves the prior canvas visible") {
     val pal = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
     def w16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)

@@ -101,6 +101,22 @@ class HtmlLinksSpec extends AnyFunSuite {
     assert(HtmlOps.extractHrefs("""<a href>x</a>""").isEmpty)
   }
 
+  test("'>' inside a quoted attribute value does not end the tag") {
+    // legal HTML: '>' may appear in quoted attribute values — a
+    // quote-unaware indexOf('>') truncated the tag and dropped the link
+    val html = """<a href="/a?x>y">gt in href</a>"""
+    assert(HtmlOps.extractHrefs(html).toSeq == Seq("/a?x>y"))
+    // '>' in an EARLIER attribute's value, real href after it
+    val h2 = """<a title="a > b" href="/real.html">t</a>"""
+    assert(HtmlOps.extractHrefs(h2).toSeq == Seq("/real.html"))
+    // single-quoted variant + following anchor still found
+    val h3 = """<a alt='1>2' href='/one'>x</a><a href="/two">y</a>"""
+    assert(HtmlOps.extractHrefs(h3).toSeq == Seq("/one", "/two"))
+    // unterminated quote never hangs or throws
+    assert(HtmlOps.extractHrefs("""<a href="/u unterminated""").toSeq
+      .forall(_.startsWith("/u")))
+  }
+
   test("nested entities decode exactly once, &amp; last") {
     // regression: decoding &amp; first turned &amp;lt; into a literal <
     val html = """<a href="/p?x=&amp;lt;b&amp;amp;c">x</a>"""

@@ -69,6 +69,37 @@ class RobotsOpsSpec extends AnyFunSuite {
     assert(RobotsOps.allowed(txt, "randombot", "/general"))
   }
 
+  test("RFC 9309 2.2.1: rules from all groups matching the same UA combine") {
+    // two separate `User-agent: *` groups — common in real robots.txt;
+    // both groups' rules must apply, not just the first
+    val txt =
+      """User-agent: *
+        |Disallow: /private
+        |
+        |User-agent: *
+        |Disallow: /tmp
+        |Allow: /private/ok
+        |""".stripMargin
+    assert(!RobotsOps.allowed(txt, "anybot", "/private/x"))
+    assert(!RobotsOps.allowed(txt, "anybot", "/tmp/y"))      // second group
+    assert(RobotsOps.allowed(txt, "anybot", "/private/ok"))  // second group
+    assert(RobotsOps.allowed(txt, "anybot", "/other"))
+    // same-named specific groups combine too, and still beat *
+    val named =
+      """User-agent: mybot
+        |Disallow: /a
+        |
+        |User-agent: *
+        |Disallow: /everything
+        |
+        |User-agent: mybot
+        |Disallow: /b
+        |""".stripMargin
+    assert(!RobotsOps.allowed(named, "mybot/1.0", "/a"))
+    assert(!RobotsOps.allowed(named, "mybot/1.0", "/b"))
+    assert(RobotsOps.allowed(named, "mybot/1.0", "/everything"))
+  }
+
   test("expression: null-safe, codegen path over a DataFrame") {
     val txt = "User-agent: *\nDisallow: /no\n"
     val df = Seq(
