@@ -1899,6 +1899,24 @@ object SparkEntry {
           col("longitude") >= -93.0 && col("longitude") <= -88.0)
         .select(col("time"), col("latitude"), col("longitude"),
           col("sst"), col("uwind"))
+    }),
+
+    // ---- S8 variant: PACKED integer storage (NC_SHORT/NC_INT with CF
+    //      scale_factor/add_offset, the common satellite-product shape)
+    //      unpacked at scan time by the codec; same hyperslab pushdown ----
+    "s8_griddap_scan_int16" -> ((s, dir) => {
+      val fixtureDir = graft.sources.griddap.GriddapFixture.ensure()
+      s.read.format("griddap")
+        .option("dataDir", fixtureDir)
+        .option("dataset", "s8gridint")
+        .option("slicesPerPartition", "4")
+        .load()
+        .filter(col("time") >= lit("2024-03-01 06:00:00").cast("timestamp") &&
+          col("time") <= lit("2024-03-01 18:00:00").cast("timestamp") &&
+          col("latitude") >= 22.0 && col("latitude") <= 27.0 &&
+          col("longitude") >= -93.0 && col("longitude") <= -88.0)
+        .select(col("time"), col("latitude"), col("longitude"),
+          col("sst_i16"), col("chl_i32"))
     })
   )
 
@@ -4528,6 +4546,18 @@ object SparkEntry {
         | CAST(-95 + loi AS DOUBLE) AS longitude,
         | CAST((ti*10000 + lai*100 + loi) * 0.25 AS DOUBLE) AS sst,
         | CAST(ti + lai*0.5 + loi*0.25 AS DOUBLE) AS uwind
+        |FROM range(0,24) t(ti)
+        |CROSS JOIN range(0,11) a(lai) CROSS JOIN range(0,11) o(loi)
+        |WHERE ti BETWEEN 6 AND 18 AND lai BETWEEN 2 AND 7
+        |  AND loi BETWEEN 2 AND 7""".stripMargin,
+    // s8 int variant: oracle recomputes the CF-unpacked values
+    // (raw*scale + offset, all exact binary fractions)
+    "s8_griddap_scan_int16" ->
+      """SELECT TIMESTAMP '2024-03-01 00:00:00' + ti * INTERVAL 1 HOUR AS time,
+        | CAST(20 + lai AS DOUBLE) AS latitude,
+        | CAST(-95 + loi AS DOUBLE) AS longitude,
+        | CAST((ti*100 + lai*10 + loi) * 0.25 - 10 AS DOUBLE) AS sst_i16,
+        | CAST((ti*10000 + lai*100 + loi) * 0.5 + 100 AS DOUBLE) AS chl_i32
         |FROM range(0,24) t(ti)
         |CROSS JOIN range(0,11) a(lai) CROSS JOIN range(0,11) o(loi)
         |WHERE ti BETWEEN 6 AND 18 AND lai BETWEEN 2 AND 7

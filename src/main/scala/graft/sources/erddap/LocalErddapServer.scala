@@ -166,7 +166,8 @@ class LocalErddapServer(dataDir: String) extends ErddapTransport {
         out(o) = v.values(flat.toInt)
         o += 1
       }
-      GridNc.Var(v.name, v.dims.map(newDimId), v.isFloat, out)
+      // copy() keeps storage type + scale/offset packing through the slice
+      v.copy(dims = v.dims.map(newDimId), values = out)
     }
 
     // Dims referenced by the projection (plus their coords), re-lengthed.

@@ -7,31 +7,54 @@ import java.nio.{ByteBuffer, ByteOrder}
   * reference moves griddap data in (`data_wrangler.py:591-604` downloads
   * `.nc` slices; `agol_wrangler.py:256-261` republishes reoriented
   * NetCDF). Implemented from the public classic-format spec: big-endian,
-  * fixed dims only (`numrecs = 0`), `NC_FLOAT`/`NC_DOUBLE` variables,
-  * attribute lists written ABSENT. Coordinate variables follow the
-  * NetCDF convention of sharing their dimension's name; `time`
-  * coordinates hold Unix epoch seconds (the reference's DAS
-  * `actual_range` convention, `das_client.py:189-221`).
+  * fixed dims only (`numrecs = 0`), `NC_BYTE`/`NC_SHORT`/`NC_INT`/
+  * `NC_FLOAT`/`NC_DOUBLE` variables, per-variable `scale_factor` /
+  * `add_offset` attributes (the CF packed-data convention ERDDAP uses
+  * for int-typed griddap responses — `unpacked = raw*scale + offset`,
+  * applied at read time, inverted at write time), other attributes
+  * skipped on read. Coordinate variables follow the NetCDF convention
+  * of sharing their dimension's name; `time` coordinates hold Unix
+  * epoch seconds (the reference's DAS `actual_range` convention,
+  * `das_client.py:189-221`).
   *
-  * This is deliberately a SUBSET (no attributes, no byte/short/int
-  * vars) — enough to round-trip every grid the connector moves, while
-  * staying genuinely NetCDF: files produced here carry the standard
-  * magic and layout, including the RECORD (unlimited) dimension with
-  * per-record variable interleaving, which is what lets NRT slices
-  * APPEND to a grid file without rewriting it ([[appendRecords]]).
+  * Files produced here carry the standard magic and layout, including
+  * the RECORD (unlimited) dimension with per-record variable
+  * interleaving, which is what lets NRT slices APPEND to a grid file
+  * without rewriting it ([[appendRecords]]).
   */
 object GridNc {
 
   private val NC_DIMENSION = 0x0A
+  private val NC_ATTRIBUTE = 0x0C
   private val NC_VARIABLE = 0x0B
+  private val NC_BYTE = 1
+  private val NC_CHAR = 2
+  private val NC_SHORT = 3
+  private val NC_INT = 4
   private val NC_FLOAT = 5
   private val NC_DOUBLE = 6
 
+  private def cellBytesOf(ncType: Int): Int = ncType match {
+    case NC_BYTE | NC_CHAR => 1
+    case NC_SHORT => 2
+    case NC_INT | NC_FLOAT => 4
+    case NC_DOUBLE => 8
+    case t => throw new IllegalArgumentException(s"unsupported nc_type $t")
+  }
+
   /** One variable: `dims` are indices into the grid's dimension list;
-    * `values` are row-major over those dims (doubles in memory even for
-    * NC_FLOAT storage). */
+    * `values` are row-major over those dims and ALWAYS the UNPACKED
+    * doubles (for int storage with scale/offset, the codec packs on
+    * write and unpacks on read). `storage` = 0 derives NC_FLOAT /
+    * NC_DOUBLE from `isFloat` (the original float/double-only surface);
+    * set it to NC_BYTE/NC_SHORT/NC_INT for packed integer storage. */
   case class Var(name: String, dims: Seq[Int], isFloat: Boolean,
-      values: Array[Double])
+      values: Array[Double], storage: Int = 0,
+      scaleFactor: Double = 1.0, addOffset: Double = 0.0) {
+    def ncType: Int =
+      if (storage != 0) storage else if (isFloat) NC_FLOAT else NC_DOUBLE
+    def packed: Boolean = scaleFactor != 1.0 || addOffset != 0.0
+  }
 
   /** `recordDim`: index of the UNLIMITED dimension (classic: at most
     * one, and it must be the first dim of every variable using it).
@@ -58,7 +81,13 @@ object GridNc {
     * This is what the HTTP transport's header probe parses instead of
     * fetching the whole file. */
   def dds(g: Grid, name: String): String = {
-    def typ(v: Var) = if (v.isFloat) "Float32" else "Float64"
+    def typ(v: Var) = v.ncType match {
+      case NC_BYTE | NC_CHAR => "Byte"
+      case NC_SHORT => "Int16"
+      case NC_INT => "Int32"
+      case NC_FLOAT => "Float32"
+      case _ => "Float64"
+    }
     def dimsOf(v: Var) =
       v.dims.map(d => s"[${g.dims(d)._1} = ${g.dims(d)._2}]").mkString
     val coords = g.dims.flatMap { case (dn, _) => g.vars.find(_.name == dn) }
@@ -74,6 +103,32 @@ object GridNc {
   }
 
   private def pad4(n: Int): Int = (4 - n % 4) % 4
+
+  /** Write one UNPACKED memory double through the inverse of the CF
+    * unpack: raw = rint((value - add_offset) / scale_factor), stored
+    * at the variable's declared width (range-checked — a value the
+    * packing can't represent is a caller bug, not silent wraparound). */
+  private def packCell(out: DataOutputStream, v: Var, d: Double): Unit =
+    v.ncType match {
+      case NC_FLOAT => out.writeFloat(d.toFloat)
+      case NC_DOUBLE => out.writeDouble(d)
+      case t =>
+        val raw = Math.rint((d - v.addOffset) / v.scaleFactor)
+        t match {
+          case NC_BYTE | NC_CHAR =>
+            require(raw >= Byte.MinValue && raw <= Byte.MaxValue,
+              s"${v.name}: packed value $raw exceeds NC_BYTE")
+            out.writeByte(raw.toInt)
+          case NC_SHORT =>
+            require(raw >= Short.MinValue && raw <= Short.MaxValue,
+              s"${v.name}: packed value $raw exceeds NC_SHORT")
+            out.writeShort(raw.toInt)
+          case NC_INT =>
+            require(raw >= Int.MinValue && raw <= Int.MaxValue,
+              s"${v.name}: packed value $raw exceeds NC_INT")
+            out.writeInt(raw.toInt)
+        }
+    }
   private def nameBytes(s: String): Array[Byte] = s.getBytes("UTF-8")
   private def nameFieldLen(s: String): Int = {
     val n = nameBytes(s).length; 4 + n + pad4(n)
@@ -94,20 +149,27 @@ object GridNc {
           s"${v.name}: record dim must be a variable's FIRST dim (classic)"))
     }
     val numrecs = g.recordDim.map(g.dims(_)._2).getOrElse(0)
-    // vsize: fixed var = all cells; record var = ONE record's slab
-    // (float/double cells make every slab a multiple of 4 — no padding)
+    // vsize: fixed var = all cells; record var = ONE record's slab —
+    // padded to the 4-byte boundary the spec requires (byte/short
+    // storage makes padding real; float/double slabs need none)
     def slabCells(v: Var): Long =
       v.dims.filterNot(d => g.recordDim.contains(d))
         .map(g.dims(_)._2.toLong).product
     def vsize(v: Var): Int = {
-      val raw = slabCells(v) * (if (v.isFloat) 4 else 8)
+      val raw = slabCells(v) * cellBytesOf(v.ncType)
       require(raw + pad4(raw.toInt) <= Int.MaxValue, "variable too large for CDF-1")
       raw.toInt + pad4(raw.toInt)
     }
+    // packed vars carry scale_factor / add_offset as NC_DOUBLE
+    // attributes (CF convention); each attr = name + type + nelems + 8
+    def vattLen(v: Var): Int =
+      if (!v.packed) 8
+      else 8 + Seq("scale_factor", "add_offset")
+        .map(n => nameFieldLen(n) + 4 + 4 + 8).sum
 
     val dimListLen = 8 + g.dims.map(d => nameFieldLen(d._1) + 4).sum
     val varListLen = 8 + g.vars.map(v =>
-      nameFieldLen(v.name) + 4 + 4 * v.dims.length + 8 + 4 + 4 + 4).sum
+      nameFieldLen(v.name) + 4 + 4 * v.dims.length + vattLen(v) + 4 + 4 + 4).sum
     val headerLen = 8 + dimListLen + 8 + varListLen
     // fixed vars first, then the record section; each record var's
     // begin = its slab offset within the FIRST record
@@ -131,14 +193,24 @@ object GridNc {
     g.vars.foreach { v =>
       writeName(v.name)
       out.writeInt(v.dims.length); v.dims.foreach(out.writeInt)
-      out.writeInt(0); out.writeInt(0) // vatt_list ABSENT
-      out.writeInt(if (v.isFloat) NC_FLOAT else NC_DOUBLE)
+      if (!v.packed) { out.writeInt(0); out.writeInt(0) } // vatt_list ABSENT
+      else {
+        out.writeInt(NC_ATTRIBUTE); out.writeInt(2)
+        Seq("scale_factor" -> v.scaleFactor, "add_offset" -> v.addOffset)
+          .foreach { case (an, av) =>
+            writeName(an)
+            out.writeInt(NC_DOUBLE); out.writeInt(1); out.writeDouble(av)
+          }
+      }
+      out.writeInt(v.ncType)
       out.writeInt(vsize(v))
       out.writeInt(beginOf(v.name))
     }
-    def writeCell(v: Var, idx: Int): Unit =
-      if (v.isFloat) out.writeFloat(v.values(idx).toFloat)
-      else out.writeDouble(v.values(idx))
+    def writeCell(v: Var, idx: Int): Unit = packCell(out, v, v.values(idx))
+    def writePad(cells: Long, v: Var): Unit = {
+      var p = pad4((cells * cellBytesOf(v.ncType)).toInt)
+      while (p > 0) { out.writeByte(0); p -= 1 }
+    }
     g.vars.foreach { v =>
       val expect = v.dims.map(g.dims(_)._2.toLong).product
       require(v.values.length == expect,
@@ -146,16 +218,16 @@ object GridNc {
     }
     fixVars.foreach { v =>
       var i = 0; while (i < v.values.length) { writeCell(v, i); i += 1 }
-      var p = pad4(v.values.length * (if (v.isFloat) 4 else 8))
-      while (p > 0) { out.writeByte(0); p -= 1 }
+      writePad(v.values.length, v)
     }
-    // record section: records interleave every record var's slab
+    // record section: records interleave every record var's PADDED slab
     var r = 0
     while (r < numrecs) {
       recVars.foreach { v =>
         val cells = slabCells(v).toInt
         var i = 0
         while (i < cells) { writeCell(v, r * cells + i); i += 1 }
+        writePad(cells, v)
       }
       r += 1
     }
@@ -163,8 +235,10 @@ object GridNc {
   }
 
   private[griddap] case class VarMeta(name: String, dimIds: Seq[Int],
-      isFloat: Boolean, vsize: Int, begin: Long) {
-    def cellBytes: Int = if (isFloat) 4 else 8
+      ncType: Int, vsize: Int, begin: Long,
+      scaleFactor: Double = 1.0, addOffset: Double = 0.0) {
+    def isFloat: Boolean = ncType == NC_FLOAT
+    def cellBytes: Int = cellBytesOf(ncType)
   }
   private[griddap] case class Header(version: Int, numrecs: Int,
       rawDims: Seq[(String, Int)], recordDim: Option[Int],
@@ -199,6 +273,35 @@ object GridNc {
     def readOffset(): Long =
       if (version == 2) buf.getLong else buf.getInt.toLong
 
+    // attribute list: read the NUMERIC attrs (first element), skip the
+    // rest — enough for CF scale_factor/add_offset, tolerant of any
+    // other metadata an ERDDAP response carries
+    def readAttrs(): Map[String, Double] = {
+      val tag = buf.getInt; val n = buf.getInt
+      require(tag == NC_ATTRIBUTE || (tag == 0 && n == 0), "bad attr list")
+      (0 until n).flatMap { _ =>
+        val name = readName()
+        val atype = buf.getInt
+        val nelems = buf.getInt
+        val eb = cellBytesOf(atype)
+        val total = nelems * eb
+        val first: Option[Double] =
+          if (nelems == 0) None
+          else atype match {
+            case NC_BYTE => Some((buf.get(): Byte).toDouble)
+            case NC_CHAR => { buf.get(); None } // string attr: skip
+            case NC_SHORT => Some(buf.getShort.toDouble)
+            case NC_INT => Some(buf.getInt.toDouble)
+            case NC_FLOAT => Some(buf.getFloat.toDouble)
+            case NC_DOUBLE => Some(buf.getDouble)
+          }
+        // remaining elements + pad to the 4-byte boundary
+        var skip = (if (nelems == 0) 0 else total - eb) + pad4(total)
+        while (skip > 0) { buf.get(); skip -= 1 }
+        first.map(name -> _)
+      }.toMap
+    }
+
     val dimTag = buf.getInt; val nDims = buf.getInt
     require(dimTag == NC_DIMENSION || (dimTag == 0 && nDims == 0), "bad dim list")
     val rawDims = (0 until nDims).map(_ => (readName(), buf.getInt))
@@ -206,23 +309,20 @@ object GridNc {
       case -1 => None
       case i => Some(i)
     }
-    val gattTag = buf.getInt; val nGatt = buf.getInt
-    require(gattTag == 0 && nGatt == 0,
-      "attribute lists unsupported by this subset reader")
+    readAttrs() // global attributes: parsed, unused
     val varTag = buf.getInt; val nVars = buf.getInt
     require(varTag == NC_VARIABLE || (varTag == 0 && nVars == 0), "bad var list")
     val metas = (0 until nVars).map { _ =>
       val name = readName()
       val nd = buf.getInt
       val dimIds = (0 until nd).map(_ => buf.getInt)
-      val vattTag = buf.getInt; val nVatt = buf.getInt
-      require(vattTag == 0 && nVatt == 0,
-        "attribute lists unsupported by this subset reader")
+      val attrs = readAttrs()
       val ncType = buf.getInt
-      require(ncType == NC_FLOAT || ncType == NC_DOUBLE,
+      require(ncType >= NC_BYTE && ncType <= NC_DOUBLE,
         s"unsupported nc_type $ncType")
       val vsize = buf.getInt
-      VarMeta(name, dimIds, ncType == NC_FLOAT, vsize, readOffset())
+      VarMeta(name, dimIds, ncType, vsize, readOffset(),
+        attrs.getOrElse("scale_factor", 1.0), attrs.getOrElse("add_offset", 0.0))
     }
     Header(version, numrecs, rawDims, recordDim, metas)
   }
@@ -270,8 +370,17 @@ object GridNc {
       val cells = m.dimIds.map(dims(_)._2.toLong).product.toInt
       val values = new Array[Double](cells)
       val data = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-      def readCell(): Double =
-        if (m.isFloat) data.getFloat.toDouble else data.getDouble
+      // CF unpack: value = raw * scale_factor + add_offset
+      def readCell(): Double = {
+        val raw = m.ncType match {
+          case NC_BYTE | NC_CHAR => (data.get(): Byte).toDouble
+          case NC_SHORT => data.getShort.toDouble
+          case NC_INT => data.getInt.toDouble
+          case NC_FLOAT => data.getFloat.toDouble
+          case NC_DOUBLE => data.getDouble
+        }
+        raw * m.scaleFactor + m.addOffset
+      }
       if (!isRec) {
         data.position(m.begin.toInt)
         var i = 0
@@ -286,7 +395,9 @@ object GridNc {
           r += 1
         }
       }
-      Var(m.name, m.dimIds, m.isFloat, values)
+      Var(m.name, m.dimIds, m.isFloat, values,
+        storage = if (m.ncType == NC_FLOAT || m.ncType == NC_DOUBLE) 0 else m.ncType,
+        scaleFactor = m.scaleFactor, addOffset = m.addOffset)
     }
     Grid(dims, vars, h.recordDim)
   }
@@ -303,10 +414,17 @@ object GridNc {
       throw new IllegalArgumentException("file has no record dimension"))
     val erd = extra.recordDim.getOrElse(
       throw new IllegalArgumentException("extra grid has no record dimension"))
-    val baseRec = base.vars.filter(base.isRecordVar).map(_.name)
-    val extraRec = extra.vars.filter(extra.isRecordVar).map(_.name)
+    val baseRecVars = base.vars.filter(base.isRecordVar)
+    val baseRec = baseRecVars.map(_.name)
+    val extraRecVars = extra.vars.filter(extra.isRecordVar)
+    val extraRec = extraRecVars.map(_.name)
     require(baseRec == extraRec,
       s"record variables differ: $baseRec vs $extraRec")
+    baseRecVars.zip(extraRecVars).foreach { case (b, e) =>
+      require(b.ncType == e.ncType && b.scaleFactor == e.scaleFactor &&
+        b.addOffset == e.addOffset,
+        s"${b.name}: storage/packing differs between file and extra grid")
+    }
     base.dims.indices.filterNot(_ == rd).foreach { i =>
       require(extra.dims(i) == base.dims(i),
         s"fixed dim mismatch at $i: ${extra.dims(i)} vs ${base.dims(i)}")
@@ -321,11 +439,9 @@ object GridNc {
         val v = extra.vars.find(_.name == name).get
         val slab = v.values.length / newRecs
         var i = 0
-        while (i < slab) {
-          if (v.isFloat) out.writeFloat(v.values(r * slab + i).toFloat)
-          else out.writeDouble(v.values(r * slab + i))
-          i += 1
-        }
+        while (i < slab) { packCell(out, v, v.values(r * slab + i)); i += 1 }
+        var p = pad4(slab * cellBytesOf(v.ncType))
+        while (p > 0) { out.writeByte(0); p -= 1 }
       }
       r += 1
     }
@@ -368,7 +484,9 @@ object GridNc {
       require(recMetas.map(_.name) == extraRec.map(_.name),
         s"record variables differ: ${recMetas.map(_.name)} vs ${extraRec.map(_.name)}")
       recMetas.zip(extraRec).foreach { case (m, v) =>
-        require(m.isFloat == v.isFloat, s"${m.name}: storage type differs") }
+        require(m.ncType == v.ncType && m.scaleFactor == v.scaleFactor &&
+          m.addOffset == v.addOffset,
+          s"${m.name}: storage/packing differs from the file header") }
       h.rawDims.indices.filterNot(_ == rd).foreach { i =>
         require(extra.dims(i) == h.rawDims(i),
           s"fixed dim mismatch at $i: ${extra.dims(i)} vs ${h.rawDims(i)}")
@@ -402,7 +520,14 @@ object GridNc {
           read += k
         }
         cell.flip()
-        val t = if (timeMeta.isFloat) cell.getFloat.toDouble else cell.getDouble
+        val raw = timeMeta.ncType match {
+          case NC_BYTE | NC_CHAR => (cell.get(): Byte).toDouble
+          case NC_SHORT => cell.getShort.toDouble
+          case NC_INT => cell.getInt.toDouble
+          case NC_FLOAT => cell.getFloat.toDouble
+          case _ => cell.getDouble
+        }
+        val t = raw * timeMeta.scaleFactor + timeMeta.addOffset
         if (t > maxT) maxT = t
         r += 1
       }
@@ -419,11 +544,9 @@ object GridNc {
         extraRec.foreach { v =>
           val slab = v.values.length / extraN
           var i = 0
-          while (i < slab) {
-            if (v.isFloat) out.writeFloat(v.values(ri * slab + i).toFloat)
-            else out.writeDouble(v.values(ri * slab + i))
-            i += 1
-          }
+          while (i < slab) { packCell(out, v, v.values(ri * slab + i)); i += 1 }
+          var p = pad4(slab * cellBytesOf(v.ncType))
+          while (p > 0) { out.writeByte(0); p -= 1 }
         }
       }
       out.flush()

@@ -60,6 +60,87 @@ class GriddapSpec extends AnyFunSuite {
       g.vars.find(_.name == "uwind").get.values.toSeq)
   }
 
+  test("packed int storage round-trips: NC_SHORT/NC_INT with scale_factor/add_offset") {
+    val g = graft.sources.griddap.GriddapFixture.intGrid()
+    val bytes = GridNc.write(g)
+    val back = GridNc.read(bytes)
+    assert(back.dims == g.dims)
+    // unpacked values identical (exact binary fractions)
+    for (name <- Seq("sst_i16", "chl_i32")) {
+      val b = back.vars.find(_.name == name).get
+      val o = g.vars.find(_.name == name).get
+      assert(b.values.toSeq == o.values.toSeq, name)
+      assert(b.storage == o.storage && b.scaleFactor == o.scaleFactor &&
+        b.addOffset == o.addOffset, s"$name packing metadata")
+    }
+    // the packed file really is smaller: short cells are 2 bytes not 8
+    val plain = GridNc.write(g.copy(vars = g.vars.map(v =>
+      v.copy(storage = 0, scaleFactor = 1.0, addOffset = 0.0))))
+    assert(bytes.length < plain.length / 2)
+    // DDS advertises the integer types
+    val d = GridNc.dds(g, "s8gridint")
+    assert(d.contains("Int16 sst_i16") && d.contains("Int32 chl_i32"))
+    // write(read(bytes)) is byte-identical (packing fully reversible)
+    assert(GridNc.write(back).toSeq == bytes.toSeq)
+  }
+
+  test("odd-cell short vars pad to the 4-byte boundary; values survive") {
+    // 3 cells * 2 bytes = 6 → 2 pad bytes between vars; a following
+    // var must still land on its begin offset
+    val g = GridNc.Grid(
+      dims = Seq(("x", 3)),
+      vars = Seq(
+        GridNc.Var("x", Seq(0), isFloat = false, Array(1.0, 2.0, 3.0)),
+        GridNc.Var("a", Seq(0), isFloat = false, Array(0.5, 1.5, -2.0),
+          storage = 3, scaleFactor = 0.5, addOffset = 0.0),
+        GridNc.Var("b", Seq(0), isFloat = false, Array(-3.0, 0.0, 9.0),
+          storage = 1, scaleFactor = 1.0, addOffset = 0.0), // NC_BYTE
+        GridNc.Var("c", Seq(0), isFloat = false, Array(7.0, 8.0, 9.0))))
+    val back = GridNc.read(GridNc.write(g))
+    g.vars.foreach(v => assert(
+      back.vars.find(_.name == v.name).get.values.toSeq == v.values.toSeq,
+      v.name))
+  }
+
+  test("packed record vars append through appendRecordsToFile with padded slabs") {
+    // record grid: time (record, double) + one NC_SHORT data var of 3
+    // cells/record (6 bytes → 2 pad per slab)
+    def rec(times: Array[Double], vals: Array[Double]) = GridNc.Grid(
+      dims = Seq(("time", times.length), ("x", 3)),
+      vars = Seq(
+        GridNc.Var("time", Seq(0), isFloat = false, times),
+        GridNc.Var("v", Seq(0, 1), isFloat = false, vals,
+          storage = 3, scaleFactor = 0.25, addOffset = 2.0)),
+      recordDim = Some(0))
+    val base = rec(Array(0.0, 3600.0), Array(2.25, 2.5, 2.75, 3.0, 3.25, 3.5))
+    val f = Files.createTempFile("packed_rec", ".nc")
+    Files.write(f, GridNc.write(base))
+    val extra = rec(Array(3600.0, 7200.0), Array(3.0, 3.25, 3.5, 4.0, 4.25, 4.5))
+    assert(GridNc.appendRecordsToFile(f, extra) == 1) // 3600 already present
+    val back = GridNc.read(Files.readAllBytes(f))
+    assert(back.dims.head == ("time", 3))
+    assert(back.coord("time").toSeq == Seq(0.0, 3600.0, 7200.0))
+    assert(back.vars.find(_.name == "v").get.values.toSeq ==
+      Seq(2.25, 2.5, 2.75, 3.0, 3.25, 3.5, 4.0, 4.25, 4.5))
+    Files.delete(f)
+  }
+
+  test("DSv2 scan unpacks int-stored variables to exact doubles") {
+    val fixtureDir = graft.sources.griddap.GriddapFixture.ensure()
+    val df = spark.read.format("griddap")
+      .option("dataDir", fixtureDir).option("dataset", "s8gridint")
+      .load()
+      .filter(col("latitude") === 25.0 && col("longitude") === -90.0)
+      .select(col("time"), col("sst_i16"), col("chl_i32"))
+    val rows = df.orderBy(col("time")).collect()
+    assert(rows.length == graft.sources.griddap.GriddapFixture.nt)
+    // lai=5, loi=5 → sst = (ti*100+55)*0.25 - 10, chl = (ti*10000+505)*0.5 + 100
+    rows.zipWithIndex.foreach { case (r, ti) =>
+      assert(r.getDouble(1) == (ti * 100 + 55) * 0.25 - 10.0, s"sst ti=$ti")
+      assert(r.getDouble(2) == (ti * 10000 + 505) * 0.5 + 100.0, s"chl ti=$ti")
+    }
+  }
+
   test("latFlip reverses ascending latitude and the data rows with it") {
     val g = fixtureGrid()
     val f = GridNc.latFlip(g)
