@@ -46,7 +46,13 @@ object Bench {
     // value (round-4 verdict: driver medians ran up to 20× a controlled
     // re-run with spread > median as the tell).
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comma-separated gate filter for controlled single-query re-runs
+    // (investigations + BENCH_REF backfills) — full set when unset
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -136,7 +142,9 @@ object Bench {
     // every output column — the cost a writer or downstream consumer
     // actually pays for the codec work.
     val forced = SparkEntry.queries.toSeq
-      .filter(_._1.startsWith("mm_")).sortBy(_._1).map { case (name, fn) =>
+      .filter(_._1.startsWith("mm_"))
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1).map { case (name, fn) =>
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).queryExecution.toRdd.count() }

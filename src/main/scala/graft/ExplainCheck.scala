@@ -55,6 +55,8 @@ object ExplainCheck {
       Seq("CartesianProduct", "BroadcastNestedLoop"))
     // griddap: hyperslab pushdown must reach the scan (bbox + pruned cols)
     audit("s8_griddap_scan", mustContain = Seq("griddap", "bbox-pushed"))
+    // packed-int variant: same pushdown through the CF-unpacking codec
+    audit("s8_griddap_scan_int16", mustContain = Seq("griddap", "bbox-pushed"))
     // SRP pairs: bucket equi-join only — a cross join here is the scale bug
     audit("ann_lsh_pairs", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     audit("dedup_simhash", mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))

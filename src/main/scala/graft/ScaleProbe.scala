@@ -219,6 +219,13 @@ object ScaleProbe {
         cap = 1000).count(),
       graft.operators.TextAnalysis.balancedSample(docsN, "doc_id", "lang",
         cap = 1000).count())
+    // weighted exact-N (Efraimidis–Spirakis): priority projection +
+    // TakeOrdered(n) — per-partition bounded heaps, never a global sort
+    probe("sample_weighted",
+      graft.operators.TextAnalysis.sampleWeighted(docs1, "doc_id",
+        "n_chars", n = 50).count(),
+      graft.operators.TextAnalysis.sampleWeighted(docsN, "doc_id",
+        "n_chars", n = 50).count())
     // batch kNN: cost is queries × corpus scan work; the heap output
     // (partitions × queries × k rows) must not grow with the corpus
     val emb1 = Tables.load(spark, sfDir, "embeddings").cache(); emb1.count()

@@ -3,7 +3,8 @@ package graft.sources.griddap
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Minimal NetCDF *classic* (CDF-1) codec — the binary container the
+/** Minimal NetCDF *classic* (CDF-1, auto-escalating to CDF-2's 64-bit
+  * offsets for grids past 2 GiB) codec — the binary container the
   * reference moves griddap data in (`data_wrangler.py:591-604` downloads
   * `.nc` slices; `agol_wrangler.py:256-261` republishes reoriented
   * NetCDF). Implemented from the public classic-format spec: big-endian,
@@ -134,7 +135,13 @@ object GridNc {
     val n = nameBytes(s).length; 4 + n + pad4(n)
   }
 
-  def write(g: Grid): Array[Byte] = {
+  def write(g: Grid): Array[Byte] = write(g, 0)
+
+  /** `forceVersion`: 0 = auto (CDF-1, escalating to CDF-2 when a data
+    * `begin` offset outgrows the 32-bit header field — grids past
+    * 2 GiB), 1/2 = pin the format (2 is spec-testable without
+    * materializing 2 GiB). */
+  private[sources] def write(g: Grid, forceVersion: Int): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
 
@@ -157,7 +164,8 @@ object GridNc {
         .map(g.dims(_)._2.toLong).product
     def vsize(v: Var): Int = {
       val raw = slabCells(v) * cellBytesOf(v.ncType)
-      require(raw + pad4(raw.toInt) <= Int.MaxValue, "variable too large for CDF-1")
+      require(raw + pad4(raw.toInt) <= Int.MaxValue,
+        "single variable/slab past 4 GiB needs CDF-5 (unsupported)")
       raw.toInt + pad4(raw.toInt)
     }
     // packed vars carry scale_factor / add_offset as NC_DOUBLE
@@ -168,20 +176,32 @@ object GridNc {
         .map(n => nameFieldLen(n) + 4 + 4 + 8).sum
 
     val dimListLen = 8 + g.dims.map(d => nameFieldLen(d._1) + 4).sum
-    val varListLen = 8 + g.vars.map(v =>
-      nameFieldLen(v.name) + 4 + 4 * v.dims.length + vattLen(v) + 4 + 4 + 4).sum
-    val headerLen = 8 + dimListLen + 8 + varListLen
+    def varListLen(beginBytes: Int): Long = 8L + g.vars.map(v =>
+      nameFieldLen(v.name).toLong + 4 + 4 * v.dims.length + vattLen(v) +
+        4 + 4 + beginBytes).sum
     // fixed vars first, then the record section; each record var's
     // begin = its slab offset within the FIRST record
     val (recVars, fixVars) = g.vars.partition(g.isRecordVar)
-    val fixBegins = fixVars.scanLeft(headerLen)((acc, v) => acc + vsize(v))
-    val recStart = fixBegins.last
-    val recBegins = recVars.scanLeft(recStart)((acc, v) => acc + vsize(v))
-    val beginOf: Map[String, Int] =
-      fixVars.zip(fixBegins).map { case (v, b) => v.name -> b }.toMap ++
-        recVars.zip(recBegins).map { case (v, b) => v.name -> b }.toMap
+    def beginsFor(beginBytes: Int): (Map[String, Long], Long) = {
+      val headerLen = 8L + dimListLen + 8 + varListLen(beginBytes)
+      val fixBegins = fixVars.scanLeft(headerLen)((acc, v) => acc + vsize(v))
+      val recBegins = recVars.scanLeft(fixBegins.last)((acc, v) => acc + vsize(v))
+      (fixVars.zip(fixBegins).map { case (v, b) => v.name -> b }.toMap ++
+        recVars.zip(recBegins).map { case (v, b) => v.name -> b }.toMap,
+        recBegins.last)
+    }
+    // format selection: CDF-1 (4-byte begins) until a begin outgrows
+    // the 32-bit field — grids past 2 GiB — then CDF-2 (8-byte begins,
+    // reader already version-aware). `numrecs` growth needs no begins,
+    // so record-section appends never force an upgrade retroactively.
+    val version =
+      if (forceVersion != 0) forceVersion
+      else if (beginsFor(4)._2 > Int.MaxValue.toLong) 2 else 1
+    val (beginOf, _) = beginsFor(if (version == 2) 8 else 4)
+    require(version == 2 || beginOf.values.forall(_ <= Int.MaxValue),
+      "begin offset exceeds CDF-1")
 
-    out.writeBytes("CDF"); out.writeByte(1) // magic + version (CDF-1)
+    out.writeBytes("CDF"); out.writeByte(version)
     out.writeInt(numrecs)
     out.writeInt(NC_DIMENSION); out.writeInt(g.dims.length)
     g.dims.zipWithIndex.foreach { case ((n, len), i) =>
@@ -204,7 +224,8 @@ object GridNc {
       }
       out.writeInt(v.ncType)
       out.writeInt(vsize(v))
-      out.writeInt(beginOf(v.name))
+      if (version == 2) out.writeLong(beginOf(v.name))
+      else out.writeInt(beginOf(v.name).toInt)
     }
     def writeCell(v: Var, idx: Int): Unit = packCell(out, v, v.values(idx))
     def writePad(cells: Long, v: Var): Unit = {

@@ -141,6 +141,32 @@ class GriddapSpec extends AnyFunSuite {
     }
   }
 
+  test("CDF-2 (64-bit offsets) writes round-trip; small grids stay CDF-1") {
+    val g = fixtureGrid()
+    val v1 = GridNc.write(g)
+    assert(v1(3) == 1) // small grid: CDF-1 chosen automatically
+    val v2 = GridNc.write(g, forceVersion = 2)
+    assert(v2(3) == 2)
+    assert(v2.length == v1.length + 4 * g.vars.length) // 8-byte begins
+    val back = GridNc.read(v2)
+    assert(back.dims == g.dims)
+    g.vars.foreach(v => assert(
+      back.vars.find(_.name == v.name).get.values.toSeq == v.values.toSeq,
+      v.name))
+    // record-dim grids round-trip as CDF-2 too (append-at-scale shape)
+    val rec = GridNc.Grid(
+      dims = Seq(("time", 2), ("x", 3)),
+      vars = Seq(
+        GridNc.Var("time", Seq(0), isFloat = false, Array(0.0, 3600.0)),
+        GridNc.Var("v", Seq(0, 1), isFloat = false,
+          Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))),
+      recordDim = Some(0))
+    val rb = GridNc.read(GridNc.write(rec, forceVersion = 2))
+    assert(rb.dims.head == ("time", 2) && rb.recordDim.contains(0))
+    assert(rb.vars.find(_.name == "v").get.values.toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
   test("latFlip reverses ascending latitude and the data rows with it") {
     val g = fixtureGrid()
     val f = GridNc.latFlip(g)
