@@ -262,6 +262,22 @@ object ExplainCheck {
       mustNotContain = Seq("Join", "CartesianProduct"))
     // HTML strip is a codegen'd projection chain — zero Exchange
     audit("text_strip_html", mustNotContain = Seq("Exchange"))
+    // Count-Min: the (≤ depth×width row) sketch must BROADCAST to the
+    // probe side — a sort-merge join would shuffle the probe stream to
+    // meet a metadata-sized table; the build is one hash aggregation
+    // whose partials combine map-side
+    audit("cms_freq", mustContain = Seq("BroadcastHashJoin", "HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
+    // incremental index dedup: the delta's banded rows BROADCAST against
+    // the index — the (corpus-sized) index is read, never shuffled, and
+    // no nested-loop shape may appear
+    audit("dedup_incremental", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct",
+        "BroadcastNestedLoop"))
+    // quantized top-k: same contract as ann_bruteforce — one scan, heap
+    // top-k, no sort materialization, no join (query rides as literal)
+    audit("ann_quantized_topk", mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("Join", "Exchange rangepartitioning"))
 
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression

@@ -320,6 +320,25 @@ object ScaleProbe {
       graft.operators.Sketches.kmvDistinct(evN, "event_type",
         "user_id", 64).count())
 
+    // Count-Min build + probe: the aggregate output is ≤ depth×width
+    // rows at ANY input size, so time must track the scan
+    def cmsRun(df: DataFrame): Long = {
+      val sk = graft.operators.Sketches.cmsSketch(df, "user_id", 4, 2048)
+      graft.operators.Sketches.cmsEstimate(sk,
+        df.select(col("user_id")).limit(500), "user_id", 4, 2048).count()
+    }
+    probe("cms_freq", cmsRun(ev1), cmsRun(evN))
+
+    // incremental index dedup: the N× corpus is INDEXED (one banding
+    // pass), the fixed-size delta broadcast-joins it — growth must be
+    // the index pass, never a pair explosion
+    def incRun(corpus: DataFrame): Long = {
+      val idx = graft.operators.Dedup.minhashIndexRows(corpus, "text", "doc_id")
+      graft.operators.Dedup.incrementalNearDups(
+        docs1.filter(col("doc_id") % 10 === 3), idx, "text", "doc_id").count()
+    }
+    probe("incremental_dedup", incRun(docs1), incRun(docsN))
+
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
     val dupN = (0 until n).map { c =>

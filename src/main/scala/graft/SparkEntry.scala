@@ -540,6 +540,20 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") < 500), "text", "doc_id",
         maxBucket = 0)),
 
+    // ---- dedup: INCREMENTAL near-dup against a persisted LSH index —
+    //      the production shape at 100 TB: corpus banded ONCE into an
+    //      index, each new batch signatures only its own text and
+    //      broadcast-joins band keys against the index (the index is
+    //      read, never shuffled; corpus text never rescans).
+    //      maxBucket pinned 0 on the index for the exact oracle ----
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val idx = Dedup.minhashIndexRows(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", maxBucket = 0)
+      Dedup.incrementalNearDups(docs.filter(col("doc_id") % 2 === 1), idx,
+        "text", "doc_id")
+    }),
+
     // ---- dedup: MinHash + LSH near-dup pairs. Gate runs the PORTABLE
     //      md5 path (full oracle; different band geometry than
     //      dedup_minhash_oracle); the xxhash64 production path is
@@ -637,6 +651,22 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
         "embedding", q, k = 10, planes = 8, tables = 2, probeRadius = 1)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cos"))
+    }),
+
+    // ---- similarity: int8-quantized asymmetric top-k — the embedding
+    //      STORAGE path (4× smaller corpus bytes); the query keeps
+    //      full precision (ADC), corpus vectors dequantize inside the
+    //      scoring projection; same scan + TakeOrdered plan as
+    //      ann_bruteforce, and the fixed IEEE dequantization sequence
+    //      lets the oracle reproduce scores bit-for-bit ----
+    "ann_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val qd = Similarity.quantizeEmbeddings(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding")
+      Similarity.quantizedTopK(qd, "vec_id", q, k = 10)
         .select(col("vec_id"), round(col("cosine"), 6).as("cos"))
     }),
 
@@ -1417,6 +1447,21 @@ object SparkEntry {
       Sketches.kmvResemblance(t(s, dir, "orders"),
         "o_orderpriority", "o_custkey", k = 64)
         .select(col("g1"), col("g2"), col("jaccard"))),
+
+    // ---- sketch: Count-Min point frequency — the sketch IS a
+    //      (d, bucket, cnt) relation, so the build is one hash agg
+    //      whose map-side combine bounds the shuffle at depth×width
+    //      rows per partition at ANY corpus size; probing is a
+    //      broadcast join + min over depth rows (classic one-sided
+    //      overestimate, deterministic via the md5 bucket hash) ----
+    "cms_freq" -> ((s, dir) => {
+      val sk = Sketches.cmsSketch(t(s, dir, "lineitem"), "l_suppkey",
+        depth = 4, width = 512)
+      val probes = t(s, dir, "supplier").filter(col("s_suppkey") <= 200)
+        .select(col("s_suppkey"))
+      Sketches.cmsEstimate(sk, probes, "s_suppkey", depth = 4, width = 512)
+        .select(col("s_suppkey"), col("est"))
+    }),
 
     // ---- crawl: hyperlink harvesting — anchors scanned out of HTML
     //      (quote styles, comments, entity decode) and resolved per
@@ -2706,6 +2751,57 @@ object SparkEntry {
       s"""WITH ${minhashCtes(8, 4, " WHERE doc_id < 500")}
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+    // same banded signatures, split by parity: odd doc_ids are the
+    // "new batch", even the indexed corpus — candidates are band-key
+    // matches across the split, exactly the incremental join
+    "dedup_incremental" ->
+      s"""WITH ${minhashCtes(8, 4, " WHERE doc_id < 500")}
+         |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |FROM banded a JOIN banded b ON a.band = b.band
+         |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin,
+    // Count-Min relation: both engines hash value v into row d's
+    // buckets via md5("d:" || v) first-13-hex mod width; est = min of
+    // the probed bucket counts (0 when a bucket never filled)
+    "cms_freq" ->
+      """WITH s AS (
+        |  SELECT t.d,
+        |    ('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' ||
+        |      CAST(l_suppkey AS VARCHAR)), 1, 13))::UBIGINT % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM lineitem, range(4) t(d) WHERE l_suppkey IS NOT NULL
+        |  GROUP BY 1, 2),
+        | p AS (
+        |  SELECT s_suppkey, t.d,
+        |    ('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' ||
+        |      CAST(s_suppkey AS VARCHAR)), 1, 13))::UBIGINT % 512 AS bucket
+        |  FROM supplier, range(4) t(d) WHERE s_suppkey <= 200)
+        |SELECT p.s_suppkey, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+        |FROM p LEFT JOIN s ON p.d = s.d AND p.bucket = s.bucket
+        |GROUP BY 1""".stripMargin,
+    // int8 affine quantization per vector: u = floor((x-mn)*255/(mx-mn)+0.5),
+    // dequant = mn + u*(mx-mn)/255 — the identical left-to-right IEEE
+    // sequence both engines run, then the ann_bruteforce cosine shape
+    "ann_quantized_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_min(CAST(embedding AS DOUBLE[])) AS mn,
+        |    list_max(CAST(embedding AS DOUBLE[])) AS mx
+        |  FROM embeddings WHERE vec_id <> 0),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> CASE WHEN mx = mn THEN mn
+        |      ELSE mn + floor((x - mn) * 255.0 / (mx - mn) + 0.5) * (mx - mn) / 255.0
+        |      END) AS dv
+        |  FROM base),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(list_zip(dv, qv), p -> p[1] * p[2])) /
+        |    (sqrt(list_sum(list_transform(dv, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(qv, x -> x*x)))) AS cosine
+        |  FROM dq, q)
+        |SELECT vec_id, round(cosine, 6) AS cos FROM scored
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
         |scored AS (

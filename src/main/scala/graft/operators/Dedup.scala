@@ -393,6 +393,63 @@ object Dedup {
       .dropDuplicates("id1", "id2")
   }
 
+  /** Banded portable-minhash rows `(band, id)` — the PERSISTED LSH
+    * index layout. This is the production dedup shape at 100 TB: the
+    * corpus is signatured ONCE and its banded rows written as the
+    * index ([[writeMinhashIndex]]); every later batch dedups against
+    * the index via [[incrementalNearDups]] WITHOUT rescanning corpus
+    * text. `maxBucket` (default on, like every band join here) caps
+    * index members per band bucket with drop accounting, so one
+    * viral duplicate bucket can't explode a future delta join. */
+  def minhashIndexRows(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.PortableSig.md5_minhash_sig(col(textCol), shingleN,
+        Seq.tabulate(numHashes)(uhA), Seq.tabulate(numHashes)(uhB), uhP)
+        .as("sig"))
+      .filter(col("sig").isNotNull)
+    capBuckets(
+      sigs.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+        }: _*)).as("band")),
+      Seq("band"), "id", maxBucket, "minhash_index")
+  }
+
+  /** Persist the banded index, pre-shuffled on `band` so each band
+    * bucket is colocated in one file — an incremental probe that
+    * ISN'T broadcast can then bucket-join without re-shuffling the
+    * (corpus-sized) index. */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      maxBucket: Int = 1000, numFiles: Int = 32): Unit =
+    minhashIndexRows(df, textCol, idCol, numHashes, bands, shingleN, maxBucket)
+      .repartition(numFiles, col("band"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-duplicate candidates of a NEW batch against an existing
+    * [[minhashIndexRows]]/[[writeMinhashIndex]] index: signature the
+    * delta (one pass over delta text only), band it with the SAME
+    * geometry, and equi-join band keys against the index. With
+    * `broadcastDelta` (default — a daily batch is small next to the
+    * corpus) the index side streams through a broadcast-hash join
+    * with NO exchange: the 100-TB index is read, never shuffled.
+    * Returns distinct `(new_id, corpus_id)`. */
+  def incrementalNearDups(delta: DataFrame, index: DataFrame,
+      textCol: String, idCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      broadcastDelta: Boolean = true): DataFrame = {
+    val probe0 = minhashIndexRows(delta, textCol, idCol,
+      numHashes, bands, shingleN, maxBucket = 0)
+      .withColumnRenamed("id", "new_id")
+    val probe = if (broadcastDelta) broadcast(probe0) else probe0
+    index.join(probe, "band")
+      .select(col("new_id"), col("id").as("corpus_id"))
+      .distinct()
+  }
+
   /** Engine-portable simhash: 60-bit simhash over md5-derived shingle
     * hashes (first 15 hex digits → long, within signed-64 range). The
     * bit votes run as 60 codegen'd SUM aggregates over the exploded

@@ -50,6 +50,48 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** Per-vector affine int8 quantization — the embedding STORAGE path
+    * at 100 TB: a float32 corpus shrinks 4× to one byte per dimension
+    * plus two doubles per vector, and every op here stays a pure
+    * codegen'd projection (no shuffle, no UDF). Code u_i =
+    * floor((v_i − min)·255/(max − min) + 0.5) stored as u−128 in a
+    * `tinyint`; a constant vector (max = min) stores −128s and
+    * dequantizes to the constant. The arithmetic is a fixed
+    * left-to-right IEEE sequence, so an independent SQL engine
+    * reproduces codes and dequantized values bit-for-bit. */
+  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).as("_v"),
+        array_min(col(vecCol)).cast("double").as("q_min"),
+        array_max(col(vecCol)).cast("double").as("q_max"))
+      .select(col(idCol), col("q_min"), col("q_max"),
+        transform(col("_v"), x =>
+          when(col("q_max") === col("q_min"), lit(-128))
+            .otherwise((floor((x.cast("double") - col("q_min")) * 255.0 /
+              (col("q_max") - col("q_min")) + 0.5) - 128).cast("int"))
+            .cast("byte")).as("qvec"))
+
+  /** Dequantized double vector from a [[quantizeEmbeddings]] row. */
+  def dequantize(qvec: Column, qMin: Column, qMax: Column): Column =
+    transform(qvec, q =>
+      qMin + (q.cast("double") + 128.0) * (qMax - qMin) / 255.0)
+
+  /** Asymmetric top-k over a quantized corpus: the query keeps full
+    * precision (the standard ADC shape — quantization error applies
+    * once, not twice), corpus vectors dequantize inside the scoring
+    * projection. Same scan/TakeOrdered plan as [[bruteForceTopK]]:
+    * no shuffle, no sort materialization — only the byte-sized corpus
+    * is read. */
+  def quantizedTopK(qdf: DataFrame, idCol: String, query: Seq[Double],
+      k: Int): DataFrame = {
+    val dv = dequantize(col("qvec"), col("q_min"), col("q_max"))
+    val qlit = array(query.map(lit): _*)
+    val denom = norm(dv) * norm(qlit)
+    qdf.select(col(idCol),
+        when(denom === 0.0, 0.0).otherwise(dot(dv, qlit) / denom).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic ENGINE-PORTABLE pseudo-random hyperplanes: component
     * j of plane p in table t derives from the md5 of `"t:p:j"` (first 8
     * hex digits scaled to [-1, 1)). Generated as literals on the driver;

@@ -40,6 +40,56 @@ object Sketches {
         col("_sk.kept").as("kept"), col("_sk.kth").as("kth"))
   }
 
+  /** Count-Min frequency sketch expressed as a RELATION: the sketch is
+    * a `(d, bucket, cnt)` table of at most `depth × width` rows —
+    * Spark-first instead of a custom buffer type, because the hash
+    * aggregation that builds it already has exactly the right
+    * distributed shape: map-side partial combine bounds the shuffle at
+    * `depth × width` rows per map partition NO MATTER how many input
+    * rows flowed through, and "merging" two sketches is a unionByName
+    * + re-aggregate of two metadata-sized tables. Row `d` of the
+    * sketch uses the engine-portable hash
+    * `md5("d:" ++ value)[0,13) mod width`, so an independent SQL
+    * engine recomputes the identical table and estimates. */
+  def cmsBucket(c: Column, d: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$d:"), c.cast("string"))), 1, 13),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Build the sketch: ONE pass over the data (the `depth` bucket keys
+    * explode from an inline array, not `depth` re-scans), one bounded
+    * hash aggregation. Null values don't count. */
+  def cmsSketch(df: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 2048): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(explode(array((0 until depth).map { d =>
+        struct(lit(d).as("d"), cmsBucket(col(valueCol), d, width).as("bucket"))
+      }: _*)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketches built with the SAME (depth, width) geometry —
+    * counts add bucket-wise. Metadata-sized on both sides. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("d"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for `probes`: est(x) = min over the
+    * `depth` rows of the bucket counts x hashes to — the classic
+    * one-sided overestimate (never under the true count). The sketch
+    * is broadcast (≤ depth·width rows by construction), so probing is
+    * a map-side join however large the probe set: no shuffle of the
+    * probe stream, one bounded aggregation per probe value. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 2048): DataFrame =
+    probes.filter(col(valueCol).isNotNull)
+      .select(col(valueCol), explode(array((0 until depth).map { d =>
+        struct(lit(d).as("d"), cmsBucket(col(valueCol), d, width).as("bucket"))
+      }: _*)).as("db"))
+      .select(col(valueCol), col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
   /** Estimated Jaccard resemblance between every PAIR of groups from
     * their bottom-k sketches (Broder's resemblance estimator over the
     * bottom-k of the union): J(A,B) ≈ |M ∩ Â ∩ B̂| / |M| with

@@ -60,6 +60,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == 28)
   }
 
+  test("incremental near-dups equal the cross-parity slice of the batch pair set") {
+    val d = docs.filter(col("doc_id") < 500)
+    // ground truth: the full-batch portable LSH pair set, restricted to
+    // (odd "new" id, even "corpus" id) pairs in either order
+    val batch = Dedup.minhashLshPairsPortable(d, "text", "doc_id", maxBucket = 0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val expected = batch.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (n, c) => n % 2 == 1 && c % 2 == 0 }
+    val idx = Dedup.minhashIndexRows(d.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", maxBucket = 0)
+    val got = Dedup.incrementalNearDups(d.filter(col("doc_id") % 2 === 1), idx,
+      "text", "doc_id").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("minhash index round-trips through parquet; delta dedup never touches corpus text") {
+    val d = docs.filter(col("doc_id") < 500)
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", dir, maxBucket = 0)
+    val persisted = spark.read.parquet(dir)
+    assert(persisted.columns.toSet == Set("id", "band"))
+    val viaDisk = Dedup.incrementalNearDups(d.filter(col("doc_id") % 2 === 1),
+      persisted, "text", "doc_id").as[(Long, Long)].collect().toSet
+    val viaMem = Dedup.incrementalNearDups(d.filter(col("doc_id") % 2 === 1),
+      Dedup.minhashIndexRows(corpus, "text", "doc_id", maxBucket = 0),
+      "text", "doc_id").as[(Long, Long)].collect().toSet
+    assert(viaDisk == viaMem && viaDisk.nonEmpty)
+    // the plan over the persisted index must not carry a text column —
+    // that's the whole point of the index
+    val plan = Dedup.incrementalNearDups(d.filter(col("doc_id") % 2 === 1),
+      persisted, "text", "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("ReadSchema: struct<id:bigint,band:string,text"))
+  }
+
   test("ngram jaccard over candidates: est vs exact agree on planted pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8).count()
     assert(exact == 28)
@@ -105,6 +140,41 @@ class OperatorsSpec extends AnyFunSuite {
     val top = Similarity.bruteForceTopK(df, "id", "vec", Seq(1.0, 0.0, 0.0), 2)
       .select("id").as[Long].collect()
     assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("int8 quantization: constant vectors exact, dequant error within half a step") {
+    val df = Seq(
+      (1L, Array(0.1f, 0.9f, -0.4f, 0.0f)),
+      (2L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeEmbeddings(df, "vec_id", "embedding")
+    val rec = q.select(col("vec_id"),
+        Similarity.dequantize(col("qvec"), col("q_min"), col("q_max")).as("dv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // constant vector: stored as -128s, dequantizes to the constant exactly
+    assert(rec(2L) == Seq.fill(4)(0.5f.toDouble))
+    val orig = Seq(0.1f, 0.9f, -0.4f, 0.0f).map(_.toDouble)
+    val step = (0.9f.toDouble - (-0.4f).toDouble) / 255.0
+    orig.zip(rec(1L)).foreach { case (o, r) =>
+      assert(math.abs(o - r) <= step / 2 + 1e-12, s"$o vs $r")
+    }
+    // codes live in a byte column — the 4×-smaller storage claim
+    val schema = q.schema("qvec").dataType
+    assert(schema == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType))
+  }
+
+  test("quantized asymmetric top-k tracks full-precision ranking") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val qd = Similarity.quantizeEmbeddings(rest, "vec_id", "embedding")
+    val quant = Similarity.quantizedTopK(qd, "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & quant).size >= 8, s"overlap ${(exact & quant).size}")
   }
 
   test("lsh candidate pairs put identical-direction vectors in one bucket") {

@@ -74,4 +74,56 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == Map("a" -> 1.0)) // b had only nulls → filtered out
   }
+
+  // ---- Count-Min ----
+
+  private def cmsEst(sk: org.apache.spark.sql.DataFrame,
+      probes: Seq[Long], depth: Int, width: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Sketches.cmsEstimate(sk, probes.toDF("v"), "v", depth, width)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("count-min never underestimates; wide sketch is mostly exact, absent values 0") {
+    val rows = (1 to 100).flatMap(v => Seq.fill(v % 7 + 1)(v.toLong))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sk = Sketches.cmsSketch(rows.toDF("v"), "v", depth = 4, width = 4096)
+    val est = cmsEst(sk, (1L to 120L).toSeq, 4, 4096)
+    (1L to 120L).foreach { v =>
+      assert(est(v) >= truth.getOrElse(v, 0L), s"underestimate at $v")
+    }
+    // 4 independent rows over 4096 buckets for 100 values: collisions
+    // in ALL rows at once are vanishingly rare
+    assert((1L to 100L).count(v => est(v) == truth(v)) >= 97)
+    assert((101L to 120L).count(v => est(v) == 0L) >= 17)
+  }
+
+  test("count-min narrow sketch still bounds: estimates only ever exceed truth") {
+    val rows = (1L to 2000L).map(v => v % 50)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sk = Sketches.cmsSketch(rows.toDF("v"), "v", depth = 3, width = 16)
+    val est = cmsEst(sk, (0L to 49L).toSeq, 3, 16)
+    (0L to 49L).foreach(v => assert(est(v) >= truth(v)))
+  }
+
+  test("count-min merge equals a single-pass sketch over the union") {
+    val a = (1L to 50L).toDF("v")
+    val b = (25L to 80L).toDF("v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsSketch(a, "v", 3, 256), Sketches.cmsSketch(b, "v", 3, 256))
+    val whole = Sketches.cmsSketch(a.unionByName(b), "v", 3, 256)
+    assert(rows(merged) == rows(whole))
+  }
+
+  test("count-min build is partition-invariant and bounded at depth×width rows") {
+    val rows = (1L to 5000L).map(_ % 300)
+    val sketches = Seq(1, 4, 32).map { p =>
+      Sketches.cmsSketch(rows.toDF("v").repartition(p), "v", 4, 128)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(sketches.distinct.size == 1)
+    assert(sketches.head.size <= 4 * 128)
+  }
 }
