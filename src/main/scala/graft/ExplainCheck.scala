@@ -262,6 +262,8 @@ object ExplainCheck {
       mustNotContain = Seq("Join", "CartesianProduct"))
     // HTML strip is a codegen'd projection chain — zero Exchange
     audit("text_strip_html", mustNotContain = Seq("Exchange"))
+    // URL canonicalization is a codegen'd projection — zero Exchange
+    audit("url_canonical", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // Count-Min: the (≤ depth×width row) sketch must BROADCAST to the
     // probe side — a sort-merge join would shuffle the probe stream to
     // meet a metadata-sized table; the build is one hash aggregation

@@ -121,6 +121,12 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "html_links expects (html string, base_url string)")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("canonical_url",
+      (args: Seq[Expression]) => args match {
+        case Seq(u) => graft.functions.CanonicalUrl(u)
+        case _ => throw new IllegalArgumentException(
+          "canonical_url expects (url string)")
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("warc_synth",
       (args: Seq[Expression]) => args match {
         case Seq(id, text) => WarcSynth(id, text)
@@ -447,6 +453,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           RobotsAllowed(t, p, a.toString)
         case _ => throw new IllegalArgumentException(
           "robots_allowed expects (robots_txt, path, agent string literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("canonical_url"),
+      info("canonical_url",
+        "canonical_url(url) - RFC 3986 §6.2 syntax normalization: " +
+          "lowercase scheme/host, default port + fragment dropped, dot " +
+          "segments removed, unreserved %-escapes decoded"),
+      (args: Seq[Expression]) => args match {
+        case Seq(u) => graft.functions.CanonicalUrl(u)
+        case _ => throw new IllegalArgumentException(
+          "canonical_url expects (url string)")
       }))
     ext.injectFunction((
       FunctionIdentifier("warc_records"),

@@ -309,6 +309,15 @@ object SparkEntry {
         graft.streaming.EventStream.hourlyKmvDistinct(events, "user_id", 64)
       }),
 
+    // ---- T7 streaming Count-Min: the sketch-as-relation means its
+    //      streaming twin is a plain watermarked windowed count over
+    //      (window, d, bucket) — bounded depth×width state per open
+    //      window, deterministic, append-emitted on watermark close ----
+    "t7_streaming_cms" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t7") { events =>
+        graft.streaming.EventStream.hourlyCms(events, "user_id", 4, 256)
+      }),
+
     // ---- W4/W5 row numbering + M running increment (scalable two-pass
     //      global numbering — no single-partition window) ----
     "w5_row_number" -> ((s, dir) =>
@@ -1620,6 +1629,31 @@ object SparkEntry {
       TextAnalysis.urlDomains(
         t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
         "url", "doc_id")),
+
+    // ---- crawl: RFC 3986 §6.2 URL canonicalization — lowercase
+    //      scheme/host, default ports dropped, dot segments removed,
+    //      unreserved %-escapes decoded + kept escapes uppercased,
+    //      fragment dropped, empty path → "/". Messy shapes synthesize
+    //      deterministically; the oracle constructs the clean form
+    //      directly (same pattern as html_links) ----
+    "url_canonical" -> ((s, dir) => {
+      import graft.functions.HtmlOps
+      val m = pmod(col("doc_id"), lit(11)).cast("string")
+      val k = pmod(col("doc_id"), lit(6))
+      val messy =
+        when(k === 0, concat(lit("HTTP://Example"), m,
+          lit(".COM:80/a/./b/../c%7Ed?x=%2a#frag")))
+        .when(k === 1, concat(lit("https://www.Site"), m,
+          lit(".org:443/%61bc/")))
+        .when(k === 2, concat(lit("http://h"), m, lit(".net")))
+        .when(k === 3, concat(lit("https://u:p@Host"), m,
+          lit(".io:8443/p/q")))
+        .when(k === 4, concat(lit("ftp://F"), m,
+          lit(".example:21/dir/../file.txt")))
+        .otherwise(concat(lit("http://x"), m, lit(".com/a%2Fb?q=1&r=%7e2")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), HtmlOps.canonical_url(messy).as("url"))
+    }),
 
     // ---- text: per-domain frequency cap (10 docs per registered
     //      domain by portable md5 rank) — the anti-hot-host mix
@@ -3957,6 +3991,18 @@ object SparkEntry {
         |       ELSE (63e0 * 4503599627370496e0) / hk END AS est,
         |  CAST(kept AS INTEGER) AS kept
         |FROM a""".stripMargin,
+    // batch twin of the streaming hourly Count-Min, restricted to
+    // watermark-closed windows (same closure rule as t1/t6)
+    "t7_streaming_cms" ->
+      """SELECT date_trunc('hour', ts) AS win_start, t.d,
+        |  ('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' ||
+        |    CAST(user_id AS VARCHAR)), 1, 13))::UBIGINT % 256 AS bucket,
+        |  count(*) AS cnt
+        |FROM events, range(4) t(d)
+        |WHERE user_id IS NOT NULL
+        |  AND date_trunc('hour', ts) + INTERVAL 2 HOUR
+        |    <= (SELECT date_trunc('microsecond', max(ts)) FROM events)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // Broder's estimator over the bottom-64 of the union, recomputed
     // with DuckDB list algebra on the same 52-bit hashes
     "kmv_resemblance" ->
@@ -4106,6 +4152,25 @@ object SparkEntry {
         |SELECT doc_id, sub || '.' || site || tld AS host,
         |  site || tld AS domain
         |FROM base""".stripMargin,
+    // the oracle CONSTRUCTS each canonical form directly from the same
+    // doc_id arithmetic the gate uses to synthesize the messy input
+    "url_canonical" ->
+      """SELECT doc_id,
+        |  CASE ((doc_id % 6) + 6) % 6
+        |    WHEN 0 THEN 'http://example' ||
+        |      CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) || '.com/a/c~d?x=%2A'
+        |    WHEN 1 THEN 'https://www.site' ||
+        |      CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) || '.org/abc/'
+        |    WHEN 2 THEN 'http://h' ||
+        |      CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) || '.net/'
+        |    WHEN 3 THEN 'https://u:p@host' ||
+        |      CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) || '.io:8443/p/q'
+        |    WHEN 4 THEN 'ftp://f' ||
+        |      CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) || '.example/file.txt'
+        |    ELSE 'http://x' ||
+        |      CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) || '.com/a%2Fb?q=1&r=~2'
+        |  END AS url
+        |FROM documents""".stripMargin,
     // the cap mirrors sample_balanced's portable md5 rank per domain
     "domain_cap" ->
       """WITH base AS (

@@ -40,10 +40,108 @@ case class HtmlLinks(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** RFC 3986 §6.2 syntax-based URL normalization — the crawl-dedup
+  * canonical form: lowercase scheme + host, default port dropped,
+  * dot segments removed, unreserved percent-escapes decoded and the
+  * rest uppercased, empty path → "/", fragment dropped. Two URLs that
+  * normalize equal identify the same resource by syntax alone (§6.2.2
+  * — no DNS, no fetch), which is what a URL-frontier dedup needs.
+  * Null for anything without a `scheme://` authority form. */
+case class CanonicalUrl(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonical_url"
+  override def nullable: Boolean = true
+  override def nullSafeEval(url: Any): Any = {
+    val r = HtmlOps.canonicalizeUrl(url.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, u => s"""
+      String r = graft.functions.HtmlOps.canonicalizeUrl($u.toString());
+      ${ev.value} = r == null ? null :
+        org.apache.spark.unsafe.types.UTF8String.fromString(r);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
+    copy(child = newChild)
+}
+
 object HtmlOps {
 
   private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:".r
   private val SkipSchemes = Set("javascript", "mailto", "data", "tel", "about")
+
+  private val DefaultPorts =
+    Map("http" -> "80", "https" -> "443", "ftp" -> "21",
+      "ws" -> "80", "wss" -> "443")
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+    (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** §6.2.2.1–2: decode unreserved percent-escapes, uppercase the hex
+    * of every escape that stays. Invalid escapes pass through. */
+  def normalizePct(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(v.toChar)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** See [[CanonicalUrl]]. */
+  def canonicalizeUrl(url0: String): String = {
+    val (noFrag, _) = splitFragment(url0.trim)
+    val sm = SchemeRe.findFirstIn(noFrag).orNull
+    if (sm == null || !noFrag.regionMatches(sm.length, "//", 0, 2)) return null
+    val scheme = sm.dropRight(1).toLowerCase(java.util.Locale.ROOT)
+    val authStart = sm.length + 2
+    val pathStart = {
+      val i = noFrag.indexWhere(c => c == '/' || c == '?', authStart)
+      if (i < 0) noFrag.length else i
+    }
+    val authority = noFrag.substring(authStart, pathStart)
+    if (authority.isEmpty) return null
+    val atIdx = authority.lastIndexOf('@')
+    val userinfo = if (atIdx >= 0) authority.substring(0, atIdx + 1) else ""
+    val hostPort = authority.substring(atIdx + 1)
+    // IPv6 literals keep their brackets; the port colon is after ']'
+    val colon = {
+      val from = if (hostPort.startsWith("[")) hostPort.indexOf(']') else 0
+      if (from < 0) -1 else hostPort.indexOf(':', from)
+    }
+    val host = (if (colon < 0) hostPort else hostPort.substring(0, colon))
+      .toLowerCase(java.util.Locale.ROOT)
+    if (host.isEmpty) return null
+    val port = if (colon < 0) null else hostPort.substring(colon + 1)
+    val keepPort = port != null && port.nonEmpty &&
+      !DefaultPorts.get(scheme).contains(port)
+    val (path0, query) = splitQuery(noFrag.substring(pathStart))
+    val path1 = removeDotSegments(normalizePct(path0))
+    val path = if (path1.isEmpty) "/" else path1
+    s"$scheme://$userinfo$host${if (keepPort) ":" + port else ""}$path" +
+      (if (query == null) "" else "?" + normalizePct(query))
+  }
 
   /** RFC 3986 §5.2.4 remove_dot_segments. */
   def removeDotSegments(path: String): String = {
@@ -256,4 +354,8 @@ object HtmlOps {
     org.apache.spark.sql.GraftSqlBridge.column(HtmlLinks(
       org.apache.spark.sql.GraftSqlBridge.expression(html),
       org.apache.spark.sql.GraftSqlBridge.expression(base)))
+
+  def canonical_url(url: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(CanonicalUrl(
+      org.apache.spark.sql.GraftSqlBridge.expression(url)))
 }

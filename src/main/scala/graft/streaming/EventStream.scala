@@ -73,6 +73,30 @@ object EventStream {
         col("_sk.est").as("est"), col("_sk.kept").as("kept"))
   }
 
+  /** Hourly Count-Min sketch as a STREAMING aggregation: because the
+    * sketch is a relation ([[graft.operators.Sketches.cmsSketch]]),
+    * its streaming twin is just a watermarked windowed count over
+    * (window, d, bucket) — at most depth × width rows of state per
+    * open window, append-emitted when the watermark closes it, and
+    * deterministic, so streaming = batch = oracle. Per-window sketches
+    * merge across hours by adding counts ([[graft.operators.Sketches
+    * .cmsMerge]]) — the classic pre-aggregated time-series sketch
+    * layout. */
+  def hourlyCms(events: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256,
+      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame =
+    events.filter(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(array((0 until depth).map { d =>
+        struct(lit(d).as("d"),
+          graft.operators.Sketches.cmsBucket(col(valueCol), d, width)
+            .as("bucket"))
+      }: _*)).as("db"))
+      .groupBy(window(col(tsCol), "1 hour"), col("db.d"), col("db.bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("d"),
+        col("bucket"), col("cnt"))
+
   /** STREAM-STREAM interval join: purchases matched to the clicks that
     * preceded them within `windowSeconds` on the same user — the
     * attribution join, running as a genuine stream-stream inner join.

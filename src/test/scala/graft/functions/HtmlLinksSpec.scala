@@ -133,4 +133,54 @@ class HtmlLinksSpec extends AnyFunSuite {
     val l = Option(HtmlOps.linksInternal("<a href='x.html'>x</a>", "not a url")).get
     assert(l.numElements() == 0)
   }
+
+  // ---- canonicalizeUrl (RFC 3986 §6.2) ----
+
+  test("canonical: case, default port, dot segments, empty path") {
+    assert(HtmlOps.canonicalizeUrl("HTTP://Example.COM:80/a/./b/../c") ==
+      "http://example.com/a/c")
+    assert(HtmlOps.canonicalizeUrl("https://Host.ORG:443") ==
+      "https://host.org/")
+    assert(HtmlOps.canonicalizeUrl("https://h.io:8443/p") ==
+      "https://h.io:8443/p") // non-default port kept
+    assert(HtmlOps.canonicalizeUrl("ftp://F.example:21/d/../f.txt") ==
+      "ftp://f.example/f.txt")
+    // trailing slash is SIGNIFICANT — /a/ and /a are different resources
+    assert(HtmlOps.canonicalizeUrl("http://h.com/a/") == "http://h.com/a/")
+  }
+
+  test("canonical: percent-escapes — unreserved decode, kept escapes uppercase") {
+    assert(HtmlOps.canonicalizeUrl("http://h.com/%7Euser/%61bc") ==
+      "http://h.com/~user/abc")
+    // %2F is reserved — must stay encoded (decoding changes the path!)
+    assert(HtmlOps.canonicalizeUrl("http://h.com/a%2fb?q=%2a") ==
+      "http://h.com/a%2Fb?q=%2A")
+    // invalid escape passes through untouched
+    assert(HtmlOps.canonicalizeUrl("http://h.com/%zz/x") ==
+      "http://h.com/%zz/x")
+  }
+
+  test("canonical: fragment dropped, query kept, userinfo kept, IPv6 port") {
+    assert(HtmlOps.canonicalizeUrl("http://H.com/p?a=1&b=2#sec") ==
+      "http://h.com/p?a=1&b=2")
+    assert(HtmlOps.canonicalizeUrl("https://u:P@Host.io/x") ==
+      "https://u:P@host.io/x") // userinfo is case-SENSITIVE
+    assert(HtmlOps.canonicalizeUrl("http://[2001:DB8::1]:80/x") ==
+      "http://[2001:db8::1]/x")
+    assert(HtmlOps.canonicalizeUrl("http://[2001:db8::1]:8080/x") ==
+      "http://[2001:db8::1]:8080/x")
+  }
+
+  test("canonical: non-URLs and authority-less forms are null, never a throw") {
+    for (u <- Seq("", "not a url", "mailto:a@b.c", "/relative/only",
+        "http:/one-slash", "http://", "scheme://:80/x"))
+      assert(HtmlOps.canonicalizeUrl(u) == null, s"for '$u'")
+  }
+
+  test("canonical: idempotent — canonical(canonical(u)) == canonical(u)") {
+    for (u <- Seq("HTTP://A.B:80/x/./y/../z%7E?q=%2a#f",
+        "https://u@H.io:443/%41/", "ftp://X.example/a/b/../../c"))
+      assert(HtmlOps.canonicalizeUrl(HtmlOps.canonicalizeUrl(u)) ==
+        HtmlOps.canonicalizeUrl(u))
+  }
 }
