@@ -264,6 +264,10 @@ object ExplainCheck {
     audit("text_strip_html", mustNotContain = Seq("Exchange"))
     // URL canonicalization is a codegen'd projection — zero Exchange
     audit("url_canonical", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    // temperature mix: the S-row rate table BROADCASTS onto the corpus
+    // filter — a sort-merge join would shuffle the corpus to meet it
+    audit("mix_temperature", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
     // Count-Min: the (≤ depth×width row) sketch must BROADCAST to the
     // probe side — a sort-merge join would shuffle the probe stream to
     // meet a metadata-sized table; the build is one hash aggregation

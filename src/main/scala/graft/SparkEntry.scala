@@ -1743,6 +1743,16 @@ object SparkEntry {
         rates = Map("src0" -> 100, "src1" -> 40), defaultPct = 10)
         .select(col("doc_id"), col("source"))),
 
+    // ---- text: temperature-flattened mix (n^(1/T) proportions, T=2) —
+    //      keep-rates from one metadata-sized count aggregate,
+    //      broadcast onto the corpus filter; ratio rounded to 6 dp
+    //      before the basis-point floor so both engines land on the
+    //      identical integer ----
+    "mix_temperature" -> ((s, dir) =>
+      TextAnalysis.temperatureMix(t(s, dir, "documents"), "doc_id", "source",
+        temperature = 2.0, salt = "tmix:")
+        .select(col("doc_id"), col("source"))),
+
     // ---- text: per-source corpus report (exact median pinned for the
     //      oracle; the operator default is the mergeable approx sketch) ----
     "corpus_report" -> ((s, dir) =>
@@ -4428,6 +4438,20 @@ object SparkEntry {
         |      < CASE WHEN source = 'src1' THEN 40
         |             WHEN source = 'src0' THEN 100
         |             ELSE 10 END""".stripMargin,
+    // n^(1/T)-proportional keep-rates (T=2 → w = n^-0.5), normalized to
+    // the max, rounded to 6 dp, floored to basis points — the same
+    // arithmetic sequence the operator runs
+    "mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        | m AS (SELECT source, pow(CAST(n AS DOUBLE), -0.5) AS w FROM c),
+        | mx AS (SELECT max(w) AS mw FROM m),
+        | r AS (SELECT source,
+        |    CAST(floor(round(w / mw, 6) * 10000 + 0.5) AS BIGINT) AS bp
+        |  FROM m, mx)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 10000 < bp""".stripMargin,
     "quality_score" ->
       """WITH base AS (
         | SELECT doc_id, text, length(text) AS nc,

@@ -59,16 +59,19 @@ object Similarity {
     * dequantizes to the constant. The arithmetic is a fixed
     * left-to-right IEEE sequence, so an independent SQL engine
     * reproduces codes and dequantized values bit-for-bit. */
-  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), col(vecCol).as("_v"),
-        array_min(col(vecCol)).cast("double").as("q_min"),
-        array_max(col(vecCol)).cast("double").as("q_max"))
-      .select(col(idCol), col("q_min"), col("q_max"),
+  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val carried = carryCols.map(col)
+    df.select(col(idCol) +: col(vecCol).as("_v") +:
+        array_min(col(vecCol)).cast("double").as("q_min") +:
+        array_max(col(vecCol)).cast("double").as("q_max") +: carried: _*)
+      .select(col(idCol) +: col("q_min") +: col("q_max") +:
         transform(col("_v"), x =>
           when(col("q_max") === col("q_min"), lit(-128))
             .otherwise((floor((x.cast("double") - col("q_min")) * 255.0 /
               (col("q_max") - col("q_min")) + 0.5) - 128).cast("int"))
-            .cast("byte")).as("qvec"))
+            .cast("byte")).as("qvec") +: carried: _*)
+  }
 
   /** Dequantized double vector from a [[quantizeEmbeddings]] row. */
   def dequantize(qvec: Column, qMin: Column, qMax: Column): Column =
@@ -323,6 +326,32 @@ object Similarity {
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Int8-quantized IVF index: the two 100-TB levers composed —
+    * `cluster=<c>/` partition layout (probe = partition pruning, only
+    * nProbe/k of the directories open) where each stored row carries
+    * the [[quantizeEmbeddings]] codes instead of the float vector
+    * (4× fewer bytes per opened row). Cluster assignment runs on the
+    * ORIGINAL floats before quantization, so pruning recall matches
+    * the float index exactly. */
+  def writeIvfIndexQuantized(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    quantizeEmbeddings(ivfAssign(df, idCol, vecCol, centroids),
+        idCol, vecCol, carryCols = Seq("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+  }
+
+  /** Asymmetric top-k over a [[writeIvfIndexQuantized]] layout:
+    * partition pruning on the probed clusters, dequantized scoring
+    * against the full-precision query. */
+  def ivfTopKFromQuantizedIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, query: Seq[Double], k: Int,
+      centroids: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+    val probes = nearestCentroids(query, centroids, nProbe)
+    quantizedTopK(
+      spark.read.parquet(path).filter(col("cluster").isin(probes: _*)),
+      idCol, query, k)
   }
 
   // ---- Batch k-NN join ----------------------------------------------------

@@ -401,6 +401,39 @@ object TextAnalysis {
     df.filter(stratumBucket(idCol, salt) <
       stratumPct(stratumCol, rates, defaultPct))
 
+  /** TEMPERATURE-flattened source mixing — the multilingual-pretraining
+    * sampler (mBERT/XLM-R lineage): the output distribution follows
+    * n_s^(1/T), so T = 1 keeps natural proportions and larger T lifts
+    * low-resource strata. Per-stratum keep-rates derive from one
+    * metadata-sized count aggregate: rate_s ∝ n_s^(1/T)/n_s,
+    * normalized so the most-lifted stratum keeps everything (no
+    * upsampling — compose with [[upsampleSources]] for repeats), then
+    * discretized to `grid` basis points (ratio rounded to 6 dp first,
+    * so an independent engine's pow/division lands on the identical
+    * integer). Rows keep/drop by the same salted-md5 bucket rule as
+    * [[mixSources]] on the finer grid — deterministic and nested.
+    *
+    * Scale shape: a groupBy-count (S rows), a 1-row max, and a
+    * BROADCAST join of the S-row rate table onto the corpus filter —
+    * no collect, no shuffle of the corpus. */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+      temperature: Double, grid: Int = 10000, salt: String = ""): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+      .select(col(stratumCol),
+        pow(col("_n").cast("double"), lit(1.0 / temperature - 1.0)).as("_w"))
+    val mx = counts.agg(max(col("_w")).as("_mw"))
+    val rates = counts.crossJoin(broadcast(mx))
+      .select(col(stratumCol),
+        floor(round(col("_w") / col("_mw"), 6) * grid + 0.5)
+          .cast("long").as("_bp"))
+    val bucket = conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") % grid
+    df.join(broadcast(rates), stratumCol)
+      .filter(bucket < col("_bp"))
+      .drop("_bp")
+  }
+
   /** Epoch-weighted source UPSAMPLING — the pretraining-mix REPEAT
     * primitive ("books ×2.5, web ×1"): every row of a stratum with
     * weight `w` (integer PERCENT of an epoch — 250 = 2.5 epochs) is

@@ -254,6 +254,33 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"recall too low: ${(exact intersect approx).size}/10")
   }
 
+  test("quantized IVF index: partition-pruned probe matches the in-memory quantized scan") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val cents = Similarity.trainCentroids(rest, "embedding", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qivf").toString
+    Similarity.writeIvfIndexQuantized(rest, "vec_id", "embedding", cents, dir)
+    val fromIdx = Similarity.ivfTopKFromQuantizedIndex(spark, dir, "vec_id",
+      q, 10, cents, nProbe = 4)
+    // expected: quantize the same cluster subset in memory, same top-k
+    val probes = Similarity.nearestCentroids(q, cents, 4).toSet
+    val subset = Similarity.ivfAssign(rest, "vec_id", "embedding", cents)
+      .filter(col("cluster").isin(probes.toSeq: _*))
+    val expect = Similarity.quantizedTopK(
+      Similarity.quantizeEmbeddings(subset, "vec_id", "embedding"), "vec_id", q, 10)
+    assert(fromIdx.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      expect.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the probe must prune partitions at planning time, and stored rows
+    // carry byte codes, not float vectors
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    val schema = spark.read.parquet(dir).schema("qvec").dataType
+    assert(schema == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType))
+  }
+
   test("knnJoin: batch top-k equals per-query bruteForceTopK, any partitioning") {
     import spark.implicits._
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -99,6 +99,27 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(webMixed == webDirect)
   }
 
+  test("temperatureMix: T=1 is a passthrough; larger T flattens toward uniform") {
+    val rows = (1L to 3300L).map(i =>
+      (i, if (i % 33 == 0) "rare" else "web")) // 100 rare vs 3200 web
+      .toDF("id", "source")
+    // T = 1: w = n^0 = 1 for every stratum → bp = grid → nothing drops
+    assert(TextAnalysis.temperatureMix(rows, "id", "source", 1.0).count() == 3300)
+    // T = 4: web's keep-rate falls to (3200/100)^(3/4) below rare's —
+    // rare keeps everything, web thins toward it
+    val mixed = TextAnalysis.temperatureMix(rows, "id", "source", 4.0)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("rare") == 100) // most-lifted stratum keeps all rows
+    val expectedWebRate = math.pow(100.0 / 3200.0, 1 - 1 / 4.0)
+    val expectedWeb = 3200 * expectedWebRate
+    assert(math.abs(mixed("web") - expectedWeb) < 0.2 * expectedWeb,
+      s"web kept ${mixed("web")}, expected ~$expectedWeb")
+    // deterministic: same call, same rows
+    val again = TextAnalysis.temperatureMix(rows, "id", "source", 4.0).count()
+    assert(again == mixed.values.sum)
+  }
+
   test("sampleByHash: deterministic, nested, and roughly proportional") {
     val ids = (1L to 2000L).map(i => (i, s"doc $i")).toDF("id", "text")
     val s10 = TextAnalysis.sampleByHash(ids, "id", 10).select("id").as[Long].collect().toSet
