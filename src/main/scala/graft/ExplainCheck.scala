@@ -91,6 +91,11 @@ object ExplainCheck {
     audit("mm_mjpeg_sample", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_router", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_gif_pixel_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    // perceptual hash is a pure projection (decode inside the kernel);
+    // the near-dup pair path is a block-bucket EQUI-join, never all-pairs
+    audit("mm_image_dhash", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_image_neardup",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     audit("mm_gif_frames", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_tiff_pixel_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // span dedup is explode + hash-aggregate winners + reassemble —

@@ -96,6 +96,12 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_dhash",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.ImageDhash(c)
+        case _ => throw new IllegalArgumentException(
+          "image_dhash expects (binary)")
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("fix_mojibake",
       (args: Seq[Expression]) => args match {
         case Seq(c) => FixMojibake(c)
@@ -432,6 +438,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => ImagePixelStats(c)
         case _ => throw new IllegalArgumentException(
           "image_pixel_stats expects (binary)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("image_dhash"),
+      info("image_dhash",
+        "image_dhash(binary) - 64-bit perceptual difference hash (9x8 " +
+          "average-pooled grayscale, darker-than-right-neighbor bits) of " +
+          "a JPEG/PNG/BMP; null for GIF/TIFF/undersized/undecodable"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.ImageDhash(c)
+        case _ => throw new IllegalArgumentException(
+          "image_dhash expects (binary)")
       }))
     ext.injectFunction((
       FunctionIdentifier("fix_mojibake"),

@@ -813,6 +813,34 @@ object SparkEntry {
     //      types, two IDAT chunks), then inflate + unfilter it back to
     //      exact integer channel sums. The oracle recomputes the sums
     //      analytically from the affine sample rule ----
+    // ---- multimodal: 64-bit perceptual dHash — 9×8 average-pooled
+    //      grayscale, bit = darker-than-right-neighbor via cross-
+    //      multiplied integer sums; text length pinned to doc_id%4+15
+    //      so every synth image clears the 9×8 grid; the oracle
+    //      re-pools the affine pixels in SQL and rebuilds the hash ----
+    "mm_image_dhash" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+        ImageCodec.image_dhash(ImageCodec.image_synth_png(col("doc_id"),
+          expr("repeat('x', CAST(doc_id % 4 + 15 AS INT))"))).as("dhash"))
+    }),
+
+    // ---- multimodal: near-duplicate IMAGE pairs — dHash banded into
+    //      4×16-bit blocks (pigeonhole-exact for hamming ≤ 3), block-
+    //      bucket equi-join, exact bit_count verify; synth ids fold to
+    //      doc_id%8 so genuine duplicate images exist. Cap pinned 0
+    //      for the exact oracle ----
+    "mm_image_neardup" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      val imgs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          ImageCodec.image_synth_png(pmod(col("doc_id"), lit(8)),
+            expr("repeat('x', CAST(doc_id % 4 + 15 AS INT))")).as("img"))
+      graft.operators.Multimodal.imageNearDupPairs(imgs, "img", "doc_id",
+        maxHamming = 3, maxBucket = 0)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+    }),
+
     "mm_png_pixel_stats" -> ((s, dir) => {
       import graft.functions.ImageCodec
       t(s, dir, "documents").select(col("doc_id"),
@@ -2299,6 +2327,40 @@ object SparkEntry {
   /** Portable universal-hash minhash CTEs mirroring
     * [[Dedup.minhashLshPairsPortable]] (constants shared via
     * [[Dedup.uhA]]/[[Dedup.uhB]]). */
+  /** dHash CTEs mirroring [[graft.functions.ImageCodec.dhashInternal]]
+    * over [[graft.functions.ImageSynthPng]] images with text length
+    * `doc_id % 4 + 15`: re-derive dims, enumerate the affine pixels,
+    * average-pool into the 8×9 grid (integer `//`), compare adjacent
+    * cells by cross-multiplication, rebuild the signed 64-bit hash
+    * (bit 63 folded in via BIGINT wrap-around, no HUGEINT shifts). */
+  private def dhashCtes(sidExpr: String, where: String = ""): String =
+    s"""d AS (SELECT doc_id, $sidExpr AS sid, doc_id % 4 + 15 AS n
+       |  FROM documents$where),
+       |dims AS (SELECT doc_id, sid, n % 29 + 4 AS w, n % 19 + 3 AS h FROM d),
+       |px AS (SELECT doc_id, w, h, y.r AS y, x.r AS x,
+       |    CASE WHEN sid % 4 IN (0, 2)
+       |      THEN 3 * ((x.r*3 + y.r*5 + sid) % 256)
+       |      ELSE ((x.r*3 + y.r*5 + sid) % 256)
+       |           + ((x.r*5 + y.r*7 + sid*2) % 256)
+       |           + ((x.r*7 + y.r*9 + sid*3) % 256) END AS g
+       |  FROM dims, range(32) x(r), range(24) y(r)
+       |  WHERE x.r < w AND y.r < h),
+       |cells AS (SELECT doc_id, (y*8)//h AS cy, (x*9)//w AS cx,
+       |    sum(g) AS s, count(*) AS cnt
+       |  FROM px GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.doc_id, a.cy, a.cx,
+       |    CASE WHEN a.s * b.cnt < b.s * a.cnt THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1),
+       |hashes AS (SELECT doc_id,
+       |    CAST(CAST(u62 AS BIGINT)
+       |      + top * ((-9223372036854775807)::BIGINT - 1) AS BIGINT) AS dhash
+       |  FROM (SELECT doc_id,
+       |      sum(CASE WHEN cy*8 + cx = 63 THEN 0
+       |          ELSE bit * (1::BIGINT << (cy*8 + cx)) END) AS u62,
+       |      max(CASE WHEN cy*8 + cx = 63 THEN bit ELSE 0 END) AS top
+       |    FROM bits GROUP BY 1))""".stripMargin
+
   private def minhashCtes(numHashes: Int, bands: Int,
       where: String = ""): String = {
     val rowsPer = numHashes / bands
@@ -2936,6 +2998,22 @@ object SparkEntry {
         |   THEN CAST(doc_id % 4 = 0 AS INTEGER) ELSE NULL END AS INTEGER)
         |   AS progressive
         |FROM base""".stripMargin,
+    "mm_image_dhash" ->
+      s"""WITH ${dhashCtes("doc_id")}
+         |SELECT doc_id, dhash FROM hashes""".stripMargin,
+    // 4×16-bit banding (arithmetic >> then mask — sign bits masked off
+    // identically in both engines), exact bit_count(xor) verify
+    "mm_image_neardup" ->
+      s"""WITH ${dhashCtes("((doc_id % 8) + 8) % 8", " WHERE doc_id < 300")},
+         |bands AS (SELECT doc_id, dhash, b.r AS blk_no,
+         |    (dhash >> (b.r*16)) & 65535 AS blk
+         |  FROM hashes, range(4) b(r)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.dhash AS h1, b.dhash AS h2
+         |  FROM bands a JOIN bands b
+         |    ON a.blk_no = b.blk_no AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
     "mm_image_resize" ->
       """WITH dims AS (
         |  SELECT doc_id,

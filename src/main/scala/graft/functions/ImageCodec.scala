@@ -116,6 +116,42 @@ case class ImagePixelStats(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** 64-bit perceptual DIFFERENCE hash (dHash) of an image — the
+  * multimodal twin of SimHash: near-identical images land within a
+  * few bits, so near-duplicate IMAGE detection rides the same banded
+  * bucket-join machinery as text ([[graft.operators.Multimodal
+  * .imageNearDupPairs]]). The classic 9×8 recipe: average-pool the
+  * grayscale (r+g+b, no luma weights — integer-exact) into 8 rows ×
+  * 9 columns (pixel (x,y) → cell (y·8/h, x·9/w)), then bit (cy,cx) =
+  * 1 iff cell (cy,cx) is darker than its right neighbor — compared
+  * by cross-multiplied integer sums, so unequal cell sizes never
+  * need a division. Supports every full-pixel decoder here (JPEG,
+  * PNG at any depth/color type, BMP); GIF/TIFF and undersized
+  * (w < 9 or h < 8) images → null. Deterministic pure-integer math →
+  * engine-portable, oracle-checkable. */
+case class ImageDhash(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "image_dhash"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.dhashInternal(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dh = ctx.freshName("dh")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $dh = graft.functions.ImageCodec.dhashInternal($c);
+      ${ev.isNull} = $dh == null;
+      ${ev.value} = $dh == null ? -1L : $dh.longValue();
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDhash =
+    copy(child = newChild)
+}
+
 /** `(id, utf8 content) → real 8-bit PNG with pixels` — the PNG twin of
   * [[ImageSynthBmp]]: a fully decodable zlib-compressed PNG whose
   * sample values are fixed affine functions of (x, y, channel, id) mod
@@ -1035,6 +1071,84 @@ object ImageCodec {
     * Sniffs the payload: 24bpp BMP or 8-bit PNG (gray/RGB/gray+alpha/
     * RGBA — FULL decode through inflate + unfilter). Grayscale
     * replicates into r=g=b so downstream logic is channel-uniform. */
+  /** dHash kernel — see [[ImageDhash]]. Null (not a throw) for
+    * undecodable bytes, GIF/TIFF, or images under the 9×8 grid. */
+  def dhashInternal(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.length < 2) return null
+    var w = 0
+    var h = 0
+    var gray: (Int, Int) => Long = null
+    if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
+      val img = JpegCodec.decodePixels(bytes)
+      if (img == null) return null
+      w = img.width; h = img.height
+      val s = img.samples
+      gray =
+        if (img.channels == 1) (x, y) => 3L * (s(y * w + x) & 0xFF)
+        else (x, y) => {
+          val i = (y * w + x) * 3
+          (s(i) & 0xFF).toLong + (s(i + 1) & 0xFF) + (s(i + 2) & 0xFF)
+        }
+    } else if (bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) {
+      val png = decodePngPixels(bytes)
+      if (png == null) return null
+      w = png.width; h = png.height
+      val s = png.samples
+      val bps = if (png.bitDepth == 16) 2 else 1
+      def at(i: Int): Long =
+        if (bps == 1) (s(i) & 0xFF).toLong
+        else ((s(i * 2) & 0xFFL) << 8) | (s(i * 2 + 1) & 0xFFL)
+      gray = png.channels match {
+        case 1 => (x, y) => 3L * at(y * w + x)
+        case 2 => (x, y) => 3L * at((y * w + x) * 2)
+        case 3 => (x, y) => {
+          val i = (y * w + x) * 3; at(i) + at(i + 1) + at(i + 2)
+        }
+        case _ => (x, y) => {
+          val i = (y * w + x) * 4; at(i) + at(i + 1) + at(i + 2)
+        }
+      }
+    } else {
+      val bmp = parseBmp(bytes)
+      if (bmp == null) return null
+      w = bmp.width; h = bmp.height
+      gray = (x, y) => {
+        val i = bmp.at(x, y)
+        (bmp.bytes(i) & 0xFF).toLong + (bmp.bytes(i + 1) & 0xFF) +
+          (bmp.bytes(i + 2) & 0xFF)
+      }
+    }
+    if (w < 9 || h < 8) return null
+    val s = new Array[Long](72)
+    val n = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val row = (y * 8 / h) * 9
+      var x = 0
+      while (x < w) {
+        val idx = row + x * 9 / w
+        s(idx) += gray(x, y)
+        n(idx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val a = cy * 9 + cx
+        // darker-than-right-neighbor, unequal cell sizes handled by
+        // cross-multiplication (pure integer, no division)
+        if (s(a) * n(a + 1) < s(a + 1) * n(a)) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
   def pixelStatsInternal(bytes: Array[Byte]): InternalRow = {
     if (bytes == null || bytes.length < 2) return null
     if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
@@ -1420,6 +1534,9 @@ object ImageCodec {
 
   def image_pixel_stats(c: Column): Column =
     GraftSqlBridge.column(ImagePixelStats(GraftSqlBridge.expression(c)))
+
+  def image_dhash(c: Column): Column =
+    GraftSqlBridge.column(ImageDhash(GraftSqlBridge.expression(c)))
 
   def image_resize_nn(c: Column, w: Column, h: Column): Column =
     GraftSqlBridge.column(ImageResizeNn(GraftSqlBridge.expression(c),

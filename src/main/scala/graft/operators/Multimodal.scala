@@ -133,4 +133,36 @@ object Multimodal {
     df.select(col(idCol),
       graft.functions.MultimodalCodec.multimodal_encode(
         col(idCol), col(textCol)).as("payload"))
+
+  /** Near-duplicate IMAGE pairs by 64-bit perceptual dHash
+    * ([[graft.functions.ImageDhash]]) — the multimodal member of the
+    * dedup family, riding the exact machinery the text paths use:
+    * band the hash into 4 × 16-bit blocks (pigeonhole: any two hashes
+    * within hamming ≤ 3 share at least one block), equi-join block
+    * buckets (skew-capped with drop accounting, like every band join
+    * here), then filter by exact `bit_count(xor)`. Decode runs ONCE
+    * per image inside the signature projection; the join carries
+    * (id, hash) only — pixels never shuffle. */
+  def imageNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding is exact only for hamming <= 3")
+    val hashes = df.select(col(idCol).as("id"),
+      graft.functions.ImageCodec.image_dhash(col(bytesCol)).as("dh"))
+      .filter(col("dh").isNotNull)
+    val banded = Dedup.capBuckets(
+      hashes.select(col("id"), col("dh"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("blk_no"),
+            shiftright(col("dh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("blk"))
+        }: _*)).as("bb"))
+        .select(col("id"), col("dh"), col("bb.blk_no"), col("bb.blk")),
+      Seq("blk_no", "blk"), "id", maxBucket, "image_dhash")
+    Dedup.bucketPairs(banded, Seq("blk_no", "blk"), "id", Seq("dh"),
+        bounded = maxBucket > 0)
+      .select(col("id1"), col("id2"),
+        bit_count(col("dh1").bitwiseXOR(col("dh2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
+  }
 }

@@ -528,4 +528,74 @@ class ImageCodecSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Scan ExistingRDD"), plan)
   }
+
+  // ---- dHash ----
+
+  /** Truecolor PNG from an explicit (x, y) → (r, g, b) rule. */
+  private def rgbPng(w: Int, h: Int, f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val s = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      s((y * w + x) * 3) = r.toByte
+      s((y * w + x) * 3 + 1) = g.toByte
+      s((y * w + x) * 3 + 2) = b.toByte
+    }
+    ImageCodec.encodePng(w, h, 2, s, _ => 0)
+  }
+
+  test("dhash: monotone gradients give all-ones / all-zeros; flat gives zeros") {
+    // brightness strictly increasing left-to-right → every cell darker
+    // than its right neighbor → all 64 bits set
+    val asc = rgbPng(18, 16, (x, _) => (x * 10, x * 10, x * 10))
+    assert(ImageCodec.dhashInternal(asc) == -1L) // 64 ones = -1 signed
+    val desc = rgbPng(18, 16, (x, _) => (170 - x * 10, 170 - x * 10, 170 - x * 10))
+    assert(ImageCodec.dhashInternal(desc) == 0L)
+    val flat = rgbPng(18, 16, (_, _) => (7, 7, 7))
+    assert(ImageCodec.dhashInternal(flat) == 0L) // equal is NOT darker
+  }
+
+  test("dhash: near-identical images differ in few bits; unrelated differ in many") {
+    def img(seed: Int) = rgbPng(27, 24, (x, y) =>
+      ((x * 7 + y * 3 + seed) % 256, (x * 5 + y * 11) % 256, (x * 3 + y) % 256))
+    val a = ImageCodec.dhashInternal(img(0)).longValue()
+    val b = ImageCodec.dhashInternal(img(1)).longValue() // tiny brightness shift
+    assert(java.lang.Long.bitCount(a ^ b) <= 3,
+      s"near pair hamming ${java.lang.Long.bitCount(a ^ b)}")
+    val noise = rgbPng(27, 24, (x, y) =>
+      (((x * 131 + y * 197) * 31) % 256, ((x * 89 + y * 57) * 17) % 256,
+        ((x * 41 + y * 13) * 101) % 256))
+    val c = ImageCodec.dhashInternal(noise).longValue()
+    assert(java.lang.Long.bitCount(a ^ c) >= 10,
+      s"unrelated hamming ${java.lang.Long.bitCount(a ^ c)}")
+  }
+
+  test("dhash: same pixels through PNG and BMP containers hash identically") {
+    val w = 21; val h = 12
+    def px(x: Int, y: Int) = ((x * 9 + y * 4) % 256, (x * 3) % 256, (y * 5) % 256)
+    val png = ImageCodec.dhashInternal(rgbPng(w, h, px))
+    // BMP rows are bottom-up with BGR order and 4-byte row padding
+    val stride = (w * 3 + 3) / 4 * 4
+    val bmp = new Array[Byte](54 + stride * h)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def put32(off: Int, v: Int): Unit = {
+      bmp(off) = v.toByte; bmp(off + 1) = (v >> 8).toByte
+      bmp(off + 2) = (v >> 16).toByte; bmp(off + 3) = (v >> 24).toByte
+    }
+    put32(2, bmp.length); put32(10, 54); put32(14, 40)
+    put32(18, w); put32(22, h); bmp(26) = 1; bmp(28) = 24
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val i = 54 + (h - 1 - y) * stride + x * 3
+      bmp(i) = b.toByte; bmp(i + 1) = g.toByte; bmp(i + 2) = r.toByte
+    }
+    assert(ImageCodec.dhashInternal(bmp) == png)
+  }
+
+  test("dhash: undersized, GIF/TIFF, and garbage bytes are null") {
+    assert(ImageCodec.dhashInternal(rgbPng(8, 16, (_, _) => (1, 2, 3))) == null)
+    assert(ImageCodec.dhashInternal(rgbPng(16, 7, (_, _) => (1, 2, 3))) == null)
+    assert(ImageCodec.dhashInternal("notanimage".getBytes) == null)
+    assert(ImageCodec.dhashInternal(Array[Byte]()) == null)
+    assert(ImageCodec.dhashInternal(null) == null)
+  }
 }
