@@ -96,6 +96,9 @@ object ExplainCheck {
     audit("mm_image_dhash", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_image_neardup",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    audit("mm_audio_fingerprint", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_audio_neardup",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     audit("mm_gif_frames", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_tiff_pixel_stats", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     // span dedup is explode + hash-aggregate winners + reassemble —

@@ -227,6 +227,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => AudioMeta(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("audio_pcm_stats",
       (args: Seq[Expression]) => AudioPcmStats(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("audio_fingerprint",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.AudioFingerprint(c)
+        case _ => throw new IllegalArgumentException(
+          "audio_fingerprint expects (binary)")
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("audio_frame_sample",
       (args: Seq[Expression]) => args match {
         case Seq(b, k) => AudioFrameSample(b, k)
@@ -571,6 +577,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("audio_pcm_stats",
         "audio_pcm_stats(binary) - exact per-channel sums + peak of 16-bit PCM WAV"),
       (args: Seq[Expression]) => AudioPcmStats(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("audio_fingerprint"),
+      info("audio_fingerprint",
+        "audio_fingerprint(binary) - 64-bit energy-contour fingerprint " +
+          "(65 pooled |amplitude| blocks, quieter-than-next bits) of a " +
+          "PCM/float/G.711 WAV; null for ADPCM/short/undecodable"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.AudioFingerprint(c)
+        case _ => throw new IllegalArgumentException(
+          "audio_fingerprint expects (binary)")
+      }))
     ext.injectFunction((
       FunctionIdentifier("audio_frame_sample"),
       info("audio_frame_sample",

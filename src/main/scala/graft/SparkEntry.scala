@@ -813,6 +813,31 @@ object SparkEntry {
     //      types, two IDAT chunks), then inflate + unfilter it back to
     //      exact integer channel sums. The oracle recomputes the sums
     //      analytically from the affine sample rule ----
+    // ---- multimodal: 64-bit audio energy fingerprint — per-frame
+    //      summed |amplitude| pooled into 65 blocks, bit = quieter-
+    //      than-next; text length pinned ≥ 45 so every clip clears the
+    //      65-frame floor; oracle re-pools the affine samples ----
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      import graft.functions.AudioCodec
+      t(s, dir, "documents").select(col("doc_id"),
+        AudioCodec.audio_fingerprint(AudioCodec.audio_synth_g711(col("doc_id"),
+          expr("repeat('x', CAST(doc_id % 50 + 60 AS INT))"))).as("afp"))
+    }),
+
+    // ---- multimodal: near-duplicate AUDIO pairs — the fingerprint
+    //      through the shared 4×16-bit banding; synth ids fold to
+    //      doc_id%6 so genuine duplicate clips exist; cap pinned 0 ----
+    "mm_audio_neardup" -> ((s, dir) => {
+      import graft.functions.AudioCodec
+      val clips = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          AudioCodec.audio_synth_g711(pmod(col("doc_id"), lit(6)),
+            expr("repeat('x', CAST(doc_id % 3 + 60 AS INT))")).as("clip"))
+      graft.operators.Multimodal.audioNearDupPairs(clips, "clip", "doc_id",
+        maxHamming = 3, maxBucket = 0)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+    }),
+
     // ---- multimodal: 64-bit perceptual dHash — 9×8 average-pooled
     //      grayscale, bit = darker-than-right-neighbor via cross-
     //      multiplied integer sums; text length pinned to doc_id%4+15
@@ -2361,6 +2386,64 @@ object SparkEntry {
        |      max(CASE WHEN cy*8 + cx = 63 THEN bit ELSE 0 END) AS top
        |    FROM bits GROUP BY 1))""".stripMargin
 
+  /** The CCITT G.711 expansion as SQL over a code expression `c`,
+    * branching on a boolean `ulaw` column — lifted verbatim from the
+    * long-green `mm_audio_g711` oracle. */
+  private def g711ExpandSql(c: String): String =
+    s"""CASE WHEN ulaw THEN
+       |  CASE WHEN ((255 - $c) & 128) <> 0
+       |    THEN 132 - (((((255 - $c) & 15) * 8) + 132) << (((255 - $c) >> 4) & 7))
+       |    ELSE (((((255 - $c) & 15) * 8) + 132) << (((255 - $c) >> 4) & 7)) - 132 END
+       |ELSE
+       |  CASE WHEN (xor($c, 85) & 128) <> 0 THEN
+       |    CASE WHEN ((xor($c, 85) & 112) >> 4) = 0
+       |      THEN (xor($c, 85) & 15) * 16 + 8
+       |      ELSE ((xor($c, 85) & 15) * 16 + 264)
+       |        << (greatest(1, (xor($c, 85) & 112) >> 4) - 1) END
+       |  ELSE -(
+       |    CASE WHEN ((xor($c, 85) & 112) >> 4) = 0
+       |      THEN (xor($c, 85) & 15) * 16 + 8
+       |      ELSE ((xor($c, 85) & 15) * 16 + 264)
+       |        << (greatest(1, (xor($c, 85) & 112) >> 4) - 1) END) END
+       |END""".stripMargin
+
+  /** Audio-fingerprint CTEs mirroring [[graft.functions.AudioCodec
+    * .fingerprintInternal]] over [[graft.functions.AudioSynthG711]]
+    * clips with text length `lenExpr`: code (i, c) =
+    * floorMod(i·(7+2c) + sid·(3+c), 256) expanded through the G.711
+    * μ-law/A-law formulas (format by sid parity — the companded
+    * expansion makes the energy contour oscillate), channels =
+    * (sid % 4) / 2 + 1, frames = n % 241 + 20; |amplitudes| pool into
+    * 65 blocks, bit b = quieter-than-next, signed fold like dhash. */
+  private def audioFpCtes(sidExpr: String, lenExpr: String,
+      where: String = ""): String =
+    s"""d AS (SELECT doc_id, $sidExpr AS sid, ($lenExpr) % 241 + 20 AS nf
+       |  FROM documents$where),
+       |fr AS (SELECT doc_id, nf, sid, (sid % 4) // 2 + 1 AS ch,
+       |    sid % 2 = 0 AS ulaw, i.r AS i,
+       |    (i.r*7 + sid*3) % 256 AS c0, (i.r*9 + sid*4) % 256 AS c1
+       |  FROM d, range(261) i(r) WHERE i.r < nf),
+       |amp AS (SELECT doc_id, nf, i,
+       |    abs(${g711ExpandSql("c0")})
+       |    + CASE WHEN ch = 2
+       |        THEN abs(${g711ExpandSql("c1")}) ELSE 0 END AS a
+       |  FROM fr),
+       |blocks AS (SELECT doc_id, (i*65)//nf AS b,
+       |    sum(a) AS s, count(*) AS cnt
+       |  FROM amp GROUP BY 1, 2),
+       |fbits AS (SELECT x.doc_id, x.b AS p,
+       |    CASE WHEN x.s * y.cnt < y.s * x.cnt THEN 1 ELSE 0 END AS bit
+       |  FROM blocks x JOIN blocks y
+       |    ON x.doc_id = y.doc_id AND y.b = x.b + 1 AND x.b < 64),
+       |fhashes AS (SELECT doc_id,
+       |    CAST(CAST(u62 AS BIGINT)
+       |      + top * ((-9223372036854775807)::BIGINT - 1) AS BIGINT) AS afp
+       |  FROM (SELECT doc_id,
+       |      sum(CASE WHEN p = 63 THEN 0
+       |          ELSE bit * (1::BIGINT << p) END) AS u62,
+       |      max(CASE WHEN p = 63 THEN bit ELSE 0 END) AS top
+       |    FROM fbits GROUP BY 1))""".stripMargin
+
   private def minhashCtes(numHashes: Int, bands: Int,
       where: String = ""): String = {
     val rowsPer = numHashes / bands
@@ -2998,6 +3081,21 @@ object SparkEntry {
         |   THEN CAST(doc_id % 4 = 0 AS INTEGER) ELSE NULL END AS INTEGER)
         |   AS progressive
         |FROM base""".stripMargin,
+    "mm_audio_fingerprint" ->
+      s"""WITH ${audioFpCtes("doc_id", "doc_id % 50 + 60")}
+         |SELECT doc_id, afp FROM fhashes""".stripMargin,
+    "mm_audio_neardup" ->
+      s"""WITH ${audioFpCtes("((doc_id % 6) + 6) % 6", "doc_id % 3 + 60",
+            " WHERE doc_id < 300")},
+         |abands AS (SELECT doc_id, afp, b.r AS blk_no,
+         |    (afp >> (b.r*16)) & 65535 AS blk
+         |  FROM fhashes, range(4) b(r)),
+         |acand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.afp AS h1, b.afp AS h2
+         |  FROM abands a JOIN abands b
+         |    ON a.blk_no = b.blk_no AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         |FROM acand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
     "mm_image_dhash" ->
       s"""WITH ${dhashCtes("doc_id")}
          |SELECT doc_id, dhash FROM hashes""".stripMargin,

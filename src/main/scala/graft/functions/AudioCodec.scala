@@ -63,6 +63,40 @@ case class AudioPcmStats(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** 64-bit perceptual ENERGY fingerprint of a clip — the audio member
+  * of the near-dup hash family ([[graft.functions.ImageDhash]] is the
+  * image one): per-frame summed |amplitude| across channels is
+  * average-pooled into 65 time blocks (frame f → block f·65/n), and
+  * bit b = 1 iff block b is quieter than block b+1 — the loudness
+  * CONTOUR, which survives level shifts and re-encoding while
+  * distinguishing different material. Comparisons cross-multiply
+  * integer sums (128-bit via multiplyHigh, no division, no floats) →
+  * engine-portable. Works on every [[AudioCodec.parseWav]] format
+  * (PCM 8/16/24, float32, G.711); ADPCM, clips under 65 frames, and
+  * malformed bytes → null. */
+case class AudioFingerprint(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "audio_fingerprint"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    AudioCodec.fingerprintInternal(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fp = ctx.freshName("afp")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $fp = graft.functions.AudioCodec.fingerprintInternal($c);
+      ${ev.isNull} = $fp == null;
+      ${ev.value} = $fp == null ? -1L : $fp.longValue();
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioFingerprint =
+    copy(child = newChild)
+}
+
 /** `(wav, k) → wav` keeping every k-th frame (frames 0, k, 2k, …) —
   * the audio analog of video frame sampling: a real decimation that
   * re-emits a valid, decodable WAV at the same sample rate. */
@@ -656,11 +690,53 @@ object AudioCodec {
     }
   }
 
+  /** dHash-style unsigned 128-bit product compare: a·b < c·d for
+    * non-negative longs. */
+  private def prodLess(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val h1 = java.lang.Math.multiplyHigh(a, b); val l1 = a * b
+    val h2 = java.lang.Math.multiplyHigh(c, d); val l2 = c * d
+    h1 < h2 || (h1 == h2 && java.lang.Long.compareUnsigned(l1, l2) < 0)
+  }
+
+  /** Fingerprint kernel — see [[AudioFingerprint]]. */
+  def fingerprintInternal(bytes: Array[Byte]): java.lang.Long = {
+    val w = parseWav(bytes)
+    if (w == null) return null
+    val nf = w.nFrames
+    if (nf < 65 || nf > Int.MaxValue) return null
+    val n = nf.toInt
+    val s = new Array[Long](65)
+    val cnt = new Array[Long](65)
+    var f = 0
+    while (f < n) {
+      val blk = (f.toLong * 65 / n).toInt
+      var a = 0L
+      var c = 0
+      while (c < w.channels) {
+        a += math.abs(w.sampleAt(f, c).toLong)
+        c += 1
+      }
+      s(blk) += a
+      cnt(blk) += 1
+      f += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (prodLess(s(b), cnt(b + 1), s(b + 1), cnt(b))) hash |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
   def audio_meta(c: Column): Column =
     GraftSqlBridge.column(AudioMeta(GraftSqlBridge.expression(c)))
 
   def audio_pcm_stats(c: Column): Column =
     GraftSqlBridge.column(AudioPcmStats(GraftSqlBridge.expression(c)))
+
+  def audio_fingerprint(c: Column): Column =
+    GraftSqlBridge.column(AudioFingerprint(GraftSqlBridge.expression(c)))
 
   def audio_frame_sample(c: Column, k: Column): Column =
     GraftSqlBridge.column(AudioFrameSample(

@@ -144,12 +144,32 @@ object Multimodal {
     * per image inside the signature projection; the join carries
     * (id, hash) only — pixels never shuffle. */
   def imageNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    bandedHashPairs(
+      df.select(col(idCol).as("id"),
+        graft.functions.ImageCodec.image_dhash(col(bytesCol)).as("dh")),
+      maxHamming, maxBucket, "image_dhash")
+
+  /** Near-duplicate AUDIO pairs by the 64-bit energy-contour
+    * fingerprint ([[graft.functions.AudioFingerprint]]) — identical
+    * banded machinery to [[imageNearDupPairs]]; decode runs once per
+    * clip inside the signature projection, PCM never shuffles. */
+  def audioNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    bandedHashPairs(
+      df.select(col(idCol).as("id"),
+        graft.functions.AudioCodec.audio_fingerprint(col(bytesCol)).as("dh")),
+      maxHamming, maxBucket, "audio_fp")
+
+  /** Shared 64-bit-hash near-dup machinery: band into 4 × 16-bit
+    * blocks (pigeonhole: hamming ≤ 3 pairs share ≥ 1 block),
+    * skew-capped block-bucket equi-join, exact `bit_count(xor)`
+    * verify. */
+  private def bandedHashPairs(hashes0: DataFrame, maxHamming: Int,
+      maxBucket: Int, tag: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding is exact only for hamming <= 3")
-    val hashes = df.select(col(idCol).as("id"),
-      graft.functions.ImageCodec.image_dhash(col(bytesCol)).as("dh"))
-      .filter(col("dh").isNotNull)
+    val hashes = hashes0.filter(col("dh").isNotNull)
     val banded = Dedup.capBuckets(
       hashes.select(col("id"), col("dh"),
         explode(array((0 until 4).map { b =>
@@ -157,7 +177,7 @@ object Multimodal {
             shiftright(col("dh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("blk"))
         }: _*)).as("bb"))
         .select(col("id"), col("dh"), col("bb.blk_no"), col("bb.blk")),
-      Seq("blk_no", "blk"), "id", maxBucket, "image_dhash")
+      Seq("blk_no", "blk"), "id", maxBucket, tag)
     Dedup.bucketPairs(banded, Seq("blk_no", "blk"), "id", Seq("dh"),
         bounded = maxBucket > 0)
       .select(col("id1"), col("id2"),

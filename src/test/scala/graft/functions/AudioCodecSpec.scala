@@ -318,4 +318,37 @@ class AudioCodecSpec extends AnyFunSuite {
     val st = Option(AudioCodec.statsInternal(wav)).get
     assert(st.getLong(3) == 0L && st.getInt(5) == 0)
   }
+
+  // ---- energy fingerprint ----
+
+  /** Mono 16-bit WAV from per-frame amplitudes. */
+  private def pcm16(amps: Seq[Int]): Array[Byte] = {
+    val data = new Array[Byte](amps.length * 2)
+    amps.zipWithIndex.foreach { case (a, i) =>
+      data(i * 2) = (a & 0xFF).toByte; data(i * 2 + 1) = ((a >> 8) & 0xFF).toByte
+    }
+    AudioCodec.encodeWavBytes(1, 16, 1, 8000, data)
+  }
+
+  test("fingerprint: monotone loudness ramps give all-ones / zeros; flat gives zeros") {
+    // 130 frames, 2 per block: rising |amplitude| → every block quieter
+    // than the next → all 64 bits set (signed -1)
+    assert(AudioCodec.fingerprintInternal(pcm16((1 to 130).map(_ * 10))) == -1L)
+    assert(AudioCodec.fingerprintInternal(pcm16((1 to 130).map(i => 1310 - i * 10))) == 0L)
+    assert(AudioCodec.fingerprintInternal(pcm16(Seq.fill(130)(500))) == 0L)
+  }
+
+  test("fingerprint: level shift preserves the contour bits it doesn't saturate") {
+    val shape = (0 until 130).map(i => 100 + 90 * ((i / 2) % 7))
+    val a = AudioCodec.fingerprintInternal(pcm16(shape)).longValue()
+    val b = AudioCodec.fingerprintInternal(pcm16(shape.map(_ * 3))).longValue()
+    assert(a == b) // scaling every amplitude 3x flips no comparisons
+    assert(a != 0L && a != -1L) // and the contour is non-trivial
+  }
+
+  test("fingerprint: short clips, ADPCM, and garbage are null") {
+    assert(AudioCodec.fingerprintInternal(pcm16(Seq.fill(64)(5))) == null)
+    assert(AudioCodec.fingerprintInternal("RIFFnope".getBytes) == null)
+    assert(AudioCodec.fingerprintInternal(null) == null)
+  }
 }
