@@ -97,6 +97,8 @@ object ExplainCheck {
     audit("mm_image_neardup",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     audit("mm_audio_fingerprint", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    // scene deltas: decode + explode is a NARROW Generate pipeline
+    audit("mm_video_scenes", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_audio_neardup",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     audit("mm_gif_frames", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))

@@ -255,6 +255,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => VideoMeta(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("video_pixel_stats",
       (args: Seq[Expression]) => VideoPixelStats(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("video_frame_deltas",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.VideoFrameDeltas(c)
+        case _ => throw new IllegalArgumentException(
+          "video_frame_deltas expects (binary)")
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("video_frame_sample",
       (args: Seq[Expression]) => args match {
         case Seq(b, k) => VideoFrameSample(b, k)
@@ -625,6 +631,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("video_pixel_stats",
         "video_pixel_stats(binary) - exact channel sums over every frame of an AVI/DIB clip"),
       (args: Seq[Expression]) => VideoPixelStats(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("video_frame_deltas"),
+      info("video_frame_deltas",
+        "video_frame_deltas(binary) - per-transition sum of |pixel " +
+          "change| over an AVI clip (DIB or MJPEG) — the scene-change " +
+          "signal; threshold relationally"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.VideoFrameDeltas(c)
+        case _ => throw new IllegalArgumentException(
+          "video_frame_deltas expects (binary)")
+      }))
     ext.injectFunction((
       FunctionIdentifier("video_frame_sample"),
       info("video_frame_sample",

@@ -1152,6 +1152,18 @@ object SparkEntry {
     //      hdrl/avih headers AND decode every pixel of every frame to
     //      exact channel sums. The oracle recomputes analytically from
     //      the per-frame affine pixel rule ----
+    // ---- multimodal: scene-change signal — per-transition Σ|Δpixel|
+    //      (exact integers, one decode pass); thresholding stays
+    //      relational, so one array serves every cut policy ----
+    "mm_video_scenes" -> ((s, dir) => {
+      import graft.functions.VideoCodec
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(VideoCodec.video_frame_deltas(
+            VideoCodec.video_synth_avi(col("doc_id"), col("text")))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("frame"),
+          col("col").as("delta"))
+    }),
+
     "mm_video_stats" -> ((s, dir) => {
       import graft.functions.VideoCodec
       val avi = VideoCodec.video_synth_avi(col("doc_id"), col("text"))
@@ -3743,6 +3755,28 @@ object SparkEntry {
     // the BMP gradient extended with a frame term (r: +t*19, g: +t*23,
     // b: +t*29). The Spark side walks a REAL RIFF/AVI container; the
     // oracle recomputes the channel sums analytically.
+    // consecutive-frame |Δ| of the affine synth planes, channel-wise,
+    // summed over every pixel — exact integers both engines agree on
+    "mm_video_scenes" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) % 21 + 4 AS w,
+        |         octet_length(encode(text)) % 13 + 3 AS h,
+        |         octet_length(encode(text)) % 17 + 2 AS f
+        |  FROM documents),
+        | px AS (
+        |  SELECT d.doc_id, ts.t AS t,
+        |    abs(((xs.x*13 + ys.y*17 + ts.t*19 + d.doc_id*3) % 256)
+        |      - ((xs.x*13 + ys.y*17 + (ts.t-1)*19 + d.doc_id*3) % 256))
+        |    + abs(((xs.x*7 + ys.y*11 + ts.t*23 + d.doc_id*2) % 256)
+        |      - ((xs.x*7 + ys.y*11 + (ts.t-1)*23 + d.doc_id*2) % 256))
+        |    + abs(((xs.x*3 + ys.y*5 + ts.t*29 + d.doc_id) % 256)
+        |      - ((xs.x*3 + ys.y*5 + (ts.t-1)*29 + d.doc_id) % 256)) AS dd
+        |  FROM dims d, range(24) xs(x), range(15) ys(y), range(1, 18) ts(t)
+        |  WHERE xs.x < d.w AND ys.y < d.h AND ts.t < d.f)
+        |SELECT doc_id, CAST(t AS BIGINT) AS frame,
+        |  CAST(sum(dd) AS BIGINT) AS delta
+        |FROM px GROUP BY 1, 2""".stripMargin,
     "mm_video_stats" ->
       """WITH dims AS (
         |  SELECT doc_id,

@@ -66,6 +66,30 @@ case class VideoPixelStats(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Per-transition pixel deltas of an AVI clip (array element t−1 =
+  * Σ |frame t − frame t−1| over all pixels and channels) — see
+  * [[VideoCodec.frameDeltasInternal]]. The decode half of scene-cut
+  * detection; the thresholding half stays relational. */
+case class VideoFrameDeltas(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "video_frame_deltas"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    VideoCodec.frameDeltasInternal(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VideoCodec.frameDeltasInternal($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): VideoFrameDeltas =
+    copy(child = newChild)
+}
+
 /** `(avi, k) → avi` keeping frames 0, k, 2k, … — real video frame
   * sampling that re-emits a valid AVI (µs-per-frame unchanged: pure
   * decimation; total-frames patched). */
@@ -325,6 +349,71 @@ object VideoCodec {
     InternalRow(a.width, a.height, n, a.width.toLong * a.height * n, sr, sg, sb)
   }
 
+  /** Per-transition pixel deltas — the SCENE-CHANGE signal: element
+    * t−1 is Σ over pixels and channels of |frame t − frame t−1|, an
+    * exact integer. Thresholding (fixed, relative-to-mean, top-k) is
+    * left RELATIONAL — explode the array and filter — so one decode
+    * pass serves every cut-detection policy. DIB frames diff in place
+    * inside the shared buffer; MJPEG frames decode one at a time with
+    * only the previous frame's samples held. Null on malformed bytes
+    * or a frame-size mismatch; a single-frame clip yields []. */
+  def frameDeltasInternal(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val a = parseAvi(b)
+    if (a == null) return null
+    val nf = a.frameOffs.length
+    if (nf < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nf - 1)
+    if (a.mjpeg) {
+      var prev: Array[Byte] = null
+      var prevCh = 0
+      var t = 0
+      while (t < nf) {
+        val img = JpegCodec.decodePixels(java.util.Arrays.copyOfRange(
+          a.bytes, a.frameOffs(t), a.frameOffs(t) + a.frameLens(t)))
+        if (img == null || img.width != a.width || img.height != a.height)
+          return null
+        if (t > 0) {
+          if (img.channels != prevCh) return null
+          var d = 0L
+          var i = 0
+          // gray frames count the single channel THREE times, matching
+          // the DIB path's r+g+b accounting
+          val mult = if (img.channels == 1) 3 else 1
+          while (i < img.samples.length) {
+            d += mult * math.abs((img.samples(i) & 0xFF) - (prev(i) & 0xFF))
+            i += 1
+          }
+          out(t - 1) = d
+        }
+        prev = img.samples
+        prevCh = img.channels
+        t += 1
+      }
+    } else {
+      var t = 1
+      while (t < nf) {
+        val basePrev = a.frameOffs(t - 1)
+        val baseCur = a.frameOffs(t)
+        var d = 0L
+        var row = 0
+        while (row < a.height) {
+          var op = basePrev + row * a.stride
+          var oc = baseCur + row * a.stride
+          var x = 0
+          while (x < a.width * 3) {
+            d += math.abs((a.bytes(oc) & 0xFF) - (a.bytes(op) & 0xFF))
+            op += 1; oc += 1; x += 1
+          }
+          row += 1
+        }
+        out(t - 1) = d
+        t += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def chunk(t: String, data: Array[Byte]): Array[Byte] = {
     val pad = data.length & 1
     val out = java.nio.ByteBuffer.allocate(8 + data.length + pad)
@@ -512,6 +601,9 @@ object VideoCodec {
 
   def video_meta(c: Column): Column =
     GraftSqlBridge.column(VideoMeta(GraftSqlBridge.expression(c)))
+
+  def video_frame_deltas(c: Column): Column =
+    GraftSqlBridge.column(VideoFrameDeltas(GraftSqlBridge.expression(c)))
 
   def video_pixel_stats(c: Column): Column =
     GraftSqlBridge.column(VideoPixelStats(GraftSqlBridge.expression(c)))

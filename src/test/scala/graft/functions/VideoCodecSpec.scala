@@ -219,4 +219,26 @@ class VideoCodecSpec extends AnyFunSuite {
       badScan(i) = 0x55
     assert(stats(badScan).isEmpty)
   }
+
+  test("frame deltas: exact |change| per transition, static clip is zeros") {
+    // 3 frames: constant 10, constant 10 (static), then +5 on every
+    // channel of every pixel → deltas [0, 5*3*w*h]
+    val w = 6; val h = 4
+    val clip = VideoCodec.encodeAvi(w, h, 33333L, 3,
+      (t, _, _) => if (t < 2) (10, 10, 10) else (15, 15, 15))
+    val d = Option(VideoCodec.frameDeltasInternal(clip)).get
+    assert(d.numElements() == 2)
+    assert(d.getLong(0) == 0L)
+    assert(d.getLong(1) == 5L * 3 * w * h)
+  }
+
+  test("frame deltas: MJPEG path decodes; single-frame is []; garbage null") {
+    val mj = VideoCodec.synthAviMjpeg(2L, UTF8String.fromString("scene clip"))
+    val d = Option(VideoCodec.frameDeltasInternal(mj)).get
+    assert(d.numElements() >= 1) // nf = n%5+2 ≥ 2 → ≥ 1 transition
+    val one = VideoCodec.encodeAvi(5, 4, 33333L, 1, (_, _, _) => (1, 2, 3))
+    assert(Option(VideoCodec.frameDeltasInternal(one)).get.numElements() == 0)
+    assert(VideoCodec.frameDeltasInternal("RIFFgarbage!".getBytes) == null)
+    assert(VideoCodec.frameDeltasInternal(null) == null)
+  }
 }
