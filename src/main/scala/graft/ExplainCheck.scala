@@ -128,6 +128,12 @@ object ExplainCheck {
     // URL → domain is a pure codegen'd string projection: no shuffle
     audit("url_domains", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("robots_filter", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("robots_delay", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    // politeness schedule: ONE hash window per domain — never an
+    // unpartitioned (single-partition) window over the frontier
+    audit("crawl_schedule",
+      mustContain = Seq("Exchange hashpartitioning(domain"),
+      mustNotContain = Seq("Exchange SinglePartition"))
     audit("text_fix_mojibake", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("html_links", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("sitemap_urls", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))

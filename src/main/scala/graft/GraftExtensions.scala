@@ -115,6 +115,13 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "robots_allowed expects (robots_txt, path, agent string literal)")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("robots_crawl_delay",
+      (args: Seq[Expression]) => args match {
+        case Seq(t, Literal(a: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          graft.functions.RobotsCrawlDelay(t, a.toString)
+        case _ => throw new IllegalArgumentException(
+          "robots_crawl_delay expects (robots_txt, agent string literal)")
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("warc_records",
       (args: Seq[Expression]) => args match {
         case Seq(c) => WarcRecords(c)
@@ -493,6 +500,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(u) => graft.functions.CanonicalUrl(u)
         case _ => throw new IllegalArgumentException(
           "canonical_url expects (url string)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("robots_crawl_delay"),
+      info("robots_crawl_delay",
+        "robots_crawl_delay(robots_txt, agent literal) - Crawl-delay of " +
+          "the agent's winning group in milliseconds; null when absent"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, Literal(a: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          graft.functions.RobotsCrawlDelay(t, a.toString)
+        case _ => throw new IllegalArgumentException(
+          "robots_crawl_delay expects (robots_txt, agent string literal)")
       }))
     ext.injectFunction((
       FunctionIdentifier("warc_records"),

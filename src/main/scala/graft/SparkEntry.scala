@@ -1668,6 +1668,41 @@ object SparkEntry {
         RobotsOps.robots_allowed(robots, path, "crawler0-bot").as("allowed"))
     }),
 
+    // ---- crawl: Crawl-delay of the winning UA group in ms —
+    //      specific-agent group beats *, fractional seconds legal,
+    //      absent → null; the politeness input for crawl_schedule ----
+    "robots_delay" -> ((s, dir) => {
+      import graft.functions.RobotsOps
+      val k = pmod(col("doc_id"), lit(4))
+      val robots =
+        when(k === 0, concat(lit("User-agent: *\nCrawl-delay: "),
+          (pmod(col("doc_id"), lit(5)) + 1).cast("string"),
+          lit("\nDisallow: /x\n")))
+        .when(k === 1, concat(
+          lit("User-agent: graftbot\nCrawl-delay: 0.5\nDisallow: /y\n\n"),
+          lit("User-agent: *\nCrawl-delay: 10\n")))
+        .when(k === 2, lit("User-agent: *\nDisallow: /private\n"))
+        .otherwise(lit("User-agent: other\nCrawl-delay: 9\n"))
+      t(s, dir, "documents").select(col("doc_id"),
+        RobotsOps.robots_crawl_delay(robots, "graftbot").as("delay_ms"))
+    }),
+
+    // ---- crawl: per-host politeness schedule — consecutive fetch
+    //      slots per registered domain (salted-md5 order) with
+    //      offset_ms = (slot−1)·delay; one hash window per domain ----
+    "crawl_schedule" -> ((s, dir) => {
+      val url = concat(lit("https://site"),
+        pmod(col("doc_id"), lit(11)).cast("string"),
+        element_at(array(lit(".com"), lit(".co.uk"), lit(".org")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+        lit("/p"), col("doc_id"))
+      val in = t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"),
+          when(pmod(col("doc_id"), lit(11)) < 4, lit(2000L)).as("delay_ms"))
+      TextAnalysis.politenessSchedule(in, "url", "doc_id", "delay_ms")
+        .select(col("doc_id"), col("domain"), col("slot"), col("offset_ms"))
+    }),
+
     // ---- crawl: Sitemap directives out of robots.txt — group-
     //      independent per RFC 9309 §2.2.4, collected file-wide in
     //      order (comments stripped, blanks skipped) ----
@@ -4391,6 +4426,34 @@ object SparkEntry {
         |      CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) || '.com/a%2Fb?q=1&r=~2'
         |  END AS url
         |FROM documents""".stripMargin,
+    // specific-agent group beats *, fractional seconds round to ms,
+    // non-matching or delay-less winners are null
+    "robots_delay" ->
+      """SELECT doc_id,
+        |  CASE ((doc_id % 4) + 4) % 4
+        |    WHEN 0 THEN (doc_id % 5 + 1) * 1000
+        |    WHEN 1 THEN 500
+        |    ELSE NULL
+        |  END AS delay_ms
+        |FROM documents""".stripMargin,
+    // slots = md5 rank within the registered domain; offsets multiply
+    // the per-row delay (null → the 1000 ms default)
+    "crawl_schedule" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) ||
+        |      CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN '.com'
+        |        WHEN 1 THEN '.co.uk' ELSE '.org' END AS domain,
+        |    CASE WHEN ((doc_id % 11) + 11) % 11 < 4 THEN 2000 END AS delay_ms
+        |  FROM documents),
+        | r AS (
+        |  SELECT doc_id, domain, delay_ms,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS slot
+        |  FROM u)
+        |SELECT doc_id, domain, CAST(slot AS BIGINT) AS slot,
+        |  CAST((slot - 1) * coalesce(delay_ms, 1000) AS BIGINT) AS offset_ms
+        |FROM r""".stripMargin,
     // the cap mirrors sample_balanced's portable md5 rank per domain
     "domain_cap" ->
       """WITH base AS (

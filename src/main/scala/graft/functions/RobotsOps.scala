@@ -63,37 +63,56 @@ case class RobotsSitemaps(child: Expression)
     copy(child = newChild)
 }
 
+/** `Crawl-delay` of the agent's winning group, in milliseconds — the
+  * de-facto politeness extension (fractional seconds legal). Null when
+  * the winning group carries none or no group matches. */
+case class RobotsCrawlDelay(child: Expression, agent: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(agent != null && agent.nonEmpty, "agent required")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "robots_crawl_delay"
+  override def nullable: Boolean = true
+  override def nullSafeEval(txt: Any): Any =
+    RobotsOps.crawlDelayMs(txt.asInstanceOf[UTF8String].toString, agent)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")
+    val d = ctx.freshName("delay")
+    nullSafeCodeGen(ctx, ev, t => s"""
+      java.lang.Long $d = graft.functions.RobotsOps.crawlDelayMs($t.toString(), $ref);
+      ${ev.isNull} = $d == null;
+      ${ev.value} = $d == null ? -1L : $d.longValue();
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RobotsCrawlDelay =
+    copy(child = newChild)
+}
+
 object RobotsOps {
   /** One rule: allow?, raw pattern. */
   private final case class Rule(allow: Boolean, pattern: String)
 
-  /** Parse and select the rule group for `agent`: groups open with one
-    * or more consecutive User-agent lines; the group whose UA token is
-    * the LONGEST substring of `agent` (case-insensitive) wins, `*`
-    * matches any agent at the lowest specificity. Unknown directives
-    * and comments are skipped per spec. */
-  private def rulesFor(txt: String, agent: String): Seq[Rule] = {
-    val la = agent.toLowerCase
-    var bestLen = -1          // specificity of the winning group
-    var best = List.empty[Rule]
+  /** One UA group: its agent tokens (lowercased), rules in file
+    * order, and the group's Crawl-delay seconds if present. */
+  private final case class Group(agents: List[String], rules: List[Rule],
+      delay: Option[Double])
+
+  /** Parse into groups: a group opens with one or more consecutive
+    * User-agent lines and closes when a new User-agent follows rule
+    * lines. Unknown directives and comments are skipped per spec;
+    * Crawl-delay (the de-facto extension Bing/Yandex honor) is
+    * captured per group. */
+  private def parseGroups(txt: String): List[Group] = {
+    var groups = List.empty[Group]
     var curAgents = List.empty[String]
     var curRules = List.empty[Rule]
+    var curDelay: Option[Double] = None
     var inGroup = false       // currently collecting rules (past UA lines)
     def close(): Unit = {
-      if (curAgents.nonEmpty) {
-        // group specificity = best of its UA tokens vs our agent
-        val spec = curAgents.map {
-          case "*" => 0
-          case ua if la.contains(ua) => ua.length
-          case _ => -1
-        }.max
-        if (spec > bestLen) { bestLen = spec; best = curRules.reverse }
-        // RFC 9309 §2.2.1: rules from ALL groups matching the same
-        // user-agent combine — a second `User-agent: *` (or same-UA)
-        // group appends to the winner rather than being discarded
-        else if (spec >= 0 && spec == bestLen) best = best ++ curRules.reverse
-      }
-      curAgents = Nil; curRules = Nil; inGroup = false
+      if (curAgents.nonEmpty)
+        groups ::= Group(curAgents, curRules.reverse, curDelay)
+      curAgents = Nil; curRules = Nil; curDelay = None; inGroup = false
     }
     txt.split("\n").foreach { raw =>
       val noComment = {
@@ -114,12 +133,49 @@ object RobotsOps {
             // rule that matches nothing (skip it, per spec)
             if (value.nonEmpty)
               curRules ::= Rule(key == "allow", value)
+          case "crawl-delay" =>
+            inGroup = true
+            if (curDelay.isEmpty)
+              curDelay = value.toDoubleOption.filter(d => d >= 0 && d.isFinite)
           case _ => if (curAgents.nonEmpty) inGroup = true // sitemap etc.
         }
       }
     }
     close()
-    if (bestLen < 0) Nil else best
+    groups.reverse
+  }
+
+  /** Group selection for `agent`: the groups whose UA token is the
+    * LONGEST substring of `agent` (case-insensitive) win, `*` matches
+    * any agent at the lowest specificity; RFC 9309 §2.2.1 combines
+    * ALL groups at the winning specificity in file order. */
+  private def selectGroups(txt: String, agent: String): List[Group] = {
+    val la = agent.toLowerCase
+    val withSpec = parseGroups(txt).map { g =>
+      val spec = g.agents.map {
+        case "*" => 0
+        case ua if la.contains(ua) => ua.length
+        case _ => -1
+      }.max
+      (spec, g)
+    }
+    val bestLen = if (withSpec.isEmpty) -1 else withSpec.map(_._1).max
+    if (bestLen < 0) Nil
+    else withSpec.collect { case (spec, g) if spec == bestLen => g }
+  }
+
+  private def rulesFor(txt: String, agent: String): Seq[Rule] =
+    selectGroups(txt, agent).flatMap(_.rules)
+
+  /** Crawl-delay for `agent` in MILLISECONDS (fractional seconds are
+    * legal in the wild), or null when the winning group carries none —
+    * the politeness input for [[graft.operators.TextAnalysis
+    * .politenessSchedule]]. Combined same-specificity groups take the
+    * most conservative (largest) delay. */
+  def crawlDelayMs(txt: String, agent: String): java.lang.Long = {
+    val ds = selectGroups(txt, agent).flatMap(_.delay)
+    if (ds.isEmpty) null
+    else java.lang.Long.valueOf(math.round(ds.max * 1000.0))
   }
 
   /** RFC 9309 pattern match: literal octets, `*` any run, `$` only as
@@ -187,4 +243,8 @@ object RobotsOps {
   def robots_sitemaps(txt: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(RobotsSitemaps(
       org.apache.spark.sql.GraftSqlBridge.expression(txt)))
+
+  def robots_crawl_delay(txt: Column, agent: String): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(RobotsCrawlDelay(
+      org.apache.spark.sql.GraftSqlBridge.expression(txt), agent))
 }

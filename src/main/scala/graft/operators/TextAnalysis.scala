@@ -1275,6 +1275,33 @@ object TextAnalysis {
     balancedSample(withDomain, idCol, "domain", cap)
   }
 
+  /** Per-host POLITENESS schedule — the frontier-ordering step between
+    * robots compliance and fetching: URLs of one registered domain get
+    * consecutive fetch slots (deterministic salted-md5 order, the
+    * engine-wide rule) and `offset_ms = (slot − 1) × delay`, where
+    * `delayCol` is the per-row crawl delay (typically
+    * [[graft.functions.RobotsOps.robots_crawl_delay]] joined from a
+    * domain-keyed robots table; null → `defaultDelayMs`). A fetcher
+    * that dispatches URL u no earlier than `start + offset_ms` honors
+    * every host's delay by construction.
+    *
+    * Scale shape: ONE hash window per domain (the capPerDomain /
+    * balanced-sample exchange) — no collect, nothing global; hot hosts
+    * cost a bigger window partition, never a single-partition sort. */
+  def politenessSchedule(df: DataFrame, urlCol: String, idCol: String,
+      delayCol: String, defaultDelayMs: Long = 1000L,
+      multiSuffixes: Seq[String] = defaultMultiSuffixes,
+      salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("domain",
+        registeredDomain(lower(try_parse_url(col(urlCol), lit("HOST"))),
+          multiSuffixes))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .withColumn("offset_ms",
+        (col("slot") - 1) * coalesce(col(delayCol), lit(defaultDelayMs)))
+  }
+
   /** BM25 top-k retrieval: for each (query_id, query_text) pair, the
     * `k` highest-scoring documents under Okapi BM25 with the
     * Lucene-style non-negative idf

@@ -135,4 +135,31 @@ class RobotsOpsSpec extends AnyFunSuite {
     assert(RobotsOps.sitemapUrls(null).isEmpty)
     assert(RobotsOps.sitemapUrls("User-agent: *\nDisallow:").isEmpty)
   }
+
+  test("crawl-delay: winning group's value in ms, specific beats *, fractions round") {
+    val txt =
+      """User-agent: graftbot
+        |Crawl-delay: 0.5
+        |Disallow: /y
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    assert(RobotsOps.crawlDelayMs(txt, "graftbot") == 500L)
+    assert(RobotsOps.crawlDelayMs(txt, "otherbot") == 10000L)
+    // absent in the winner → null even when another group has one
+    val only = "User-agent: graftbot\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 3\n"
+    assert(RobotsOps.crawlDelayMs(only, "graftbot") == null)
+    // no matching group at all → null; garbage values → null
+    assert(RobotsOps.crawlDelayMs("User-agent: other\nCrawl-delay: 9", "graftbot") == null)
+    assert(RobotsOps.crawlDelayMs("User-agent: *\nCrawl-delay: soon", "graftbot") == null)
+    assert(RobotsOps.crawlDelayMs("User-agent: *\nCrawl-delay: -2", "graftbot") == null)
+    // combined same-specificity groups take the most conservative delay
+    val two = "User-agent: *\nCrawl-delay: 2\nDisallow: /a\n\nUser-agent: *\nCrawl-delay: 7\n"
+    assert(RobotsOps.crawlDelayMs(two, "graftbot") == 7000L)
+    // first value within one group wins; delay doesn't disturb rules
+    val mixed = "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 4\nDisallow: /private\n"
+    assert(RobotsOps.crawlDelayMs(mixed, "bot") == 1000L)
+    assert(!RobotsOps.allowed(mixed, "bot", "/private/x"))
+  }
 }

@@ -99,6 +99,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(webMixed == webDirect)
   }
 
+  test("politenessSchedule: consecutive slots per domain, offsets honor the delay") {
+    val rows = Seq(
+      (1L, "https://a.com/x", java.lang.Long.valueOf(2000L)),
+      (2L, "https://a.com/y", java.lang.Long.valueOf(2000L)),
+      (3L, "https://a.com/z", java.lang.Long.valueOf(2000L)),
+      (4L, "https://b.org/q", null.asInstanceOf[java.lang.Long]),
+      (5L, "https://b.org/r", null.asInstanceOf[java.lang.Long])
+    ).toDF("id", "url", "delay_ms")
+    val out = TextAnalysis.politenessSchedule(rows, "url", "id", "delay_ms")
+      .select("id", "domain", "slot", "offset_ms").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // a.com rows get slots 1..3 with 2 s spacing, in the salted-md5 order
+    val aSlots = Seq(1L, 2L, 3L).map(out(_)).sortBy(_._2)
+    assert(aSlots.map(_._1).forall(_ == "a.com"))
+    assert(aSlots.map(_._3) == Seq(0L, 2000L, 4000L))
+    // b.org rows fall back to the 1000 ms default
+    val bSlots = Seq(4L, 5L).map(out(_)).sortBy(_._2)
+    assert(bSlots.map(_._3) == Seq(0L, 1000L))
+    // deterministic across runs
+    val again = TextAnalysis.politenessSchedule(rows, "url", "id", "delay_ms")
+      .select("id", "slot").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(i => again(i) == out(i)._2))
+  }
+
   test("temperatureMix: T=1 is a passthrough; larger T flattens toward uniform") {
     val rows = (1L to 3300L).map(i =>
       (i, if (i % 33 == 0) "rare" else "web")) // 100 rare vs 3200 web
