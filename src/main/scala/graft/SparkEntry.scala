@@ -309,6 +309,23 @@ object SparkEntry {
         graft.streaming.EventStream.hourlyKmvDistinct(events, "user_id", 64)
       }),
 
+    // ---- T8 streaming incremental dedup: new docs stream in, the
+    //      portable-minhash signature + banding run STATELESS, and a
+    //      stream-static band join probes the persisted corpus index —
+    //      nothing accumulates in the state store; one row per
+    //      matching band (multiplicity = shared-band count) keeps the
+    //      plan append-mode with no watermark ----
+    "t8_streaming_incremental" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t8", table = "documents") { docs =>
+        val idx = Dedup.minhashIndexRows(
+          t(s, dir, "documents")
+            .filter(col("doc_id") < 500 && col("doc_id") % 2 === 0),
+          "text", "doc_id", maxBucket = 0)
+        Dedup.incrementalNearDupStream(
+          docs.filter(col("doc_id") < 500 && col("doc_id") % 2 === 1),
+          idx, "text", "doc_id")
+      }),
+
     // ---- T7 streaming Count-Min: the sketch-as-relation means its
     //      streaming twin is a plain watermarked windowed count over
     //      (window, d, bucket) — bounded depth×width state per open
@@ -4246,6 +4263,13 @@ object SparkEntry {
         |       ELSE (63e0 * 4503599627370496e0) / hk END AS est,
         |  CAST(kept AS INTEGER) AS kept
         |FROM a""".stripMargin,
+    // the streaming banded join emits one row per matching band — the
+    // batch twin is the banded join WITHOUT distinct
+    "t8_streaming_incremental" ->
+      s"""WITH ${minhashCtes(8, 4, " WHERE doc_id < 500")}
+         |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |FROM banded a JOIN banded b ON a.band = b.band
+         |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin,
     // batch twin of the streaming hourly Count-Min, restricted to
     // watermark-closed windows (same closure rule as t1/t6)
     "t7_streaming_cms" ->

@@ -450,6 +450,24 @@ object Dedup {
       .distinct()
   }
 
+  /** STREAMING twin of [[incrementalNearDups]] — the NRT dedup shape:
+    * new documents arrive as a stream, signature + banding run as a
+    * STATELESS projection, and candidates come from a stream-static
+    * equi-join against the persisted index (the corpus is disk state,
+    * never stream state, so nothing accumulates in the state store
+    * and the query is append-mode with no watermark). Emits one row
+    * per MATCHING BAND — multiplicity = shared-band count, which
+    * keeps the plan stateless; dedupe downstream relationally (or in
+    * a foreachBatch merge). */
+  def incrementalNearDupStream(delta: DataFrame, index: DataFrame,
+      textCol: String, idCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3): DataFrame =
+    minhashIndexRows(delta, textCol, idCol, numHashes, bands, shingleN,
+        maxBucket = 0)
+      .withColumnRenamed("id", "new_id")
+      .join(index.withColumnRenamed("id", "corpus_id"), "band")
+      .select(col("new_id"), col("corpus_id"))
+
   /** Engine-portable simhash: 60-bit simhash over md5-derived shingle
     * hashes (first 15 hex digits → long, within signed-64 range). The
     * bit votes run as 60 codegen'd SUM aggregates over the exploded
