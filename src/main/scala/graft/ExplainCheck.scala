@@ -280,6 +280,13 @@ object ExplainCheck {
     audit("text_strip_html", mustNotContain = Seq("Exchange"))
     // URL canonicalization is a codegen'd projection — zero Exchange
     audit("url_canonical", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    // feature hashing: one explode + ONE hash aggregate — no join, no
+    // vocabulary broadcast, nothing global
+    audit("text_hash_features", mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Join", "CartesianProduct"))
+    // KMV containment: the pairwise stage is a sketch-row join — the
+    // corpus never joins anything
+    audit("kmv_containment", mustNotContain = Seq("CartesianProduct"))
     // temperature mix: the S-row rate table BROADCASTS onto the corpus
     // filter — a sort-merge join would shuffle the corpus to meet it
     audit("mix_temperature", mustContain = Seq("BroadcastHashJoin"),

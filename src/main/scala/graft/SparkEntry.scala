@@ -1539,6 +1539,15 @@ object SparkEntry {
         "o_orderpriority", "o_custkey", k = 64)
         .select(col("g1"), col("g2"), col("jaccard"))),
 
+    // ---- sketch: KMV containment — asymmetric |A∩B|/|A| from the
+    //      same bottom-k sketches (a contained shard has low Jaccard
+    //      but containment ≈ 1); both sketches restricted to the hash
+    //      prefix where both are complete, so it's deterministic ----
+    "kmv_containment" -> ((s, dir) =>
+      Sketches.kmvContainment(t(s, dir, "orders"),
+        "o_orderpriority", "o_custkey", k = 64)
+        .select(col("g1"), col("g2"), col("containment"))),
+
     // ---- sketch: Count-Min point frequency — the sketch IS a
     //      (d, bucket, cnt) relation, so the build is one hash agg
     //      whose map-side combine bounds the shuffle at depth×width
@@ -1621,6 +1630,22 @@ object SparkEntry {
       LinkGraph.pageRank(edges, "src", "dst", iterations = 5,
         idCol = "doc_id")
         .select(col("doc_id"), round(col("rank"), 9).as("rank"))
+    }),
+
+    // ---- graph: synchronous label propagation (3 rounds) — most
+    //      frequent neighbor label, ties to the smallest; undirected
+    //      mirror of the same synthetic link graph; deterministic so
+    //      the oracle replays identical rounds ----
+    "labelprop_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)))).as("dst"))
+      LinkGraph.labelPropagation(edges, "src", "dst", iterations = 3,
+        idCol = "doc_id")
+        .select(col("doc_id"), col("label"))
     }),
 
     // ---- text: exact-N uniform sample by portable md5 rank — plans
@@ -1859,6 +1884,14 @@ object SparkEntry {
       TextAnalysis.mixSources(t(s, dir, "documents"), "doc_id", "source",
         rates = Map("src0" -> 100, "src1" -> 40), defaultPct = 10)
         .select(col("doc_id"), col("source"))),
+
+    // ---- text: feature hashing (the fastText/Vowpal trick) — tokens
+    //      into md5 buckets mod dim with tf weights; no vocabulary to
+    //      build or broadcast, one explode + one hash aggregate ----
+    "text_hash_features" -> ((s, dir) =>
+      TextAnalysis.hashingFeatures(t(s, dir, "documents"), "text", "doc_id",
+        dim = 512)
+        .select(col("doc_id"), col("bucket"), col("tf"))),
 
     // ---- text: temperature-flattened mix (n^(1/T) proportions, T=2) —
     //      keep-rates from one metadata-sized count aggregate,
@@ -3012,6 +3045,32 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
          |FROM banded a JOIN banded b ON a.band = b.band
          |WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0""".stripMargin,
+    // containment from the bottom-64 sketches: A's sample restricted
+    // below both k-th smallest hashes, membership-tested against B̂
+    "kmv_containment" ->
+      """WITH h AS (SELECT DISTINCT o_orderpriority AS g,
+        |    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+        |      AS UBIGINT) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        | r AS (SELECT g, h,
+        |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+        | sk AS (SELECT g, list(h ORDER BY h) AS hs
+        |   FROM r WHERE rn <= 64 GROUP BY g),
+        | p AS (SELECT a.g AS g1, b.g AS g2, a.hs AS h1, b.hs AS h2,
+        |    least(
+        |      CASE WHEN len(a.hs) < 64
+        |        THEN 9223372036854775807::UBIGINT ELSE a.hs[64] END,
+        |      CASE WHEN len(b.hs) < 64
+        |        THEN 9223372036854775807::UBIGINT ELSE b.hs[64] END) AS cut
+        |  FROM sk a JOIN sk b ON a.g <> b.g),
+        | q AS (SELECT g1, g2, h2,
+        |    list_filter(h1, x -> x <= cut) AS a1 FROM p)
+        |SELECT g1, g2,
+        |  CASE WHEN len(a1) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(a1, x -> list_contains(h2, x)))
+        |      AS DOUBLE) / len(a1)
+        |  END AS containment
+        |FROM q""".stripMargin,
     // Count-Min relation: both engines hash value v into row d's
     // buckets via md5("d:" || v) first-13-hex mod width; est = min of
     // the probed bucket counts (0 when a bucket never filled)
@@ -4335,6 +4394,34 @@ object SparkEntry {
     // as the literal two-op form so both engines compute the identical
     // IEEE double, and ranks round to 9 decimals (values ~2e-3, cross-
     // engine summation-order noise ~1e-17 — eight orders of margin)
+    // three unrolled synchronous rounds: neighbor-label counts, winner
+    // by (count desc, label asc), keep-own-label when isolated
+    "labelprop_links" -> {
+      def lpRound(prev: String, v: String, w: String, cur: String): String =
+        s"""$v AS (SELECT e.dst AS id, p.lbl, count(*) AS n
+           |  FROM und e JOIN $prev p ON e.src = p.id GROUP BY 1, 2),
+           |$w AS (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (
+           |    PARTITION BY id ORDER BY n DESC, lbl) AS rn FROM $v)
+           |  WHERE rn = 1),
+           |$cur AS (SELECT p.id, coalesce($w.lbl, p.lbl) AS lbl
+           |  FROM $prev p LEFT JOIN $w ON p.id = $w.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         | nodes AS (SELECT doc_id AS id FROM documents),
+         | dir AS (
+         |  SELECT id AS src, (id*3+1) % (SELECT n FROM nn) AS dst FROM nodes
+         |  UNION ALL
+         |  SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes),
+         | und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir)
+         |  WHERE src <> dst),
+         | l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM und),
+         |${lpRound("l0", "v1", "w1", "l1")},
+         |${lpRound("l1", "v2", "w2", "l2")},
+         |${lpRound("l2", "v3", "w3", "l3")}
+         |SELECT id AS doc_id, lbl AS label FROM l3""".stripMargin
+    },
     "pagerank_links" -> {
       def round(prev: String, cur: String): String =
         s"""$cur AS (SELECT nd.id,
@@ -4735,6 +4822,18 @@ object SparkEntry {
         |      < CASE WHEN source = 'src1' THEN 40
         |             WHEN source = 'src0' THEN 100
         |             ELSE 10 END""".stripMargin,
+    // token → md5-52bit bucket mod 512 with tf counts — the identical
+    // portable hash rule both engines compute
+    "text_hash_features" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 13))::UBIGINT % 512 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS tf
+        |FROM toks WHERE tok <> ''
+        |GROUP BY 1, 2""".stripMargin,
     // n^(1/T)-proportional keep-rates (T=2 → w = n^-0.5), normalized to
     // the max, rounded to 6 dp, floored to basis points — the same
     // arithmetic sequence the operator runs

@@ -86,4 +86,51 @@ object LinkGraph {
     }
     ranks.select(col("_id").as(idCol), col("_rank").as("rank"))
   }
+
+  /** Synchronous LABEL PROPAGATION after exactly `iterations` rounds —
+    * community detection over the UNDIRECTED form of the edge list
+    * (mirror-dup steps 1-2): every node starts labeled with its own
+    * id and each round adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label, keeping its current label
+    * only when it has no neighbors. Fully deterministic (synchronous
+    * update + min-tie-break — no randomized vertex order), so an
+    * independent SQL engine replays the identical rounds; the known
+    * trade is that bipartite structures can OSCILLATE under
+    * synchronous updates (run an even/odd iteration pair when that
+    * matters) — the price of reproducibility vs the classic
+    * randomized-asynchronous formulation.
+    *
+    * Scale shape per round: one join keyed on the edge endpoint + one
+    * (dst, label) count aggregate + one max_by — the PageRank
+    * discipline (same keyed shuffles every round, `localCheckpoint`
+    * truncating lineage so the plan never grows). Labels and edges
+    * never visit the driver. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, idCol: String = "id"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val dir = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst"))
+    val und = dir.unionByName(dir.select(col("_dst").as("_src"),
+      col("_src").as("_dst"))).distinct()
+      .filter(col("_src") =!= col("_dst")).localCheckpoint(true)
+    val nodeIds = und.select(col("_src").as("_id")).distinct()
+      .localCheckpoint(true)
+    var labels = nodeIds.withColumn("_lbl", col("_id"))
+    var it = 0
+    while (it < iterations) {
+      // neighbor labels: one equi-join on the edge source
+      val votes = und.join(labels, und("_src") === labels("_id"))
+        .groupBy(col("_dst").as("_id"), col("_lbl"))
+        .agg(count(lit(1)).as("_n"))
+      // most frequent label, ties to the smallest label value
+      val winner = votes.groupBy("_id")
+        .agg(min_by(col("_lbl"),
+          struct((-col("_n")).as("a"), col("_lbl").as("b"))).as("_new"))
+      labels = labels.join(winner, Seq("_id"), "left")
+        .select(col("_id"), coalesce(col("_new"), col("_lbl")).as("_lbl"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    labels.select(col("_id").as(idCol), col("_lbl").as("label"))
+  }
 }

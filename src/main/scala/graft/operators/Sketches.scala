@@ -40,6 +40,44 @@ object Sketches {
         col("_sk.kept").as("kept"), col("_sk.kth").as("kth"))
   }
 
+  /** Estimated CONTAINMENT C(A, B) = |A ∩ B| / |A| for every ordered
+    * pair of groups — the asymmetric near-dup signal resemblance
+    * misses: a document (or shard) wholly CONTAINED in a much larger
+    * one has low Jaccard but containment ≈ 1. Estimator: from A's
+    * bottom-k sketch Â (a uniform sample of A's hash space below
+    * A's k-th smallest), C ≈ |{h ∈ Â : h ∈ B̂ ∧ h ≤ kth(B)}| / |Â'|
+    * with Â' = Â restricted to min(kth(A), kth(B)) — both sketches
+    * restricted to the hash prefix where BOTH are complete, so the
+    * estimate is deterministic and engine-portable. Same one-pass
+    * sketch build as [[kmvResemblance]]; the pairwise stage runs on
+    * G² sketch rows (metadata-sized at any corpus scale). Emits
+    * ordered pairs g1 ≠ g2. */
+  def kmvContainment(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val sk = GraftSqlBridge.column(
+      graft.functions.KmvSetAgg(
+        GraftSqlBridge.expression(kmvHash(col(valueCol))), k)
+        .toAggregateExpression())
+    val sketches = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol)).agg(sk.as("_hs"))
+    val a = sketches.select(col(groupCol).as("g1"), col("_hs").as("_h1"))
+    val b = sketches.select(col(groupCol).as("g2"), col("_hs").as("_h2"))
+    // the hash prefix where BOTH sketches are complete: below the
+    // smaller of the two k-th smallest hashes (a sketch with fewer
+    // than k members is complete everywhere → +inf sentinel)
+    val kth1 = when(size(col("_h1")) < k, Long.MaxValue)
+      .otherwise(element_at(col("_h1"), k))
+    val kth2 = when(size(col("_h2")) < k, Long.MaxValue)
+      .otherwise(element_at(col("_h2"), k))
+    val cut = least(kth1, kth2)
+    val a1 = filter(col("_h1"), h => h <= cut)
+    val inter = size(filter(a1, h => array_contains(col("_h2"), h)))
+    a.join(b, col("g1") =!= col("g2"))
+      .select(col("g1"), col("g2"),
+        when(size(a1) === 0, 0.0)
+          .otherwise(inter.cast("double") / size(a1)).as("containment"))
+  }
+
   /** Count-Min frequency sketch expressed as a RELATION: the sketch is
     * a `(d, bucket, cnt)` table of at most `depth × width` rows —
     * Spark-first instead of a custom buffer type, because the hash

@@ -401,6 +401,42 @@ object TextAnalysis {
     df.filter(stratumBucket(idCol, salt) <
       stratumPct(stratumCol, rates, defaultPct))
 
+  /** FEATURE-HASHING vectorizer (the fastText/Vowpal hashing trick):
+    * token t lands in bucket `md5₅₂(t) mod dim` with weight = term
+    * frequency — a fixed-width feature space with NO vocabulary to
+    * build, broadcast, or version, which is what makes it the
+    * 100-TB featurizer: one narrow explode + one (id, bucket) hash
+    * aggregate with map-side combine, nothing global. Returned as the
+    * SPARSE (id, bucket, tf) relation; densify with
+    * [[hashingVectors]] when a fixed-length array column is needed
+    * (e.g. to feed [[Similarity.classifyByCentroids]] — text →
+    * vectors → the whole ANN stack, no model required). The md5
+    * bucket rule is the engine-wide portable hash, so an independent
+    * SQL engine reproduces the exact feature space. */
+  def hashingFeatures(df: DataFrame, textCol: String, idCol: String,
+      dim: Int = 1024): DataFrame =
+    df.select(col(idCol),
+        explode(normalizedTokens(col(textCol))).as("_tok"))
+      .filter(col("_tok") =!= "")
+      .groupBy(col(idCol),
+        pmod(conv(substring(md5(col("_tok")), 1, 13), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Dense `array<double>` form of [[hashingFeatures]] — one bounded
+    * per-doc collect (≤ min(tokens, dim) entries), then a codegen'd
+    * sequence fill. */
+  def hashingVectors(df: DataFrame, textCol: String, idCol: String,
+      dim: Int = 1024): DataFrame =
+    hashingFeatures(df, textCol, idCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf"))))
+        .as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("_m"), i), lit(0L)).cast("double"))
+          .as("features"))
+
   /** TEMPERATURE-flattened source mixing — the multilingual-pretraining
     * sampler (mBERT/XLM-R lineage): the output distribution follows
     * n_s^(1/T), so T = 1 keeps natural proportions and larger T lifts

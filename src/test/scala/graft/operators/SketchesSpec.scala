@@ -75,6 +75,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == Map("a" -> 1.0)) // b had only nulls → filtered out
   }
 
+  test("containment: subset ≈ 1 one way, |A|/|B| the other; disjoint ≈ 0") {
+    val rows = (1L to 200L).map(v => ("a", v)) ++ // A ⊂ B, |A|/|B| = 0.1
+      (1L to 2000L).map(v => ("b", v)) ++
+      (100001L to 100400L).map(v => ("d", v)) // disjoint from both
+    val c = Sketches.kmvContainment(rows.toDF("g", "v"), "g", "v", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(c(("a", "b")) > 0.85, c(("a", "b"))) // A fully inside B
+    assert(math.abs(c(("b", "a")) - 0.1) < 0.08, c(("b", "a")))
+    assert(c(("a", "d")) < 0.05 && c(("d", "a")) < 0.05)
+    assert(c.size == 6) // ordered pairs, g1 != g2
+  }
+
   // ---- Count-Min ----
 
   private def cmsEst(sk: org.apache.spark.sql.DataFrame,

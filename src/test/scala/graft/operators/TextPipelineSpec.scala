@@ -99,6 +99,24 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(webMixed == webDirect)
   }
 
+  test("feature hashing: tf weights, fixed width, dense form sums to token count") {
+    val df = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, ""))
+      .toDF("doc_id", "text")
+    val sparse = TextAnalysis.hashingFeatures(df, "text", "doc_id", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sparse.filter(_._1 == 1L).map(_._3).sorted.toSeq == Seq(1L, 2L))
+    assert(sparse.forall(t => t._2 >= 0 && t._2 < 64))
+    assert(!sparse.exists(_._1 == 3L)) // empty doc → no features
+    val dense = TextAnalysis.hashingVectors(df, "text", "doc_id", dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(dense(1L).length == 64 && dense(1L).sum == 3.0)
+    assert(dense(2L).sum == 2.0)
+    // the shared-token bucket carries weight in BOTH vectors — the
+    // no-vocabulary property: same token, same bucket, any corpus
+    val shared = (0 until 64).filter(i => dense(1L)(i) > 0 && dense(2L)(i) > 0)
+    assert(shared.nonEmpty)
+  }
+
   test("politenessSchedule: consecutive slots per domain, offsets honor the delay") {
     val rows = Seq(
       (1L, "https://a.com/x", java.lang.Long.valueOf(2000L)),
