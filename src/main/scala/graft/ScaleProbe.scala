@@ -339,6 +339,26 @@ object ScaleProbe {
     }
     probe("incremental_dedup", incRun(docs1), incRun(docsN))
 
+    // feature hashing: explode + one map-side-combining aggregate —
+    // output bounded by rows × min(tokens, dim), time tracks the scan
+    probe("hashing_features",
+      graft.operators.TextAnalysis.hashingFeatures(docs1, "text", "doc_id",
+        512).count(),
+      graft.operators.TextAnalysis.hashingFeatures(docsN, "text", "doc_id",
+        512).count())
+
+    // label propagation: fixed rounds of keyed join + count aggregate —
+    // the same per-round shuffles at any graph size
+    def lpRun(df: DataFrame): Long = {
+      val m = df.count()
+      val edges = df.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(m)),
+          pmod(col("doc_id") * 5 + 2, lit(m)))).as("dst"))
+      graft.operators.LinkGraph.labelPropagation(edges, "src", "dst",
+        iterations = 3).count()
+    }
+    probe("label_propagation", lpRun(docs1), lpRun(docsN))
+
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
     val dupN = (0 until n).map { c =>
