@@ -114,8 +114,14 @@ object SparkEntry {
     val outDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_out")
     val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ck")
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    // recentProgress is ring-buffered (default 100 entries) — a gate
+    // running more micro-batches would silently under-count `work` in
+    // the stream_split metric; raise the cap for the gate's lifetime
+    val progressKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevProgress = s.conf.getOption(progressKey)
     val schema = try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(progressKey, "10000")
       val t0 = System.nanoTime()
       val src =
         if (table == "events")
@@ -136,6 +142,10 @@ object SparkEntry {
       out.schema
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevProgress match {
+        case Some(v) => s.conf.set(progressKey, v)
+        case None => s.conf.unset(progressKey)
+      }
       deleteTree(ckDir)
     }
     Option(liveStreamDirs.put(tag, outDir)).foreach(deleteTree)

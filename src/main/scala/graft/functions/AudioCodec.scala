@@ -702,6 +702,10 @@ object AudioCodec {
   def fingerprintInternal(bytes: Array[Byte]): java.lang.Long = {
     val w = parseWav(bytes)
     if (w == null) return null
+    // IMA ADPCM (format 17) is block-stateful — sampleAt's flat
+    // per-frame addressing doesn't apply (bytesPerSample = 0 would
+    // read one byte forever); the documented contract is null
+    if (w.format == 17) return null
     val nf = w.nFrames
     if (nf < 65 || nf > Int.MaxValue) return null
     val n = nf.toInt

@@ -58,13 +58,15 @@ case class CanonicalUrl(child: Expression)
     val r = HtmlOps.canonicalizeUrl(url.asInstanceOf[UTF8String].toString)
     if (r == null) null else UTF8String.fromString(r)
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("canon")
     nullSafeCodeGen(ctx, ev, u => s"""
-      String r = graft.functions.HtmlOps.canonicalizeUrl($u.toString());
-      ${ev.value} = r == null ? null :
-        org.apache.spark.unsafe.types.UTF8String.fromString(r);
+      String $r = graft.functions.HtmlOps.canonicalizeUrl($u.toString());
+      ${ev.value} = $r == null ? null :
+        org.apache.spark.unsafe.types.UTF8String.fromString($r);
       ${ev.isNull} = ${ev.value} == null;
     """)
+  }
   override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
     copy(child = newChild)
 }

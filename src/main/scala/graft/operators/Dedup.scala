@@ -447,6 +447,10 @@ object Dedup {
     val probe = if (broadcastDelta) broadcast(probe0) else probe0
     index.join(probe, "band")
       .select(col("new_id"), col("id").as("corpus_id"))
+      // a re-ingested doc already indexed under the same id matches
+      // itself on every band — a self-pair would make a downstream
+      // "drop matched" step delete the doc as a duplicate of itself
+      .filter(col("new_id") =!= col("corpus_id"))
       .distinct()
   }
 
@@ -467,6 +471,8 @@ object Dedup {
       .withColumnRenamed("id", "new_id")
       .join(index.withColumnRenamed("id", "corpus_id"), "band")
       .select(col("new_id"), col("corpus_id"))
+      // same self-pair guard as the batch twin
+      .filter(col("new_id") =!= col("corpus_id"))
 
   /** Engine-portable simhash: 60-bit simhash over md5-derived shingle
     * hashes (first 15 hex digits → long, within signed-64 range). The

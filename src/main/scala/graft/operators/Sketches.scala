@@ -93,15 +93,23 @@ object Sketches {
     pmod(conv(substring(md5(concat(lit(s"$d:"), c.cast("string"))), 1, 13),
       16, 10).cast("long"), lit(width.toLong))
 
+  /** The exploded `(d, bucket)` key column — THE single definition of
+    * the sketch geometry, shared by [[cmsSketch]], [[cmsEstimate]] and
+    * the streaming twin ([[graft.streaming.EventStream.hourlyCms]]):
+    * sketches only merge when their geometries are bit-identical, so
+    * there is exactly one place to change it. */
+  def cmsKeys(valueCol: String, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map { d =>
+      struct(lit(d).as("d"), cmsBucket(col(valueCol), d, width).as("bucket"))
+    }: _*))
+
   /** Build the sketch: ONE pass over the data (the `depth` bucket keys
     * explode from an inline array, not `depth` re-scans), one bounded
     * hash aggregation. Null values don't count. */
   def cmsSketch(df: DataFrame, valueCol: String,
       depth: Int = 4, width: Int = 2048): DataFrame =
     df.filter(col(valueCol).isNotNull)
-      .select(explode(array((0 until depth).map { d =>
-        struct(lit(d).as("d"), cmsBucket(col(valueCol), d, width).as("bucket"))
-      }: _*)).as("db"))
+      .select(cmsKeys(valueCol, depth, width).as("db"))
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -120,9 +128,7 @@ object Sketches {
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
       depth: Int = 4, width: Int = 2048): DataFrame =
     probes.filter(col(valueCol).isNotNull)
-      .select(col(valueCol), explode(array((0 until depth).map { d =>
-        struct(lit(d).as("d"), cmsBucket(col(valueCol), d, width).as("bucket"))
-      }: _*)).as("db"))
+      .select(col(valueCol), cmsKeys(valueCol, depth, width).as("db"))
       .select(col(valueCol), col("db.d").as("d"), col("db.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("d", "bucket"), "left")
       .groupBy(col(valueCol))

@@ -425,17 +425,22 @@ object TextAnalysis {
 
   /** Dense `array<double>` form of [[hashingFeatures]] — one bounded
     * per-doc collect (≤ min(tokens, dim) entries), then a codegen'd
-    * sequence fill. */
+    * sequence fill. EVERY input doc gets a row: a token-less doc
+    * (empty / all punctuation) yields the zero vector rather than
+    * silently vanishing from the corpus (a classifier downstream must
+    * see the same doc count it was handed). */
   def hashingVectors(df: DataFrame, textCol: String, idCol: String,
-      dim: Int = 1024): DataFrame =
-    hashingFeatures(df, textCol, idCol, dim)
+      dim: Int = 1024): DataFrame = {
+    val sparse = hashingFeatures(df, textCol, idCol, dim)
       .groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("tf"))))
         .as("_m"))
+    df.select(col(idCol)).join(sparse, Seq(idCol), "left")
       .select(col(idCol),
         transform(sequence(lit(0L), lit(dim - 1L)),
           i => coalesce(element_at(col("_m"), i), lit(0L)).cast("double"))
           .as("features"))
+  }
 
   /** TEMPERATURE-flattened source mixing — the multilingual-pretraining
     * sampler (mBERT/XLM-R lineage): the output distribution follows
@@ -458,8 +463,16 @@ object TextAnalysis {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
       .select(col(stratumCol),
         pow(col("_n").cast("double"), lit(1.0 / temperature - 1.0)).as("_w"))
-    val mx = counts.agg(max(col("_w")).as("_mw"))
-    val rates = counts.crossJoin(broadcast(mx))
+    // max over the S aggregated rows via an unpartitioned window — the
+    // window input is metadata-sized (one row per stratum), and keeping
+    // it inside `counts`' plan means the CORPUS is scanned once, not
+    // once per subtree (a separate .agg(max) re-evaluated the groupBy)
+    val allRows = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = counts
+      .select(col(stratumCol), col("_w"), max(col("_w")).over(allRows).as("_mw"))
       .select(col(stratumCol),
         floor(round(col("_w") / col("_mw"), 6) * grid + 0.5)
           .cast("long").as("_bp"))

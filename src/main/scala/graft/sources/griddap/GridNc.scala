@@ -105,6 +105,23 @@ object GridNc {
 
   private def pad4(n: Int): Int = (4 - n % 4) % 4
 
+  /** Read one cell's RAW value at the buffer's position and apply the
+    * CF unpack (`raw·scale + offset`) — THE single inverse of
+    * [[packCell]]; both reader sites (the full scan and the append
+    * path's record-time probe) go through here, so a new storage type
+    * is one edit plus its pack twin. */
+  private def unpackCell(buf: ByteBuffer, ncType: Int,
+      scale: Double, offset: Double): Double = {
+    val raw = ncType match {
+      case NC_BYTE | NC_CHAR => (buf.get(): Byte).toDouble
+      case NC_SHORT => buf.getShort.toDouble
+      case NC_INT => buf.getInt.toDouble
+      case NC_FLOAT => buf.getFloat.toDouble
+      case _ => buf.getDouble
+    }
+    raw * scale + offset
+  }
+
   /** Write one UNPACKED memory double through the inverse of the CF
     * unpack: raw = rint((value - add_offset) / scale_factor), stored
     * at the variable's declared width (range-checked — a value the
@@ -391,17 +408,8 @@ object GridNc {
       val cells = m.dimIds.map(dims(_)._2.toLong).product.toInt
       val values = new Array[Double](cells)
       val data = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-      // CF unpack: value = raw * scale_factor + add_offset
-      def readCell(): Double = {
-        val raw = m.ncType match {
-          case NC_BYTE | NC_CHAR => (data.get(): Byte).toDouble
-          case NC_SHORT => data.getShort.toDouble
-          case NC_INT => data.getInt.toDouble
-          case NC_FLOAT => data.getFloat.toDouble
-          case NC_DOUBLE => data.getDouble
-        }
-        raw * m.scaleFactor + m.addOffset
-      }
+      def readCell(): Double =
+        unpackCell(data, m.ncType, m.scaleFactor, m.addOffset)
       if (!isRec) {
         data.position(m.begin.toInt)
         var i = 0
@@ -541,14 +549,8 @@ object GridNc {
           read += k
         }
         cell.flip()
-        val raw = timeMeta.ncType match {
-          case NC_BYTE | NC_CHAR => (cell.get(): Byte).toDouble
-          case NC_SHORT => cell.getShort.toDouble
-          case NC_INT => cell.getInt.toDouble
-          case NC_FLOAT => cell.getFloat.toDouble
-          case _ => cell.getDouble
-        }
-        val t = raw * timeMeta.scaleFactor + timeMeta.addOffset
+        val t = unpackCell(cell, timeMeta.ncType,
+          timeMeta.scaleFactor, timeMeta.addOffset)
         if (t > maxT) maxT = t
         r += 1
       }

@@ -87,11 +87,8 @@ object EventStream {
       tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame =
     events.filter(col(valueCol).isNotNull)
       .withWatermark(tsCol, watermarkDelay)
-      .select(col(tsCol), explode(array((0 until depth).map { d =>
-        struct(lit(d).as("d"),
-          graft.operators.Sketches.cmsBucket(col(valueCol), d, width)
-            .as("bucket"))
-      }: _*)).as("db"))
+      .select(col(tsCol),
+        graft.operators.Sketches.cmsKeys(valueCol, depth, width).as("db"))
       .groupBy(window(col(tsCol), "1 hour"), col("db.d"), col("db.bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("d"),

@@ -348,6 +348,12 @@ class AudioCodecSpec extends AnyFunSuite {
 
   test("fingerprint: short clips, ADPCM, and garbage are null") {
     assert(AudioCodec.fingerprintInternal(pcm16(Seq.fill(64)(5))) == null)
+    // a VALID long ADPCM clip must be null (stateful format), not a
+    // degenerate all-zero hash that near-dups everything
+    val adpcm = AudioCodec.synthWavAdpcm(3L,
+      UTF8String.fromString("x" * 150))
+    assert(AudioCodec.statsInternal(adpcm) != null) // clip itself is valid
+    assert(AudioCodec.fingerprintInternal(adpcm) == null)
     assert(AudioCodec.fingerprintInternal("RIFFnope".getBytes) == null)
     assert(AudioCodec.fingerprintInternal(null) == null)
   }

@@ -111,6 +111,8 @@ class TextPipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(dense(1L).length == 64 && dense(1L).sum == 3.0)
     assert(dense(2L).sum == 2.0)
+    // token-less docs still get a row — the zero vector, not a dropout
+    assert(dense(3L).length == 64 && dense(3L).sum == 0.0)
     // the shared-token bucket carries weight in BOTH vectors — the
     // no-vocabulary property: same token, same bucket, any corpus
     val shared = (0 until 64).filter(i => dense(1L)(i) > 0 && dense(2L)(i) > 0)
