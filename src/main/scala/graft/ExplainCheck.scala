@@ -280,6 +280,11 @@ object ExplainCheck {
     audit("text_strip_html", mustNotContain = Seq("Exchange"))
     // URL canonicalization is a codegen'd projection — zero Exchange
     audit("url_canonical", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    // trained classifier scoring: per-doc windows/aggregates hash on
+    // doc_id — never a single-partition stage, never a cross product
+    // (training happens at plan-build; this audits the scoring query)
+    audit("text_quality_logreg",
+      mustNotContain = Seq("Exchange SinglePartition", "CartesianProduct"))
     // feature hashing: one explode + ONE hash aggregate — no join, no
     // vocabulary broadcast, nothing global
     audit("text_hash_features", mustContain = Seq("HashAggregate"),

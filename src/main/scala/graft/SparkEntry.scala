@@ -1895,6 +1895,23 @@ object SparkEntry {
         rates = Map("src0" -> 100, "src1" -> 40), defaultPct = 10)
         .select(col("doc_id"), col("source"))),
 
+    // ---- text: trained quality classifier — hashed features →
+    //      3 rounds of full-batch logistic GD (gradient + weights
+    //      rounded to 6 dp per round, so the oracle replays the exact
+    //      float trajectory) → per-doc σ(w·x) ----
+    "text_quality_logreg" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = TextAnalysis.hashingFeatures(docs, "text", "doc_id", 64)
+      val labels = docs.select(col("doc_id"),
+        (col("source") === "src0").cast("double").as("y"))
+      val w = TextAnalysis.trainLogreg(feats, labels, "doc_id", "y",
+        dim = 64, iters = 3, lr = 0.4)
+      TextAnalysis.scoreLogreg(
+        TextAnalysis.hashingFeatures(docs, "text", "doc_id", 64),
+        "doc_id", w)
+        .select(col("doc_id"), col("score"))
+    }),
+
     // ---- text: feature hashing (the fastText/Vowpal trick) — tokens
     //      into md5 buckets mod dim with tf weights; no vocabulary to
     //      build or broadcast, one explode + one hash aggregate ----
@@ -4832,6 +4849,42 @@ object SparkEntry {
         |      < CASE WHEN source = 'src1' THEN 40
         |             WHEN source = 'src0' THEN 100
         |             ELSE 10 END""".stripMargin,
+    // three unrolled full-batch GD rounds over the hashed features —
+    // per-round gradient and weight rounding (6 dp) pins the float
+    // trajectory to the operator's exactly
+    "text_quality_logreg" -> {
+      def gd(prev: String, z: String, d: String, g: String, cur: String) =
+        s"""$z AS (SELECT f.doc_id, sum(f.x * p.w) AS z
+           |  FROM lrfeats f JOIN $prev p ON f.bucket = p.j GROUP BY 1),
+           |$d AS (SELECT zz.doc_id, 1.0/(1.0+exp(-zz.z)) - l.y AS d
+           |  FROM $z zz JOIN lab l USING (doc_id)),
+           |$g AS (SELECT f.bucket AS j,
+           |    round(sum(f.x * dd.d) / (SELECT n FROM nn), 6) AS g
+           |  FROM lrfeats f JOIN $d dd USING (doc_id) GROUP BY 1),
+           |$cur AS (SELECT dims.j, round(p.w - 0.4 * coalesce(g.g, 0.0), 6) AS w
+           |  FROM dims JOIN $prev p USING (j) LEFT JOIN $g g USING (j))""".stripMargin
+      s"""WITH lrfeats AS (
+         |  SELECT doc_id, bucket,
+         |    tf / sum(tf) OVER (PARTITION BY doc_id) AS x
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(md5(tok), 1, 13))::UBIGINT % 64 AS bucket,
+         |      CAST(count(*) AS DOUBLE) AS tf
+         |    FROM (SELECT doc_id, unnest(string_split(trim(regexp_replace(
+         |        lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+         |      FROM documents) WHERE tok <> '' GROUP BY 1, 2)),
+         | lab AS (SELECT doc_id,
+         |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         | dims AS (SELECT r AS j FROM range(64) t(r)),
+         | w0 AS (SELECT j, 0.0 AS w FROM dims),
+         |${gd("w0", "z1", "d1", "g1", "w1")},
+         |${gd("w1", "z2", "d2", "g2", "w2")},
+         |${gd("w2", "z3", "d3", "g3", "w3")},
+         |zf AS (SELECT f.doc_id, sum(f.x * p.w) AS z
+         |  FROM lrfeats f JOIN w3 p ON f.bucket = p.j GROUP BY 1)
+         |SELECT doc_id, round(1.0/(1.0+exp(-z)), 6) AS score FROM zf""".stripMargin
+    },
     // token → md5-52bit bucket mod 512 with tf counts — the identical
     // portable hash rule both engines compute
     "text_hash_features" ->

@@ -442,6 +442,86 @@ object TextAnalysis {
           .as("features"))
   }
 
+  private def round6(d: Double): Double = math.rint(d * 1e6) / 1e6
+
+  /** Length-normalized feature weights: x = tf / Σtf(doc), so the
+    * margin stays O(‖w‖) at any document length — the fastText input
+    * convention, and what keeps full-batch GD off the saturation
+    * plateau. One hash window per doc. */
+  private def lrX(feats: DataFrame, idCol: String): DataFrame = {
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    feats.select(col(idCol), col("bucket"),
+      (col("tf").cast("double") /
+        sum(col("tf")).over(perDoc).cast("double")).as("_x"))
+  }
+
+  /** Distributed LOGISTIC-REGRESSION training over the hashed feature
+    * space — the fastText-style quality-classifier loop closed:
+    * [[hashingFeatures]] → train → [[scoreLogreg]] labels a corpus
+    * with nothing but seed labels (no vocabulary, no external model).
+    * Features length-normalize per doc ([[lrX]]); full-batch gradient
+    * descent for `iters` FIXED rounds; each round is two aggregations
+    * of the sparse feature relation (per-doc margin, then per-bucket
+    * gradient — both with map-side combine) plus a driver-side update
+    * of `dim` doubles (the only driver state, bounded like the
+    * centroid/BPE tables). Gradients and weights ROUND to 6 dp per
+    * round — the same determinism pin the centroid tables use — so an
+    * independent engine replays the exact float trajectory and scores
+    * hash-match. Keep `lr` off the half-grid (the 0.4 default
+    * multiplies 6-dp gradients into {0,.2,.4,.6,.8}·1e-6 endings, so
+    * the weight round never sits ON a rounding boundary where
+    * half-even and half-away engines disagree).
+    *
+    * `feats` is the (id, bucket, tf) relation; `labels` supplies a
+    * 0/1 `labelCol` per id. Docs without features contribute nothing
+    * to gradients (their margin is the bias-free 0 → σ = 0.5). */
+  def trainLogreg(feats: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String, dim: Int, iters: Int = 3,
+      lr: Double = 0.4): Array[Double] = {
+    require(dim > 0 && iters >= 1)
+    val f = lrX(feats, idCol).join(
+        labels.select(col(idCol), col(labelCol).cast("double").as("_y")),
+        idCol)
+      .select(col(idCol), col("bucket"), col("_x"), col("_y"))
+      .localCheckpoint(true) // reused every round: evaluate once
+    val n = labels.count().toDouble
+    var w = Array.fill(dim)(0.0)
+    var it = 0
+    while (it < iters) {
+      val wLit = array(w.toSeq.map(lit): _*)
+      val margins = f
+        .withColumn("_w", element_at(wLit, col("bucket").cast("int") + 1))
+        .groupBy(col(idCol))
+        .agg(sum(col("_x") * col("_w")).as("_z"), first(col("_y")).as("_yy"))
+        .select(col(idCol),
+          (lit(1.0) / (lit(1.0) + exp(-col("_z"))) - col("_yy")).as("_d"))
+      val grads = f.join(margins, idCol)
+        .groupBy(col("bucket"))
+        .agg(sum(col("_x") * col("_d")).as("_g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      w = Array.tabulate(dim) { j =>
+        round6(w(j) - lr * round6(grads.getOrElse(j, 0.0) / n))
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** Per-doc σ(w·x) over the sparse feature relation (same [[lrX]]
+    * normalization as training), rounded to 6 dp — one aggregation;
+    * weights ride the plan as a literal array. */
+  def scoreLogreg(feats: DataFrame, idCol: String,
+      weights: Array[Double]): DataFrame = {
+    val wLit = array(weights.toSeq.map(lit): _*)
+    lrX(feats, idCol)
+      .withColumn("_w", element_at(wLit, col("bucket").cast("int") + 1))
+      .groupBy(col(idCol))
+      .agg(sum(col("_x") * col("_w")).as("_z"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("_z"))), 6).as("score"))
+  }
+
   /** TEMPERATURE-flattened source mixing — the multilingual-pretraining
     * sampler (mBERT/XLM-R lineage): the output distribution follows
     * n_s^(1/T), so T = 1 keeps natural proportions and larger T lifts

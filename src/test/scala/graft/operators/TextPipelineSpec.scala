@@ -119,6 +119,26 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(shared.nonEmpty)
   }
 
+  test("logreg: separable vocabularies separate; training is deterministic") {
+    val docs = (1L to 200L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma delta", 1.0)
+      else (i, "omega psi chi phi", 0.0)
+    }.toDF("id", "text", "y")
+    val feats = TextAnalysis.hashingFeatures(docs, "text", "id", 64)
+    val labels = docs.select(col("id"), col("y"))
+    val w = TextAnalysis.trainLogreg(feats, labels, "id", "y", dim = 64,
+      iters = 20, lr = 4.0)
+    val scores = TextAnalysis.scoreLogreg(feats, "id", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = (2L to 200L by 2).map(scores).sum / 100
+    val neg = (1L to 199L by 2).map(scores).sum / 100
+    assert(pos > 0.8 && neg < 0.2, s"pos=$pos neg=$neg")
+    // bit-identical retrain — the 6-dp round pins the trajectory
+    val w2 = TextAnalysis.trainLogreg(feats, labels, "id", "y", dim = 64,
+      iters = 20, lr = 4.0)
+    assert(w.toSeq == w2.toSeq)
+  }
+
   test("politenessSchedule: consecutive slots per domain, offsets honor the delay") {
     val rows = Seq(
       (1L, "https://a.com/x", java.lang.Long.valueOf(2000L)),
