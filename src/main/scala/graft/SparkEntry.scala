@@ -1906,9 +1906,7 @@ object SparkEntry {
         (col("source") === "src0").cast("double").as("y"))
       val w = TextAnalysis.trainLogreg(feats, labels, "doc_id", "y",
         dim = 64, iters = 3, lr = 0.4)
-      TextAnalysis.scoreLogreg(
-        TextAnalysis.hashingFeatures(docs, "text", "doc_id", 64),
-        "doc_id", w)
+      TextAnalysis.scoreLogreg(feats, "doc_id", w)
         .select(col("doc_id"), col("score"))
     }),
 

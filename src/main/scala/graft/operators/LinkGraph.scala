@@ -92,7 +92,10 @@ object LinkGraph {
     * (mirror-dup steps 1-2): every node starts labeled with its own
     * id and each round adopts the most frequent label among its
     * neighbors, ties to the SMALLEST label, keeping its current label
-    * only when it has no neighbors. Fully deterministic (synchronous
+    * only when it has no neighbors. The node universe is the edge
+    * endpoints plus the optional `nodes` frame (PageRank's
+    * convention) — pass `nodes` to keep isolated documents in the
+    * output with their own id as label. Fully deterministic (synchronous
     * update + min-tie-break — no randomized vertex order), so an
     * independent SQL engine replays the identical rounds; the known
     * trade is that bipartite structures can OSCILLATE under
@@ -106,15 +109,22 @@ object LinkGraph {
     * truncating lineage so the plan never grows). Labels and edges
     * never visit the driver. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, idCol: String = "id"): DataFrame = {
+      iterations: Int = 3, idCol: String = "id",
+      nodes: DataFrame = null): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val dir = edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst"))
     val und = dir.unionByName(dir.select(col("_dst").as("_src"),
       col("_src").as("_dst"))).distinct()
       .filter(col("_src") =!= col("_dst")).localCheckpoint(true)
-    val nodeIds = und.select(col("_src").as("_id")).distinct()
-      .localCheckpoint(true)
+    // the node universe: edge endpoints plus the optional `nodes`
+    // frame (the PageRank convention) — an isolated node (no non-self
+    // edges) keeps its own id as its label, it is not dropped
+    var allNodes = und.select(col("_src").as("_id"))
+    if (nodes != null)
+      allNodes = allNodes.unionByName(nodes
+        .select(col(nodes.columns.head).cast("long").as("_id")))
+    val nodeIds = allNodes.distinct().localCheckpoint(true)
     var labels = nodeIds.withColumn("_lbl", col("_id"))
     var it = 0
     while (it < iterations) {

@@ -52,14 +52,22 @@ object Sketches {
     * sketch build as [[kmvResemblance]]; the pairwise stage runs on
     * G² sketch rows (metadata-sized at any corpus scale). Emits
     * ordered pairs g1 ≠ g2. */
-  def kmvContainment(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int = 64): DataFrame = {
+  /** One bottom-k set sketch per group — the shared build step of
+    * [[kmvResemblance]] and [[kmvContainment]] (one definition: the
+    * two estimators must agree on hash rule and null handling). */
+  private def kmvSketches(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
     val sk = GraftSqlBridge.column(
       graft.functions.KmvSetAgg(
         GraftSqlBridge.expression(kmvHash(col(valueCol))), k)
         .toAggregateExpression())
-    val sketches = df.filter(col(valueCol).isNotNull)
+    df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol)).agg(sk.as("_hs"))
+  }
+
+  def kmvContainment(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val sketches = kmvSketches(df, groupCol, valueCol, k)
     val a = sketches.select(col(groupCol).as("g1"), col("_hs").as("_h1"))
     val b = sketches.select(col(groupCol).as("g2"), col("_hs").as("_h2"))
     // the hash prefix where BOTH sketches are complete: below the
@@ -144,12 +152,7 @@ object Sketches {
     * each unordered pair once (g1 < g2). */
   def kmvResemblance(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
-    val sk = GraftSqlBridge.column(
-      graft.functions.KmvSetAgg(
-        GraftSqlBridge.expression(kmvHash(col(valueCol))), k)
-        .toAggregateExpression())
-    val sketches = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol)).agg(sk.as("_hs"))
+    val sketches = kmvSketches(df, groupCol, valueCol, k)
     val a = sketches.select(col(groupCol).as("g1"), col("_hs").as("_h1"))
     val b = sketches.select(col(groupCol).as("g2"), col("_hs").as("_h2"))
     val m = slice(array_sort(array_union(col("_h1"), col("_h2"))), 1, k)

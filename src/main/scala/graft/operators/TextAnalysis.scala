@@ -480,12 +480,13 @@ object TextAnalysis {
       labelCol: String, dim: Int, iters: Int = 3,
       lr: Double = 0.4): Array[Double] = {
     require(dim > 0 && iters >= 1)
+    val n = labels.count().toDouble
+    require(n > 0, "trainLogreg: empty label set (gradients would be 0/0)")
     val f = lrX(feats, idCol).join(
         labels.select(col(idCol), col(labelCol).cast("double").as("_y")),
         idCol)
       .select(col(idCol), col("bucket"), col("_x"), col("_y"))
       .localCheckpoint(true) // reused every round: evaluate once
-    val n = labels.count().toDouble
     var w = Array.fill(dim)(0.0)
     var it = 0
     while (it < iters) {

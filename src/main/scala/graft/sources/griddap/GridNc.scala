@@ -117,7 +117,11 @@ object GridNc {
       case NC_SHORT => buf.getShort.toDouble
       case NC_INT => buf.getInt.toDouble
       case NC_FLOAT => buf.getFloat.toDouble
-      case _ => buf.getDouble
+      case NC_DOUBLE => buf.getDouble
+      // fail LOUD: a lenient fallback here would parse an unsupported
+      // type's bytes as misaligned doubles and feed garbage downstream
+      case t => throw new IllegalArgumentException(
+        s"GridNc: unsupported ncType $t")
     }
     raw * scale + offset
   }

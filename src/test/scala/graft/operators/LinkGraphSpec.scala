@@ -96,5 +96,12 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(a == b)
     assert(!a.contains(5L)) // pure self-loop node has no real edges
     assert(a.values.toSet.size == 1) // the triangle converges to one label
+    // the nodes-universe form keeps isolates with their own label
+    val withIso = LinkGraph.labelPropagation(edges, "src", "dst",
+      iterations = 3, nodes = Seq(5L, 9L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withIso(5L) == 5L && withIso(9L) == 9L)
+    assert(withIso.filterKeys(Set(1L, 2L, 3L)).toMap ==
+      a.filterKeys(Set(1L, 2L, 3L)).toMap)
   }
 }
