@@ -347,6 +347,18 @@ object ScaleProbe {
       graft.operators.TextAnalysis.hashingFeatures(docsN, "text", "doc_id",
         512).count())
 
+    // logreg training: fixed rounds of two map-side-combining
+    // aggregations — growth must track the feature scan, not the dim
+    def lrTrain(df: DataFrame): Long = {
+      val feats = graft.operators.TextAnalysis.hashingFeatures(
+        df, "text", "doc_id", 64)
+      val labels = df.select(col("doc_id"),
+        (col("doc_id") % 2).cast("double").as("y"))
+      graft.operators.TextAnalysis.trainLogreg(feats, labels,
+        "doc_id", "y", dim = 64, iters = 2).length.toLong
+    }
+    probe("logreg_train", lrTrain(docs1), lrTrain(docsN))
+
     // label propagation: fixed rounds of keyed join + count aggregate —
     // the same per-round shuffles at any graph size
     def lpRun(df: DataFrame): Long = {

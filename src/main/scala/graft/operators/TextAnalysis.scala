@@ -487,6 +487,7 @@ object TextAnalysis {
         idCol)
       .select(col(idCol), col("bucket"), col("_x"), col("_y"))
       .localCheckpoint(true) // reused every round: evaluate once
+    try {
     var w = Array.fill(dim)(0.0)
     var it = 0
     while (it < iters) {
@@ -507,6 +508,9 @@ object TextAnalysis {
       it += 1
     }
     w
+    // release the checkpoint blocks — a leaked cache here taxes every
+    // query that runs after training in the same session
+    } finally f.unpersist(false)
   }
 
   /** Per-doc σ(w·x) over the sparse feature relation (same [[lrX]]
