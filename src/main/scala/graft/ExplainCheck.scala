@@ -94,6 +94,7 @@ object ExplainCheck {
     // perceptual hash is a pure projection (decode inside the kernel);
     // the near-dup pair path is a block-bucket EQUI-join, never all-pairs
     audit("mm_image_dhash", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
+    audit("mm_image_phash", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))
     audit("mm_image_neardup",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     audit("mm_audio_fingerprint", mustNotContain = Seq("Exchange", "Scan ExistingRDD"))

@@ -102,6 +102,12 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "image_dhash expects (binary)")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("image_phash",
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.ImagePhash(c)
+        case _ => throw new IllegalArgumentException(
+          "image_phash expects (binary)")
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("fix_mojibake",
       (args: Seq[Expression]) => args match {
         case Seq(c) => FixMojibake(c)
@@ -468,6 +474,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => graft.functions.ImageDhash(c)
         case _ => throw new IllegalArgumentException(
           "image_dhash expects (binary)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("image_phash"),
+      info("image_phash",
+        "image_phash(binary) - 64-bit perceptual DCT hash (16x8 " +
+          "average-pooled grayscale, fixed-point separable DCT-II, bit = " +
+          "coefficient above the AC median) of a JPEG/PNG/BMP; null for " +
+          "GIF/TIFF/undersized/undecodable"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.ImagePhash(c)
+        case _ => throw new IllegalArgumentException(
+          "image_phash expects (binary)")
       }))
     ext.injectFunction((
       FunctionIdentifier("fix_mojibake"),

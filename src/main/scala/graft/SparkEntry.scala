@@ -893,6 +893,34 @@ object SparkEntry {
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // ---- multimodal: 64-bit perceptual DCT hash (pHash) — 16×8
+    //      average-pooled grayscale through a FIXED-POINT separable
+    //      DCT-II (integer cosine table shared verbatim with the
+    //      oracle), bit = coefficient above the 63-AC median; text
+    //      length pinned to doc_id%4+24 so every synth image clears
+    //      the 16×8 grid ----
+    "mm_image_phash" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      t(s, dir, "documents").select(col("doc_id"),
+        ImageCodec.image_phash(ImageCodec.image_synth_png(col("doc_id"),
+          expr("repeat('x', CAST(doc_id % 4 + 24 AS INT))"))).as("phash"))
+    }),
+
+    // ---- multimodal: near-duplicate IMAGE pairs over the DCT hash —
+    //      identical 4×16-bit banding to mm_image_neardup; synth ids
+    //      fold to doc_id%8 so genuine duplicates exist. Cap pinned 0
+    //      for the exact oracle ----
+    "mm_image_neardup_phash" -> ((s, dir) => {
+      import graft.functions.ImageCodec
+      val imgs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          ImageCodec.image_synth_png(pmod(col("doc_id"), lit(8)),
+            expr("repeat('x', CAST(doc_id % 4 + 24 AS INT))")).as("img"))
+      graft.operators.Multimodal.imageNearDupPairsPhash(imgs, "img", "doc_id",
+        maxHamming = 3, maxBucket = 0)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+    }),
+
     "mm_png_pixel_stats" -> ((s, dir) => {
       import graft.functions.ImageCodec
       t(s, dir, "documents").select(col("doc_id"),
@@ -2508,6 +2536,60 @@ object SparkEntry {
        |      max(CASE WHEN cy*8 + cx = 63 THEN bit ELSE 0 END) AS top
        |    FROM bits GROUP BY 1))""".stripMargin
 
+  /** pHash CTEs mirroring [[graft.functions.ImageCodec.phashInternal]]
+    * over [[graft.functions.ImageSynthPng]] images with text length
+    * `doc_id % 4 + 24` (w ≥ 28, h ≥ 8 — always clears the 16×8 grid):
+    * re-derive dims, enumerate the affine pixels, average-pool into
+    * the 16×8 grid (`(s*64)//cnt` keeps six fractional bits), run the
+    * separable fixed-point DCT against the SAME integer cosine table
+    * the expression uses (emitted below as VALUES — not recomputed, so
+    * a libm cos() difference can never flip a bit), threshold each AC
+    * coefficient against the rank-32 AC value, signed 64-bit fold. */
+  private def phashCtes(sidExpr: String, where: String = ""): String = {
+    import graft.functions.ImageCodec
+    val cosx = (for (x <- 0 until ImageCodec.PHASH_W; u <- 0 until 8)
+      yield s"($x,$u,${ImageCodec.phashCosX(x)(u)})").mkString(",")
+    val cosy = (for (y <- 0 until ImageCodec.PHASH_H; v <- 0 until 8)
+      yield s"($y,$v,${ImageCodec.phashCosY(y)(v)})").mkString(",")
+    s"""d AS (SELECT doc_id, $sidExpr AS sid, doc_id % 4 + 24 AS n
+       |  FROM documents$where),
+       |dims AS (SELECT doc_id, sid, n % 29 + 4 AS w, n % 19 + 3 AS h FROM d),
+       |px AS (SELECT doc_id, w, h, y.r AS y, x.r AS x,
+       |    CASE WHEN sid % 4 IN (0, 2)
+       |      THEN 3 * ((x.r*3 + y.r*5 + sid) % 256)
+       |      ELSE ((x.r*3 + y.r*5 + sid) % 256)
+       |           + ((x.r*5 + y.r*7 + sid*2) % 256)
+       |           + ((x.r*7 + y.r*9 + sid*3) % 256) END AS g
+       |  FROM dims, range(32) x(r), range(24) y(r)
+       |  WHERE x.r < w AND y.r < h),
+       |cells AS (SELECT doc_id, (y*8)//h AS cy, (x*16)//w AS cx,
+       |    (sum(g) * 64) // count(*) AS gv
+       |  FROM px GROUP BY 1, 2, 3),
+       |cosx(x, u, c) AS (VALUES $cosx),
+       |cosy(y, v, c) AS (VALUES $cosy),
+       |rp AS (SELECT cells.doc_id, cosx.u, cells.cy,
+       |    sum(cells.gv * cosx.c) AS r
+       |  FROM cells JOIN cosx ON cosx.x = cells.cx GROUP BY 1, 2, 3),
+       |cf AS (SELECT rp.doc_id, rp.u, cosy.v, sum(rp.r * cosy.c) AS coef
+       |  FROM rp JOIN cosy ON cosy.y = rp.cy GROUP BY 1, 2, 3),
+       |med AS (SELECT doc_id, coef AS m FROM (
+       |    SELECT doc_id, coef,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rk
+       |    FROM cf WHERE NOT (u = 0 AND v = 0)) WHERE rk = 32),
+       |pbits AS (SELECT cf.doc_id, cf.v*8 + cf.u AS idx,
+       |    CASE WHEN cf.coef > med.m THEN 1 ELSE 0 END AS bit
+       |  FROM cf JOIN med ON med.doc_id = cf.doc_id
+       |  WHERE NOT (cf.u = 0 AND cf.v = 0)),
+       |hashes AS (SELECT doc_id,
+       |    CAST(CAST(u62 AS BIGINT)
+       |      + top * ((-9223372036854775807)::BIGINT - 1) AS BIGINT) AS phash
+       |  FROM (SELECT doc_id,
+       |      sum(CASE WHEN idx = 63 THEN 0
+       |          ELSE bit * (1::BIGINT << idx) END) AS u62,
+       |      max(CASE WHEN idx = 63 THEN bit ELSE 0 END) AS top
+       |    FROM pbits GROUP BY 1))""".stripMargin
+  }
+
   /** The CCITT G.711 expansion as SQL over a code expression `c`,
     * branching on a boolean `ulaw` column — lifted verbatim from the
     * long-green `mm_audio_g711` oracle. */
@@ -3256,6 +3338,20 @@ object SparkEntry {
          |  FROM hashes, range(4) b(r)),
          |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
          |    a.dhash AS h1, b.dhash AS h2
+         |  FROM bands a JOIN bands b
+         |    ON a.blk_no = b.blk_no AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
+    "mm_image_phash" ->
+      s"""WITH ${phashCtes("doc_id")}
+         |SELECT doc_id, phash FROM hashes""".stripMargin,
+    "mm_image_neardup_phash" ->
+      s"""WITH ${phashCtes("((doc_id % 8) + 8) % 8", " WHERE doc_id < 300")},
+         |bands AS (SELECT doc_id, phash, b.r AS blk_no,
+         |    (phash >> (b.r*16)) & 65535 AS blk
+         |  FROM hashes, range(4) b(r)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.phash AS h1, b.phash AS h2
          |  FROM bands a JOIN bands b
          |    ON a.blk_no = b.blk_no AND a.blk = b.blk AND a.doc_id < b.doc_id)
          |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming

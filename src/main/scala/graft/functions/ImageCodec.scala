@@ -152,6 +152,38 @@ case class ImageDhash(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** 64-bit perceptual DCT hash (pHash) — the frequency-domain sibling of
+  * [[ImageDhash]]: dHash compares neighboring cells (edge structure),
+  * pHash thresholds the low-frequency DCT coefficients against their
+  * median, so it survives uniform brightness shifts and mild blur that
+  * flip dHash bits. Same banded bucket-join near-dup machinery applies.
+  * Pure fixed-point integer math against a shared cosine table
+  * ([[ImageCodec.phashInternal]]) — deterministic, engine-portable,
+  * oracle-checkable. Null for undecodable bytes, GIF/TIFF, or images
+  * under the 16×8 pooling grid. */
+case class ImagePhash(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "image_phash"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ImageCodec.phashInternal(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.freshName("ph")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $ph = graft.functions.ImageCodec.phashInternal($c);
+      ${ev.isNull} = $ph == null;
+      ${ev.value} = $ph == null ? -1L : $ph.longValue();
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImagePhash =
+    copy(child = newChild)
+}
+
 /** `(id, utf8 content) → real 8-bit PNG with pixels` — the PNG twin of
   * [[ImageSynthBmp]]: a fully decodable zlib-compressed PNG whose
   * sample values are fixed affine functions of (x, y, channel, id) mod
@@ -1071,34 +1103,38 @@ object ImageCodec {
     * Sniffs the payload: 24bpp BMP or 8-bit PNG (gray/RGB/gray+alpha/
     * RGBA — FULL decode through inflate + unfilter). Grayscale
     * replicates into r=g=b so downstream logic is channel-uniform. */
-  /** dHash kernel — see [[ImageDhash]]. Null (not a throw) for
-    * undecodable bytes, GIF/TIFF, or images under the 9×8 grid. */
-  def dhashInternal(bytes: Array[Byte]): java.lang.Long = {
+  /** Grayscale accessor over any full-pixel decoder here (JPEG, PNG at
+    * any depth/color type, BMP): `g(x, y)` = r+g+b (gray replicated ×3
+    * so channel counts never skew the scale). Null for undecodable
+    * bytes or formats without a pixel path (GIF/TIFF). Shared preamble
+    * of the perceptual hashes. */
+  private final class GrayView(val w: Int, val h: Int,
+      val g: (Int, Int) => Long)
+
+  private def grayView(bytes: Array[Byte]): GrayView = {
     if (bytes == null || bytes.length < 2) return null
-    var w = 0
-    var h = 0
-    var gray: (Int, Int) => Long = null
     if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
       val img = JpegCodec.decodePixels(bytes)
       if (img == null) return null
-      w = img.width; h = img.height
+      val w = img.width
       val s = img.samples
-      gray =
+      val gray: (Int, Int) => Long =
         if (img.channels == 1) (x, y) => 3L * (s(y * w + x) & 0xFF)
         else (x, y) => {
           val i = (y * w + x) * 3
           (s(i) & 0xFF).toLong + (s(i + 1) & 0xFF) + (s(i + 2) & 0xFF)
         }
+      new GrayView(w, img.height, gray)
     } else if (bytes.length >= 8 && bytes.take(8).sameElements(PNG_SIG)) {
       val png = decodePngPixels(bytes)
       if (png == null) return null
-      w = png.width; h = png.height
+      val w = png.width
       val s = png.samples
       val bps = if (png.bitDepth == 16) 2 else 1
       def at(i: Int): Long =
         if (bps == 1) (s(i) & 0xFF).toLong
         else ((s(i * 2) & 0xFFL) << 8) | (s(i * 2 + 1) & 0xFFL)
-      gray = png.channels match {
+      val gray: (Int, Int) => Long = png.channels match {
         case 1 => (x, y) => 3L * at(y * w + x)
         case 2 => (x, y) => 3L * at((y * w + x) * 2)
         case 3 => (x, y) => {
@@ -1108,16 +1144,25 @@ object ImageCodec {
           val i = (y * w + x) * 4; at(i) + at(i + 1) + at(i + 2)
         }
       }
+      new GrayView(w, png.height, gray)
     } else {
       val bmp = parseBmp(bytes)
       if (bmp == null) return null
-      w = bmp.width; h = bmp.height
-      gray = (x, y) => {
+      val gray: (Int, Int) => Long = (x, y) => {
         val i = bmp.at(x, y)
         (bmp.bytes(i) & 0xFF).toLong + (bmp.bytes(i + 1) & 0xFF) +
           (bmp.bytes(i + 2) & 0xFF)
       }
+      new GrayView(bmp.width, bmp.height, gray)
     }
+  }
+
+  /** dHash kernel — see [[ImageDhash]]. Null (not a throw) for
+    * undecodable bytes, GIF/TIFF, or images under the 9×8 grid. */
+  def dhashInternal(bytes: Array[Byte]): java.lang.Long = {
+    val gv = grayView(bytes)
+    if (gv == null) return null
+    val w = gv.w; val h = gv.h; val gray = gv.g
     if (w < 9 || h < 8) return null
     val s = new Array[Long](72)
     val n = new Array[Long](72)
@@ -1145,6 +1190,98 @@ object ImageCodec {
         cx += 1
       }
       cy += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
+  /** Fixed-point DCT constants for [[phashInternal]] — shared with the
+    * SQL oracle generator so both engines multiply the SAME integer
+    * cosine table (a float DCT would be bit-unstable across libm
+    * implementations; a hash whose low bits depend on the host's cos()
+    * cannot anchor a distributed dedup join). Grid 16×8, 8×8 output,
+    * weights `round(cos((2i+1)·k·π/(2N)) · 4096)`. */
+  val PHASH_W = 16
+  val PHASH_H = 8
+  val PHASH_SCALE = 4096L
+  val phashCosX: Array[Array[Long]] = Array.tabulate(PHASH_W, 8)((x, u) =>
+    Math.round(Math.cos((2 * x + 1) * u * Math.PI / (2 * PHASH_W)) * PHASH_SCALE))
+  val phashCosY: Array[Array[Long]] = Array.tabulate(PHASH_H, 8)((y, v) =>
+    Math.round(Math.cos((2 * y + 1) * v * Math.PI / (2 * PHASH_H)) * PHASH_SCALE))
+
+  /** pHash kernel — see [[ImagePhash]]. Average-pool the grayscale into
+    * a 16×8 grid (cell value = floor(sum·64 / count) — the ×64 keeps
+    * six fractional bits through the integer division), run a SEPARABLE
+    * fixed-point DCT-II (row pass then column pass against the shared
+    * integer cosine tables — all intermediates bounded well inside
+    * int64), take the 8×8 low-frequency block, and set bit v·8+u
+    * (1..63; DC position stays 0) iff its coefficient exceeds the
+    * median of the 63 AC coefficients (= the 32nd smallest — strict
+    * `>`, so ties break identically everywhere). Null for undecodable
+    * bytes or images under the 16×8 grid. */
+  def phashInternal(bytes: Array[Byte]): java.lang.Long = {
+    val gv = grayView(bytes)
+    if (gv == null) return null
+    val w = gv.w; val h = gv.h; val gray = gv.g
+    if (w < PHASH_W || h < PHASH_H) return null
+    val s = new Array[Long](PHASH_W * PHASH_H)
+    val n = new Array[Long](PHASH_W * PHASH_H)
+    var y = 0
+    while (y < h) {
+      val row = (y * PHASH_H / h) * PHASH_W
+      var x = 0
+      while (x < w) {
+        val idx = row + x * PHASH_W / w
+        s(idx) += gray(x, y)
+        n(idx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // g ≤ 765·64 ≈ 4.9e4; row pass ≤ 16·4.9e4·4096 ≈ 3.2e9;
+    // column pass ≤ 8·3.2e9·4096 ≈ 1.1e14 — no overflow anywhere
+    val g = new Array[Long](PHASH_W * PHASH_H)
+    var i = 0
+    while (i < g.length) { g(i) = s(i) * 64 / n(i); i += 1 }
+    val r = new Array[Long](8 * PHASH_H) // r(u·H + cy)
+    var cy = 0
+    while (cy < PHASH_H) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < PHASH_W) {
+          acc += g(cy * PHASH_W + x) * phashCosX(x)(u)
+          x += 1
+        }
+        r(u * PHASH_H + cy) = acc
+        u += 1
+      }
+      cy += 1
+    }
+    val coef = new Array[Long](64) // coef(v·8 + u)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var yy = 0
+        while (yy < PHASH_H) {
+          acc += r(u * PHASH_H + yy) * phashCosY(yy)(v)
+          yy += 1
+        }
+        coef(v * 8 + u) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val median = ac(31)
+    var hash = 0L
+    i = 1
+    while (i < 64) {
+      if (coef(i) > median) hash |= 1L << i
+      i += 1
     }
     java.lang.Long.valueOf(hash)
   }
@@ -1537,6 +1674,9 @@ object ImageCodec {
 
   def image_dhash(c: Column): Column =
     GraftSqlBridge.column(ImageDhash(GraftSqlBridge.expression(c)))
+
+  def image_phash(c: Column): Column =
+    GraftSqlBridge.column(ImagePhash(GraftSqlBridge.expression(c)))
 
   def image_resize_nn(c: Column, w: Column, h: Column): Column =
     GraftSqlBridge.column(ImageResizeNn(GraftSqlBridge.expression(c),

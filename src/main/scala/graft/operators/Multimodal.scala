@@ -150,6 +150,19 @@ object Multimodal {
         graft.functions.ImageCodec.image_dhash(col(bytesCol)).as("dh")),
       maxHamming, maxBucket, "image_dhash")
 
+  /** [[imageNearDupPairs]] with the DCT hash
+    * ([[graft.functions.ImagePhash]]) as the signature — catches
+    * brightness-shifted / mildly blurred duplicates whose edge
+    * structure (and therefore dHash) drifted; same banded machinery,
+    * pixels never shuffle. Run BOTH and union for recall: the two
+    * hashes fail on disjoint perturbation classes. */
+  def imageNearDupPairsPhash(df: DataFrame, bytesCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    bandedHashPairs(
+      df.select(col(idCol).as("id"),
+        graft.functions.ImageCodec.image_phash(col(bytesCol)).as("dh")),
+      maxHamming, maxBucket, "image_phash")
+
   /** Near-duplicate AUDIO pairs by the 64-bit energy-contour
     * fingerprint ([[graft.functions.AudioFingerprint]]) — identical
     * banded machinery to [[imageNearDupPairs]]; decode runs once per

@@ -598,4 +598,62 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.dhashInternal(Array[Byte]()) == null)
     assert(ImageCodec.dhashInternal(null) == null)
   }
+
+  // ---- pHash ----
+
+  test("phash: AC cosine columns sum to exactly zero — DC-only brightness") {
+    // the exact-brightness-invariance property below rests on this:
+    // a uniform shift moves every pooled cell by the same amount, and
+    // a zero column sum means that shift lands entirely in DC
+    for (u <- 1 until 8) {
+      assert(ImageCodec.phashCosX.map(_(u)).sum == 0L, s"cosX col $u")
+      assert(ImageCodec.phashCosY.map(_(u)).sum == 0L, s"cosY col $u")
+    }
+    assert(ImageCodec.phashCosX.map(_(0)).forall(_ == 4096L))
+    assert(ImageCodec.phashCosY.map(_(0)).forall(_ == 4096L))
+  }
+
+  test("phash: flat image hashes to 0; uniform brightness shift is invariant") {
+    val flat = rgbPng(20, 10, (_, _) => (7, 7, 7))
+    assert(ImageCodec.phashInternal(flat) == 0L) // all AC = 0, strict >
+    def img(c: Int) = rgbPng(25, 13, (x, y) =>
+      ((x * 7 + y * 3) % 200 + c, (x * 5 + y * 11) % 200 + c,
+        (x * 3 + y) % 200 + c))
+    // +c on every channel shifts only the DC coefficient (excluded from
+    // the hash) — dHash shares this property, but pHash keeps it through
+    // the DCT only because the AC table columns sum to zero exactly
+    assert(ImageCodec.phashInternal(img(0)) == ImageCodec.phashInternal(img(55)))
+  }
+
+  test("phash: near-identical images differ in few bits; unrelated in many") {
+    def img(seed: Int) = rgbPng(27, 24, (x, y) =>
+      ((x * 7 + y * 3 + seed) % 256, (x * 5 + y * 11) % 256, (x * 3 + y) % 256))
+    val a = ImageCodec.phashInternal(img(0)).longValue()
+    val b = ImageCodec.phashInternal(img(1)).longValue()
+    assert(java.lang.Long.bitCount(a ^ b) <= 3,
+      s"near pair hamming ${java.lang.Long.bitCount(a ^ b)}")
+    val noise = rgbPng(27, 24, (x, y) =>
+      (((x * 131 + y * 197) * 31) % 256, ((x * 89 + y * 57) * 17) % 256,
+        ((x * 41 + y * 13) * 101) % 256))
+    val c = ImageCodec.phashInternal(noise).longValue()
+    assert(java.lang.Long.bitCount(a ^ c) >= 10,
+      s"unrelated hamming ${java.lang.Long.bitCount(a ^ c)}")
+  }
+
+  test("phash: same pixels through PNG and gray-PNG containers agree; nulls") {
+    // gray PNG (color type 0) and an RGB PNG with r=g=b must pool the
+    // same grayscale (gray is replicated ×3 by the accessor)
+    val w = 20; val h = 11
+    def lum(x: Int, y: Int) = (x * 9 + y * 4) % 256
+    val rgb = ImageCodec.phashInternal(rgbPng(w, h, (x, y) =>
+      (lum(x, y), lum(x, y), lum(x, y))))
+    val graySamples = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) graySamples(y * w + x) = lum(x, y).toByte
+    val gray = ImageCodec.phashInternal(ImageCodec.encodePng(w, h, 0, graySamples, _ => 0))
+    assert(rgb == gray)
+    assert(ImageCodec.phashInternal(rgbPng(15, 8, (_, _) => (1, 2, 3))) == null)
+    assert(ImageCodec.phashInternal(rgbPng(16, 7, (_, _) => (1, 2, 3))) == null)
+    assert(ImageCodec.phashInternal("notanimage".getBytes) == null)
+    assert(ImageCodec.phashInternal(null) == null)
+  }
 }
