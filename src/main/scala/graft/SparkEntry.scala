@@ -1938,6 +1938,22 @@ object SparkEntry {
         .select(col("doc_id"), col("score"))
     }),
 
+    // ---- text: the production-shape classifier — intercept (a
+    //      synthetic bucket −1 riding the same gradient aggregate) +
+    //      L2 weight decay (0.25 — binary-exact, so the decay product
+    //      adds no cross-engine rounding noise); same 6-dp trajectory
+    //      pin, oracle replays all three rounds ----
+    "text_quality_logreg_l2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = TextAnalysis.hashingFeatures(docs, "text", "doc_id", 64)
+      val labels = docs.select(col("doc_id"),
+        (col("source") === "src0").cast("double").as("y"))
+      val (w, b) = TextAnalysis.trainLogregL2(feats, labels, "doc_id", "y",
+        dim = 64, iters = 3, lr = 0.4, l2 = 0.25)
+      TextAnalysis.scoreLogreg(feats, "doc_id", w, b)
+        .select(col("doc_id"), col("score"))
+    }),
+
     // ---- text: feature hashing (the fastText/Vowpal trick) — tokens
     //      into md5 buckets mod dim with tf weights; no vocabulary to
     //      build or broadcast, one explode + one hash aggregate ----
@@ -4978,6 +4994,48 @@ object SparkEntry {
          |zf AS (SELECT f.doc_id, sum(f.x * p.w) AS z
          |  FROM lrfeats f JOIN w3 p ON f.bucket = p.j GROUP BY 1)
          |SELECT doc_id, round(1.0/(1.0+exp(-z)), 6) AS score FROM zf""".stripMargin
+    },
+    // same three unrolled GD rounds with an intercept (bucket −1, x = 1
+    // on every labeled doc, unregularized) and L2 decay 0.25 inside the
+    // 6-dp gradient round — mirrors TextAnalysis.trainLogregL2
+    "text_quality_logreg_l2" -> {
+      def gd(prev: String, z: String, d: String, g: String, cur: String) =
+        s"""$z AS (SELECT f.doc_id, sum(f.x * p.w) AS z
+           |  FROM lrfeats2 f JOIN $prev p ON f.bucket = p.j GROUP BY 1),
+           |$d AS (SELECT zz.doc_id, 1.0/(1.0+exp(-zz.z)) - l.y AS d
+           |  FROM $z zz JOIN lab l USING (doc_id)),
+           |$g AS (SELECT f.bucket AS j,
+           |    sum(f.x * dd.d) / (SELECT n FROM nn) AS g
+           |  FROM lrfeats2 f JOIN $d dd USING (doc_id) GROUP BY 1),
+           |$cur AS (SELECT dims.j,
+           |    round(p.w - 0.4 * round(coalesce(g.g, 0.0)
+           |      + CASE WHEN dims.j >= 0 THEN 0.25 * p.w ELSE 0.0 END, 6), 6) AS w
+           |  FROM dims JOIN $prev p USING (j) LEFT JOIN $g g USING (j))""".stripMargin
+      s"""WITH lrfeats AS (
+         |  SELECT doc_id, bucket,
+         |    tf / sum(tf) OVER (PARTITION BY doc_id) AS x
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(md5(tok), 1, 13))::UBIGINT % 64 AS bucket,
+         |      CAST(count(*) AS DOUBLE) AS tf
+         |    FROM (SELECT doc_id, unnest(string_split(trim(regexp_replace(
+         |        lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+         |      FROM documents) WHERE tok <> '' GROUP BY 1, 2)),
+         | lab AS (SELECT doc_id,
+         |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         | lrfeats2 AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, x
+         |    FROM lrfeats
+         |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM lab),
+         | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         | dims AS (SELECT r - 1 AS j FROM range(65) t(r)),
+         | w0 AS (SELECT j, 0.0 AS w FROM dims),
+         |${gd("w0", "z1", "d1", "g1", "w1")},
+         |${gd("w1", "z2", "d2", "g2", "w2")},
+         |${gd("w2", "z3", "d3", "g3", "w3")},
+         |zf AS (SELECT f.doc_id, sum(f.x * p.w) AS z
+         |  FROM lrfeats f JOIN w3 p ON f.bucket = p.j GROUP BY 1)
+         |SELECT zf.doc_id, round(1.0/(1.0+exp(-(zf.z + bb.b))), 6) AS score
+         |FROM zf, (SELECT w AS b FROM w3 WHERE j = -1) bb""".stripMargin
     },
     // token → md5-52bit bucket mod 512 with tf counts — the identical
     // portable hash rule both engines compute

@@ -478,38 +478,69 @@ object TextAnalysis {
     * to gradients (their margin is the bias-free 0 → σ = 0.5). */
   def trainLogreg(feats: DataFrame, labels: DataFrame, idCol: String,
       labelCol: String, dim: Int, iters: Int = 3,
-      lr: Double = 0.4): Array[Double] = {
+      lr: Double = 0.4): Array[Double] =
+    trainLogregImpl(feats, labels, idCol, labelCol, dim, iters, lr,
+      l2 = 0.0, bias = false)._1
+
+  /** [[trainLogreg]] with an intercept and L2 weight decay — the
+    * production shape (an unregularized bias-free fit both saturates on
+    * hot hash buckets and can't express a base rate far from 1/2).
+    * Returns `(weights, bias)`. The bias rides the SAME per-bucket
+    * gradient aggregate as a synthetic bucket −1 with x = 1 on every
+    * labeled doc (no extra job per round), so docs WITHOUT features do
+    * shape the intercept here — with a bias they carry the real signal
+    * σ(b) − y, where the bias-free variant had nothing to move. L2
+    * adds `l2·w` inside the 6-dp gradient round (bias unregularized,
+    * as usual); prefer binary-exact `l2` values (0.25, 0.125) so the
+    * decay product introduces no cross-engine rounding noise. */
+  def trainLogregL2(feats: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String, dim: Int, iters: Int = 3, lr: Double = 0.4,
+      l2: Double = 0.25): (Array[Double], Double) =
+    trainLogregImpl(feats, labels, idCol, labelCol, dim, iters, lr,
+      l2 = l2, bias = true)
+
+  private def trainLogregImpl(feats: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String, dim: Int, iters: Int,
+      lr: Double, l2: Double, bias: Boolean): (Array[Double], Double) = {
     require(dim > 0 && iters >= 1)
+    val lab = labels.select(col(idCol), col(labelCol).cast("double").as("_y"))
     val n = labels.count().toDouble
     require(n > 0, "trainLogreg: empty label set (gradients would be 0/0)")
-    val f = lrX(feats, idCol).join(
-        labels.select(col(idCol), col(labelCol).cast("double").as("_y")),
-        idCol)
+    val fx = lrX(feats, idCol).join(lab, idCol)
       .select(col(idCol), col("bucket"), col("_x"), col("_y"))
+    val f = (if (bias) fx.unionByName(lab.select(col(idCol),
+        lit(-1L).as("bucket"), lit(1.0).as("_x"), col("_y")))
+      else fx)
       .localCheckpoint(true) // reused every round: evaluate once
     try {
-    var w = Array.fill(dim)(0.0)
-    var it = 0
-    while (it < iters) {
-      val wLit = array(w.toSeq.map(lit): _*)
-      val margins = f
-        .withColumn("_w", element_at(wLit, col("bucket").cast("int") + 1))
-        .groupBy(col(idCol))
-        .agg(sum(col("_x") * col("_w")).as("_z"), first(col("_y")).as("_yy"))
-        .select(col(idCol),
-          (lit(1.0) / (lit(1.0) + exp(-col("_z"))) - col("_yy")).as("_d"))
-      val grads = f.join(margins, idCol)
-        .groupBy(col("bucket"))
-        .agg(sum(col("_x") * col("_d")).as("_g"))
-        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-      w = Array.tabulate(dim) { j =>
-        round6(w(j) - lr * round6(grads.getOrElse(j, 0.0) / n))
+      var w = Array.fill(dim)(0.0)
+      var b = 0.0
+      var it = 0
+      while (it < iters) {
+        val wLit = array(w.toSeq.map(lit): _*)
+        val bucketW =
+          if (bias) when(col("bucket") === -1L, lit(b))
+            .otherwise(element_at(wLit, col("bucket").cast("int") + 1))
+          else element_at(wLit, col("bucket").cast("int") + 1)
+        val margins = f
+          .withColumn("_w", bucketW)
+          .groupBy(col(idCol))
+          .agg(sum(col("_x") * col("_w")).as("_z"), first(col("_y")).as("_yy"))
+          .select(col(idCol),
+            (lit(1.0) / (lit(1.0) + exp(-col("_z"))) - col("_yy")).as("_d"))
+        val grads = f.join(margins, idCol)
+          .groupBy(col("bucket"))
+          .agg(sum(col("_x") * col("_d")).as("_g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        w = Array.tabulate(dim) { j =>
+          round6(w(j) - lr * round6(grads.getOrElse(j, 0.0) / n + l2 * w(j)))
+        }
+        if (bias) b = round6(b - lr * round6(grads.getOrElse(-1, 0.0) / n))
+        it += 1
       }
-      it += 1
-    }
-    w
-    // release the checkpoint blocks — a leaked cache here taxes every
-    // query that runs after training in the same session
+      (w, b)
+      // release the checkpoint blocks — a leaked cache here taxes every
+      // query that runs after training in the same session
     } finally f.unpersist(false)
   }
 
@@ -517,14 +548,15 @@ object TextAnalysis {
     * normalization as training), rounded to 6 dp — one aggregation;
     * weights ride the plan as a literal array. */
   def scoreLogreg(feats: DataFrame, idCol: String,
-      weights: Array[Double]): DataFrame = {
+      weights: Array[Double], bias: Double = 0.0): DataFrame = {
     val wLit = array(weights.toSeq.map(lit): _*)
     lrX(feats, idCol)
       .withColumn("_w", element_at(wLit, col("bucket").cast("int") + 1))
       .groupBy(col(idCol))
       .agg(sum(col("_x") * col("_w")).as("_z"))
       .select(col(idCol),
-        round(lit(1.0) / (lit(1.0) + exp(-col("_z"))), 6).as("score"))
+        round(lit(1.0) / (lit(1.0) + exp(-(col("_z") + lit(bias)))), 6)
+          .as("score"))
   }
 
   /** TEMPERATURE-flattened source mixing — the multilingual-pretraining

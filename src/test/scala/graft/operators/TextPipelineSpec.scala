@@ -139,6 +139,47 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(w.toSeq == w2.toSeq)
   }
 
+  test("logreg L2+bias: intercept learns the base rate; decay shrinks weights") {
+    // 90/10 label skew over a SHARED vocabulary: features carry no
+    // signal, so the intercept is the only way to express the base rate
+    val skew = (1L to 200L).map(i => (i, "same words every doc",
+      if (i <= 180) 1.0 else 0.0)).toDF("id", "text", "y")
+    val noFeats = Seq.empty[(Long, Long, Long)].toDF("id", "bucket", "tf")
+    val (wS, bS) = TextAnalysis.trainLogregL2(noFeats,
+      skew.select(col("id"), col("y")),
+      "id", "y", dim = 64, iters = 30, lr = 2.0, l2 = 0.0)
+    // featureless corpus: every doc scores σ(b); 30 rounds of lr=2 GD
+    // on d = σ(b) − 0.9 pushes b positive toward logit(0.9)
+    assert(bS > 1.0, s"bias=$bS")
+    assert(wS.forall(_ == 0.0))
+
+    // separable data: decay shrinks the solution norm, accuracy survives
+    val docs = (1L to 200L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma delta", 1.0)
+      else (i, "omega psi chi phi", 0.0)
+    }.toDF("id", "text", "y")
+    val feats = TextAnalysis.hashingFeatures(docs, "text", "id", 64)
+    val labels = docs.select(col("id"), col("y"))
+    val (w0, _) = TextAnalysis.trainLogregL2(feats, labels, "id", "y",
+      dim = 64, iters = 20, lr = 4.0, l2 = 0.0)
+    // keep lr·l2 well under 1 — at 1 the decay wipes the weights each
+    // round (the stationary point collapses toward 0)
+    val (wL, bL) = TextAnalysis.trainLogregL2(feats, labels, "id", "y",
+      dim = 64, iters = 20, lr = 4.0, l2 = 0.0625)
+    assert(wL.map(x => x * x).sum < w0.map(x => x * x).sum)
+    val scores = TextAnalysis.scoreLogreg(feats, "id", wL, bL)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pos = (2L to 200L by 2).map(scores).sum / 100
+    val neg = (1L to 199L by 2).map(scores).sum / 100
+    // decay pulls scores toward 1/2 by design — assert separation,
+    // not the unregularized confidence
+    assert(pos > 0.65 && neg < 0.35, s"pos=$pos neg=$neg")
+    // determinism pin holds for the regularized trajectory too
+    val (wL2, bL2) = TextAnalysis.trainLogregL2(feats, labels, "id", "y",
+      dim = 64, iters = 20, lr = 4.0, l2 = 0.0625)
+    assert(wL.toSeq == wL2.toSeq && bL == bL2)
+  }
+
   test("politenessSchedule: consecutive slots per domain, offsets honor the delay") {
     val rows = Seq(
       (1L, "https://a.com/x", java.lang.Long.valueOf(2000L)),
