@@ -1686,6 +1686,21 @@ object SparkEntry {
         .select(col("doc_id"), col("label"))
     }),
 
+    // ---- graph: oscillation-hardened label propagation — one extra
+    //      round, `stable` = consecutive states agree, label = min of
+    //      the pair (phase-independent on bipartite 2-cycles) ----
+    "labelprop_stable" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)))).as("dst"))
+      LinkGraph.labelPropagationStable(edges, "src", "dst", iterations = 2,
+        idCol = "doc_id")
+        .select(col("doc_id"), col("label"), col("stable"))
+    }),
+
     // ---- text: exact-N uniform sample by portable md5 rank — plans
     //      as TakeOrderedAndProject, never a global sort ----
     "sample_exact_n" -> ((s, dir) =>
@@ -4558,6 +4573,35 @@ object SparkEntry {
          |${lpRound("l1", "v2", "w2", "l2")},
          |${lpRound("l2", "v3", "w3", "l3")}
          |SELECT id AS doc_id, lbl AS label FROM l3""".stripMargin
+    },
+    // same vote rounds; compare rounds 2 and 3, min-resolve the pair
+    "labelprop_stable" -> {
+      def lpRound(prev: String, v: String, w: String, cur: String): String =
+        s"""$v AS (SELECT e.dst AS id, p.lbl, count(*) AS n
+           |  FROM und e JOIN $prev p ON e.src = p.id GROUP BY 1, 2),
+           |$w AS (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER (
+           |    PARTITION BY id ORDER BY n DESC, lbl) AS rn FROM $v)
+           |  WHERE rn = 1),
+           |$cur AS (SELECT p.id, coalesce($w.lbl, p.lbl) AS lbl
+           |  FROM $prev p LEFT JOIN $w ON p.id = $w.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         | nodes AS (SELECT doc_id AS id FROM documents),
+         | dir AS (
+         |  SELECT id AS src, (id*3+1) % (SELECT n FROM nn) AS dst FROM nodes
+         |  UNION ALL
+         |  SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes),
+         | und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir)
+         |  WHERE src <> dst),
+         | l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM und),
+         |${lpRound("l0", "v1", "w1", "l1")},
+         |${lpRound("l1", "v2", "w2", "l2")},
+         |${lpRound("l2", "v3", "w3", "l3")}
+         |SELECT a.id AS doc_id, least(a.lbl, b.lbl) AS label,
+         |       a.lbl = b.lbl AS stable
+         |FROM l2 a JOIN l3 b ON a.id = b.id""".stripMargin
     },
     "pagerank_links" -> {
       def round(prev: String, cur: String): String =

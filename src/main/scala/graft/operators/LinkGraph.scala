@@ -112,6 +112,42 @@ object LinkGraph {
       iterations: Int = 3, idCol: String = "id",
       nodes: DataFrame = null): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    val (und, nodeIds) = lpPrep(edges, srcCol, dstCol, nodes)
+    val labels = lpRounds(und, nodeIds.withColumn("_lbl", col("_id")),
+      iterations)
+    labels.select(col("_id").as(idCol), col("_lbl").as("label"))
+  }
+
+  /** [[labelPropagation]] hardened against the synchronous-update
+    * oscillation: bipartite structures (even cycles, two-tier
+    * link graphs) can flip between two label states forever under
+    * synchronous rounds, so a fixed iteration count reads whichever
+    * phase it happened to stop in. This variant runs ONE extra round
+    * and compares: `stable` = the two consecutive states agree, and
+    * `label` = the smaller of the pair — a phase-independent, fully
+    * deterministic resolution (both phases of a 2-cycle yield the same
+    * min, so an oscillating even cycle resolves to one community
+    * instead of a coin-flip on the iteration parity). Costs exactly
+    * one additional round over [[labelPropagation]]; same per-round
+    * scale shape. */
+  def labelPropagationStable(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int = 3, idCol: String = "id",
+      nodes: DataFrame = null): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val (und, nodeIds) = lpPrep(edges, srcCol, dstCol, nodes)
+    val even = lpRounds(und, nodeIds.withColumn("_lbl", col("_id")),
+      iterations)
+    val odd = lpRounds(und, even, 1)
+    even.join(odd.select(col("_id"), col("_lbl").as("_lbl2")), Seq("_id"))
+      .select(col("_id").as(idCol),
+        least(col("_lbl"), col("_lbl2")).as("label"),
+        (col("_lbl") === col("_lbl2")).as("stable"))
+  }
+
+  /** Undirected mirrored edge set (self-loops dropped) + the node
+    * universe — shared preamble of the LP variants. */
+  private def lpPrep(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame): (DataFrame, DataFrame) = {
     val dir = edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst"))
     val und = dir.unionByName(dir.select(col("_dst").as("_src"),
@@ -124,10 +160,16 @@ object LinkGraph {
     if (nodes != null)
       allNodes = allNodes.unionByName(nodes
         .select(col(nodes.columns.head).cast("long").as("_id")))
-    val nodeIds = allNodes.distinct().localCheckpoint(true)
-    var labels = nodeIds.withColumn("_lbl", col("_id"))
+    (und, allNodes.distinct().localCheckpoint(true))
+  }
+
+  /** `rounds` synchronous vote rounds from `labels0` (columns `_id`,
+    * `_lbl`); each round checkpoints to keep the plan flat. */
+  private def lpRounds(und: DataFrame, labels0: DataFrame,
+      rounds: Int): DataFrame = {
+    var labels = labels0
     var it = 0
-    while (it < iterations) {
+    while (it < rounds) {
       // neighbor labels: one equi-join on the edge source
       val votes = und.join(labels, und("_src") === labels("_id"))
         .groupBy(col("_dst").as("_id"), col("_lbl"))
@@ -141,6 +183,6 @@ object LinkGraph {
         .localCheckpoint(true)
       it += 1
     }
-    labels.select(col("_id").as(idCol), col("_lbl").as("label"))
+    labels
   }
 }

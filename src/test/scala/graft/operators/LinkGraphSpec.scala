@@ -104,4 +104,33 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(withIso.filterKeys(Set(1L, 2L, 3L)).toMap ==
       a.filterKeys(Set(1L, 2L, 3L)).toMap)
   }
+
+  test("stable LP: 4-cycle oscillation is detected and min-resolved; " +
+      "converged graphs read stable") {
+    import spark.implicits._
+    // even cycle 0-1-2-3: synchronous LP flips between [1,0,1,0] and
+    // [0,1,0,1] forever — every node unstable, min of the pair = 0
+    // everywhere (one community, which is the right answer)
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val got = LinkGraph.labelPropagationStable(cyc, "src", "dst",
+      iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.forall(!_._3), s"expected all-oscillating: ${got.toSeq}")
+    assert(got.forall(_._2 == 0L), s"min-resolve: ${got.toSeq}")
+    // parity-independence: the plain variant reads opposite phases at
+    // 3 vs 4 rounds; the stable variant reads the same answer
+    val it4 = LinkGraph.labelPropagationStable(cyc, "src", "dst",
+      iterations = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.sortBy(_._1).toSeq == it4.sortBy(_._1).toSeq)
+    // a converged triangle reports stable and matches the plain variant
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val st = LinkGraph.labelPropagationStable(tri, "src", "dst",
+      iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val plain = LinkGraph.labelPropagation(tri, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st.forall(_._3))
+    assert(st.forall(t => plain(t._1) == t._2))
+  }
 }
