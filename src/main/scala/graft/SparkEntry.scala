@@ -345,6 +345,27 @@ object SparkEntry {
         graft.streaming.EventStream.hourlyCms(events, "user_id", 4, 256)
       }),
 
+    // ---- T9 streaming politeness: the crawl frontier as a stream —
+    //      flatMapGroupsWithState keyed by registered domain holds one
+    //      slot counter per domain (state tracks domains, not URLs);
+    //      the fixture arrives as one micro-batch, where the in-batch
+    //      salted-md5 order makes streaming ≡ the batch scheduler ≡
+    //      the crawl_schedule oracle ----
+    "t9_streaming_politeness" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t9", table = "documents") { docs =>
+        val url = concat(lit("https://site"),
+          pmod(col("doc_id"), lit(11)).cast("string"),
+          element_at(array(lit(".com"), lit(".co.uk"), lit(".org")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+          lit("/p"), col("doc_id"))
+        val in = docs.select(col("doc_id"), url.as("url"),
+          when(pmod(col("doc_id"), lit(11)) < 4, lit(2000L)).as("delay_ms"))
+        graft.streaming.Frontier.politenessStream(in, "url", "doc_id",
+            "delay_ms")
+          .toDF().select(col("id").as("doc_id"), col("domain"), col("slot"),
+            col("offsetMs").as("offset_ms"))
+      }),
+
     // ---- W4/W5 row numbering + M running increment (scalable two-pass
     //      global numbering — no single-partition window) ----
     "w5_row_number" -> ((s, dir) =>
@@ -4493,6 +4514,24 @@ object SparkEntry {
         |  AND date_trunc('hour', ts) + INTERVAL 2 HOUR
         |    <= (SELECT date_trunc('microsecond', max(ts)) FROM events)
         |GROUP BY 1, 2, 3""".stripMargin,
+    // single-batch stream ≡ the batch scheduler — same SQL as
+    // crawl_schedule
+    "t9_streaming_politeness" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(((doc_id % 11) + 11) % 11 AS VARCHAR) ||
+        |      CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN '.com'
+        |        WHEN 1 THEN '.co.uk' ELSE '.org' END AS domain,
+        |    CASE WHEN ((doc_id % 11) + 11) % 11 < 4 THEN 2000 END AS delay_ms
+        |  FROM documents),
+        | r AS (
+        |  SELECT doc_id, domain, delay_ms,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS slot
+        |  FROM u)
+        |SELECT doc_id, domain, CAST(slot AS BIGINT) AS slot,
+        |  CAST((slot - 1) * coalesce(delay_ms, 1000) AS BIGINT) AS offset_ms
+        |FROM r""".stripMargin,
     // Broder's estimator over the bottom-64 of the union, recomputed
     // with DuckDB list algebra on the same 52-bit hashes
     "kmv_resemblance" ->

@@ -226,4 +226,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
     } finally q.stop()
   }
+
+  test("streaming politeness: in-batch md5 order; slots continue across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("frontier_t").toString
+    def stage(rows: Seq[(Long, String, java.lang.Long)]): Unit =
+      rows.toDF("id", "url", "delay_ms").coalesce(1)
+        .write.mode("append").parquet(dir)
+    stage(Seq(
+      (1L, "https://a.com/x", java.lang.Long.valueOf(2000L)),
+      (2L, "https://a.com/y", java.lang.Long.valueOf(2000L)),
+      (10L, "https://b.org/q", null.asInstanceOf[java.lang.Long])))
+    val src = spark.readStream.schema("id LONG, url STRING, delay_ms LONG")
+      .parquet(dir)
+    val q = Frontier.politenessStream(src, "url", "id", "delay_ms")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("polite_out").start()
+    try {
+      q.processAllAvailable()
+      // a later-discovered a.com URL must queue BEHIND the slots the
+      // domain already handed out — the state the batch scheduler lacks
+      stage(Seq((3L, "https://a.com/z", java.lang.Long.valueOf(2000L))))
+      q.processAllAvailable()
+      val got = spark.table("polite_out").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("domain"), r.getAs[Long]("slot"),
+            r.getAs[Long]("offsetMs")))).toMap
+      // batch 1: md5("1") < md5("2") → slots 1, 2 on a.com
+      assert(got(1L) == (("a.com", 1L, 0L)))
+      assert(got(2L) == (("a.com", 2L, 2000L)))
+      // null delay falls back to the 1000 ms default (slot 1 → offset 0)
+      assert(got(10L) == (("b.org", 1L, 0L)))
+      // batch 2: continuation, not a restart at slot 1
+      assert(got(3L) == (("a.com", 3L, 4000L)))
+    } finally q.stop()
+  }
 }
