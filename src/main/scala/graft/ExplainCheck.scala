@@ -293,6 +293,12 @@ object ExplainCheck {
     // KMV containment: the pairwise stage is a sketch-row join — the
     // corpus never joins anything
     audit("kmv_containment", mustNotContain = Seq("CartesianProduct"))
+    // DSIR: the dim-sized ratio table BROADCASTS onto the corpus
+    // features (the corpus never shuffles by bucket) and the top-n is
+    // a TakeOrdered, never a global sort
+    audit("dsir_select",
+      mustContain = Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
     // temperature mix: the S-row rate table BROADCASTS onto the corpus
     // filter — a sort-merge join would shuffle the corpus to meet it
     audit("mix_temperature", mustContain = Seq("BroadcastHashJoin"),

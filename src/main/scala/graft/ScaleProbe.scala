@@ -191,9 +191,15 @@ object ScaleProbe {
           col("doc_id"), col("text"))).as("v"),
       graft.functions.ImageCodec.image_pixel_stats(
         graft.functions.GifCodec.gif_synth(
-          col("doc_id"), col("text"))).as("g"))
+          col("doc_id"), col("text"))).as("g"),
+      // perceptual hashes ride the same projection (decode + pool/DCT)
+      graft.functions.ImageCodec.image_phash(
+        graft.functions.ImageCodec.image_synth_png(
+          col("doc_id"),
+          org.apache.spark.sql.functions.expr(
+            "repeat('x', CAST(doc_id % 4 + 24 AS INT))"))).as("p"))
       .filter(col("i").isNotNull && col("a").isNotNull &&
-        col("v").isNotNull && col("g").isNotNull)
+        col("v").isNotNull && col("g").isNotNull && col("p").isNotNull)
     probe("multimodal_decode",
       mmDecode(docs1).count(),
       mmDecode(docsN).count())
@@ -346,6 +352,16 @@ object ScaleProbe {
         512).count(),
       graft.operators.TextAnalysis.hashingFeatures(docsN, "text", "doc_id",
         512).count())
+
+    // DSIR selection: dim-sized ratio broadcast onto the corpus
+    // features — growth tracks the two feature scans, never a
+    // bucket-keyed shuffle of the corpus
+    def dsirRun(df: DataFrame): Long =
+      graft.operators.TextAnalysis.dsirSelect(
+        df.filter(col("doc_id") % 2 === 0),
+        df.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", dim = 256, n = 50).count()
+    probe("dsir_select", dsirRun(docs1), dsirRun(docsN))
 
     // logreg training: fixed rounds of two map-side-combining
     // aggregations — growth must track the feature scan, not the dim

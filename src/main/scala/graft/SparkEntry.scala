@@ -2152,6 +2152,19 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.topVocabulary(t(s, dir, "documents"), "text", k = 100)),
 
+    // ---- text: DSIR importance selection — rank the non-src0 corpus
+    //      by hashed-bigram likelihood ratio against the src0 target
+    //      sample (add-one smoothing, 6-dp log-ratios, dim-sized
+    //      broadcast; the corpus never shuffles by bucket) ----
+    "dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.dsirSelect(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", dim = 256, n = 50)
+        .select(col("doc_id"), col("dsir_score"))
+    }),
+
     // ---- text: TF-IDF keyword extraction — top-3 terms per doc ----
     "tfidf_topterms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "text", "doc_id",
@@ -2970,6 +2983,42 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, lm_score, coalesce(n_bigrams, 0) AS n_bigrams
         |FROM documents LEFT JOIN scored USING (doc_id)""".stripMargin,
+    // hashed-bigram importance ratios: target (src0) vs raw (the rest),
+    // add-one smoothing over 256 buckets, 6-dp pins at the ratio and
+    // doc-score levels, ties at the cut break by doc_id
+    "dsir_select" ->
+      """WITH lists AS (
+        |  SELECT doc_id, source, string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ') AS lst
+        |  FROM documents
+        |  WHERE length(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g'))) > 0),
+        |pairs AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(lst[g.i] || ' ' || lst[g.i + 1]), 1, 13))::UBIGINT
+        |      % 256 AS bucket
+        |  FROM lists, LATERAL unnest(range(1, len(lst))) AS g(i)
+        |  WHERE lst[g.i] <> '' AND lst[g.i + 1] <> ''),
+        |cfeat AS (SELECT doc_id, bucket, count(*) AS tf
+        |  FROM pairs WHERE source <> 'src0' GROUP BY 1, 2),
+        |tcnt AS (SELECT bucket, count(*) AS ct
+        |  FROM pairs WHERE source = 'src0' GROUP BY 1),
+        |ccnt AS (SELECT bucket, sum(tf) AS cc FROM cfeat GROUP BY 1),
+        |tt AS (SELECT count(*) AS s FROM pairs WHERE source = 'src0'),
+        |tc AS (SELECT sum(tf) AS s FROM cfeat),
+        |ratio AS (
+        |  SELECT g.r AS bucket,
+        |    round(ln((coalesce(ct, 0) + 1.0) / ((SELECT s FROM tt) + 256.0))
+        |        - ln((coalesce(cc, 0) + 1.0) / ((SELECT s FROM tc) + 256.0)),
+        |      6) AS r
+        |  FROM range(256) g(r)
+        |  LEFT JOIN tcnt ON tcnt.bucket = g.r
+        |  LEFT JOIN ccnt ON ccnt.bucket = g.r),
+        |scored AS (
+        |  SELECT doc_id, round(sum(tf * r), 6) AS dsir_score
+        |  FROM cfeat JOIN ratio USING (bucket) GROUP BY 1)
+        |SELECT doc_id, dsir_score FROM scored
+        |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin,
     "f8_truncate_pad" ->
       """SELECT doc_id, substring(text, 1, 24) AS clipped,
         | rpad(source, 12, ' ') AS padded

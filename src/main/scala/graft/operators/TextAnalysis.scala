@@ -423,6 +423,74 @@ object TextAnalysis {
           lit(dim.toLong)).as("bucket"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Hashed BIGRAM features — the DSIR feature space: adjacent
+    * normalized-token pairs land in `md5₅₂(w1 ⧺ " " ⧺ w2) mod dim`
+    * buckets with tf weights. Same sparse (id, bucket, tf) contract
+    * and scale shape as [[hashingFeatures]] (one narrow zip_with +
+    * explode, one hash aggregate with map-side combine). */
+  def hashingBigramFeatures(df: DataFrame, textCol: String, idCol: String,
+      dim: Int = 1024): DataFrame = {
+    val toks = normalizedTokens(col(textCol))
+    val nPairs = greatest(size(toks) - 1, lit(0))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(zip_with(slice(toks, lit(1), nPairs),
+          slice(toks, lit(2), nPairs),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .filter(col("_p.w1") =!= "" && col("_p.w2") =!= "")
+      .groupBy(col(idCol),
+        pmod(conv(substring(md5(concat(col("_p.w1"), lit(" "),
+          col("_p.w2"))), 1, 13), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** DSIR-style data selection (importance resampling over hashed
+    * n-gram features — the Pile/domain-targeting recipe): rank a RAW
+    * corpus by how much each document's hashed-bigram distribution
+    * looks like a small TARGET sample rather than the raw corpus
+    * itself, and keep the top `n`. Importance weight per doc =
+    * Σ_buckets tf_b · (ln p̂_target(b) − ln p̂_raw(b)) with add-one
+    * smoothing over the `dim` buckets; log-ratios round to 6 dp per
+    * bucket and scores to 6 dp per doc (ties at the cut break by id),
+    * so an independent engine reproduces the exact selection.
+    *
+    * Scale shape: two feature passes (corpus + target), two dim-sized
+    * count aggregates, a dim-sized ratio table BROADCAST onto the
+    * corpus feature relation (the corpus never shuffles by bucket),
+    * one per-doc aggregate, and a TakeOrdered top-n — no global sort,
+    * no driver state beyond the dim-sized table. The target sample is
+    * small by construction (it is the thing you curate toward); the
+    * raw corpus is the 100-TB side and stays pipeline-shaped. */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, dim: Int = 1024, n: Int = 100): DataFrame = {
+    require(dim > 0 && n > 0)
+    val fC = hashingBigramFeatures(corpus, textCol, idCol, dim)
+    val fT = hashingBigramFeatures(target, textCol, idCol, dim)
+    val buckets = corpus.sparkSession.range(dim.toLong)
+      .select(col("id").as("bucket"))
+    val cT = fT.groupBy("bucket").agg(sum("tf").as("_ct"))
+    val cC = fC.groupBy("bucket").agg(sum("tf").as("_cc"))
+    val tT = fT.agg(sum("tf").as("_tt"))
+    val tC = fC.agg(sum("tf").as("_tc"))
+    val ratio = buckets
+      .join(cT, Seq("bucket"), "left")
+      .join(cC, Seq("bucket"), "left")
+      .crossJoin(broadcast(tT))
+      .crossJoin(broadcast(tC))
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("_ct"), lit(0L)) + lit(1.0)) /
+            (col("_tt") + lit(dim.toDouble))) -
+          log((coalesce(col("_cc"), lit(0L)) + lit(1.0)) /
+            (col("_tc") + lit(dim.toDouble))), 6).as("_r"))
+    fC.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf") * col("_r")), 6).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Dense `array<double>` form of [[hashingFeatures]] — one bounded
     * per-doc collect (≤ min(tokens, dim) entries), then a codegen'd
     * sequence fill. EVERY input doc gets a row: a token-less doc

@@ -180,6 +180,34 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(wL.toSeq == wL2.toSeq && bL == bL2)
   }
 
+  test("dsir: bigram features hash pairs; target-like docs outrank the rest") {
+    val bg = TextAnalysis.hashingBigramFeatures(
+      Seq((1L, "a b a b"), (2L, "x"), (3L, "")).toDF("doc_id", "text"),
+      "text", "doc_id", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "a b a b" → pairs (a b)(b a)(a b): two buckets, tfs {2, 1}
+    assert(bg.filter(_._1 == 1L).map(_._3).sorted.toSeq == Seq(1L, 2L))
+    assert(!bg.exists(_._1 == 2L)) // single token → no bigram
+    assert(!bg.exists(_._1 == 3L))
+
+    val target = (1L to 20L).map(i => (i + 1000L,
+      "the cat sat on the mat and the cat purred")).toDF("doc_id", "text")
+    val corpus = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, "the cat sat on the mat near the cat")
+      else (i, "stock market prices fell sharply on tuesday trading")
+    }.toDF("doc_id", "text")
+    val picked = TextAnalysis.dsirSelect(corpus, target, "text", "doc_id",
+      dim = 256, n = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exactly the cat-like half survives the n=20 cut
+    assert(picked.keySet == (2L to 40L by 2).toSet, s"got ${picked.keySet}")
+    // deterministic re-run
+    val again = TextAnalysis.dsirSelect(corpus, target, "text", "doc_id",
+      dim = 256, n = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(picked == again)
+  }
+
   test("politenessSchedule: consecutive slots per domain, offsets honor the delay") {
     val rows = Seq(
       (1L, "https://a.com/x", java.lang.Long.valueOf(2000L)),
