@@ -1722,6 +1722,37 @@ object SparkEntry {
         .select(col("doc_id"), col("label"), col("stable"))
     }),
 
+    // ---- graph: HITS hubs & authorities (3 rounds) over the same
+    //      synthetic link graph — max-normalized + 6-dp pinned per
+    //      half-round, so the oracle replays the identical trajectory ----
+    "hits_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)),
+          pmod(col("doc_id") * 7 + 3, lit(n)))).as("dst"))
+      LinkGraph.hits(edges, "src", "dst", iterations = 3, idCol = "doc_id")
+        .select(col("doc_id"), col("hub"), col("authority"))
+    }),
+
+    // ---- graph: per-node triangle counts + local clustering
+    //      coefficient — degree-ordered wedge enumeration (no Σ deg²
+    //      blowup); exact integers, orientation-independent oracle ----
+    "triangle_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)),
+          pmod(col("doc_id") * 7 + 3, lit(n)))).as("dst"))
+      LinkGraph.triangleCounts(edges, "src", "dst", idCol = "doc_id")
+        .select(col("doc_id"), col("triangles"), col("degree"),
+          round(col("lcc"), 6).as("lcc"))
+    }),
+
     // ---- text: exact-N uniform sample by portable md5 rank — plans
     //      as TakeOrderedAndProject, never a global sort ----
     "sample_exact_n" -> ((s, dir) =>
@@ -4717,6 +4748,67 @@ object SparkEntry {
          | ${round("r4", "r5")}
          |SELECT id AS doc_id, round(r, 9) AS rank FROM r5""".stripMargin
     },
+    // the same 3 HITS rounds unrolled: each half-round sums the dual
+    // score over the edge, normalizes by the MAX (deterministic — no
+    // summation-order noise), and rounds to 6 dp, so both engines step
+    // through bit-identical states
+    "hits_links" -> {
+      def half(scores: String, from: String, to: String, sums: String,
+          out: String): String =
+        s"""$sums AS (SELECT e.$to AS id, sum(p.s) AS s
+           |  FROM edges e JOIN $scores p ON e.$from = p.id GROUP BY 1),
+           |$out AS (SELECT nd.id,
+           |  round(coalesce(x.s, 0) / (SELECT max(s) FROM $sums), 6) AS s
+           |  FROM nodes nd LEFT JOIN $sums x ON nd.id = x.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         | nodes AS (SELECT doc_id AS id FROM documents),
+         | edges AS (
+         |  SELECT DISTINCT id AS src, dst FROM (
+         |    SELECT id, (id*3+1) % (SELECT n FROM nn) AS dst FROM nodes
+         |    UNION ALL SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes
+         |    UNION ALL SELECT id, (id*7+3) % (SELECT n FROM nn) FROM nodes)),
+         | h0 AS (SELECT id, 1.0 AS s FROM nodes),
+         |${half("h0", "src", "dst", "a1s", "a1")},
+         |${half("a1", "dst", "src", "h1s", "h1")},
+         |${half("h1", "src", "dst", "a2s", "a2")},
+         |${half("a2", "dst", "src", "h2s", "h2")},
+         |${half("h2", "src", "dst", "a3s", "a3")},
+         |${half("a3", "dst", "src", "h3s", "h3")}
+         |SELECT h3.id AS doc_id, h3.s AS hub, a3.s AS authority
+         |FROM h3 JOIN a3 ON h3.id = a3.id""".stripMargin
+    },
+    // triangle counts are orientation-independent exact integers, so
+    // the oracle enumerates each triangle once by canonical a<b<c
+    // (the Spark side's degree-ordered orientation is a physical
+    // optimization with the identical result)
+    "triangle_counts" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | nodes AS (SELECT doc_id AS id FROM documents),
+        | dir AS (
+        |  SELECT id AS a, (id*3+1) % (SELECT n FROM nn) AS b FROM nodes
+        |  UNION ALL SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes
+        |  UNION ALL SELECT id, (id*7+3) % (SELECT n FROM nn) FROM nodes),
+        | und AS (
+        |  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+        |  FROM dir WHERE a <> b),
+        | deg AS (SELECT id, count(*) AS deg FROM (
+        |   SELECT lo AS id FROM und UNION ALL SELECT hi FROM und)
+        |  GROUP BY 1),
+        | tri AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM und e1 JOIN und e2 ON e2.lo = e1.hi
+        |  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        | tn AS (SELECT id, count(*) AS t FROM (
+        |   SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |   UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT nd.id AS doc_id,
+        |  coalesce(tn.t, 0) AS triangles,
+        |  coalesce(deg.deg, 0) AS degree,
+        |  CASE WHEN coalesce(deg.deg, 0) >= 2
+        |    THEN round(2.0 * coalesce(tn.t, 0) / (deg.deg * (deg.deg - 1)), 6)
+        |    ELSE 0.0 END AS lcc
+        |FROM nodes nd LEFT JOIN tn ON nd.id = tn.id
+        |LEFT JOIN deg ON nd.id = deg.id""".stripMargin,
     "sample_exact_n" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IS NOT NULL

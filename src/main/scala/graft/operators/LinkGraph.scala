@@ -144,6 +144,139 @@ object LinkGraph {
         (col("_lbl") === col("_lbl2")).as("stable"))
   }
 
+  /** HITS hubs & authorities (Kleinberg) after exactly `iterations`
+    * rounds — the complementary authority signal to [[pageRank]]: a
+    * page is a good AUTHORITY when good hubs point at it, a good HUB
+    * when it points at good authorities. Crawl curation uses both
+    * (directory/index pages are hubs worth frontier priority; content
+    * pages are authorities worth quality weight).
+    *
+    * Engine-portable determinism: each half-round normalizes by the
+    * MAX score (a deterministic reduction — no cross-engine
+    * summation-order noise, unlike an L1/L2 norm) and rounds to 6
+    * decimals, so every round starts from bit-identical inputs in any
+    * engine — the same per-round pinning discipline as the logreg
+    * trainer. Per-node sums carry ~1e-16 relative ordering noise that
+    * a 6-dp rounding absorbs with ten orders of margin.
+    *
+    * Scale shape per half-round: one equi-join keyed on the edge
+    * endpoint + one keyed sum + one scalar max to the driver (the
+    * PageRank dangling-mass discipline), lineage checkpoint-truncated
+    * so the plan never grows with the iteration count. Scores and
+    * edges never visit the driver.
+    *
+    * Returns one row per node: (`idCol`, hub, authority), each in
+    * [0, 1] with at least one node at exactly 1.0 (when any edge
+    * exists; an edgeless graph scores all zeros). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, nodes: DataFrame = null,
+      idCol: String = "id"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst")).distinct().localCheckpoint(true)
+    var all = e.select(col("_src").as("_id"))
+      .unionByName(e.select(col("_dst").as("_id")))
+    if (nodes != null)
+      all = all.unionByName(nodes.select(col(nodes.columns.head)
+        .cast("long").as("_id")))
+    val nodeIds = all.distinct().localCheckpoint(true)
+    var hubs = nodeIds.withColumn("_s", lit(1.0))
+    var auths = nodeIds.withColumn("_s", lit(0.0))
+    var it = 0
+    while (it < iterations) {
+      // auth(v) = Σ hub(u) over in-edges, max-normalized + 6-dp pinned
+      auths = hitsHalfRound(e, hubs, nodeIds, "_src", "_dst")
+      // hub(u) = Σ auth(v) over out-edges
+      hubs = hitsHalfRound(e, auths, nodeIds, "_dst", "_src")
+      it += 1
+    }
+    hubs.select(col("_id"), col("_s").as("hub"))
+      .join(auths.select(col("_id"), col("_s").as("authority")), Seq("_id"))
+      .select(col("_id").as(idCol), col("hub"), col("authority"))
+  }
+
+  /** One HITS half-round: propagate `scores` (columns `_id`, `_s`)
+    * across the edge from `fromCol` to `toCol`, sum per target,
+    * normalize by the max (scalar to the driver), round to 6 dp. */
+  private def hitsHalfRound(e: DataFrame, scores: DataFrame,
+      nodeIds: DataFrame, fromCol: String, toCol: String): DataFrame = {
+    val sums = e.join(scores, e(fromCol) === scores("_id"))
+      .groupBy(col(toCol).as("_id")).agg(sum(col("_s")).as("_sum"))
+    val m = sums.agg(coalesce(max(col("_sum")), lit(0.0)))
+      .head().getDouble(0)
+    val norm =
+      if (m <= 0.0) lit(0.0)
+      else round(coalesce(col("_sum"), lit(0.0)) / lit(m), 6)
+    nodeIds.join(sums, Seq("_id"), "left")
+      .select(col("_id"), norm.as("_s")).localCheckpoint(true)
+  }
+
+  /** Per-node TRIANGLE COUNTS, degree, and local clustering
+    * coefficient over the undirected, de-duplicated form of the edge
+    * list — the classic graph-quality signals (spam link farms show
+    * abnormal clustering; community cores show high counts).
+    *
+    * Scale shape — degree-ordered orientation (the node-iterator++
+    * bound): every canonical edge {a,b} is oriented from the
+    * lower-(degree, id) endpoint to the higher, which caps every
+    * out-neighborhood at O(√m), so the wedge self-join on the shared
+    * source enumerates O(m^1.5) candidate wedges worst-case instead of
+    * Σ deg² (a single celebrity node with 10M in-links would otherwise
+    * explode one reduce task quadratically). Each triangle {a≺b≺c} is
+    * found exactly once as wedge (a→b, a→c) closed by the oriented
+    * edge b→c. Three equi-joins + two keyed aggregates; nothing
+    * touches the driver.
+    *
+    * Returns one row per node: (`idCol`, triangles, degree, lcc) with
+    * lcc = 2·T / (deg·(deg−1)) and 0.0 when degree < 2. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      idCol: String = "id", nodes: DataFrame = null): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("_a"),
+      col(dstCol).cast("long").as("_b")).filter(col("_a") =!= col("_b"))
+    val und = raw.select(least(col("_a"), col("_b")).as("_lo"),
+      greatest(col("_a"), col("_b")).as("_hi")).distinct()
+      .localCheckpoint(true)
+    var all = und.select(col("_lo").as("_id"))
+      .unionByName(und.select(col("_hi").as("_id")))
+    if (nodes != null)
+      all = all.unionByName(nodes.select(col(nodes.columns.head)
+        .cast("long").as("_id")))
+    val nodeIds = all.distinct()
+    val deg = und.select(col("_lo").as("_id"))
+      .unionByName(und.select(col("_hi").as("_id")))
+      .groupBy("_id").agg(count(lit(1)).as("_deg")).localCheckpoint(true)
+    // orient each edge from the (deg, id)-smaller endpoint; the target
+    // keeps its degree so the wedge stage can order targets without a
+    // second degree join
+    val lower = struct(col("_dlo").as("d"), col("_lo").as("n"))
+    val higher = struct(col("_dhi").as("d"), col("_hi").as("n"))
+    val o = und
+      .join(deg.select(col("_id").as("_lo"), col("_deg").as("_dlo")), "_lo")
+      .join(deg.select(col("_id").as("_hi"), col("_deg").as("_dhi")), "_hi")
+      .select(when(lower < higher, col("_lo")).otherwise(col("_hi")).as("_u"),
+        when(lower < higher, higher).otherwise(lower).as("_v"))
+      .localCheckpoint(true)
+    // wedges (u→x, u→y) with x ≺ y, closed by the oriented edge x→y
+    val tri = o.select(col("_u"), col("_v").as("_x"))
+      .join(o.select(col("_u"), col("_v").as("_y")), Seq("_u"))
+      .filter(col("_x") < col("_y"))
+      .select(col("_u").as("_n1"), col("_x").getField("n").as("_xn"),
+        col("_y").getField("n").as("_yn"))
+      .join(o.select(col("_u").as("_xn"),
+        col("_v").getField("n").as("_yn")), Seq("_xn", "_yn"))
+    val perNode = tri
+      .select(explode(array(col("_n1"), col("_xn"), col("_yn"))).as("_id"))
+      .groupBy("_id").agg(count(lit(1)).as("_tri"))
+    nodeIds.join(perNode, Seq("_id"), "left").join(deg, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_tri"), lit(0L)).as("triangles"),
+        coalesce(col("_deg"), lit(0L)).as("degree"),
+        when(coalesce(col("_deg"), lit(0L)) >= 2,
+          lit(2.0) * coalesce(col("_tri"), lit(0L)) /
+            (col("_deg") * (col("_deg") - lit(1L))))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   /** Undirected mirrored edge set (self-loops dropped) + the node
     * universe — shared preamble of the LP variants. */
   private def lpPrep(edges: DataFrame, srcCol: String, dstCol: String,

@@ -133,4 +133,87 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(st.forall(_._3))
     assert(st.forall(t => plain(t._1) == t._2))
   }
+
+  /** Dense HITS reference with the same max-normalize + 6-dp pinning. */
+  private def hitsRef(n: Int, edges: Seq[(Int, Int)],
+      iters: Int): (Array[Double], Array[Double]) = {
+    val uniq = edges.distinct
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var h = Array.fill(n)(1.0)
+    var a = Array.fill(n)(0.0)
+    for (_ <- 1 to iters) {
+      val as = Array.fill(n)(0.0)
+      uniq.foreach { case (s, t) => as(t) += h(s) }
+      val ma = if (as.isEmpty) 0.0 else as.max
+      a = if (ma <= 0) Array.fill(n)(0.0) else as.map(x => r6(x / ma))
+      val hs = Array.fill(n)(0.0)
+      uniq.foreach { case (s, t) => hs(s) += a(t) }
+      val mh = if (hs.isEmpty) 0.0 else hs.max
+      h = if (mh <= 0) Array.fill(n)(0.0) else hs.map(x => r6(x / mh))
+    }
+    (h, a)
+  }
+
+  test("HITS: star separates hubs from authorities exactly; dense reference " +
+      "matches on a mixed graph") {
+    import spark.implicits._
+    // leaves point at the center: center is the sole authority (1.0),
+    // leaves are the hubs (1.0), dual scores exactly 0
+    val star = Seq((1, 0), (2, 0), (3, 0)).toDF("src", "dst")
+    val s = LinkGraph.hits(star, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(s(0L) == ((0.0, 1.0)))
+    Seq(1L, 2L, 3L).foreach(v => assert(s(v) == ((1.0, 0.0))))
+    // mixed graph incl. a dup edge and a node reachable only via nodes
+    val edges = Seq((0, 1), (0, 2), (1, 2), (2, 0), (4, 0), (0, 1))
+    val got = LinkGraph.hits(edges.toDF("src", "dst"), "src", "dst",
+      iterations = 4, nodes = Seq(7).toDF("id"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (h, a) = hitsRef(8, edges, 4)
+    assert(got.size == 5)
+    for (v <- Seq(0, 1, 2, 4, 7)) {
+      assert(math.abs(got(v.toLong)._1 - h(v)) < 1e-6, s"hub $v")
+      assert(math.abs(got(v.toLong)._2 - a(v)) < 1e-6, s"auth $v")
+    }
+    // the isolated node scores zero on both axes; scores stay in [0,1]
+    assert(got(7L) == ((0.0, 0.0)))
+    got.values.foreach { case (hb, au) =>
+      assert(hb >= 0 && hb <= 1 && au >= 0 && au <= 1)
+    }
+    // an edgeless graph (nodes only) is all zeros, not NaN
+    val none = LinkGraph.hits(Seq.empty[(Int, Int)].toDF("src", "dst"),
+      "src", "dst", iterations = 2, nodes = Seq(1, 2).toDF("id"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(none.forall(_ == ((0.0, 0.0))))
+  }
+
+  test("triangles: K4 counts 3 per node at lcc 1; pendant dilutes; " +
+      "paths and dups count zero") {
+    import spark.implicits._
+    val k4 = (for (x <- 0 to 3; y <- 0 to 3 if x < y) yield (x, y))
+      .toDF("src", "dst")
+    val got = LinkGraph.triangleCounts(k4, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    (0 to 3).foreach(v => assert(got(v.toLong) == ((3L, 3L, 1.0)), s"node $v"))
+    // triangle {0,1,2} + pendant 3 on node 2: node 2 sees 1 triangle of
+    // its 3 possible neighbor pairs → lcc 1/3; mirror/dup/self edges
+    // collapse into the same undirected edge set
+    val tri = Seq((0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (0, 1), (3, 3))
+      .toDF("src", "dst")
+    val g2 = LinkGraph.triangleCounts(tri, "src", "dst",
+      nodes = Seq(9).toDF("id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(g2(0L) == ((1L, 2L, 1.0)) && g2(1L) == ((1L, 2L, 1.0)))
+    assert(g2(2L)._1 == 1L && g2(2L)._2 == 3L)
+    assert(math.abs(g2(2L)._3 - 1.0 / 3) < 1e-12)
+    assert(g2(3L) == ((0L, 1L, 0.0)))
+    assert(g2(9L) == ((0L, 0L, 0.0)), "isolated node present with zeros")
+    // a pure path has no triangles anywhere
+    val path = Seq((0, 1), (1, 2), (2, 3)).toDF("src", "dst")
+    val g3 = LinkGraph.triangleCounts(path, "src", "dst").collect()
+    assert(g3.forall(_.getLong(1) == 0L))
+  }
 }
