@@ -636,6 +636,19 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", 0.8)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))),
 
+    // ---- dedup: EXACT shingle-set Jaccard self-join via rarity-ordered
+    //      prefix filtering (AllPairs/PPJoin family) — zero false
+    //      negatives, unlike LSH; same 3-gram universe as
+    //      dedup_ngram_jaccard so the oracle is the identical all-pairs
+    //      set. Cap pinned 0: exactness guarantee mode. (Word unigrams
+    //      are deliberately NOT used here: the synthetic corpus has a
+    //      31-word vocabulary, making unigram-set Jaccard degenerate —
+    //      ~3M qualifying pairs at sf0.1 — for ANY exact algorithm.) ----
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixJoin(t(s, dir, "documents"), "text", "doc_id",
+          0.8, maxBucket = 0, shingleN = 3)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))),
+
     // ---- dedup: connected components → keep-one-per-cluster ----
     "dedup_clusters" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -5551,6 +5564,18 @@ object SparkEntry {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
     "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id1, id2, round(j, 6) AS jacc FROM pairs WHERE j >= 0.8""".stripMargin,
+    // prefix-filtered exact Jaccard: oracle is the zero-pruning
+    // all-pairs 3-gram-shingle-set Jaccard — same CTEs as
+    // dedup_ngram_jaccard, different Spark algorithm (prefix filter
+    // equi-join, not LSH candidates)
+    "dedup_jaccard_prefix" ->
       s"""WITH $shingleCtes,
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,

@@ -331,6 +331,77 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-similarity self-join at shingle-set Jaccard ≥ `threshold`
+    * (distinct word `shingleN`-grams; `shingleN = 1` → word sets)
+    * via rarity-ordered PREFIX FILTERING (the AllPairs/PPJoin family —
+    * Bayardo et al. WWW'07, Xiao et al. WWW'08, public algorithms) —
+    * the zero-false-negative complement of [[minhashLshPairs]]: LSH
+    * trades recall for speed; this path guarantees the complete pair
+    * set, pruned enough to survive corpus scale.
+    *
+    * Why it prunes: order every document's distinct tokens by GLOBAL
+    * rarity (document frequency asc, token asc — one total order both
+    * engines share), and keep only the first
+    * `|d| − ceil(t·|d|) + 1` tokens as the doc's prefix. Any pair with
+    * J ≥ t has `|A∩B| ≥ ceil(t·|A|)`, so skipping the last
+    * `ceil(t·|A|) − 1` tokens cannot skip the whole intersection —
+    * the prefixes of a qualifying pair MUST share a token. Candidates
+    * therefore come from an equi-join on prefix tokens (dominated by
+    * RARE tokens — tiny buckets), never an all-pairs product; a size
+    * filter (`t·|B| ≤ |A| ≤ |B|/t`) prunes length-incompatible pairs
+    * before the verify.
+    *
+    * Distributed shape: one explode + one (token) count aggregate for
+    * document frequencies (vocab-sized result, broadcast-joined back
+    * when small); one shuffle on id to assemble the sorted token
+    * array (materialized once via localCheckpoint — three consumers);
+    * prefix equi-join on token; exact verify via array_intersect on
+    * the two bounded per-doc arrays. `maxBucket` (default 1000, the
+    * [[minhashLshPairs]] convention) caps a pathological hot prefix
+    * token with drop accounting — set 0 for the exactness guarantee
+    * (the oracle mode; capping can only drop candidates of ubiquitous
+    * tokens, which rarity ordering already makes rare in prefixes).
+    *
+    * Returns (id1 < id2, jaccard) with jaccard ≥ threshold. */
+  def jaccardPrefixJoin(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, maxBucket: Int = 1000, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val tok = df.select(col(idCol).cast("long").as("id"),
+        explode(graft.functions.ShingleStrings.shingle_strings(
+          col(textCol), shingleN)).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("_df"))
+    val sorted = tok.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("_df"), col("tok"))))
+        .as("_st"))
+      .select(col("id"),
+        transform(col("_st"), s => s.getField("tok")).as("toks"),
+        size(col("_st")).cast("long").as("sz"))
+      .localCheckpoint(true) // three consumers: prefix + both verify sides
+    val pfxLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .cast("int")
+    val pfx = capBuckets(
+      sorted.select(col("id"), col("sz"),
+        explode(slice(col("toks"), lit(1), pfxLen)).as("tok")),
+      Seq("tok"), "id", maxBucket, "jaccard_prefix")
+    val cand = bucketPairs(pfx, Seq("tok"), "id", Seq("sz"),
+      bounded = maxBucket > 0)
+      .filter(col("sz2") * lit(threshold) <= col("sz1") &&
+        col("sz1") * lit(threshold) <= col("sz2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(sorted.select(col("id").as("id1"), col("toks").as("_t1"),
+        col("sz").as("_s1")), "id1")
+      .join(sorted.select(col("id").as("id2"), col("toks").as("_t2"),
+        col("sz").as("_s2")), "id2")
+      .withColumn("_i", size(array_intersect(col("_t1"), col("_t2")))
+        .cast("long"))
+      .select(col("id1"), col("id2"),
+        (col("_i").cast("double") /
+          (col("_s1") + col("_s2") - col("_i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Universal-hash constants for the portable minhash family
     * h_i(x) = (a_i·x + b_i) mod P over the 32-bit md5 prefix of a
     * shingle: ONE md5 per shingle, then integer arithmetic any engine

@@ -100,6 +100,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact == 28)
   }
 
+  test("jaccard prefix join (cap off) equals brute-force word Jaccard exactly") {
+    val d = docs.filter(col("doc_id") < 400)
+    val got = Dedup.jaccardPrefixJoin(d, "text", "doc_id", 0.6,
+        maxBucket = 0, shingleN = 1)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: all pairs over distinct word sets (the zero-pruning oracle)
+    val sets = d.select(col("doc_id"),
+        graft.functions.ShingleStrings.shingle_strings(col("text"), 1).as("t"))
+      .as[(Long, Seq[String])].collect().map { case (i, t) => (i, t.toSet) }
+    val want = (for {
+      (a, ta) <- sets; (b, tb) <- sets if a < b
+      j = (ta & tb).size.toDouble / (ta | tb).size if j >= 0.6
+    } yield (a, b, BigDecimal(j).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("jaccard prefix join (3-gram) equals LSH+verify pair set at sf0.001") {
+    // two independent algorithms, same exact semantics: the prefix-filter
+    // equi-join must reproduce ngramJaccardPairs' verified pair set (the
+    // planted near-dups sit far above LSH's recall floor at j >= 0.8)
+    val viaPrefix = Dedup.jaccardPrefixJoin(docs, "text", "doc_id", 0.8,
+        maxBucket = 0, shingleN = 3)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val viaLsh = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 0.8)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPrefix == viaLsh && viaPrefix.size == 28)
+  }
+
+  test("jaccard prefix join prunes: no product join in the plan") {
+    val out = Dedup.jaccardPrefixJoin(docs, "text", "doc_id", 0.9, maxBucket = 0)
+    assert(out.filter(col("jaccard") < 0.9).isEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("simhash: identical text → distance 0; planted near-dups found") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
       "into the deep green forest tonight"
