@@ -162,6 +162,19 @@ object ExplainCheck {
     // corpus by term; the only nested-loop is the 1-row stats scalar
     audit("bm25_topk", mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
+    // prefix-filtered exact Jaccard: candidates come from the prefix
+    // token EQUI-join, never an all-pairs product
+    audit("dedup_jaccard_prefix",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    // SemDeDup: the k-row centroid table BROADCASTS onto the assignment
+    // scan; pair generation is the cluster-bucket machinery — no
+    // product join anywhere
+    audit("semdedup_pairs", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    // coreness: every h-index round is one edge equi-join + one keyed
+    // aggregation (the window) — no product join
+    audit("graph_coreness",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
     // decontamination: the eval-gram set must be BROADCAST against the
     // corpus scan — a sort-merge join here shuffles the whole corpus by
     // gram, the 100 TB killer this operator is designed to avoid

@@ -387,6 +387,34 @@ object ScaleProbe {
     }
     probe("label_propagation", lpRun(docs1), lpRun(docsN))
 
+    // coreness: fixed h-index rounds — the same one-join-one-window
+    // shape per round as PageRank/LP, so time tracks the edge count
+    def coreRun(df: DataFrame): Long = {
+      val m = df.count()
+      val edges = df.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(m)),
+          pmod(col("doc_id") * 5 + 2, lit(m)))).as("dst"))
+      graft.operators.LinkGraph.coreness(edges, "src", "dst",
+        iterations = 3).count()
+    }
+    probe("coreness", coreRun(docs1), coreRun(docsN))
+
+    // prefix-filtered exact Jaccard at the PRODUCTION cap: rare-token
+    // prefixes + the bucket cap must keep candidate growth near-linear
+    probe("jaccard_prefix",
+      graft.operators.Dedup.jaccardPrefixJoin(docs1, "text", "doc_id",
+        0.8).count(),
+      graft.operators.Dedup.jaccardPrefixJoin(docsN, "text", "doc_id",
+        0.8).count())
+
+    // SemDeDup at the production cap: assignment is a broadcast scan,
+    // pair work is per-cluster and cap-bounded — near-linear in rows
+    probe("semdedup",
+      graft.operators.Similarity.semDedupPairs(emb1, "vec_id", "embedding",
+        threshold = 0.3, k = 64, iters = 3, orderBy = "vec_id").count(),
+      graft.operators.Similarity.semDedupPairs(embN, "vec_id", "embedding",
+        threshold = 0.3, k = 64, iters = 3, orderBy = "vec_id").count())
+
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
     val dupN = (0 until n).map { c =>

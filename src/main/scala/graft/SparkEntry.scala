@@ -803,6 +803,23 @@ object SparkEntry {
         "embedding", threshold = 0.25, planes = 8, tables = 2)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos"))),
 
+    // ---- SemDeDup (Abbas et al. 2023): k-means the embedding space,
+    //      then exact-cosine duplicate pairs WITHIN each cluster only.
+    //      Deterministic ordered-sample Lloyd (the ann_ivf convention)
+    //      so the oracle replays training; cap pinned 0 = exact mode ----
+    "semdedup_pairs" -> ((s, dir) =>
+      Similarity.semDedupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3, k = 64, iters = 3,
+          maxBucket = 0, orderBy = "vec_id")
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cos"))),
+
+    // ---- SemDeDup keep-set: connected components over the pair set,
+    //      keep the smallest id per semantic-duplicate group ----
+    "semdedup_keep" -> ((s, dir) =>
+      Similarity.semDedupKeep(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3, k = 64, iters = 3,
+        maxBucket = 0, orderBy = "vec_id")),
+
     // ---- ANN: hard-negative mining — top-k cosine neighbors per query
     //      EXCLUDING near-duplicate cluster co-members (the contrastive
     //      training negative set; exact via the k + maxCluster pad) ----
@@ -1766,6 +1783,23 @@ object SparkEntry {
           round(col("lcc"), 6).as("lcc"))
     }),
 
+    // ---- graph: k-core number per node via the h-index fixpoint —
+    //      6 rounds (init = degree, values only move down, so rounds
+    //      past convergence are no-ops); the oracle unrolls the same
+    //      deterministic trajectory ----
+    "graph_coreness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)),
+          pmod(col("doc_id") * 7 + 3, lit(n)))).as("dst"))
+      LinkGraph.coreness(edges, "src", "dst", iterations = 6,
+        nodes = docs, idCol = "doc_id")
+        .select(col("doc_id"), col("coreness"))
+    }),
+
     // ---- text: exact-N uniform sample by portable md5 rank — plans
     //      as TakeOrderedAndProject, never a global sort ----
     "sample_exact_n" -> ((s, dir) =>
@@ -2505,6 +2539,51 @@ object SparkEntry {
     }.mkString("\n UNION ALL ")
     "WITH " + bpeCtes(k) + "\n" +
       s"SELECT CAST(id AS BIGINT) AS token_id, symbol FROM (\n$base\n UNION ALL $merged)"
+  }
+
+  /** Unrolled SemDeDup CTEs mirroring [[Similarity.semDedupPairs]] at
+    * the gate's parameters (k=64, iters=3, sample = first 2000 by
+    * vec_id): the same Lloyd trajectory as [[ivfOracleSql]] (init =
+    * first k, ties → smallest ci, means summed in vec_id order), then
+    * ALL vectors assigned to the final centroids and exact cosine over
+    * same-cluster pairs. The annulus pruning on the Spark side is
+    * lossless, so the oracle needs no mirror of it. */
+  private val semDedupOracleCtes: String = {
+    val iters = 3
+    def dist(vec: String, cent: String): String =
+      s"list_sum(list_transform(list_zip($vec, $cent), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    val iterCtes = (1 to iters).map { i =>
+      s"""sa$i AS (
+         |  SELECT vec_id, e, ci,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rk
+         |  FROM (SELECT s.vec_id, s.e, c.ci, ${dist("s.e", "c.cv")} AS dist
+         |        FROM ssample s CROSS JOIN scent${i - 1} c)),
+         |sm$i AS (
+         |  SELECT ci, list_transform(range(0, 64), d ->
+         |      list_sum(list_transform(vecs, v -> v[d+1])) / cnt) AS cv
+         |  FROM (SELECT ci, list(e ORDER BY vec_id) AS vecs, count(*) AS cnt
+         |        FROM sa$i WHERE rk = 1 GROUP BY ci)),
+         |scent$i AS (
+         |  SELECT p.ci, COALESCE(m.cv, p.cv) AS cv
+         |  FROM scent${i - 1} p LEFT JOIN sm$i m ON m.ci = p.ci)""".stripMargin
+    }.mkString(",\n")
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ssample AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 2000),
+       |scent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS cv
+       |           FROM ssample ORDER BY vec_id LIMIT 64),
+       |$iterCtes,
+       |sfa AS (
+       |  SELECT vec_id, e, ci,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rk
+       |  FROM (SELECT s.vec_id, s.e, c.ci, ${dist("s.e", "c.cv")} AS dist
+       |        FROM emb s CROSS JOIN scent$iters c)),
+       |sasg AS (SELECT vec_id, e, ci FROM sfa WHERE rk = 1),
+       |spairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2])) /
+       |    (sqrt(list_sum(list_transform(a.e, x -> x*x))) *
+       |     sqrt(list_sum(list_transform(b.e, x -> x*x)))) AS c
+       |  FROM sasg a JOIN sasg b ON a.ci = b.ci AND a.vec_id < b.vec_id)""".stripMargin
   }
 
   private val ivfOracleSql: String = {
@@ -4822,6 +4901,41 @@ object SparkEntry {
         |    ELSE 0.0 END AS lcc
         |FROM nodes nd LEFT JOIN tn ON nd.id = tn.id
         |LEFT JOIN deg ON nd.id = deg.id""".stripMargin,
+    // coreness: the same 6 h-index rounds unrolled — each round takes,
+    // per node, the H-index of its neighbors' previous values (largest
+    // h with >= h neighbors at value >= h), expressed as
+    // max(rn where nh >= rn) over a desc row_number; init = degree
+    "graph_coreness" -> {
+      def hround(prev: String, cur: String): String =
+        s"""$cur AS (SELECT nd.id,
+           |  coalesce(max(CASE WHEN x.nh >= x.rn THEN x.rn ELSE 0 END), 0) AS h
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS id, p.h AS nh,
+           |      row_number() OVER (PARTITION BY e.dst ORDER BY p.h DESC) AS rn
+           |    FROM und e JOIN $prev p ON e.src = p.id) x ON x.id = nd.id
+           |  GROUP BY nd.id)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         | nodes AS (SELECT doc_id AS id FROM documents),
+         | dir AS (
+         |  SELECT id AS src, (id*3+1) % (SELECT n FROM nn) AS dst FROM nodes
+         |  UNION ALL SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes
+         |  UNION ALL SELECT id, (id*7+3) % (SELECT n FROM nn) FROM nodes),
+         | und AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir)
+         |  WHERE src <> dst),
+         | h0 AS (SELECT nd.id, coalesce(d.deg, 0) AS h FROM nodes nd
+         |   LEFT JOIN (SELECT dst AS id, count(*) AS deg FROM und
+         |     GROUP BY 1) d ON d.id = nd.id),
+         | ${hround("h0", "h1")},
+         | ${hround("h1", "h2")},
+         | ${hround("h2", "h3")},
+         | ${hround("h3", "h4")},
+         | ${hround("h4", "h5")},
+         | ${hround("h5", "h6")}
+         |SELECT id AS doc_id, CAST(h AS BIGINT) AS coreness
+         |FROM h6""".stripMargin
+    },
     "sample_exact_n" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IS NOT NULL
@@ -5524,6 +5638,26 @@ object SparkEntry {
     "dedup_embedding" ->
       s"""$srpPairSql
          |SELECT id1, id2, round(c, 6) AS cos FROM scored WHERE c >= 0.25""".stripMargin,
+    "semdedup_pairs" ->
+      s"""WITH $semDedupOracleCtes
+         |SELECT id1, id2, round(c, 6) AS cos FROM spairs
+         |WHERE c >= 0.3""".stripMargin,
+    // keep-set: recursive-CTE connected components over the pair set,
+    // drop every non-minimum member of each component
+    "semdedup_keep" ->
+      s"""WITH $semDedupOracleCtes,
+         |pr AS (SELECT id1, id2 FROM spairs WHERE c >= 0.3),
+         |sedges AS (SELECT id1 AS a, id2 AS b FROM pr
+         |           UNION SELECT id2, id1 FROM pr),
+         |swalk AS (
+         |  WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT a, a FROM sedges
+         |    UNION
+         |    SELECT e2.b, r.lbl FROM r JOIN sedges e2 ON r.id = e2.a)
+         |  SELECT * FROM r),
+         |slab AS (SELECT id, min(lbl) AS cluster FROM swalk GROUP BY id)
+         |SELECT vec_id FROM emb
+         |WHERE vec_id NOT IN (SELECT id FROM slab WHERE id <> cluster)""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH $srpCtes,
          |q AS (SELECT e AS qv FROM emb WHERE vec_id = 0),

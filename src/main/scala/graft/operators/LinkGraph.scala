@@ -279,6 +279,68 @@ object LinkGraph {
 
   /** Undirected mirrored edge set (self-loops dropped) + the node
     * universe — shared preamble of the LP variants. */
+  /** K-core number (coreness) of every node via the H-INDEX FIXPOINT
+    * (Lü/Zhou/Zhang/Stanley, PNAS 2016 — public result): start from
+    * degree and repeatedly replace each node's value with the H-index
+    * of its neighbors' values (the largest h such that ≥ h neighbors
+    * hold value ≥ h). The sequence is monotone non-increasing and
+    * converges to the classic peeling coreness — but unlike peeling
+    * (inherently sequential: remove min-degree nodes one wave at a
+    * time, O(max-core) dependent waves), every round here is ONE
+    * distributed equi-join + ONE keyed aggregation, the same
+    * shuffle key (`_dst`) every round so the layout is reused, and
+    * rounds needed in practice ≈ graph diameter.
+    *
+    * Coreness is the standing crawl-graph spam/quality signal next to
+    * [[pageRank]]: link farms inflate degree and even PageRank, but a
+    * farm whose members all point at one page cannot inflate that
+    * page's coreness past the farm's own internal density.
+    *
+    * The per-node H-index is computed with a row_number window over
+    * neighbor values (`max(rn where nh ≥ rn)`) — no per-node array
+    * collect, so a hot node's neighbor list spills instead of
+    * living in one aggregation buffer. Lineage is checkpoint-
+    * truncated per round like every iterative operator here.
+    *
+    * Runs EXACTLY `iterations` rounds (deterministic trajectory — an
+    * external oracle can unroll the same rounds); init = degree means
+    * values only move down, so extra rounds past convergence are
+    * no-ops. Returns (`idCol`, coreness). */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8, nodes: DataFrame = null,
+      idCol: String = "id"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val (und, allNodes) = lpPrep(edges, srcCol, dstCol, nodes)
+    val deg = und.groupBy(col("_dst").as("_id")).agg(count(lit(1)).as("_h"))
+    var h = allNodes.join(deg, Seq("_id"), "left")
+      .select(col("_id"), coalesce(col("_h"), lit(0L)).as("_h"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      val nbr = und.join(h, und("_src") === h("_id"))
+        .select(col("_dst").as("_id"), col("_h").as("_nh"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_id").orderBy(col("_nh").desc)
+      val hNew = nbr
+        .withColumn("_rn", row_number().over(w).cast("long"))
+        .groupBy("_id")
+        .agg(max(when(col("_nh") >= col("_rn"), col("_rn"))
+          .otherwise(0L)).as("_hn"))
+      h = h.join(hNew, Seq("_id"), "left")
+        .select(col("_id"), coalesce(col("_hn"), lit(0L)).as("_h"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    h.select(col("_id").as(idCol), col("_h").as("coreness"))
+  }
+
+  /** Members of the k-core: nodes whose [[coreness]] ≥ `k`. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      iterations: Int = 8, nodes: DataFrame = null,
+      idCol: String = "id"): DataFrame =
+    coreness(edges, srcCol, dstCol, iterations, nodes, idCol)
+      .filter(col("coreness") >= k)
+
   private def lpPrep(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame): (DataFrame, DataFrame) = {
     val dir = edges.select(col(srcCol).cast("long").as("_src"),

@@ -664,4 +664,92 @@ object Similarity {
       .orderBy(col("adist").asc, col(idCol))
       .limit(k)
   }
+
+  // ---- SemDeDup — semantic (embedding-space) deduplication ---------------
+  //
+  // The published SemDeDup recipe (Abbas et al. 2023, arXiv 2303.09540 —
+  // public): k-means the embedding space, then look for pairs above a
+  // cosine threshold ONLY within each cluster — cross-cluster pairs are
+  // deliberately out of scope, which is what makes the pair step
+  // tractable at corpus scale (k scales with n, clusters stay
+  // bounded-ish, and the quadratic step runs per cluster, never
+  // globally).
+
+  /** Within-cluster semantic-duplicate pairs: k-means assignment (the
+    * deterministic ordered-sample Lloyd shared with [[trainCentroids]] /
+    * [[ivfAssign]]) followed by per-cluster pair generation and exact
+    * cosine verification.
+    *
+    * Distributed shape: training is driver-side over a bounded sample
+    * (the [[trainCentroids]] convention); assignment is one codegen'd
+    * argmin scan; pair generation is the shared bucket machinery
+    * (cluster = bucket, skew-capped by `maxBucket` with drop accounting,
+    * 0 = exact/oracle mode); the expensive vector re-join happens only
+    * for surviving candidates.
+    *
+    * Candidates are pre-pruned LOSSLESSLY by the triangle inequality
+    * before vectors are re-joined: for unit vectors â, b̂ and the
+    * cluster's own unit anchor ĉ, |d(â,ĉ) − d(b̂,ĉ)| ≤ d(â,b̂), and
+    * cos(a,b) ≥ τ ⟺ d(â,b̂) ≤ δ = √(2−2τ) — so a pair whose
+    * centroid-distance gap exceeds δ cannot qualify and is dropped
+    * carrying only two doubles, not two vectors. At τ = 0.95+ (the
+    * published operating range) δ ≈ 0.3 and most of a cluster's
+    * quadratic candidate mass dies here; at low τ the filter passes
+    * everything and costs one broadcast join.
+    *
+    * Returns (id1 < id2, cosine) with cosine ≥ `threshold`. */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 64, iters: Int = 3, sampleN: Int = 2000,
+      maxBucket: Int = 1000, orderBy: String = ""): DataFrame = {
+    require(threshold > -1 && threshold <= 1, "threshold must be in (-1, 1]")
+    val spark = df.sparkSession
+    val centroids = trainCentroids(df, vecCol, k, iters, sampleN, orderBy)
+    val delta = math.sqrt((2.0 - 2.0 * threshold).max(0.0))
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+          org.apache.spark.sql.Row(i, c.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
+    // one row per input: (cluster, id, dc) where dc is the UNIT-sphere
+    // distance to the cluster anchor — the annulus key
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+      .join(broadcast(centDf), "cluster")
+      .select(col("cluster"), col(idCol).as("id"),
+        sqrt(greatest(lit(0.0),
+          lit(2.0) - lit(2.0) * graft.functions.VecOps.cosine_sim(
+            col(vecCol), col("_cv")))).as("dc"))
+    val members = Dedup.capBuckets(assigned, Seq("cluster"), "id",
+      maxBucket, "semdedup")
+    val cand = Dedup.bucketPairs(members, Seq("cluster"), "id", Seq("dc"),
+      bounded = maxBucket > 0)
+      .filter(abs(col("dc1") - col("dc2")) <= delta)
+      .select("id1", "id2")
+    val vecs = df.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
+    cand
+      .join(vecs.select(col("_vid").as("id1"), col("_vv").as("v1")), "id1")
+      .join(vecs.select(col("_vid").as("id2"), col("_vv").as("v2")), "id2")
+      .select(col("id1"), col("id2"),
+        graft.functions.VecOps.cosine_sim(col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup keep-set: connected components over [[semDedupPairs]],
+    * keep the smallest id per semantic-duplicate group (plus every
+    * unpaired row). Returns the kept ids as (`idCol`). */
+  def semDedupKeep(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 64, iters: Int = 3, sampleN: Int = 2000,
+      maxBucket: Int = 1000, orderBy: String = ""): DataFrame = {
+    val pairs = semDedupPairs(df, idCol, vecCol, threshold, k, iters,
+      sampleN, maxBucket, orderBy).select("id1", "id2")
+    val labels = Dedup.connectedComponents(pairs)
+    val drop = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.select(col(idCol)).join(drop, Seq(idCol), "left_anti")
+  }
 }

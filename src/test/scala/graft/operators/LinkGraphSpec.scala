@@ -216,4 +216,72 @@ class LinkGraphSpec extends AnyFunSuite {
     val g3 = LinkGraph.triangleCounts(path, "src", "dst").collect()
     assert(g3.forall(_.getLong(1) == 0L))
   }
+
+  /** Exact peeling coreness (min-degree removal order) — the classic
+    * sequential algorithm the h-index fixpoint must converge to. */
+  private def corenessRef(n: Int, edges: Seq[(Int, Int)]): Array[Int] = {
+    val adj = Array.fill(n)(scala.collection.mutable.Set[Int]())
+    edges.foreach { case (a, b) =>
+      if (a != b) { adj(a) += b; adj(b) += a } }
+    val live = scala.collection.mutable.Set((0 until n): _*)
+    val core = Array.fill(n)(0)
+    var k = 0
+    while (live.nonEmpty) {
+      val v = live.minBy(x => adj(x).count(live.contains))
+      k = math.max(k, adj(v).count(live.contains))
+      core(v) = k
+      live -= v
+    }
+    core
+  }
+
+  test("coreness: known shapes — clique 3, cycle 2, path/pendant 1, isolated 0") {
+    import spark.implicits._
+    // K4 (coreness 3 each) + pendant 4 hung off node 0 (coreness 1)
+    // + a disjoint 3-cycle {5,6,7} (coreness 2) + path 8-9 (coreness 1);
+    // mirror/dup/self edges collapse
+    val edges = (for (x <- 0 to 3; y <- 0 to 3 if x < y) yield (x, y)) ++
+      Seq((0, 4), (4, 0), (5, 6), (6, 7), (7, 5), (8, 9), (9, 9))
+    val got = LinkGraph.coreness(edges.toDF("src", "dst"), "src", "dst",
+      iterations = 8, nodes = Seq(11).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    val want = Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 1L, 9L -> 1L, 11L -> 0L)
+    assert(got == want)
+    val core2 = LinkGraph.kCore(edges.toDF("src", "dst"), "src", "dst", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(core2 == Set(0L, 1L, 2L, 3L, 5L, 6L, 7L))
+  }
+
+  test("coreness: h-index fixpoint equals exact peeling on a mixed graph") {
+    import spark.implicits._
+    // deterministic pseudo-random multigraph over 40 nodes (the gate's
+    // edge rule) — includes dups after symmetrization and self-loops
+    val n = 40
+    val edges = (0 until n).flatMap(i =>
+      Seq((i, (i * 3 + 1) % n), (i, (i * 5 + 2) % n), (i, (i * 7 + 3) % n)))
+    val got = LinkGraph.coreness(edges.toDF("src", "dst"), "src", "dst",
+      iterations = 16).as[(Long, Long)].collect().toMap
+    val ref = corenessRef(n, edges)
+    (0 until n).foreach(v =>
+      assert(got(v.toLong) == ref(v).toLong, s"node $v"))
+  }
+
+  test("coreness: the gate's 6 rounds reach the fixpoint at sf0.001") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    val n = docs.count()
+    import org.apache.spark.sql.functions._
+    val edges = docs.select(col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") * 3 + 1, lit(n)),
+        pmod(col("doc_id") * 5 + 2, lit(n)),
+        pmod(col("doc_id") * 7 + 3, lit(n)))).as("dst"))
+    val at6 = LinkGraph.coreness(edges, "src", "dst", iterations = 6,
+      nodes = docs, idCol = "doc_id").as[(Long, Long)].collect().toMap
+    val at7 = LinkGraph.coreness(edges, "src", "dst", iterations = 7,
+      nodes = docs, idCol = "doc_id").as[(Long, Long)].collect().toMap
+    assert(at6 == at7, "values still moving after 6 rounds")
+  }
 }

@@ -321,6 +321,83 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       org.apache.spark.sql.types.ByteType))
   }
 
+  test("semDedup: pair set equals within-cluster brute force at sf0.001") {
+    import spark.implicits._
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Similarity.semDedupPairs(emb, "vec_id", "embedding",
+        threshold = 0.3, k = 64, iters = 3, maxBucket = 0, orderBy = "vec_id")
+      .select(col("id1"), col("id2"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: same deterministic training + assignment, then all
+    // within-cluster pairs
+    val cents = Similarity.trainCentroids(emb, "embedding", k = 64,
+      iters = 3, sampleN = 2000, orderBy = "vec_id")
+    val asg = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { d += a(j)*b(j); na += a(j)*a(j); nb += b(j)*b(j); j += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (i1, v1, c1) <- asg; (i2, v2, c2) <- asg
+      if c1 == c2 && i1 < i2
+      c = cos(v1, v2) if c >= 0.3
+    } yield (i1, i2, BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("semDedup: annulus pruning is lossless at high threshold; keep-set drops dup groups") {
+    import spark.implicits._
+    // synthetic: 3 planted near-dup groups on distinct directions plus
+    // spread-out singletons — cosines within a group ~0.999
+    val dim = 8
+    def unit(axis: Int, eps: Double, seed: Int): Seq[Float] = {
+      val v = Array.fill(dim)(0.0)
+      v(axis) = 1.0
+      (0 until dim).foreach(j => v(j) += eps * (((seed * 31 + j * 17) % 7) - 3))
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val rows =
+      (0 to 2).map(g => (g.toLong * 10, unit(g, 0.004, g))) ++
+      (0 to 2).map(g => (g.toLong * 10 + 1, unit(g, 0.004, g + 100))) ++
+      Seq((50L, unit(3, 0.3, 7)), (51L, unit(4, 0.3, 8)), (52L, unit(5, 0.3, 9)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.semDedupPairs(df, "vec_id", "embedding",
+        threshold = 0.95, k = 4, iters = 2, sampleN = 100, maxBucket = 0,
+        orderBy = "vec_id")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // each planted pair must survive IF co-clustered — verify against a
+    // pruning-free recompute (annulus must drop nothing)
+    val cents = Similarity.trainCentroids(df, "embedding", k = 4, iters = 2,
+      sampleN = 100, orderBy = "vec_id")
+    val asg = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { d += a(j)*b(j); na += a(j)*a(j); nb += b(j)*b(j); j += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (i1, v1, c1) <- asg; (i2, v2, c2) <- asg
+      if c1 == c2 && i1 < i2 && cos(v1, v2) >= 0.95
+    } yield (i1, i2)).toSet
+    assert(pairs == want && pairs.nonEmpty)
+    // keep-set: min id per dup group survives, partner dropped
+    val kept = Similarity.semDedupKeep(df, "vec_id", "embedding",
+        threshold = 0.95, k = 4, iters = 2, sampleN = 100, maxBucket = 0,
+        orderBy = "vec_id")
+      .as[Long].collect().toSet
+    val dropped = pairs.map(_._2) // id1 < id2 and groups are pairs here
+    assert(kept == rows.map(_._1).toSet -- dropped)
+  }
+
   test("knnJoin: batch top-k equals per-query bruteForceTopK, any partitioning") {
     import spark.implicits._
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
