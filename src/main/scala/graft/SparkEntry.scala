@@ -1675,6 +1675,28 @@ object SparkEntry {
           explode(HtmlOps.html_links(html, base)).as("link"))
     }),
 
+    // ---- crawl: anchor-text corpus — per TARGET url, anchor count +
+    //      first-2 distinct anchor texts (inner tags stripped, entities
+    //      decoded, whitespace collapsed; empty-text image anchors
+    //      count but contribute no text) ----
+    "anchor_texts" -> ((s, dir) => {
+      val base = concat(lit("https://site"), pmod(col("doc_id"), lit(11)),
+        lit(".example/dir/page"), col("doc_id"), lit(".html"))
+      val html = concat(
+        lit("<html><body><a href=\"https://hub"), pmod(col("doc_id"), lit(7)),
+        lit(".example/T\">Visit <b>hub "), pmod(col("doc_id"), lit(3)),
+        lit("</b>   now</a>"),
+        lit("<a href='/local"), pmod(col("doc_id"), lit(5)),
+        lit(".html'> local &amp; co </a>"),
+        lit("<a href=\"https://hub"), pmod(col("doc_id"), lit(7)),
+        lit(".example/T#frag\"><img src=x></a>"),
+        lit("<a href=\"https://img"), pmod(col("doc_id"), lit(2)),
+        lit(".example/only\"><img src=y></a>"),
+        lit("</body></html>"))
+      TextAnalysis.anchorTextCorpus(t(s, dir, "documents"), html, base,
+        maxTexts = 2)
+    }),
+
     // ---- crawl: COMPOSITE pipeline — HTML → anchors resolved per
     //      RFC 3986 → robots.txt compliance on the link path → public-
     //      suffix domain extraction → per-domain link/doc profile. The
@@ -4739,6 +4761,34 @@ object SparkEntry {
         |  'https://base' || CAST(doc_id % 11 AS VARCHAR) ||
         |    '.example/up' || CAST(doc_id AS VARCHAR) || '.html'
         |  FROM documents""".stripMargin,
+    // anchor-text corpus: the oracle reconstructs each (target url,
+    // text) occurrence directly from the synth rule — the hub target is
+    // hit twice per doc (once with text, once via an empty image
+    // anchor), the local target resolves root-relative, the img-only
+    // target aggregates to an EMPTY text list
+    "anchor_texts" ->
+      """WITH a AS (
+        |  SELECT 'https://hub' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/T' AS url,
+        |    'Visit hub ' || CAST(doc_id % 3 AS VARCHAR) || ' now' AS text
+        |  FROM documents
+        |  UNION ALL SELECT 'https://hub' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/T', '' FROM documents
+        |  UNION ALL SELECT 'https://site' || CAST(doc_id % 11 AS VARCHAR) ||
+        |    '.example/local' || CAST(doc_id % 5 AS VARCHAR) || '.html',
+        |    'local & co' FROM documents
+        |  UNION ALL SELECT 'https://img' || CAST(doc_id % 2 AS VARCHAR) ||
+        |    '.example/only', '' FROM documents),
+        |counts AS (SELECT url, count(*) AS n_anchors FROM a GROUP BY 1),
+        |rk AS (
+        |  SELECT url, text,
+        |    row_number() OVER (PARTITION BY url ORDER BY text) AS rk
+        |  FROM (SELECT DISTINCT url, text FROM a WHERE text <> '')),
+        |tl AS (SELECT url, list(text ORDER BY text) AS texts
+        |       FROM rk WHERE rk <= 2 GROUP BY url)
+        |SELECT c.url, c.n_anchors,
+        |  COALESCE(tl.texts, CAST([] AS VARCHAR[])) AS texts
+        |FROM counts c LEFT JOIN tl ON c.url = tl.url""".stripMargin,
     // three links survive robots (the /root shape is disallowed); the
     // surviving domains are recomputed directly from the synth rule
     "pipeline_crawl" ->

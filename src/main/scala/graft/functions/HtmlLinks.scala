@@ -40,6 +40,40 @@ case class HtmlLinks(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Anchor harvesting WITH link text — the raw material of an
+  * anchor-text corpus (the aggregated "what do other pages call this
+  * URL" signal used for retrieval training data and crawl-time page
+  * descriptions; see e.g. the MS MARCO / ORCAS line of public work).
+  * Same scanner contract as [[HtmlLinks]] (quote-aware tags, comments
+  * and script/style bodies skipped, entity-decoded, non-navigational
+  * schemes dropped, RFC 3986 resolution against the page URL), plus
+  * the anchor's INNER TEXT: everything up to the matching `</a>` (or
+  * the next `<a`, which closes an unterminated anchor the way HTML
+  * parsers do), inner tags stripped, entities decoded, whitespace
+  * collapsed. Returns `array<struct<href string, text string>>`. */
+case class HtmlAnchors(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false))))
+  override def prettyName: String = "html_anchors"
+  override def nullable: Boolean = true
+  override def nullSafeEval(html: Any, base: Any): Any =
+    HtmlOps.anchorsInternal(html.asInstanceOf[UTF8String].toString,
+      base.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, b) => s"""
+      ${ev.value} = graft.functions.HtmlOps.anchorsInternal(
+        $h.toString(), $b.toString());
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HtmlAnchors =
+    copy(left = newLeft, right = newRight)
+}
+
 /** RFC 3986 §6.2 syntax-based URL normalization — the crawl-dedup
   * canonical form: lowercase scheme + host, default port dropped,
   * dot segments removed, unreserved percent-escapes decoded and the
@@ -247,6 +281,114 @@ object HtmlOps {
     new GenericArrayData(out.toArray)
   }
 
+  def anchorsInternal(html: String, base: String): GenericArrayData = {
+    val pairs = extractAnchors(html)
+    if (pairs == null) return null
+    val out = new scala.collection.mutable.ArrayBuffer[Any](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      val raw = decodeEntities(pairs(i)._1).trim
+      val sch = SchemeRe.findFirstIn(raw).map(_.dropRight(1).toLowerCase).orNull
+      if (raw.nonEmpty && (sch == null || !SkipSchemes.contains(sch))) {
+        val resolved = resolveUrl(base, raw)
+        if (resolved != null)
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](UTF8String.fromString(resolved),
+              UTF8String.fromString(pairs(i)._2)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** (raw href, normalized inner text) of anchor tags, in document
+    * order — the [[extractHrefs]] walker plus text capture. */
+  def extractAnchors(html: String): Array[(String, String)] = {
+    if (html == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) return out.toArray
+      if (html.regionMatches(lt, "<!--", 0, 4)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (regionMatchesIgnoreCase(html, lt, "<script")) {
+        i = skipElement(html, lt, "script")
+      } else if (regionMatchesIgnoreCase(html, lt, "<style")) {
+        i = skipElement(html, lt, "style")
+      } else if ((html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A') &&
+        (lt + 2 >= n || !Character.isLetterOrDigit(html.charAt(lt + 2)))) {
+        val gt = tagEnd(html, lt)
+        val end = if (gt < 0) n else gt
+        val href = findHref(html, lt + 2, end)
+        if (href != null) {
+          val (text, next) = anchorInnerText(html, end + 1)
+          out += ((href, text))
+          i = next
+        } else i = end + 1
+      } else i = lt + 1
+    }
+    out.toArray
+  }
+
+  /** Collect the anchor's inner text from `from` to its `</a>` (or an
+    * implicitly-closing `<a`, which is NOT consumed so the outer
+    * walker sees it): inner tags stripped, comments and script/style
+    * bodies skipped, entities decoded, whitespace collapsed. Returns
+    * (text, resume index). */
+  private def anchorInnerText(html: String, from: Int): (String, Int) = {
+    val n = html.length
+    val sb = new java.lang.StringBuilder
+    var i = from
+    var resume = n
+    var done = false
+    while (!done && i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { sb.append(html, i, n); resume = n; done = true }
+      else {
+        sb.append(html, i, lt)
+        if (html.regionMatches(lt, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (regionMatchesIgnoreCase(html, lt, "<script")) {
+          i = skipElement(html, lt, "script")
+        } else if (regionMatchesIgnoreCase(html, lt, "<style")) {
+          i = skipElement(html, lt, "style")
+        } else if (regionMatchesIgnoreCase(html, lt, "</a") &&
+          (lt + 3 >= n || !Character.isLetterOrDigit(html.charAt(lt + 3)))) {
+          val gt = html.indexOf('>', lt)
+          resume = if (gt < 0) n else gt + 1
+          done = true
+        } else if (lt + 1 < n &&
+          (html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A') &&
+          (lt + 2 >= n || !Character.isLetterOrDigit(html.charAt(lt + 2)))) {
+          resume = lt // implicit close — the outer walker reprocesses it
+          done = true
+        } else {
+          val gt = tagEnd(html, lt)
+          i = if (gt < 0) n else gt + 1
+        }
+      }
+    }
+    if (!done) resume = n
+    (collapseWs(decodeEntities(sb.toString)), resume)
+  }
+
+  private def collapseWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else { if (pendingSpace) { sb.append(' '); pendingSpace = false }; sb.append(c) }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Raw href values of anchor tags, in document order. Comments and
     * script/style element bodies are skipped wholesale. */
   def extractHrefs(html: String): Array[String] = {
@@ -354,6 +496,11 @@ object HtmlOps {
 
   def html_links(html: Column, base: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(HtmlLinks(
+      org.apache.spark.sql.GraftSqlBridge.expression(html),
+      org.apache.spark.sql.GraftSqlBridge.expression(base)))
+
+  def html_anchors(html: Column, base: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(HtmlAnchors(
       org.apache.spark.sql.GraftSqlBridge.expression(html),
       org.apache.spark.sql.GraftSqlBridge.expression(base)))
 

@@ -348,8 +348,10 @@ object Dedup {
     * the prefixes of a qualifying pair MUST share a token. Candidates
     * therefore come from an equi-join on prefix tokens (dominated by
     * RARE tokens — tiny buckets), never an all-pairs product; a size
-    * filter (`t·|B| ≤ |A| ≤ |B|/t`) prunes length-incompatible pairs
-    * before the verify.
+    * filter (`t·|B| ≤ |A| ≤ |B|/t`) and the PPJoin POSITION filter
+    * (overlap upper bound from the smallest shared prefix token's
+    * suffix lengths — see the inline derivation) prune incompatible
+    * pairs before the verify.
     *
     * Distributed shape: one explode + one (token) count aggregate for
     * document frequencies (vocab-sized result, broadcast-joined back
@@ -382,13 +384,27 @@ object Dedup {
       .cast("int")
     val pfx = capBuckets(
       sorted.select(col("id"), col("sz"),
-        explode(slice(col("toks"), lit(1), pfxLen)).as("tok")),
+        posexplode(slice(col("toks"), lit(1), pfxLen)).as(Seq("pos", "tok"))),
       Seq("tok"), "id", maxBucket, "jaccard_prefix")
-    val cand = bucketPairs(pfx, Seq("tok"), "id", Seq("sz"),
+    // PPJoin position filter (Xiao et al. WWW'08, exact): for the
+    // SMALLEST shared prefix token (prefix positions are monotone in
+    // the global rarity order, so min(pos1) and min(pos2) come from the
+    // same token), every common token sits at-or-after it in BOTH
+    // orders — |A∩B| ≤ 1 + min(|A|−posA−1, |B|−posB−1). J ≥ t forces
+    // |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉, so pairs whose bound falls short
+    // die here, before the vector re-join. The group-by replaces the
+    // plain distinct() — same exchange, stronger pruning.
+    val cand = bucketPairs(pfx, Seq("tok"), "id", Seq("sz", "pos"),
       bounded = maxBucket > 0)
       .filter(col("sz2") * lit(threshold) <= col("sz1") &&
         col("sz1") * lit(threshold) <= col("sz2"))
-      .select("id1", "id2").distinct()
+      .groupBy("id1", "id2")
+      .agg(min(col("pos1")).as("_p1"), min(col("pos2")).as("_p2"),
+        first(col("sz1")).as("_s1b"), first(col("sz2")).as("_s2b"))
+      .filter(lit(1) + least(col("_s1b") - col("_p1") - 1,
+          col("_s2b") - col("_p2") - 1) >=
+        ceil(lit(threshold / (1.0 + threshold)) * (col("_s1b") + col("_s2b"))))
+      .select("id1", "id2")
     cand
       .join(sorted.select(col("id").as("id1"), col("toks").as("_t1"),
         col("sz").as("_s1")), "id1")

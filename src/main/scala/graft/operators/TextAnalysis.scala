@@ -1509,6 +1509,43 @@ object TextAnalysis {
     balancedSample(withDomain, idCol, "domain", cap)
   }
 
+  /** Anchor-text corpus: per TARGET url, how many anchors point at it
+    * and the first `maxTexts` DISTINCT anchor texts in lexicographic
+    * order — the aggregated "what do other pages call this URL" signal
+    * (retrieval training pairs, crawl-time page descriptions; the
+    * public MS MARCO / ORCAS line of work). `html`/`base` are column
+    * expressions (raw page bytes and page URL); extraction is the
+    * native [[graft.functions.HtmlAnchors]] scanner, targets are
+    * RFC 3986-resolved and §6.2-canonicalized so phrasings of the same
+    * resource aggregate together.
+    *
+    * Scale shape: one projection + explode, then (url, text) DISTINCT
+    * (two-stage hash aggregate — map-side combine absorbs a page
+    * repeating one anchor) and a per-url row_number window that BOUNDS
+    * the text list to `maxTexts` BEFORE any collect — a hot URL (linked
+    * by millions of pages under thousands of phrasings) carries at most
+    * `maxTexts` rows into the final aggregation buffer. `n_anchors`
+    * counts every anchor occurrence and is never capped. */
+  def anchorTextCorpus(df: DataFrame, html: Column, base: Column,
+      maxTexts: Int = 5): DataFrame = {
+    val anchors = df
+      .select(explode(graft.functions.HtmlOps.html_anchors(html, base)).as("a"))
+      .select(graft.functions.HtmlOps.canonical_url(col("a.href")).as("url"),
+        col("a.text").as("text"))
+      .filter(col("url").isNotNull)
+    val counts = anchors.groupBy("url").agg(count(lit(1)).as("n_anchors"))
+    val w = Window.partitionBy("url").orderBy("text")
+    val topTexts = anchors.filter(length(col("text")) > 0)
+      .select("url", "text").distinct()
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxTexts)
+      .groupBy("url")
+      .agg(array_sort(collect_list(col("text"))).as("texts"))
+    counts.join(topTexts, Seq("url"), "left")
+      .select(col("url"), col("n_anchors"),
+        coalesce(col("texts"), array().cast("array<string>")).as("texts"))
+  }
+
   /** Per-host POLITENESS schedule — the frontier-ordering step between
     * robots compliance and fetching: URLs of one registered domain get
     * consecutive fetch slots (deterministic salted-md5 order, the

@@ -183,4 +183,45 @@ class HtmlLinksSpec extends AnyFunSuite {
       assert(HtmlOps.canonicalizeUrl(HtmlOps.canonicalizeUrl(u)) ==
         HtmlOps.canonicalizeUrl(u))
   }
+
+  test("anchors: inner tags stripped, entities decoded, whitespace collapsed") {
+    val html = """<a href="/a">Visit <b>the  hub</b>
+      | now</a><a href='/b'> local &amp; co </a>""".stripMargin
+    val got = HtmlOps.extractAnchors(html).toSeq
+    assert(got == Seq("/a" -> "Visit the hub now", "/b" -> "local & co"))
+  }
+
+  test("anchors: implicit close by next <a>; unterminated anchor; empty text") {
+    // second <a> closes the first (HTML parser behavior); the third has
+    // no </a> and runs to end of input; the fourth is an image anchor
+    val html = "<a href=/1>one<a href=/2>two</a>" +
+      "<a href=/3>three<a href=/4><img src=x>"
+    val got = HtmlOps.extractAnchors(html).toSeq
+    assert(got == Seq("/1" -> "one", "/2" -> "two",
+      "/3" -> "three", "/4" -> ""))
+  }
+
+  test("anchors: comments and script bodies inside the text are skipped") {
+    val html = "<a href=/x>ke<!-- hidden <a href=/no>n --></a>..." +
+      "<a href=/y>a<script>var s = '</a> fake';</script>b</a>"
+    val got = HtmlOps.extractAnchors(html).toSeq
+    assert(got.head == ("/x" -> "ke"))
+    // script body is skipped wholesale, including the fake close tag
+    assert(got(1) == ("/y" -> "ab"))
+    assert(got.length == 2)
+  }
+
+  test("anchorsInternal resolves, skips non-navigational schemes, keeps text") {
+    val arr = HtmlOps.anchorsInternal(
+      "<a href=\"g?a=1&amp;b=2\">rel</a><a href=\"mailto:x@y\">m</a>" +
+        "<a href=\"https://abs.example/p#f\">abs</a>",
+      "http://a/b/c/d")
+    assert(arr.numElements() == 2)
+    val r0 = arr.getStruct(0, 2)
+    assert(r0.getUTF8String(0).toString == "http://a/b/c/g?a=1&b=2")
+    assert(r0.getUTF8String(1).toString == "rel")
+    val r1 = arr.getStruct(1, 2)
+    assert(r1.getUTF8String(0).toString == "https://abs.example/p")
+    assert(r1.getUTF8String(1).toString == "abs")
+  }
 }
