@@ -672,6 +672,25 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     }),
 
+    // ---- dedup: QUALITY-AWARE keep — highest c_acctbal per duplicate
+    //      cluster survives (ties → smallest key), the production keep
+    //      policy; same banded pair graph as dedup_clusters ----
+    "dedup_keep_best" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      def side(idc: String) = cust.select(col("c_custkey").as(idc),
+        col("c_nationkey").as("n"), expr("c_custkey div 4").as("blk"))
+      val a = side("id1")
+      val sameBlk = a.join(side("id2"), Seq("n", "blk"))
+      val nextBlk = a.withColumn("blk", col("blk") + 1)
+        .join(side("id2"), Seq("n", "blk"))
+      val pairs = sameBlk.unionByName(nextBlk)
+        .filter(col("id1") < col("id2") && col("id2") - col("id1") <= 3)
+        .select("id1", "id2")
+      Dedup.dedupByClustersBest(
+        cust.select(col("c_custkey"), col("c_acctbal")),
+        "c_custkey", pairs, "c_acctbal")
+    }),
+
     // ---- dedup: leakage-safe split — sides assigned by the md5
     //      bucket of the duplicate-cluster representative, so near-dup
     //      copies never straddle train/test ----
@@ -3347,6 +3366,31 @@ object SparkEntry {
         |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
         |  SELECT * FROM r)
         |SELECT id, min(lbl) AS cluster FROM walk GROUP BY id""".stripMargin,
+    // quality-aware keep: same components, arg-max by (acctbal, -key)
+    "dedup_keep_best" ->
+      """WITH pairs AS (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey
+        |   AND b.c_custkey - a.c_custkey <= 3),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
+        |  SELECT * FROM r),
+        |lab AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+        |win AS (
+        |  SELECT l.cluster, c.c_custkey,
+        |    row_number() OVER (PARTITION BY l.cluster
+        |      ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rk
+        |  FROM customer c JOIN lab l ON c.c_custkey = l.id)
+        |SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM win WHERE rk > 1)""".stripMargin,
     "pca_covariance" ->
       """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |pairs AS (

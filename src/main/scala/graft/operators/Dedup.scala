@@ -756,6 +756,31 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST row per duplicate cluster by `scoreCol` (ties → the
+    * smallest id) — the production keep policy: among near-duplicate
+    * copies of a page, keep the highest-quality one (longest, cleanest,
+    * best classifier score), not whichever happens to carry the lowest
+    * id. [[dedupByClusters]] is the id-deterministic special case.
+    *
+    * Scale shape: only CLUSTERED rows enter the contest — the labels
+    * frame is pair-graph-sized, so the inner join + per-cluster
+    * `max_by` aggregate shuffles the duplicate subset, never the
+    * corpus; unclustered rows survive by construction and the corpus
+    * is touched once by the final (small-side) anti join. */
+  def dedupByClustersBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    val contested = df.join(labels, Seq(idCol))
+    val winners = contested.groupBy("cluster")
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol).as("s"), (-col(idCol)).as("n"))).as("_win"))
+      .select(col("_win").as(idCol))
+    val losers = contested.select(col(idCol))
+      .join(winners, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** LEAKAGE-SAFE train/test split: every row is assigned to a side by
     * the portable md5 bucket of its duplicate-CLUSTER representative
     * (component min id; rows in no pair represent themselves), so

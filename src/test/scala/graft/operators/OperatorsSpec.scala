@@ -140,6 +140,22 @@ class OperatorsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedupByClustersBest keeps the highest score per cluster, ties to smallest id") {
+    // clusters: {1,2,3} (via 1-2, 2-3) and {7,8}; 5 unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
+    val df = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (5L, 0.1),
+      (7L, 0.5), (8L, 0.5)).toDF("id", "score")
+    val kept = Dedup.dedupByClustersBest(df, "id", pairs, "score")
+      .select("id").as[Long].collect().toSet
+    // {1,2,3}: 2 and 3 tie at 0.9 → 2 wins; {7,8}: tie → 7; 5 untouched
+    assert(kept == Set(2L, 5L, 7L))
+    // degenerate: empty pair graph keeps everything
+    val none = Dedup.dedupByClustersBest(df, "id",
+      Seq.empty[(Long, Long)].toDF("id1", "id2"), "score")
+      .count()
+    assert(none == 6)
+  }
+
   test("simhash: identical text → distance 0; planted near-dups found") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " +
       "into the deep green forest tonight"
