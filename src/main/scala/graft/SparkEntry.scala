@@ -2266,6 +2266,15 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id",
         k = 0.5)),
 
+    // ---- text: trigram STUPID BACKOFF LM scoring (Brants et al. 2007)
+    //      — odd docs scored against the even-doc reference corpus ----
+    "text_stupid_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.stupidBackoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+    }),
+
     // ---- text: vocabulary induction — global top-100 token
     //      frequencies, count-desc with lexicographic ties ----
     "vocab_topk" -> ((s, dir) =>
@@ -3147,6 +3156,66 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, lm_score, coalesce(n_bigrams, 0) AS n_bigrams
         |FROM documents LEFT JOIN scored USING (doc_id)""".stripMargin,
+    // stupid backoff: the oracle rebuilds the three count tables from
+    // the even half and replays the backoff chain per odd-doc trigram;
+    // OOV (w3 unseen) trigrams are excluded from the mean, counted
+    "text_stupid_backoff" ->
+      """WITH clists AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ') AS lst
+        |  FROM documents WHERE doc_id % 2 = 0
+        |    AND length(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g'))) > 0),
+        |cuni AS (
+        |  SELECT u.w, count(*) AS cu
+        |  FROM (SELECT unnest(lst) AS w FROM clists) u
+        |  WHERE u.w <> '' GROUP BY 1),
+        |ctot AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM cuni),
+        |cbi AS (
+        |  SELECT lst[g.i] AS w1, lst[g.i + 1] AS w2, count(*) AS cb
+        |  FROM clists, LATERAL unnest(range(1, len(lst))) AS g(i)
+        |  WHERE lst[g.i] <> '' AND lst[g.i + 1] <> '' GROUP BY 1, 2),
+        |ctri AS (
+        |  SELECT lst[g.i] AS w1, lst[g.i + 1] AS w2, lst[g.i + 2] AS w3,
+        |    count(*) AS ct
+        |  FROM clists, LATERAL unnest(range(1, len(lst) - 1)) AS g(i)
+        |  WHERE len(lst) >= 3 AND lst[g.i] <> '' AND lst[g.i + 1] <> ''
+        |    AND lst[g.i + 2] <> ''
+        |  GROUP BY 1, 2, 3),
+        |tlists AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ') AS lst
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ttris AS (
+        |  SELECT doc_id, lst[g.i] AS w1, lst[g.i + 1] AS w2,
+        |    lst[g.i + 2] AS w3
+        |  FROM tlists, LATERAL unnest(range(1, len(lst) - 1)) AS g(i)
+        |  WHERE len(lst) >= 3 AND lst[g.i] <> '' AND lst[g.i + 1] <> ''
+        |    AND lst[g.i + 2] <> ''),
+        |rows_scored AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN u3.cu IS NOT NULL THEN ln(
+        |      CASE WHEN tr.ct IS NOT NULL THEN CAST(tr.ct AS DOUBLE) / b12.cb
+        |      ELSE 0.4 * (CASE WHEN b23.cb IS NOT NULL
+        |        THEN CAST(b23.cb AS DOUBLE) / u2.cu
+        |        ELSE 0.4 * CAST(u3.cu AS DOUBLE) / (SELECT n FROM ctot) END)
+        |      END) END AS lp,
+        |    CASE WHEN u3.cu IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM ttris t
+        |  LEFT JOIN ctri tr ON tr.w1 = t.w1 AND tr.w2 = t.w2 AND tr.w3 = t.w3
+        |  LEFT JOIN cbi b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+        |  LEFT JOIN cbi b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+        |  LEFT JOIN cuni u2 ON u2.w = t.w2
+        |  LEFT JOIN cuni u3 ON u3.w = t.w3),
+        |agg AS (
+        |  SELECT doc_id, round(avg(lp), 6) AS sb_score,
+        |    count(lp) AS n_scored, CAST(sum(oov) AS BIGINT) AS n_oov
+        |  FROM rows_scored GROUP BY 1)
+        |SELECT d.doc_id, agg.sb_score,
+        |  coalesce(agg.n_scored, 0) AS n_scored,
+        |  coalesce(agg.n_oov, 0) AS n_oov
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |WHERE d.doc_id % 2 = 1""".stripMargin,
     // hashed-bigram importance ratios: target (src0) vs raw (the rest),
     // add-one smoothing over 256 buckets, 6-dp pins at the ratio and
     // doc-score levels, ties at the cut break by doc_id

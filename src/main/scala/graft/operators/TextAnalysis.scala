@@ -256,6 +256,85 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 
+  /** Trigram STUPID BACKOFF language-model scoring (Brants et al.,
+    * EMNLP 2007 "Large Language Models in Machine Translation" —
+    * public): score(w₃|w₁w₂) is the trigram relative frequency when the
+    * trigram was seen, else α × the bigram relative frequency, else
+    * α² × the unigram relative frequency. NO normalization — the
+    * design choice that made the original distributed (the score needs
+    * only count lookups, so count tables shard by gram and serving is
+    * embarrassingly parallel; exactly the shape this implementation
+    * keeps). The corpus-quality use is the CCNet-style perplexity
+    * filter: score target documents against a clean reference corpus,
+    * keep the well-modeled band.
+    *
+    * Distributed shape: three count aggregates over the reference
+    * corpus (unigram / bigram / trigram, all map-side combining);
+    * the target explodes to trigram rows and LEFT-joins the count
+    * tables keyed by gram — shuffle-on-gram for the big tables (AQE
+    * broadcasts when they fit), one total-count scalar broadcast.
+    * Out-of-vocabulary trigrams (w₃ unseen) carry no evidence: they
+    * are excluded from the average and reported as `n_oov`.
+    *
+    * Returns one row per target row: (idCol, sb_score = 6-dp mean
+    * ln-score over scored trigrams, n_scored, n_oov). */
+  def stupidBackoffScore(corpus: DataFrame, target: DataFrame,
+      textCol: String, idCol: String, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val toks = normalizedTokens(col(textCol))
+    def triRows(df: DataFrame, keep: Seq[(Column, String)]): DataFrame =
+      df.filter(size(toks) >= 3)
+        .select(keep.map { case (c, n) => c.as(n) } :+
+          explode(transform(sequence(lit(1), size(toks) - 2),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"),
+              element_at(toks, i + 2).as("w3")))).as("g"): _*)
+        .select(keep.map(_._2).map(col) ++ Seq(col("g.w1").as("w1"),
+          col("g.w2").as("w2"), col("g.w3").as("w3")): _*)
+        .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
+    val uni = corpus.filter(length(trim(col(textCol))) > 0)
+      .select(explode(toks).as("w")).filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("double").as("_n"))
+    val nPairs = greatest(size(toks) - 1, lit(0))
+    val bi = corpus.filter(length(trim(col(textCol))) > 0)
+      .select(explode(zip_with(slice(toks, lit(1), nPairs),
+        slice(toks, lit(2), nPairs),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val tri = triRows(corpus, Nil)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val tgtTris = triRows(target, Seq(col(idCol) -> "_id"))
+    val s =
+      when(col("ct").isNotNull, col("ct").cast("double") / col("cb12"))
+        .otherwise(lit(alpha) *
+          when(col("cb23").isNotNull,
+            col("cb23").cast("double") / col("cu2"))
+          .otherwise(lit(alpha) * col("cu3").cast("double") / col("_n")))
+    val scored = tgtTris
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("cb").as("cb12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("cb23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("_lp", when(col("cu3").isNotNull, log(s)))
+      .groupBy(col("_id"))
+      .agg(round(avg(col("_lp")), 6).as("sb_score"),
+        count(col("_lp")).as("n_scored"),
+        sum(when(col("cu3").isNull, 1L).otherwise(0L)).as("n_oov"))
+    target.join(scored, target(idCol) === scored("_id"), "left")
+      .select(col(idCol), col("sb_score"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+  }
+
   def qualityScore(df: DataFrame, textCol: String,
       weights: Seq[(String, Double)] = defaultQualityWeights,
       bias: Double = -1.0, minScore: Double = -1.0): DataFrame = {

@@ -140,6 +140,30 @@ class OperatorsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("stupid backoff: hand-computed trigram/bigram/unigram backoff chain + OOV") {
+    // corpus: "a b c a b d" → uni a2 b2 c1 d1 (N=6); bi (a,b)2 (b,c)1
+    // (c,a)1 (b,d)1; tri (a,b,c)1 (b,c,a)1 (c,a,b)1 (a,b,d)1
+    val corpus = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val target = Seq(
+      (1L, "a b c x"),   // (a,b,c): tri hit 1/2; (b,c,x): x OOV → excluded
+      (3L, "b c a b"),   // two tri hits at s = 1 → score 0
+      (5L, "b b c"),     // bigram backoff: 0.4 * c(b,c)/c(b) = 0.4*0.5
+      (7L, "c c d"),     // unigram backoff: 0.4 * 0.4 * c(d)/N
+      (9L, "a b")        // no trigram → null score, zero counts
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(corpus, target, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+          r.getLong(2), r.getLong(3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((Some(r6(math.log(0.5))), 1L, 1L)))
+    assert(got(3L) == ((Some(0.0), 2L, 0L)))
+    assert(got(5L) == ((Some(r6(math.log(0.4 * 0.5))), 1L, 0L)))
+    assert(got(7L) == ((Some(r6(math.log(0.4 * 0.4 * (1.0 / 6)))), 1L, 0L)))
+    assert(got(9L) == ((None, 0L, 0L)))
+  }
+
   test("dedupByClustersBest keeps the highest score per cluster, ties to smallest id") {
     // clusters: {1,2,3} (via 1-2, 2-3) and {7,8}; 5 unclustered
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
