@@ -2266,6 +2266,32 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id",
         k = 0.5)),
 
+    // ---- text: content-defined chunking (gear CDC, FastCDC family) —
+    //      boundaries where the rolling hash's low 5 bits are zero
+    //      (≈32-byte chunks); chunk md5 is the snapshot-dedup key ----
+    "cdc_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          graft.functions.CdcOps.cdc_chunks(col("text"), 5)).as(Seq("idx", "c")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          col("c.start").as("start"), col("c.len").as("len"),
+          col("c.hash").as("hash"))),
+
+    // ---- text: per-source chunk-level dedup estimate — the storage
+    //      question CDC answers: how many chunk bytes are duplicates ----
+    "cdc_dedup_ratio" -> ((s, dir) => {
+      val ch = t(s, dir, "documents")
+        .select(col("source"), explode(
+          graft.functions.CdcOps.cdc_chunks(col("text"), 5)).as("c"))
+        .select(col("source"), col("c.len").as("len"), col("c.hash").as("hash"))
+      val per = ch.groupBy("source").agg(count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("total_bytes"))
+      val uniq = ch.distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_unique"),
+          sum(col("len")).as("unique_bytes"))
+      per.join(uniq, Seq("source"))
+    }),
+
     // ---- text: trigram STUPID BACKOFF LM scoring (Brants et al. 2007)
     //      — odd docs scored against the even-doc reference corpus ----
     "text_stupid_backoff" -> ((s, dir) => {
@@ -2589,6 +2615,49 @@ object SparkEntry {
     }.mkString("\n UNION ALL ")
     "WITH " + bpeCtes(k) + "\n" +
       s"SELECT CAST(id AS BIGINT) AS token_id, symbol FROM (\n$base\n UNION ALL $merged)"
+  }
+
+  /** Gear-CDC oracle CTEs mirroring [[graft.functions.GearCdcChunks]]
+    * at maskBits = 5: the 256-entry gear table is EMBEDDED as VALUES
+    * (rebuilt from md5 of each byte's decimal string — the same rule as
+    * the Scala side), the per-byte recurrence `h ← (2h + T[b]) mod 2³¹`
+    * is a recursive CTE carrying (doc, position, h), boundaries where
+    * `h % 32 = 0` plus end-of-text, chunks via lag. ASCII-only synth
+    * text keeps ord(char) == UTF-8 byte. */
+  private val cdcCtes: String = {
+    val tbl = (0 until 256).map(b =>
+      s"($b, ${graft.functions.CdcOps.gearTable(b)})").mkString(", ")
+    s"""gear(b, t) AS (VALUES $tbl),
+       |cdocs AS (SELECT doc_id, source, text FROM documents),
+       |cchars AS (
+       |  SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+       |    ord(substr(text, CAST(g.i AS INT), 1)) AS b
+       |  FROM cdocs, LATERAL unnest(range(1, len(text) + 1)) AS g(i)),
+       |chash AS (
+       |  WITH RECURSIVE r(doc_id, i, h) AS (
+       |    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM cdocs
+       |    UNION ALL
+       |    SELECT c.doc_id, c.i, (r.h * 2 + g.t) % 2147483648
+       |    FROM r JOIN cchars c ON c.doc_id = r.doc_id AND c.i = r.i + 1
+       |    JOIN gear g ON g.b = c.b)
+       |  SELECT * FROM r),
+       |cbnds AS (
+       |  SELECT doc_id, i AS pos FROM chash WHERE i > 0 AND h % 32 = 0
+       |  UNION
+       |  SELECT doc_id, CAST(len(text) AS BIGINT) FROM cdocs
+       |  WHERE len(text) > 0),
+       |cchunks AS (
+       |  SELECT b2.doc_id,
+       |    row_number() OVER (PARTITION BY b2.doc_id ORDER BY b2.pos) - 1
+       |      AS idx,
+       |    b2.prev AS start, b2.pos - b2.prev AS len,
+       |    md5(substr(d.text, CAST(b2.prev + 1 AS INT),
+       |      CAST(b2.pos - b2.prev AS INT))) AS hash
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos, 1, CAST(0 AS BIGINT))
+       |            OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM cbnds) b2
+       |  JOIN cdocs d USING (doc_id))""".stripMargin
   }
 
   /** Unrolled SemDeDup CTEs mirroring [[Similarity.semDedupPairs]] at
@@ -3156,6 +3225,24 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, lm_score, coalesce(n_bigrams, 0) AS n_bigrams
         |FROM documents LEFT JOIN scored USING (doc_id)""".stripMargin,
+    "cdc_chunks" ->
+      s"""WITH $cdcCtes
+         |SELECT doc_id, CAST(idx AS BIGINT) AS idx, start, len, hash
+         |FROM cchunks""".stripMargin,
+    "cdc_dedup_ratio" ->
+      s"""WITH $cdcCtes,
+         |wsrc AS (SELECT d.source, c.len, c.hash
+         |         FROM cchunks c JOIN cdocs d USING (doc_id)),
+         |per AS (SELECT source, count(*) AS n_chunks,
+         |          sum(len) AS total_bytes FROM wsrc GROUP BY 1),
+         |unq AS (SELECT source, count(*) AS n_unique,
+         |          sum(len) AS unique_bytes
+         |        FROM (SELECT DISTINCT source, len, hash FROM wsrc)
+         |        GROUP BY 1)
+         |SELECT per.source, per.n_chunks, CAST(per.total_bytes AS BIGINT)
+         |    AS total_bytes,
+         |  unq.n_unique, CAST(unq.unique_bytes AS BIGINT) AS unique_bytes
+         |FROM per JOIN unq USING (source)""".stripMargin,
     // stupid backoff: the oracle rebuilds the three count tables from
     // the even half and replays the backoff chain per odd-doc trigram;
     // OOV (w3 unseen) trigrams are excluded from the mean, counted
