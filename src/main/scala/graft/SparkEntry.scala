@@ -2266,6 +2266,17 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id",
         k = 0.5)),
 
+    // ---- text: multi-phrase matching (token-level Aho–Corasick) —
+    //      phrase blocklist audit: which listed phrases appear as
+    //      ADJACENT normalized tokens in each document ----
+    "blocklist_phrases" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.PhraseAc.phrase_matches(col("text"), Seq(
+            "customer data", "table scan", "sort merge",
+            "batch batch batch", "Key-Order!")).as("matches"))
+        .withColumn("n_matches", size(col("matches")).cast("long"))),
+
     // ---- text: content-defined chunking (gear CDC, FastCDC family) —
     //      boundaries where the rolling hash's low 5 bits are zero
     //      (≈32-byte chunks); chunk md5 is the snapshot-dedup key ----
@@ -3225,6 +3236,20 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, lm_score, coalesce(n_bigrams, 0) AS n_bigrams
         |FROM documents LEFT JOIN scored USING (doc_id)""".stripMargin,
+    // phrase matching: adjacency on the normalized token stream ≡
+    // substring on the space-padded normalized text — the oracle
+    // filters the (normalized) phrase list per document
+    "blocklist_phrases" ->
+      """WITH m AS (
+        |  SELECT doc_id, list_sort(list_filter(
+        |    ['customer data', 'table scan', 'sort merge',
+        |     'batch batch batch', 'key order'],
+        |    p -> contains(pad, ' ' || p || ' '))) AS matches
+        |  FROM (SELECT doc_id, ' ' || trim(regexp_replace(lower(text),
+        |          '[^a-z0-9]+', ' ', 'g')) || ' ' AS pad
+        |        FROM documents))
+        |SELECT doc_id, matches, CAST(len(matches) AS BIGINT) AS n_matches
+        |FROM m""".stripMargin,
     "cdc_chunks" ->
       s"""WITH $cdcCtes
          |SELECT doc_id, CAST(idx AS BIGINT) AS idx, start, len, hash
