@@ -2266,6 +2266,18 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id",
         k = 0.5)),
 
+    // ---- text: T5-style span corruption — deterministic block-wise
+    //      masking (md5-placed span per full 20-token block, span 3)
+    //      producing the (input, target) denoising pair ----
+    "span_corrupt" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.SpanCorruptOps.span_corrupt(col("text"),
+            col("doc_id").cast("string"), blockLen = 20, spanLen = 3)
+            .as("p"))
+        .select(col("doc_id"), col("p.input").as("input"),
+          col("p.target").as("target"), col("p.n_spans").as("n_spans"))),
+
     // ---- text: multi-phrase matching (token-level Aho–Corasick) —
     //      phrase blocklist audit: which listed phrases appear as
     //      ADJACENT normalized tokens in each document ----
@@ -3236,6 +3248,43 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, lm_score, coalesce(n_bigrams, 0) AS n_bigrams
         |FROM documents LEFT JOIN scored USING (doc_id)""".stripMargin,
+    // span corruption: the oracle re-places each block's span from the
+    // same md5 rule and reassembles input/target with ordered
+    // string_agg (NULLs skipped = masked tokens dropped)
+    "span_corrupt" ->
+      """WITH lists AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(g.i AS BIGINT) AS i, t[CAST(g.i AS INT)] AS tok
+        |  FROM lists, LATERAL unnest(range(1, len(t) + 1)) AS g(i)),
+        |spans AS (
+        |  SELECT l.doc_id, CAST(b.b AS BIGINT) AS k,
+        |    b.b * 20 + (('0x' || substr(md5(CAST(l.doc_id AS VARCHAR) ||
+        |      '_' || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT % 18) + 1 AS s
+        |  FROM lists l, LATERAL unnest(range(0, len(l.t) // 20)) AS b(b)),
+        |marked AS (
+        |  SELECT tk.doc_id, tk.i, tk.tok, sp.k, sp.s
+        |  FROM toks tk LEFT JOIN spans sp
+        |    ON sp.doc_id = tk.doc_id AND tk.i >= sp.s AND tk.i < sp.s + 3),
+        |inp AS (
+        |  SELECT doc_id, string_agg(CASE WHEN k IS NULL THEN tok
+        |      WHEN i = s THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+        |      END, ' ' ORDER BY i) AS input
+        |  FROM marked GROUP BY doc_id),
+        |tgtspans AS (
+        |  SELECT m.doc_id, m.k, '<extra_id_' || CAST(m.k AS VARCHAR) ||
+        |      '> ' || string_agg(m.tok, ' ' ORDER BY m.i) AS seg
+        |  FROM marked m WHERE m.k IS NOT NULL GROUP BY m.doc_id, m.k),
+        |tgt AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY k) || ' <extra_id_'
+        |      || CAST(max(k) + 1 AS VARCHAR) || '>' AS target
+        |  FROM tgtspans GROUP BY doc_id)
+        |SELECT l.doc_id, coalesce(i.input, '') AS input,
+        |  coalesce(t2.target, '') AS target,
+        |  CAST(len(l.t) // 20 AS BIGINT) AS n_spans
+        |FROM lists l LEFT JOIN inp i USING (doc_id)
+        |LEFT JOIN tgt t2 USING (doc_id)""".stripMargin,
     // phrase matching: adjacency on the normalized token stream ≡
     // substring on the space-padded normalized text — the oracle
     // filters the (normalized) phrase list per document
