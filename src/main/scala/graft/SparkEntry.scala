@@ -2266,6 +2266,16 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id",
         k = 0.5)),
 
+    // ---- text: training-order interleave — stride-scheduling virtual
+    //      time (rank−½)/weight per source; sorting by vtime yields the
+    //      evenly-mixed training stream ----
+    "train_interleave" -> ((s, dir) =>
+      TextAnalysis.interleaveOrder(t(s, dir, "documents")
+          .select(col("doc_id"), col("source")),
+        "doc_id", "source", Map("src0" -> 3.0, "src1" -> 1.0))
+        .select(col("doc_id"), col("source"), col("rank"),
+          round(col("vtime"), 6).as("vtime"))),
+
     // ---- text: T5-style span corruption — deterministic block-wise
     //      masking (md5-placed span per full 20-token block, span 3)
     //      producing the (input, target) denoising pair ----
@@ -3248,6 +3258,13 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, lm_score, coalesce(n_bigrams, 0) AS n_bigrams
         |FROM documents LEFT JOIN scored USING (doc_id)""".stripMargin,
+    "train_interleave" ->
+      """SELECT doc_id, source, rank, round((rank - 0.5) / w, 6) AS vtime
+        |FROM (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank,
+        |  CASE WHEN source = 'src0' THEN 3.0 ELSE 1.0 END AS w
+        |FROM documents)""".stripMargin,
     // span corruption: the oracle re-places each block's span from the
     // same md5 rule and reassembles input/target with ordered
     // string_agg (NULLs skipped = masked tokens dropped)

@@ -1588,6 +1588,37 @@ object TextAnalysis {
     balancedSample(withDomain, idCol, "domain", cap)
   }
 
+  /** Training-order INTERLEAVE by stride scheduling (the classic
+    * weighted-fair-queueing / stride virtual-time rule — Waldspurger &
+    * Weihl OSDI'94, public): source s with weight w emits its rank-r
+    * document at virtual time `(r − ½)/w`, so sorting by vtime yields a
+    * stream where sources appear at their mixture rates EVENLY — not
+    * front-loaded the way per-source concatenation (or even random
+    * shuffling of a skewed corpus) can be. The data-ORDERING
+    * counterpart of [[mixSources]] (which filters): training consumes
+    * every row, in a deterministic schedule.
+    *
+    * Within a source, rank order is the engine-wide salted-md5 rule
+    * (reproducible shuffling; one hash window per source — hot sources
+    * cost a bigger window partition, never a single-partition sort).
+    * Unlisted sources default to weight 1. Downstream, a writer gets a
+    * TOTAL order without a global sort via
+    * `repartitionByRange($"vtime").sortWithinPartitions($"vtime")` —
+    * range exchange + local sort, the scalable write shape.
+    *
+    * Returns the input plus (rank, vtime). */
+  def interleaveOrder(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], salt: String = ""): DataFrame = {
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+    val wExpr = coalesce(weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, wt)) => when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }, lit(1.0))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("vtime", (col("rank").cast("double") - 0.5) / wExpr)
+  }
+
   /** Anchor-text corpus: per TARGET url, how many anchors point at it
     * and the first `maxTexts` DISTINCT anchor texts in lexicographic
     * order — the aggregated "what do other pages call this URL" signal

@@ -140,6 +140,34 @@ class OperatorsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("interleave order: sources appear at weight ratios in every prefix") {
+    val df = ((1 to 30).map(i => (i.toLong, "A")) ++
+      (31 to 40).map(i => (i.toLong, "B")) ++
+      Seq((99L, "C"))).toDF("doc_id", "source")
+    val got = TextAnalysis.interleaveOrder(df, "doc_id", "source",
+        Map("A" -> 3.0, "B" -> 1.0))
+      .select("source", "vtime").as[(String, Double)].collect()
+      .sortBy { case (s, v) => (v, s) }
+    // stride property: in any prefix of the vtime stream, A's count
+    // tracks 3x B's count within one stride
+    var a = 0; var b = 0
+    got.foreach { case (s, _) =>
+      if (s == "A") a += 1 else if (s == "B") b += 1
+      assert(math.abs(a - 3 * b) <= 3, s"prefix drifted: A=$a B=$b")
+    }
+    // unlisted source defaults to weight 1 (same stride as B)
+    val c = got.collect { case ("C", v) => v }
+    assert(c.toSeq == Seq(0.5))
+    // deterministic
+    val again = TextAnalysis.interleaveOrder(df, "doc_id", "source",
+        Map("A" -> 3.0, "B" -> 1.0))
+      .select("doc_id", "vtime").as[(Long, Double)].collect().toMap
+    val first = TextAnalysis.interleaveOrder(df, "doc_id", "source",
+        Map("A" -> 3.0, "B" -> 1.0))
+      .select("doc_id", "vtime").as[(Long, Double)].collect().toMap
+    assert(again == first)
+  }
+
   test("stupid backoff: hand-computed trigram/bigram/unigram backoff chain + OOV") {
     // corpus: "a b c a b d" → uni a2 b2 c1 d1 (N=6); bi (a,b)2 (b,c)1
     // (c,a)1 (b,d)1; tri (a,b,c)1 (b,c,a)1 (c,a,b)1 (a,b,d)1
