@@ -175,6 +175,17 @@ object ExplainCheck {
     // aggregation (the window) — no product join
     audit("graph_coreness",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+    // pure-projection transforms: CDC chunking, phrase matching, and
+    // span corruption must not shuffle — the scan IS the cost
+    audit("cdc_chunks", mustNotContain = Seq("Exchange"))
+    audit("blocklist_phrases", mustNotContain = Seq("Exchange"))
+    audit("span_corrupt", mustNotContain = Seq("Exchange"))
+    // interleave: one hash window per source, never a global sort
+    audit("train_interleave",
+      mustNotContain = Seq("Exchange rangepartitioning", "SinglePartition"))
+    // stupid backoff: gram-keyed joins only — no product join anywhere
+    audit("text_stupid_backoff",
+      mustNotContain = Seq("CartesianProduct"))
     // decontamination: the eval-gram set must be BROADCAST against the
     // corpus scan — a sort-merge join here shuffles the whole corpus by
     // gram, the 100 TB killer this operator is designed to avoid

@@ -407,6 +407,22 @@ object ScaleProbe {
       graft.operators.Dedup.jaccardPrefixJoin(docsN, "text", "doc_id",
         0.8).count())
 
+    // gear CDC: one table lookup + shift per byte — strictly linear in
+    // corpus bytes, any other slope is a bug in the chunk assembly
+    probe("cdc_chunks",
+      docs1.select(explode(graft.functions.CdcOps.cdc_chunks(col("text"), 5))
+        .as("c")).count(),
+      docsN.select(explode(graft.functions.CdcOps.cdc_chunks(col("text"), 5))
+        .as("c")).count())
+
+    // stupid backoff: three count aggregates + gram-keyed joins of the
+    // target — both sides grow with the corpus, budget is the guard
+    def sbRun(df: DataFrame): Long =
+      graft.operators.TextAnalysis.stupidBackoffScore(
+        df.filter(col("doc_id") % 2 === 0),
+        df.filter(col("doc_id") % 2 === 1), "text", "doc_id").count()
+    probe("stupid_backoff", sbRun(docs1), sbRun(docsN))
+
     // SemDeDup at the production cap: assignment is a broadcast scan,
     // pair work is per-cluster and cap-bounded — near-linear in rows
     probe("semdedup",

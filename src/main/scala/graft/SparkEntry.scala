@@ -2266,6 +2266,30 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id",
         k = 0.5)),
 
+    // ---- dedup: leakage-safe k-fold CV assignment — near-dup copies
+    //      share a fold (md5 of the cluster representative mod k) ----
+    "cv_folds" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      def side(idc: String) = cust.select(col("c_custkey").as(idc),
+        col("c_nationkey").as("n"), expr("c_custkey div 4").as("blk"))
+      val a = side("id1")
+      val sameBlk = a.join(side("id2"), Seq("n", "blk"))
+      val nextBlk = a.withColumn("blk", col("blk") + 1)
+        .join(side("id2"), Seq("n", "blk"))
+      val pairs = sameBlk.unionByName(nextBlk)
+        .filter(col("id1") < col("id2") && col("id2") - col("id1") <= 3)
+        .select("id1", "id2")
+      Dedup.cvFoldsByCluster(cust.select(col("c_custkey")), "c_custkey",
+        pairs, k = 5)
+    }),
+
+    // ---- text: length-bucketed batching — power-of-two token-count
+    //      buckets, salted-md5 batch formation within each bucket ----
+    "length_buckets" -> ((s, dir) =>
+      TextAnalysis.lengthBuckets(t(s, dir, "documents"), "text", "doc_id",
+          batchSize = 8)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("batch"))),
+
     // ---- text: training-order interleave — stride-scheduling virtual
     //      time (rank−½)/weight per source; sorting by vtime yields the
     //      evenly-mixed training stream ----
@@ -3258,6 +3282,47 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, lm_score, coalesce(n_bigrams, 0) AS n_bigrams
         |FROM documents LEFT JOIN scored USING (doc_id)""".stripMargin,
+    // k-fold CV: same recursive components as dedup_clusters, fold =
+    // md5 bucket of the representative mod k
+    "cv_folds" ->
+      """WITH pairs AS (
+        |  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey
+        |   AND b.c_custkey - a.c_custkey <= 3),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk AS (
+        |  WITH RECURSIVE r(id, lbl) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT e.b, r.lbl FROM r JOIN edges e ON r.id = e.a)
+        |  SELECT * FROM r),
+        |lab AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id)
+        |SELECT c.c_custkey,
+        |  ('0x' || substr(md5(CAST(coalesce(l.cluster, c.c_custkey)
+        |    AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold
+        |FROM customer c LEFT JOIN lab l ON c.c_custkey = l.id""".stripMargin,
+    // length buckets: bucket = len(bin(n)) - 1 (exact floor(log2)),
+    // batches by the md5 rank window within each bucket
+    "length_buckets" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CASE WHEN n_tokens <= 1 THEN 0
+        |      ELSE length(bin(n_tokens)) - 1 END AS bucket
+        |  FROM n)
+        |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST((row_number() OVER (PARTITION BY bucket
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 8
+        |    AS BIGINT) AS batch
+        |FROM b""".stripMargin,
     "train_interleave" ->
       """SELECT doc_id, source, rank, round((rank - 0.5) / w, 6) AS vtime
         |FROM (SELECT doc_id, source,

@@ -806,6 +806,26 @@ object Dedup {
       .drop("cluster")
   }
 
+  /** LEAKAGE-SAFE k-fold assignment — [[splitByCluster]] generalized to
+    * cross-validation: every row's fold is the md5 bucket of its
+    * duplicate-cluster REPRESENTATIVE mod `k`, so near-duplicate copies
+    * always share a fold and no fold's holdout leaks into another's
+    * training set. Same salted portable-md5 rule; the label table is
+    * pair-graph-sized. Returns the input plus a `fold` column (0..k−1). */
+  def cvFoldsByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val labels = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    val rep = coalesce(col("cluster"), col(idCol)).cast("string")
+    val fold =
+      conv(substring(md5(concat(lit(salt), rep)), 1, 8), 16, 10)
+        .cast("long") % k
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("fold", fold)
+      .drop("cluster")
+  }
+
   /** Cross-document SPAN dedup (the C4 recipe adapted to whitespace
     * tokens): cut every document into consecutive `span`-token windows,
     * keep each distinct window only at its FIRST occurrence in

@@ -1588,6 +1588,34 @@ object TextAnalysis {
     balancedSample(withDomain, idCol, "domain", cap)
   }
 
+  /** LENGTH-BUCKETED batching — the standard padding-waste fix for
+    * variable-length training (bucketing by sequence length, public
+    * practice since seq2seq toolkits): documents go to power-of-two
+    * token-count buckets (`bucket = floor(log2(n_tokens))`, empty docs
+    * to bucket 0), and within a bucket batches of `batchSize` form in
+    * the engine-wide salted-md5 order — so a batch's members differ by
+    * at most 2× in length, instead of a 10-token tweet padding out to a
+    * 10k-token article.
+    *
+    * One hash window per bucket (a handful of partitions, each
+    * corpus-sized/buckets — never SinglePartition); batch ids are
+    * bucket-local. Returns the input plus (n_tokens, bucket, batch). */
+  def lengthBuckets(df: DataFrame, textCol: String, idCol: String,
+      batchSize: Int, salt: String = ""): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val n = tokenCount(col(textCol))
+    // floor(log2(n)) via the binary-string length — exact integer math,
+    // no float-log boundary risk at powers of two
+    val bucket = when(n <= 1, 0L)
+      .otherwise((length(bin(n)) - 1).cast("long"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("n_tokens", n)
+      .withColumn("bucket", bucket)
+      .withColumn("batch",
+        floor((row_number().over(w) - 1) / lit(batchSize)).cast("long"))
+  }
+
   /** Training-order INTERLEAVE by stride scheduling (the classic
     * weighted-fair-queueing / stride virtual-time rule — Waldspurger &
     * Weihl OSDI'94, public): source s with weight w emits its rank-r

@@ -140,6 +140,37 @@ class OperatorsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("cv folds: co-clustered rows share a fold; folds cover 0..k-1") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
+    val df = (1L to 40L).map(i => Tuple1(i)).toDF("id")
+    val got = Dedup.cvFoldsByCluster(df, "id", pairs, k = 5)
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(7L) == got(8L))
+    assert(got.values.forall(f => f >= 0 && f < 5))
+    assert(got.values.toSet.size >= 3, "40 ids should spread over folds")
+  }
+
+  test("length buckets: power-of-two bucketing, batches bounded, no mixing") {
+    val df = Seq(
+      (1L, "one"), (2L, "a b"), (3L, "a b c"),          // 1→b0, 2..3→b1
+      (4L, (1 to 8).map(_ => "w").mkString(" ")),        // 8 → b3
+      (5L, (1 to 15).map(_ => "w").mkString(" ")),       // 15 → b3
+      (6L, (1 to 16).map(_ => "w").mkString(" ")),       // 16 → b4 (exact)
+      (7L, "")                                           // 0 → b0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBuckets(df, "text", "doc_id", batchSize = 2)
+      .select("doc_id", "n_tokens", "bucket", "batch")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 0 && got(7L)._3 == 0)
+    assert(got(2L)._3 == 1 && got(3L)._3 == 1)
+    assert(got(4L)._3 == 3 && got(5L)._3 == 3)
+    assert(got(6L)._3 == 4, "exact power of two must not straddle buckets")
+    // batches are bucket-local and bounded by batchSize
+    val byBatch = got.values.groupBy(v => (v._3, v._4))
+    assert(byBatch.values.forall(_.size <= 2))
+  }
+
   test("interleave order: sources appear at weight ratios in every prefix") {
     val df = ((1 to 30).map(i => (i.toLong, "A")) ++
       (31 to 40).map(i => (i.toLong, "B")) ++
