@@ -2266,6 +2266,35 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id",
         k = 0.5)),
 
+    // ---- dedup: FUZZY decontamination — LSH candidates between the
+    //      eval slice (doc_id % 7 == 0) and the corpus, then exact
+    //      normalized-Levenshtein verify; catches rephrased benchmark
+    //      copies the n-gram guard misses. Cap pinned 0 (oracle mode) ----
+    "decontam_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.fuzzyContamination(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", maxDist = 20, maxBucket = 0)
+    }),
+
+    // ---- retrieval: reciprocal rank fusion — combine a hash-order
+    //      ranking and a length ranking without score calibration ----
+    "rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      import org.apache.spark.sql.expressions.Window
+      def ranked(key: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+        // rank lists are top-k-sized by construction — the 50-row
+        // window after TakeOrdered is bounded, not corpus-sized
+        docs.orderBy(key: _*).limit(50)
+          .select(col("doc_id"), row_number().over(Window.orderBy(key: _*))
+            .cast("long").as("rank"))
+      val byHash = ranked(md5(col("doc_id").cast("string")), col("doc_id"))
+      val byLen = ranked(TextAnalysis.tokenCount(col("text")).desc,
+        col("doc_id"))
+      TextAnalysis.rrfFuse(Seq(byHash, byLen), "doc_id", k = 60, topK = 10)
+    }),
+
     // ---- dedup: leakage-safe k-fold CV assignment — near-dup copies
     //      share a fold (md5 of the cluster representative mod k) ----
     "cv_folds" -> ((s, dir) => {
@@ -3282,6 +3311,42 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, lm_score, coalesce(n_bigrams, 0) AS n_bigrams
         |FROM documents LEFT JOIN scored USING (doc_id)""".stripMargin,
+    // fuzzy decontam: the full banded candidate join restricted to the
+    // eval/corpus split, then the same classic Levenshtein DP both
+    // engines implement
+    "decontam_fuzzy" ->
+      s"""WITH ${minhashCtes(8, 4)},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS corpus_id
+         |  FROM banded a JOIN banded b ON a.band = b.band
+         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+         |nrm AS (SELECT doc_id, trim(regexp_replace(lower(text),
+         |  '[^a-z0-9]+', ' ', 'g')) AS nt FROM documents)
+         |SELECT c.eval_id, c.corpus_id,
+         |  CAST(levenshtein(e.nt, o.nt) AS BIGINT) AS dist
+         |FROM cand c JOIN nrm e ON e.doc_id = c.eval_id
+         |JOIN nrm o ON o.doc_id = c.corpus_id
+         |WHERE levenshtein(e.nt, o.nt) <= 20""".stripMargin,
+    // RRF: both rank lists rebuilt with QUALIFY'd windows, fused with
+    // the published 1/(k + rank) rule
+    "rrf_fusion" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents),
+        |ra AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY
+        |    md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents QUALIFY r <= 50),
+        |rb AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY nt DESC, doc_id) AS r
+        |  FROM n QUALIFY r <= 50)
+        |SELECT doc_id,
+        |  round(coalesce(1.0 / (60 + ra.r), 0) +
+        |        coalesce(1.0 / (60 + rb.r), 0), 6) AS rrf
+        |FROM ra FULL OUTER JOIN rb USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // k-fold CV: same recursive components as dedup_clusters, fold =
     // md5 bucket of the representative mod k
     "cv_folds" ->

@@ -939,6 +939,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_eval_ngrams"))
   }
 
+  /** FUZZY decontamination — the n-gram guard ([[contaminationHits]])
+    * misses a benchmark item whose corpus copy was lightly rephrased;
+    * this path catches it: LSH candidates between the eval set and the
+    * corpus (the [[incrementalNearDups]] machinery — the eval set is
+    * the small broadcast probe, the corpus is banded once and NEVER
+    * shuffled by anything global), then an EXACT normalized-Levenshtein
+    * verify on the candidate pairs only. Spark's `levenshtein` and any
+    * SQL engine's agree on the classic DP distance, so the verify is
+    * oracle-checkable.
+    *
+    * Returns (eval_id, corpus_id, dist) with dist ≤ `maxDist` over the
+    * fingerprint-normalized texts (lowercase alnum runs). */
+  def fuzzyContamination(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, maxDist: Int,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val idx = minhashIndexRows(corpus, textCol, idCol, numHashes, bands,
+      shingleN, maxBucket)
+    val cand = incrementalNearDups(evalSet, idx, textCol, idCol,
+      numHashes, bands, shingleN)
+      .withColumnRenamed("new_id", "eval_id")
+    def norm(c: Column) = trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+    val ev = evalSet.select(col(idCol).as("eval_id"),
+      norm(col(textCol)).as("_et"))
+    val co = corpus.select(col(idCol).as("corpus_id"),
+      norm(col(textCol)).as("_ct"))
+    cand.join(broadcast(ev), "eval_id").join(co, "corpus_id")
+      .withColumn("dist", levenshtein(col("_et"), col("_ct")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("eval_id", "corpus_id", "dist")
+  }
+
   /** Benchmark decontamination, filter form: corpus rows carrying NO
     * eval n-gram (the rows safe to train on). Anti join on the doc id
     * against [[contaminationHits]] — the contaminated-id set is small,

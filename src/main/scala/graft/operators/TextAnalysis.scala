@@ -1588,6 +1588,32 @@ object TextAnalysis {
     balancedSample(withDomain, idCol, "domain", cap)
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher, SIGIR 2009 —
+    * public): combine several rankings of the same id space into one by
+    * `score(d) = Σ_r 1/(k + rank_r(d))`, the standard way to fuse a
+    * lexical (BM25) and a dense (ANN) retrieval list without score
+    * calibration — ranks are comparable when raw scores aren't.
+    *
+    * Each input frame carries (`idCol`, `rank`); ids absent from a
+    * ranking contribute nothing (the published convention). The fuse is
+    * a chain of outer joins over the (top-k-sized, NOT corpus-sized)
+    * rank lists plus one TakeOrdered — ties broken by id. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.size >= 2, "need at least two rankings to fuse")
+    val sides = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").cast("long").as(s"_r$i"))
+    }
+    val joined = sides.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices.map { i =>
+      coalesce(lit(1.0) / (lit(k) + col(s"_r$i")), lit(0.0))
+    }.reduce(_ + _)
+    joined.withColumn("rrf", round(score, 6))
+      .select(col(idCol), col("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** LENGTH-BUCKETED batching — the standard padding-waste fix for
     * variable-length training (bucketing by sequence length, public
     * practice since seq2seq toolkits): documents go to power-of-two

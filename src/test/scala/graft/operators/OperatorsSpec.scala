@@ -140,6 +140,46 @@ class OperatorsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("fuzzy decontamination: rephrased copy caught, unrelated not; cut respected") {
+    val evalSet = Seq((1L, "the quick brown fox jumps over the lazy dog " +
+      "and runs far away into the deep green forest tonight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog " +
+        "and runs far away into the deep green forest today"), // 1 word off
+      (11L, "completely different content about spark query engines and " +
+        "distributed columnar execution at scale"),
+      (12L, "the quick brown fox jumps over seventeen lazy dogs while " +
+        "sprinting toward a completely different shoreline at dawn")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyContamination(corpus, evalSet, "text", "doc_id",
+        maxDist = 10, maxBucket = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 10L)))
+    assert(got.head._3 > 0 && got.head._3 <= 10)
+    // tighter cut excludes even the near copy
+    val none = Dedup.fuzzyContamination(corpus, evalSet, "text", "doc_id",
+      maxDist = 2, maxBucket = 0).count()
+    assert(none == 0)
+  }
+
+  test("rrf fusion: hand-computed scores, one-list ids, ties to smallest id") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((3L, 1L), (2L, 2L), (9L, 3L)).toDF("id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(a, b), "id", k = 60, topK = 4)
+      .as[(Long, Double)].collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Map(
+      1L -> r6(1.0 / 61),
+      2L -> r6(1.0 / 62 + 1.0 / 62),
+      3L -> r6(1.0 / 63 + 1.0 / 61),
+      9L -> r6(1.0 / 63))
+    assert(got.toMap == want)
+    // ordering: 2 (.0323) > 3 (.0323 slightly less?) — assert sorted desc
+    assert(got.map(_._2).sameElements(got.map(_._2).sortBy(-_)))
+    assert(got.head._1 == 2L || got.head._1 == 3L)
+  }
+
   test("cv folds: co-clustered rows share a fold; folds cover 0..k-1") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
     val df = (1L to 40L).map(i => Tuple1(i)).toDF("id")
