@@ -1824,6 +1824,21 @@ object SparkEntry {
           round(col("lcc"), 6).as("lcc"))
     }),
 
+    // ---- graph: 4-truss edge filter over a half-dense ring (dense
+    //      half: +1/+2/+3 neighbors → triangle-rich; sparse half: +1
+    //      path → no triangles) — boundary edges cascade out ----
+    "ktruss_edges" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"), explode(
+        when(col("doc_id") < lit(n / 2), array(
+          pmod(col("doc_id") + 1, lit(n)),
+          pmod(col("doc_id") + 2, lit(n)),
+          pmod(col("doc_id") + 3, lit(n))))
+        .otherwise(array(pmod(col("doc_id") + 1, lit(n))))).as("dst"))
+      LinkGraph.kTrussEdges(edges, "src", "dst", k = 4, rounds = 3)
+    }),
+
     // ---- graph: k-core number per node via the h-index fixpoint —
     //      6 rounds (init = degree, values only move down, so rounds
     //      past convergence are no-ops); the oracle unrolls the same
@@ -5372,6 +5387,43 @@ object SparkEntry {
         |    ELSE 0.0 END AS lcc
         |FROM nodes nd LEFT JOIN tn ON nd.id = tn.id
         |LEFT JOIN deg ON nd.id = deg.id""".stripMargin,
+    // k-truss: the same 3 support-filter rounds unrolled — triangle
+    // enumeration over the surviving edges, per-edge support via the
+    // 3-way union count, filter at k-2 = 2
+    "ktruss_edges" -> {
+      def round(prev: String, cur: String): String =
+        s"""tri_$cur AS (
+           |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+           |  FROM $prev e1 JOIN $prev e2 ON e2.lo = e1.hi
+           |  JOIN $prev e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+           |sup_$cur AS (
+           |  SELECT lo, hi, count(*) AS s FROM (
+           |    SELECT a AS lo, b AS hi FROM tri_$cur
+           |    UNION ALL SELECT b, c FROM tri_$cur
+           |    UNION ALL SELECT a, c FROM tri_$cur) GROUP BY 1, 2),
+           |$cur AS (
+           |  SELECT u.lo, u.hi FROM $prev u
+           |  JOIN sup_$cur s ON s.lo = u.lo AND s.hi = u.hi
+           |  WHERE s.s >= 2)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         | nodes AS (SELECT doc_id AS id FROM documents),
+         | dir AS (
+         |  SELECT id AS a, (id + 1) % (SELECT n FROM nn) AS b FROM nodes
+         |  WHERE id < (SELECT n FROM nn) // 2
+         |  UNION ALL SELECT id, (id + 2) % (SELECT n FROM nn) FROM nodes
+         |  WHERE id < (SELECT n FROM nn) // 2
+         |  UNION ALL SELECT id, (id + 3) % (SELECT n FROM nn) FROM nodes
+         |  WHERE id < (SELECT n FROM nn) // 2
+         |  UNION ALL SELECT id, (id + 1) % (SELECT n FROM nn) FROM nodes
+         |  WHERE id >= (SELECT n FROM nn) // 2),
+         | u0 AS (
+         |  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+         |  FROM dir WHERE a <> b),
+         | ${round("u0", "u1")},
+         | ${round("u1", "u2")},
+         | ${round("u2", "u3")}
+         |SELECT lo, hi FROM u3""".stripMargin
+    },
     // coreness: the same 6 h-index rounds unrolled — each round takes,
     // per node, the H-index of its neighbors' previous values (largest
     // h with >= h neighbors at value >= h), expressed as

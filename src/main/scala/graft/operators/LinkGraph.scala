@@ -334,6 +334,49 @@ object LinkGraph {
     h.select(col("_id").as(idCol), col("_h").as("coreness"))
   }
 
+  /** K-TRUSS edge filter (Cohen 2008, public): keep edges supported by
+    * at least `k−2` triangles among the SURVIVING edges — iterated, so
+    * removing a weak edge can cascade its neighbors out. The edge-level
+    * cohesion complement of [[coreness]]: a k-core can be held together
+    * by one hub, a k-truss cannot — every edge must sit in dense
+    * triangles, which is why truss filtering isolates genuinely
+    * interlinked communities (and link farms, which fake degree but
+    * rarely fake mutual triangles).
+    *
+    * Each round is the canonical lo<hi triangle enumeration (every
+    * triangle found exactly once — the [[triangleCounts]] join shape)
+    * → a 3-way union + keyed count for per-edge support → one filter;
+    * lineage checkpoint-truncated per round. Runs EXACTLY `rounds`
+    * rounds (deterministic trajectory — unrollable by an external
+    * oracle); support only shrinks, so rounds past the fixpoint are
+    * no-ops. Returns the surviving undirected edges (lo < hi). */
+  def kTrussEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 3, "k must be >= 3")
+    require(rounds >= 1, "rounds must be >= 1")
+    val dir = edges.select(col(srcCol).cast("long").as("_a"),
+      col(dstCol).cast("long").as("_b"))
+    var und = dir.select(least(col("_a"), col("_b")).as("lo"),
+        greatest(col("_a"), col("_b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
+    var it = 0
+    while (it < rounds) {
+      val e1 = und.select(col("lo").as("a"), col("hi").as("b"))
+      val e2 = und.select(col("lo").as("b"), col("hi").as("c"))
+      val e3 = und.select(col("lo").as("a"), col("hi").as("c"))
+      val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+      val sup = tri.select(col("a").as("lo"), col("b").as("hi"))
+        .unionAll(tri.select(col("b").as("lo"), col("c").as("hi")))
+        .unionAll(tri.select(col("a").as("lo"), col("c").as("hi")))
+        .groupBy("lo", "hi").agg(count(lit(1)).as("_s"))
+      und = und.join(sup, Seq("lo", "hi"), "left")
+        .filter(coalesce(col("_s"), lit(0L)) >= k - 2)
+        .select("lo", "hi").localCheckpoint(true)
+      it += 1
+    }
+    und
+  }
+
   /** Members of the k-core: nodes whose [[coreness]] ≥ `k`. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       iterations: Int = 8, nodes: DataFrame = null,

@@ -267,6 +267,46 @@ class LinkGraphSpec extends AnyFunSuite {
       assert(got(v.toLong) == ref(v).toLong, s"node $v"))
   }
 
+  test("k-truss: K4 survives k=4, pendant drops, removal cascades") {
+    import spark.implicits._
+    val k4p = ((for (x <- 0 to 3; y <- 0 to 3 if x < y) yield (x, y)) :+
+      ((3, 9))).toDF("src", "dst")
+    val kept = LinkGraph.kTrussEdges(k4p, "src", "dst", k = 4, rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(kept == (for (x <- 0 to 3; y <- 0 to 3 if x < y)
+      yield (x.toLong, y.toLong)).toSet, "K4 intact, pendant gone")
+    // k=5 exceeds K4's support everywhere → empty
+    assert(LinkGraph.kTrussEdges(k4p, "src", "dst", k = 5, rounds = 2)
+      .count() == 0)
+    // two triangles sharing edge (2,3): every rim edge has support 1 →
+    // dropped in round 1; the shared edge then loses both triangles →
+    // dropped in round 2 — the cascade a single pass misses
+    val twoTri = Seq((1, 2), (2, 3), (1, 3), (3, 4), (2, 4)).toDF("src", "dst")
+    assert(LinkGraph.kTrussEdges(twoTri, "src", "dst", k = 4, rounds = 1)
+      .count() == 1)
+    assert(LinkGraph.kTrussEdges(twoTri, "src", "dst", k = 4, rounds = 2)
+      .count() == 0)
+  }
+
+  test("k-truss: the gate's 3 rounds reach the fixpoint at sf0.001") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"), explode(
+      when(col("doc_id") < lit(n / 2), array(
+        pmod(col("doc_id") + 1, lit(n)),
+        pmod(col("doc_id") + 2, lit(n)),
+        pmod(col("doc_id") + 3, lit(n))))
+      .otherwise(array(pmod(col("doc_id") + 1, lit(n))))).as("dst"))
+    val at3 = LinkGraph.kTrussEdges(edges, "src", "dst", k = 4, rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    val at4 = LinkGraph.kTrussEdges(edges, "src", "dst", k = 4, rounds = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(at3 == at4 && at3.nonEmpty, s"still moving after 3 rounds (${at3.size})")
+  }
+
   test("coreness: the gate's 6 rounds reach the fixpoint at sf0.001") {
     import spark.implicits._
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
