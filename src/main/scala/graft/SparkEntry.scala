@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Glider, LinkGraph, Multimodal, Relational, Similarity, Sketches, Spatial, TextAnalysis}
+import graft.operators.{Dedup, EventAnalytics, Glider, LinkGraph, Multimodal, Relational, Similarity, Sketches, Spatial, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -476,6 +476,30 @@ object SparkEntry {
         .select(col("user_id"), col("session_id"), col("session_start"),
           col("session_end"), col("n_events"))
     }),
+
+    // ---- event analytics: strict ordered funnel with a 7-day
+    //      conversion window (view → click → purchase) — step k fires
+    //      at the earliest qualifying event strictly after step k−1
+    //      and within the window of step 1; the oracle replays the
+    //      same conditional-min chain as k CTEs ----
+    "funnel_steps" -> ((s, dir) =>
+      EventAnalytics.funnelSummary(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowSeconds = 7 * 86400L)),
+
+    // ---- event analytics: per-user funnel depth under the same rule ----
+    "funnel_users" -> ((s, dir) =>
+      EventAnalytics.funnelUsers(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowSeconds = 7 * 86400L)),
+
+    // ---- event analytics: weekly cohort retention (cohort = Monday
+    //      week of first event; retained = any event in week+offset) ----
+    "cohort_retention" -> ((s, dir) =>
+      EventAnalytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        // DATE comparability across engines: ship the week as its ISO
+        // string (DuckDB's DATE round-trips as midnight TIMESTAMP)
+        .withColumn("cohort_week", col("cohort_week").cast("string"))),
 
     // ---- E1 except ----
     "e1_except" -> ((s, dir) =>
@@ -3616,6 +3640,61 @@ object SparkEntry {
         |SELECT user_id, session_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    // the funnel's conditional-min chain unrolled: s1 = earliest 'view'
+    // per user; s2 = earliest 'click' after s1 within the 7-day window
+    // of s1; s3 = earliest 'purchase' after s2 within the same window
+    "funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (
+        |  SELECT e.user_id, min(s1.t1) AS t1, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |    AND epoch_us(e.ts) <= s1.t1 + 604800000000 GROUP BY 1),
+        | s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) <= s2.t1 + 604800000000 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |       count(*) AS users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
+    "funnel_users" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (
+        |  SELECT e.user_id, min(s1.t1) AS t1, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |    AND epoch_us(e.ts) <= s1.t1 + 604800000000 GROUP BY 1),
+        | s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) <= s2.t1 + 604800000000 GROUP BY 1)
+        |SELECT user_id, CAST(max(step) AS BIGINT) AS steps_completed FROM (
+        |  SELECT user_id, 1 AS step FROM s1
+        |  UNION ALL SELECT user_id, 2 FROM s2
+        |  UNION ALL SELECT user_id, 3 FROM s3) GROUP BY 1""".stripMargin,
+    "cohort_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, date_trunc('week', min(ts))::DATE AS cw
+        |  FROM events GROUP BY 1),
+        | sizes AS (SELECT cw, count(*) AS cohort_size FROM firsts GROUP BY 1),
+        | act AS (
+        |  SELECT f.cw, date_diff('day', f.cw,
+        |      date_trunc('week', e.ts)::DATE) // 7 AS week_offset,
+        |    count(DISTINCT e.user_id) AS active_users
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(a.cw AS VARCHAR) AS cohort_week,
+        |  CAST(a.week_offset AS BIGINT) AS week_offset,
+        |  a.active_users, s.cohort_size,
+        |  round(a.active_users::DOUBLE / s.cohort_size, 6) AS retention
+        |FROM act a JOIN sizes s ON a.cw = s.cw""".stripMargin,
     "o1_sort_desc" ->
       "SELECT c_custkey, c_acctbal FROM customer",
     "e3_union_chunks" ->

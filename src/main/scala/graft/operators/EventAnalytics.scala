@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-event analytics over a (user, timestamp, type) event log —
+  * the two classic product-analytics shapes the reference's event
+  * tooling answers with serial pandas passes (`agol_wrangler.py`'s
+  * per-dataset event tallies), re-expressed as bounded sequences of
+  * shuffles so they hold at log scale.
+  *
+  * Funnel semantics (strict ordered funnel with a conversion window):
+  * step 1 fires at the user's EARLIEST occurrence of the first step
+  * type; step k fires at the earliest occurrence of the k-th type
+  * STRICTLY AFTER step k−1's time and within `windowSeconds` of step
+  * 1. This is the standard "first touch, ordered, windowed" funnel —
+  * deterministic (no per-run sampling), so an external SQL engine can
+  * replay it exactly.
+  *
+  * Scale shape: the event log is first pruned to the step types (the
+  * big win — funnels touch a handful of types out of hundreds), then
+  * each step is one conditional min-aggregate joined against the
+  * (per-user, so strictly shrinking) survivor set of the previous
+  * step. Funnel depth is a small constant, so this is k co-partitioned
+  * shuffles on the user key — never a per-user sort, never a
+  * collect_list of a user's history (heavy users would OOM a grouped
+  * list; a min-aggregate cannot).
+  */
+object EventAnalytics {
+
+  /** One row per (user, completed step): `step` is 1-based, `step_ts`
+    * the time the step fired under the strict ordered-window rule. */
+  def funnelStepTimes(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val winMicros = windowSeconds * 1000000L
+    val ev = events.select(col(userCol).as("_u"),
+        unix_micros(col(tsCol)).as("_t"), col(typeCol).as("_y"))
+      .filter(col("_y").isin(steps: _*))
+    // step 1: earliest first-step event per user; _first anchors the window
+    var cur = ev.filter(col("_y") === steps.head)
+      .groupBy("_u").agg(min(col("_t")).as("_cur"))
+      .withColumn("_first", col("_cur"))
+    var acc = cur.select(col("_u"), lit(1L).as("step"), col("_cur").as("_ts"))
+    for (k <- 2 to steps.length) {
+      // survivors of step k−1 join their candidate step-k events; the
+      // min over qualifying times is step k. _first/_cur are unique per
+      // user, so min() carries them through the aggregate unchanged.
+      cur = ev.filter(col("_y") === steps(k - 1))
+        .join(cur.select("_u", "_first", "_cur"), "_u")
+        .filter(col("_t") > col("_cur") &&
+          col("_t") <= col("_first") + lit(winMicros))
+        .groupBy("_u").agg(min(col("_t")).as("_next"),
+          min(col("_first")).as("_first"))
+        .withColumnRenamed("_next", "_cur")
+      acc = acc.unionByName(
+        cur.select(col("_u"), lit(k.toLong).as("step"), col("_cur").as("_ts")))
+    }
+    acc.select(col("_u").as(userCol), col("step"),
+      timestamp_micros(col("_ts")).as("step_ts"))
+  }
+
+  /** Funnel summary: users reaching each step (a user reaching step k
+    * counts at every step ≤ k by construction). */
+  def funnelSummary(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame =
+    funnelStepTimes(events, userCol, tsCol, typeCol, steps, windowSeconds)
+      .groupBy(col("step")).agg(count(lit(1)).as("users"))
+      .withColumn("step_name",
+        element_at(array(steps.map(lit): _*), col("step").cast("int")))
+      .select(col("step"), col("step_name"), col("users"))
+
+  /** Per-user funnel depth: the furthest step reached (≥ 1; users who
+    * never fired step 1 are absent). */
+  def funnelUsers(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame =
+    funnelStepTimes(events, userCol, tsCol, typeCol, steps, windowSeconds)
+      .groupBy(col(userCol)).agg(max(col("step")).as("steps_completed"))
+
+  /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of
+    * the user's first event; a user is retained at offset w if they
+    * have ANY event in cohort week + w. Returns one row per
+    * (cohort_week, week_offset) with the active-user count, the cohort
+    * size, and the retention ratio (6 dp).
+    *
+    * Scale shape: one aggregate on the user key for first-seen, one
+    * co-partitioned join back (AQE reuses the user-key exchange), one
+    * aggregate on (cohort, offset) — the classic triangle. Cohort sizes
+    * are a per-week table (tiny — one row per calendar week), joined by
+    * broadcast so the final agg never reshuffles. */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val firsts = events.groupBy(col(userCol).as("_u"))
+      .agg(min(col(tsCol)).as("_firstTs"))
+      .withColumn("_cw", date_trunc("week", col("_firstTs")).cast("date"))
+      .select("_u", "_cw")
+    val sizes = firsts.groupBy(col("_cw"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val offsets = events.select(col(userCol).as("_u"), col(tsCol).as("_t"))
+      .join(firsts, "_u")
+      .withColumn("_ew", date_trunc("week", col("_t")).cast("date"))
+      // both sides are week-truncated dates, so the day delta is an
+      // exact multiple of 7 and the double division is exact
+      .withColumn("week_offset",
+        (datediff(col("_ew"), col("_cw")) / 7).cast("long"))
+    offsets.groupBy(col("_cw"), col("week_offset"))
+      .agg(countDistinct(col("_u")).as("active_users"))
+      .join(broadcast(sizes), "_cw")
+      .select(col("_cw").as("cohort_week"), col("week_offset"),
+        col("active_users"), col("cohort_size"),
+        round(col("active_users").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+  }
+}
