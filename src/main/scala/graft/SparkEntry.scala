@@ -828,6 +828,25 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- similarity: retrieval-quality evaluation — exact cosine
+    //      top-10 run (the ann_knn_join shape) scored against
+    //      label-match qrels: nDCG@10, MRR, P@10, R@10 per query ----
+    "retrieval_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toSeq
+      val run = Similarity.knnJoin(emb.filter(col("vec_id") >= 5), "vec_id",
+        "embedding", qs, k = 10)
+      val qrels = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("label").as("_ql"))
+        .join(emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("label")), col("label") === col("_ql"))
+        .select(col("qid"), col("vec_id"))
+      Similarity.retrievalMetrics(run, qrels, k = 10)
+    }),
+
     // ---- similarity: nearest-centroid (Rocchio) classification —
     //      per-label mean vectors (rounded to 6 so any engine agrees),
     //      then one shuffle-free codegen'd argmax-cosine projection ----
@@ -6198,6 +6217,52 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin,
+    // the same knn run at k=10, scored against label-match qrels with
+    // the identical ascending-summation ideal-DCG table
+    "retrieval_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label
+        |  FROM embeddings WHERE vec_id < 5),
+        | c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings WHERE vec_id >= 5),
+        | scored AS (
+        |  SELECT q.qid, c.vec_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+        |              sqrt(list_sum(list_transform(q.qv, x -> x*x))) = 0
+        |         THEN 0.0
+        |         ELSE list_sum(list_transform(list_zip(c.v, q.qv), p -> p[1]*p[2])) /
+        |              (sqrt(list_sum(list_transform(c.v, x -> x*x))) *
+        |               sqrt(list_sum(list_transform(q.qv, x -> x*x))))
+        |    END AS cos
+        |  FROM c CROSS JOIN q),
+        | ranked AS (
+        |  SELECT qid, vec_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored),
+        | qr AS (
+        |  SELECT q.qid, c.vec_id FROM q JOIN c ON q.label = c.label),
+        | nrel AS (SELECT qid, count(*) AS nrel FROM qr GROUP BY 1),
+        | ideal AS (
+        |  SELECT i, sum(1.0/log2(i+1)) OVER (ORDER BY i) AS idcg
+        |  FROM range(1, 11) t(i)),
+        | perq AS (
+        |  SELECT r.qid,
+        |    sum(CASE WHEN qr.vec_id IS NOT NULL
+        |             THEN 1.0/log2(r.rn+1) ELSE 0 END) AS dcg,
+        |    sum(CASE WHEN qr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+        |    min(CASE WHEN qr.vec_id IS NOT NULL THEN r.rn END) AS fr
+        |  FROM ranked r LEFT JOIN qr
+        |    ON r.qid = qr.qid AND r.vec_id = qr.vec_id
+        |  WHERE r.rn <= 10 GROUP BY 1)
+        |SELECT p.qid,
+        |  round(CASE WHEN idcg IS NULL OR idcg = 0 THEN 0.0
+        |             ELSE p.dcg/idcg END, 6) AS ndcg,
+        |  round(coalesce(1.0/p.fr, 0.0), 6) AS mrr,
+        |  round(p.hits/10.0, 6) AS precision,
+        |  round(p.hits/n.nrel, 6) AS recall
+        |FROM perq p JOIN nrel n ON p.qid = n.qid
+        |LEFT JOIN ideal ON least(n.nrel, 10) = ideal.i""".stripMargin,
     "ann_centroid_classify" ->
       """WITH dimed AS (
         |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,

@@ -752,4 +752,61 @@ object Similarity {
       .select(col("id").as(idCol))
     df.select(col(idCol)).join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Retrieval-quality metrics (binary relevance) per query — the
+    * standard IR evaluation battery over a ranked `run` (one row per
+    * (query, doc) with a 1-based `rank` ≤ k, e.g. [[knnJoin]] or
+    * `TextAnalysis.bm25TopK` output) against a `qrels` table of
+    * (query, relevant doc) pairs:
+    *
+    *  - `ndcg` — DCG@k with gain 1/log2(rank+1) over the ideal DCG for
+    *    min(|rel|, k) items (0 when the query has no relevant docs);
+    *  - `mrr` — 1/rank of the first relevant hit (0 when none);
+    *  - `precision` — relevant hits in the top k over k;
+    *  - `recall` — relevant hits over |rel|.
+    *
+    * Queries absent from `qrels` are dropped (undefined denominators).
+    * All metrics round to 6 dp.
+    *
+    * Scale shape: run ⋈ qrels is an equi-join on (query, doc) — both
+    * sides are rank-list-sized (|Q|·k and |qrels| rows), never
+    * corpus-sized; per-query reduction is one hash aggregate. The ideal
+    * DCG is a k-row cumulative table built once and broadcast, so no
+    * per-row log sums re-derive it. */
+  def retrievalMetrics(run: DataFrame, qrels: DataFrame, k: Int,
+      queryCol: String = "qid", docCol: String = "vec_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = run.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val rel = qrels.select(col(queryCol).as("_q"), col(docCol).as("_d"))
+      .distinct()
+    val nrel = rel.groupBy(col("_q")).agg(count(lit(1)).as("_nrel"))
+    val marked = run.select(col(queryCol).as("_q"), col(docCol).as("_d"),
+        col(rankCol).cast("long").as("_r"))
+      .filter(col("_r") <= k)
+      .join(rel.withColumn("_rel", lit(1.0)), Seq("_q", "_d"), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0.0)))
+    val perq = marked.groupBy(col("_q")).agg(
+      sum(col("_rel") / log2(col("_r") + 1)).as("_dcg"),
+      sum(col("_rel")).as("_hits"),
+      min(when(col("_rel") === 1.0, col("_r"))).as("_fr"))
+    // ideal cumulative DCG: i → Σ_{j≤i} 1/log2(j+1), ascending
+    // summation so any engine replays the identical float trajectory;
+    // k rows — the single-partition window is a constant-sized table
+    val ideal = spark.range(1, k + 1).select(col("id").as("_i"),
+      sum(lit(1.0) / log2(col("id") + 1))
+        .over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("_idcg"))
+    perq.join(nrel, "_q")
+      .withColumn("_cap", least(col("_nrel"), lit(k.toLong)))
+      .join(broadcast(ideal), col("_cap") === col("_i"), "left")
+      .select(col("_q").as(queryCol),
+        round(when(col("_idcg").isNull || col("_idcg") === 0.0, 0.0)
+          .otherwise(col("_dcg") / col("_idcg")), 6).as("ndcg"),
+        round(coalesce(lit(1.0) / col("_fr"), lit(0.0)), 6).as("mrr"),
+        round(col("_hits") / k, 6).as("precision"),
+        round(col("_hits") / col("_nrel"), 6).as("recall"))
+  }
 }
