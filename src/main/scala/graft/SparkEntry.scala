@@ -1805,6 +1805,23 @@ object SparkEntry {
         .select(col("doc_id"), round(col("rank"), 9).as("rank"))
     }),
 
+    // ---- graph: personalized PageRank — teleport to the doc_id%10==0
+    //      seed set over the same synthetic graph (4 rounds; the graph
+    //      has no dangling nodes, so the oracle needs no dangling term) ----
+    "ppr_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)),
+          pmod(col("doc_id") * 7 + 3, lit(n)))).as("dst"))
+      val seeds = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      LinkGraph.personalizedPageRank(edges, "src", "dst", seeds,
+        iterations = 4, idCol = "doc_id")
+        .select(col("doc_id"), round(col("rank"), 9).as("rank"))
+    }),
+
     // ---- graph: synchronous label propagation (3 rounds) — most
     //      frequent neighbor label, ties to the smallest; undirected
     //      mirror of the same synthetic link graph; deterministic so
@@ -5423,6 +5440,38 @@ object SparkEntry {
          | ${round("r3", "r4")},
          | ${round("r4", "r5")}
          |SELECT id AS doc_id, round(r, 9) AS rank FROM r5""".stripMargin
+    },
+    // personalized PageRank: the same unrolled power iteration with the
+    // teleport vector p (1/|seeds| on doc_id%10==0, else 0) replacing
+    // the uniform 1/N term; init = p, 4 rounds
+    "ppr_links" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (SELECT nd.id,
+           |  (1 - 0.85)*pp.p
+           |    + 0.85*coalesce(sum(p2.r/dg.deg), 0) AS r
+           |  FROM nodes nd
+           |  JOIN p pp ON pp.id = nd.id
+           |  LEFT JOIN edges e ON e.dst = nd.id
+           |  LEFT JOIN $prev p2 ON p2.id = e.src
+           |  LEFT JOIN deg dg ON dg.src = e.src
+           |  GROUP BY nd.id, pp.p)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         | nodes AS (SELECT doc_id AS id FROM documents),
+         | edges AS (
+         |  SELECT DISTINCT id AS src, dst FROM (
+         |    SELECT id, (id*3+1) % (SELECT n FROM nn) AS dst FROM nodes
+         |    UNION ALL SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes
+         |    UNION ALL SELECT id, (id*7+3) % (SELECT n FROM nn) FROM nodes)),
+         | deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         | ns AS (SELECT count(*) AS s FROM nodes WHERE id % 10 = 0),
+         | p AS (SELECT id, CASE WHEN id % 10 = 0
+         |    THEN 1.0/(SELECT s FROM ns) ELSE 0.0 END AS p FROM nodes),
+         | r0 AS (SELECT id, p AS r FROM p),
+         | ${round("r0", "r1")},
+         | ${round("r1", "r2")},
+         | ${round("r2", "r3")},
+         | ${round("r3", "r4")}
+         |SELECT id AS doc_id, round(r, 9) AS rank FROM r4""".stripMargin
     },
     // the same 3 HITS rounds unrolled: each half-round sums the dual
     // score over the edge, normalizes by the MAX (deterministic — no

@@ -87,6 +87,81 @@ object LinkGraph {
     ranks.select(col("_id").as(idCol), col("_rank").as("rank"))
   }
 
+  /** PERSONALIZED PageRank (topic-sensitive PageRank, Haveliwala 2002,
+    * public): teleport lands on the `sources` set instead of uniformly —
+    * the random surfer restarts at a source with probability 1−d, and
+    * dangling mass likewise returns to the sources. Rank concentrates
+    * around the seed neighborhood, which is the standard seed-expansion
+    * primitive (related-page discovery, trust propagation, local
+    * community scoring over a crawl graph).
+    *
+    * rank_{t+1}(v) = (1−d)·p(v) + d·( Σ_{(u,v)∈E} rank_t(u)/outdeg(u)
+    *                                  + dangling_t·p(v) )
+    * with p(v) = 1/|S| for v ∈ S, else 0; rank_0 = p.
+    *
+    * Same execution discipline as [[pageRank]]: out-degrees once,
+    * dangling decided once, one keyed shuffle per round,
+    * `localCheckpoint` truncating lineage; the personalization vector
+    * is a 0/1 flag joined once up front, never re-derived per round.
+    * Total mass stays 1 every round. Deterministic — an external SQL
+    * engine can unroll the identical rounds. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, sources: DataFrame, iterations: Int = 5,
+      damping: Double = 0.85, nodes: DataFrame = null,
+      idCol: String = "id"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst")).distinct()
+    var all = e.select(col("_src").as("_id"))
+      .unionByName(e.select(col("_dst").as("_id")))
+    if (nodes != null)
+      all = all.unionByName(nodes.select(col(nodes.columns.head)
+        .cast("long").as("_id")))
+    val nodeIds = all.distinct().localCheckpoint(true)
+    val src = sources.select(col(sources.columns.head).cast("long")
+      .as("_id")).distinct()
+    // sources outside the node universe carry no meaning — drop them so
+    // p sums to 1 over actual nodes
+    val inGraph = src.join(nodeIds, "_id").localCheckpoint(true)
+    val nS = inGraph.count()
+    require(nS > 0, "personalization set shares no node with the graph")
+    val withP = nodeIds.join(inGraph.withColumn("_isS", lit(1)),
+        Seq("_id"), "left")
+      .select(col("_id"), when(col("_isS").isNotNull, lit(1.0 / nS))
+        .otherwise(lit(0.0)).as("_p"))
+      .localCheckpoint(true)
+    val deg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
+      .localCheckpoint(true)
+    val hasDangling = nodeIds.join(deg,
+      nodeIds("_id") === deg("_src"), "left_anti").limit(1).count() > 0
+    var ranks = withP.withColumn("_rank", col("_p"))
+    var it = 0
+    while (it < iterations) {
+      val withDeg = ranks.join(deg,
+        ranks("_id") === deg("_src"), "left")
+        .select(col("_id"), col("_rank"), col("_deg"))
+      val dangling =
+        if (!hasDangling) 0.0
+        else withDeg.filter(col("_deg").isNull)
+          .agg(coalesce(sum(col("_rank")), lit(0.0))).head().getDouble(0)
+      val contribs = e
+        .join(withDeg.filter(col("_deg").isNotNull),
+          e("_src") === withDeg("_id"))
+        .select(col("_dst").as("_id"),
+          (col("_rank") / col("_deg")).as("_c"))
+        .groupBy("_id").agg(sum(col("_c")).as("_c"))
+      ranks = withP.join(contribs, Seq("_id"), "left")
+        .select(col("_id"), col("_p"),
+          (lit(1.0 - damping) * col("_p") + lit(damping) *
+            (coalesce(col("_c"), lit(0.0)) + lit(dangling) * col("_p")))
+            .as("_rank"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    ranks.select(col("_id").as(idCol), col("_rank").as("rank"))
+  }
+
   /** Synchronous LABEL PROPAGATION after exactly `iterations` rounds —
     * community detection over the UNDIRECTED form of the edge list
     * (mirror-dup steps 1-2): every node starts labeled with its own

@@ -267,6 +267,47 @@ class LinkGraphSpec extends AnyFunSuite {
       assert(got(v.toLong) == ref(v).toLong, s"node $v"))
   }
 
+  test("ppr: matches a dense reference incl. dangling→seed return; mass = 1") {
+    import spark.implicits._
+    // 0→1, 0→2, 1→2, 2→0, 3→0 plus DANGLING node 4 (edge 2→4, no out)
+    val edges = Seq((0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (2, 4))
+      .toDF("src", "dst")
+    val seeds = Seq(0, 3).toDF("id")
+    val d = 0.85
+    val p = Map(0 -> 0.5, 3 -> 0.5).withDefaultValue(0.0)
+    val out = Map(0 -> Seq(1, 2), 1 -> Seq(2), 2 -> Seq(0, 4), 3 -> Seq(0))
+    var r = (0 to 4).map(v => v -> p(v)).toMap
+    for (_ <- 1 to 4) {
+      val dang = r(4)
+      r = (0 to 4).map { v =>
+        val in = out.collect { case (u, vs) if vs.contains(v) =>
+          r(u) / vs.length }.sum
+        v -> ((1 - d) * p(v) + d * (in + dang * p(v)))
+      }.toMap
+    }
+    val got = LinkGraph.personalizedPageRank(edges, "src", "dst", seeds,
+        iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    (0 to 4).foreach(v =>
+      assert(math.abs(got(v.toLong) - r(v)) < 1e-12, s"node $v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conserved")
+  }
+
+  test("ppr: rank localizes around the seed; off-graph seeds are dropped") {
+    import spark.implicits._
+    // two disjoint triangles; seed only in the first — the second
+    // component must end at exactly zero rank
+    val edges = Seq((0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10))
+      .toDF("src", "dst")
+    val seeds = Seq(0, 999).toDF("id") // 999 is not a node
+    val got = LinkGraph.personalizedPageRank(edges, "src", "dst", seeds,
+        iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got(0L) > got(1L) && got(1L) > 0)
+    Seq(10L, 11L, 12L).foreach(v => assert(got(v) == 0.0, s"node $v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("k-truss: K4 survives k=4, pendant drops, removal cascades") {
     import spark.implicits._
     val k4p = ((for (x <- 0 to 3; y <- 0 to 3 if x < y) yield (x, y)) :+
