@@ -501,6 +501,18 @@ object SparkEntry {
         // string (DuckDB's DATE round-trips as midnight TIMESTAMP)
         .withColumn("cohort_week", col("cohort_week").cast("string"))),
 
+    // ---- event analytics: first-order Markov transition matrix over
+    //      event types (per-user lead window, row-normalized) ----
+    "event_transitions" -> ((s, dir) =>
+      EventAnalytics.eventTransitions(t(s, dir, "events"), "user_id",
+        "ts", "event_type", tieBreak = Seq("event_id"))),
+
+    // ---- event analytics: hourly anomaly z-scores per event type
+    //      (population moments from exact integer sums) ----
+    "anomaly_hours" -> ((s, dir) =>
+      EventAnalytics.hourlyAnomalies(t(s, dir, "events"), "ts",
+        "event_type", threshold = 2.0)),
+
     // ---- E1 except ----
     "e1_except" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"))
@@ -2467,6 +2479,13 @@ object SparkEntry {
     "vocab_topk" -> ((s, dir) =>
       TextAnalysis.topVocabulary(t(s, dir, "documents"), "text", k = 100)),
 
+    // ---- text: keyness — top-10 distinctive terms per source by
+    //      Dunning G² against the rest of the corpus (exact integer
+    //      counts in, 6-dp-rounded ranking out) ----
+    "keyness_terms" -> ((s, dir) =>
+      TextAnalysis.keynessTerms(t(s, dir, "documents"), "source", "text",
+        k = 10)),
+
     // ---- text: DSIR importance selection — rank the non-src0 corpus
     //      by hashed-bigram likelihood ratio against the src0 target
     //      sample (add-one smoothing, 6-dp log-ratios, dim-sized
@@ -3731,6 +3750,41 @@ object SparkEntry {
         |  a.active_users, s.cohort_size,
         |  round(a.active_users::DOUBLE / s.cohort_size, 6) AS retention
         |FROM act a JOIN sizes s ON a.cw = s.cw""".stripMargin,
+    "event_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        | cnt AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM nxt
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | tot AS (SELECT from_type, sum(n) AS t FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(c.n::DOUBLE / t.t, 6) AS p
+        |FROM cnt c JOIN tot t ON c.from_type = t.from_type""".stripMargin,
+    "anomaly_hours" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        | st AS (
+        |  SELECT event_type, count(*) AS h, sum(n) AS s,
+        |    sum(n*n) AS s2
+        |  FROM hourly GROUP BY 1),
+        | zs AS (
+        |  SELECT hr.hour, hr.event_type, hr.n,
+        |    CASE WHEN st.s2::DOUBLE/st.h
+        |              - (st.s::DOUBLE/st.h)*(st.s::DOUBLE/st.h) <= 0
+        |         THEN 0.0
+        |         ELSE (hr.n - st.s::DOUBLE/st.h) /
+        |              sqrt(st.s2::DOUBLE/st.h
+        |                   - (st.s::DOUBLE/st.h)*(st.s::DOUBLE/st.h))
+        |    END AS z
+        |  FROM hourly hr JOIN st ON hr.event_type = st.event_type)
+        |SELECT hour, event_type, n, round(z, 6) AS z,
+        |  abs(z) >= 2.0 AS is_anomaly
+        |FROM zs""".stripMargin,
     "o1_sort_desc" ->
       "SELECT c_custkey, c_acctbal FROM customer",
     "e3_union_chunks" ->
@@ -5925,6 +5979,42 @@ object SparkEntry {
         | u AS (SELECT unnest(t) AS tok FROM toks)
         |SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM u WHERE tok <> ''
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
+    // Dunning G² from the same exact integer counts; avoid bare a/b/A/B
+    // identifiers (DuckDB names are case-insensitive)
+    "keyness_terms" ->
+      """WITH toks AS (
+        |  SELECT source AS g, unnest(string_split(trim(regexp_replace(
+        |    lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        | bg AS (SELECT g, tok, count(*) AS cnt_in FROM toks
+        |   WHERE tok <> '' GROUP BY 1, 2),
+        | bt AS (SELECT tok, sum(cnt_in) AS tok_tot FROM bg GROUP BY 1),
+        | gt AS (SELECT g, sum(cnt_in) AS grp_tot FROM bg GROUP BY 1),
+        | tt AS (SELECT sum(cnt_in) AS grand FROM bg),
+        | j AS (
+        |  SELECT bg.g, bg.tok, bg.cnt_in,
+        |    bt.tok_tot - bg.cnt_in AS cnt_out,
+        |    gt.grp_tot, (SELECT grand FROM tt) - gt.grp_tot AS rest_tot,
+        |    bt.tok_tot
+        |  FROM bg JOIN bt ON bg.tok = bt.tok JOIN gt ON bg.g = gt.g),
+        | sc AS (
+        |  SELECT g, tok, cnt_in,
+        |    round(2.0 * (
+        |      CASE WHEN cnt_in > 0 THEN cnt_in * ln(cnt_in /
+        |        (grp_tot::DOUBLE * tok_tot / (SELECT grand FROM tt)))
+        |        ELSE 0.0 END +
+        |      CASE WHEN cnt_out > 0 THEN cnt_out * ln(cnt_out /
+        |        (rest_tot::DOUBLE * tok_tot / (SELECT grand FROM tt)))
+        |        ELSE 0.0 END), 6) AS g2
+        |  FROM j
+        |  WHERE cnt_in::DOUBLE * rest_tot > cnt_out::DOUBLE * grp_tot),
+        | rk AS (
+        |  SELECT g, tok, cnt_in, g2, row_number() OVER (
+        |    PARTITION BY g ORDER BY g2 DESC, tok) AS rn
+        |  FROM sc)
+        |SELECT g AS source, tok, cnt_in AS cnt, g2,
+        |  CAST(rn AS BIGINT) AS rank
+        |FROM rk WHERE rn <= 10""".stripMargin,
     "tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),

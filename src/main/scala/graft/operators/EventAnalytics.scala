@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-event analytics over a (user, timestamp, type) event log —
@@ -112,5 +113,55 @@ object EventAnalytics {
         col("active_users"), col("cohort_size"),
         round(col("active_users").cast("double") / col("cohort_size"), 6)
           .as("retention"))
+  }
+
+  /** First-order Markov transition matrix over event types: for every
+    * observed (from, to) pair of consecutive events per user (ordered
+    * by `tsCol` then `tieBreak`), the count and the row-normalized
+    * probability P(to | from), 6 dp.
+    *
+    * Scale shape: one per-user window (lead) — partitioned by the user
+    * key, never a global sort — then a (from, to) count aggregate. The
+    * per-from totals are a |type|² -bounded table, joined by broadcast. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val cnt = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("_tot"))
+    cnt.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("p"))
+  }
+
+  /** Hourly anomaly detection per event type: bucket counts by hour,
+    * then a population z-score against that type's own hourly
+    * distribution; |z| ≥ `threshold` flags the hour. Mean/variance are
+    * derived from exact integer sums (Σn, Σn², hour count) so any
+    * engine replaying the same formula lands on the identical doubles.
+    *
+    * Scale shape: one (hour, type) count aggregate over the log, then a
+    * per-type stats table (|types| rows — broadcast back). A constant
+    * hourly-count table per type never needs a window. */
+  def hourlyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+      threshold: Double = 2.0): DataFrame = {
+    val hourly = events.groupBy(
+        date_trunc("hour", col(tsCol)).as("hour"),
+        col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("_h"), sum(col("n")).as("_s"),
+      sum(col("n") * col("n")).as("_s2"))
+    val mean = col("_s").cast("double") / col("_h")
+    val variance = col("_s2").cast("double") / col("_h") - mean * mean
+    val z = when(variance <= 0.0, lit(0.0))
+      .otherwise((col("n") - mean) / sqrt(variance))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("hour"), col("event_type"), col("n"),
+        round(z, 6).as("z"), (abs(z) >= threshold).as("is_anomaly"))
   }
 }

@@ -1131,6 +1131,70 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("tok"))
       .limit(k)
 
+  /** KEYNESS: the top-k most distinctive terms per group by Dunning's
+    * log-likelihood ratio G² (Dunning 1993, "Accurate Methods for the
+    * Statistics of Surprise and Coincidence" — public) — each group's
+    * token counts tested against the REST of the corpus:
+    *
+    *   G² = 2·( a·ln(a/E1) + b·ln(b/E2) ),
+    *   E1 = A·(a+b)/(A+B),  E2 = B·(a+b)/(A+B)
+    *
+    * with a/b the term's count in group/rest, A/B the group/rest token
+    * totals; zero-count terms contribute nothing. Only POSITIVE keyness
+    * survives (the term is overrepresented in the group: a/A > b/B) —
+    * the standard "what characterizes this source" reading. Ranking is
+    * on the 6-dp-rounded G² (ties to the smaller token), so an external
+    * engine replaying the same integer counts lands on the same list.
+    *
+    * Scale shape: one (group, token) count aggregate, one token-total
+    * aggregate joined back on the token key (corpus-sized, equi-join —
+    * never a cross product), group totals broadcast (|groups| rows),
+    * then a per-group window for top-k — partitioned by group, never a
+    * global sort. All inputs to G² are exact integers. */
+  def keynessTerms(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 15): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tok = df.select(col(groupCol).as("_g"),
+        explode(normalizedTokens(col(textCol))).as("_tok"))
+      .filter(col("_tok") =!= "")
+    // NOTE: column names never differ only by case (_a vs _A would be
+    // ambiguous under Spark's case-insensitive resolution)
+    val byGroup = tok.groupBy(col("_g"), col("_tok"))
+      .agg(count(lit(1)).as("_cin"))
+    val byTok = byGroup.groupBy(col("_tok")).agg(sum(col("_cin")).as("_ctok"))
+    val groupTot = byGroup.groupBy(col("_g")).agg(sum(col("_cin")).as("_gtot"))
+    // one scalar to the driver: the corpus token total
+    val totals = groupTot.agg(sum(col("_gtot")).as("_T")).head().getLong(0)
+    // byTok/groupTot share byGroup's lineage — qualify through aliases
+    // so the three-way self-derived join resolves unambiguously
+    val joined = byGroup.as("bg")
+      .join(byTok.as("bt"), col("bg._tok") === col("bt._tok"))
+      .join(broadcast(groupTot.as("gt")), col("bg._g") === col("gt._g"))
+      .select(col("bg._g").as("_g"), col("bg._tok").as("_tok"),
+        col("bg._cin").as("_cin"), col("bt._ctok").as("_ctok"),
+        col("gt._gtot").as("_gtot"))
+      .withColumn("_cout", col("_ctok") - col("_cin"))
+      .withColumn("_rtot", lit(totals) - col("_gtot"))
+    val e1 = col("_gtot").cast("double") * col("_ctok") / totals
+    val e2 = col("_rtot").cast("double") * col("_ctok") / totals
+    val g2 = lit(2.0) * (
+      when(col("_cin") > 0, col("_cin") * log(col("_cin") / e1))
+        .otherwise(0.0) +
+      when(col("_cout") > 0, col("_cout") * log(col("_cout") / e2))
+        .otherwise(0.0))
+    val scored = joined
+      .filter(col("_cin").cast("double") * col("_rtot") >
+        col("_cout").cast("double") * col("_gtot")) // positive keyness
+      .withColumn("_g2", round(g2, 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+      .orderBy(col("_g2").desc, col("_tok"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_g").as(groupCol), col("_tok").as("tok"),
+        col("_cin").as("cnt"), col("_g2").as("g2"),
+        col("_rn").cast("long").as("rank"))
+  }
+
   /** Mergeable Misra-Gries frequent-items summary over normalized
     * tokens: at most `capacity` counters, every token with true count
     * > N/(capacity+1) guaranteed present (Agarwal et al., "Mergeable

@@ -75,6 +75,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(times(1L) == ts("2024-01-01 00:00:00"))
   }
 
+  test("transitions: lead pairs per user, row-normalized") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 00:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 00:02:00"), "a", 3L),
+      (1L, ts("2024-01-01 00:03:00"), "c", 4L),
+      (2L, ts("2024-01-01 00:00:00"), "a", 5L),
+      (2L, ts("2024-01-01 00:01:00"), "b", 6L),
+      // user boundary: u2's last event must NOT chain into u3
+      (3L, ts("2024-01-01 00:00:00"), "c", 7L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.eventTransitions(ev, "user_id", "ts",
+        "event_type", tieBreak = Seq("event_id"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 0.666667)), ("a", "c") -> ((1L, 0.333333)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  test("anomalies: constant series z=0; a spike flags; variance guard") {
+    val base = (0 until 10).map(h =>
+      (ts(f"2024-01-01 $h%02d:30:00"), "steady"))
+    // spiky type: nine quiet hours of 1 event, one hour of 20
+    val quiet = (0 until 9).map(h => Seq((ts(f"2024-01-02 $h%02d:00:00"), "spiky")))
+      .flatten
+    val spike = (0 until 20).map(m => (ts(f"2024-01-02 09:$m%02d:00"), "spiky"))
+    val ev = (base ++ quiet ++ spike).toDF("ts", "event_type")
+    val out = EventAnalytics.hourlyAnomalies(ev, "ts", "event_type")
+      .select("event_type", "n", "z", "is_anomaly")
+      .as[(String, Long, Double, Boolean)].collect()
+    val steady = out.filter(_._1 == "steady")
+    assert(steady.forall(r => r._3 == 0.0 && !r._4),
+      "zero-variance series must not flag")
+    val spikeRow = out.filter(r => r._1 == "spiky" && r._2 == 20L).head
+    assert(spikeRow._4 && spikeRow._3 > 2.0)
+    assert(out.filter(r => r._1 == "spiky" && r._2 == 1L).forall(!_._4))
+  }
+
   test("cohort retention: known cohorts, offsets, and ratios") {
     // weeks: 2024-01-01 and 2024-01-08 are both Mondays
     val ev = Seq(
