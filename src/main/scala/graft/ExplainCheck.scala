@@ -344,6 +344,47 @@ object ExplainCheck {
     audit("ann_quantized_topk", mustContain = Seq("TakeOrderedAndProject"),
       mustNotContain = Seq("Join", "Exchange rangepartitioning"))
 
+    // funnel: k conditional-min aggregates joined on the user key —
+    // equi-joins only, never a nested-loop/cross shape, and no
+    // single-partition stage over the log (the summary's step agg is a
+    // hash exchange over ≤ k rows)
+    audit("funnel_steps",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    audit("funnel_users",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // cohort retention: the per-week size table must BROADCAST back —
+    // a sort-merge join would reshuffle the (cohort, offset) aggregate
+    // to meet a calendar-sized table
+    audit("cohort_retention", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // transitions: the lead window keys on the user (never a global
+    // sort) and the |types|²-row totals table broadcasts
+    audit("event_transitions",
+      mustContain = Seq("Exchange hashpartitioning(user_id",
+        "BroadcastHashJoin"),
+      mustNotContain = Seq("Exchange SinglePartition", "CartesianProduct"))
+    // hourly anomalies: the per-type stats table broadcasts onto the
+    // hourly counts — no corpus reshuffle to meet |types| rows
+    audit("anomaly_hours", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
+    // keyness: token-keyed equi-joins plus a group-partitioned top-k
+    // window — no product join, no unpartitioned window over the vocab
+    audit("keyness_terms",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop",
+        "Exchange SinglePartition"))
+    // retrieval metrics: rank-list-sized equi-joins; the k-row ideal-DCG
+    // table broadcasts (its construction may single-partition k rows —
+    // constant-sized by definition, not the data path)
+    audit("retrieval_eval",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // k-truss: triangle enumeration is the canonical lo<hi EQUI-join
+    // chain — a product join here is the quadratic bug
+    audit("ktruss_edges",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // personalized PageRank: pageRank's per-round equi-join discipline
+    audit("ppr_links",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression
     // here silently turns a zero-transfer probe into a full data fetch

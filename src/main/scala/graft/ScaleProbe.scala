@@ -399,6 +399,58 @@ object ScaleProbe {
     }
     probe("coreness", coreRun(docs1), coreRun(docsN))
 
+    // k-truss: triangle enumeration per round — on the bounded-degree
+    // synthetic ring the triangle count is linear in nodes, so the
+    // iterated support filter must track the edge count
+    def trussRun(df: DataFrame): Long = {
+      val m = df.count()
+      val edges = df.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") + 1, lit(m)),
+          pmod(col("doc_id") + 2, lit(m)),
+          pmod(col("doc_id") + 3, lit(m)))).as("dst"))
+      graft.operators.LinkGraph.kTrussEdges(edges, "src", "dst",
+        k = 4, rounds = 2).count()
+    }
+    probe("ktruss", trussRun(docs1), trussRun(docsN))
+
+    // personalized PageRank: pageRank's per-round shape plus one
+    // up-front seed-flag join — must match the pagerank slope
+    def pprRun(df: DataFrame): Long = {
+      val m = df.count()
+      val edges = df.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(m)),
+          pmod(col("doc_id") * 5 + 2, lit(m)))).as("dst"))
+      graft.operators.LinkGraph.personalizedPageRank(edges, "src", "dst",
+        df.filter(col("doc_id") % 10 === 0).select("doc_id"),
+        iterations = 3).count()
+    }
+    probe("ppr", pprRun(docs1), pprRun(docsN))
+
+    // funnel: k conditional-min aggregates over the type-pruned log —
+    // per-user state never materializes, so time tracks the scan
+    probe("funnel",
+      graft.operators.EventAnalytics.funnelUsers(ev1, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), 7 * 86400L).count(),
+      graft.operators.EventAnalytics.funnelUsers(evN, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), 7 * 86400L).count())
+
+    // transitions + cohorts: per-user windows and the first-seen join —
+    // both keyed on the user, never a global sort
+    def journeyRun(df: DataFrame): Long =
+      graft.operators.EventAnalytics.eventTransitions(df, "user_id",
+        "ts", "event_type", Seq("event_id")).count() +
+      graft.operators.EventAnalytics.cohortRetention(df, "user_id",
+        "ts").count()
+    probe("event_journeys", journeyRun(ev1), journeyRun(evN))
+
+    // keyness: (group, token) counts + a token-keyed join — vocabulary
+    // growth is sublinear, so time must track the token scan
+    probe("keyness",
+      graft.operators.TextAnalysis.keynessTerms(docs1, "source", "text",
+        k = 10).count(),
+      graft.operators.TextAnalysis.keynessTerms(docsN, "source", "text",
+        k = 10).count())
+
     // prefix-filtered exact Jaccard at the PRODUCTION cap: rare-token
     // prefixes + the bucket cap must keep candidate growth near-linear
     probe("jaccard_prefix",
