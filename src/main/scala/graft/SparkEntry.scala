@@ -513,6 +513,17 @@ object SparkEntry {
       EventAnalytics.hourlyAnomalies(t(s, dir, "events"), "ts",
         "event_type", threshold = 2.0)),
 
+    // ---- event analytics: top-20 session paths (gap 600 s, first 5
+    //      event types per session) ----
+    "session_paths" -> ((s, dir) =>
+      EventAnalytics.sessionPaths(
+        t(s, dir, "events")
+          // second-truncate like w6 so the gap rule is integral on
+          // both engines (epoch() keeps µs fractions)
+          .withColumn("ts", date_trunc("second", col("ts"))),
+        "user_id", "ts", "event_type", gapSeconds = 600, maxSteps = 5,
+        k = 20, tieBreak = Seq("event_id"))),
+
     // ---- E1 except ----
     "e1_except" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"))
@@ -2486,6 +2497,19 @@ object SparkEntry {
       TextAnalysis.keynessTerms(t(s, dir, "documents"), "source", "text",
         k = 10)),
 
+    // ---- text: PMI collocations — top-50 co-occurring token pairs
+    //      (document-level df, [5,500] df band, 32-token doc cap) ----
+    "pmi_pairs" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(t(s, dir, "documents"), "text", "doc_id",
+        minDf = 5L, maxDf = 500L, maxTokensPerDoc = 32, minPair = 2L,
+        k = 50)),
+
+    // ---- text: Zipf least-squares slope over each source's top-50
+    //      terms — the templated-text drift diagnostic ----
+    "zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(t(s, dir, "documents"), "source", "text",
+        topN = 50)),
+
     // ---- text: DSIR importance selection — rank the non-src0 corpus
     //      by hashed-bigram likelihood ratio against the src0 target
     //      sample (add-one smoothing, 6-dp log-ratios, dim-sized
@@ -3750,6 +3774,29 @@ object SparkEntry {
         |  a.active_users, s.cohort_size,
         |  round(a.active_users::DOUBLE / s.cohort_size, 6) AS retention
         |FROM act a JOIN sizes s ON a.cw = s.cw""".stripMargin,
+    // the w6 sessionization CTEs, then the first-5-types path per
+    // session via DuckDB's ordered list aggregate
+    "session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts,
+        |    event_type FROM events),
+        | lagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch(ts) - epoch(lag(ts) OVER w) > 600 THEN 1 ELSE 0
+        |    END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged),
+        | paths AS (
+        |  SELECT array_to_string(list_slice(
+        |    list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM paths
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "event_transitions" ->
       """WITH nxt AS (
         |  SELECT event_type AS from_type,
@@ -6015,6 +6062,57 @@ object SparkEntry {
         |SELECT g AS source, tok, cnt_in AS cnt, g2,
         |  CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10""".stripMargin,
+    "pmi_pairs" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(trim(regexp_replace(
+        |      lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        | dfr AS (
+        |  SELECT tok, count(*) AS dfc FROM dt GROUP BY 1
+        |  HAVING count(*) BETWEEN 5 AND 500),
+        | kept AS (
+        |  SELECT dt.doc_id, dt.tok, dfr.dfc FROM dt
+        |  JOIN dfr ON dt.tok = dfr.tok),
+        | capped AS (
+        |  SELECT doc_id, tok, dfc FROM (
+        |    SELECT doc_id, tok, dfc, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY tok) AS rn
+        |    FROM kept) WHERE rn <= 32),
+        | pr AS (
+        |  SELECT l.tok AS t1, r.tok AS t2, l.dfc AS df1, r.dfc AS df2,
+        |    count(*) AS n_pair
+        |  FROM capped l JOIN capped r
+        |    ON l.doc_id = r.doc_id AND l.tok < r.tok
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |SELECT t1, t2, n_pair,
+        |  round(ln((SELECT n FROM nn) * n_pair / (df1 * df2)), 6) AS pmi
+        |FROM pr ORDER BY pmi DESC, t1, t2 LIMIT 50""".stripMargin,
+    "zipf_slope" ->
+      """WITH cnts AS (
+        |  SELECT g, tok, count(*) AS c FROM (
+        |    SELECT source AS g, unnest(string_split(trim(regexp_replace(
+        |      lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        | rk AS (
+        |  SELECT g, c, row_number() OVER (
+        |    PARTITION BY g ORDER BY c DESC, tok) AS r
+        |  FROM cnts),
+        | top AS (
+        |  SELECT g, ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y
+        |  FROM rk WHERE r <= 50),
+        | agg AS (
+        |  SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM top GROUP BY 1)
+        |SELECT g AS source, CAST(n AS BIGINT) AS n_terms,
+        |  round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n, 6)
+        |    AS intercept
+        |FROM agg WHERE n >= 2""".stripMargin,
     "tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),

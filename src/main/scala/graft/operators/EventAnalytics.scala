@@ -164,4 +164,32 @@ object EventAnalytics {
       .select(col("hour"), col("event_type"), col("n"),
         round(z, 6).as("z"), (abs(z) >= threshold).as("is_anomaly"))
   }
+
+  /** Top-k session paths: gap-sessionize ([[Sessionize.assignSessions]]
+    * semantics), take each session's first `maxSteps` event types in
+    * (ts, tieBreak) order as a ">"-joined path string, and count
+    * sessions per path. The classic "how do users move" journey report.
+    *
+    * Scale shape: sessionization is the per-user window; the path
+    * builds from a per-session sorted list BOUNDED at `maxSteps` + the
+    * session's own size (sessions are gap-bounded — a key whose list
+    * could be unbounded should be pre-capped upstream); top-k rides
+    * TakeOrdered, never a global sort. */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, gapSeconds: Long, maxSteps: Int = 5,
+      k: Int = 20, tieBreak: Seq[String] = Nil): DataFrame = {
+    require(maxSteps > 0 && k > 0, "bad caps")
+    val sess = Sessionize.assignSessions(events, userCol, tsCol,
+      gapSeconds, tieBreak)
+    // deterministic in-session order: sort the collected (ts, tie...,
+    // type) structs lexicographically, then project the type sequence
+    val orderCols = (col(tsCol) +: tieBreak.map(col)) :+ col(typeCol)
+    val path = sess.groupBy(col(userCol), col("session_id"))
+      .agg(sort_array(collect_list(struct(orderCols: _*))).as("_evs"))
+      .select(concat_ws(">", slice(
+        col("_evs").getField(typeCol), 1, maxSteps)).as("path"))
+    path.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 }

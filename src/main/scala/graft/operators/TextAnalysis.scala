@@ -1195,6 +1195,94 @@ object TextAnalysis {
         col("_rn").cast("long").as("rank"))
   }
 
+  /** PMI COLLOCATIONS (Church & Hanks 1990, public): top-k co-occurring
+    * token pairs by pointwise mutual information over document-level
+    * co-occurrence,
+    *
+    *   pmi(a,b) = ln( N·df(a,b) / (df(a)·df(b)) )
+    *
+    * with df() document frequencies and N the corpus document count.
+    * Tokens outside [minDf, maxDf] drop first (PMI explodes on hapaxes
+    * and saturates on stop words — the standard guard), then each doc
+    * contributes at most `maxTokensPerDoc` surviving distinct tokens
+    * (smallest-token-first, deterministic), and pairs below `minPair`
+    * co-occurrences drop.
+    *
+    * Scale shape: the pair generator is a per-doc self-join of the
+    * CAPPED distinct-token sets — O(docs · cap²) worst case, an explicit
+    * constant bound, never corpus². df tables join on the token key;
+    * the final top-k is TakeOrdered, never a global sort. */
+  def pmiPairs(df: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 3L, maxDf: Long = 1000000L, maxTokensPerDoc: Int = 32,
+      minPair: Long = 2L, k: Int = 50): DataFrame = {
+    require(maxTokensPerDoc > 1 && k > 0, "bad caps")
+    val nDocs = df.count()
+    val docTok = df.select(col(idCol).as("_id"),
+        explode(array_distinct(normalizedTokens(col(textCol)))).as("_tok"))
+      .filter(col("_tok") =!= "")
+    val dfTab = docTok.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf && col("_df") <= maxDf)
+    val kept = docTok.as("dt")
+      .join(dfTab.as("ft"), col("dt._tok") === col("ft._tok"))
+      .select(col("dt._id").as("_id"), col("dt._tok").as("_tok"),
+        col("ft._df").as("_df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_tok"))
+    val capped = kept.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxTokensPerDoc)
+      .select("_id", "_tok", "_df")
+    val pairs = capped.as("l")
+      .join(capped.as("r"), col("l._id") === col("r._id") &&
+        col("l._tok") < col("r._tok"))
+      .groupBy(col("l._tok").as("t1"), col("r._tok").as("t2"),
+        col("l._df").as("_df1"), col("r._df").as("_df2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+    pairs.select(col("t1"), col("t2"), col("n_pair"),
+        round(log(lit(nDocs.toDouble) * col("n_pair") /
+          (col("_df1") * col("_df2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
+  /** ZIPF DIAGNOSTIC per group: least-squares slope of ln(freq) against
+    * ln(rank) over the group's top `topN` terms — healthy natural-
+    * language corpora sit near −1 (Zipf 1949, public); templated or
+    * machine-generated text drifts flat. All inputs are exact integer
+    * counts and the ranking (count desc, token) is pinned; the ≤ topN
+    * float sums differ across engines only at the few-ulp level, far
+    * inside the 6-dp rounding.
+    *
+    * Scale shape: one (group, token) count, one group-partitioned
+    * top-N window (never a global sort), one per-group fold of ≤ topN
+    * rows. */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+      topN: Int = 50): DataFrame = {
+    require(topN >= 2, "need at least two ranks to fit")
+    val counts = df.select(col(groupCol).as("_g"),
+        explode(normalizedTokens(col(textCol))).as("_tok"))
+      .filter(col("_tok") =!= "")
+      .groupBy(col("_g"), col("_tok")).agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_c").desc, col("_tok"))
+    val ranked = counts.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= topN)
+    val x = log(col("_r").cast("double"))
+    val y = log(col("_c").cast("double"))
+    ranked.groupBy(col("_g")).agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"))
+      .filter(col("_n") >= 2)
+      .select(col("_g").as(groupCol), col("_n").cast("long").as("n_terms"),
+        round((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")), 6)
+          .as("slope"),
+        round((col("_sy") - ((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx"))) * col("_sx")) /
+          col("_n"), 6).as("intercept"))
+  }
+
   /** Mergeable Misra-Gries frequent-items summary over normalized
     * tokens: at most `capacity` counters, every token with true count
     * > N/(capacity+1) guaranteed present (Agarwal et al., "Mergeable

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def rnd(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("pmi: hand-computed collocation; df band and pair floor filter") {
+    // "strong coffee" co-occur in 3 of 6 docs; "tea" appears in 2 but
+    // never alongside "strong"; hapax "x9" must drop (minDf 2)
+    val docs = Seq(
+      (1L, "strong coffee now"), (2L, "strong coffee later"),
+      (3L, "strong coffee x9"), (4L, "tea now"),
+      (5L, "tea later"), (6L, "strong alone")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(docs, "text", "doc_id",
+        minDf = 2L, maxDf = 10L, maxTokensPerDoc = 32, minPair = 2L, k = 50)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // df: strong=4, coffee=3, now=2, later=2, tea=2; x9 df=1 dropped
+    assert(out(("coffee", "strong")) ==
+      ((3L, rnd(math.log(6.0 * 3 / (3 * 4))))))
+    assert(!out.keySet.exists(p => p._1 == "x9" || p._2 == "x9"))
+    assert(!out.contains(("strong", "tea")))
+    // (coffee, now) co-occur once only → below minPair
+    assert(!out.contains(("coffee", "now")))
+  }
+
+  test("pmi: per-doc token cap bounds the pair generator") {
+    val wide = (1 to 3).map(i =>
+      (i.toLong, (0 until 40).map(j => f"tok$j%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(wide, "text", "doc_id",
+      minDf = 2L, maxDf = 10L, maxTokensPerDoc = 10, minPair = 2L, k = 1000)
+    // 10 capped tokens → exactly C(10,2) = 45 pairs, not C(40,2)
+    assert(out.count() == 45)
+  }
+
+  test("zipf: exact power law recovers its exponent") {
+    // counts c(r) = round(1000 * r^-1) for r = 1..8 over one group:
+    // tokens t1..t8 with those frequencies
+    val rows = (1 to 8).flatMap { r =>
+      val c = math.max(1, math.round(1000.0 * math.pow(r, -1.0)).toInt)
+      Seq.fill(c)(("g1", f"t$r%02d"))
+    }
+    // token names ordered so rank order == construction order
+    val docs = rows.groupBy(identity).toSeq.map { case ((g, t), xs) =>
+      (g, Seq.fill(xs.size)(t).mkString(" ")) }.toDF("source", "text")
+    val out = TextAnalysis.zipfSlope(docs, "source", "text", topN = 50)
+      .as[(String, Long, Double, Double)].collect().head
+    assert(out._2 == 8L)
+    assert(math.abs(out._3 - (-1.0)) < 0.01, s"slope ${out._3}")
+    assert(math.abs(out._4 - math.log(1000.0)) < 0.05)
+  }
+}

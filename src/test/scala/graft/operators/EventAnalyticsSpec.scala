@@ -114,6 +114,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 == "spiky" && r._2 == 1L).forall(!_._4))
   }
 
+  test("session paths: gap split, in-session order, step cap, top-k") {
+    val ev = Seq(
+      // u1 session 1: a>b ; session 2 (gap > 600): a>b
+      (1L, ts("2024-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 00:05:00"), "b", 2L),
+      (1L, ts("2024-01-01 01:00:00"), "a", 3L),
+      (1L, ts("2024-01-01 01:01:00"), "b", 4L),
+      // u2: one session a>b
+      (2L, ts("2024-01-01 00:00:00"), "a", 5L),
+      (2L, ts("2024-01-01 00:01:00"), "b", 6L),
+      // u3: 7 events — path truncates to the first 5
+      (3L, ts("2024-01-01 00:00:00"), "c", 7L),
+      (3L, ts("2024-01-01 00:01:00"), "c", 8L),
+      (3L, ts("2024-01-01 00:02:00"), "c", 9L),
+      (3L, ts("2024-01-01 00:03:00"), "c", 10L),
+      (3L, ts("2024-01-01 00:04:00"), "c", 11L),
+      (3L, ts("2024-01-01 00:05:00"), "d", 12L),
+      (3L, ts("2024-01-01 00:06:00"), "d", 13L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.sessionPaths(ev, "user_id", "ts",
+        "event_type", gapSeconds = 600, maxSteps = 5, k = 20,
+        tieBreak = Seq("event_id"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a>b" -> 3L, "c>c>c>c>c" -> 1L))
+  }
+
   test("cohort retention: known cohorts, offsets, and ratios") {
     // weeks: 2024-01-01 and 2024-01-08 are both Mondays
     val ev = Seq(
