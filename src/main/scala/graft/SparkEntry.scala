@@ -319,6 +319,27 @@ object SparkEntry {
         graft.streaming.EventStream.hourlyKmvDistinct(events, "user_id", 64)
       }),
 
+    // ---- T10 streaming anomaly scoring: closed hourly windows
+    //      z-scored against a batch stats table over the SAME emitted
+    //      window set (t1's +2h cutoff) via a stream-static BROADCAST
+    //      join — streaming output equals the batch z-scores exactly ----
+    "t10_streaming_anomaly" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t10") { events =>
+        val evB = t(s, dir, "events")
+        val maxTs = evB.agg(max(col("ts"))).head().getTimestamp(0)
+        val hourlyB = evB
+          .filter(date_trunc("hour", col("ts")) +
+            expr("INTERVAL 2 HOURS") <= lit(maxTs))
+          .groupBy(date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val stats = hourlyB.groupBy(col("event_type")).agg(
+          count(lit(1)).as("_h"), sum(col("n")).as("_s"),
+          sum(col("n") * col("n")).as("_s2"))
+        graft.streaming.EventStream.hourlyAnomalyScores(events, stats,
+          threshold = 2.0)
+      }),
+
     // ---- T8 streaming incremental dedup: new docs stream in, the
     //      portable-minhash signature + banding run STATELESS, and a
     //      stream-static band join probes the persisted corpus index —
@@ -3333,6 +3354,34 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR
         |  <= (SELECT date_trunc('microsecond', max(ts)) FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    // streaming anomaly = the anomaly_hours formula over t1's emitted
+    // (watermark-closed) window set — stats and scores both restricted
+    // to hour + 2h <= max ts
+    "t10_streaming_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n
+        |  FROM events
+        |  WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR
+        |    <= (SELECT date_trunc('microsecond', max(ts)) FROM events)
+        |  GROUP BY 1, 2),
+        | st AS (
+        |  SELECT event_type, count(*) AS h, sum(n) AS s,
+        |    sum(n*n) AS s2
+        |  FROM hourly GROUP BY 1),
+        | zs AS (
+        |  SELECT hr.hour, hr.event_type, hr.n,
+        |    CASE WHEN st.s2::DOUBLE/st.h
+        |              - (st.s::DOUBLE/st.h)*(st.s::DOUBLE/st.h) <= 0
+        |         THEN 0.0
+        |         ELSE (hr.n - st.s::DOUBLE/st.h) /
+        |              sqrt(st.s2::DOUBLE/st.h
+        |                   - (st.s::DOUBLE/st.h)*(st.s::DOUBLE/st.h))
+        |    END AS z
+        |  FROM hourly hr JOIN st ON hr.event_type = st.event_type)
+        |SELECT hour, event_type, n, round(z, 6) AS z,
+        |  abs(z) >= 2.0 AS is_anomaly
+        |FROM zs""".stripMargin,
     // streaming dedup keeps the first arrival per key; projected to the
     // key columns the result is exactly the distinct key set
     "t2_streaming_dedup" ->

@@ -135,6 +135,28 @@ object EventStream {
   /** NRT processing-time trigger: periodically recompute a full-replace
     * aggregate (complete output mode = the reference's overwrite
     * semantics, T3 — no merge, each trigger replaces the result). */
+  /** STREAMING anomaly scoring: closed hourly windows ([[hourlyCounts]]
+    * semantics — 1 h tumbling + 1 h watermark) z-scored against a
+    * BATCH-computed per-type stats table via a stream-static broadcast
+    * join. `stats` must carry (event_type, _h, _s, _s2) — hour count
+    * and exact Σn/Σn² over the SAME window set the stream will emit
+    * (the caller aligns the watermark cutoff) — so streaming output
+    * equals the batch z-scores row for row. State is the windowed
+    * count's; the join adds none (the static side broadcasts). */
+  def hourlyAnomalyScores(events: DataFrame, stats: DataFrame,
+      threshold: Double = 2.0, tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val hourly = hourlyCounts(events, tsCol, watermarkDelay)
+      .select(col("win_start").as("hour"), col("event_type"), col("n"))
+    val mean = col("_s").cast("double") / col("_h")
+    val variance = col("_s2").cast("double") / col("_h") - mean * mean
+    val z = when(variance <= 0.0, lit(0.0))
+      .otherwise((col("n") - mean) / sqrt(variance))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("hour"), col("event_type"), col("n"),
+        round(z, 6).as("z"), (abs(z) >= threshold).as("is_anomaly"))
+  }
+
   def nrtRefresh(events: DataFrame, intervalMs: Long): DataStreamWriter[_] =
     events
       .groupBy(col("user_id"))
