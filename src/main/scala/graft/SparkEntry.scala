@@ -872,6 +872,25 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- similarity: MMR diversified re-rank — exact top-20
+    //      candidates per query, greedy λ=0.7 re-pick of 5 (6-dp-
+    //      rounded scores/sims pin the trajectory; the oracle unrolls
+    //      the identical 5 steps) ----
+    "mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toSeq
+      val run = Similarity.knnJoin(emb.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", qs, k = 20)
+      val cands = run
+        .select(col("qid"), col("vec_id"), round(col("cosine"), 6).as("score"))
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      Similarity.mmrRerank(cands, "qid", "vec_id", "score", "embedding",
+        k = 5, lambda = 0.7)
+    }),
+
     // ---- similarity: retrieval-quality evaluation — exact cosine
     //      top-10 run (the ann_knn_join shape) scored against
     //      label-match qrels: nDCG@10, MRR, P@10, R@10 per query ----
@@ -6503,6 +6522,82 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, vec_id, round(cos, 6) AS cos, CAST(rn AS BIGINT) AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin,
+    // MMR: the knn top-20 candidates (scores rounded 6), the pairwise
+    // rounded cosine table, then the 5 greedy steps UNROLLED — each
+    // step is one marginal computation over the unselected candidates
+    // and one (marg desc, id) argmax, exactly the Spark trajectory
+    "mmr_rerank" -> {
+      def step(sel: String, out: String): String =
+        s"""${out}m AS (
+           |  SELECT c.qid, c.vec_id,
+           |    0.7*c.score - (1 - 0.7)*max(pc.sim) AS marg
+           |  FROM cands c
+           |  JOIN pc ON pc.qid = c.qid AND pc.ia = c.vec_id
+           |  JOIN $sel s ON s.qid = pc.qid AND s.vec_id = pc.ib
+           |  WHERE NOT EXISTS (SELECT 1 FROM $sel x
+           |    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+           |  GROUP BY c.qid, c.vec_id, c.score),
+           |$out AS (
+           |  SELECT qid, vec_id, marg FROM (
+           |    SELECT qid, vec_id, marg, row_number() OVER (
+           |      PARTITION BY qid ORDER BY marg DESC, vec_id) AS rn
+           |    FROM ${out}m) WHERE rn = 1)""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         | c0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id >= 5),
+         | scored AS (
+         |  SELECT q.qid, c0.vec_id, c0.v,
+         |    CASE WHEN sqrt(list_sum(list_transform(c0.v, x -> x*x))) *
+         |              sqrt(list_sum(list_transform(q.qv, x -> x*x))) = 0
+         |         THEN 0.0
+         |         ELSE list_sum(list_transform(list_zip(c0.v, q.qv), p -> p[1]*p[2])) /
+         |              (sqrt(list_sum(list_transform(c0.v, x -> x*x))) *
+         |               sqrt(list_sum(list_transform(q.qv, x -> x*x))))
+         |    END AS cosr
+         |  FROM c0 CROSS JOIN q),
+         | ranked AS (
+         |  SELECT qid, vec_id, v, cosr, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cosr DESC, vec_id) AS rn
+         |  FROM scored),
+         | cands AS (
+         |  SELECT qid, vec_id, round(cosr, 6) AS score, v
+         |  FROM ranked WHERE rn <= 20),
+         | pc AS (
+         |  SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+         |    CASE WHEN a.vec_id = b.vec_id THEN 1.0
+         |         ELSE round(CASE
+         |           WHEN sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+         |                sqrt(list_sum(list_transform(b.v, x -> x*x))) = 0
+         |           THEN 0.0
+         |           ELSE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) /
+         |                (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+         |                 sqrt(list_sum(list_transform(b.v, x -> x*x))))
+         |           END, 6)
+         |    END AS sim
+         |  FROM cands a JOIN cands b ON a.qid = b.qid),
+         | s1m AS (
+         |  SELECT qid, vec_id, 0.7*score AS marg, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |  FROM cands),
+         | s1 AS (SELECT qid, vec_id, marg FROM s1m WHERE rn = 1),
+         | sel1 AS (SELECT qid, vec_id FROM s1),
+         | ${step("sel1", "s2")},
+         | sel2 AS (SELECT * FROM sel1 UNION ALL SELECT qid, vec_id FROM s2),
+         | ${step("sel2", "s3")},
+         | sel3 AS (SELECT * FROM sel2 UNION ALL SELECT qid, vec_id FROM s3),
+         | ${step("sel3", "s4")},
+         | sel4 AS (SELECT * FROM sel3 UNION ALL SELECT qid, vec_id FROM s4),
+         | ${step("sel4", "s5")}
+         |SELECT qid, vec_id, CAST(1 AS BIGINT) AS mmr_rank,
+         |  round(marg, 5) AS marginal FROM s1
+         |UNION ALL SELECT qid, vec_id, 2, round(marg, 5) FROM s2
+         |UNION ALL SELECT qid, vec_id, 3, round(marg, 5) FROM s3
+         |UNION ALL SELECT qid, vec_id, 4, round(marg, 5) FROM s4
+         |UNION ALL SELECT qid, vec_id, 5, round(marg, 5) FROM s5""".stripMargin
+    },
     // the same knn run at k=10, scored against label-match qrels with
     // the identical ascending-summation ideal-DCG table
     "retrieval_eval" ->

@@ -753,6 +753,94 @@ object Similarity {
     df.select(col(idCol)).join(drop, Seq(idCol), "left_anti")
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR '98 —
+    * public): greedily re-pick `k` of each query's candidates, each
+    * step taking the unselected candidate maximizing
+    *
+    *   marginal = λ·score − (1−λ)·max_{s ∈ selected} cos(cand, s)
+    *
+    * (step 1 has no diversity term: marginal = λ·score). Ties break to
+    * the smaller id. Scores and pairwise cosines are 6-dp-rounded
+    * BEFORE the greedy, so every downstream float (products of rounded
+    * doubles and the λ literals) is bit-identical on any engine — an
+    * external SQL oracle can unroll the exact selection trajectory.
+    * The EMITTED marginal rounds to 5 dp: λ·(6-dp score) carries exactly
+    * 7 decimal digits ending in 5, so a 6-dp emission would sit on the
+    * half-rounding boundary for EVERY row — the one place engines'
+    * round() implementations legitimately disagree; at 5 dp the
+    * remainder never hits the boundary.
+    *
+    * Scale shape: candidates are rank lists (|Q|·m rows, m = a small
+    * re-rank window), grouped per query — the O(k·m) greedy with its
+    * O(m²) cosine table runs on constant-bounded data per key. This is
+    * deliberately a typed mapGroups (a deserialization boundary): the
+    * corpus never reaches it, only the already-top-m candidates. */
+  def mmrRerank(cands: DataFrame, queryCol: String, idCol: String,
+      scoreCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    def rnd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ds = cands.select(col(queryCol).cast("long").as("_q"),
+        col(idCol).cast("long").as("_id"),
+        col(scoreCol).cast("double").as("_s"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .as[(Long, Long, Double, Seq[Double])]
+    val out = ds.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cs = it.toArray.sortBy(c => (-c._3, c._2))
+      val m = cs.length
+      // ascending-index dot fold + zero-norm guard: the exact float
+      // trajectory of the SQL list_sum/list_transform formulation
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { dot += a(i) * b(i); i += 1 }
+        i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+        i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) 0.0 else dot / denom
+      }
+      val sim = Array.tabulate(m, m)((i, j) =>
+        if (i == j) 1.0 else rnd6(cos(cs(i)._4, cs(j)._4)))
+      val selected = collection.mutable.ArrayBuffer.empty[Int]
+      val picked = Array.fill(m)(false)
+      val result = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      var step = 1
+      while (step <= k && selected.length < m) {
+        var best = -1; var bestMarg = Double.NegativeInfinity
+        var i = 0
+        while (i < m) {
+          if (!picked(i)) {
+            val div =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(j => sim(i)(j)).max
+            val marg =
+              if (selected.isEmpty) lambda * cs(i)._3
+              else lambda * cs(i)._3 - (1 - lambda) * div
+            // strict > keeps the smallest id on ties (cs is id-sorted
+            // within equal scores and scan order is ascending)
+            if (marg > bestMarg ||
+                (marg == bestMarg && best >= 0 && cs(i)._2 < cs(best)._2)) {
+              best = i; bestMarg = marg
+            }
+          }
+          i += 1
+        }
+        picked(best) = true
+        selected += best
+        result += ((q, cs(best)._2, step.toLong,
+          BigDecimal(bestMarg).setScale(5,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+        step += 1
+      }
+      result.iterator
+    }
+    out.toDF(queryCol, idCol, "mmr_rank", "marginal")
+  }
+
   /** Retrieval-quality metrics (binary relevance) per query — the
     * standard IR evaluation battery over a ranked `run` (one row per
     * (query, doc) with a 1-based `rank` ≤ k, e.g. [[knnJoin]] or

@@ -31,6 +31,36 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(!out.contains(3L), "queries without qrels are dropped")
   }
 
+  test("mmr: the diverse candidate beats a redundant higher-scored one") {
+    // d1 and d2 point the same way; d3 is orthogonal with a lower
+    // score — pure ranking gives d1,d2,d3 but MMR must pick d3 second
+    val cands = Seq(
+      (1L, 1L, 0.90, Seq(1.0, 0.0)),
+      (1L, 2L, 0.89, Seq(1.0, 0.001)),
+      (1L, 3L, 0.50, Seq(0.0, 1.0))
+    ).toDF("qid", "vec_id", "score", "embedding")
+    val out = Similarity.mmrRerank(cands, "qid", "vec_id", "score",
+        "embedding", k = 3, lambda = 0.7)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+    def rnd5(x: Double): Double = BigDecimal(x)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0)._4 == rnd5(0.7 * 0.90))
+    assert(out(1)._4 == rnd5(0.7 * 0.50)) // orthogonal → zero penalty
+  }
+
+  test("mmr: k caps at the candidate count; ties break to smaller id") {
+    val cands = Seq(
+      (7L, 5L, 0.5, Seq(1.0, 0.0)),
+      (7L, 4L, 0.5, Seq(0.0, 1.0))
+    ).toDF("qid", "vec_id", "score", "embedding")
+    val out = Similarity.mmrRerank(cands, "qid", "vec_id", "score",
+        "embedding", k = 10, lambda = 0.7)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3)
+    assert(out.length == 2)
+    assert(out(0)._2 == 4L, "equal scores: smaller id first")
+  }
+
   test("rank rows beyond k are ignored; idcg caps at min(nrel, k)") {
     val run = Seq(
       (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), (1L, 40L, 4L)
