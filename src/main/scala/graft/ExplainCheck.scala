@@ -384,6 +384,28 @@ object ExplainCheck {
     // personalized PageRank: pageRank's per-round equi-join discipline
     audit("ppr_links",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // harmonic centrality: every BFS round is frontier ⋈ edges + a
+    // visited anti-join — all equi-keyed, no product join
+    audit("harmonic_links",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // funnel latency: the same user-keyed conditional-min chain
+    audit("funnel_latency",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // MMR: candidate generation is the knn scan; the greedy runs on
+    // rank-list-sized groups — no product join anywhere
+    audit("mmr_rerank",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // streaming shape probed at plan level via its batch stats side:
+    // the per-type stats broadcast; session paths ride the user window
+    audit("session_paths",
+      mustNotContain = Seq("CartesianProduct", "Exchange SinglePartition"))
+    // PMI: pair generation self-joins the CAPPED per-doc token sets on
+    // the doc key; df tables join on the token key — never a product
+    audit("pmi_pairs", mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // Zipf: one group-partitioned window + one fold — no global sort
+    audit("zipf_slope",
+      mustNotContain = Seq("CartesianProduct", "Exchange SinglePartition"))
 
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression

@@ -443,6 +443,18 @@ object ScaleProbe {
         "ts").count()
     probe("event_journeys", journeyRun(ev1), journeyRun(evN))
 
+    // harmonic centrality: frontier sizes are degree-bounded on the
+    // synthetic graph — growth must track nodes, not neighborhood²
+    def harmRun(df: DataFrame): Long = {
+      val m = df.count()
+      val edges = df.select(col("doc_id").as("src"),
+        explode(array(pmod(col("doc_id") * 3 + 1, lit(m)),
+          pmod(col("doc_id") * 5 + 2, lit(m)))).as("dst"))
+      graft.operators.LinkGraph.harmonicCentrality(edges, "src", "dst",
+        maxDist = 2).count()
+    }
+    probe("harmonic", harmRun(docs1), harmRun(docsN))
+
     // keyness: (group, token) counts + a token-keyed join — vocabulary
     // growth is sublinear, so time must track the token scan
     probe("keyness",

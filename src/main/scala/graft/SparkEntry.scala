@@ -514,6 +514,13 @@ object SparkEntry {
         "event_type", Seq("view", "click", "purchase"),
         windowSeconds = 7 * 86400L)),
 
+    // ---- event analytics: funnel latency — users and mean seconds
+    //      from step 1 for each later step, same chain as funnel_steps ----
+    "funnel_latency" -> ((s, dir) =>
+      EventAnalytics.funnelLatency(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowSeconds = 7 * 86400L)),
+
     // ---- event analytics: weekly cohort retention (cohort = Monday
     //      week of first event; retained = any event in week+offset) ----
     "cohort_retention" -> ((s, dir) =>
@@ -1866,6 +1873,19 @@ object SparkEntry {
       LinkGraph.pageRank(edges, "src", "dst", iterations = 5,
         idCol = "doc_id")
         .select(col("doc_id"), round(col("rank"), 9).as("rank"))
+    }),
+
+    // ---- graph: bounded-radius harmonic centrality (3 hops) over the
+    //      undirected synthetic graph — Σ n_d/d from exact counts ----
+    "harmonic_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)))).as("dst"))
+      LinkGraph.harmonicCentrality(edges, "src", "dst", maxDist = 3,
+        nodes = docs, idCol = "doc_id")
     }),
 
     // ---- graph: personalized PageRank — teleport to the doc_id%10==0
@@ -3826,6 +3846,31 @@ object SparkEntry {
         |  SELECT user_id, 1 AS step FROM s1
         |  UNION ALL SELECT user_id, 2 FROM s2
         |  UNION ALL SELECT user_id, 3 FROM s3) GROUP BY 1""".stripMargin,
+    // the funnel chain with t1 carried through every step: latency is
+    // (step time − step-1 time), exact µs integers until the final
+    // sum/users/1e6 division
+    "funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (
+        |  SELECT e.user_id, min(s1.t1) AS t1, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |    AND epoch_us(e.ts) <= s1.t1 + 604800000000 GROUP BY 1),
+        | s3 AS (
+        |  SELECT e.user_id, min(s2.t1) AS t1, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) <= s2.t1 + 604800000000 GROUP BY 1)
+        |SELECT CAST(2 AS BIGINT) AS step, 'click' AS step_name,
+        |  count(*) AS users,
+        |  round(sum(t - t1)::DOUBLE / count(*) / 1000000.0, 6)
+        |    AS avg_seconds
+        |FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*),
+        |  round(sum(t - t1)::DOUBLE / count(*) / 1000000.0, 6)
+        |FROM s3""".stripMargin,
     "cohort_retention" ->
       """WITH firsts AS (
         |  SELECT user_id, date_trunc('week', min(ts))::DATE AS cw
@@ -5610,6 +5655,39 @@ object SparkEntry {
          | ${round("r4", "r5")}
          |SELECT id AS doc_id, round(r, 9) AS rank FROM r5""".stripMargin
     },
+    // harmonic centrality: BFS radius 3 unrolled — d2/d3 are frontier
+    // joins minus already-seen pairs; the score folds exact counts as
+    // n1/1.0 + n2/2.0 + n3/3.0 (the Spark expression verbatim)
+    "harmonic_links" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | nodes AS (SELECT doc_id AS id FROM documents),
+        | dirx AS (
+        |  SELECT id AS a, (id*3+1) % (SELECT n FROM nn) AS b FROM nodes
+        |  UNION ALL SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes),
+        | und AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT a, b FROM dirx UNION ALL SELECT b, a FROM dirx)
+        |  WHERE a <> b),
+        | d1 AS (SELECT a AS u, b AS v FROM und),
+        | d2 AS (
+        |  SELECT DISTINCT f.u, e.b AS v FROM d1 f JOIN und e ON e.a = f.v
+        |  WHERE e.b <> f.u AND NOT EXISTS (
+        |    SELECT 1 FROM d1 x WHERE x.u = f.u AND x.v = e.b)),
+        | d3 AS (
+        |  SELECT DISTINCT f.u, e.b AS v FROM d2 f JOIN und e ON e.a = f.v
+        |  WHERE e.b <> f.u
+        |    AND NOT EXISTS (SELECT 1 FROM d1 x WHERE x.u = f.u AND x.v = e.b)
+        |    AND NOT EXISTS (SELECT 1 FROM d2 x WHERE x.u = f.u AND x.v = e.b)),
+        | c1 AS (SELECT u, count(*) AS n FROM d1 GROUP BY 1),
+        | c2 AS (SELECT u, count(*) AS n FROM d2 GROUP BY 1),
+        | c3 AS (SELECT u, count(*) AS n FROM d3 GROUP BY 1)
+        |SELECT nd.id AS doc_id,
+        |  round(coalesce(c1.n, 0)/1.0 + coalesce(c2.n, 0)/2.0
+        |        + coalesce(c3.n, 0)/3.0, 6) AS harmonic
+        |FROM nodes nd
+        |LEFT JOIN c1 ON c1.u = nd.id
+        |LEFT JOIN c2 ON c2.u = nd.id
+        |LEFT JOIN c3 ON c3.u = nd.id""".stripMargin,
     // personalized PageRank: the same unrolled power iteration with the
     // teleport vector p (1/|seeds| on doc_id%10==0, else 0) replacing
     // the uniform 1/N term; init = p, 4 rounds

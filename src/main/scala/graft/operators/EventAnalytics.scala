@@ -80,6 +80,29 @@ object EventAnalytics {
     funnelStepTimes(events, userCol, tsCol, typeCol, steps, windowSeconds)
       .groupBy(col(userCol)).agg(max(col("step")).as("steps_completed"))
 
+  /** Funnel latency: for each step ≥ 2, how many users got there and
+    * the mean seconds from step 1 (exact integer µs sums; the division
+    * order sum/users/1e6 is pinned so engines agree at 6 dp). */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
+    val ft = funnelStepTimes(events, userCol, tsCol, typeCol, steps,
+      windowSeconds)
+    val t1 = ft.filter(col("step") === 1)
+      .select(col(userCol).as("_u1"), unix_micros(col("step_ts")).as("_t1"))
+    ft.filter(col("step") >= 2)
+      .select(col(userCol).as("_u1"), col("step"),
+        unix_micros(col("step_ts")).as("_tk"))
+      .join(t1, "_u1")
+      .groupBy(col("step")).agg(count(lit(1)).as("users"),
+        sum(col("_tk") - col("_t1")).as("_sumUs"))
+      .select(col("step"),
+        element_at(array(steps.map(lit): _*), col("step").cast("int"))
+          .as("step_name"),
+        col("users"),
+        round(col("_sumUs").cast("double") / col("users") / lit(1000000.0), 6)
+          .as("avg_seconds"))
+  }
+
   /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of
     * the user's first event; a user is retained at offset w if they
     * have ANY event in cohort week + w. Returns one row per

@@ -452,6 +452,64 @@ object LinkGraph {
     und
   }
 
+  /** BOUNDED-RADIUS HARMONIC CENTRALITY (Boldi & Vigna 2014, "Axioms
+    * for centrality" — public): Σ_{0 < d(u,v) ≤ maxDist} 1/d(u,v) over
+    * the UNDIRECTED graph, the closeness variant that handles
+    * disconnected graphs gracefully. The radius bound is the
+    * production trade: exact all-pairs distances are Θ(n·m), while a
+    * 2–4 hop horizon answers "how locally central is this page"
+    * with a cost bounded by the frontier sizes — the same truncation
+    * web-graph tooling applies before reaching for HyperBall sketches.
+    *
+    * Per round: one frontier ⋈ edges equi-join + a visited anti-join +
+    * distinct, checkpoint-truncated — frontiers never visit the
+    * driver. The final score is Σ_d count_d / d with count_d exact
+    * integers, so any engine replaying the same expression lands on
+    * identical doubles (6 dp emitted).
+    *
+    * Returns (`idCol`, harmonic) for every node (isolated nodes from
+    * the optional `nodes` frame score 0). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDist: Int = 3, nodes: DataFrame = null,
+      idCol: String = "id"): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val dir = edges.select(col(srcCol).cast("long").as("_a"),
+      col(dstCol).cast("long").as("_b"))
+    val und = dir.unionByName(dir.select(col("_b").as("_a"),
+        col("_a").as("_b")))
+      .filter(col("_a") =!= col("_b")).distinct().localCheckpoint(true)
+    var all = und.select(col("_a").as("_id"))
+    if (nodes != null)
+      all = all.unionByName(nodes.select(col(nodes.columns.head)
+        .cast("long").as("_id")))
+    val nodeIds = all.distinct().localCheckpoint(true)
+    var visited = und.select(col("_a").as("_u"), col("_b").as("_v"))
+      .withColumn("_d", lit(1)).localCheckpoint(true)
+    var frontier = visited.select("_u", "_v")
+    var d = 2
+    while (d <= maxDist) {
+      val next = frontier.join(und, frontier("_v") === und("_a"))
+        .select(col("_u"), col("_b").as("_v"))
+        .filter(col("_u") =!= col("_v")).distinct()
+        .join(visited.select("_u", "_v"), Seq("_u", "_v"), "left_anti")
+        .withColumn("_d", lit(d)).localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next.select("_u", "_v")
+      d += 1
+    }
+    // Σ_d n_d / d from exact per-distance counts, ascending d
+    val distCounts = (1 to maxDist).map(dd =>
+      sum(when(col("_d") === dd, 1L).otherwise(0L)).as(s"_n$dd"))
+    val perDist = visited.groupBy(col("_u"))
+      .agg(distCounts.head, distCounts.tail: _*)
+    val score = (1 to maxDist).map(dd =>
+      col(s"_n$dd").cast("double") / lit(dd.toDouble))
+      .reduce(_ + _)
+    nodeIds.join(perDist, nodeIds("_id") === perDist("_u"), "left")
+      .select(col("_id").as(idCol),
+        round(coalesce(score, lit(0.0)), 6).as("harmonic"))
+  }
+
   /** Members of the k-core: nodes whose [[coreness]] ≥ `k`. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       iterations: Int = 8, nodes: DataFrame = null,

@@ -114,6 +114,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 == "spiky" && r._2 == 1L).forall(!_._4))
   }
 
+  test("funnel latency: mean seconds from step 1 per completed step") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:01:00"), "click"),    // +60 s
+      (1L, ts("2024-01-01 00:03:00"), "purchase"), // +180 s
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:03:00"), "click")     // +180 s
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.funnelLatency(ev, "user_id", "ts",
+        "event_type", steps, week)
+      .select("step", "users", "avg_seconds")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(2L -> ((2L, 120.0)), 3L -> ((1L, 180.0))))
+  }
+
   test("session paths: gap split, in-session order, step cap, top-k") {
     val ev = Seq(
       // u1 session 1: a>b ; session 2 (gap > 600): a>b

@@ -267,6 +267,25 @@ class LinkGraphSpec extends AnyFunSuite {
       assert(got(v.toLong) == ref(v).toLong, s"node $v"))
   }
 
+  test("harmonic: path graph distances, radius cutoff, isolated zero") {
+    import spark.implicits._
+    // path 0-1-2-3-4 plus isolated node 9 (via nodes frame)
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+    val nodes = Seq(0, 1, 2, 3, 4, 9).toDF("id")
+    val got = LinkGraph.harmonicCentrality(edges, "src", "dst",
+        maxDist = 3, nodes = nodes)
+      .as[(Long, Double)].collect().toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // node 0: d=1 to 1, d=2 to 2, d=3 to 3; node 4 is at d=4 → cut
+    assert(got(0L) == r6(1.0 + 1.0 / 2 + 1.0 / 3))
+    // node 2 (center): two at d=1, two at d=2
+    assert(got(2L) == r6(2.0 + 2.0 / 2))
+    // node 1: 0 and 2 at d=1, 3 at d=2, 4 at d=3
+    assert(got(1L) == r6(2.0 + 1.0 / 2 + 1.0 / 3))
+    assert(got(9L) == 0.0)
+  }
+
   test("ppr: matches a dense reference incl. dangling→seed return; mass = 1") {
     import spark.implicits._
     // 0→1, 0→2, 1→2, 2→0, 3→0 plus DANGLING node 4 (edge 2→4, no out)
