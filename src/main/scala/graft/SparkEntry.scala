@@ -521,6 +521,22 @@ object SparkEntry {
         "event_type", Seq("view", "click", "purchase"),
         windowSeconds = 7 * 86400L)),
 
+    // ---- event analytics: last-touch attribution — each purchase
+    //      credits the user's latest click at or before it (as-of
+    //      join; same-µs click ties pre-aggregate to max id) ----
+    "attribution_last_click" -> ((s, dir) =>
+      EventAnalytics.lastTouchAttribution(t(s, dir, "events"), "user_id",
+        "ts", "event_id", "event_type", convType = "purchase",
+        touchType = "click")
+        .withColumnRenamed("touch_id", "click_id")),
+
+    // ---- event analytics: A/B readout — user_id parity as the
+    //      variant, purchase as conversion, pooled two-proportion z ----
+    "ab_test" -> ((s, dir) =>
+      EventAnalytics.abTest(
+        t(s, dir, "events").withColumn("variant", pmod(col("user_id"), lit(2))),
+        "user_id", "variant", "event_type", convType = "purchase")),
+
     // ---- event analytics: weekly cohort retention (cohort = Monday
     //      week of first event; retained = any event in week+offset) ----
     "cohort_retention" -> ((s, dir) =>
@@ -3871,6 +3887,49 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', count(*),
         |  round(sum(t - t1)::DOUBLE / count(*) / 1000000.0, 6)
         |FROM s3""".stripMargin,
+    "attribution_last_click" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        | c AS (
+        |  SELECT user_id, ts AS cts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        | j AS (
+        |  SELECT p.event_id, c.click_id,
+        |    epoch_us(p.ts) - epoch_us(c.cts) AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.cts DESC) AS rn
+        |  FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.ts)
+        |SELECT p2.event_id, j.click_id, j.gap_us
+        |FROM p p2 LEFT JOIN j ON j.event_id = p2.event_id AND j.rn = 1""".stripMargin,
+    "ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS v, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        | byv AS (SELECT v, count(*) AS n, sum(conv) AS x FROM u GROUP BY 1),
+        | flat AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN n END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN v = 0 THEN x END) AS BIGINT) AS x0,
+        |    CAST(sum(CASE WHEN v = 1 THEN n END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN v = 1 THEN x END) AS BIGINT) AS x1
+        |  FROM byv),
+        | dn AS (
+        |  SELECT n0, x0, n1, x1,
+        |    sqrt(((x0 + x1)::DOUBLE/(n0 + n1))
+        |         * (1.0 - (x0 + x1)::DOUBLE/(n0 + n1))
+        |         * (1.0/n0 + 1.0/n1)) AS denom
+        |  FROM flat),
+        | zz AS (
+        |  SELECT n0, x0, n1, x1,
+        |    CASE WHEN denom = 0.0 THEN 0.0
+        |         ELSE (x0::DOUBLE/n0 - x1::DOUBLE/n1) / denom END AS z
+        |  FROM dn)
+        |SELECT n0, x0, n1, x1,
+        |  round(x0::DOUBLE/n0, 6) AS rate0, round(x1::DOUBLE/n1, 6) AS rate1,
+        |  round(z, 6) AS z, abs(z) >= 1.96 AS significant
+        |FROM zz""".stripMargin,
     "cohort_retention" ->
       """WITH firsts AS (
         |  SELECT user_id, date_trunc('week', min(ts))::DATE AS cw

@@ -188,6 +188,64 @@ object EventAnalytics {
         round(z, 6).as("z"), (abs(z) >= threshold).as("is_anomaly"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION: each conversion event credits the same
+    * user's most recent touch event at or before it ([[Relational
+    * .asofJoin]] — one keyed shuffle + carry-forward window, never a
+    * range join). Same-µs touch ties pre-aggregate to the max touch id
+    * (the as-of contract needs a unique right side). Returns
+    * (conversion id, touch id, gap µs) — touch columns null when the
+    * user never touched before converting. */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      convType: String, touchType: String): DataFrame = {
+    val conversions = events.filter(col(typeCol) === convType)
+      .select(col(userCol), col(idCol), col(tsCol))
+    val touches = events.filter(col(typeCol) === touchType)
+      .groupBy(col(userCol), col(tsCol))
+      .agg(max(col(idCol)).as("touch_id"))
+    Relational.asofJoin(conversions, touches, userCol, tsCol,
+        Seq("touch_id"))
+      .select(col(idCol), col("touch_id"),
+        (unix_micros(col(tsCol)) - unix_micros(col(tsCol + "_right")))
+          .as("gap_us"))
+  }
+
+  /** A/B TEST readout: two-proportion pooled z-test of user-level
+    * conversion between two variants (standard large-sample test —
+    * public statistics). A user converts if they have ANY `convType`
+    * event. All inputs are exact integer counts; the z expression's
+    * operation order is pinned so engines agree at 6 dp. Returns ONE
+    * row: per-variant exposures/conversions/rates, z, and the
+    * |z| ≥ `zCrit` verdict.
+    *
+    * Scale shape: one user-keyed aggregate (map-side combinable), one
+    * two-row aggregate, one scalar projection. */
+  def abTest(events: DataFrame, userCol: String, variantCol: String,
+      typeCol: String, convType: String,
+      zCrit: Double = 1.96): DataFrame = {
+    val users = events.groupBy(col(variantCol).as("_v"), col(userCol))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .as("_conv"))
+    val flat = users.groupBy(col("_v"))
+      .agg(count(lit(1)).as("_n"), sum(col("_conv")).as("_x"))
+      .agg(
+        sum(when(col("_v") === 0, col("_n"))).as("n0"),
+        sum(when(col("_v") === 0, col("_x"))).as("x0"),
+        sum(when(col("_v") === 1, col("_n"))).as("n1"),
+        sum(when(col("_v") === 1, col("_x"))).as("x1"))
+    val p0 = col("x0").cast("double") / col("n0")
+    val p1 = col("x1").cast("double") / col("n1")
+    val pp = (col("x0") + col("x1")).cast("double") / (col("n0") + col("n1"))
+    // pooled p of 0 or 1 (nobody / everybody converts) has zero
+    // variance — the test is undefined; report z = 0, not significant
+    val denom = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    val z = when(denom === 0.0, lit(0.0)).otherwise((p0 - p1) / denom)
+    flat.select(col("n0"), col("x0"), col("n1"), col("x1"),
+      round(p0, 6).as("rate0"), round(p1, 6).as("rate1"),
+      round(z, 6).as("z"), (abs(z) >= zCrit).as("significant"))
+  }
+
   /** Top-k session paths: gap-sessionize ([[Sessionize.assignSessions]]
     * semantics), take each session's first `maxSteps` event types in
     * (ts, tieBreak) order as a ">"-joined path string, and count

@@ -114,6 +114,53 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 == "spiky" && r._2 == 1L).forall(!_._4))
   }
 
+  test("attribution: latest click at/before each purchase; null when none") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "click", 10L),
+      (1L, ts("2024-01-01 00:05:00"), "click", 11L),
+      (1L, ts("2024-01-01 00:07:00"), "purchase", 12L), // → click 11
+      (1L, ts("2024-01-01 00:09:00"), "click", 13L),    // after: ignored
+      (2L, ts("2024-01-01 00:00:00"), "purchase", 20L), // no click → null
+      // same-instant click: backward-INCLUSIVE (<=)
+      (3L, ts("2024-01-01 00:00:00"), "click", 30L),
+      (3L, ts("2024-01-01 00:00:00"), "purchase", 31L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "purchase", "click")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(12L) == ((Some(11L), Some(120000000L))))
+    assert(out(20L) == ((None, None)))
+    assert(out(31L) == ((Some(30L), Some(0L))))
+  }
+
+  test("ab test: hand-computed pooled z on known counts") {
+    // variant 0: 4 users, 3 convert; variant 1: 4 users, 1 converts
+    val ev = (
+      (0 until 4).flatMap { i => // even ids → variant 0
+        val u = i * 2L
+        Seq((u, ts("2024-01-01 00:00:00"), "view")) ++
+          (if (i < 3) Seq((u, ts("2024-01-01 01:00:00"), "purchase")) else Nil)
+      } ++
+      (0 until 4).flatMap { i => // odd ids → variant 1
+        val u = i * 2L + 1
+        Seq((u, ts("2024-01-01 00:00:00"), "view")) ++
+          (if (i < 1) Seq((u, ts("2024-01-01 01:00:00"), "purchase")) else Nil)
+      }
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.abTest(
+        ev.withColumn("variant", pmod(col("user_id"), lit(2))),
+        "user_id", "variant", "event_type", "purchase")
+      .collect().head
+    assert(out.getAs[Long]("n0") == 4L && out.getAs[Long]("x0") == 3L)
+    assert(out.getAs[Long]("n1") == 4L && out.getAs[Long]("x1") == 1L)
+    val pp = 4.0 / 8
+    val zExp = (0.75 - 0.25) / math.sqrt(pp * (1 - pp) * (1.0 / 4 + 1.0 / 4))
+    val z = out.getAs[Double]("z")
+    assert(math.abs(z - zExp) < 1e-6)
+    assert(!out.getAs[Boolean]("significant") == (math.abs(zExp) < 1.96))
+  }
+
   test("funnel latency: mean seconds from step 1 per completed step") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), "view"),
