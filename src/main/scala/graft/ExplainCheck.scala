@@ -391,6 +391,10 @@ object ExplainCheck {
     // funnel latency: the same user-keyed conditional-min chain
     audit("funnel_latency",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
+    // histogram: the per-group bounds table must BROADCAST back onto
+    // the value scan — bucketing is a projection, not a reshuffle
+    audit("value_histogram", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
     // MMR: candidate generation is the knn scan; the greedy runs on
     // rank-list-sized groups — no product join anywhere
     audit("mmr_rerank",

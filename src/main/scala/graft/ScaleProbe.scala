@@ -440,7 +440,10 @@ object ScaleProbe {
       graft.operators.EventAnalytics.eventTransitions(df, "user_id",
         "ts", "event_type", Seq("event_id")).count() +
       graft.operators.EventAnalytics.cohortRetention(df, "user_id",
-        "ts").count()
+        "ts").count() +
+      graft.operators.EventAnalytics.histogram(df, "event_type",
+        "value", 10).count() +
+      graft.operators.EventAnalytics.keySkewReport(df, "user_id").count()
     probe("event_journeys", journeyRun(ev1), journeyRun(evN))
 
     // harmonic centrality: frontier sizes are degree-bounded on the

@@ -537,6 +537,17 @@ object SparkEntry {
         t(s, dir, "events").withColumn("variant", pmod(col("user_id"), lit(2))),
         "user_id", "variant", "event_type", convType = "purchase")),
 
+    // ---- event analytics: sparse equi-width histogram of `value`
+    //      per event type (10 bins over each type's own range) ----
+    "value_histogram" -> ((s, dir) =>
+      EventAnalytics.histogram(t(s, dir, "events"), "event_type",
+        "value", bins = 10)),
+
+    // ---- event analytics: key-skew report over the user key —
+    //      exact counts, heaviest-key share, Gini coefficient ----
+    "skew_report" -> ((s, dir) =>
+      EventAnalytics.keySkewReport(t(s, dir, "events"), "user_id")),
+
     // ---- event analytics: weekly cohort retention (cohort = Monday
     //      week of first event; retained = any event in week+offset) ----
     "cohort_retention" -> ((s, dir) =>
@@ -3887,6 +3898,38 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', count(*),
         |  round(sum(t - t1)::DOUBLE / count(*) / 1000000.0, 6)
         |FROM s3""".stripMargin,
+    "value_histogram" ->
+      """WITH vals AS (
+        |  SELECT event_type AS g, value AS x FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        | b AS (SELECT g, min(x) AS lo, max(x) AS hi FROM vals GROUP BY 1),
+        | binned AS (
+        |  SELECT v.g,
+        |    CAST(CASE WHEN b.hi = b.lo THEN 0
+        |         ELSE least(floor((v.x - b.lo) / ((b.hi - b.lo)/10)), 9)
+        |    END AS BIGINT) AS bin,
+        |    b.lo AS glo, b.hi AS ghi
+        |  FROM vals v JOIN b ON v.g = b.g)
+        |SELECT g AS event_type, bin,
+        |  round(glo + bin*((ghi - glo)/10), 6) AS lo,
+        |  round(glo + (bin + 1)*((ghi - glo)/10), 6) AS hi,
+        |  count(*) AS n
+        |FROM binned GROUP BY g, bin, glo, ghi""".stripMargin,
+    "skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        | r AS (
+        |  SELECT k, cnt, row_number() OVER (ORDER BY cnt, k) AS i,
+        |    count(*) OVER () AS n, sum(cnt) OVER () AS tot
+        |  FROM c)
+        |SELECT CAST(min(n) AS BIGINT) AS n_keys,
+        |  CAST(min(tot) AS BIGINT) AS n_rows,
+        |  max(cnt) AS max_count,
+        |  round(max(cnt)::DOUBLE / min(tot), 6) AS max_share,
+        |  round(sum((2*i - n - 1) * cnt)::DOUBLE
+        |        / (min(n) * min(tot)), 6) AS gini
+        |FROM r""".stripMargin,
     "attribution_last_click" ->
       """WITH p AS (
         |  SELECT user_id, event_id, ts FROM events

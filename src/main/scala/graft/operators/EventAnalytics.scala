@@ -246,6 +246,63 @@ object EventAnalytics {
       round(z, 6).as("z"), (abs(z) >= zCrit).as("significant"))
   }
 
+  /** Equi-width histogram per group: `bins` buckets spanning the
+    * group's own [min, max] (the last bin is max-inclusive). Bounds
+    * come from one aggregate and broadcast back; bucketing is a pure
+    * projection, so the whole op is two keyed aggregates. Returns
+    * (group, bin, lo, hi, n) — empty bins are absent (sparse form). */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val vals = df.select(col(groupCol).as("_g"),
+        col(valueCol).cast("double").as("_x"))
+      .filter(col("_x").isNotNull && !isnan(col("_x")))
+    val bounds = vals.groupBy(col("_g"))
+      .agg(min(col("_x")).as("_lo"), max(col("_x")).as("_hi"))
+    val width = (col("_hi") - col("_lo")) / bins
+    val bin = when(col("_hi") === col("_lo"), lit(0L))
+      .otherwise(least(floor((col("_x") - col("_lo")) / width),
+        lit(bins - 1L)).cast("long"))
+    vals.join(broadcast(bounds), "_g")
+      .withColumn("_bin", bin)
+      .groupBy(col("_g"), col("_bin"), col("_lo"), col("_hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("_g").as(groupCol), col("_bin").as("bin"),
+        round(col("_lo") + col("_bin") * ((col("_hi") - col("_lo")) / bins), 6)
+          .as("lo"),
+        round(col("_lo") + (col("_bin") + 1) * ((col("_hi") - col("_lo")) / bins), 6)
+          .as("hi"),
+        col("n"))
+  }
+
+  /** KEY-SKEW REPORT: the partitioning diagnostic — per key column of
+    * interest, how concentrated the distribution is. Emits one row per
+    * group with the exact key count, total rows, the heaviest key's
+    * share, and the Gini coefficient from the sorted exact counts
+    * (G = Σ(2i − n − 1)·x_i / (n·Σx), i ascending by (count, key)) —
+    * all integer math until two final divisions, so engines agree at
+    * 6 dp. The rank window partitions by nothing here ONLY because the
+    * key-count table is |keys| rows (already aggregated); the raw data
+    * never sorts. */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("_k"))
+      .agg(count(lit(1)).as("_c"))
+    val ranked = counts.select(col("_k"), col("_c"),
+      row_number().over(Window.orderBy(col("_c"), col("_k")))
+        .cast("long").as("_i"),
+      count(lit(1)).over(Window.partitionBy()).as("_n"),
+      sum(col("_c")).over(Window.partitionBy()).as("_tot"))
+    ranked.agg(
+        min(col("_n")).as("n_keys"), min(col("_tot")).as("n_rows"),
+        max(col("_c")).as("max_count"),
+        sum((lit(2L) * col("_i") - col("_n") - 1L) * col("_c")).as("_gnum"))
+      .select(col("n_keys"), col("n_rows"), col("max_count"),
+        round(col("max_count").cast("double") / col("n_rows"), 6)
+          .as("max_share"),
+        round(col("_gnum").cast("double") / (col("n_keys") * col("n_rows")), 6)
+          .as("gini"))
+  }
+
   /** Top-k session paths: gap-sessionize ([[Sessionize.assignSessions]]
     * semantics), take each session's first `maxSteps` event types in
     * (ts, tieBreak) order as a ">"-joined path string, and count

@@ -114,6 +114,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 == "spiky" && r._2 == 1L).forall(!_._4))
   }
 
+  test("histogram: bin edges, max-inclusive last bin, degenerate group") {
+    val ev = (Seq(0.0, 1.0, 4.9, 5.0, 10.0).map(("a", _)) ++
+      Seq(("b", 7.0), ("b", 7.0))).toDF("event_type", "value")
+    val out = EventAnalytics.histogram(ev, "event_type", "value", bins = 10)
+      .select("event_type", "bin", "n")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // a: range [0,10], width 1 → 0.0→bin0, 1.0→bin1, 4.9→bin4,
+    // 5.0→bin5, 10.0→bin9 (max-inclusive clamps into the last bin)
+    assert(out == Map(("a", 0L) -> 1L, ("a", 1L) -> 1L, ("a", 4L) -> 1L,
+      ("a", 5L) -> 1L, ("a", 9L) -> 1L, ("b", 0L) -> 2L))
+  }
+
+  test("skew report: hand-computed gini; uniform keys score zero") {
+    val skewed = (Seq.fill(3)(7L) :+ 9L).toDF("user_id")
+    val r = EventAnalytics.keySkewReport(skewed, "user_id").collect().head
+    // sorted counts [1, 3]: num = (2·1−3)·1 + (2·2−3)·3 = 2 → 2/(2·4)
+    assert(r.getAs[Long]("n_keys") == 2L && r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("max_count") == 3L)
+    assert(r.getAs[Double]("max_share") == 0.75)
+    assert(r.getAs[Double]("gini") == 0.25)
+    val uniform = Seq(1L, 1L, 2L, 2L).toDF("user_id")
+    assert(EventAnalytics.keySkewReport(uniform, "user_id")
+      .collect().head.getAs[Double]("gini") == 0.0)
+  }
+
   test("attribution: latest click at/before each purchase; null when none") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), "click", 10L),
