@@ -548,6 +548,16 @@ object SparkEntry {
     "skew_report" -> ((s, dir) =>
       EventAnalytics.keySkewReport(t(s, dir, "events"), "user_id")),
 
+    // ---- event analytics: daily OHLC bars of `value` per event type ----
+    "ohlc_bars" -> ((s, dir) =>
+      EventAnalytics.ohlcBars(t(s, dir, "events"), "event_type", "ts",
+        "value", bucket = "day", tieBreak = Seq("event_id"))),
+
+    // ---- event analytics: time-weighted average of `value` per user ----
+    "time_weighted_avg" -> ((s, dir) =>
+      EventAnalytics.timeWeightedAvg(t(s, dir, "events"), "user_id",
+        "ts", "value", tieBreak = Seq("event_id"))),
+
     // ---- event analytics: weekly cohort retention (cohort = Monday
     //      week of first event; retained = any event in week+offset) ----
     "cohort_retention" -> ((s, dir) =>
@@ -1913,6 +1923,18 @@ object SparkEntry {
           pmod(col("doc_id") * 5 + 2, lit(n)))).as("dst"))
       LinkGraph.harmonicCentrality(edges, "src", "dst", maxDist = 3,
         nodes = docs, idCol = "doc_id")
+    }),
+
+    // ---- graph: degree assortativity (Newman 2002) of the synthetic
+    //      undirected graph — one number, exact integer sums ----
+    "assortativity_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)))).as("dst"))
+      LinkGraph.degreeAssortativity(edges, "src", "dst")
     }),
 
     // ---- graph: personalized PageRank — teleport to the doc_id%10==0
@@ -3898,6 +3920,66 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', count(*),
         |  round(sum(t - t1)::DOUBLE / count(*) / 1000000.0, 6)
         |FROM s3""".stripMargin,
+    "ohlc_bars" ->
+      """WITH v AS (
+        |  SELECT event_type AS g, date_trunc('day', ts) AS bucket,
+        |    ts, event_id, value
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        | o AS (
+        |  SELECT g, bucket, value,
+        |    row_number() OVER (PARTITION BY g, bucket
+        |      ORDER BY ts, event_id, value) AS rna,
+        |    row_number() OVER (PARTITION BY g, bucket
+        |      ORDER BY ts DESC, event_id DESC, value DESC) AS rnd
+        |  FROM v),
+        | agg AS (
+        |  SELECT g, bucket, min(value) AS lo, max(value) AS hi,
+        |    count(*) AS n
+        |  FROM v GROUP BY 1, 2)
+        |SELECT a.g AS event_type, a.bucket, op.value AS open,
+        |  a.hi AS high, a.lo AS low, cl.value AS close, a.n
+        |FROM agg a
+        |JOIN o op ON op.g = a.g AND op.bucket = a.bucket AND op.rna = 1
+        |JOIN o cl ON cl.g = a.g AND cl.bucket = a.bucket AND cl.rnd = 1""".stripMargin,
+    "time_weighted_avg" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS t, value, event_id
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        | seg AS (
+        |  SELECT user_id, value,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+        |      AS dt,
+        |    t
+        |  FROM v)
+        |SELECT user_id,
+        |  round(sum(value * dt) / (max(t) - min(t)), 6) AS twa,
+        |  (max(t) - min(t)) / 1000000 AS span_s
+        |FROM seg GROUP BY 1 HAVING max(t) - min(t) > 0""".stripMargin,
+    "assortativity_links" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | nodes AS (SELECT doc_id AS id FROM documents),
+        | dirx AS (
+        |  SELECT id AS a, (id*3+1) % (SELECT n FROM nn) AS b FROM nodes
+        |  UNION ALL SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes),
+        | und AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT a, b FROM dirx UNION ALL SELECT b, a FROM dirx)
+        |  WHERE a <> b),
+        | deg AS (SELECT a AS id, count(*) AS d FROM und GROUP BY 1),
+        | wd AS (
+        |  SELECT da.d AS dx, db.d AS dy FROM und u
+        |  JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b),
+        | agg AS (
+        |  SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+        |    sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy
+        |  FROM wd),
+        | f AS (
+        |  SELECT m, m::DOUBLE*sxy - sx*sy AS num,
+        |    sqrt((m::DOUBLE*sxx - sx*sx) * (m::DOUBLE*syy - sy*sy)) AS den
+        |  FROM agg)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |  round(CASE WHEN den = 0.0 THEN 0.0 ELSE num/den END, 6) AS r
+        |FROM f""".stripMargin,
     "value_histogram" ->
       """WITH vals AS (
         |  SELECT event_type AS g, value AS x FROM events

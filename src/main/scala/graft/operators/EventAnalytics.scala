@@ -246,6 +246,57 @@ object EventAnalytics {
       round(z, 6).as("z"), (abs(z) >= zCrit).as("significant"))
   }
 
+  /** OHLC BARS: per (group, calendar bucket) open/high/low/close of a
+    * value series — the classic downsampling for any numeric telemetry
+    * (the reference renders per-dataset time series the same way, one
+    * pandas resample at a time). Open/close are the values at the
+    * (ts, tieBreak)-first/last rows, picked via min/max over an
+    * ordering struct — ONE hash aggregate, no per-bucket sort, no
+    * window. */
+  def ohlcBars(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, bucket: String = "day",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (unix_micros(col(tsCol)) +: tieBreak.map(col)) :+
+      col(valueCol)
+    val base = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .select(col(groupCol).as("_g"),
+        date_trunc(bucket, col(tsCol)).as("bucket"),
+        struct(ord.head.as("_t") +: ord.tail.zipWithIndex.map {
+          case (c, i) => c.as(s"_o$i") }: _*).as("_s"),
+        col(valueCol).as("_v"))
+    base.groupBy(col("_g"), col("bucket"))
+      .agg(min(col("_s")).getField(s"_o${ord.size - 2}").as("open"),
+        max(col("_v")).as("high"), min(col("_v")).as("low"),
+        max(col("_s")).getField(s"_o${ord.size - 2}").as("close"),
+        count(lit(1)).as("n"))
+      .select(col("_g").as(groupCol), col("bucket"), col("open"),
+        col("high"), col("low"), col("close"), col("n"))
+  }
+
+  /** TIME-WEIGHTED AVERAGE per key: each value holds from its event
+    * until the next one (a right-open step function); TWA = Σ vᵢ·Δtᵢ
+    * over the observed span. The standard irregular-sampling mean —
+    * plain AVG over-weights bursts. Keys with a single event (zero
+    * span) are dropped. One per-key window (lead) + one aggregate. */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col("_k"))
+      .orderBy((col("_t") +: tieBreak.map(col)): _*)
+    val baseCols = Seq(col(keyCol).as("_k"),
+      unix_micros(col(tsCol)).as("_t"), col(valueCol).as("_v")) ++
+      tieBreak.map(col)
+    val base = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .select(baseCols: _*)
+    base.withColumn("_dt", lead(col("_t"), 1).over(w) - col("_t"))
+      .groupBy(col("_k"))
+      .agg(sum(col("_v") * col("_dt")).as("_wsum"),
+        (max(col("_t")) - min(col("_t"))).as("_span"))
+      .filter(col("_span") > 0)
+      .select(col("_k").as(keyCol),
+        round(col("_wsum") / col("_span"), 6).as("twa"),
+        (col("_span") / lit(1000000L)).as("span_s"))
+  }
+
   /** Equi-width histogram per group: `bins` buckets spanning the
     * group's own [min, max] (the last bin is max-inclusive). Bounds
     * come from one aggregate and broadcast back; bucketing is a pure

@@ -510,6 +510,43 @@ object LinkGraph {
         round(coalesce(score, lit(0.0)), 6).as("harmonic"))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002, "Assortative mixing in
+    * networks" — public): the Pearson correlation of endpoint degrees
+    * over the undirected edge list (each edge counted in both
+    * directions, the standard convention). Positive = hubs link hubs
+    * (social graphs), negative = hubs link leaves (the web, most crawl
+    * graphs) — a one-number structure diagnostic that distinguishes
+    * organic link topology from farm-like regularity.
+    *
+    * All sums are exact integers (degrees × degrees), one keyed join to
+    * attach degrees + one global fold — the correlation itself is three
+    * final float operations with a pinned order, so engines agree at
+    * 6 dp. Returns a single row (m_directed, r). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val dir = edges.select(col(srcCol).cast("long").as("_a"),
+      col(dstCol).cast("long").as("_b"))
+    val und = dir.unionByName(dir.select(col("_b").as("_a"),
+        col("_a").as("_b")))
+      .filter(col("_a") =!= col("_b")).distinct()
+    val deg = und.groupBy(col("_a").as("_id"))
+      .agg(count(lit(1)).as("_deg"))
+    val withDegs = und
+      .join(deg.select(col("_id").as("_a"), col("_deg").as("_da")), "_a")
+      .join(deg.select(col("_id").as("_b"), col("_deg").as("_db")), "_b")
+    val agg = withDegs.agg(count(lit(1)).as("m"),
+      sum(col("_da")).as("_sx"), sum(col("_db")).as("_sy"),
+      sum(col("_da") * col("_db")).as("_sxy"),
+      sum(col("_da") * col("_da")).as("_sxx"),
+      sum(col("_db") * col("_db")).as("_syy"))
+    val num = col("m").cast("double") * col("_sxy") - col("_sx") * col("_sy")
+    val den = sqrt((col("m").cast("double") * col("_sxx") -
+        col("_sx") * col("_sx")) *
+      (col("m").cast("double") * col("_syy") - col("_sy") * col("_sy")))
+    agg.select(col("m"),
+      round(when(den === 0.0, 0.0).otherwise(num / den), 6).as("r"))
+  }
+
   /** Members of the k-core: nodes whose [[coreness]] ≥ `k`. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       iterations: Int = 8, nodes: DataFrame = null,

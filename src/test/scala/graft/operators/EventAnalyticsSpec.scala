@@ -114,6 +114,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 == "spiky" && r._2 == 1L).forall(!_._4))
   }
 
+  test("ohlc: open/close by time order, high/low by value, tie by id") {
+    val ev = Seq(
+      ("m", ts("2024-01-01 01:00:00"), 5.0, 1L),
+      ("m", ts("2024-01-01 02:00:00"), 9.0, 2L), // high
+      ("m", ts("2024-01-01 03:00:00"), 2.0, 3L), // low
+      ("m", ts("2024-01-01 04:00:00"), 7.0, 4L),
+      ("m", ts("2024-01-02 01:00:00"), 1.0, 5L), // next day
+      // same-instant open tie → smaller event_id wins
+      ("x", ts("2024-01-01 00:00:00"), 3.0, 7L),
+      ("x", ts("2024-01-01 00:00:00"), 4.0, 6L)
+    ).toDF("event_type", "ts", "value", "event_id")
+    val out = EventAnalytics.ohlcBars(ev, "event_type", "ts", "value",
+        "day", Seq("event_id"))
+      .select(col("event_type"), col("bucket").cast("string"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .as[(String, String, Double, Double, Double, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(("m", "2024-01-01 00:00:00")) == ((5.0, 9.0, 2.0, 7.0, 4L)))
+    assert(out(("m", "2024-01-02 00:00:00")) == ((1.0, 1.0, 1.0, 1.0, 1L)))
+    assert(out(("x", "2024-01-01 00:00:00")) == ((4.0, 4.0, 3.0, 3.0, 2L)))
+  }
+
+  test("twa: step function weighting; single-event keys drop") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0, 1L), // holds 10 s
+      (1L, ts("2024-01-01 00:00:10"), 3.0, 2L), // holds 30 s
+      (1L, ts("2024-01-01 00:00:40"), 99.0, 3L), // last: no weight
+      (2L, ts("2024-01-01 00:00:00"), 5.0, 4L)  // single event → dropped
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = EventAnalytics.timeWeightedAvg(ev, "user_id", "ts",
+        "value", Seq("event_id"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // (1·10 + 3·30) / 40 = 2.5 over a 40 s span
+    assert(out == Map(1L -> ((2.5, 40.0))))
+  }
+
   test("histogram: bin edges, max-inclusive last bin, degenerate group") {
     val ev = (Seq(0.0, 1.0, 4.9, 5.0, 10.0).map(("a", _)) ++
       Seq(("b", 7.0), ("b", 7.0))).toDF("event_type", "value")

@@ -267,6 +267,35 @@ class LinkGraphSpec extends AnyFunSuite {
       assert(got(v.toLong) == ref(v).toLong, s"node $v"))
   }
 
+  test("assortativity: star is disassortative, cycle-plus-clique mixes") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // star 0-{1,2,3}: every edge joins deg 3 to deg 1 → r = −1
+    val star = Seq((0, 1), (0, 2), (0, 3)).toDF("src", "dst")
+    val rs = LinkGraph.degreeAssortativity(star, "src", "dst")
+      .as[(Long, Double)].collect().head
+    assert(rs._1 == 6L && rs._2 == -1.0)
+    // regular ring: all degrees equal → zero variance → r defined 0
+    val ring = Seq((0, 1), (1, 2), (2, 3), (3, 0)).toDF("src", "dst")
+    val rr = LinkGraph.degreeAssortativity(ring, "src", "dst")
+      .as[(Long, Double)].collect().head
+    assert(rr._2 == 0.0)
+    // hand-computed mixed case: path 0-1-2-3 (degs 1,2,2,1)
+    val path = Seq((0, 1), (1, 2), (2, 3)).toDF("src", "dst")
+    val xs = Seq((1, 2), (2, 1), (2, 2), (2, 2), (2, 1), (1, 2))
+    val m = xs.length.toDouble
+    val (sx, sy) = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+    val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+    val sxx = xs.map(p => p._1 * p._1).sum.toDouble
+    val syy = xs.map(p => p._2 * p._2).sum.toDouble
+    val expect = (m * sxy - sx * sy) /
+      math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    val rp = LinkGraph.degreeAssortativity(path, "src", "dst")
+      .as[(Long, Double)].collect().head
+    assert(rp._2 == r6(expect))
+  }
+
   test("harmonic: path graph distances, radius cutoff, isolated zero") {
     import spark.implicits._
     // path 0-1-2-3-4 plus isolated node 9 (via nodes frame)
