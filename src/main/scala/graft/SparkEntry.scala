@@ -548,6 +548,23 @@ object SparkEntry {
     "skew_report" -> ((s, dir) =>
       EventAnalytics.keySkewReport(t(s, dir, "events"), "user_id")),
 
+    // ---- event analytics: rolling 6-hour drift z per event type ----
+    "rolling_drift" -> ((s, dir) =>
+      EventAnalytics.rollingDrift(t(s, dir, "events"), "ts",
+        "event_type", windowHours = 6, threshold = 3.0)),
+
+    // ---- text: tokenizer fertility — chars per BPE-ish token per
+    //      language (the multilingual budget diagnostic) ----
+    "tokenizer_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          sum(TextAnalysis.bpeishTokenCount(col("text")).cast("long"))
+            .as("tokens"))
+        .select(col("lang"), col("n_docs"), col("chars"), col("tokens"),
+          round(col("chars").cast("double") / col("tokens"), 6)
+            .as("chars_per_token"))),
+
     // ---- event analytics: daily OHLC bars of `value` per event type ----
     "ohlc_bars" -> ((s, dir) =>
       EventAnalytics.ohlcBars(t(s, dir, "events"), "event_type", "ts",
@@ -3920,6 +3937,47 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', count(*),
         |  round(sum(t - t1)::DOUBLE / count(*) / 1000000.0, 6)
         |FROM s3""".stripMargin,
+    "rolling_drift" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        | st AS (
+        |  SELECT event_type, count(*) AS h, sum(n) AS s,
+        |    sum(n*n) AS s2
+        |  FROM hourly GROUP BY 1),
+        | rolled AS (
+        |  SELECT hour, event_type, n,
+        |    sum(n) OVER w AS rsum, count(*) OVER w AS rn
+        |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        | zs AS (
+        |  SELECT r.hour, r.event_type, r.n,
+        |    r.rsum::DOUBLE / r.rn AS roll_mean,
+        |    CASE WHEN st.s2::DOUBLE/st.h
+        |              - (st.s::DOUBLE/st.h)*(st.s::DOUBLE/st.h) <= 0
+        |         THEN 0.0
+        |         ELSE (r.rsum::DOUBLE / r.rn - st.s::DOUBLE/st.h) /
+        |              sqrt((st.s2::DOUBLE/st.h
+        |                    - (st.s::DOUBLE/st.h)*(st.s::DOUBLE/st.h))
+        |                   / r.rn)
+        |    END AS z
+        |  FROM rolled r JOIN st ON r.event_type = st.event_type)
+        |SELECT hour, event_type, n, round(roll_mean, 6) AS roll_mean,
+        |  round(z, 6) AS z, abs(z) >= 3.0 AS is_drift
+        |FROM zs""".stripMargin,
+    "tokenizer_fertility" ->
+      """WITH base AS (
+        |  SELECT lang, n_chars,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(toks) AS BIGINT) AS tokens,
+        |  round(sum(n_chars)::DOUBLE / CAST(sum(toks) AS BIGINT), 6)
+        |    AS chars_per_token
+        |FROM base GROUP BY 1""".stripMargin,
     "ohlc_bars" ->
       """WITH v AS (
         |  SELECT event_type AS g, date_trunc('day', ts) AS bucket,

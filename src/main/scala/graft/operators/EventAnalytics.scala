@@ -188,6 +188,43 @@ object EventAnalytics {
         round(z, 6).as("z"), (abs(z) >= threshold).as("is_anomaly"))
   }
 
+  /** ROLLING DRIFT DETECTION: per (type, hour), the trailing
+    * `windowHours`-bucket mean count tested against the type's own
+    * global distribution — z = (rolling mean − μ) / √(σ²/n_window),
+    * |z| ≥ threshold flags sustained drift a single-hour z-score
+    * ([[hourlyAnomalies]]) misses. The rolling sums are sums of ≤ w
+    * INTEGER counts (exact on any engine) and μ/σ² come from exact
+    * Σn/Σn², so the whole readout is reproducible at 6 dp.
+    *
+    * Scale shape: one (hour, type) count, one per-type ROWS window
+    * (keyed on the type — constant hourly rows per partition), one
+    * broadcast stats join. */
+  def rollingDrift(events: DataFrame, tsCol: String, typeCol: String,
+      windowHours: Int = 6, threshold: Double = 3.0): DataFrame = {
+    require(windowHours >= 1, "windowHours must be >= 1")
+    val hourly = events.groupBy(
+        date_trunc("hour", col(tsCol)).as("hour"),
+        col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("_h"), sum(col("n")).as("_s"),
+      sum(col("n") * col("n")).as("_s2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-(windowHours - 1).toLong, Window.currentRow)
+    val rolled = hourly
+      .withColumn("_rsum", sum(col("n")).over(w))
+      .withColumn("_rn", count(lit(1)).over(w))
+    val mean = col("_s").cast("double") / col("_h")
+    val variance = col("_s2").cast("double") / col("_h") - mean * mean
+    val rollMean = col("_rsum").cast("double") / col("_rn")
+    val z = when(variance <= 0.0, lit(0.0))
+      .otherwise((rollMean - mean) / sqrt(variance / col("_rn")))
+    rolled.join(broadcast(stats), "event_type")
+      .select(col("hour"), col("event_type"), col("n"),
+        round(rollMean, 6).as("roll_mean"), round(z, 6).as("z"),
+        (abs(z) >= threshold).as("is_drift"))
+  }
+
   /** LAST-TOUCH ATTRIBUTION: each conversion event credits the same
     * user's most recent touch event at or before it ([[Relational
     * .asofJoin]] — one keyed shuffle + carry-forward window, never a

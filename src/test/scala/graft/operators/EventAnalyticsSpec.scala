@@ -114,6 +114,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 == "spiky" && r._2 == 1L).forall(!_._4))
   }
 
+  test("rolling drift: sustained shift flags where single hours do not") {
+    // 12 quiet hours at n=2, then 6 hours at n=4: each drifted hour is
+    // only ~2σ alone but the 6-hour rolling mean exceeds 3σ/√6
+    val ev = ((0 until 12).flatMap(h =>
+        Seq.fill(2)((ts(f"2024-01-01 $h%02d:00:00"), "e"))) ++
+      (12 until 18).flatMap(h =>
+        Seq.fill(4)((ts(f"2024-01-01 $h%02d:00:00"), "e"))))
+      .toDF("ts", "event_type")
+    val out = EventAnalytics.rollingDrift(ev, "ts", "event_type",
+        windowHours = 6, threshold = 3.0)
+      .select(col("hour").cast("string"), col("roll_mean"), col("is_drift"))
+      .as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("2024-01-01 05:00:00") == ((2.0, false)))
+    // last window: six hours of 4 → rolling mean 4
+    assert(out("2024-01-01 17:00:00")._1 == 4.0)
+    assert(out("2024-01-01 17:00:00")._2, "sustained shift must flag")
+    // head partial frame: n_window < 6 uses the actual row count
+    assert(out("2024-01-01 00:00:00")._1 == 2.0)
+  }
+
   test("ohlc: open/close by time order, high/low by value, tie by id") {
     val ev = Seq(
       ("m", ts("2024-01-01 01:00:00"), 5.0, 1L),
