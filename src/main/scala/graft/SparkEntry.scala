@@ -2623,6 +2623,19 @@ object SparkEntry {
       TextAnalysis.keynessTerms(t(s, dir, "documents"), "source", "text",
         k = 10)),
 
+    // ---- text: within-source rank normalization of a score column
+    //      (mid-rank quantile — the cross-source calibration step) ----
+    "rank_normalize" -> ((s, dir) =>
+      TextAnalysis.rankNormalize(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          col("n_chars")),
+        "source", "doc_id", "n_chars")),
+
+    // ---- text: distinct-2 n-gram diversity per source ----
+    "distinct_ngrams" -> ((s, dir) =>
+      TextAnalysis.distinctNgrams(t(s, dir, "documents"), "source",
+        "text", n = 2)),
+
     // ---- text: PMI collocations — top-50 co-occurring token pairs
     //      (document-level df, [5,500] df band, 32-token doc cap) ----
     "pmi_pairs" -> ((s, dir) =>
@@ -6450,6 +6463,30 @@ object SparkEntry {
         |SELECT g AS source, tok, cnt_in AS cnt, g2,
         |  CAST(rn AS BIGINT) AS rank
         |FROM rk WHERE rn <= 10""".stripMargin,
+    "rank_normalize" ->
+      """WITH n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+        | r AS (
+        |  SELECT source, doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.source, r.doc_id, r.n_chars,
+        |  round((rk::DOUBLE - 0.5) / n.cnt, 6) AS q_norm
+        |FROM r JOIN n ON r.source = n.source""".stripMargin,
+    "distinct_ngrams" ->
+      """WITH toks AS (
+        |  SELECT source AS g, string_split(trim(regexp_replace(
+        |    lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        | grams AS (
+        |  SELECT g, unnest(list_transform(
+        |    range(0, greatest(len(t) - 1, 0)),
+        |    i -> array_to_string(t[i+1:i+2], ' '))) AS gram
+        |  FROM toks)
+        |SELECT g AS source, count(*) AS total_ngrams,
+        |  count(DISTINCT gram) AS distinct_ngrams,
+        |  round(count(DISTINCT gram)::DOUBLE / count(*), 6)
+        |    AS distinct_ratio
+        |FROM grams WHERE gram <> '' GROUP BY 1""".stripMargin,
     "pmi_pairs" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         | dt AS (

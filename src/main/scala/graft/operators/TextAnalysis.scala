@@ -1283,6 +1283,51 @@ object TextAnalysis {
           col("_n"), 6).as("intercept"))
   }
 
+  /** WITHIN-GROUP RANK NORMALIZATION: map each row's score to its
+    * group-relative quantile, q = (rank − 0.5)/n (the standard
+    * mid-rank transform) — the cross-source calibration step before
+    * global thresholding: per-source score scales stop mattering, only
+    * within-source order does. One group-keyed window + a broadcast of
+    * per-group counts. Ranking ties break on `idCol` so the transform
+    * is deterministic. */
+  def rankNormalize(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    df.withColumn("_r", row_number().over(w).cast("long"))
+      .join(broadcast(sizes), groupCol)
+      .select(col(groupCol), col(idCol), col(scoreCol),
+        round((col("_r").cast("double") - 0.5) / col("_n"), 6)
+          .as("q_norm"))
+  }
+
+  /** DISTINCT-N DIVERSITY (Li et al. 2016, "A Diversity-Promoting
+    * Objective" — public): distinct n-grams over total n-grams per
+    * group, the standard templated/generated-text collapse signal
+    * (distinct-2 near 0 = the corpus keeps repeating itself). Exact
+    * integer counts; one explode + two aggregates. */
+  def distinctNgrams(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = normalizedTokens(col(textCol))
+    val gramArr = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+    val grams = df.select(col(groupCol).as("_g"),
+        explode(gramArr).as("_gram"))
+      .filter(col("_gram") =!= "")
+    grams.groupBy(col("_g"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("_gram")).as("distinct_ngrams"))
+      .select(col("_g").as(groupCol), col("total_ngrams"),
+        col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("distinct_ratio"))
+  }
+
   /** Mergeable Misra-Gries frequent-items summary over normalized
     * tokens: at most `capacity` counters, every token with true count
     * > N/(capacity+1) guaranteed present (Agarwal et al., "Mergeable

@@ -40,6 +40,28 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.count() == 45)
   }
 
+  test("rank normalize: mid-rank quantiles per group, ties by id") {
+    val docs = Seq(("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L),
+      ("a", 4L, 30L), ("b", 5L, 7L)).toDF("source", "doc_id", "score")
+    val out = TextAnalysis.rankNormalize(docs, "source", "doc_id", "score")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(out == Map(1L -> 0.125, 3L -> 0.375, 2L -> 0.625,
+      4L -> 0.875, 5L -> 0.5))
+  }
+
+  test("distinct ngrams: repeated text collapses the ratio") {
+    val docs = Seq(
+      ("fresh", "alpha beta gamma delta"),       // 3 distinct bigrams
+      ("loop", "spam spam spam spam spam")       // 4 bigrams, 1 distinct
+    ).toDF("source", "text")
+    val out = TextAnalysis.distinctNgrams(docs, "source", "text", n = 2)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("fresh") == ((3L, 3L, 1.0)))
+    assert(out("loop") == ((4L, 1L, 0.25)))
+  }
+
   test("zipf: exact power law recovers its exponent") {
     // counts c(r) = round(1000 * r^-1) for r = 1..8 over one group:
     // tokens t1..t8 with those frequencies
