@@ -395,6 +395,24 @@ object ExplainCheck {
     // the value scan — bucketing is a projection, not a reshuffle
     audit("value_histogram", mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
+    // rolling drift: type-keyed ROWS window + broadcast stats — the
+    // hourly table never reshuffles to meet |types| rows
+    audit("rolling_drift", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
+    // rank normalization: source-keyed window + broadcast sizes — no
+    // unpartitioned window over the corpus
+    audit("rank_normalize", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("Exchange SinglePartition", "CartesianProduct"))
+    // OHLC: ONE hash aggregate (min/max over ordering structs) — no
+    // window, no join anywhere
+    audit("ohlc_bars",
+      mustNotContain = Seq("Window", "Join", "CartesianProduct"))
+    // TWA: user-keyed lead window, nothing global
+    audit("time_weighted_avg",
+      mustNotContain = Seq("Exchange SinglePartition", "CartesianProduct"))
+    // assortativity: degree attach is two keyed equi-joins
+    audit("assortativity_links",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoop"))
     // MMR: candidate generation is the knn scan; the greedy runs on
     // rank-list-sized groups — no product join anywhere
     audit("mmr_rerank",

@@ -548,6 +548,29 @@ object SparkEntry {
     "skew_report" -> ((s, dir) =>
       EventAnalytics.keySkewReport(t(s, dir, "events"), "user_id")),
 
+    // ---- event analytics: ROLLUP tally — (type, day), (type), ()
+    //      levels in one pass with grouping_id disambiguation ----
+    "rollup_tally" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(col("event_type"), col("day"), col("n"), col("gid"))),
+
+    // ---- event analytics: pivot — one row per day, one count column
+    //      per event type (the wide dashboard shape) ----
+    "pivot_daily" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup",
+          "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("day"), col("view").as("n_view"),
+          col("click").as("n_click"), col("purchase").as("n_purchase"),
+          col("signup").as("n_signup"), col("error").as("n_error"))),
+
     // ---- event analytics: rolling 6-hour drift z per event type ----
     "rolling_drift" -> ((s, dir) =>
       EventAnalytics.rollingDrift(t(s, dir, "events"), "ts",
@@ -3950,6 +3973,21 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', count(*),
         |  round(sum(t - t1)::DOUBLE / count(*) / 1000000.0, 6)
         |FROM s3""".stripMargin,
+    "rollup_tally" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        |  count(*) AS n,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(date_trunc('day', ts))
+        |       AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP(event_type, date_trunc('day', ts))""".stripMargin,
+    "pivot_daily" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
     "rolling_drift" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type,
