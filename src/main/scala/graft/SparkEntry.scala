@@ -571,6 +571,12 @@ object SparkEntry {
           col("click").as("n_click"), col("purchase").as("n_purchase"),
           col("signup").as("n_signup"), col("error").as("n_error"))),
 
+    // ---- event analytics: Kaplan–Meier retention over user activity
+    //      spans bucketed to days ----
+    "survival_retention" -> ((s, dir) =>
+      EventAnalytics.survivalCurve(t(s, dir, "events"), "user_id", "ts",
+        bucketSeconds = 86400L)),
+
     // ---- event analytics: rolling 6-hour drift z per event type ----
     "rolling_drift" -> ((s, dir) =>
       EventAnalytics.rollingDrift(t(s, dir, "events"), "ts",
@@ -3973,6 +3979,31 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', count(*),
         |  round(sum(t - t1)::DOUBLE / count(*) / 1000000.0, 6)
         |FROM s3""".stripMargin,
+    "survival_retention" ->
+      """WITH spans AS (
+        |  SELECT user_id,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 86400000000 AS t
+        |  FROM events GROUP BY 1),
+        | nn AS (SELECT count(*) AS n FROM spans),
+        | durs AS (SELECT t, count(*) AS d FROM spans GROUP BY 1),
+        | risk AS (
+        |  SELECT t, d, (SELECT n FROM nn) - coalesce(sum(d) OVER (
+        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS n_risk
+        |  FROM durs),
+        | lns AS (
+        |  SELECT t, d, n_risk,
+        |    CASE WHEN d < n_risk THEN ln(1.0 - d::DOUBLE/n_risk) END AS l,
+        |    max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS dead
+        |  FROM risk)
+        |SELECT t AS duration, d AS n_events, CAST(n_risk AS BIGINT) AS n_risk,
+        |  round(CASE WHEN dead = 1 THEN 0.0
+        |             ELSE exp(sum(l) OVER (ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        END, 6) AS survival
+        |FROM lns""".stripMargin,
     "rollup_tally" ->
       """SELECT event_type, date_trunc('day', ts) AS day,
         |  count(*) AS n,

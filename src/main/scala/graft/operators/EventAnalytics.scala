@@ -188,6 +188,47 @@ object EventAnalytics {
         round(z, 6).as("z"), (abs(z) >= threshold).as("is_anomaly"))
   }
 
+  /** KAPLAN–MEIER RETENTION CURVE (Kaplan & Meier 1958 — public):
+    * subject lifetime = observed activity span per key, bucketed to
+    * `bucketSeconds`; survival S(t) = Π_{tⱼ≤t} (1 − dⱼ/nⱼ) with dⱼ the
+    * lifetimes ending at tⱼ and nⱼ the at-risk count. Every lifetime
+    * here is an observed event (no censoring column in an activity
+    * log), so S is the exact empirical tail — the VALUE of KM form is
+    * that the factorization extends to censored inputs and that nⱼ/dⱼ
+    * are reported per step. The cumulative product runs as
+    * exp(Σ ln(1−d/n)) over the BUCKETED duration table (|durations|
+    * rows — aggregated, so the ordered window is metadata-sized, the
+    * same justification as the skew report). Returns one row per
+    * distinct duration bucket: (duration, n_events, n_risk, survival). */
+  def survivalCurve(events: DataFrame, userCol: String, tsCol: String,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    // exact integral division (`div`) — a double division + cast could
+    // land one bucket off at exact multiples
+    val spans = events.groupBy(col(userCol).as("_u"))
+      .agg((max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+        .as("_span"))
+      .select(col("_u"),
+        expr(s"_span div ${bucketSeconds * 1000000L}").as("_t"))
+    val n = spans.count()
+    val durs = spans.groupBy(col("_t")).agg(count(lit(1)).as("_d"))
+    val wPrev = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = durs.withColumn("_nRisk",
+      lit(n) - coalesce(sum(col("_d")).over(wPrev), lit(0L)))
+    risk
+      .withColumn("_ln", when(col("_d") < col("_nRisk"),
+        log(lit(1.0) - col("_d").cast("double") / col("_nRisk"))))
+      .withColumn("_dead",
+        max(when(col("_d") >= col("_nRisk"), 1).otherwise(0)).over(wCum))
+      .select(col("_t").as("duration"), col("_d").as("n_events"),
+        col("_nRisk").as("n_risk"),
+        round(when(col("_dead") === 1, 0.0)
+          .otherwise(exp(sum(col("_ln")).over(wCum))), 6).as("survival"))
+  }
+
   /** ROLLING DRIFT DETECTION: per (type, hour), the trailing
     * `windowHours`-bucket mean count tested against the type's own
     * global distribution — z = (rolling mean − μ) / √(σ²/n_window),

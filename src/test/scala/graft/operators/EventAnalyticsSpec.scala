@@ -114,6 +114,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 == "spiky" && r._2 == 1L).forall(!_._4))
   }
 
+  test("survival: KM steps from hand counts; final step hits zero") {
+    // lifetimes in days: 0, 0, 1, 2 → S(0)=0.5, S(1)=0.25, S(2)=0
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-05 00:00:00")),
+      (3L, ts("2024-01-01 00:00:00")), (3L, ts("2024-01-02 06:00:00")),
+      (4L, ts("2024-01-01 00:00:00")), (4L, ts("2024-01-03 01:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.survivalCurve(ev, "user_id", "ts")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((2L, 4L, 0.5)))
+    assert(out(1L) == ((1L, 2L, 0.25)))
+    assert(out(2L) == ((1L, 1L, 0.0)))
+  }
+
   test("rolling drift: sustained shift flags where single hours do not") {
     // 12 quiet hours at n=2, then 6 hours at n=4: each drifted hour is
     // only ~2σ alone but the 6-hour rolling mean exceeds 3σ/√6
