@@ -530,6 +530,23 @@ object SparkEntry {
         touchType = "click")
         .withColumnRenamed("touch_id", "click_id")),
 
+    // ---- event analytics: time-to-next-purchase — forward as-of join
+    //      from each view to the user's next purchase within 7 days ----
+    "time_to_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      Relational.asofJoinForward(views, purchases, "user_id", "ts",
+          Seq("purchase_id"), toleranceSeconds = 7 * 86400L)
+        .select(col("event_id"), col("purchase_id"),
+          (unix_micros(col("ts_right")) - unix_micros(col("ts")))
+            .as("gap_us"))
+    }),
+
     // ---- event analytics: A/B readout — user_id parity as the
     //      variant, purchase as conversion, pooled two-proportion z ----
     "ab_test" -> ((s, dir) =>
@@ -4167,6 +4184,24 @@ object SparkEntry {
         |  FROM p JOIN c ON p.user_id = c.user_id AND c.cts <= p.ts)
         |SELECT p2.event_id, j.click_id, j.gap_us
         |FROM p p2 LEFT JOIN j ON j.event_id = p2.event_id AND j.rn = 1""".stripMargin,
+    "time_to_purchase" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts,
+        |    event_type FROM events),
+        | v AS (SELECT user_id, event_id, ts FROM e
+        |   WHERE event_type = 'view'),
+        | p AS (
+        |  SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+        | j AS (
+        |  SELECT v.event_id, p.purchase_id,
+        |    epoch_us(p.pts) - epoch_us(v.ts) AS gap_us,
+        |    row_number() OVER (PARTITION BY v.event_id
+        |      ORDER BY p.pts) AS rn
+        |  FROM v JOIN p ON v.user_id = p.user_id AND p.pts >= v.ts
+        |    AND epoch(p.pts) - epoch(v.ts) <= 604800)
+        |SELECT v2.event_id, j.purchase_id, j.gap_us
+        |FROM v v2 LEFT JOIN j ON j.event_id = v2.event_id AND j.rn = 1""".stripMargin,
     "ab_test" ->
       """WITH u AS (
         |  SELECT user_id % 2 AS v, user_id,

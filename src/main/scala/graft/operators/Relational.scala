@@ -405,6 +405,48 @@ object Relational {
     matched.select(outCols.toSeq: _*)
   }
 
+  /** FORWARD AS-OF LEFT JOIN: for every left row, the single right row
+    * with the SMALLEST `tsCol` ≥ the left row's `tsCol` on the same key
+    * (pandas `merge_asof(direction='forward')`) — "what happened next".
+    * The exact mirror of [[asofJoin]]: one keyed shuffle, a
+    * carry-forward window over the DESCENDING timestamp order (the
+    * right row still sorts first at equal timestamps, so same-instant
+    * matches are forward-inclusive), no range join anywhere.
+    * `toleranceSeconds` nulls matches further than the window ahead.
+    * Right side must be unique per (key, ts) — pre-aggregate ties. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String],
+      toleranceSeconds: Long = Long.MaxValue): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoinForward: rightCols must be non-empty")
+    val rightTs = tsCol + "_right"
+    val rStructCols = col(tsCol).as(rightTs) +: rightCols.map(col)
+    val rStructType = right.select(rStructCols: _*).schema
+    val lPart = left.select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+      lit(1).as("_side"),
+      lit(null).cast(rStructType).as("_r"),
+      struct(left.columns.map(col): _*).as("_l"))
+    val rPart = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(tsCol).as("_ts"),
+        lit(0).as("_side"),
+        struct(rStructCols: _*).as("_r"),
+        lit(null).cast(left.schema).as("_l"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = lPart.unionByName(rPart)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .withColumn("_m",
+        when(col("_m").isNotNull &&
+            col("_m").getField(rightTs).cast("long") - col("_ts").cast("long")
+              <= toleranceSeconds,
+          col("_m")))
+    val outCols = left.columns.map(c => col("_l").getField(c).as(c)) ++
+      (rightTs +: rightCols).map(c => col("_m").getField(c).as(c))
+    matched.select(outCols.toSeq: _*)
+  }
+
   /** Point-in-interval RANGE JOIN via time-bin bucketing: pairs every
     * `points` row whose `ptCol` falls inside [`loCol`, `hiCol`] of an
     * `intervals` row — WITHOUT the CartesianProduct/BNLJ Spark plans

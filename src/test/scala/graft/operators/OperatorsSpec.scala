@@ -623,6 +623,31 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("Exchange"), plan)
   }
 
+  test("asofJoinForward: nearest future match, inclusive equal ts, tolerance") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"), // equal-ts right: inclusive
+      (1L, ts("2024-01-01 10:30:00"), "p2"), // next is 11:00
+      (1L, ts("2024-01-01 12:00:00"), "p3"), // nothing after → null
+      (2L, ts("2024-01-01 07:00:00"), "p4")
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 200.0),
+      (2L, ts("2024-01-01 08:00:00"), 300.0)
+    ).toDF("k", "ts", "price")
+    def run(tol: Long) = Relational.asofJoinForward(left, right, "k", "ts",
+        Seq("price"), toleranceSeconds = tol)
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(run(Long.MaxValue) == Map("p1" -> 100.0, "p2" -> 200.0,
+      "p3" -> null, "p4" -> 300.0))
+    // 30-minute window: p4's match is 1h ahead → nulled
+    assert(run(1800) == Map("p1" -> 100.0, "p2" -> 200.0,
+      "p3" -> null, "p4" -> null))
+  }
+
   test("asofJoin: backward-inclusive match, unmatched nulls, tolerance window") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
