@@ -1988,6 +1988,17 @@ object SparkEntry {
         nodes = docs, idCol = "doc_id")
     }),
 
+    // ---- graph: reciprocity of the DIRECTED synthetic graph ----
+    "reciprocity_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 3 + 1, lit(n)),
+          pmod(col("doc_id") * 5 + 2, lit(n)))).as("dst"))
+      LinkGraph.reciprocity(edges, "src", "dst")
+    }),
+
     // ---- graph: degree assortativity (Newman 2002) of the synthetic
     //      undirected graph — one number, exact integer sums ----
     "assortativity_links" -> ((s, dir) => {
@@ -2668,6 +2679,26 @@ object SparkEntry {
     "keyness_terms" -> ((s, dir) =>
       TextAnalysis.keynessTerms(t(s, dir, "documents"), "source", "text",
         k = 10)),
+
+    // ---- text: lexical richness per source — tokens, types, TTR,
+    //      hapax share ----
+    "lexical_richness" -> ((s, dir) =>
+      TextAnalysis.lexicalRichness(t(s, dir, "documents"), "source",
+        "text")),
+
+    // ---- similarity: embedding quality report per label ----
+    "embedding_quality" -> ((s, dir) =>
+      Similarity.embeddingQuality(t(s, dir, "embeddings"), "embedding",
+        "label")),
+
+    // ---- event analytics: funnel depth distribution per A/B variant ----
+    "funnel_by_variant" -> ((s, dir) =>
+      EventAnalytics.funnelUsers(t(s, dir, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSeconds = 7 * 86400L)
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+        .groupBy(col("variant"), col("steps_completed"))
+        .agg(count(lit(1)).as("users"))),
 
     // ---- text: within-source rank normalization of a score column
     //      (mid-rank quantile — the cross-source calibration step) ----
@@ -4112,6 +4143,73 @@ object SparkEntry {
         |  round(sum(value * dt) / (max(t) - min(t)), 6) AS twa,
         |  (max(t) - min(t)) / 1000000 AS span_s
         |FROM seg GROUP BY 1 HAVING max(t) - min(t) > 0""".stripMargin,
+    "reciprocity_links" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        | nodes AS (SELECT doc_id AS id FROM documents),
+        | e AS (
+        |  SELECT DISTINCT a, b FROM (
+        |   SELECT id AS a, (id*3+1) % (SELECT n FROM nn) AS b FROM nodes
+        |   UNION ALL SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes)
+        |  WHERE a <> b),
+        | mu AS (
+        |  SELECT count(*) AS r FROM e
+        |  WHERE EXISTS (SELECT 1 FROM e x WHERE x.a = e.b AND x.b = e.a)),
+        | mm AS (SELECT count(*) AS m FROM e)
+        |SELECT m, (SELECT r FROM mu) AS mutual,
+        |  round(CASE WHEN m = 0 THEN 0.0
+        |        ELSE (SELECT r FROM mu)::DOUBLE / m END, 6) AS reciprocity
+        |FROM mm""".stripMargin,
+    "lexical_richness" ->
+      """WITH counts AS (
+        |  SELECT g, tok, count(*) AS c FROM (
+        |    SELECT source AS g, unnest(string_split(trim(regexp_replace(
+        |      lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT g AS source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  round(count(*)::DOUBLE / CAST(sum(c) AS BIGINT), 6)
+        |    AS type_token_ratio,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS hapax_share
+        |FROM counts GROUP BY 1""".stripMargin,
+    "embedding_quality" ->
+      """SELECT label, count(*) AS n_vectors,
+        |  CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+        |  CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+        |  CAST(sum(CASE WHEN sqrt(list_sum(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> x*x))) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN len(list_filter(embedding,
+        |    x -> isnan(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |  round(avg(sqrt(list_sum(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> x*x)))), 6) AS mean_norm
+        |FROM embeddings GROUP BY 1""".stripMargin,
+    "funnel_by_variant" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (
+        |  SELECT e.user_id, min(s1.t1) AS t1, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        |    AND epoch_us(e.ts) <= s1.t1 + 604800000000 GROUP BY 1),
+        | s3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+        |    AND epoch_us(e.ts) <= s2.t1 + 604800000000 GROUP BY 1),
+        | depth AS (
+        |  SELECT user_id, CAST(max(step) AS BIGINT) AS steps_completed
+        |  FROM (
+        |    SELECT user_id, 1 AS step FROM s1
+        |    UNION ALL SELECT user_id, 2 FROM s2
+        |    UNION ALL SELECT user_id, 3 FROM s3) GROUP BY 1)
+        |SELECT user_id % 2 AS variant, steps_completed,
+        |  count(*) AS users
+        |FROM depth GROUP BY 1, 2""".stripMargin,
     "assortativity_links" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         | nodes AS (SELECT doc_id AS id FROM documents),

@@ -547,6 +547,30 @@ object LinkGraph {
       round(when(den === 0.0, 0.0).otherwise(num / den), 6).as("r"))
   }
 
+  /** RECIPROCITY: the fraction of directed edges whose reverse edge
+    * also exists (self-loops and duplicate edges dropped first) — the
+    * classic directed-graph mutuality measure; crawl graphs sit low,
+    * social/citation-ring structures high. One distinct + one
+    * self-semi-join on the flipped key; exact integer counts. */
+  def reciprocity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("_a"),
+        col(dstCol).cast("long").as("_b"))
+      .filter(col("_a") =!= col("_b")).distinct().localCheckpoint(true)
+    val mutual = e.join(
+      e.select(col("_b").as("_a"), col("_a").as("_b")),
+      Seq("_a", "_b"), "left_semi")
+    val m = e.count()
+    val r = mutual.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((m, r)).toDF("m", "mutual")
+      .select(col("m"), col("mutual"),
+        round(when(col("m") === 0, 0.0)
+          .otherwise(col("mutual").cast("double") / col("m")), 6)
+          .as("reciprocity"))
+  }
+
   /** Members of the k-core: nodes whose [[coreness]] ≥ `k`. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       iterations: Int = 8, nodes: DataFrame = null,

@@ -753,6 +753,26 @@ object Similarity {
     df.select(col(idCol)).join(drop, Seq(idCol), "left_anti")
   }
 
+  /** EMBEDDING QUALITY REPORT per group: vector count, dimension
+    * min/max (a mixed-dim group is a broken ingest), zero-norm and
+    * NaN-carrying vector counts (both poison cosine math downstream),
+    * and the mean L2 norm (un-normalized embeddings show up here
+    * before they skew a dot-product ANN index). One aggregate pass. */
+  def embeddingQuality(df: DataFrame, vecCol: String,
+      groupCol: String): DataFrame = {
+    val n = norm(col(vecCol))
+    df.groupBy(col(groupCol).as("_g")).agg(
+        count(lit(1)).as("n_vectors"),
+        min(size(col(vecCol))).cast("long").as("dim_min"),
+        max(size(col(vecCol))).cast("long").as("dim_max"),
+        sum(when(n === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(exists(col(vecCol), x => isnan(x)), 1L).otherwise(0L))
+          .as("n_nan"),
+        round(avg(n), 6).as("mean_norm"))
+      .select(col("_g").as(groupCol), col("n_vectors"), col("dim_min"),
+        col("dim_max"), col("n_zero"), col("n_nan"), col("mean_norm"))
+  }
+
   /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR '98 —
     * public): greedily re-pick `k` of each query's candidates, each
     * step taking the unselected candidate maximizing

@@ -1328,6 +1328,27 @@ object TextAnalysis {
           .as("distinct_ratio"))
   }
 
+  /** LEXICAL RICHNESS per group: token count, type count, type-token
+    * ratio, and the hapax-legomena share of the vocabulary (fraction of
+    * types seen exactly once — the vocabulary-growth signal; templated
+    * corpora run hapax-poor). Exact integer counts, two aggregates. */
+  def lexicalRichness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("_g"),
+        explode(normalizedTokens(col(textCol))).as("_tok"))
+      .filter(col("_tok") =!= "")
+      .groupBy(col("_g"), col("_tok")).agg(count(lit(1)).as("_c"))
+    counts.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("_g").as(groupCol), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_share"))
+  }
+
   /** Mergeable Misra-Gries frequent-items summary over normalized
     * tokens: at most `capacity` counters, every token with true count
     * > N/(capacity+1) guaranteed present (Agarwal et al., "Mergeable

@@ -62,6 +62,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out("loop") == ((4L, 1L, 0.25)))
   }
 
+  test("lexical richness: TTR and hapax share from exact counts") {
+    val docs = Seq(("a", "x x x y z"), ("b", "q q")).toDF("source", "text")
+    val out = TextAnalysis.lexicalRichness(docs, "source", "text")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("a") == ((5L, 3L, 2L, 0.6, rnd(2.0 / 3))))
+    assert(out("b") == ((2L, 1L, 0L, 0.5, 0.0)))
+  }
+
+  test("embedding quality: zero norms, NaNs, and mixed dims surface") {
+    val vecs = Seq(
+      (0, Seq(3.0f, 4.0f)),
+      (0, Seq(0.0f, 0.0f)),                 // zero norm
+      (0, Seq(Float.NaN, 1.0f)),            // NaN carrier
+      (1, Seq(1.0f, 0.0f, 0.0f))            // different dim
+    ).toDF("label", "embedding")
+    val out = Similarity.embeddingQuality(vecs, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val g0 = out(0)
+    assert(g0.getAs[Long]("n_vectors") == 3L)
+    assert(g0.getAs[Long]("dim_min") == 2L && g0.getAs[Long]("dim_max") == 2L)
+    assert(g0.getAs[Long]("n_zero") == 1L && g0.getAs[Long]("n_nan") == 1L)
+    assert(out(1).getAs[Double]("mean_norm") == 1.0)
+  }
+
   test("zipf: exact power law recovers its exponent") {
     // counts c(r) = round(1000 * r^-1) for r = 1..8 over one group:
     // tokens t1..t8 with those frequencies

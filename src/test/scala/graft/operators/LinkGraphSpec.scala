@@ -267,6 +267,18 @@ class LinkGraphSpec extends AnyFunSuite {
       assert(got(v.toLong) == ref(v).toLong, s"node $v"))
   }
 
+  test("reciprocity: mutual pairs counted exactly; loops and dups drop") {
+    import spark.implicits._
+    // 1↔2 mutual, 1→3 one-way, 3→3 loop, duplicate 1→2
+    val edges = Seq((1, 2), (2, 1), (1, 3), (3, 3), (1, 2))
+      .toDF("src", "dst")
+    val r = LinkGraph.reciprocity(edges, "src", "dst").collect().head
+    assert(r.getAs[Long]("m") == 3L)
+    assert(r.getAs[Long]("mutual") == 2L)
+    assert(r.getAs[Double]("reciprocity") == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("assortativity: star is disassortative, cycle-plus-clique mixes") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x)
