@@ -458,6 +458,21 @@ object ScaleProbe {
     }
     probe("harmonic", harmRun(docs1), harmRun(docsN))
 
+    // fuzzy decontamination: banded candidates + length-guarded
+    // THRESHOLDED Levenshtein. The generic amplifier's copies differ
+    // only by a ~10-char suffix — WITHIN maxDist 20, so they'd be
+    // genuine matches and the output (and therefore time) would be
+    // rightly quadratic; salt each doc with a 32-char md5 so copies
+    // sit past the distance bound and growth measures the PLAN
+    def fuzzDocs(df: DataFrame): DataFrame = df.withColumn("text",
+      concat(col("text"), lit(" "), md5(col("doc_id").cast("string"))))
+    def fuzzRun(df: DataFrame): Long =
+      graft.operators.Dedup.fuzzyContamination(
+        fuzzDocs(df.filter(col("doc_id") % 7 =!= 0)),
+        fuzzDocs(df.filter(col("doc_id") % 7 === 0)),
+        "text", "doc_id", maxDist = 20).count()
+    probe("fuzzy_decontam", fuzzRun(docs1), fuzzRun(docsN))
+
     // keyness: (group, token) counts + a token-keyed join — vocabulary
     // growth is sublinear, so time must track the token scan
     probe("keyness",

@@ -966,8 +966,16 @@ object Dedup {
     val co = corpus.select(col(idCol).as("corpus_id"),
       norm(col(textCol)).as("_ct"))
     cand.join(broadcast(ev), "eval_id").join(co, "corpus_id")
-      .withColumn("dist", levenshtein(col("_et"), col("_ct")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // |Δlen| > maxDist already implies dist > maxDist — this cheap
+      // guard drops the bulk of LSH false candidates before any DP
+      .filter(abs(length(col("_et")) - length(col("_ct"))) <= maxDist)
+      // thresholded Levenshtein: banded DP, O(len·maxDist) per pair
+      // instead of O(len²); returns −1 past the threshold (same kept
+      // set and distances as the unbounded form, so the oracle is
+      // unchanged)
+      .withColumn("dist",
+        levenshtein(col("_et"), col("_ct"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("eval_id", "corpus_id", "dist")
   }
 
