@@ -588,6 +588,11 @@ object SparkEntry {
           col("click").as("n_click"), col("purchase").as("n_purchase"),
           col("signup").as("n_signup"), col("error").as("n_error"))),
 
+    // ---- event analytics: per-user behavioral transition entropy ----
+    "behavior_entropy" -> ((s, dir) =>
+      EventAnalytics.behaviorEntropy(t(s, dir, "events"), "user_id",
+        "ts", "event_type", tieBreak = Seq("event_id"))),
+
     // ---- event analytics: Kaplan–Meier retention over user activity
     //      spans bucketed to days ----
     "survival_retention" -> ((s, dir) =>
@@ -4027,6 +4032,22 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', count(*),
         |  round(sum(t - t1)::DOUBLE / count(*) / 1000000.0, 6)
         |FROM s3""".stripMargin,
+    "behavior_entropy" ->
+      """WITH nxt AS (
+        |  SELECT user_id, event_type AS f,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t
+        |  FROM events),
+        | counts AS (
+        |  SELECT user_id, f, t, count(*) AS c FROM nxt
+        |  WHERE t IS NOT NULL GROUP BY 1, 2, 3),
+        | agg AS (
+        |  SELECT user_id, sum(c) AS n, count(*) AS n_transitions,
+        |    sum(c * ln(c::DOUBLE)) AS clogc
+        |  FROM counts GROUP BY 1)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_moves, n_transitions,
+        |  round(ln(n::DOUBLE) - clogc / n, 6) AS entropy
+        |FROM agg""".stripMargin,
     "survival_retention" ->
       """WITH spans AS (
         |  SELECT user_id,

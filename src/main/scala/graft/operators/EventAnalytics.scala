@@ -188,6 +188,33 @@ object EventAnalytics {
         round(z, 6).as("z"), (abs(z) >= threshold).as("is_anomaly"))
   }
 
+  /** BEHAVIORAL ENTROPY per user: Shannon entropy (nats) of the user's
+    * first-order transition distribution — bots and scripted traffic
+    * collapse toward 0 (one dominant loop), organic browsing runs
+    * high. H = ln(total) − Σ c·ln(c) / total, computed from exact
+    * integer transition counts in that single pinned form (one log per
+    * DISTINCT transition, never one per event), so engines agree at
+    * 6 dp. Users with fewer than 2 events have no transitions and are
+    * absent. One per-user lead window + two keyed aggregates. */
+  def behaviorEntropy(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val counts = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(userCol).as("_u"), col(typeCol).as("_f"),
+        col("_next").as("_t"))
+      .agg(count(lit(1)).as("_c"))
+    counts.groupBy(col("_u"))
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("n_transitions"),
+        sum(col("_c") * log(col("_c").cast("double"))).as("_clogc"))
+      .select(col("_u").as(userCol),
+        col("_n").as("n_moves"), col("n_transitions"),
+        round(log(col("_n").cast("double")) - col("_clogc") / col("_n"), 6)
+          .as("entropy"))
+  }
+
   /** KAPLAN–MEIER RETENTION CURVE (Kaplan & Meier 1958 — public):
     * subject lifetime = observed activity span per key, bucketed to
     * `bucketSeconds`; survival S(t) = Π_{tⱼ≤t} (1 − dⱼ/nⱼ) with dⱼ the

@@ -114,6 +114,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.filter(r => r._1 == "spiky" && r._2 == 1L).forall(!_._4))
   }
 
+  test("behavior entropy: hand-computed H; scripted loop scores zero") {
+    val ev = Seq(
+      // u1 transitions: a→b, b→a, a→b, b→c → counts {a→b:2, b→a:1, b→c:1}
+      (1L, ts("2024-01-01 00:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 00:01:00"), "b", 2L),
+      (1L, ts("2024-01-01 00:02:00"), "a", 3L),
+      (1L, ts("2024-01-01 00:03:00"), "b", 4L),
+      (1L, ts("2024-01-01 00:04:00"), "c", 5L),
+      // u2: pure a→a loop → entropy 0
+      (2L, ts("2024-01-01 00:00:00"), "a", 6L),
+      (2L, ts("2024-01-01 00:01:00"), "a", 7L),
+      (2L, ts("2024-01-01 00:02:00"), "a", 8L),
+      // u3: single event → absent
+      (3L, ts("2024-01-01 00:00:00"), "a", 9L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.behaviorEntropy(ev, "user_id", "ts",
+        "event_type", Seq("event_id"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h1 = math.log(4.0) - (2 * math.log(2.0)) / 4
+    assert(out(1L) == ((4L, 3L, rnd(h1))))
+    assert(out(2L) == ((2L, 1L, 0.0)))
+    assert(!out.contains(3L))
+  }
+
   test("survival: KM steps from hand counts; final step hits zero") {
     // lifetimes in days: 0, 0, 1, 2 → S(0)=0.5, S(1)=0.25, S(2)=0
     val ev = Seq(
