@@ -50,30 +50,19 @@ object Bench {
     // (investigations + BENCH_REF backfills) — full set when unset
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def timeIters(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        n: Int): Seq[Double] = (1 to n).map { _ =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val median = times(times.length / 2)
-      (name, median, times.last - times.head, times.head)
-    }
+        val times = timeIters(fn, iterations).sorted
+        (name, fn, times)
+      }
     def r4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    // Headline acceptance numbers are BEST-of-iterations: the median is
-    // environment-dominated on a co-tenant machine (round-8 verdict:
-    // driver medians ran 3-7× a controlled re-run; the min matched it),
-    // while the min of 5 still rejects genuine regressions — a real
-    // slowdown slows every iteration. Medians are still emitted for
-    // spread analysis on their own line.
-    val qs = results.map { case (k, _, _, mn) => s"\"" + k + "\":" + r4(mn) }
-      .mkString("{", ",", "}")
-    val medians = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r4(v) }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s, _) => s"\"" + k + "\":" + r4(s) }
-      .mkString("{", ",", "}")
     // Two independent noise tells, OR'd:
     //  (a) spread > median — an iteration SPIKED (transient co-tenant);
     //  (b) even the MIN iteration runs ≫ the committed reference time
@@ -101,9 +90,46 @@ object Bench {
         }
       }
     }
-    val noisySet: Set[String] = results.collect {
-      case (k, m, s, _) if s > m => k
-      case (k, _, _, mn) if ref.get(k).exists(r => mn > 3 * r && mn > r + 0.5) => k
+    def isNoisy(times: Seq[Double], name: String): Boolean = {
+      val median = times(times.length / 2)
+      val spread = times.last - times.head
+      spread > median ||
+        ref.get(name).exists(r => times.head > 3 * r && times.head > r + 0.5)
+    }
+    // AUTO-RETRY: a gate flagged noisy on the first pass gets one more
+    // burst of iterations AT THE END of the run (the transient that
+    // spiked it has usually passed by then); the merged sample's min is
+    // the recorded headline. This is how a committed BENCH_rN stops
+    // carrying phantom 6× regressions that a controlled re-run
+    // contradicts (round-9: warc_records 0.758 s driver vs 0.150 s
+    // controlled). The noisy flag is recomputed over the merged sample
+    // — a genuinely unstable gate stays flagged; only its min calms.
+    val retryIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "3").toInt
+    val retriedSet = firstPass.collect {
+      case (name, _, times) if retryIters > 0 && isNoisy(times, name) => name
+    }.toSet
+    val merged = firstPass.map { case (name, fn, times) =>
+      val all = if (retriedSet(name)) (times ++ timeIters(fn, retryIters)).sorted
+                else times
+      (name, all)
+    }
+    val results = merged.map { case (name, times) =>
+      (name, times(times.length / 2), times.last - times.head, times.head)
+    }
+    // Headline acceptance numbers are BEST-of-iterations: the median is
+    // environment-dominated on a co-tenant machine (round-8 verdict:
+    // driver medians ran 3-7× a controlled re-run; the min matched it),
+    // while the min of 5 still rejects genuine regressions — a real
+    // slowdown slows every iteration. Medians are still emitted for
+    // spread analysis on their own line.
+    val qs = results.map { case (k, _, _, mn) => s"\"" + k + "\":" + r4(mn) }
+      .mkString("{", ",", "}")
+    val medians = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s, _) => s"\"" + k + "\":" + r4(s) }
+      .mkString("{", ",", "}")
+    val noisySet: Set[String] = merged.collect {
+      case (name, times) if isNoisy(times, name) => name
     }.toSet
     val noisy = results.collect { case (k, _, _, _) if noisySet(k) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -173,7 +199,9 @@ object Bench {
     }
     println(s"""{"metric":"stream_split","queries":$split,"unit":"sec"}""")
     println(s"""{"metric":"median","total":${r4(totalMedian)},"queries":$medians,"iters":$iterations}""")
-    println(s"""{"metric":"spread","spread":$spreads,"noisy":$noisy,"iters":$iterations}""")
+    val retriedJson = retriedSet.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"spread","spread":$spreads,"noisy":$noisy,"retried":$retriedJson,"retry_iters":$retryIters,"iters":$iterations}""")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"iters":$iterations,"sf":"$sfDir","stat":"min"}""")
     println(s"""{"metric":"summary","total":${r4(total)},"total_median":${r4(totalMedian)},"stat":"min","n":${results.length},"noisy_n":${noisySet.size},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()

@@ -513,6 +513,51 @@ object ScaleProbe {
       graft.operators.Similarity.semDedupPairs(embN, "vec_id", "embedding",
         threshold = 0.3, k = 64, iters = 3, orderBy = "vec_id").count())
 
+    // ---- MUTATED amplification for the pair generators ----
+    // The generic amplifier's copies differ only by a ~10-char suffix,
+    // so a 16× corpus carries ~256× TRUE near-dup pairs and the
+    // duplicate-amplified probes above conflate OUTPUT growth with
+    // COMPUTE growth (round-9: jaccard_prefix 24.7×, semdedup 20.4× —
+    // output-bound, not plan defects). These twins salt every 6th word
+    // (kills ~half the 3-gram shingles: J ≈ 0.33 ≪ 0.8 across copies)
+    // / drown each vector in per-(copy,row) pseudorandom noise
+    // (cross-copy cosine ≈ 0 ≪ 0.3), so the true pair count stays
+    // ~linear and the ratio measures the PLAN. The 1× side runs the
+    // SAME mutation (copy 0) for a fair denominator.
+    def mutateDocs(df: DataFrame, copies: Int): DataFrame = {
+      val maxId = df.agg(max(col("doc_id"))).head().getLong(0) + 1
+      (0 until copies).map { c =>
+        df.withColumn("doc_id", col("doc_id") + lit(c * maxId))
+          .withColumn("text", expr(
+            "array_join(transform(split(text, ' '), (w, i) -> " +
+            "IF(i % 6 = 5, concat('z', crc32(concat(w, '_', doc_id))), w)), ' ')"))
+      }.reduce(_ unionByName _)
+    }
+    val mdocs1 = mutateDocs(docs1, 1).cache(); mdocs1.count()
+    val mdocsN = mutateDocs(docs1, n).cache(); mdocsN.count()
+    probe("jaccard_prefix_mutated",
+      graft.operators.Dedup.jaccardPrefixJoin(mdocs1, "text", "doc_id",
+        0.8).count(),
+      graft.operators.Dedup.jaccardPrefixJoin(mdocsN, "text", "doc_id",
+        0.8).count())
+    def mutateEmb(df: DataFrame, copies: Int): DataFrame =
+      (0 until copies).map { c =>
+        df.withColumn("vec_id", col("vec_id") + lit(c * 1000000L))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> " +
+            "CAST(x + 7.0 * (pmod(hash(vec_id, i), 1000) / 500.0 - 1.0) AS FLOAT))"))
+      }.reduce(_ unionByName _)
+    val memb1 = mutateEmb(emb1, 1).cache(); memb1.count()
+    val membN = mutateEmb(emb1, n).cache(); membN.count()
+    probe("semdedup_mutated",
+      graft.operators.Similarity.semDedupPairs(memb1, "vec_id", "embedding",
+        threshold = 0.3, k = 64, iters = 3, orderBy = "vec_id").count(),
+      graft.operators.Similarity.semDedupPairs(membN, "vec_id", "embedding",
+        threshold = 0.3, k = 64, iters = 3, orderBy = "vec_id").count())
+    // (fuzzy_decontam above already amplifies with mutated copies — the
+    // md5 salt pushes copies past maxDist, same principle.)
+    mdocs1.unpersist(); mdocsN.unpersist(); memb1.unpersist(); membN.unpersist()
+
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
     val dupN = (0 until n).map { c =>

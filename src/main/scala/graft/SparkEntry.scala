@@ -764,6 +764,44 @@ object SparkEntry {
       t(s, dir, "embeddings").select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"), col("label"))),
 
+    // ---- F11 unicode un-escaping — the reference's escaped-JSON text
+    //      repair: `\\u`→`\u`, `\\n`→LF, `\\t`→TAB, `\\x`→`\u00`.
+    //      Inputs are synthesized in-plan via chr(92) so both engines
+    //      build the byte-identical escaped string ----
+    "f11_unescape" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextCase.unescape(expr(
+          "concat('w', doc_id, ' ', chr(92), chr(92), 'u00e9 m', " +
+          "chr(92), chr(92), 'n t', chr(92), chr(92), 't h', " +
+          "chr(92), chr(92), 'x41 end')")).as("unescaped"))),
+
+    // ---- F13 flat-name uniquification (plan-time, via Flatten): the
+    //      struct leaf a.b collides with the top-level a_b and lands
+    //      as a_b2; array leaves re-serialize as JSON ----
+    "f13_uniquify" -> ((s, dir) =>
+      graft.operators.Flatten.flatten(
+        t(s, dir, "documents").select(col("doc_id"),
+          lit("top").as("a_b"),
+          struct(upper(col("source")).as("b"),
+            array(col("lang"), lit("x")).as("arr")).as("a")))),
+
+    // ---- F19/F20 geometry: lowercase/uppercase type names
+    //      canonicalize (F20), then >1 part promotes to Multi<Type>
+    //      with the deeper coordinate nesting (F19) ----
+    "f19_geometry_promote" -> ((s, dir) => {
+      import graft.functions.Geometry
+      val d = col("doc_id").cast("double")
+      val part1 = array(array(d, lit(0.5)), array(d + 1.0, lit(2.25)))
+      val part2 = array(array(d + 2.0, lit(3.5)), array(d + 3.0, lit(4.75)))
+      t(s, dir, "documents").select(col("doc_id"),
+        Geometry.multiPromote(
+          Geometry.canonicalType(
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("linestring"))
+              .otherwise(lit("LINESTRING"))),
+          when(pmod(col("doc_id"), lit(3)) === 0, array(part1))
+            .otherwise(array(part1, part2))).as("geojson"))
+    }),
+
     // ---- dedup: exact (hash-groupBy, deterministic winner) ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id")),
@@ -1930,8 +1968,11 @@ object SparkEntry {
         lit("<a href=\"https://img"), pmod(col("doc_id"), lit(2)),
         lit(".example/only\"><img src=y></a>"),
         lit("</body></html>"))
+      // `texts` is stringified (chr(1)-joined) so the driver's pandas
+      // row-sort can hash it — array<string> cells are unhashable there.
       TextAnalysis.anchorTextCorpus(t(s, dir, "documents"), html, base,
         maxTexts = 2)
+        .withColumn("texts", concat_ws("\u0001", col("texts")))
     }),
 
     // ---- crawl: COMPOSITE pipeline — HTML → anchors resolved per
@@ -2631,12 +2672,15 @@ object SparkEntry {
     //      phrase blocklist audit: which listed phrases appear as
     //      ADJACENT normalized tokens in each document ----
     "blocklist_phrases" -> ((s, dir) =>
+      // `matches` is stringified (chr(1)-joined) so the driver's pandas
+      // row-sort can hash it — array<string> cells are unhashable there.
       t(s, dir, "documents")
         .select(col("doc_id"),
           graft.functions.PhraseAc.phrase_matches(col("text"), Seq(
             "customer data", "table scan", "sort merge",
             "batch batch batch", "Key-Order!")).as("matches"))
-        .withColumn("n_matches", size(col("matches")).cast("long"))),
+        .withColumn("n_matches", size(col("matches")).cast("long"))
+        .withColumn("matches", concat_ws("\u0001", col("matches")))),
 
     // ---- text: content-defined chunking (gear CDC, FastCDC family) —
     //      boundaries where the rolling hash's low 5 bits are zero
@@ -3811,7 +3855,9 @@ object SparkEntry {
         |  FROM (SELECT doc_id, ' ' || trim(regexp_replace(lower(text),
         |          '[^a-z0-9]+', ' ', 'g')) || ' ' AS pad
         |        FROM documents))
-        |SELECT doc_id, matches, CAST(len(matches) AS BIGINT) AS n_matches
+        |SELECT doc_id,
+        |  coalesce(array_to_string(matches, chr(1)), '') AS matches,
+        |  CAST(len(matches) AS BIGINT) AS n_matches
         |FROM m""".stripMargin,
     "cdc_chunks" ->
       s"""WITH $cdcCtes
@@ -4345,7 +4391,7 @@ object SparkEntry {
         |    CASE WHEN denom = 0.0 THEN 0.0
         |         ELSE (x0::DOUBLE/n0 - x1::DOUBLE/n1) / denom END AS z
         |  FROM dn)
-        |SELECT n0, x0, n1, x1,
+        |SELECT '0' AS variant0, '1' AS variant1, n0, x0, n1, x1,
         |  round(x0::DOUBLE/n0, 6) AS rate0, round(x1::DOUBLE/n1, 6) AS rate1,
         |  round(z, 6) AS z, abs(z) >= 1.96 AS significant
         |FROM zz""".stripMargin,
@@ -4541,6 +4587,35 @@ object SparkEntry {
       "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
     "f15_array_ops" ->
       "SELECT vec_id, len(embedding) AS dim, label FROM embeddings",
+    "f11_unescape" ->
+      """SELECT doc_id,
+        |  replace(replace(replace(replace(
+        |    'w' || CAST(doc_id AS VARCHAR) || ' ' || chr(92)||chr(92)||'u00e9 m'
+        |      || chr(92)||chr(92)||'n t' || chr(92)||chr(92)||'t h'
+        |      || chr(92)||chr(92)||'x41 end',
+        |    chr(92)||chr(92)||'u', chr(92)||'u'),
+        |    chr(92)||chr(92)||'n', chr(10)),
+        |    chr(92)||chr(92)||'t', chr(9)),
+        |    chr(92)||chr(92)||'x', chr(92)||'u00') AS unescaped
+        |FROM documents""".stripMargin,
+    "f13_uniquify" ->
+      """SELECT doc_id, 'top' AS a_b, upper(source) AS a_b2,
+        |  CAST(to_json([lang, 'x']) AS VARCHAR) AS a_arr
+        |FROM documents""".stripMargin,
+    "f19_geometry_promote" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    CAST(to_json(struct_pack(type := 'LineString', coordinates :=
+        |      [[CAST(doc_id AS DOUBLE), 0.5],
+        |       [CAST(doc_id + 1 AS DOUBLE), 2.25]])) AS VARCHAR)
+        |  ELSE
+        |    CAST(to_json(struct_pack(type := 'MultiLineString', coordinates :=
+        |      [[[CAST(doc_id AS DOUBLE), 0.5],
+        |        [CAST(doc_id + 1 AS DOUBLE), 2.25]],
+        |       [[CAST(doc_id + 2 AS DOUBLE), 3.5],
+        |        [CAST(doc_id + 3 AS DOUBLE), 4.75]]])) AS VARCHAR)
+        |  END AS geojson
+        |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (
@@ -6030,7 +6105,7 @@ object SparkEntry {
         |tl AS (SELECT url, list(text ORDER BY text) AS texts
         |       FROM rk WHERE rk <= 2 GROUP BY url)
         |SELECT c.url, c.n_anchors,
-        |  COALESCE(tl.texts, CAST([] AS VARCHAR[])) AS texts
+        |  COALESCE(array_to_string(tl.texts, chr(1)), '') AS texts
         |FROM counts c LEFT JOIN tl ON c.url = tl.url""".stripMargin,
     // three links survive robots (the /root shape is disallowed); the
     // surviving domains are recomputed directly from the synth rule

@@ -380,7 +380,17 @@ object Dedup {
         transform(col("_st"), s => s.getField("tok")).as("toks"),
         size(col("_st")).cast("long").as("sz"))
       .localCheckpoint(true) // three consumers: prefix + both verify sides
-    val pfxLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    // ceil() runs in IEEE doubles; when the exact product t·sz is
+    // integral in the rationals the fp rounding can land a hair ABOVE
+    // it (e.g. t=3.0/17, sz=85: exact 15, fp ceil 16), shortening the
+    // prefix below what the theorem allows and silently dropping a
+    // qualifying pair. Subtracting an epsilon far above fp error
+    // (~1e-10 at sz=1e6) but below any intended margin only LOOSENS
+    // the bound — more candidates, never a lost pair; the exact
+    // verify step downstream restores precision. Same guard on the
+    // length ratio and position-filter bounds below.
+    val fpEps = 1e-7
+    val pfxLen = (col("sz") - ceil(lit(threshold) * col("sz") - fpEps) + 1)
       .cast("int")
     val pfx = capBuckets(
       sorted.select(col("id"), col("sz"),
@@ -396,14 +406,15 @@ object Dedup {
     // plain distinct() — same exchange, stronger pruning.
     val cand = bucketPairs(pfx, Seq("tok"), "id", Seq("sz", "pos"),
       bounded = maxBucket > 0)
-      .filter(col("sz2") * lit(threshold) <= col("sz1") &&
-        col("sz1") * lit(threshold) <= col("sz2"))
+      .filter(col("sz2") * lit(threshold) - fpEps <= col("sz1") &&
+        col("sz1") * lit(threshold) - fpEps <= col("sz2"))
       .groupBy("id1", "id2")
       .agg(min(col("pos1")).as("_p1"), min(col("pos2")).as("_p2"),
         first(col("sz1")).as("_s1b"), first(col("sz2")).as("_s2b"))
       .filter(lit(1) + least(col("_s1b") - col("_p1") - 1,
           col("_s2b") - col("_p2") - 1) >=
-        ceil(lit(threshold / (1.0 + threshold)) * (col("_s1b") + col("_s2b"))))
+        ceil(lit(threshold / (1.0 + threshold)) * (col("_s1b") + col("_s2b"))
+          - fpEps))
       .select("id1", "id2")
     cand
       .join(sorted.select(col("id").as("id1"), col("toks").as("_t1"),

@@ -318,26 +318,41 @@ object EventAnalytics {
   /** A/B TEST readout: two-proportion pooled z-test of user-level
     * conversion between two variants (standard large-sample test —
     * public statistics). A user converts if they have ANY `convType`
-    * event. All inputs are exact integer counts; the z expression's
-    * operation order is pinned so engines agree at 6 dp. Returns ONE
-    * row: per-variant exposures/conversions/rates, z, and the
+    * event. The two variant values are DERIVED from the data (any
+    * type — 0/1, "A"/"B", ...): side 0 is the lexicographically
+    * smaller string rendering, and a distinct variant count ≠ 2 fails
+    * the job loudly instead of emitting a null readout. All counts are
+    * exact integers; the z expression's operation order is pinned so
+    * engines agree at 6 dp. Returns ONE row: the two variant values,
+    * per-variant exposures/conversions/rates, z, and the
     * |z| ≥ `zCrit` verdict.
     *
     * Scale shape: one user-keyed aggregate (map-side combinable), one
-    * two-row aggregate, one scalar projection. */
+    * #variants-row aggregate, a broadcast of the 1-row variant
+    * min/max, one scalar projection. */
   def abTest(events: DataFrame, userCol: String, variantCol: String,
       typeCol: String, convType: String,
       zCrit: Double = 1.96): DataFrame = {
-    val users = events.groupBy(col(variantCol).as("_v"), col(userCol))
+    val users = events
+      .groupBy(col(variantCol).cast("string").as("_v"), col(userCol))
       .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L))
         .as("_conv"))
-    val flat = users.groupBy(col("_v"))
+    val byv = users.groupBy(col("_v"))
       .agg(count(lit(1)).as("_n"), sum(col("_conv")).as("_x"))
+    // variant identities come from the (#variants)-row aggregate; the
+    // assert_true rides in a filter so the optimizer cannot prune it
+    val mm = byv.agg(count_distinct(col("_v")).as("_nv"),
+      min(col("_v")).as("_v0"), max(col("_v")).as("_v1"))
+    val flat = byv.crossJoin(broadcast(mm))
+      .filter(assert_true(col("_nv") === 2,
+        concat(lit("abTest: expected exactly 2 variant values, found "),
+          col("_nv"))).isNull)
+      .groupBy(col("_v0").as("variant0"), col("_v1").as("variant1"))
       .agg(
-        sum(when(col("_v") === 0, col("_n"))).as("n0"),
-        sum(when(col("_v") === 0, col("_x"))).as("x0"),
-        sum(when(col("_v") === 1, col("_n"))).as("n1"),
-        sum(when(col("_v") === 1, col("_x"))).as("x1"))
+        sum(when(col("_v") === col("_v0"), col("_n"))).as("n0"),
+        sum(when(col("_v") === col("_v0"), col("_x"))).as("x0"),
+        sum(when(col("_v") === col("_v1"), col("_n"))).as("n1"),
+        sum(when(col("_v") === col("_v1"), col("_x"))).as("x1"))
     val p0 = col("x0").cast("double") / col("n0")
     val p1 = col("x1").cast("double") / col("n1")
     val pp = (col("x0") + col("x1")).cast("double") / (col("n0") + col("n1"))
@@ -346,7 +361,8 @@ object EventAnalytics {
     val denom = sqrt(pp * (lit(1.0) - pp) *
       (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
     val z = when(denom === 0.0, lit(0.0)).otherwise((p0 - p1) / denom)
-    flat.select(col("n0"), col("x0"), col("n1"), col("x1"),
+    flat.select(col("variant0"), col("variant1"),
+      col("n0"), col("x0"), col("n1"), col("x1"),
       round(p0, 6).as("rate0"), round(p1, 6).as("rate1"),
       round(z, 6).as("z"), (abs(z) >= zCrit).as("significant"))
   }

@@ -285,6 +285,44 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val z = out.getAs[Double]("z")
     assert(math.abs(z - zExp) < 1e-6)
     assert(!out.getAs[Boolean]("significant") == (math.abs(zExp) < 1.96))
+    assert(out.getAs[String]("variant0") == "0" &&
+      out.getAs[String]("variant1") == "1")
+  }
+
+  test("ab test: variants are DERIVED from the data, any encoding") {
+    // same counts as above but encoded "A"/"B" — side 0 must be the
+    // lexicographically smaller variant, identical z
+    val ev = (
+      (0 until 4).flatMap { i =>
+        Seq((i * 2L, ts("2024-01-01 00:00:00"), "view", "A")) ++
+          (if (i < 3) Seq((i * 2L, ts("2024-01-01 01:00:00"), "purchase", "A")) else Nil)
+      } ++
+      (0 until 4).flatMap { i =>
+        Seq((i * 2L + 1, ts("2024-01-01 00:00:00"), "view", "B")) ++
+          (if (i < 1) Seq((i * 2L + 1, ts("2024-01-01 01:00:00"), "purchase", "B")) else Nil)
+      }
+    ).toDF("user_id", "ts", "event_type", "variant")
+    val out = EventAnalytics.abTest(ev, "user_id", "variant",
+      "event_type", "purchase").collect().head
+    assert(out.getAs[String]("variant0") == "A" &&
+      out.getAs[String]("variant1") == "B")
+    assert(out.getAs[Long]("n0") == 4L && out.getAs[Long]("x0") == 3L)
+    assert(out.getAs[Long]("n1") == 4L && out.getAs[Long]("x1") == 1L)
+  }
+
+  test("ab test: ≠2 distinct variants fails loudly, not a null readout") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view", "A"),
+      (2L, ts("2024-01-01 00:00:00"), "view", "B"),
+      (3L, ts("2024-01-01 00:00:00"), "view", "C")
+    ).toDF("user_id", "ts", "event_type", "variant")
+    val e = intercept[Exception] {
+      EventAnalytics.abTest(ev, "user_id", "variant",
+        "event_type", "purchase").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("expected exactly 2 variant values")))
   }
 
   test("funnel latency: mean seconds from step 1 per completed step") {

@@ -537,6 +537,26 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kept == rows.map(_._1).toSet -- dropped)
   }
 
+  test("semDedup: DEFAULT cap bounds a planted mega-cluster (quadratic-bomb guard)") {
+    import spark.implicits._
+    // 1,100 IDENTICAL unit vectors — one semantic-duplicate mega-cluster.
+    // Uncapped this is C(1100,2) = 604,450 pairs and grows quadratically
+    // with corpus duplication; the DEFAULT maxBucket=1000 road must emit
+    // exactly C(1000,2) = 499,500 (first 1000 members by id) no matter
+    // how hot the cluster is. No explicit maxBucket below — the point is
+    // the caller who forgets the cap is still safe at 100 TB.
+    val v: Seq[Float] = Seq(0.6f, 0.8f, 0f, 0f)
+    val df = (0L until 1100L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val capped = Similarity.semDedupPairs(df, "vec_id", "embedding",
+      threshold = 0.95, orderBy = "vec_id")
+    assert(capped.count() == 1000L * 999 / 2)
+    // and the exact road (cap pinned 0, the oracle-gate mode) still
+    // produces the full quadratic set on the same input
+    val exact = Similarity.semDedupPairs(df, "vec_id", "embedding",
+      threshold = 0.95, maxBucket = 0, orderBy = "vec_id")
+    assert(exact.count() == 1100L * 1099 / 2)
+  }
+
   test("knnJoin: batch top-k equals per-query bruteForceTopK, any partitioning") {
     import spark.implicits._
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -22,6 +22,17 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
   @volatile var failJobs = false
   val jobPolls = collection.mutable.Map.empty[String, Int]
 
+  /** Fault-injection knobs. `currentToken` is the token the server
+    * accepts RIGHT NOW; `rotateTokenAfterPolls = n` invalidates it
+    * server-side immediately after the n-th status poll (the
+    * token-expired-mid-job scenario — the client must re-login and
+    * resume polling). `dropNextDataUpdate` makes the next item-data
+    * `update` request die mid-response (declared content-length never
+    * satisfied → the client sees a broken socket, not an error body). */
+  @volatile var currentToken: String = tokenValue
+  @volatile var rotateTokenAfterPolls: Int = -1
+  @volatile var dropNextDataUpdate = false
+
   private val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
   private def reply(ex: HttpExchange, body: String): Unit = {
@@ -54,14 +65,14 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
   }
 
   private def requireToken(p: Map[String, String], ex: HttpExchange)(ok: => Unit): Unit =
-    if (!p.get("token").contains(tokenValue))
+    if (!p.get("token").contains(currentToken))
       reply(ex, """{"error":{"code":499,"message":"Token Required"}}""")
     else ok
 
   srv.createContext("/sharing/rest/generateToken", (ex: HttpExchange) => {
     val p = params(ex)
     if (p.get("username").contains(user) && p.get("password").contains(pass))
-      reply(ex, s"""{"token":${jstr(tokenValue)},"expires":9999999999}""")
+      reply(ex, s"""{"token":${jstr(currentToken)},"expires":9999999999}""")
     else reply(ex, """{"error":{"code":400,"message":"Invalid credentials"}}""")
   })
 
@@ -157,6 +168,14 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
           portal.setIndexes(portal.itemById(id), idx)
           portal.setTimeInfo(portal.itemById(id), p.get("timeInfo"))
           reply(ex, s"""{"success":true,"id":${jstr(id)}}""")
+        case p2 if p2.endsWith("/update") && dropNextDataUpdate && p.contains("text") =>
+          // induced mid-commit socket drop: declare a body we never
+          // finish, so the client dies on a broken stream BEFORE any
+          // server-side mutation happened
+          dropNextDataUpdate = false
+          ex.sendResponseHeaders(200, 100)
+          ex.getResponseBody.write("{".getBytes(StandardCharsets.UTF_8))
+          ex.close()
         case p2 if p2.endsWith("/update") =>
           val id = p2.stripSuffix("/update").stripPrefix("items/")
           val clearFlag = p.get("clearEmptyFields").contains("true")
@@ -188,6 +207,10 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
           val jobId = p.getOrElse("jobId", "")
           val polls = jobPolls.getOrElse(jobId, 0) + 1
           jobPolls(jobId) = polls
+          // token expiry mid-poll: this poll succeeds, the NEXT request
+          // carrying the old token gets the 499 re-login dance
+          if (rotateTokenAfterPolls >= 0 && polls == rotateTokenAfterPolls)
+            currentToken = currentToken + s"-rot$polls"
           if (polls <= jobPollsUntilDone)
             reply(ex, """{"status":"processing","statusMessage":"..."}""")
           else if (failJobs)

@@ -8,7 +8,13 @@ from the bench output, then:
   - gates listed in --replace take the NEW value verbatim (baseline
     refresh for entries known to be stale/unreproducible);
   - gates missing from BENCH_REF are added (baseline backfill);
-  - every other gate keeps min(old, new) — the running-minimum merge.
+  - every other gate keeps min(old, new), EXCEPT that an improvement
+    larger than 40% is held back and reported instead of merged: a
+    one-off lucky sample must not ratchet the baseline to a number no
+    honest re-run can reproduce (round-9 lesson: pack_sequences
+    ratcheted 0.33→0.17 on one run, flagging every later round as a
+    2× "regression"). A genuine optimization that big deserves an
+    explicit, documented --replace.
 Rewrites BENCH_REF.json in place with the updated total.
 """
 import json
@@ -38,7 +44,7 @@ if ref.get("sf") != total_line.get("sf"):
 
 new = total_line["queries"]
 old = ref["queries"]
-added, refreshed, improved = [], [], []
+added, refreshed, improved, held = [], [], [], []
 for k, v in new.items():
     if k in replace:
         if k in old and abs(old[k] - v) > 1e-9:
@@ -48,8 +54,11 @@ for k, v in new.items():
         old[k] = round(v, 4)
         added.append(k)
     elif v < old[k]:
-        improved.append((k, old[k], v))
-        old[k] = round(v, 4)
+        if v < 0.6 * old[k] and old[k] - v > 0.05:
+            held.append((k, old[k], v))  # suspicious lucky sample
+        else:
+            improved.append((k, old[k], v))
+            old[k] = round(v, 4)
 
 ref["queries"] = dict(sorted(old.items()))
 ref["total"] = round(sum(old.values()), 4)
@@ -57,4 +66,7 @@ json.dump(ref, open("BENCH_REF.json", "w"), indent=1)
 print(f"added {len(added)}: {sorted(added)}")
 print(f"refreshed {len(refreshed)}: {refreshed}")
 print(f"improved {len(improved)}: {improved}")
+if held:
+    print(f"HELD {len(held)} (>40% drop — re-run controlled and use "
+          f"--replace if real): {held}")
 print(f"now {len(old)} gates, total {ref['total']}")
