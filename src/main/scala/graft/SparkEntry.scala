@@ -775,6 +775,37 @@ object SparkEntry {
           "chr(92), chr(92), 'n t', chr(92), chr(92), 't h', " +
           "chr(92), chr(92), 'x41 end')")).as("unescaped"))),
 
+    // ---- P12 field exclusion — the INI `exclude=` rule as plan-time
+    //      schema pruning: excluded paths (nested or top-level) never
+    //      reach the flattened select ----
+    "p12_field_exclusion" -> ((s, dir) =>
+      graft.operators.Flatten.flatten(
+        t(s, dir, "documents").select(col("doc_id"),
+          struct(col("source").as("keep"), col("lang").as("drop_me"))
+            .as("meta"),
+          col("n_chars")),
+        exclude = Set("meta.drop_me", "n_chars"))),
+
+    // ---- F2 epoch→timestamp with the reference's future clamp ("now"
+    //      pinned to a literal so both engines replay the clamp);
+    //      inputs span negative epochs and far-future overshoots ----
+    "f2_epoch_clamp" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        least(
+          timestamp_seconds(pmod(col("event_id"), lit(2000000L)) * 3000L
+            - 1000000000L),
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+          .as("clamped"))),
+
+    // ---- F24 recursive key path — dotted-path extraction through
+    //      nested structs, the `_getRecursiveKey("a.b.c")` surface ----
+    "f24_key_path" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          struct(struct(upper(col("source")).as("c"),
+            col("lang").as("noise")).as("b")).as("a"))
+        .select(col("doc_id"), col("a.b.c").as("leaf"))),
+
     // ---- F13 flat-name uniquification (plan-time, via Flatten): the
     //      struct leaf a.b collides with the top-level a_b and lands
     //      as a_b2; array leaves re-serialize as JSON ----
@@ -4587,6 +4618,16 @@ object SparkEntry {
       "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
     "f15_array_ops" ->
       "SELECT vec_id, len(embedding) AS dim, label FROM embeddings",
+    "p12_field_exclusion" ->
+      "SELECT doc_id, source AS meta_keep FROM documents",
+    "f2_epoch_clamp" ->
+      """SELECT event_id,
+        |  least(CAST(to_timestamp((event_id % 2000000) * 3000
+        |          - 1000000000) AS TIMESTAMP),
+        |        TIMESTAMP '2026-01-01 00:00:00') AS clamped
+        |FROM events""".stripMargin,
+    "f24_key_path" ->
+      "SELECT doc_id, upper(source) AS leaf FROM documents",
     "f11_unescape" ->
       """SELECT doc_id,
         |  replace(replace(replace(replace(
