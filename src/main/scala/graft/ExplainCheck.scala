@@ -428,6 +428,17 @@ object ExplainCheck {
     // Zipf: one group-partitioned window + one fold — no global sort
     audit("zipf_slope",
       mustNotContain = Seq("CartesianProduct", "Exchange SinglePartition"))
+    // round-10 function gates: all pure projections — zero Exchange
+    audit("f11_unescape", mustNotContain = Seq("Exchange"))
+    audit("f13_uniquify", mustNotContain = Seq("Exchange"))
+    audit("f19_geometry_promote", mustNotContain = Seq("Exchange"))
+    audit("p12_field_exclusion", mustNotContain = Seq("Exchange"))
+    audit("f2_epoch_clamp", mustNotContain = Seq("Exchange"))
+    audit("f24_key_path", mustNotContain = Seq("Exchange"))
+    // abTest: the variant min/max table is 1 row — must broadcast, and
+    // the user-keyed aggregate must be the only wide stage before it
+    audit("ab_test", mustContain = Seq("BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("SortMergeJoin"))
 
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression
