@@ -860,6 +860,13 @@ object SparkEntry {
         "text", "doc_id")
     }),
 
+    // ---- dedup: per-source duplication report — docs, distinct
+    //      normalized texts, dup rows/rate, largest dup group; the
+    //      where-does-duplication-live readout before any pairwise
+    //      pass (two hash aggregates, output = |sources| rows) ----
+    "dedup_report" -> ((s, dir) =>
+      Dedup.dedupReport(t(s, dir, "documents"), "text", "source")),
+
     // ---- dedup: MinHash + LSH near-dup pairs. Gate runs the PORTABLE
     //      md5 path (full oracle; different band geometry than
     //      dedup_minhash_oracle); the xxhash64 production path is
@@ -4664,6 +4671,18 @@ object SparkEntry {
         |    ORDER BY doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1""".stripMargin,
+    "dedup_report" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |    count(*) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_unique,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_rows,
+        |  round((sum(n) - count(*))::DOUBLE / sum(n), 6) AS dup_rate,
+        |  CAST(max(n) AS BIGINT) AS max_group
+        |FROM g GROUP BY 1""".stripMargin,
     "dedup_clusters" ->
       """WITH pairs AS (
         |  SELECT a.c_custkey AS id1, b.c_custkey AS id2

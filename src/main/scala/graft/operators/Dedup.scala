@@ -205,6 +205,30 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn", "_fp")
   }
 
+  /** DEDUPLICATION REPORT per group (source/shard/language): document
+    * count, distinct normalized-text count, duplicate rows, duplicate
+    * rate, and the largest duplicate-group size — the readout that
+    * tells an operator WHERE duplication lives (and whether a near-dup
+    * pass is even worth its cost) before anything pairwise runs.
+    *
+    * Scale shape: one fingerprint projection and two hash aggregates
+    * (both map-side combinable); output is group-cardinality-sized.
+    * No pairwise step, no window, nothing driver-side. */
+  def dedupReport(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol).as("_g"),
+        TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .groupBy(col("_g"), col("_fp")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_n")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("_n")) - count(lit(1))).as("n_dup_rows"),
+        round((sum(col("_n")) - count(lit(1))).cast("double") /
+          sum(col("_n")), 6).as("dup_rate"),
+        max(col("_n")).as("max_group"))
+      .select(col("_g").as(groupCol), col("n_docs"), col("n_unique"),
+        col("n_dup_rows"), col("dup_rate"), col("max_group"))
+
   /** Word n-gram shingles of the normalized text, as a deduped array. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.normalizedTokens(text)

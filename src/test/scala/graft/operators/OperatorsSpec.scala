@@ -34,6 +34,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("dedupReport: per-group docs/unique/dup-rate/max-group on known duplication") {
+    val df = Seq(
+      (1L, "a b c", "web"), (2L, "a b c", "web"), (3L, "A  b C!", "web"),
+      (4L, "x y z", "web"),
+      (5L, "p q", "books"), (6L, "r s", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupReport(df, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getDouble(4), r.getLong(5))).toMap
+    // web: 4 docs, 2 distinct (ids 1-3 normalize identically), 2 dup
+    // rows, rate 0.5, largest group 3; books: no duplication
+    assert(out("web") == ((4L, 2L, 2L, 0.5, 3L)))
+    assert(out("books") == ((2L, 2L, 0L, 0.0, 1L)))
+  }
+
   test("shingles: distinct word 3-grams; short text falls back to whole text") {
     val df = Seq("one two three four", "hi there").toDF("text")
     val sh = df.select(Dedup.shingles(col("text"), 3).as("sh"))
