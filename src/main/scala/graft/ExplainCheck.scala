@@ -439,6 +439,10 @@ object ExplainCheck {
     // the user-keyed aggregate must be the only wide stage before it
     audit("ab_test", mustContain = Seq("BroadcastNestedLoopJoin"),
       mustNotContain = Seq("SortMergeJoin"))
+    // whole-doc packing: per-class two-pass rank — the offsets join is
+    // a broadcast, and NOTHING may run as a single-partition window
+    audit("pack_whole_docs", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("Exchange SinglePartition", "SortMergeJoin"))
 
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression

@@ -2506,6 +2506,14 @@ object SparkEntry {
       TextAnalysis.packSequences(t(s, dir, "documents"), "text", "doc_id",
         ctxLen = 512)),
 
+    // ---- text: WHOLE-document bin packing (the SFT batching mode:
+    //      docs stay intact, unlike pack_sequences' concat-and-chunk) —
+    //      power-of-two length classes, per-class two-pass rank →
+    //      (bin, slot); bins never mix classes, never overflow ----
+    "pack_whole_docs" -> ((s, dir) =>
+      TextAnalysis.packWholeDocs(t(s, dir, "documents"), "text", "doc_id",
+        ctxLen = 512)),
+
     // ---- text: BPE merge training — 8 frequency-ranked merges over
     //      the corpus word table (greedy left-to-right merge semantics,
     //      engine-portable via the wrapped-marker encoding) ----
@@ -6777,6 +6785,29 @@ object SparkEntry {
         |  CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
         |       ELSE (cum - 1) // 512 END AS BIGINT) AS bin_last
         |FROM c""".stripMargin,
+    "pack_whole_docs" ->
+      """WITH tc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        | k AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 1 THEN 1 WHEN n_tokens <= 2 THEN 2
+        |         WHEN n_tokens <= 4 THEN 4 WHEN n_tokens <= 8 THEN 8
+        |         WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |         WHEN n_tokens <= 256 THEN 256 ELSE 512 END AS len_class
+        |  FROM tc WHERE n_tokens > 0 AND n_tokens <= 512),
+        | r AS (
+        |  SELECT doc_id, n_tokens, len_class,
+        |    row_number() OVER (PARTITION BY len_class ORDER BY doc_id) - 1 AS rk
+        |  FROM k)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len_class AS BIGINT) AS len_class,
+        |  CAST(rk // (512 // len_class) AS BIGINT) AS bin,
+        |  CAST(rk % (512 // len_class) AS BIGINT) AS slot
+        |FROM r""".stripMargin,
     "vocab_topk" ->
       """WITH toks AS (
         |  SELECT string_split(trim(regexp_replace(lower(text),

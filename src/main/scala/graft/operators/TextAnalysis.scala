@@ -816,6 +816,55 @@ object TextAnalysis {
     * two-pass scheme as [[Relational.globalRowNumber]]. Integer
     * window math uses `div` (all offsets non-negative, so truncating
     * and flooring division agree on every engine). */
+  /** WHOLE-DOCUMENT bin packing — the OTHER standard packing mode:
+    * SFT-style batching where documents must stay intact (no
+    * concat-and-chunk splitting; that mode is [[packSequences]]).
+    * Deterministic and provably within 2× of the optimal bin count:
+    * each document's token count rounds UP to its power-of-two LENGTH
+    * CLASS, every bin holds exactly `ctxLen / class` same-class
+    * documents (bins never mix classes, never overflow), and
+    * assignment is a per-class running rank — the bucketed-shelf
+    * approximation of first-fit-decreasing. True FFD's
+    * reset-on-overflow state is inherently sequential (not
+    * prefix-sum-decomposable), so it cannot run as a distributed
+    * window; the ≤2× waste bound is the price of scale, and the
+    * per-doc `slot`/`bin` output lets a dataloader pad only to the
+    * class width, not to ctxLen.
+    *
+    * Docs with n_tokens == 0 or > ctxLen are EXCLUDED (oversized docs
+    * belong to [[chunkDocuments]]/[[packSequences]]).
+    *
+    * Scale shape: one tokenCount projection, then ONE per-class global
+    * prefix via the shared two-pass scaffold
+    * ([[Relational.withStratumPrefix]]: range partition → parallel
+    * local windows → broadcast class×partition offsets). At most
+    * log2(ctxLen)+1 classes exist, so the offsets table is tiny and
+    * NOTHING runs as a single-partition window. Returns
+    * (id, n_tokens, len_class, bin, slot). */
+  def packWholeDocs(df: DataFrame, textCol: String, idCol: String,
+      ctxLen: Int = 512, numPartitions: Int = 0): DataFrame = {
+    require(ctxLen >= 1, "ctxLen must be positive")
+    val classes = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= ctxLen).toSeq
+    val cls = classes.tail
+      .foldLeft(when(col("n_tokens") <= classes.head, classes.head)) {
+        (acc, c) => acc.when(col("n_tokens") <= c, c)
+      }.otherwise(lit(ctxLen.toLong))
+    val tc = df
+      .select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .filter(col("n_tokens") > 0 && col("n_tokens") <= ctxLen)
+      .withColumn("len_class", cls)
+    Relational.withStratumPrefix(tc,
+        Relational.defaultParts(df, numPartitions),
+        Seq("len_class"), Seq(col(idCol)), "_local_rn")(
+        w => sum(lit(1L)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_rank", col("_offset") + col("_local_rn") - 1)
+      .withColumn("bin", expr(s"_rank div ($ctxLen div len_class)"))
+      .withColumn("slot", expr(s"_rank % ($ctxLen div len_class)"))
+      .select(col(idCol), col("n_tokens"), col("len_class"),
+        col("bin").cast("long").as("bin"), col("slot").cast("long").as("slot"))
+  }
+
   def packSequences(df: DataFrame, textCol: String, idCol: String,
       ctxLen: Int = 512, numPartitions: Int = 0): DataFrame = {
     val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))

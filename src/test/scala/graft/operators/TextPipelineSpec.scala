@@ -313,6 +313,41 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(one.toSeq == out.toSeq)
   }
 
+  test("packWholeDocs: pow2 classes, per-class (bin, slot), exclusions, bins never overflow") {
+    def words(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // ctxLen 8 → classes 1,2,4,8 with capacities 8,4,2,1
+    val docs = Seq(
+      (1L, "a"),            // 1 tok → class 1, rank 0 → bin 0 slot 0
+      (2L, "a b"),          // 2 → class 2, rank 0 → bin 0 slot 0
+      (3L, words(3, "x")),  // 3 → class 4, rank 0 → bin 0 slot 0
+      (4L, words(4, "y")),  // 4 → class 4, rank 1 → bin 0 slot 1
+      (5L, words(5, "z")),  // 5 → class 8, rank 0 → bin 0 slot 0
+      (6L, words(8, "w")),  // 8 → class 8, rank 1 → bin 1 slot 0
+      (7L, words(4, "v")),  // 4 → class 4, rank 2 → bin 1 slot 0
+      (8L, words(9, "u")),  // 9 > ctxLen → EXCLUDED
+      (9L, "   ")           // 0 tokens → EXCLUDED
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packWholeDocs(docs, "text", "doc_id", ctxLen = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("len_class"),
+        r.getAs[Long]("bin"), r.getAs[Long]("slot"))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 0L, 0L), (2L, 2L, 0L, 0L), (3L, 4L, 0L, 0L),
+      (4L, 4L, 0L, 1L), (5L, 8L, 0L, 0L), (6L, 8L, 1L, 0L),
+      (7L, 4L, 1L, 0L)))
+    // the no-overflow invariant: Σ class tokens per (class, bin) ≤ ctxLen
+    val fills = TextAnalysis.packWholeDocs(docs, "text", "doc_id", ctxLen = 8)
+      .groupBy("len_class", "bin").count().collect()
+      .map(r => r.getLong(0) * r.getLong(2))
+    assert(fills.forall(_ <= 8))
+    // partition-count independence of the per-class two-pass rank
+    val one = TextAnalysis.packWholeDocs(docs, "text", "doc_id",
+      ctxLen = 8, numPartitions = 1).orderBy("doc_id").collect()
+    val five = TextAnalysis.packWholeDocs(docs, "text", "doc_id",
+      ctxLen = 8, numPartitions = 5).orderBy("doc_id").collect()
+    assert(one.toSeq == five.toSeq)
+  }
+
   test("topVocabulary: count-desc with lexicographic tie-break, normalized") {
     val docs = Seq(
       (1L, "Apple banana apple! CHERRY banana apple"),
