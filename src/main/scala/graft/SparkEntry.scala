@@ -319,6 +319,15 @@ object SparkEntry {
         graft.streaming.EventStream.hourlyKmvDistinct(events, "user_id", 64)
       }),
 
+    // ---- T11 streaming duplication monitor — the NRT dedup_report:
+    //      per closed (hour, type), row count + KMV-estimated distinct
+    //      payload fingerprints → duplicate-rate estimate; O(k) state
+    //      per open window, payload-cardinality-independent ----
+    "t11_streaming_dup_rate" -> ((s, dir) =>
+      runStreamingGate(s, dir, "t11") { events =>
+        graft.streaming.EventStream.hourlyDupRate(events, "props", 64)
+      }),
+
     // ---- T10 streaming anomaly scoring: closed hourly windows
     //      z-scored against a batch stats table over the SAME emitted
     //      window set (t1's +2h cutoff) via a stream-static BROADCAST
@@ -6075,6 +6084,34 @@ object SparkEntry {
         |       ELSE (63e0 * 4503599627370496e0) / hk END AS est,
         |  CAST(kept AS INTEGER) AS kept
         |FROM a""".stripMargin,
+    // batch twin of the streaming dup-rate monitor: same closed-window
+    // rule as t6, KMV over the normalized-payload fingerprint
+    "t11_streaming_dup_rate" ->
+      """WITH base AS (
+        |  SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |    md5(trim(regexp_replace(lower(props), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM events WHERE props IS NOT NULL
+        |    AND date_trunc('hour', ts) + INTERVAL 2 HOUR
+        |      <= (SELECT date_trunc('microsecond', max(ts)) FROM events)),
+        | cnt AS (SELECT win_start, event_type, count(*) AS n
+        |   FROM base GROUP BY 1, 2),
+        | h AS (SELECT DISTINCT win_start, event_type,
+        |    CAST(concat('0x', substr(md5(fp), 1, 13)) AS UBIGINT) AS h
+        |  FROM base),
+        | r AS (SELECT win_start, event_type, h, row_number()
+        |    OVER (PARTITION BY win_start, event_type ORDER BY h) AS rn
+        |  FROM h),
+        | a AS (SELECT win_start, event_type,
+        |    max(CASE WHEN rn <= 64 THEN h END) AS hk,
+        |    sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS kept
+        |  FROM r GROUP BY 1, 2),
+        | e AS (SELECT a.win_start, a.event_type, cnt.n,
+        |    CASE WHEN kept < 64 THEN CAST(kept AS DOUBLE)
+        |         ELSE (63e0 * 4503599627370496e0) / hk END AS est_distinct
+        |  FROM a JOIN cnt USING (win_start, event_type))
+        |SELECT win_start, event_type, n, est_distinct,
+        |  round(greatest(0e0, 1e0 - est_distinct / n), 6) AS dup_rate_est
+        |FROM e""".stripMargin,
     // the streaming banded join emits one row per matching band — the
     // batch twin is the banded join WITHOUT distinct
     "t8_streaming_incremental" ->

@@ -73,6 +73,35 @@ object EventStream {
         col("_sk.est").as("est"), col("_sk.kept").as("kept"))
   }
 
+  /** Streaming DUPLICATION MONITOR — the NRT twin of
+    * [[graft.operators.Dedup.dedupReport]]: per closed (hour, group),
+    * row count + KMV-estimated distinct payload FINGERPRINTS
+    * (normalized-text md5, the batch dedup key) → estimated duplicate
+    * rate. State per open window is O(k) bottom-k hashes plus one
+    * counter — payload-cardinality-INDEPENDENT, which is what makes a
+    * dup-rate monitor viable on an unbounded stream (exact distinct
+    * state would grow with every novel payload until the watermark
+    * closes). KMV is deterministic (md5), so streaming = batch =
+    * oracle, and the estimate is exact whenever a window holds < k
+    * distinct payloads. */
+  def hourlyDupRate(events: DataFrame, valueCol: String, k: Int = 64,
+      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame = {
+    val fp = graft.operators.TextAnalysis.fingerprint(col(valueCol))
+    val sk = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.KmvSketchAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          graft.operators.Sketches.kmvHash(fp)), k)
+        .toAggregateExpression())
+    events.filter(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sk.as("_sk"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("_sk.est").as("est_distinct"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("_sk.est") / col("n")), 6).as("dup_rate_est"))
+  }
+
   /** Hourly Count-Min sketch as a STREAMING aggregation: because the
     * sketch is a relation ([[graft.operators.Sketches.cmsSketch]]),
     * its streaming twin is just a watermarked windowed count over
