@@ -108,13 +108,23 @@ object Bench {
     val retriedSet = firstPass.collect {
       case (name, _, times) if retryIters > 0 && isNoisy(times, name) => name
     }.toSet
+    // A retried gate's HEADLINE min comes from the retry burst ALONE —
+    // a clean re-measurement after the transient passed — not from the
+    // merged sample: min over iterations+retryIters samples would be
+    // systematically lower than the min-of-`iterations` every stable
+    // gate gets, quietly favoring exactly the gates that were retried
+    // (and feeding that bias into BENCH_REF's running minimum). Median/
+    // spread/noisy-flag still use the merged sample, which has the most
+    // information about instability.
     val merged = firstPass.map { case (name, fn, times) =>
-      val all = if (retriedSet(name)) (times ++ timeIters(fn, retryIters)).sorted
-                else times
-      (name, all)
+      if (retriedSet(name)) {
+        val burst = timeIters(fn, retryIters).sorted
+        (name, (times ++ burst).sorted, Some(burst))
+      } else (name, times, None)
     }
-    val results = merged.map { case (name, times) =>
-      (name, times(times.length / 2), times.last - times.head, times.head)
+    val results = merged.map { case (name, times, burst) =>
+      (name, times(times.length / 2), times.last - times.head,
+        burst.map(_.head).getOrElse(times.head))
     }
     // Headline acceptance numbers are BEST-of-iterations: the median is
     // environment-dominated on a co-tenant machine (round-8 verdict:
@@ -129,7 +139,7 @@ object Bench {
     val spreads = results.map { case (k, _, s, _) => s"\"" + k + "\":" + r4(s) }
       .mkString("{", ",", "}")
     val noisySet: Set[String] = merged.collect {
-      case (name, times) if isNoisy(times, name) => name
+      case (name, times, _) if isNoisy(times, name) => name
     }.toSet
     val noisy = results.collect { case (k, _, _, _) if noisySet(k) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")

@@ -42,11 +42,18 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
     }
 
+    // Offsets are always DERIVED from the data — a hardcoded 1e6 would
+    // silently collide copy ids at a larger SF and corrupt every
+    // pair-count conclusion downstream.
+    def maxIdOf(df: DataFrame, idCol: String): Long =
+      df.agg(max(col(idCol))).head().getLong(0) + 1
+
     def amplifyEvents(df: DataFrame, copies: Int): DataFrame = {
-      val maxId = df.agg(max(col("event_id"))).head().getLong(0) + 1
+      val maxId = maxIdOf(df, "event_id")
+      val maxUid = maxIdOf(df, "user_id")
       (0 until copies).map { c =>
         df.withColumn("event_id", col("event_id") + lit(c * maxId))
-          .withColumn("user_id", col("user_id") + lit(c * 1000000L))
+          .withColumn("user_id", col("user_id") + lit(c * maxUid))
       }.reduce(_ unionByName _)
     }
 
@@ -235,8 +242,9 @@ object ScaleProbe {
     // batch kNN: cost is queries × corpus scan work; the heap output
     // (partitions × queries × k rows) must not grow with the corpus
     val emb1 = Tables.load(spark, sfDir, "embeddings").cache(); emb1.count()
+    val maxVid = maxIdOf(emb1, "vec_id")
     val embN = (0 until n).map { c =>
-      emb1.withColumn("vec_id", col("vec_id") + lit(c * 1000000L))
+      emb1.withColumn("vec_id", col("vec_id") + lit(c * maxVid))
     }.reduce(_ unionByName _).cache(); embN.count()
     val knnQs = emb1.orderBy("vec_id").limit(8)
       .select(col("vec_id"), col("embedding")).collect()
@@ -542,7 +550,7 @@ object ScaleProbe {
         0.8).count())
     def mutateEmb(df: DataFrame, copies: Int): DataFrame =
       (0 until copies).map { c =>
-        df.withColumn("vec_id", col("vec_id") + lit(c * 1000000L))
+        df.withColumn("vec_id", col("vec_id") + lit(c * maxVid))
           .withColumn("embedding", expr(
             "transform(embedding, (x, i) -> " +
             "CAST(x + 7.0 * (pmod(hash(vec_id, i), 1000) / 500.0 - 1.0) AS FLOAT))"))
@@ -567,9 +575,12 @@ object ScaleProbe {
 
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
-    val dupN = (0 until n).map { c =>
-      docs1.withColumn("doc_id", col("doc_id") + lit(c * 1000000L))
-    }.reduce(_ unionByName _).cache()
+    val dupN = {
+      val maxDid = maxIdOf(docs1, "doc_id")
+      (0 until n).map { c =>
+        docs1.withColumn("doc_id", col("doc_id") + lit(c * maxDid))
+      }.reduce(_ unionByName _).cache()
+    }
     dupN.count()
     val tDup = time(graft.operators.Dedup.minhashLshPairs(
       dupN, "text", "doc_id").count())

@@ -341,12 +341,17 @@ object EventAnalytics {
       .agg(count(lit(1)).as("_n"), sum(col("_conv")).as("_x"))
     // variant identities come from the (#variants)-row aggregate; the
     // assert_true rides in a filter so the optimizer cannot prune it
+    // count_distinct skips NULLs, so a NULL variant group must be
+    // counted separately or {null,'A','B'} would pass the ≠2 guard and
+    // silently drop the null-assigned users from both sides
     val mm = byv.agg(count_distinct(col("_v")).as("_nv"),
+      max(col("_v").isNull.cast("int")).as("_hasnull"),
       min(col("_v")).as("_v0"), max(col("_v")).as("_v1"))
     val flat = byv.crossJoin(broadcast(mm))
-      .filter(assert_true(col("_nv") === 2,
-        concat(lit("abTest: expected exactly 2 variant values, found "),
-          col("_nv"))).isNull)
+      .filter(assert_true(col("_nv") === 2 && col("_hasnull") === 0,
+        concat(lit("abTest: expected exactly 2 non-null variant values, found "),
+          col("_nv"), when(col("_hasnull") === 1,
+            lit(" plus a NULL variant group")).otherwise(lit("")))).isNull)
       .groupBy(col("_v0").as("variant0"), col("_v1").as("variant1"))
       .agg(
         sum(when(col("_v") === col("_v0"), col("_n"))).as("n0"),

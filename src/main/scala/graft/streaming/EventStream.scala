@@ -85,7 +85,8 @@ object EventStream {
     * oracle, and the estimate is exact whenever a window holds < k
     * distinct payloads. */
   def hourlyDupRate(events: DataFrame, valueCol: String, k: Int = 64,
-      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame = {
+      tsCol: String = "ts", watermarkDelay: String = "1 hour",
+      groupCol: String = "event_type"): DataFrame = {
     val fp = graft.operators.TextAnalysis.fingerprint(col(valueCol))
     val sk = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.KmvSketchAgg(
@@ -94,9 +95,9 @@ object EventStream {
         .toAggregateExpression())
     events.filter(col(valueCol).isNotNull)
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .groupBy(window(col(tsCol), "1 hour"), col(groupCol))
       .agg(count(lit(1)).as("n"), sk.as("_sk"))
-      .select(col("window.start").as("win_start"), col("event_type"),
+      .select(col("window.start").as("win_start"), col(groupCol),
         col("n"), col("_sk.est").as("est_distinct"),
         round(greatest(lit(0.0),
           lit(1.0) - col("_sk.est") / col("n")), 6).as("dup_rate_est"))

@@ -322,7 +322,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("expected exactly 2 variant values")))
+    assert(msgs(e).exists(_.contains("expected exactly 2 non-null variant values")))
+  }
+
+  test("ab test: NULL variant group fails loudly, not silently dropped") {
+    // {null, A, B} has count_distinct = 2, so a naive guard passes and
+    // quietly excludes null-assigned users from both sides — the guard
+    // must count the null group too
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view", "A"),
+      (2L, ts("2024-01-01 00:00:00"), "view", "B"),
+      (3L, ts("2024-01-01 00:00:00"), "view", null)
+    ).toDF("user_id", "ts", "event_type", "variant")
+    val e = intercept[Exception] {
+      EventAnalytics.abTest(ev, "user_id", "variant",
+        "event_type", "purchase").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL variant group")))
   }
 
   test("funnel latency: mean seconds from step 1 per completed step") {

@@ -69,4 +69,17 @@ print(f"improved {len(improved)}: {improved}")
 if held:
     print(f"HELD {len(held)} (>40% drop — re-run controlled and use "
           f"--replace if real): {held}")
+    # Persist held gates to a sidecar so the "re-run controlled and
+    # --replace" follow-up survives the terminal session instead of
+    # dying with the scrollback. Append-only, one record per merge.
+    import datetime
+    with open("BENCH_REF_HELD.jsonl", "a") as f:
+        f.write(json.dumps({
+            "when": datetime.datetime.now(datetime.timezone.utc)
+                .strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "source": bench_path,
+            "held": [{"gate": k, "ref": o, "observed": v}
+                     for k, o, v in held],
+        }) + "\n")
+    print("held gates appended to BENCH_REF_HELD.jsonl")
 print(f"now {len(old)} gates, total {ref['total']}")
