@@ -464,6 +464,14 @@ object ExplainCheck {
         erddap.filter(col("time") >= lit("2024-06-02 00:00:00").cast("timestamp"))
           .agg(count(lit(1)).as("n")),
         mustContain = Nil, mustNotContain = Seq("erddap-agg"))
+      // NRT lifecycle window read: the 7-day moving window must compile
+      // INTO the erddap scan (URL pushdown), not run as a post-scan
+      // filter over a full fetch — the scan description prints the
+      // pushed range as time=[lo,hi]
+      auditDf("nrt_window_pushdown",
+        graft.streaming.Nrt.movingWindow(erddap, "time",
+          java.sql.Timestamp.valueOf("2024-06-04 00:00:00"), 7),
+        mustContain = Seq("erddap", "time=["), mustNotContain = Nil)
     }
 
     if (failures.nonEmpty) {

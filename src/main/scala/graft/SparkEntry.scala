@@ -2051,6 +2051,15 @@ object SparkEntry {
           countDistinct(col("doc_id")).as("n_docs"))
     }),
 
+    // ---- §3.2 END-TO-END NRT lifecycle (the reference's flagship
+    //      scheduled path, core.py:806-880 + OverwriteFS.py:2137-2369):
+    //      control table → due plan → 7-day window read through the
+    //      ERDDAP DSv2 source → fingerprint unchanged-skip → blue-green
+    //      slot overwrite → touch rows. Fixture = events sliced into one
+    //      tabledap dataset per event_type; the oracle replays the
+    //      due/changed rules and window counts from events.parquet ----
+    "pipeline_nrt" -> ((s, dir) => graft.streaming.NrtPipeline.run(s, dir)),
+
     // ---- graph: damped PageRank over a deterministic link graph
     //      (doc i → (3i+1, 5i+2, 7i+3) mod N) — 5 fixed power-iteration
     //      rounds, lineage checkpoint-truncated per round; the oracle
@@ -6226,6 +6235,34 @@ object SparkEntry {
         |SELECT domain, count(*) AS n_links,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM l GROUP BY domain""".stripMargin,
+    // NRT lifecycle replay: datasets = event_types ranked alphabetically;
+    // rank 1 not due (source mtime unchanged), even ranks due+changed
+    // (stale stored fingerprint → overwrite of the window count), odd
+    // ranks > 1 due+unchanged (no-op, touched only). now = the truncated
+    // max event time; the 7-day window is closed on both ends at second
+    // granularity (the ERDDAP URL grammar the connector compiles to)
+    "pipeline_nrt" ->
+      """WITH nw AS (SELECT date_trunc('second', max(ts)) AS now FROM events),
+        |ds AS (SELECT event_type,
+        |         row_number() OVER (ORDER BY event_type) AS r
+        |       FROM (SELECT DISTINCT event_type FROM events)),
+        |win AS (SELECT e.event_type, count(*) AS n
+        |        FROM events e, nw
+        |        WHERE date_trunc('second', e.ts) >= nw.now - INTERVAL 7 DAY
+        |          AND date_trunc('second', e.ts) <= nw.now
+        |        GROUP BY e.event_type)
+        |SELECT 'ds_' || ds.event_type AS dataset_id,
+        |       ds.r > 1 AS was_due,
+        |       (ds.r > 1 AND ds.r % 2 = 0) AS changed,
+        |       CASE WHEN ds.r > 1 AND ds.r % 2 = 0
+        |            THEN CAST(coalesce(win.n, 0) AS BIGINT)
+        |            ELSE CAST(-1 AS BIGINT) END AS rows_written,
+        |       CASE WHEN ds.r > 1 AND ds.r % 2 = 0 THEN 'b'
+        |            ELSE 'a' END AS slot_after,
+        |       CASE WHEN ds.r > 1 THEN nw.now
+        |            ELSE nw.now - INTERVAL 1 DAY END AS refreshed_at_s
+        |FROM ds LEFT JOIN win ON ds.event_type = win.event_type
+        |CROSS JOIN nw""".stripMargin,
     // the same 5 power-iteration rounds unrolled; (1 - 0.85)/n is kept
     // as the literal two-op form so both engines compute the identical
     // IEEE double, and ranks round to 9 decimals (values ~2e-3, cross-
