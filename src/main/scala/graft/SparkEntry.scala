@@ -2821,8 +2821,16 @@ object SparkEntry {
           col("n_chars")),
         "source", "doc_id", "n_chars")),
 
-    // ---- text: distinct-2 n-gram diversity per source ----
+    // ---- text: distinct-2 n-gram diversity per source (exact) ----
     "distinct_ngrams" -> ((s, dir) =>
+      TextAnalysis.distinctNgrams(t(s, dir, "documents"), "source",
+        "text", n = 2, exact = true)),
+
+    // ---- text: the same diversity signal through the DEFAULT KMV
+    //      sketch path — per-group state is 256 longs instead of a
+    //      gram-cardinality shuffle; deterministic, so the ESTIMATE
+    //      is hash-matched by the oracle ----
+    "distinct_ngrams_kmv" -> ((s, dir) =>
       TextAnalysis.distinctNgrams(t(s, dir, "documents"), "source",
         "text", n = 2)),
 
@@ -6950,6 +6958,36 @@ object SparkEntry {
         |  round(count(DISTINCT gram)::DOUBLE / count(*), 6)
         |    AS distinct_ratio
         |FROM grams WHERE gram <> '' GROUP BY 1""".stripMargin,
+    // same gram stream through the KMV bottom-k replay (the kmv_distinct
+    // rank trick): distinct 52-bit hashes per group, rank by hash, est =
+    // (k-1)*2^52/h_k past k — deterministic, so est hash-matches
+    "distinct_ngrams_kmv" ->
+      """WITH toks AS (
+        |  SELECT source AS g, string_split(trim(regexp_replace(
+        |    lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        | grams AS (
+        |  SELECT g, unnest(list_transform(
+        |    range(0, greatest(len(t) - 1, 0)),
+        |    i -> array_to_string(t[i+1:i+2], ' '))) AS gram
+        |  FROM toks),
+        | tot AS (SELECT g, count(*) AS total FROM grams
+        |   WHERE gram <> '' GROUP BY 1),
+        | h AS (SELECT DISTINCT g,
+        |    CAST(concat('0x', substr(md5(gram), 1, 13)) AS UBIGINT) AS h
+        |  FROM grams WHERE gram <> ''),
+        | r AS (SELECT g, h,
+        |    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+        | a AS (SELECT g, max(CASE WHEN rn <= 256 THEN h END) AS hk,
+        |    sum(CASE WHEN rn <= 256 THEN 1 ELSE 0 END) AS kept
+        |  FROM r GROUP BY g)
+        |SELECT a.g AS source, tot.total AS total_ngrams,
+        |  CASE WHEN kept < 256 THEN CAST(kept AS DOUBLE)
+        |       ELSE (255e0 * 4503599627370496e0) / hk END AS distinct_est,
+        |  round((CASE WHEN kept < 256 THEN CAST(kept AS DOUBLE)
+        |       ELSE (255e0 * 4503599627370496e0) / hk END) / tot.total, 6)
+        |    AS distinct_ratio
+        |FROM a JOIN tot ON a.g = tot.g""".stripMargin,
     "pmi_pairs" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         | dt AS (

@@ -1355,26 +1355,51 @@ object TextAnalysis {
   /** DISTINCT-N DIVERSITY (Li et al. 2016, "A Diversity-Promoting
     * Objective" — public): distinct n-grams over total n-grams per
     * group, the standard templated/generated-text collapse signal
-    * (distinct-2 near 0 = the corpus keeps repeating itself). Exact
-    * integer counts; one explode + two aggregates. */
+    * (distinct-2 near 0 = the corpus keeps repeating itself).
+    *
+    * DEFAULT = KMV-SKETCHED distinct count (the [[quantileFilter]]
+    * convention: approximate-by-default, exact opt-in). The exact
+    * variant's `countDistinct` shuffles every (group, gram) pair — at
+    * corpus scale that is a gram-cardinality-sized exchange for a
+    * DIVERSITY SIGNAL that tolerates ±1/√k relative error. The sketch
+    * path keeps the same single explode + one hash aggregate but
+    * shuffles ≤ k longs per group per mapper
+    * ([[graft.functions.KmvSketchAgg]]), is exact below k distinct
+    * grams, and — md5-based — stays deterministic, so the estimate
+    * itself hash-matches the DuckDB oracle. Sketch output column is
+    * `distinct_est` (double); `exact = true` restores the integer
+    * `distinct_ngrams` schema. */
   def distinctNgrams(df: DataFrame, groupCol: String, textCol: String,
-      n: Int = 2): DataFrame = {
+      n: Int = 2, exact: Boolean = false, k: Int = 256): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val toks = normalizedTokens(col(textCol))
-    val gramArr = when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array())
+    // gram generation is a native JIT'd expression — the interpreted
+    // transform+slice+concat_ws pipeline it replaces was 94% of this
+    // operator's wall time (4.3 s of 4.6 s at sf0.1)
     val grams = df.select(col(groupCol).as("_g"),
-        explode(gramArr).as("_gram"))
+        explode(graft.functions.NgramStrings.ngram_strings(
+          col(textCol), n)).as("_gram"))
       .filter(col("_gram") =!= "")
-    grams.groupBy(col("_g"))
-      .agg(count(lit(1)).as("total_ngrams"),
-        countDistinct(col("_gram")).as("distinct_ngrams"))
-      .select(col("_g").as(groupCol), col("total_ngrams"),
-        col("distinct_ngrams"),
-        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
-          .as("distinct_ratio"))
+    if (exact)
+      grams.groupBy(col("_g"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("_gram")).as("distinct_ngrams"))
+        .select(col("_g").as(groupCol), col("total_ngrams"),
+          col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+            .as("distinct_ratio"))
+    else {
+      val sk = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.KmvSketchAgg(
+          org.apache.spark.sql.GraftSqlBridge.expression(
+            Sketches.kmvHash(col("_gram"))), k)
+          .toAggregateExpression())
+      grams.groupBy(col("_g"))
+        .agg(count(lit(1)).as("total_ngrams"), sk.as("_sk"))
+        .select(col("_g").as(groupCol), col("total_ngrams"),
+          col("_sk.est").as("distinct_est"),
+          round(col("_sk.est") / col("total_ngrams"), 6)
+            .as("distinct_ratio"))
+    }
   }
 
   /** LEXICAL RICHNESS per group: token count, type count, type-token

@@ -55,11 +55,40 @@ class CorpusStatsSpec extends AnyFunSuite {
       ("fresh", "alpha beta gamma delta"),       // 3 distinct bigrams
       ("loop", "spam spam spam spam spam")       // 4 bigrams, 1 distinct
     ).toDF("source", "text")
-    val out = TextAnalysis.distinctNgrams(docs, "source", "text", n = 2)
+    val out = TextAnalysis.distinctNgrams(docs, "source", "text", n = 2,
+        exact = true)
       .as[(String, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(out("fresh") == ((3L, 3L, 1.0)))
     assert(out("loop") == ((4L, 1L, 0.25)))
+  }
+
+  test("distinct ngrams: default KMV sketch is exact below k and " +
+      "within 3/sqrt(k) relative error above it") {
+    // below k distinct grams the bottom-k set IS the distinct set —
+    // the sketch answer must equal the exact one
+    val small = Seq(
+      ("fresh", "alpha beta gamma delta"),
+      ("loop", "spam spam spam spam spam")
+    ).toDF("source", "text")
+    val sk = TextAnalysis.distinctNgrams(small, "source", "text", n = 2)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(sk("fresh") == ((3L, 3.0, 1.0)))
+    assert(sk("loop") == ((4L, 1.0, 0.25)))
+    // above k: ~2000 distinct bigrams against k=64 — the estimate must
+    // land within 3/sqrt(k-2) ≈ 38% (Bar-Yossef et al. give
+    // 1/sqrt(k-2) standard error; 3 sigma bounds a deterministic hash)
+    val big = (0 until 2000).map(i => ("big", s"tok$i tok${i + 1}"))
+      .toDF("source", "text")
+    val est = TextAnalysis.distinctNgrams(big, "source", "text", n = 2,
+        k = 64)
+      .as[(String, Long, Double, Double)].collect().head
+    val exact = TextAnalysis.distinctNgrams(big, "source", "text", n = 2,
+        exact = true)
+      .as[(String, Long, Long, Double)].collect().head._3
+    assert(math.abs(est._3 - exact) / exact <= 3.0 / math.sqrt(62.0),
+      s"est ${est._3} vs exact $exact")
   }
 
   test("lexical richness: TTR and hapax share from exact counts") {
