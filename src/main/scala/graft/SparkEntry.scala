@@ -815,6 +815,38 @@ object SparkEntry {
             col("lang").as("noise")).as("b")).as("a"))
         .select(col("doc_id"), col("a.b.c").as("leaf"))),
 
+    // ---- F21 value-content type detection (Json2GeoJSON.py:711-750),
+    //      faithful to the reference's dead time/datetime branches:
+    //      eight (name, value) probes per event covering integer,
+    //      name-promoted date, float, text, dash-date, and the
+    //      colon-means-text case. Raw value strings stay OUT of the
+    //      output (double rendering differs across engines; the
+    //      CLASSIFICATION doesn't) ----
+    "f21_detect_type" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pairs = ev.select(col("event_id"), explode(map(
+        lit("event_id"), col("event_id").cast("string"),
+        lit("created"), col("event_id").cast("string"),
+        lit("value"), col("value").cast("string"),
+        lit("kind"), col("event_type"),
+        lit("day"), date_format(col("ts"), "yyyy-MM-dd"),
+        lit("stamp"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        lit("slug"), concat(col("event_type"), lit("-"),
+          col("event_id").cast("string")),
+        lit("ratio"), concat(col("event_id").cast("string"), lit(".5")))))
+        .toDF("event_id", "field_name", "val")
+      pairs.select(col("event_id"), col("field_name"),
+        graft.operators.Converters.detectType(col("field_name"), col("val"))
+          .as("detected"))
+    }),
+
+    // ---- F22 publication-date short-circuit: per-dataset JSON docs
+    //      (tag + nesting varies by rank, one doc carries two tags to
+    //      exercise priority) through the REAL publicationDate reader;
+    //      verdict = stamp newer than the stored watermark ----
+    "f22_publication_gate" -> ((s, dir) =>
+      graft.sources.FeatureCollection.publicationGate(s, dir)),
+
     // ---- F13 flat-name uniquification (plan-time, via Flatten): the
     //      struct leaf a.b collides with the top-level a_b and lands
     //      as a_b2; array leaves re-serialize as JSON ----
@@ -4669,6 +4701,64 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "f24_key_path" ->
       "SELECT doc_id, upper(source) AS leaf FROM documents",
+    // the reference's classifier replayed rule-for-rule: int probe
+    // first (name promotes to date), float grammar second, slash/dash
+    // all-digits date third; anything with a colon lands in 'text'
+    // (the upstream time/datetime branches are dead code — see
+    // Converters.detectType)
+    "f21_detect_type" ->
+      """WITH pairs AS (
+        |  SELECT event_id, 'event_id' AS field_name,
+        |    CAST(event_id AS VARCHAR) AS val FROM events
+        |  UNION ALL SELECT event_id, 'created', CAST(event_id AS VARCHAR)
+        |    FROM events
+        |  UNION ALL SELECT event_id, 'value', CAST(value AS VARCHAR)
+        |    FROM events
+        |  UNION ALL SELECT event_id, 'kind', event_type FROM events
+        |  UNION ALL SELECT event_id, 'day', strftime(ts, '%Y-%m-%d')
+        |    FROM events
+        |  UNION ALL SELECT event_id, 'stamp',
+        |    strftime(ts, '%Y-%m-%d %H:%M:%S') FROM events
+        |  UNION ALL SELECT event_id, 'slug',
+        |    event_type || '-' || CAST(event_id AS VARCHAR) FROM events
+        |  UNION ALL SELECT event_id, 'ratio',
+        |    CAST(event_id AS VARCHAR) || '.5' FROM events)
+        |SELECT event_id, field_name,
+        |  CASE
+        |    WHEN val IS NULL THEN 'text'
+        |    WHEN regexp_matches(val, '^[+-]?[0-9]+$') THEN
+        |      CASE WHEN lower(field_name) LIKE '%date%'
+        |        OR lower(field_name) LIKE '%time%'
+        |        OR lower(field_name) LIKE '%updated%'
+        |        OR lower(field_name) LIKE '%created%'
+        |        OR lower(field_name) LIKE '%modified%'
+        |        OR lower(field_name) LIKE '%start%'
+        |        OR lower(field_name) LIKE '%end%'
+        |        THEN 'date' ELSE 'integer' END
+        |    WHEN regexp_matches(val,
+        |      '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |      THEN 'float'
+        |    WHEN (contains(val, '/') OR contains(val, '-'))
+        |      AND regexp_matches(replace(replace(val, '/', ''), '-', ''),
+        |        '^[0-9]+$') THEN 'date'
+        |    ELSE 'text' END AS detected
+        |FROM pairs""".stripMargin,
+    // tag priority + nesting + newer-than verdict replayed from the
+    // rank rules the fixture writer uses
+    "f22_publication_gate" ->
+      """WITH mx AS (SELECT event_type,
+        |    strftime(date_trunc('second', max(ts)),
+        |      '%Y-%m-%d %H:%M:%S') AS pub
+        |  FROM events GROUP BY 1),
+        | ds AS (SELECT event_type, pub,
+        |    row_number() OVER (ORDER BY event_type) AS r FROM mx)
+        |SELECT 'ds_' || event_type AS dataset_id,
+        |  CASE r WHEN 1 THEN 'lastBuildDate' WHEN 2 THEN 'pubDate'
+        |         WHEN 3 THEN 'published' WHEN 4 THEN 'generated'
+        |         ELSE 'pubDate' END AS tag_used,
+        |  pub AS pub_date,
+        |  (r % 2 = 1) AS refresh
+        |FROM ds""".stripMargin,
     "f11_unescape" ->
       """SELECT doc_id,
         |  replace(replace(replace(replace(

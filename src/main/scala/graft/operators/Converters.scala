@@ -71,6 +71,42 @@ object Converters {
   def applyOpt(df: DataFrame, name: Option[String]): DataFrame =
     name.map(resolve(_)(df)).getOrElse(df)
 
+  /** F21 — value-content field-type detection
+    * (`Json2GeoJSON.py:711-750`): classify a field's string value as
+    * 'integer' / 'float' / 'date' / 'text', with the element NAME
+    * promoting integral epoch-looking values to 'date' when it
+    * contains a date-ish word. Faithful to the reference INCLUDING its
+    * dead branches: the time (`:`) and datetime rules call a
+    * nonexistent `str.isDigit`, so any value reaching them raises and
+    * falls through to 'text' — only the slash/dash all-digits rule
+    * ever yields 'date' for non-integers (ISO datetimes with a time
+    * part are therefore 'text', as upstream actually behaves).
+    * Numeric grammars are the common ASCII decimal/scientific forms
+    * (Python's `int()`/`float()` extras — underscores, inf/nan,
+    * surrounding whitespace — don't occur in field data and are not
+    * modeled). Pure codegen'd when/rlike chain, null value → 'text'
+    * (upstream: every probe raises on None). */
+  def detectType(name: org.apache.spark.sql.Column,
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val dateWords = Seq("date", "time", "updated", "created", "modified",
+      "start", "end")
+    val nameIsDateish = dateWords
+      .map(w => lower(name).contains(w))
+      .reduce(_ || _)
+    val isInt = value.rlike("^[+-]?[0-9]+$")
+    val isFloat =
+      value.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+    val slashDashDate = (value.contains("/") || value.contains("-")) &&
+      regexp_replace(regexp_replace(value, "/", ""), "-", "")
+        .rlike("^[0-9]+$")
+    when(value.isNull, lit("text"))
+      .when(isInt, when(nameIsDateish, lit("date")).otherwise(lit("integer")))
+      .when(isFloat, lit("float"))
+      .when(slashDashDate, lit("date"))
+      .otherwise(lit("text"))
+  }
+
   // Built-ins mirroring the reference's shipped converters.
   register("json2geojson", df => Flatten.flatten(df))
   register("identity", df => df)
