@@ -548,6 +548,16 @@ object ScaleProbe {
         0.8).count(),
       graft.operators.Dedup.jaccardPrefixJoin(mdocsN, "text", "doc_id",
         0.8).count())
+    // fuzzy decontam on MUTATED copies: the plain family's copies are
+    // near-identical texts, so their minhash signatures band-collide
+    // and candidates grow with copies² (Levenshtein then rightly
+    // rejects them — output stays flat but TIME measures the verify
+    // mass, 11.9× at N=16). Salting every 6th word per copy changes
+    // the shingle sets, so banding yields corpus-proportional
+    // candidates and the ratio measures the PLAN. The md5 suffix
+    // (fuzzRun's fuzzDocs) still pushes surviving near-pairs past
+    // maxDist, keeping output flat here too.
+    probe("fuzzy_decontam_mutated", fuzzRun(mdocs1), fuzzRun(mdocsN))
     def mutateEmb(df: DataFrame, copies: Int): DataFrame =
       (0 until copies).map { c =>
         df.withColumn("vec_id", col("vec_id") + lit(c * maxVid))
