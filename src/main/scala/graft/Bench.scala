@@ -151,24 +151,58 @@ object Bench {
     // load story against the reference's serial per-dataset loop. Its
     // line prints BEFORE the total line (driver contract: medians last).
     sys.env.get("SPARK_GRAFT_THROUGHPUT").map(_.toInt).filter(_ > 0).foreach { rounds =>
-      val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      val t0 = System.nanoTime()
-      var n = 0
-      val failed = collection.mutable.Map.empty[String, Int]
-      (1 to rounds).foreach { _ =>
-        names.foreach { case (name, fn) =>
-          // NonFatal only — an OOM/fatal error must abort the run, not
-          // silently depress the metric; per-query failures are counted
-          // into the artifact so a degraded number explains itself
-          try { fn(spark, sfDir).count(); n += 1 }
-          catch { case scala.util.control.NonFatal(_) =>
-            failed(name) = failed.getOrElse(name, 0) + 1 }
+      def runSet(names: Seq[(String, (SparkSession, String) =>
+          org.apache.spark.sql.DataFrame)], metric: String): Unit = {
+        val t0 = System.nanoTime()
+        var n = 0
+        val failed = collection.mutable.Map.empty[String, Int]
+        (1 to rounds).foreach { _ =>
+          names.foreach { case (name, fn) =>
+            // NonFatal only — an OOM/fatal error must abort the run, not
+            // silently depress the metric; per-query failures are counted
+            // into the artifact so a degraded number explains itself
+            try { fn(spark, sfDir).count(); n += 1 }
+            catch { case scala.util.control.NonFatal(_) =>
+              failed(name) = failed.getOrElse(name, 0) + 1 }
+          }
         }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val failedJson = failed.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+        println(s"""{"metric":"$metric","value":${r4(n / wall)},"unit":"queries/sec","queries_run":$n,"failed":$failedJson,"rounds":$rounds,"wall_sec":${r4(wall)},"sf":"$sfDir"}""")
       }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val failedJson = failed.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""{"metric":"throughput","value":${r4(n / wall)},"unit":"queries/sec","queries_run":$n,"failed":$failedJson,"rounds":$rounds,"wall_sec":${r4(wall)},"sf":"$sfDir"}""")
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      runSet(all, "throughput")
+      // FROZEN round-over-round comparability subset — the full-set
+      // number shifts every round as the gate mix grows (r9 2.03 →
+      // r10 1.45 q/s was mix shift, not drift), so regressions are
+      // invisible in it. This 50-gate list was frozen at round 11 and
+      // MUST NOT be edited: comparability across rounds is its whole
+      // point. Names missing at runtime are skipped loudly (counted in
+      // "missing") rather than silently shrinking the denominator.
+      val frozen = Seq(
+        "a1_time_extent", "anchor_texts", "ann_ivf_topk", "ann_pq_topk",
+        "attribution_last_click", "bm25_topk", "bpe_token_ids",
+        "chunk_documents", "corpus_report", "decontam_fuzzy",
+        "dedup_embedding_clusters", "dedup_keep_best",
+        "dedup_minhash_oracle", "dedup_spans", "domain_cap",
+        "e3_union_chunks", "f10_numeric_prefix", "f14_json_flatten",
+        "f1_decode_datetime", "f2_epoch_clamp", "f6_extraction",
+        "f8_truncate_pad", "funnel_users", "heavy_hitters",
+        "j10_bloom_semi", "j4_semi_join", "j9_range_join", "kmv_distinct",
+        "labelprop_stable", "mix_temperature", "mm_audio_g711",
+        "mm_decode_image", "mm_image_dhash", "mm_image_resize",
+        "mm_mjpeg_sample", "mm_png_palette", "mm_router", "mm_video_stats",
+        "o4_latest", "p8_null_prune", "pack_windows", "pca_covariance",
+        "q1_agg", "reciprocity_links", "robots_sitemaps", "s2_catalog_scan",
+        "s8_griddap_scan_int16", "sample_token_budget", "session_paths",
+        "span_corrupt")
+      val frozenPresent = all.filter { case (nm, _) => frozen.contains(nm) }
+      val missing = frozen.filterNot(frozenPresent.map(_._1).toSet)
+      if (missing.nonEmpty)
+        println(s"""{"metric":"throughput_frozen_missing","missing":${
+          missing.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+      runSet(frozenPresent, "throughput_frozen")
     }
     // Pure-projection gates are under-measured by `.count()`: Catalyst
     // prunes columns the aggregate never reads, so a decode expression

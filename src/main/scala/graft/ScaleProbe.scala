@@ -70,7 +70,13 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val failures = collection.mutable.ListBuffer.empty[String]
+    // comma-separated family filter for single-family re-probes
+    // (investigations after a fix) — full sweep when unset. Skipped
+    // families return 0 so downstream ratio plumbing stays inert.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     def probe(name: String, one: => Long, many: => Long): Double = {
+      if (!only.forall(_.contains(name))) return 0.0
       one // warm
       val t1 = time(one)
       val tn = time(many)
@@ -585,29 +591,36 @@ object ScaleProbe {
 
     // duplicate-heavy corpus: every copy IS a duplicate — the skew cap
     // must keep the band join bounded instead of B²-exploding
-    val dupN = {
-      val maxDid = maxIdOf(docs1, "doc_id")
-      (0 until n).map { c =>
-        docs1.withColumn("doc_id", col("doc_id") + lit(c * maxDid))
-      }.reduce(_ unionByName _).cache()
+    if (only.forall(s => s.contains("minhash_on_duplicates") ||
+        s.contains("portable_on_duplicates"))) {
+      val dupN = {
+        val maxDid = maxIdOf(docs1, "doc_id")
+        (0 until n).map { c =>
+          docs1.withColumn("doc_id", col("doc_id") + lit(c * maxDid))
+        }.reduce(_ unionByName _).cache()
+      }
+      dupN.count()
+      if (only.forall(_.contains("minhash_on_duplicates"))) {
+        val tDup = time(graft.operators.Dedup.minhashLshPairs(
+          dupN, "text", "doc_id").count())
+        val dupRatio = tDup / math.max(tMinhash1, 0.3)
+        val dupVerdict = if (dupRatio <= budget) "ok" else "FAIL"
+        println(f"[probe] minhash_on_${n}x_duplicates    ${tDup}%6.2fs  ratio=${dupRatio}%5.1f (budget <= ${budget}%.0f, cap-bounded) $dupVerdict")
+        if (dupRatio > budget)
+          failures += f"minhash_on_duplicates: ratio $dupRatio%.1f exceeds budget $budget%.1f — is the skew cap off?"
+      }
+      // same duplicates corpus through the PORTABLE path — its default
+      // cap (1000, round-5 change) must bound the band join identically
+      if (only.forall(_.contains("portable_on_duplicates"))) {
+        val tDupP = time(graft.operators.Dedup.minhashLshPairsPortable(
+          dupN, "text", "doc_id").count())
+        val dupPRatio = tDupP / math.max(tPortable1, 0.3)
+        val dupPVerdict = if (dupPRatio <= budget) "ok" else "FAIL"
+        println(f"[probe] portable_on_${n}x_duplicates   ${tDupP}%6.2fs  ratio=${dupPRatio}%5.1f (budget <= ${budget}%.0f, cap-bounded) $dupPVerdict")
+        if (dupPRatio > budget)
+          failures += f"portable_on_duplicates: ratio $dupPRatio%.1f exceeds budget $budget%.1f — is the portable skew cap off?"
+      }
     }
-    dupN.count()
-    val tDup = time(graft.operators.Dedup.minhashLshPairs(
-      dupN, "text", "doc_id").count())
-    val dupRatio = tDup / math.max(tMinhash1, 0.3)
-    val dupVerdict = if (dupRatio <= budget) "ok" else "FAIL"
-    println(f"[probe] minhash_on_${n}x_duplicates    ${tDup}%6.2fs  ratio=${dupRatio}%5.1f (budget <= ${budget}%.0f, cap-bounded) $dupVerdict")
-    if (dupRatio > budget)
-      failures += f"minhash_on_duplicates: ratio $dupRatio%.1f exceeds budget $budget%.1f — is the skew cap off?"
-    // same duplicates corpus through the PORTABLE path — its default
-    // cap (1000, round-5 change) must bound the band join identically
-    val tDupP = time(graft.operators.Dedup.minhashLshPairsPortable(
-      dupN, "text", "doc_id").count())
-    val dupPRatio = tDupP / math.max(tPortable1, 0.3)
-    val dupPVerdict = if (dupPRatio <= budget) "ok" else "FAIL"
-    println(f"[probe] portable_on_${n}x_duplicates   ${tDupP}%6.2fs  ratio=${dupPRatio}%5.1f (budget <= ${budget}%.0f, cap-bounded) $dupPVerdict")
-    if (dupPRatio > budget)
-      failures += f"portable_on_duplicates: ratio $dupPRatio%.1f exceeds budget $budget%.1f — is the portable skew cap off?"
 
     spark.stop()
     if (failures.nonEmpty) {
