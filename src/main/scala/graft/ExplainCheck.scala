@@ -428,6 +428,13 @@ object ExplainCheck {
     // Zipf: one group-partitioned window + one fold — no global sort
     audit("zipf_slope",
       mustNotContain = Seq("CartesianProduct", "Exchange SinglePartition"))
+    // round-11 gates: the KMV diversity path must plan as the object
+    // hash aggregate (bounded bottom-k state, one grouped exchange) —
+    // no Expand, no second distinct shuffle; the type-detection gate
+    // is generate + pure projection, zero Exchange
+    audit("distinct_ngrams_kmv", mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("Expand", "CartesianProduct"))
+    audit("f21_detect_type", mustNotContain = Seq("Exchange"))
     // round-10 function gates: all pure projections — zero Exchange
     audit("f11_unescape", mustNotContain = Seq("Exchange"))
     audit("f13_uniquify", mustNotContain = Seq("Exchange"))

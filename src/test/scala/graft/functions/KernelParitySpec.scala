@@ -168,4 +168,31 @@ class KernelParitySpec extends AnyFunSuite {
 
     assert(kernel.toSeq == sql.toSeq)
   }
+
+  test("NgramStrings matches the transform+slice+concat_ws formulation " +
+      "for n in 1..4 on edge inputs") {
+    for (n <- 1 to 4) {
+      val kernel = docs.select(col("doc_id"),
+          explode(NgramStrings.ngram_strings(col("text"), n)).as("g"))
+        .orderBy("doc_id", "g").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+
+      // the ORIGINAL interpreted formulation, verbatim (what
+      // distinctNgrams used before the native kernel)
+      val toks = split(trim(regexp_replace(lower(col("text")),
+        "[^a-z0-9]+", " ")), " ")
+      val gramArr = when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array())
+      val sql = docs.select(col("doc_id"), explode(gramArr).as("g"))
+        .filter(col("g") =!= "")
+        .orderBy("doc_id", "g").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+
+      // the kernel never emits empty grams, so compare against the
+      // filtered SQL stream — duplicates preserved, order by value
+      assert(kernel.toSeq == sql.toSeq, s"n=$n")
+    }
+  }
 }
