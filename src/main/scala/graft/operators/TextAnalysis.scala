@@ -281,10 +281,19 @@ object TextAnalysis {
   def stupidBackoffScore(corpus: DataFrame, target: DataFrame,
       textCol: String, idCol: String, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
-    val toks = normalizedTokens(col(textCol))
+    // Tokens are STAGED into a bound column before any HOF lambda
+    // touches them: a lambda body referencing the raw normalizedTokens
+    // expression re-evaluates the lower+regex+split PER ELEMENT
+    // (interpreted HOFs get no subexpression elimination), turning a
+    // linear scan into O(tokens²) per row — harmless on short rows,
+    // fatal on long documents. Staged, each row tokenizes exactly once.
+    val toks = col("_toks")
+    def staged(df: DataFrame, keep: Seq[(Column, String)]): DataFrame =
+      df.select(keep.map { case (c, n) => c.as(n) } :+
+        normalizedTokens(col(textCol)).as("_toks"): _*)
     def triRows(df: DataFrame, keep: Seq[(Column, String)]): DataFrame =
-      df.filter(size(toks) >= 3)
-        .select(keep.map { case (c, n) => c.as(n) } :+
+      staged(df, keep).filter(size(toks) >= 3)
+        .select(keep.map(_._2).map(col) :+
           explode(transform(sequence(lit(1), size(toks) - 2),
             i => struct(element_at(toks, i).as("w1"),
               element_at(toks, i + 1).as("w2"),
@@ -292,12 +301,14 @@ object TextAnalysis {
         .select(keep.map(_._2).map(col) ++ Seq(col("g.w1").as("w1"),
           col("g.w2").as("w2"), col("g.w3").as("w3")): _*)
         .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
-    val uni = corpus.filter(length(trim(col(textCol))) > 0)
+    val corpusStaged = staged(corpus.filter(
+      length(trim(col(textCol))) > 0), Nil)
+    val uni = corpusStaged
       .select(explode(toks).as("w")).filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val total = uni.agg(sum(col("cu")).cast("double").as("_n"))
     val nPairs = greatest(size(toks) - 1, lit(0))
-    val bi = corpus.filter(length(trim(col(textCol))) > 0)
+    val bi = corpusStaged
       .select(explode(zip_with(slice(toks, lit(1), nPairs),
         slice(toks, lit(2), nPairs),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
