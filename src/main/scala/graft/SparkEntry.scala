@@ -847,6 +847,47 @@ object SparkEntry {
     "f22_publication_gate" -> ((s, dir) =>
       graft.sources.FeatureCollection.publicationGate(s, dir)),
 
+    // ---- F23 item-property templating (agol_wrangler.py:117-139):
+    //      one item per nation through the REAL Portal.itemProperties —
+    //      tag assembly, the publisher→creator→institution fallback
+    //      (rotated by rank so every branch fires), license presence,
+    //      snippet template with the server-host extraction. Driver-side
+    //      by design: item shaping is per-dataset metadata, item-count-
+    //      sized (the reference manages hundreds of items) ----
+    "f23_item_properties" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      rows.toSeq.map { case (k, name) =>
+        val server = s"https://host${k % 3}.example/erddap/tabledap/ds"
+        val nc = Map("summary" -> s"Summary of $name") ++
+          ((k % 4) match {
+            case 0 => Map("publisher_institution" -> s"Pub $name",
+              "creator_institution" -> s"Cre $name",
+              "institution" -> s"Inst $name")
+            case 1 => Map("creator_institution" -> s"Cre $name",
+              "institution" -> s"Inst $name")
+            case 2 => Map("institution" -> s"Inst $name")
+            case _ => Map.empty[String, String]
+          }) ++
+          (if (k % 2 == 0) Map("license" -> s"License $k")
+           else Map.empty[String, String])
+        val (title, tags, props) = graft.sinks.Portal.itemProperties(
+          s"ds_$name", s"$name dataset", server,
+          attributes = Seq("time", name.toLowerCase), isNrt = k % 2 == 1,
+          ncGlobal = nc)
+        (k, title, tags.mkString("|"), props("snippet"),
+          props("accessInformation"), props("licenseInfo"))
+      }.toDF("n_nationkey", "title", "tags", "snippet", "access_info",
+        "license_info")
+    }),
+
+    // ---- S10 RSS/GeoRSS scan: a GeoRSS feed derived from events
+    //      through the REAL DOM parser (fields map, georss:point
+    //      ordinates), projected back to scalars for the oracle ----
+    "s10_rss_scan" -> ((s, dir) => graft.sources.Rss.rssGate(s, dir)),
+
     // ---- F13 flat-name uniquification (plan-time, via Flatten): the
     //      struct leaf a.b collides with the top-level a_b and lands
     //      as a_b2; array leaves re-serialize as JSON ----
@@ -4743,6 +4784,34 @@ object SparkEntry {
         |        '^[0-9]+$') THEN 'date'
         |    ELSE 'text' END AS detected
         |FROM pairs""".stripMargin,
+    // the full string composition replayed: tag chain, host extraction,
+    // institution fallback rotation, license presence, snippet template
+    "f23_item_properties" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' dataset' AS title,
+        |  'erddap2agol|did_ds_' || n_name || '|time|' || lower(n_name) ||
+        |    (CASE WHEN n_nationkey % 2 = 1 THEN '|e2a_nrt' ELSE '' END) ||
+        |    '|https://host' || CAST(n_nationkey % 3 AS VARCHAR) ||
+        |    '.example/erddap/tabledap/ds' AS tags,
+        |  'Summary of ' || n_name || '. ' || n_name ||
+        |    ' dataset was generated with erddap2agol from the host' ||
+        |    CAST(n_nationkey % 3 AS VARCHAR) || '.example ERDDAP.' AS snippet,
+        |  CASE n_nationkey % 4
+        |    WHEN 0 THEN 'Pub ' || n_name
+        |    WHEN 1 THEN 'Cre ' || n_name
+        |    WHEN 2 THEN 'Inst ' || n_name
+        |    ELSE '' END AS access_info,
+        |  CASE WHEN n_nationkey % 2 = 0
+        |    THEN 'License ' || CAST(n_nationkey AS VARCHAR)
+        |    ELSE '' END AS license_info
+        |FROM nation""".stripMargin,
+    // the GeoRSS fixture replay: id subset, point ordinates from the
+    // id's half/quarter fractions (exact doubles on any engine)
+    "s10_rss_scan" ->
+      """SELECT event_id, event_type, 'point' AS kind,
+        |  (event_id % 90) + CAST(0.5 AS DOUBLE) AS lat,
+        |  (event_id % 180) + CAST(0.25 AS DOUBLE) AS lon
+        |FROM events WHERE event_id % 53 = 0""".stripMargin,
     // tag priority + nesting + newer-than verdict replayed from the
     // rank rules the fixture writer uses
     "f22_publication_gate" ->

@@ -33,6 +33,30 @@ object Portal {
   private val registry = collection.mutable.Map.empty[String, Portal]
   def forRoot(root: String): Portal =
     registry.synchronized(registry.getOrElseUpdate(root, new Portal(root)))
+
+  /** F23 — item properties from DAS NC_GLOBAL metadata
+    * (`agol_wrangler.py:117-139`, `:182-187`): tags (tool marker,
+    * dataset id, attribute names, NRT marker, server), access from the
+    * publisher→creator→institution fallback chain, license, and the
+    * templated snippet. Pure string composition (no portal state), so
+    * it lives on the companion and the `f23_item_properties` gate can
+    * replay it in SQL. */
+  def itemProperties(datasetId: String, title: String, server: String,
+      attributes: Seq[String], isNrt: Boolean,
+      ncGlobal: Map[String, String]): (String, Seq[String], Map[String, String]) = {
+    val tags = Seq("erddap2agol", s"did_$datasetId") ++ attributes ++
+      (if (isNrt) Seq("e2a_nrt") else Nil) ++ Seq(server)
+    val serverName = server.split("/erddap/")(0).split("://").last
+    val access = ncGlobal.get("publisher_institution")
+      .orElse(ncGlobal.get("creator_institution"))
+      .orElse(ncGlobal.get("institution")).getOrElse("")
+    val summary = ncGlobal.getOrElse("summary", "")
+    val props = Map(
+      "accessInformation" -> access,
+      "licenseInfo" -> ncGlobal.getOrElse("license", ""),
+      "snippet" -> s"$summary. $title was generated with erddap2agol from the $serverName ERDDAP.")
+    (title, tags, props)
+  }
 }
 
 class Portal(root: String) {
@@ -56,23 +80,12 @@ class Portal(root: String) {
   def findByTitle(title: String): Option[Item] =
     items.values.find(_.title == title)
 
-  /** F23 — item properties from DAS NC_GLOBAL metadata. */
+  /** F23 — instance alias of [[Portal.itemProperties]] (kept so a
+    * portal handle exposes the whole item-shaping surface). */
   def itemProperties(datasetId: String, title: String, server: String,
       attributes: Seq[String], isNrt: Boolean,
-      ncGlobal: Map[String, String]): (String, Seq[String], Map[String, String]) = {
-    val tags = Seq("erddap2agol", s"did_$datasetId") ++ attributes ++
-      (if (isNrt) Seq("e2a_nrt") else Nil) ++ Seq(server)
-    val serverName = server.split("/erddap/")(0).split("://").last
-    val access = ncGlobal.get("publisher_institution")
-      .orElse(ncGlobal.get("creator_institution"))
-      .orElse(ncGlobal.get("institution")).getOrElse("")
-    val summary = ncGlobal.getOrElse("summary", "")
-    val props = Map(
-      "accessInformation" -> access,
-      "licenseInfo" -> ncGlobal.getOrElse("license", ""),
-      "snippet" -> s"$summary. $title was generated with erddap2agol from the $serverName ERDDAP.")
-    (title, tags, props)
-  }
+      ncGlobal: Map[String, String]): (String, Seq[String], Map[String, String]) =
+    Portal.itemProperties(datasetId, title, server, attributes, isNrt, ncGlobal)
 
   /** K5 — add with 409-style conflict retry: existing title → `_1`,
     * `_2`, … up to `maxAttempts`, then fail (reference raises). */

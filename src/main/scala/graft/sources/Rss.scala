@@ -47,6 +47,51 @@ object Rss {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** S10 GATE FIXTURE + FLOW — the RSS/GeoRSS scan as an
+    * oracle-checkable batch: one GeoRSS feed (written idempotently per
+    * sfDir) carrying one `<item>` per selected event (`event_id % 53 =
+    * 0`), each with a title, a category, and a `georss:point` whose
+    * ordinates derive arithmetically from the id (half/quarter
+    * fractions — exact in a double on any engine). The gate runs the
+    * REAL DOM parse ([[read]]) and projects the parsed fields back to
+    * scalars, so DuckDB replays everything from `events.parquet`. */
+  def rssGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Path}
+    import org.apache.spark.sql.functions._
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = Path.of(System.getProperty("java.io.tmpdir"), s"graft_rss_fixture_$safe")
+    val feed = dir.resolve("feed.xml")
+    if (!Files.exists(feed)) {
+      Files.createDirectories(dir)
+      val rows = graft.Tables.load(spark, sfDir, "events")
+        .filter(col("event_id") % 53 === 0)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+        .collect()
+      val items = rows.map { r =>
+        val k = r.getLong(0)
+        val tp = r.getString(1)
+        s"""<item><title>evt_$k</title><category>$tp</category>""" +
+          s"""<georss:point>${k % 90}.5 ${k % 180}.25</georss:point></item>"""
+      }
+      val tmp = dir.resolve("feed.xml.tmp")
+      Files.writeString(tmp,
+        """<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<rss version="2.0" xmlns:georss="http://www.georss.org/georss"><channel>""" +
+          items.mkString + "</channel></rss>")
+      Files.move(tmp, feed,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    read(spark, feed.toString)
+      .select(
+        regexp_extract(element_at(col("fields"), "title"), "evt_(\\d+)", 1)
+          .cast("long").as("event_id"),
+        element_at(col("fields"), "category").as("event_type"),
+        col("geom_kind").as("kind"),
+        element_at(col("ordinates"), 1).as("lat"),
+        element_at(col("ordinates"), 2).as("lon"))
+  }
+
   private[sources] def parseDocument(file: String, content: String): Seq[Row] = {
     val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     factory.setNamespaceAware(true)
