@@ -37,6 +37,12 @@ object Bench {
     Tables.load(spark, sfDir, "events")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("ts")))).count()
+    // Fixture-backed gates write their (idempotent) fixtures on first
+    // touch — do that here so gate iteration 1 times the OPERATOR, not
+    // a one-off tmpdir write the min-stat then has to out-vote.
+    graft.streaming.NrtPipeline.ensureFixture(spark, sfDir)
+    graft.sources.Rss.rssGate(spark, sfDir).count()
+    graft.sources.FeatureCollection.publicationGate(spark, sfDir).count()
 
     // Median of 5 iterations per query: co-tenant noise spikes on up to
     // two iterations cannot flip the acceptance signal. Spread (max-min)
