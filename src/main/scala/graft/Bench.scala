@@ -43,6 +43,7 @@ object Bench {
     graft.streaming.NrtPipeline.ensureFixture(spark, sfDir)
     graft.sources.Rss.rssGate(spark, sfDir).count()
     graft.sources.FeatureCollection.publicationGate(spark, sfDir).count()
+    SparkEntry.queries("semdedup_incremental")(spark, sfDir).count()
 
     // Median of 5 iterations per query: co-tenant noise spikes on up to
     // two iterations cannot flip the acceptance signal. Spread (max-min)

@@ -435,6 +435,11 @@ object ExplainCheck {
     audit("distinct_ngrams_kmv", mustContain = Seq("ObjectHashAggregate"),
       mustNotContain = Seq("Expand", "CartesianProduct"))
     audit("f21_detect_type", mustNotContain = Seq("Exchange"))
+    // incremental SemDeDup: the small arrival batch must BROADCAST
+    // against the cluster-partitioned index — a sort-merge here would
+    // shuffle the whole index on every arrival window
+    audit("semdedup_incremental", mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
     // round-10 function gates: all pure projections — zero Exchange
     audit("f11_unescape", mustNotContain = Seq("Exchange"))
     audit("f13_uniquify", mustNotContain = Seq("Exchange"))

@@ -519,6 +519,30 @@ object ScaleProbe {
         df.filter(col("doc_id") % 2 === 1), "text", "doc_id").count()
     probe("stupid_backoff", sbRun(docs1), sbRun(docsN))
 
+    // INCREMENTAL SemDeDup: prebuilt IVF indexes (index build excluded —
+    // it's the one-time cost), a FIXED arrival batch probed against the
+    // 1x vs Nx corpus index. Touched clusters are batch-bounded; their
+    // occupancy grows with the corpus, so candidate mass is ~linear.
+    if (only.forall(_.contains("semdedup_incremental"))) {
+      def buildIdx(df: DataFrame, tag: String): (String, Array[Array[Double]]) = {
+        val cents = graft.operators.Similarity.trainCentroids(
+          df, "embedding", 64, iters = 3, sampleN = 2000, orderBy = "vec_id")
+        val p = java.nio.file.Path.of(System.getProperty("java.io.tmpdir"),
+          s"graft_probe_sdi_$tag").toString
+        graft.operators.Similarity.writeIvfIndex(df, "vec_id", "embedding",
+          cents, p)
+        (p, cents)
+      }
+      val batch = emb1.filter(col("vec_id") % 10 === 0)
+      val (p1, c1) = buildIdx(emb1.filter(col("vec_id") % 10 =!= 0), "1x")
+      val (pN, cN) = buildIdx(embN.filter(col("vec_id") % 10 =!= 0), s"${n}x")
+      probe("semdedup_incremental",
+        graft.operators.Similarity.semDedupIncremental(spark, p1, batch,
+          "vec_id", "embedding", c1, 0.3).count(),
+        graft.operators.Similarity.semDedupIncremental(spark, pN, batch,
+          "vec_id", "embedding", cN, 0.3).count())
+    }
+
     // SemDeDup at the production cap: assignment is a broadcast scan,
     // pair work is per-cluster and cap-bounded — near-linear in rows
     probe("semdedup",

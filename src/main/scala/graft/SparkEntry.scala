@@ -942,6 +942,33 @@ object SparkEntry {
         "text", "doc_id")
     }),
 
+    // ---- SemDeDup: INCREMENTAL arrival path — corpus IVF-indexed once
+    //      (cluster-partitioned parquet, idempotent per sfDir), each new
+    //      batch assigns to its cluster and joins ONLY matching cluster
+    //      partitions, exact cosine >= tau verify. The embedding twin of
+    //      dedup_incremental; oracle replays the Lloyd training + both
+    //      assignments in SQL ----
+    "semdedup_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val cents = Similarity.trainCentroids(corpus, "embedding", 64,
+        iters = 3, sampleN = 2000, orderBy = "vec_id")
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val idxDir = java.nio.file.Path.of(
+        System.getProperty("java.io.tmpdir"), s"graft_semdedup_idx_$safe")
+      val marker = idxDir.resolve("_READY")
+      if (!java.nio.file.Files.exists(marker)) {
+        Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents,
+          idxDir.resolve("ivf").toString)
+        java.nio.file.Files.writeString(marker, "ok")
+      }
+      Similarity.semDedupIncremental(s, idxDir.resolve("ivf").toString,
+          batch, "vec_id", "embedding", cents, threshold = 0.3)
+        .select(col("new_id"), col("corpus_id"),
+          round(col("cosine"), 6).as("cos"))
+    }),
+
     // ---- dedup: per-source duplication report — docs, distinct
     //      normalized texts, dup rows/rate, largest dup group; the
     //      where-does-duplication-live readout before any pairwise
@@ -3317,6 +3344,57 @@ object SparkEntry {
        |    (sqrt(list_sum(list_transform(a.e, x -> x*x))) *
        |     sqrt(list_sum(list_transform(b.e, x -> x*x)))) AS c
        |  FROM sasg a JOIN sasg b ON a.ci = b.ci AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  /** The incremental-SemDeDup replay: Lloyd trained on the CORPUS split
+    * (`vec_id % 10 <> 0`, ordered sample), then batch AND corpus both
+    * assigned against the final centroids, pairs = batch × corpus
+    * within a shared cluster. Same tie rules as the Spark side
+    * (first-min argmin = ORDER BY dist, ci). */
+  private val semDedupIncOracleCtes: String = {
+    val iters = 3
+    def dist(vec: String, cent: String): String =
+      s"list_sum(list_transform(list_zip($vec, $cent), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    val iterCtes = (1 to iters).map { i =>
+      s"""ia$i AS (
+         |  SELECT vec_id, e, ci,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rk
+         |  FROM (SELECT s.vec_id, s.e, c.ci, ${dist("s.e", "c.cv")} AS dist
+         |        FROM isample s CROSS JOIN icent${i - 1} c)),
+         |im$i AS (
+         |  SELECT ci, list_transform(range(0, 64), d ->
+         |      list_sum(list_transform(vecs, v -> v[d+1])) / cnt) AS cv
+         |  FROM (SELECT ci, list(e ORDER BY vec_id) AS vecs, count(*) AS cnt
+         |        FROM ia$i WHERE rk = 1 GROUP BY ci)),
+         |icent$i AS (
+         |  SELECT p.ci, COALESCE(m.cv, p.cv) AS cv
+         |  FROM icent${i - 1} p LEFT JOIN im$i m ON m.ci = p.ci)""".stripMargin
+    }.mkString(",\n")
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |icorp AS (SELECT vec_id, e FROM emb WHERE vec_id % 10 <> 0),
+       |ibat AS (SELECT vec_id, e FROM emb WHERE vec_id % 10 = 0),
+       |isample AS (SELECT vec_id, e FROM icorp ORDER BY vec_id LIMIT 2000),
+       |icent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS cv
+       |           FROM isample ORDER BY vec_id LIMIT 64),
+       |$iterCtes,
+       |icasg AS (
+       |  SELECT vec_id, e, ci FROM (
+       |    SELECT s.vec_id, s.e, c.ci,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${dist("s.e", "c.cv")}, c.ci) AS rk
+       |    FROM icorp s CROSS JOIN icent$iters c) WHERE rk = 1),
+       |ibasg AS (
+       |  SELECT vec_id, e, ci FROM (
+       |    SELECT s.vec_id, s.e, c.ci,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${dist("s.e", "c.cv")}, c.ci) AS rk
+       |    FROM ibat s CROSS JOIN icent$iters c) WHERE rk = 1),
+       |ipairs AS (
+       |  SELECT b.vec_id AS new_id, a.vec_id AS corpus_id,
+       |    list_sum(list_transform(list_zip(b.e, a.e), p -> p[1]*p[2])) /
+       |    (sqrt(list_sum(list_transform(b.e, x -> x*x))) *
+       |     sqrt(list_sum(list_transform(a.e, x -> x*x)))) AS c
+       |  FROM ibasg b JOIN icasg a ON b.ci = a.ci)""".stripMargin
   }
 
   private val ivfOracleSql: String = {
@@ -7706,6 +7784,10 @@ object SparkEntry {
     "semdedup_pairs" ->
       s"""WITH $semDedupOracleCtes
          |SELECT id1, id2, round(c, 6) AS cos FROM spairs
+         |WHERE c >= 0.3""".stripMargin,
+    "semdedup_incremental" ->
+      s"""WITH $semDedupIncOracleCtes
+         |SELECT new_id, corpus_id, round(c, 6) AS cos FROM ipairs
          |WHERE c >= 0.3""".stripMargin,
     // keep-set: recursive-CTE connected components over the pair set,
     // drop every non-minimum member of each component

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -750,6 +750,36 @@ object Similarity {
       .join(vecs.select(col("_vid").as("id2"), col("_vv").as("v2")), "id2")
       .select(col("id1"), col("id2"),
         graft.functions.VecOps.cosine_sim(col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** INCREMENTAL SemDeDup — the production ARRIVAL path (the embedding
+    * twin of [[graft.operators.Dedup.incrementalNearDups]]): the corpus
+    * is indexed ONCE in the [[writeIvfIndex]] layout (cluster-partitioned
+    * parquet under centroids trained on the corpus's deterministic
+    * ordered sample), and each NEW batch assigns to its nearest cluster
+    * and joins ONLY the matching cluster partitions — the corpus is
+    * never rescanned or re-paired against itself. Exact cosine ≥
+    * `threshold` verifies the candidates, so results equal the batch
+    * [[semDedupPairs]] contract restricted to (new × corpus) pairs in
+    * shared clusters.
+    *
+    * Scale shape: the batch side is small by definition (one arrival
+    * window), so the cluster equi-join broadcasts it; with the index
+    * laid out `cluster=<c>/`, the only corpus bytes read are the
+    * clusters the batch actually touches (partition pruning — the same
+    * lever as [[ivfTopKFromIndex]]). Returns (new_id, corpus_id,
+    * cosine ≥ threshold). */
+  def semDedupIncremental(spark: SparkSession, indexPath: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val assigned = ivfAssign(batch, idCol, vecCol, centroids)
+      .select(col("cluster"), col(idCol).as("new_id"), col(vecCol).as("_nv"))
+    val idx = spark.read.parquet(indexPath)
+      .select(col("cluster"), col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
+    idx.join(broadcast(assigned), "cluster")
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.VecOps.cosine_sim(col("_nv"), col("_cv")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

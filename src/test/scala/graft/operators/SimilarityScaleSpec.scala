@@ -291,4 +291,32 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(out.forall { case (id, _) => id >= 100L })
     assert(out.map(_._1).toSeq == Seq(149L, 148L, 147L))
   }
+
+  test("semDedupIncremental: planted duplicate found, orthogonal arrival isn't, " +
+      "corpus never pairs with itself") {
+    // corpus: two tight groups along e1 and e2; batch: one exact copy of
+    // a corpus vector (must report cosine 1.0), one orthogonal vector
+    // (must report nothing at tau = 0.9)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.15f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // dup of corpus 1
+      (101L, Array(0.0f, 0.0f, 0.0f, 1.0f))    // orthogonal to everything
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, "embedding", k = 2,
+      iters = 3, sampleN = 10, orderBy = "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("sdi_spec").toString
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents, dir)
+    val out = Similarity.semDedupIncremental(spark, dir, batch,
+        "vec_id", "embedding", cents, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the planted duplicate pairs with its cluster co-members only
+    assert(out.exists { case (n, c, cos) => n == 100L && c == 1L && cos == 1.0 })
+    assert(out.forall(_._1 == 100L))           // orthogonal batch row silent
+    assert(out.forall { case (_, c, _) => c == 1L || c == 2L }) // e1 cluster
+  }
 }
