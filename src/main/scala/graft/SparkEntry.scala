@@ -106,6 +106,27 @@ object SparkEntry {
   val streamGateTimings =
     new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
 
+  /** Shared fixture for the incremental-SemDeDup gates: centroids
+    * trained on the corpus split (deterministic ordered-sample Lloyd —
+    * cheap, retrained per call) and the cluster-partitioned IVF index
+    * written once per sfDir (marker-guarded). */
+  private def ensureSemDedupIndex(s: SparkSession,
+      dir: String): (String, Array[Array[Double]]) = {
+    val corpus = t(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0)
+    val cents = Similarity.trainCentroids(corpus, "embedding", 64,
+      iters = 3, sampleN = 2000, orderBy = "vec_id")
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idxDir = java.nio.file.Path.of(
+      System.getProperty("java.io.tmpdir"), s"graft_semdedup_idx_$safe")
+    val marker = idxDir.resolve("_READY")
+    if (!java.nio.file.Files.exists(marker)) {
+      Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents,
+        idxDir.resolve("ivf").toString)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
+    (idxDir.resolve("ivf").toString, cents)
+  }
+
   private def runStreamingGate(s: SparkSession, dir: String, tag: String,
       table: String = "events")(
       transform: DataFrame => DataFrame): DataFrame = {
@@ -949,24 +970,27 @@ object SparkEntry {
     //      dedup_incremental; oracle replays the Lloyd training + both
     //      assignments in SQL ----
     "semdedup_incremental" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-      val batch = emb.filter(col("vec_id") % 10 === 0)
-      val cents = Similarity.trainCentroids(corpus, "embedding", 64,
-        iters = 3, sampleN = 2000, orderBy = "vec_id")
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val idxDir = java.nio.file.Path.of(
-        System.getProperty("java.io.tmpdir"), s"graft_semdedup_idx_$safe")
-      val marker = idxDir.resolve("_READY")
-      if (!java.nio.file.Files.exists(marker)) {
-        Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents,
-          idxDir.resolve("ivf").toString)
-        java.nio.file.Files.writeString(marker, "ok")
-      }
-      Similarity.semDedupIncremental(s, idxDir.resolve("ivf").toString,
+      val (idxPath, cents) = ensureSemDedupIndex(s, dir)
+      val batch = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      Similarity.semDedupIncremental(s, idxPath,
           batch, "vec_id", "embedding", cents, threshold = 0.3)
         .select(col("new_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cos"))
+    }),
+
+    // ---- T12 streaming SemDeDup arrivals: the same index probe as a
+    //      STREAM — stateless assignment projection + stream-static
+    //      cluster join, zero state store; streaming ≡ batch ≡ the
+    //      same Lloyd-replay oracle ----
+    "t12_streaming_semdedup" -> ((s, dir) => {
+      val (idxPath, cents) = ensureSemDedupIndex(s, dir)
+      runStreamingGate(s, dir, "t12", table = "embeddings") { embS =>
+        Similarity.semDedupIncrementalStream(s, idxPath,
+            embS.filter(col("vec_id") % 10 === 0),
+            "vec_id", "embedding", cents, threshold = 0.3)
+          .select(col("new_id"), col("corpus_id"),
+            round(col("cosine"), 6).as("cos"))
+      }
     }),
 
     // ---- dedup: per-source duplication report — docs, distinct
@@ -7786,6 +7810,11 @@ object SparkEntry {
          |SELECT id1, id2, round(c, 6) AS cos FROM spairs
          |WHERE c >= 0.3""".stripMargin,
     "semdedup_incremental" ->
+      s"""WITH $semDedupIncOracleCtes
+         |SELECT new_id, corpus_id, round(c, 6) AS cos FROM ipairs
+         |WHERE c >= 0.3""".stripMargin,
+    // the streaming twin is stateless per micro-batch → identical replay
+    "t12_streaming_semdedup" ->
       s"""WITH $semDedupIncOracleCtes
          |SELECT new_id, corpus_id, round(c, 6) AS cos FROM ipairs
          |WHERE c >= 0.3""".stripMargin,

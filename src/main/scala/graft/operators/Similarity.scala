@@ -783,6 +783,29 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** STREAMING twin of [[semDedupIncremental]] — arrival vectors as a
+    * stream: cluster assignment is a STATELESS projection (centroids
+    * ride in the plan), then a stream-static equi-join against the
+    * persisted index and the exact cosine verify. No state store at
+    * all — every micro-batch is independent, so streaming output
+    * equals the batch operator on the same rows and the same SQL
+    * oracle checks both. (Here the STATIC side is the join's
+    * broadcast candidate — a stream can't broadcast — so the planner
+    * broadcasts index clusters per micro-batch; at index scale the
+    * `cluster=<c>/` layout keeps the static scan prunable.) */
+  def semDedupIncrementalStream(spark: SparkSession, indexPath: String,
+      stream: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val assigned = ivfAssign(stream, idCol, vecCol, centroids)
+      .select(col("cluster"), col(idCol).as("new_id"), col(vecCol).as("_nv"))
+    val idx = spark.read.parquet(indexPath)
+      .select(col("cluster"), col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
+    assigned.join(idx, "cluster")
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.VecOps.cosine_sim(col("_nv"), col("_cv")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** SemDeDup keep-set: connected components over [[semDedupPairs]],
     * keep the smallest id per semantic-duplicate group (plus every
     * unpaired row). Returns the kept ids as (`idCol`). */
