@@ -909,6 +909,11 @@ object SparkEntry {
     //      ordinates), projected back to scalars for the oracle ----
     "s10_rss_scan" -> ((s, dir) => graft.sources.Rss.rssGate(s, dir)),
 
+    // ---- S5/P5/P7 DAS parse + attribute policy: per-dataset DAS docs
+    //      through the REAL parser — QC variable pruned, time column
+    //      detected via the fallback chain, extent from actual_range ----
+    "s5_das_policy" -> ((s, dir) => graft.erddap.Das.dasGate(s, dir)),
+
     // ---- F13 flat-name uniquification (plan-time, via Flatten): the
     //      struct leaf a.b collides with the top-level a_b and lands
     //      as a_b2; array leaves re-serialize as JSON ----
@@ -4907,6 +4912,18 @@ object SparkEntry {
         |    THEN 'License ' || CAST(n_nationkey AS VARCHAR)
         |    ELSE '' END AS license_info
         |FROM nation""".stripMargin,
+    // the DAS fixture replay: policy keeps (time, value) and prunes the
+    // _qc variable; extent = truncated min/max epochs per type
+    "s5_das_policy" ->
+      """SELECT 'ds_' || event_type AS dataset_id,
+        |  'time' AS time_col,
+        |  'time|value' AS attributes,
+        |  CAST(epoch(date_trunc('second', min(ts))) AS BIGINT)
+        |    AS time_lo_epoch,
+        |  CAST(epoch(date_trunc('second', max(ts))) AS BIGINT)
+        |    AS time_hi_epoch,
+        |  'DAS fixture ' || event_type AS title
+        |FROM events GROUP BY event_type""".stripMargin,
     // the GeoRSS fixture replay: id subset, point ordinates from the
     // id's half/quarter fractions (exact doubles on any engine)
     "s10_rss_scan" ->

@@ -152,4 +152,65 @@ object Das {
       (start, end)
     }
   }
+
+  /** S5/P5/P7 GATE — DAS fetch + parse + attribute policy as an
+    * oracle-checkable batch: one DAS document per `event_type`
+    * (written idempotently per sfDir, time actual_range from the
+    * type's truncated min/max event time) through the REAL [[parse]]
+    * and [[AttributePolicy.actualAttributes]]. Each document carries a
+    * QC-suffixed variable (`value_qc`) the policy must PRUNE (P5), a
+    * time variable the fallback chain must detect (P7), and an
+    * NC_GLOBAL title; the extent reads back through [[timeExtent]].
+    * DuckDB replays attributes, extent epochs, and title from
+    * `events.parquet`. */
+  def dasGate(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Path}
+    import org.apache.spark.sql.functions._
+    val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = Path.of(System.getProperty("java.io.tmpdir"), s"graft_das_fixture_$safe")
+    val mx = graft.Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(min(unix_timestamp(date_trunc("second", col("ts")))).as("lo"),
+        max(unix_timestamp(date_trunc("second", col("ts")))).as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val marker = dir.resolve("_READY")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dir)
+      // sections are written multi-line: the parser is line-based like
+      // the reference's (a section opens only on a line ENDING in `{`)
+      mx.foreach { case (tp, lo, hi) =>
+        Files.writeString(dir.resolve(s"ds_$tp.das"),
+          s"""Attributes {
+             |  time {
+             |    String ioos_category "Time";
+             |    Float64 actual_range $lo.0, $hi.0;
+             |  }
+             |  value {
+             |    Float64 actual_range 0.0, 1.0;
+             |  }
+             |  value_qc {
+             |    String ioos_category "Quality";
+             |  }
+             |  NC_GLOBAL {
+             |    String title "DAS fixture $tp";
+             |  }
+             |}""".stripMargin)
+      }
+      Files.writeString(marker, "ok")
+    }
+    import spark.implicits._
+    mx.toSeq.map { case (tp, _, _) =>
+      val das = parse(Files.readString(dir.resolve(s"ds_$tp.das")))
+      val sel = AttributePolicy.actualAttributes(das)
+      val tc = sel.timeCol.getOrElse(sys.error(s"no time column for ds_$tp"))
+      val (lo, hi) = timeExtent(das, tc).getOrElse(
+        sys.error(s"no time extent for ds_$tp"))
+      (s"ds_$tp", tc, sel.attributes.mkString("|"),
+        lo.getEpochSecond, hi.getEpochSecond,
+        das.ncGlobal("title").value)
+    }.toDF("dataset_id", "time_col", "attributes",
+      "time_lo_epoch", "time_hi_epoch", "title")
+  }
 }
