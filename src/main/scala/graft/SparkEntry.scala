@@ -914,6 +914,31 @@ object SparkEntry {
     //      detected via the fallback chain, extent from actual_range ----
     "s5_das_policy" -> ((s, dir) => graft.erddap.Das.dasGate(s, dir)),
 
+    // ---- S12/S13 portal content/tag search (model path): one item per
+    //      nation seeded idempotently (title-checked, sorted order →
+    //      stable item ids), then the REAL searchByTags recovers the
+    //      topic_1 subset with dataset id + base url parsed from tags
+    //      (the reference's tag-recovered item state,
+    //      update_manager.py:30-84) ----
+    "s12_portal_search" -> ((s, dir) => {
+      val portal = graft.sinks.Portal.forRoot(
+        s"/tmp/graft_portal_s12_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}")
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
+      portal.synchronized {
+        rows.foreach { case (k, name) =>
+          val title = s"$name dataset"
+          if (portal.findByTitle(title).isEmpty)
+            portal.addOrRetry(title, "Feature Service", Seq(
+              "erddap2agol", s"did_ds_$name", s"topic_${k % 3}",
+              s"https://host${k % 3}.example/erddap/tabledap/ds"),
+              Map.empty)
+        }
+      }
+      portal.searchByTags(s, Seq("erddap2agol", "topic_1"))
+    }),
+
     // ---- F13 flat-name uniquification (plan-time, via Flatten): the
     //      struct leaf a.b collides with the top-level a_b and lands
     //      as a_b2; array leaves re-serialize as JSON ----
@@ -4912,6 +4937,18 @@ object SparkEntry {
         |    THEN 'License ' || CAST(n_nationkey AS VARCHAR)
         |    ELSE '' END AS license_info
         |FROM nation""".stripMargin,
+    // tag-search replay: items seeded in n_name order → item ids are
+    // the name rank; topic_1 = nationkey % 3 = 1
+    "s12_portal_search" ->
+      """WITH r AS (SELECT n_name, n_nationkey,
+        |    row_number() OVER (ORDER BY n_name) AS rk
+        |  FROM nation)
+        |SELECT 'item' || lpad(CAST(rk AS VARCHAR), 4, '0') AS agol_id,
+        |  n_name || ' dataset' AS title,
+        |  'ds_' || n_name AS dataset_id,
+        |  'https://host' || CAST(n_nationkey % 3 AS VARCHAR) ||
+        |    '.example/erddap/tabledap/ds' AS base_url
+        |FROM r WHERE n_nationkey % 3 = 1""".stripMargin,
     // the DAS fixture replay: policy keeps (time, value) and prunes the
     // _qc variable; extent = truncated min/max epochs per type
     "s5_das_policy" ->
