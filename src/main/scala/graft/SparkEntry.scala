@@ -914,6 +914,25 @@ object SparkEntry {
     //      detected via the fallback chain, extent from actual_range ----
     "s5_das_policy" -> ((s, dir) => graft.erddap.Das.dasGate(s, dir)),
 
+    // ---- S6 size probe: COUNT/min/max(time) per dataset answered
+    //      METADATA-ONLY (complete aggregate pushdown → the record
+    //      probe + DAS actual_range; the erddap-agg plan shape is
+    //      asserted in ExplainCheck) — zero data transfer, exactly the
+    //      reference's ncHeader sizing ----
+    "s6_size_probe" -> ((s, dir) => {
+      val fixDir = graft.streaming.NrtPipeline.ensureFixture(s, dir)
+      val types = t(s, dir, "events").select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      types.map { tp =>
+        s.read.format("erddap")
+          .option("dataDir", fixDir).option("dataset", s"ds_$tp").load()
+          .agg(count(lit(1)).as("n"), min(col("time")).as("lo"),
+            max(col("time")).as("hi"))
+          .select(lit(s"ds_$tp").as("dataset_id"), col("n"), col("lo"),
+            col("hi"))
+      }.reduce(_ unionByName _)
+    }),
+
     // ---- S12/S13 portal content/tag search (model path): one item per
     //      nation seeded idempotently (title-checked, sorted order →
     //      stable item ids), then the REAL searchByTags recovers the
@@ -4937,6 +4956,14 @@ object SparkEntry {
         |    THEN 'License ' || CAST(n_nationkey AS VARCHAR)
         |    ELSE '' END AS license_info
         |FROM nation""".stripMargin,
+    // size-probe replay: record counts and truncated time extents per
+    // type (what the metadata path must answer without data transfer)
+    "s6_size_probe" ->
+      """SELECT 'ds_' || event_type AS dataset_id,
+        |  count(*) AS n,
+        |  date_trunc('second', min(ts)) AS lo,
+        |  date_trunc('second', max(ts)) AS hi
+        |FROM events GROUP BY event_type""".stripMargin,
     // tag-search replay: items seeded in n_name order → item ids are
     // the name rank; topic_1 = nationkey % 3 = 1
     "s12_portal_search" ->
