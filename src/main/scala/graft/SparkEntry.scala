@@ -794,6 +794,18 @@ object SparkEntry {
       t(s, dir, "embeddings").select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"), col("label"))),
 
+    // ---- §2.11 converter REGISTRY surface: a struct-carrying frame
+    //      pushed through the shipped "json2geojson" converter resolved
+    //      BY NAME (the reference's module-import plugin protocol) —
+    //      the registry path itself is the subject; the flatten it
+    //      resolves to is replayed by the oracle ----
+    "u1_converter_apply" -> ((s, dir) =>
+      graft.operators.Converters.applyOpt(
+        t(s, dir, "documents").select(col("doc_id"),
+          struct(upper(col("source")).as("src"),
+            col("lang").as("lng")).as("meta")),
+        Some("json2geojson"))),
+
     // ---- F11 unicode un-escaping — the reference's escaped-JSON text
     //      repair: `\\u`→`\u`, `\\n`→LF, `\\t`→TAB, `\\x`→`\u00`.
     //      Inputs are synthesized in-plan via chr(92) so both engines
@@ -4883,6 +4895,11 @@ object SparkEntry {
       "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
     "f15_array_ops" ->
       "SELECT vec_id, len(embedding) AS dim, label FROM embeddings",
+    // registry-resolved json2geojson = Flatten: struct leaves become
+    // parent_child columns
+    "u1_converter_apply" ->
+      """SELECT doc_id, upper(source) AS meta_src, lang AS meta_lng
+        |FROM documents""".stripMargin,
     "p12_field_exclusion" ->
       "SELECT doc_id, source AS meta_keep FROM documents",
     "f2_epoch_clamp" ->
