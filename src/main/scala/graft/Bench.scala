@@ -26,6 +26,15 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // comma-separated gate filter for controlled single-query re-runs
+    // (investigations + BENCH_REF backfills) — full set when unset.
+    // Parsed up-front so the fixture warmups below can be skipped when
+    // the filter excludes every gate they back.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def anySelected(gates: String*): Boolean =
+      only.forall(s => gates.exists(s.contains))
+
     // Warmup: touch every table and exercise the main physical operator
     // families once (scan, hash agg, broadcast + shuffle join, window).
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
@@ -39,11 +48,17 @@ object Bench {
         Window.partitionBy(col("user_id")).orderBy(col("ts")))).count()
     // Fixture-backed gates write their (idempotent) fixtures on first
     // touch — do that here so gate iteration 1 times the OPERATOR, not
-    // a one-off tmpdir write the min-stat then has to out-vote.
-    graft.streaming.NrtPipeline.ensureFixture(spark, sfDir)
-    graft.sources.Rss.rssGate(spark, sfDir).count()
-    graft.sources.FeatureCollection.publicationGate(spark, sfDir).count()
-    SparkEntry.queries("semdedup_incremental")(spark, sfDir).count()
+    // a one-off tmpdir write the min-stat then has to out-vote. Each
+    // warmup runs only when the `only` filter admits a gate it backs —
+    // a controlled single-gate re-run must not pay unrelated setup.
+    if (anySelected("pipeline_nrt", "s6_size_probe"))
+      graft.streaming.NrtPipeline.ensureFixture(spark, sfDir)
+    if (anySelected("s10_rss_scan"))
+      graft.sources.Rss.rssGate(spark, sfDir).count()
+    if (anySelected("f22_publication_gate"))
+      graft.sources.FeatureCollection.publicationGate(spark, sfDir).count()
+    if (anySelected("semdedup_incremental", "t12_streaming_semdedup"))
+      SparkEntry.queries("semdedup_incremental")(spark, sfDir).count()
 
     // Median of 5 iterations per query: co-tenant noise spikes on up to
     // two iterations cannot flip the acceptance signal. Spread (max-min)
@@ -53,10 +68,6 @@ object Bench {
     // value (round-4 verdict: driver medians ran up to 20× a controlled
     // re-run with spread > median as the tell).
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    // comma-separated gate filter for controlled single-query re-runs
-    // (investigations + BENCH_REF backfills) — full set when unset
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     def timeIters(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         n: Int): Seq[Double] = (1 to n).map { _ =>
       val t0 = System.nanoTime()
@@ -105,8 +116,10 @@ object Bench {
     }
     // AUTO-RETRY: a gate flagged noisy on the first pass gets one more
     // burst of iterations AT THE END of the run (the transient that
-    // spiked it has usually passed by then); the merged sample's min is
-    // the recorded headline. This is how a committed BENCH_rN stops
+    // spiked it has usually passed by then); the RETRY BURST's min is
+    // the recorded headline (see the bias note below — the merged
+    // sample only feeds median/spread/noisy). This is how a committed
+    // BENCH_rN stops
     // carrying phantom 6× regressions that a controlled re-run
     // contradicts (round-9: warc_records 0.758 s driver vs 0.150 s
     // controlled). The noisy flag is recomputed over the merged sample

@@ -116,8 +116,21 @@ object SparkEntry {
     val cents = Similarity.trainCentroids(corpus, "embedding", 64,
       iters = 3, sampleN = 2000, orderBy = "vec_id")
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // The index dir is keyed on BOTH the source-parquet fingerprint
+    // (regenerated testdata) and the trained centroids themselves (a
+    // training change retrains in-memory but would otherwise probe a
+    // stale on-disk index partitioned by the OLD centroids) — either
+    // mismatch lands in a fresh dir and rebuilds.
+    val centCrc = {
+      val crc = new java.util.zip.CRC32()
+      val bb = java.nio.ByteBuffer.allocate(8)
+      cents.foreach(_.foreach { d =>
+        bb.clear(); bb.putDouble(d); crc.update(bb.array()) })
+      java.lang.Long.toHexString(crc.getValue)
+    }
+    val tag = s"${Tables.contentTag(dir, "embeddings")}_$centCrc"
     val idxDir = java.nio.file.Path.of(
-      System.getProperty("java.io.tmpdir"), s"graft_semdedup_idx_$safe")
+      System.getProperty("java.io.tmpdir"), s"graft_semdedup_idx_${safe}_$tag")
     val marker = idxDir.resolve("_READY")
     if (!java.nio.file.Files.exists(marker)) {
       Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents,

@@ -52,4 +52,29 @@ object Tables {
     * same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Content fingerprint of a source table's parquet files (total
+    * length + latest mtime, CRC'd) for fixture-directory naming:
+    * tmpdir fixtures keyed only on the sfDir NAME go stale when
+    * testdata at the same path is regenerated — the fingerprint in the
+    * dir name forces a rebuild on mismatch. Filesystem metadata only;
+    * no Spark job. */
+  def contentTag(sfDir: String, name: String): String = {
+    val root = java.nio.file.Path.of(s"$sfDir/$name.parquet")
+    val crc = new java.util.zip.CRC32()
+    def add(s: String): Unit = crc.update(s.getBytes("UTF-8"))
+    if (java.nio.file.Files.exists(root)) {
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        stream.sorted().forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            add(root.relativize(p).toString)
+            add(java.nio.file.Files.size(p).toString)
+            add(java.nio.file.Files.getLastModifiedTime(p).toMillis.toString)
+          }
+        }
+      } finally stream.close()
+    }
+    java.lang.Long.toHexString(crc.getValue)
+  }
 }

@@ -168,7 +168,10 @@ object Das {
     import java.nio.file.{Files, Path}
     import org.apache.spark.sql.functions._
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = Path.of(System.getProperty("java.io.tmpdir"), s"graft_das_fixture_$safe")
+    // dir name carries the source fingerprint: regenerated testdata
+    // rebuilds the fixture instead of serving a stale one
+    val dir = Path.of(System.getProperty("java.io.tmpdir"),
+      s"graft_das_fixture_${safe}_${graft.Tables.contentTag(sfDir, "events")}")
     val mx = graft.Tables.load(spark, sfDir, "events")
       .groupBy(col("event_type"))
       .agg(min(unix_timestamp(date_trunc("second", col("ts")))).as("lo"),

@@ -33,7 +33,7 @@ case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
 object ShingleStrings {
 
   def compute(text: UTF8String, n: Int): GenericArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val tokens = new java.util.ArrayList[String]()
     val tok = new java.lang.StringBuilder
     var i = 0
@@ -102,7 +102,7 @@ case class NgramStrings(child: Expression, n: Int) extends UnaryExpression {
 object NgramStrings {
 
   def compute(text: UTF8String, n: Int): GenericArrayData = {
-    val s = text.toString.toLowerCase
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val tokens = new java.util.ArrayList[String]()
     val tok = new java.lang.StringBuilder
     var i = 0

@@ -73,7 +73,10 @@ object FeatureCollection {
   def publicationGate(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Path}
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = Path.of(System.getProperty("java.io.tmpdir"), s"graft_f22_fixture_$safe")
+    // dir name carries the source fingerprint: regenerated testdata
+    // rebuilds the fixture instead of serving a stale one
+    val dir = Path.of(System.getProperty("java.io.tmpdir"),
+      s"graft_f22_fixture_${safe}_${graft.Tables.contentTag(sfDir, "events")}")
     val mx = graft.Tables.load(spark, sfDir, "events")
       .groupBy(col("event_type"))
       .agg(date_format(date_trunc("second", max(col("ts"))),

@@ -59,7 +59,10 @@ object Rss {
     import java.nio.file.{Files, Path}
     import org.apache.spark.sql.functions._
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = Path.of(System.getProperty("java.io.tmpdir"), s"graft_rss_fixture_$safe")
+    // dir name carries the source fingerprint: regenerated testdata
+    // rebuilds the fixture instead of serving a stale one
+    val dir = Path.of(System.getProperty("java.io.tmpdir"),
+      s"graft_rss_fixture_${safe}_${graft.Tables.contentTag(sfDir, "events")}")
     val feed = dir.resolve("feed.xml")
     if (!Files.exists(feed)) {
       Files.createDirectories(dir)

@@ -43,7 +43,12 @@ object NrtPipeline {
     * applies the same `date_trunc('second', ts)`. */
   def ensureFixture(spark: SparkSession, sfDir: String): String = {
     val safe = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = Path.of(System.getProperty("java.io.tmpdir"), s"graft_nrt_fixture_$safe")
+    // content tag: regenerated testdata at the same path must rebuild
+    // the fixture, not serve the stale one (dir name carries the
+    // source-parquet fingerprint)
+    val tag = graft.Tables.contentTag(sfDir, "events")
+    val dir = Path.of(System.getProperty("java.io.tmpdir"),
+      s"graft_nrt_fixture_${safe}_$tag")
     val marker = dir.resolve("_READY")
     if (Files.exists(marker)) return dir.toString
     Files.createDirectories(dir)
