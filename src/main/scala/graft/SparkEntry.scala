@@ -929,6 +929,37 @@ object SparkEntry {
         "license_info")
     }),
 
+    // ---- K9 property-restore normalizer (OverwriteFS.py:499-558,
+    //      :483-486): per-nation saved-index bags through the REAL
+    //      PortalTransport.restoreIndexPlan — fields-match skip, the
+    //      noIndexes flag (every 5th nation), missing-field and
+    //      >4000-byte-key validation (field length alternates by
+    //      parity), name synthesis + by-name dedupe — plus the real
+    //      hasLiveData=false forcing. Driver-side by design like f23:
+    //      item property shaping is per-dataset metadata ----
+    "k9_property_restore" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      rows.toSeq.flatMap { case (k, name) =>
+        val nlow = name.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("[^a-z0-9]", "_")
+        val layerFields = Seq(("objectid", 0), ("time", 0),
+          (nlow, if (k % 2 == 0) 4000 else 4001), ("note", 8000))
+        val saved = Seq(
+          ("pk_saved", "OBJECTID"), ("empty_saved", ""),
+          ("ghost_saved", "time, ghost"), ("name_saved", s"time, $nlow"),
+          ("dup_a", "time"), ("dup_b", "time"), ("wide_saved", "note"))
+        val live = graft.sinks.PortalTransport.PropertyBackup(
+          Map("hasLiveData" -> "true")).normalized.props("hasLiveData")
+        graft.sinks.PortalTransport.restoreIndexPlan(s"tbl_$nlow",
+            layerFields, Seq("objectid"), saved, noIndexes = k % 5 == 0)
+          .map(d => (k, d.savedName, d.outcome, d.newName, d.newFields, live))
+      }.toDF("n_nationkey", "saved_name", "outcome", "new_name",
+        "new_fields", "has_live_data")
+    }),
+
     // ---- S10 RSS/GeoRSS scan: a GeoRSS feed derived from events
     //      through the REAL DOM parser (fields map, georss:point
     //      ordinates), projected back to scalars for the oracle ----
@@ -4986,6 +5017,38 @@ object SparkEntry {
         |    THEN 'License ' || CAST(n_nationkey AS VARCHAR)
         |    ELSE '' END AS license_info
         |FROM nation""".stripMargin,
+    // K9 restore replay: the decision each saved index takes, from the
+    // same rank rules the gate's fixture bag is built with
+    "k9_property_restore" ->
+      """WITH n AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    regexp_replace(lower(n_name), '[^a-z0-9]', '_', 'g') AS nlow,
+        |    (n_nationkey % 2 = 0) AS fits,
+        |    (n_nationkey % 5 = 0) AS noidx
+        |  FROM nation),
+        |s(ord, saved_name) AS (VALUES
+        |  (1, 'pk_saved'), (2, 'empty_saved'), (3, 'ghost_saved'),
+        |  (4, 'name_saved'), (5, 'dup_a'), (6, 'dup_b'), (7, 'wide_saved'))
+        |SELECT n.k AS n_nationkey, s.saved_name,
+        |  CASE WHEN s.ord = 1 THEN 'exists_fields'
+        |       WHEN noidx THEN 'no_indexes_flag'
+        |       WHEN s.ord = 2 THEN 'no_fields'
+        |       WHEN s.ord = 3 THEN 'missing_field'
+        |       WHEN s.ord = 4 THEN
+        |         CASE WHEN fits THEN 'added' ELSE 'too_large' END
+        |       WHEN s.ord = 5 THEN 'added'
+        |       WHEN s.ord = 6 THEN 'exists_name'
+        |       ELSE 'too_large' END AS outcome,
+        |  CASE WHEN NOT noidx AND s.ord = 4 AND fits
+        |         THEN 'tbl_' || nlow || '_time_' || nlow || '_idx'
+        |       WHEN NOT noidx AND s.ord = 5
+        |         THEN 'tbl_' || nlow || '_time_idx'
+        |       ELSE '' END AS new_name,
+        |  CASE WHEN NOT noidx AND s.ord = 4 AND fits THEN 'time,' || nlow
+        |       WHEN NOT noidx AND s.ord = 5 THEN 'time'
+        |       ELSE '' END AS new_fields,
+        |  'false' AS has_live_data
+        |FROM n CROSS JOIN s""".stripMargin,
     // size-probe replay: record counts and truncated time extents per
     // type (what the metadata path must answer without data transfer)
     "s6_size_probe" ->

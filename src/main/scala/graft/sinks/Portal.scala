@@ -69,6 +69,7 @@ class Portal(root: String) {
       properties: Map[String, String],
       serviceProps: Map[String, String] = Map.empty,
       indexes: Seq[(String, String)] = Nil, // (name, fields)
+      fields: Seq[(String, Int)] = Nil, // layer schema: (name, length)
       timeInfo: Option[String] = None, // layer time settings blob
       lastTouched: Long = 0L)
 
@@ -131,9 +132,21 @@ class Portal(root: String) {
     * [[PortalTransport.normalizeIndexes]], so the local model and the
     * REST backend restore identically. */
   def restoreProperties(item: Item, backup: Backup): Item = {
-    val restored = item.copy(
+    // With a known layer schema, replay the reference's FULL decision
+    // table (field validation, >4000-byte key columns, synthesized
+    // names — PortalTransport.restoreIndexPlan); without one, the
+    // seam-shared degenerate rules.
+    val current = items(item.id)
+    val restoredIndexes =
+      if (current.fields.nonEmpty)
+        current.indexes ++ PortalTransport.restoreIndexPlan(
+            current.serviceProps.getOrElse("tableName", current.id),
+            current.fields, current.indexes.map(_._2), backup.indexes)
+          .collect { case d if d.outcome == "added" => (d.newName, d.newFields) }
+      else PortalTransport.normalizeIndexes(backup.indexes)
+    val restored = current.copy(
       serviceProps = backup.serviceProps + ("hasLiveData" -> "false"),
-      indexes = PortalTransport.normalizeIndexes(backup.indexes),
+      indexes = restoredIndexes,
       timeInfo = backup.timeInfo)
     items(item.id) = restored
     restored
@@ -226,6 +239,15 @@ class Portal(root: String) {
 
   def addIndex(item: Item, name: String, fields: String): Item = {
     val updated = items(item.id).copy(indexes = items(item.id).indexes :+ (name, fields))
+    items(item.id) = updated
+    updated
+  }
+
+  /** Declare the layer's schema (field name → declared byte length);
+    * with it set, [[restoreProperties]] replays the reference's FULL
+    * index-restore decision table instead of the degenerate rules. */
+  def setFields(item: Item, fields: Seq[(String, Int)]): Item = {
+    val updated = items(item.id).copy(fields = fields)
     items(item.id) = updated
     updated
   }

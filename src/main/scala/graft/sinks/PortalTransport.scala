@@ -97,11 +97,71 @@ object PortalTransport {
     * name), THEN drop oversized keys — so an oversized first
     * occurrence shadows later same-name entries and the name is
     * dropped entirely, exactly the reference's replay order
-    * (`OverwriteFS.py:499-558`). */
+    * (`OverwriteFS.py:499-558`). This is the degenerate form used when
+    * the new layer's schema is unknown; [[restoreIndexPlan]] is the
+    * full decision table applied when it is. */
   def normalizeIndexes(indexes: Seq[(String, String)]): Seq[(String, String)] = {
     val seen = collection.mutable.LinkedHashSet.empty[String]
     indexes.filter { case (name, _) => seen.add(name) }
       .filter { case (_, fields) => fields.getBytes("UTF-8").length <= 4000 }
+  }
+
+  /** One saved index's restore decision: `outcome` is the branch the
+    * reference takes (`added`, or a skip reason); `newName`/`newFields`
+    * are non-empty only for `added`. */
+  case class IndexDecision(savedName: String, outcome: String,
+      newName: String, newFields: String)
+
+  /** K9 — the reference's full index-restore decision table
+    * (`OverwriteFS.py:499-558`), as a pure function over the backed-up
+    * indexes and the NEW layer's schema. For each saved index, in the
+    * reference's exact order:
+    *
+    *  1. fields string already matched by an index on the new layer
+    *     (case-insensitive exact string) → `exists_fields`;
+    *  2. the `noIndexes` flag → `no_indexes_flag`;
+    *  3. empty fields → `no_fields`;
+    *  4. each comma-split field in order: not in the layer's fields
+    *     (case-insensitive) → `missing_field`; declared length over
+    *     4000 bytes (cannot be a key column) → `too_large`;
+    *  5. synthesized name `<table>_<field>…_idx` already claimed this
+    *     service → `exists_name`; otherwise `added` with the fields
+    *     re-joined comma-separated (no spaces).
+    */
+  def restoreIndexPlan(userTable: String,
+      layerFields: Seq[(String, Int)],
+      layerIndexFields: Seq[String],
+      saved: Seq[(String, String)],
+      noIndexes: Boolean = false): Seq[IndexDecision] = {
+    import java.util.Locale.ROOT
+    val fieldLen = layerFields.map { case (n, l) => n.toLowerCase(ROOT) -> l }.toMap
+    val existing = layerIndexFields.map(_.toLowerCase(ROOT)).toSet
+    val serviceIndexes = collection.mutable.Set.empty[String]
+    saved.map { case (name, fields) =>
+      if (existing.contains(fields.toLowerCase(ROOT)))
+        IndexDecision(name, "exists_fields", "", "")
+      else if (noIndexes) IndexDecision(name, "no_indexes_flag", "", "")
+      else if (fields.isEmpty) IndexDecision(name, "no_fields", "", "")
+      else {
+        val parts = fields.split(",", -1).map(_.trim)
+        // first failing field decides, like the reference's break
+        val firstBad = parts.iterator.map { f =>
+          fieldLen.get(f.toLowerCase(ROOT)) match {
+            case None => Some("missing_field")
+            case Some(len) if len > 4000 => Some("too_large")
+            case _ => None
+          }
+        }.collectFirst { case Some(r) => r }
+        firstBad match {
+          case Some(reason) => IndexDecision(name, reason, "", "")
+          case None =>
+            val newName = (userTable +: parts.toSeq :+ "idx").mkString("_")
+            if (!serviceIndexes.add(newName))
+              IndexDecision(name, "exists_name", "", "")
+            else IndexDecision(name, "added", newName, parts.mkString(","))
+        }
+      }
+    }
   }
 
   /** Scheme-selected backend; credentials only matter for http(s). */

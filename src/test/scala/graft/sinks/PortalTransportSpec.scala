@@ -204,4 +204,54 @@ class PortalTransportSpec extends AnyFunSuite {
       .option("root", root).option("item", "rt").load()
     assert(r2.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a2", "b2"))
   }
+
+  test("K9 restoreIndexPlan replays the reference's full decision table") {
+    import PortalTransport.{restoreIndexPlan, IndexDecision}
+    val fields = Seq(("objectid", 0), ("time", 0), ("name", 4001), ("note", 8000))
+    val saved = Seq(
+      ("pk_saved", "OBJECTID"),       // fields already indexed on the layer
+      ("empty_saved", ""),            // no fields
+      ("ghost_saved", "time, ghost"), // second field missing
+      ("wide_first", "note, ghost"),  // FIRST failing field decides: too_large
+      ("good", "time"),
+      ("dup", "time"))                // same synthesized name as `good`
+    val plan = restoreIndexPlan("tbl", fields, Seq("objectid"), saved)
+    assert(plan == Seq(
+      IndexDecision("pk_saved", "exists_fields", "", ""),
+      IndexDecision("empty_saved", "no_fields", "", ""),
+      IndexDecision("ghost_saved", "missing_field", "", ""),
+      IndexDecision("wide_first", "too_large", "", ""),
+      IndexDecision("good", "added", "tbl_time_idx", "time"),
+      IndexDecision("dup", "exists_name", "", "")))
+    // noIndexes skips everything EXCEPT the fields-match short-circuit
+    // (checked before the flag, like the reference)
+    val no = restoreIndexPlan("tbl", fields, Seq("objectid"), saved,
+      noIndexes = true)
+    assert(no.map(_.outcome) ==
+      "exists_fields" +: Seq.fill(5)("no_indexes_flag"))
+    // multi-field: per-field validation, name joins the trimmed parts,
+    // fields re-join comma-separated with no spaces
+    val multi = restoreIndexPlan("t2", fields, Nil,
+      Seq(("m", "time , objectid")))
+    assert(multi == Seq(
+      IndexDecision("m", "added", "t2_time_objectid_idx", "time,objectid")))
+  }
+
+  test("local Portal restore applies the full plan when the layer schema is known") {
+    val p = Portal.forRoot(
+      java.nio.file.Files.createTempDirectory("k9plan").toString)
+    val item = p.addOrRetry("Planned", "Feature Service", Nil,
+      Map.empty[String, String])
+    p.setFields(item, Seq(("objectid", 0), ("ts", 0), ("wide", 9000)))
+    p.setIndexes(item, Seq("pk" -> "objectid"))
+    val backup = p.Backup(Map("snippet" -> "s"),
+      Seq("saved_pk" -> "objectid",    // matched by the new layer's pk
+        "saved_ts" -> "ts",            // re-created under the synth name
+        "saved_wide" -> "wide",        // >4000-byte key column
+        "saved_ghost" -> "nope"))      // field absent from the new layer
+    val restored = p.restoreProperties(p.itemById(item.id), backup)
+    assert(restored.indexes == Seq(
+      "pk" -> "objectid", s"${item.id}_ts_idx" -> "ts"))
+    assert(restored.serviceProps("hasLiveData") == "false")
+  }
 }
