@@ -78,7 +78,7 @@ object Nrt {
   }
 
   case class RefreshOutcome(datasetId: String, changed: Boolean,
-    newFingerprint: Long, rows: Long)
+    newFingerprint: Long, rows: Long, failed: Boolean = false)
 
   /** One dataset's refresh: read the window, fingerprint it, skip when
     * unchanged (T2/T3), else full-replace the inactive slot (K8+K10). */
@@ -141,8 +141,13 @@ object Nrt {
       now: java.sql.Timestamp): DataFrame = {
     val spark = control.sparkSession
     import spark.implicits._
-    if (outcomes.isEmpty) return control
-    val o = outcomes.toDF()
+    // a FAILED refresh leaves its control row completely untouched —
+    // including last_refresh — so the dataset stays due and the next
+    // cycle retries it (the reference's timeout requeue,
+    // `core.py:869-874`)
+    val applied = outcomes.filterNot(_.failed)
+    if (applied.isEmpty) return control
+    val o = applied.toDF()
       .select(col("datasetId").as("dataset_id"), col("changed"),
         col("newFingerprint").as("new_fp"))
     control.join(broadcast(o), Seq("dataset_id"), "left")
@@ -172,7 +177,17 @@ object Nrt {
       val id = r.getAs[String]("dataset_id")
       val slot = r.getAs[String]("active_slot")
       val fp = Option(r.getAs[java.lang.Long]("fingerprint")).map(_.toLong)
-      refreshDataset(spark, id, readFresh(id), fp, sinkRoot, slot)
+      // per-dataset fault isolation, like the reference's pool loop
+      // (`core.py:869-880`): one dataset dying mid-read or mid-commit
+      // must not abort the cycle — it reports a FAILED outcome (control
+      // row untouched, stays due) while the rest proceed. The inactive
+      // slot may hold a partial write; the active slot still serves and
+      // the next cycle's full-overwrite repairs.
+      try refreshDataset(spark, id, readFresh(id), fp, sinkRoot, slot)
+      catch { case scala.util.control.NonFatal(_) =>
+        RefreshOutcome(id, changed = false, newFingerprint = 0L,
+          rows = -1L, failed = true)
+      }
     }
     (applyOutcomes(control, outcomes, now), outcomes)
   }
