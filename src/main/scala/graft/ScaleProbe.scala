@@ -523,7 +523,8 @@ object ScaleProbe {
     // it's the one-time cost), a FIXED arrival batch probed against the
     // 1x vs Nx corpus index. Touched clusters are batch-bounded; their
     // occupancy grows with the corpus, so candidate mass is ~linear.
-    if (only.forall(_.contains("semdedup_incremental"))) {
+    if (only.forall(s => s.contains("semdedup_incremental") ||
+        s.contains("semdedup_incr_skew"))) {
       def buildIdx(df: DataFrame, tag: String): (String, Array[Array[Double]]) = {
         val cents = graft.operators.Similarity.trainCentroids(
           df, "embedding", 64, iters = 3, sampleN = 2000, orderBy = "vec_id")
@@ -541,6 +542,28 @@ object ScaleProbe {
           "vec_id", "embedding", c1, 0.3).count(),
         graft.operators.Similarity.semDedupIncremental(spark, pN, batch,
           "vec_id", "embedding", cN, 0.3).count())
+      // SKEWED arrivals: production batches are bursty and topic-
+      // concentrated — every new row here lands in the Nx index's TWO
+      // hottest clusters (one hot IVF partition). The default-on
+      // per-cluster probe cap (`maxProbe`, riding the build-time
+      // `_crank` rank as a pushed filter) must keep the hot-partition
+      // probe bounded by cap × batch, not occupancy × batch.
+      val hot2 = graft.operators.Similarity.ivfAssign(
+          batch, "vec_id", "embedding", cN)
+        .groupBy("cluster").count()
+        .orderBy(desc("count"), asc("cluster")).limit(2)
+        .select("cluster").collect().map(_.getInt(0)).toSeq
+      val skewBatch = graft.operators.Similarity.ivfAssign(
+          batch, "vec_id", "embedding", cN)
+        .filter(col("cluster").isin(hot2: _*))
+        .select("vec_id", "embedding").cache()
+      skewBatch.count()
+      probe("semdedup_incr_skew",
+        graft.operators.Similarity.semDedupIncremental(spark, p1, skewBatch,
+          "vec_id", "embedding", c1, 0.3).count(),
+        graft.operators.Similarity.semDedupIncremental(spark, pN, skewBatch,
+          "vec_id", "embedding", cN, 0.3).count())
+      skewBatch.unpersist()
     }
 
     // SemDeDup at the production cap: assignment is a broadcast scan,

@@ -128,7 +128,8 @@ object SparkEntry {
         bb.clear(); bb.putDouble(d); crc.update(bb.array()) })
       java.lang.Long.toHexString(crc.getValue)
     }
-    val tag = s"${Tables.contentTag(dir, "embeddings")}_$centCrc"
+    // v2 = the index format carries the build-time `_crank` probe rank
+    val tag = s"${Tables.contentTag(dir, "embeddings")}_${centCrc}_v2"
     val idxDir = java.nio.file.Path.of(
       System.getProperty("java.io.tmpdir"), s"graft_semdedup_idx_${safe}_$tag")
     val marker = idxDir.resolve("_READY")
@@ -1078,7 +1079,8 @@ object SparkEntry {
       val (idxPath, cents) = ensureSemDedupIndex(s, dir)
       val batch = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
       Similarity.semDedupIncremental(s, idxPath,
-          batch, "vec_id", "embedding", cents, threshold = 0.3)
+          batch, "vec_id", "embedding", cents, threshold = 0.3,
+          maxProbe = 0) // oracle-exact; production default is cap-on
         .select(col("new_id"), col("corpus_id"),
           round(col("cosine"), 6).as("cos"))
     }),
@@ -1092,7 +1094,8 @@ object SparkEntry {
       runStreamingGate(s, dir, "t12", table = "embeddings") { embS =>
         Similarity.semDedupIncrementalStream(s, idxPath,
             embS.filter(col("vec_id") % 10 === 0),
-            "vec_id", "embedding", cents, threshold = 0.3)
+            "vec_id", "embedding", cents, threshold = 0.3,
+            maxProbe = 0) // oracle-exact; production default is cap-on
           .select(col("new_id"), col("corpus_id"),
             round(col("cosine"), 6).as("cos"))
       }

@@ -326,6 +326,14 @@ object Similarity {
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], path: String): Unit =
     ivfAssign(df, idCol, vecCol, centroids)
+      // `_crank` = stable within-cluster rank (by id), paid ONCE at
+      // index build: a probe-time per-cluster cap is then a plain
+      // pushed parquet filter (`_crank <= maxProbe`) instead of a
+      // window shuffle over the touched partitions — the hot-partition
+      // guard costs nothing when unhit.
+      .withColumn("_crank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster")).orderBy(col(idCol))).cast("long"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** Top-k over a [[writeIvfIndex]] layout: the `cluster IN (probes)`
@@ -769,19 +777,40 @@ object Similarity {
     * laid out `cluster=<c>/`, the only corpus bytes read are the
     * clusters the batch actually touches (partition pruning — the same
     * lever as [[ivfTopKFromIndex]]). Returns (new_id, corpus_id,
-    * cosine ≥ threshold). */
+    * cosine ≥ threshold).
+    *
+    * `maxProbe` (default ON, mirroring the minhash band cap): at most
+    * that many corpus rows are probed per touched cluster — the guard
+    * for BURSTY, cluster-skewed arrivals (one hot topic → one hot IVF
+    * partition → that partition's full occupancy × the batch). The cap
+    * rides the index's build-time `_crank` rank as a pushed parquet
+    * filter (lowest ids win — deterministic), so it adds no shuffle
+    * and costs nothing when unhit. 0 = exact/oracle mode. */
   def semDedupIncremental(spark: SparkSession, indexPath: String,
       batch: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+      centroids: Array[Array[Double]], threshold: Double,
+      maxProbe: Int = 1000): DataFrame = {
     val assigned = ivfAssign(batch, idCol, vecCol, centroids)
       .select(col("cluster"), col(idCol).as("new_id"), col(vecCol).as("_nv"))
-    val idx = spark.read.parquet(indexPath)
+    val idx = probeCapped(spark.read.parquet(indexPath), maxProbe)
       .select(col("cluster"), col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
     idx.join(broadcast(assigned), "cluster")
       .select(col("new_id"), col("corpus_id"),
         graft.functions.VecOps.cosine_sim(col("_nv"), col("_cv")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** The `maxProbe` filter for an index scan: prefers the build-time
+    * `_crank` rank (pushed to parquet); an index written before the
+    * rank existed fails loudly rather than silently probing uncapped. */
+  private def probeCapped(idx: DataFrame, maxProbe: Int): DataFrame =
+    if (maxProbe <= 0) idx
+    else {
+      require(idx.columns.contains("_crank"),
+        "maxProbe > 0 needs an index with the build-time `_crank` rank — " +
+          "rebuild it with writeIvfIndex, or pass maxProbe = 0")
+      idx.filter(col("_crank") <= maxProbe)
+    }
 
   /** STREAMING twin of [[semDedupIncremental]] — arrival vectors as a
     * stream: cluster assignment is a STATELESS projection (centroids
@@ -795,10 +824,11 @@ object Similarity {
     * `cluster=<c>/` layout keeps the static scan prunable.) */
   def semDedupIncrementalStream(spark: SparkSession, indexPath: String,
       stream: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+      centroids: Array[Array[Double]], threshold: Double,
+      maxProbe: Int = 1000): DataFrame = {
     val assigned = ivfAssign(stream, idCol, vecCol, centroids)
       .select(col("cluster"), col(idCol).as("new_id"), col(vecCol).as("_nv"))
-    val idx = spark.read.parquet(indexPath)
+    val idx = probeCapped(spark.read.parquet(indexPath), maxProbe)
       .select(col("cluster"), col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
     assigned.join(idx, "cluster")
       .select(col("new_id"), col("corpus_id"),

@@ -319,4 +319,38 @@ class SimilarityScaleSpec extends AnyFunSuite {
     assert(out.forall(_._1 == 100L))           // orthogonal batch row silent
     assert(out.forall { case (_, c, _) => c == 1L || c == 2L }) // e1 cluster
   }
+
+  test("semDedupIncremental maxProbe: hot cluster probed cap-deep, lowest ids win") {
+    // ONE hot direction: 40 corpus near-dups of e1 land in one IVF
+    // cluster; a skewed arrival probes it. Cap 10 must bound the probe
+    // to the 10 LOWEST corpus ids (the build-time `_crank` order) —
+    // deterministic, and the pruned rows are exactly ids 11..40.
+    val corpus = (1L to 40L).map { i =>
+      (i, Array(1.0f, 0.001f * i, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, "embedding", k = 1,
+      iters = 2, sampleN = 40, orderBy = "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("sdi_cap").toString
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents, dir)
+    val batch = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.semDedupIncremental(spark, dir, batch,
+        "vec_id", "embedding", cents, threshold = 0.9, maxProbe = 10)
+      .collect().map(_.getLong(1)).sorted
+    assert(capped.toSeq == (1L to 10L))
+    // cap off (oracle mode): the full occupancy pairs
+    val exact = Similarity.semDedupIncremental(spark, dir, batch,
+        "vec_id", "embedding", cents, threshold = 0.9, maxProbe = 0)
+      .collect().map(_.getLong(1)).sorted
+    assert(exact.toSeq == (1L to 40L))
+    // an index without the build-time rank fails LOUDLY under a cap
+    val legacy = java.nio.file.Files.createTempDirectory("sdi_legacy").toString
+    Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("cluster").parquet(legacy)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedupIncremental(spark, legacy, batch,
+        "vec_id", "embedding", cents, threshold = 0.9, maxProbe = 10).count()
+    }
+    assert(e.getMessage.contains("_crank"))
+  }
 }
