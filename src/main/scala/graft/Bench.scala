@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   * query happens to run first; queries then run in name order.
   */
 object Bench {
+  /** FROZEN round-over-round comparability subset — the full-set total
+    * and throughput shift every round as the gate mix grows (r9 2.03 →
+    * r10 1.45 q/s was mix shift, not drift), so regressions are
+    * invisible in them. This 50-gate list was frozen at round 11 and
+    * MUST NOT be edited: comparability across rounds is its whole
+    * point. Names missing at runtime are skipped loudly rather than
+    * silently shrinking the denominator. Feeds both the
+    * `throughput_frozen` metric and the summary's `total_frozen`. */
+  val frozenGates: Seq[String] = Seq(
+    "a1_time_extent", "anchor_texts", "ann_ivf_topk", "ann_pq_topk",
+    "attribution_last_click", "bm25_topk", "bpe_token_ids",
+    "chunk_documents", "corpus_report", "decontam_fuzzy",
+    "dedup_embedding_clusters", "dedup_keep_best",
+    "dedup_minhash_oracle", "dedup_spans", "domain_cap",
+    "e3_union_chunks", "f10_numeric_prefix", "f14_json_flatten",
+    "f1_decode_datetime", "f2_epoch_clamp", "f6_extraction",
+    "f8_truncate_pad", "funnel_users", "heavy_hitters",
+    "j10_bloom_semi", "j4_semi_join", "j9_range_join", "kmv_distinct",
+    "labelprop_stable", "mix_temperature", "mm_audio_g711",
+    "mm_decode_image", "mm_image_dhash", "mm_image_resize",
+    "mm_mjpeg_sample", "mm_png_palette", "mm_router", "mm_video_stats",
+    "o4_latest", "p8_null_prune", "pack_windows", "pca_covariance",
+    "q1_agg", "reciprocity_links", "robots_sitemaps", "s2_catalog_scan",
+    "s8_griddap_scan_int16", "sample_token_budget", "session_paths",
+    "span_corrupt")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -200,25 +226,8 @@ object Bench {
       // MUST NOT be edited: comparability across rounds is its whole
       // point. Names missing at runtime are skipped loudly (counted in
       // "missing") rather than silently shrinking the denominator.
-      val frozen = Seq(
-        "a1_time_extent", "anchor_texts", "ann_ivf_topk", "ann_pq_topk",
-        "attribution_last_click", "bm25_topk", "bpe_token_ids",
-        "chunk_documents", "corpus_report", "decontam_fuzzy",
-        "dedup_embedding_clusters", "dedup_keep_best",
-        "dedup_minhash_oracle", "dedup_spans", "domain_cap",
-        "e3_union_chunks", "f10_numeric_prefix", "f14_json_flatten",
-        "f1_decode_datetime", "f2_epoch_clamp", "f6_extraction",
-        "f8_truncate_pad", "funnel_users", "heavy_hitters",
-        "j10_bloom_semi", "j4_semi_join", "j9_range_join", "kmv_distinct",
-        "labelprop_stable", "mix_temperature", "mm_audio_g711",
-        "mm_decode_image", "mm_image_dhash", "mm_image_resize",
-        "mm_mjpeg_sample", "mm_png_palette", "mm_router", "mm_video_stats",
-        "o4_latest", "p8_null_prune", "pack_windows", "pca_covariance",
-        "q1_agg", "reciprocity_links", "robots_sitemaps", "s2_catalog_scan",
-        "s8_griddap_scan_int16", "sample_token_budget", "session_paths",
-        "span_corrupt")
-      val frozenPresent = all.filter { case (nm, _) => frozen.contains(nm) }
-      val missing = frozen.filterNot(frozenPresent.map(_._1).toSet)
+      val frozenPresent = all.filter { case (nm, _) => frozenGates.contains(nm) }
+      val missing = frozenGates.filterNot(frozenPresent.map(_._1).toSet)
       if (missing.nonEmpty)
         println(s"""{"metric":"throughput_frozen_missing","missing":${
           missing.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
@@ -267,7 +276,12 @@ object Bench {
       .mkString("[", ",", "]")
     println(s"""{"metric":"spread","spread":$spreads,"noisy":$noisy,"retried":$retriedJson,"retry_iters":$retryIters,"iters":$iterations}""")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"iters":$iterations,"sf":"$sfDir","stat":"min"}""")
-    println(s"""{"metric":"summary","total":${r4(total)},"total_median":${r4(totalMedian)},"stat":"min","n":${results.length},"noisy_n":${noisySet.size},"unit":"sec","sf":"$sfDir"}""")
+    // total_frozen: the same headline min summed over ONLY the frozen
+    // 50-gate list — the round-comparable total (the full-set total
+    // moves whenever gates are added, exactly like throughput).
+    val frozenResults = results.filter(r => frozenGates.contains(r._1))
+    val totalFrozen = frozenResults.map(_._4).sum
+    println(s"""{"metric":"summary","total":${r4(total)},"total_median":${r4(totalMedian)},"total_frozen":${r4(totalFrozen)},"frozen_n":${frozenResults.length},"stat":"min","n":${results.length},"noisy_n":${noisySet.size},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
