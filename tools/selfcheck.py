@@ -27,9 +27,29 @@ def norm_cell(v):
 
 
 def canon(df):
+    """Canonical sorted row-strings. Vectorized per column (the row-wise
+    itertuples loop was the bottleneck at sf1: 571k-row outputs took
+    minutes per gate); cell normalization is unchanged."""
     df = df[sorted(df.columns)]
-    rows = ["|".join(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
-    return sorted(rows)
+    if len(df) == 0:
+        return []
+    cols = []
+    for c in df.columns:
+        s = df[c]
+        kind = getattr(s.dtype, "kind", "O")
+        if kind in "iu":
+            cols.append(s.astype(str))
+        elif kind == "b":
+            cols.append(s.map(str))
+        elif kind == "f":
+            cols.append(s.map(lambda v: "nan" if math.isnan(v) else f"{v:.9g}"))
+        elif kind == "M":  # datetime64, tz-aware or not
+            sn = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) is not None else s
+            cols.append(sn.map(lambda v: v.isoformat()))
+        else:
+            cols.append(s.map(norm_cell))
+    joined = cols[0].str.cat(cols[1:], sep="|") if len(cols) > 1 else cols[0]
+    return sorted(joined.tolist())
 
 
 def main(sf_dir, out_dir):
@@ -58,13 +78,33 @@ def main(sf_dir, out_dir):
             print(f"MISS  {name}: no spark output")
             n_fail += 1
             continue
+        # SELFCHECK_TIMEOUT_S: per-gate oracle budget. A quadratic SQL
+        # oracle that is fine at the driver's gate SF can be infeasible
+        # at a 10x sweep SF — interrupt it and report TIMEOUT (counted
+        # as a failure so the caller must explicitly skip-and-document).
+        timeout_s = int(os.environ.get("SELFCHECK_TIMEOUT_S", "0"))
+        timer = None
+        timed_out = []
+        if timeout_s:
+            import threading
+            def _interrupt():
+                timed_out.append(True)
+                con.interrupt()
+            timer = threading.Timer(timeout_s, _interrupt)
+            timer.start()
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
             want = con.execute(sql).df()
         except Exception as e:
-            print(f"ERR   {name}: {str(e)[:160]}")
+            if timed_out:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s")
+            else:
+                print(f"ERR   {name}: {str(e)[:160]}")
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         if sorted(got.columns) != sorted(want.columns):
             print(f"COLS  {name}: spark={sorted(got.columns)} duck={sorted(want.columns)}")
             n_fail += 1
