@@ -213,14 +213,25 @@ object Relational {
     * Returns the input plus `_pid`, `outLocal` (the within-partition
     * running value, MONOTONE by construction so the per-partition max
     * is its total), and `_offset` (sum of earlier partitions' totals);
-    * callers combine and drop the temps. */
+    * callers combine and drop the temps.
+    *
+    * The ranked intermediate is PINNED with an eager localCheckpoint:
+    * the totals aggregate and the final join are two consumers of the
+    * same sub-plan, and without materialization each re-evaluates
+    * `repartitionByRange` — whose sampled range boundaries are NOT
+    * guaranteed identical across evaluations — so a row near a
+    * boundary can take its local rank from one partitioning and its
+    * offset from another (caught at the 10× sweep SF: pack_whole_docs
+    * ranks stopped being a permutation). The checkpoint costs one
+    * block-manager materialization of the ranked data — the price of a
+    * consistent snapshot, same discipline as the iterative graph ops. */
   private[operators] def withGlobalPrefix(df: DataFrame, parts: Int,
       order: Seq[Column], outLocal: String)(
       local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("_pid", spark_partition_id())
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
-    val localDf = ranged.withColumn(outLocal, local(w))
+    val localDf = ranged.withColumn(outLocal, local(w)).localCheckpoint(true)
     val sums = localDf.groupBy(col("_pid")).agg(max(col(outLocal)).as("_sum"))
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -248,7 +259,9 @@ object Relational {
     val ranged = df.repartitionByRange(parts, (stratum ++ order): _*)
       .withColumn("_pid", spark_partition_id())
     val w = Window.partitionBy(stratum :+ col("_pid"): _*).orderBy(order: _*)
-    val localDf = ranged.withColumn(outLocal, local(w))
+    // pinned for the same reason as withGlobalPrefix: totals and join
+    // must see ONE evaluation of the sampled range partitioning
+    val localDf = ranged.withColumn(outLocal, local(w)).localCheckpoint(true)
     val sums = localDf.groupBy(stratum :+ col("_pid"): _*)
       .agg(max(col(outLocal)).as("_sum"))
     val wOff = Window.partitionBy(stratum: _*).orderBy(col("_pid"))
