@@ -964,11 +964,24 @@ class GlobalRowNumberSpec extends org.scalatest.funsuite.AnyFunSuite {
     val scalable = Relational.globalRowNumber(ev, order)
       .select("event_id", "rn")
     assert(scalable.join(naive, Seq("event_id", "rn")).count() == ev.count())
-    // the numbering window itself is partition-local, not single-partition
+    // The numbering window itself is partition-local, not
+    // single-partition. The range repartition + local window execute
+    // EAGERLY behind the snapshot pin (the ranked intermediate is
+    // localCheckpoint'ed so both consumers see one sampled range
+    // partitioning), so the visible plan starts from the pinned scan;
+    // what it must still show is the two-pass scaffold downstream of
+    // the pin — a _pid-keyed totals aggregate and a broadcast offsets
+    // join, never a nested-loop — and the pin itself.
     val plan = Relational.globalRowNumber(ev, order)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning") || plan.contains("REPARTITION_BY_"),
-      s"expected range repartition in plan:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the pinned ranked snapshot in plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(_pid"),
+      s"expected the _pid-keyed totals aggregate in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [_pid"),
+      s"expected broadcast offsets join in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"offsets must never go through a nested loop:\n$plan")
   }
 
   test("zorderColumn: exact Morton interleave, monotone per dimension, edge codes") {
