@@ -85,6 +85,8 @@ object Bench {
       graft.sources.FeatureCollection.publicationGate(spark, sfDir).count()
     if (anySelected("semdedup_incremental", "t12_streaming_semdedup"))
       SparkEntry.queries("semdedup_incremental")(spark, sfDir).count()
+    // warmups abandoned their pins too — start the timed runs clean
+    graft.operators.Snapshots.sweep(spark)
 
     // Median of 5 iterations per query: co-tenant noise spikes on up to
     // two iterations cannot flip the acceptance signal. Spread (max-min)
@@ -98,7 +100,12 @@ object Bench {
         n: Int): Seq[Double] = (1 to n).map { _ =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // OUTSIDE the timed window: drop the pins this run abandoned, so
+      // iteration k of gate n isn't measured under k×n queries' worth
+      // of accumulated snapshot blocks (heap-dependent drift)
+      graft.operators.Snapshots.sweep(spark)
+      dt
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -210,6 +217,10 @@ object Bench {
             try { fn(spark, sfDir).count(); n += 1 }
             catch { case scala.util.control.NonFatal(_) =>
               failed(name) = failed.getOrElse(name, 0) + 1 }
+            // inside the wall clock deliberately: a well-behaved
+            // long-lived service drops abandoned pins as it goes (~ms);
+            // without it the later rounds run under GBs of dead blocks
+            graft.operators.Snapshots.sweep(spark)
           }
         }
         val wall = (System.nanoTime() - t0) / 1e9
@@ -248,7 +259,9 @@ object Bench {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).queryExecution.toRdd.count() }
           catch { case scala.util.control.NonFatal(_) => }
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.operators.Snapshots.sweep(spark)
+          dt
         }.sorted
         (name, times(1))
       }

@@ -688,7 +688,7 @@ object Dedup {
       val spark = pairs.sparkSession
       import spark.implicits._
       val half = edges.filter(col("a") <= col("b")).collect()
-      edges.unpersist()
+      Snapshots.release(edges) // Dataset.unpersist is a no-op on a pin
       return (idType match {
         case org.apache.spark.sql.types.LongType =>
           localUnionFind[Long](half.map(r => (r.getLong(0), r.getLong(1))),
@@ -705,10 +705,13 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    // the frame whose blocks back `labels` — labels itself becomes a
+    // PROJECTION over the pin after round 1 (step2.drop), so releasing
+    // `labels` would silently miss the blocks
+    var pinned = labels
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
-      val prevLabels = labels
       // neighbor-min: best label among my neighbors
       val viaEdges = edges
         .join(labels.select(col("id").as("b"), col("cluster").as("nb")), "b")
@@ -728,12 +731,13 @@ object Dedup {
         .select(col("id"), col("old"),
           least(col("cluster"), coalesce(col("pc"), col("cluster"))).as("cluster"))
         .localCheckpoint() // eager: materialized before prev is dropped
-      prevLabels.unpersist() // bound block-manager growth across rounds
+      Snapshots.release(pinned) // bound block-manager growth across rounds
+      pinned = step2
       changed = step2.filter(col("cluster") < col("old")).count()
       labels = step2.drop("old")
       iter += 1
     }
-    edges.unpersist()
+    Snapshots.release(edges)
     labels
   }
 

@@ -40,8 +40,11 @@ object LinkGraph {
       nodes: DataFrame = null, idCol: String = "id"): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    // pinned: e feeds the contribs join EVERY round, and each round is
+    // its own job — without the pin the distinct's shuffle re-executes
+    // per round (cross-job exchange reuse doesn't exist)
     val e = edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst")).distinct()
+      col(dstCol).cast("long").as("_dst")).distinct().localCheckpoint(true)
     var all = e.select(col("_src").as("_id"))
       .unionByName(e.select(col("_dst").as("_id")))
     if (nodes != null)
@@ -76,14 +79,19 @@ object LinkGraph {
         .select(col("_dst").as("_id"),
           (col("_rank") / col("_deg")).as("_c"))
         .groupBy("_id").agg(sum(col("_c")).as("_c"))
+      val prev = ranks
       ranks = nodeIds.join(contribs, Seq("_id"), "left")
         .select(col("_id"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + lit(dangling / n)))
             .as("_rank"))
         .localCheckpoint(true) // truncate lineage: flat plan per round
+      Snapshots.release(prev) // superseded round state: free its blocks
       it += 1
     }
+    // iterations >= 1 ⇒ the final ranks is its own pinned snapshot, so
+    // the scaffolding pins have no remaining consumer
+    Snapshots.release(e); Snapshots.release(deg); Snapshots.release(nodeIds)
     ranks.select(col("_id").as(idCol), col("_rank").as("rank"))
   }
 
@@ -111,8 +119,9 @@ object LinkGraph {
       idCol: String = "id"): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    // pinned for the same reason as [[pageRank]]: consumed every round
     val e = edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst")).distinct()
+      col(dstCol).cast("long").as("_dst")).distinct().localCheckpoint(true)
     var all = e.select(col("_src").as("_id"))
       .unionByName(e.select(col("_dst").as("_id")))
     if (nodes != null)
@@ -151,14 +160,18 @@ object LinkGraph {
         .select(col("_dst").as("_id"),
           (col("_rank") / col("_deg")).as("_c"))
         .groupBy("_id").agg(sum(col("_c")).as("_c"))
+      val prev = ranks
       ranks = withP.join(contribs, Seq("_id"), "left")
         .select(col("_id"), col("_p"),
           (lit(1.0 - damping) * col("_p") + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + lit(dangling) * col("_p")))
             .as("_rank"))
         .localCheckpoint(true)
+      Snapshots.release(prev)
       it += 1
     }
+    Snapshots.release(e); Snapshots.release(deg); Snapshots.release(nodeIds)
+    Snapshots.release(inGraph); Snapshots.release(withP)
     ranks.select(col("_id").as(idCol), col("_rank").as("rank"))
   }
 
@@ -190,6 +203,9 @@ object LinkGraph {
     val (und, nodeIds) = lpPrep(edges, srcCol, dstCol, nodes)
     val labels = lpRounds(und, nodeIds.withColumn("_lbl", col("_id")),
       iterations)
+    // iterations >= 1 ⇒ labels is a pinned round output, so the lpPrep
+    // scaffolding is dead
+    Snapshots.release(und); Snapshots.release(nodeIds)
     labels.select(col("_id").as(idCol), col("_lbl").as("label"))
   }
 
@@ -213,6 +229,7 @@ object LinkGraph {
     val even = lpRounds(und, nodeIds.withColumn("_lbl", col("_id")),
       iterations)
     val odd = lpRounds(und, even, 1)
+    Snapshots.release(und); Snapshots.release(nodeIds)
     even.join(odd.select(col("_id"), col("_lbl").as("_lbl2")), Seq("_id"))
       .select(col("_id").as(idCol),
         least(col("_lbl"), col("_lbl2")).as("label"),
@@ -260,11 +277,18 @@ object LinkGraph {
     var it = 0
     while (it < iterations) {
       // auth(v) = Σ hub(u) over in-edges, max-normalized + 6-dp pinned
+      val prevAuths = auths
       auths = hitsHalfRound(e, hubs, nodeIds, "_src", "_dst")
+      Snapshots.release(prevAuths)
       // hub(u) = Σ auth(v) over out-edges
+      val prevHubs = hubs
       hubs = hitsHalfRound(e, auths, nodeIds, "_dst", "_src")
+      Snapshots.release(prevHubs)
       it += 1
     }
+    // the final hubs/auths are pinned half-round outputs; the edge and
+    // node scaffolding has no remaining consumer
+    Snapshots.release(e); Snapshots.release(nodeIds)
     hubs.select(col("_id"), col("_s").as("hub"))
       .join(auths.select(col("_id"), col("_s").as("authority")), Seq("_id"))
       .select(col("_id").as(idCol), col("hub"), col("authority"))
@@ -401,11 +425,14 @@ object LinkGraph {
         .groupBy("_id")
         .agg(max(when(col("_nh") >= col("_rn"), col("_rn"))
           .otherwise(0L)).as("_hn"))
+      val prev = h
       h = h.join(hNew, Seq("_id"), "left")
         .select(col("_id"), coalesce(col("_hn"), lit(0L)).as("_h"))
         .localCheckpoint(true)
+      Snapshots.release(prev)
       it += 1
     }
+    Snapshots.release(und); Snapshots.release(allNodes)
     h.select(col("_id").as(idCol), col("_h").as("coreness"))
   }
 
@@ -444,9 +471,11 @@ object LinkGraph {
         .unionAll(tri.select(col("b").as("lo"), col("c").as("hi")))
         .unionAll(tri.select(col("a").as("lo"), col("c").as("hi")))
         .groupBy("lo", "hi").agg(count(lit(1)).as("_s"))
+      val prev = und
       und = und.join(sup, Seq("lo", "hi"), "left")
         .filter(coalesce(col("_s"), lit(0L)) >= k - 2)
         .select("lo", "hi").localCheckpoint(true)
+      Snapshots.release(prev)
       it += 1
     }
     und
@@ -486,6 +515,7 @@ object LinkGraph {
     var visited = und.select(col("_a").as("_u"), col("_b").as("_v"))
       .withColumn("_d", lit(1)).localCheckpoint(true)
     var frontier = visited.select("_u", "_v")
+    var lastNext: DataFrame = null
     var d = 2
     while (d <= maxDist) {
       val next = frontier.join(und, frontier("_v") === und("_a"))
@@ -493,10 +523,18 @@ object LinkGraph {
         .filter(col("_u") =!= col("_v")).distinct()
         .join(visited.select("_u", "_v"), Seq("_u", "_v"), "left_anti")
         .withColumn("_d", lit(d)).localCheckpoint(true)
+      // the prior round's frontier pin fed this `next` (eager) and
+      // nothing else — dead now; same for the superseded visited union
+      if (lastNext != null) Snapshots.release(lastNext)
+      val prevVisited = visited
       visited = visited.unionByName(next).localCheckpoint(true)
+      Snapshots.release(prevVisited)
+      lastNext = next
       frontier = next.select("_u", "_v")
       d += 1
     }
+    if (lastNext != null) Snapshots.release(lastNext)
+    Snapshots.release(und)
     // Σ_d n_d / d from exact per-distance counts, ascending d
     val distCounts = (1 to maxDist).map(dd =>
       sum(when(col("_d") === dd, 1L).otherwise(0L)).as(s"_n$dd"))
@@ -610,9 +648,14 @@ object LinkGraph {
       val winner = votes.groupBy("_id")
         .agg(min_by(col("_lbl"),
           struct((-col("_n")).as("a"), col("_lbl").as("b"))).as("_new"))
+      val prev = labels
       labels = labels.join(winner, Seq("_id"), "left")
         .select(col("_id"), coalesce(col("_new"), col("_lbl")).as("_lbl"))
         .localCheckpoint(true)
+      // superseded round state — but never the CALLER's labels0 (the
+      // stable variant feeds one lpRounds output into another and still
+      // reads the first afterwards)
+      if (prev ne labels0) Snapshots.release(prev)
       it += 1
     }
     labels

@@ -697,9 +697,10 @@ object TextAnalysis {
         it += 1
       }
       (w, b)
-      // release the checkpoint blocks — a leaked cache here taxes every
+      // release the checkpoint blocks — a leaked pin here taxes every
       // query that runs after training in the same session
-    } finally f.unpersist(false)
+      // (Dataset.unpersist only clears CacheManager entries, not pins)
+    } finally Snapshots.release(f)
   }
 
   /** Per-doc σ(w·x) over the sparse feature relation (same [[lrX]]
@@ -1718,11 +1719,11 @@ object TextAnalysis {
           expr(s"replace(state, '|$l||$r|', '|$l$r|')").as("state"),
           col("cnt"))
           .localCheckpoint() // eager: materialized before prev is dropped
-        prev.unpersist()
+        Snapshots.release(prev)
         rank += 1
       }
     }
-    states.unpersist()
+    Snapshots.release(states)
     merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 

@@ -1,8 +1,12 @@
 #!/bin/bash
 # Run a graft main on the compiled classes without sbt (fast, no sbt lock).
 # Usage: tools/run_main.sh <MainClass> [args...]   (env vars pass through)
+# JVM options mirror build.sbt's fork settings exactly so timings and
+# session timezone match `sbt runMain` runs.
 MAIN="$1"; shift
-exec java -Xmx96g -cp "/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources:/opt/spark/jars/*" \
+exec java "-Xmx${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/root/repo/target/scala-2.13/classes:/root/repo/src/main/resources:/opt/spark/jars/*" \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
