@@ -59,6 +59,13 @@ def main(sf_dir, out_dir):
     con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '32GB')}'")
     con.execute(f"SET threads={os.environ.get('SELFCHECK_THREADS', '16')}")
     skip = set(filter(None, os.environ.get("SELFCHECK_SKIP", "").split(",")))
+    # SELFCHECK_SHARD="i/N": process only every N-th oracled gate
+    # (deterministic by sorted name) — lets a big-SF sweep run as N
+    # parallel worker processes, each its own DuckDB (size MEM*N to the
+    # machine). The rows-only listing prints from shard 0 only.
+    shard_i, shard_n = 0, 1
+    if os.environ.get("SELFCHECK_SHARD"):
+        shard_i, shard_n = map(int, os.environ["SELFCHECK_SHARD"].split("/"))
     for t in TABLES:
         # driver fixtures are single files; Spark-written fixtures
         # (AmplifyTestdata) are directories of part files
@@ -69,7 +76,9 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
+    for idx, (name, sql) in enumerate(sorted(oracle.items())):
+        if idx % shard_n != shard_i:
+            continue
         if name in skip:
             print(f"SKIP  {name} (SELFCHECK_SKIP)")
             continue
@@ -123,7 +132,7 @@ def main(sf_dir, out_dir):
             for r in diff_w:
                 print(f"        duck-only:  {r[:150]}")
     # rows-only queries (no oracle)
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
+    for d in sorted(glob.glob(f"{out_dir}/*/")) if shard_i == 0 else []:
         name = d.rstrip("/").split("/")[-1]
         if name not in oracle:
             try:
