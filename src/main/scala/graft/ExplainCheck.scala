@@ -198,11 +198,16 @@ object ExplainCheck {
     // single-partition exchange is over the P-row totals aggregate —
     // metadata-sized by construction, not the data path.
     audit("pack_sequences",
-      mustContain = Seq("Exchange hashpartitioning(_pid"),
-      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
-    // global row numbering: same two-pass shape, same assertions
+      mustContain = Seq("Exchange hashpartitioning(_pk"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct",
+        "Scan ExistingRDD"))
+    // global row numbering: same two-pass shape, same assertions —
+    // and NO pin: the deterministic-bin scaffold must not
+    // localCheckpoint the corpus (r12's full-width pin, removed r13)
     audit("w5_row_number",
-      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
+      mustContain = Seq("Exchange hashpartitioning(_pk"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct",
+        "Scan ExistingRDD"))
     // vocabulary induction: top-k rides TakeOrderedAndProject, never a
     // global sort of the vocabulary
     audit("vocab_topk", mustContain = Seq("TakeOrderedAndProject"))
@@ -224,8 +229,9 @@ object ExplainCheck {
     // pack_sequences — corpus window partitioned by _pid, offsets
     // broadcast, no triangular BNLJ
     audit("sample_token_budget",
-      mustContain = Seq("Exchange hashpartitioning(_pid"),
-      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
+      mustContain = Seq("Exchange hashpartitioning(_pk"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct",
+        "Scan ExistingRDD"))
     // document chunking: a pure NARROW pipeline (stage tokens, explode
     // windows) — any exchange means the op stopped scaling linearly
     audit("chunk_documents", mustNotContain = Seq("Exchange"))
@@ -257,13 +263,14 @@ object ExplainCheck {
     // window packing: two-pass cumsum (corpus window keyed on _pid) then
     // ONE bin aggregation — no nested-loop shape anywhere
     audit("pack_windows",
-      mustContain = Seq("Exchange hashpartitioning(_pid"),
-      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
+      mustContain = Seq("Exchange hashpartitioning(_pk"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct",
+        "Scan ExistingRDD"))
     // stratified packing: every window keys on (source, _pid) or the
     // stratum — NO unpartitioned window may appear anywhere
     audit("pack_windows_by_source",
       mustNotContain = Seq("Exchange SinglePartition",
-        "BroadcastNestedLoop", "CartesianProduct"))
+        "BroadcastNestedLoop", "CartesianProduct", "Scan ExistingRDD"))
     // z-order code: min/max inline as plan literals — the code itself
     // is a pure shift/mask projection, no join and no shuffle
     audit("zorder_cluster",
@@ -288,8 +295,9 @@ object ExplainCheck {
     // shard assignment: the same two-pass cumsum contract as
     // pack_sequences — corpus window partitioned by _pid, no BNLJ
     audit("shard_assign",
-      mustContain = Seq("Exchange hashpartitioning(_pid"),
-      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct"))
+      mustContain = Seq("Exchange hashpartitioning(_pk"),
+      mustNotContain = Seq("BroadcastNestedLoop", "CartesianProduct",
+        "Scan ExistingRDD"))
     // unicode normalization is a codegen'd projection — zero Exchange
     audit("text_nfc", mustNotContain = Seq("Exchange"))
     // line-level boilerplate dedup: two-stage doc-frequency count plus a
@@ -454,7 +462,8 @@ object ExplainCheck {
     // whole-doc packing: per-class two-pass rank — the offsets join is
     // a broadcast, and NOTHING may run as a single-partition window
     audit("pack_whole_docs", mustContain = Seq("BroadcastHashJoin"),
-      mustNotContain = Seq("Exchange SinglePartition", "SortMergeJoin"))
+      mustNotContain = Seq("Exchange SinglePartition", "SortMergeJoin",
+        "Scan ExistingRDD"))
 
     // ERDDAP connector: COUNT/min/max(time) must be answered metadata-only
     // (complete aggregate pushdown → the erddap-agg scan) — a regression

@@ -198,47 +198,66 @@ object Relational {
     * [[TextAnalysis.sampleToTokenBudget]]: a global running value
     * (`row_number`/cumulative sum `OVER (ORDER BY …)`) forces every
     * row through ONE partition (WindowExec warns exactly this), which
-    * dies at 100 TB. Instead: range-repartition by the order keys,
-    * evaluate `local` (the caller's running expression over the
-    * per-partition window) in parallel, then add per-partition offsets
-    * computed from the P-row totals table.
+    * dies at 100 TB. Instead: assign each row a DETERMINISTIC,
+    * order-aligned bin (`_pid` — [[orderBinColumn]]: binary search of
+    * the order key against driver-sampled, literal-inlined
+    * boundaries), evaluate `local` (the caller's running expression)
+    * per bin in parallel, then add per-bin offsets computed from the
+    * P-row totals table.
+    *
+    * Why deterministic bins and not `repartitionByRange` +
+    * `spark_partition_id()`: the totals aggregate and the final join
+    * are two consumers of the same sub-plan, and a sampled range
+    * partitioning is NOT guaranteed to re-evaluate identically — a
+    * row near a boundary could take its local rank from one
+    * partitioning and its offset from another (caught at the 10×
+    * sweep SF: pack_whole_docs ranks stopped being a permutation).
+    * Round 12 fixed that with an eager `localCheckpoint` pin —
+    * correct, but it materialized the full ranked corpus in the block
+    * manager: storage pressure that does not survive 100 TB. The bin
+    * is a pure function of the row (boundaries are plan literals), so
+    * every re-evaluation agrees BY CONSTRUCTION — no pin, nothing
+    * corpus-sized held anywhere.
+    *
+    * Physical shape: a key-only boundary sketch pass, then ONE scan →
+    * ONE hash exchange on `_pid` whose shuffle output BOTH branches
+    * (window and totals) read — the branches are canonically identical
+    * subtrees, so AQE stage reuse materializes the scan+shuffle once.
     *
     * The offsets use an UNPARTITIONED window — fine HERE because the
-    * totals table is exactly `parts` rows (metadata-sized, not
-    * data-sized): O(P log P) in one task. (A triangular broadcast
-    * self-join avoids that exchange but generates O(P²) BNLJ pairs —
-    * 5×10⁹ comparisons at P = 100k.) The DATA-path window stays
-    * partitioned by `_pid`.
+    * totals table is at most `parts` rows (metadata-sized, not
+    * data-sized). (A triangular broadcast self-join avoids that
+    * exchange but generates O(P²) BNLJ pairs — 5×10⁹ comparisons at
+    * P = 100k.) The DATA-path window stays partitioned by `_pid`.
     *
-    * Returns the input plus `_pid`, `outLocal` (the within-partition
-    * running value, MONOTONE by construction so the per-partition max
-    * is its total), and `_offset` (sum of earlier partitions' totals);
-    * callers combine and drop the temps.
-    *
-    * The ranked intermediate is PINNED with an eager localCheckpoint:
-    * the totals aggregate and the final join are two consumers of the
-    * same sub-plan, and without materialization each re-evaluates
-    * `repartitionByRange` — whose sampled range boundaries are NOT
-    * guaranteed identical across evaluations — so a row near a
-    * boundary can take its local rank from one partitioning and its
-    * offset from another (caught at the 10× sweep SF: pack_whole_docs
-    * ranks stopped being a permutation). The checkpoint costs one
-    * block-manager materialization of the ranked data — the price of a
-    * consistent snapshot, same discipline as the iterative graph ops. */
+    * Returns the input plus `_pid`, `outLocal` (the within-bin running
+    * value) and `_offset` (sum of earlier bins' totals); callers
+    * combine and drop the temps. */
   private[operators] def withGlobalPrefix(df: DataFrame, parts: Int,
-      order: Seq[Column], outLocal: String)(
+      order: Seq[Column], outLocal: String,
+      bin: Option[Column] = None)(
       local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("_pid", spark_partition_id())
-    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
-    val localDf = ranged.withColumn(outLocal, local(w)).localCheckpoint(true)
-    val sums = localDf.groupBy(col("_pid")).agg(max(col(outLocal)).as("_sum"))
+    val binned = df
+      .withColumn("_pid", bin.getOrElse(orderBinColumn(df, parts, order)))
+      .withColumn("_pk", element_at(lit(binShuffleKeys(parts)), col("_pid") + 1))
+      .repartition(parts, col("_pk"))
+    val w = Window.partitionBy(col("_pk")).orderBy(order: _*)
+    val localDf = binned.withColumn(outLocal, local(w))
+    // totals from the WINDOW OUTPUT (outLocal is monotone, so its
+    // per-bin max is the bin total): both branches then share one
+    // canonical Exchange subtree and AQE reuses the scan+shuffle —
+    // aggregating `total` off `binned` instead reads fewer columns but
+    // prunes the two branches differently, defeating reuse and paying
+    // the key projection (tokenize!) twice. Safe to re-evaluate ONLY
+    // because _pid is deterministic (see orderBinColumn).
+    val sums = localDf.groupBy(col("_pk"), col("_pid"))
+      .agg(max(col(outLocal)).as("_sum"))
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sums
       .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
       .select(col("_pid"), col("_offset"))
-    localDf.join(broadcast(offsets), "_pid")
+    localDf.join(broadcast(offsets), "_pid").drop("_pk")
   }
 
   /** [[withGlobalPrefix]] generalized to PER-STRATUM running values
@@ -256,20 +275,28 @@ object Relational {
       stratumCols: Seq[String], order: Seq[Column], outLocal: String)(
       local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
     val stratum = stratumCols.map(col)
-    val ranged = df.repartitionByRange(parts, (stratum ++ order): _*)
-      .withColumn("_pid", spark_partition_id())
-    val w = Window.partitionBy(stratum :+ col("_pid"): _*).orderBy(order: _*)
-    // pinned for the same reason as withGlobalPrefix: totals and join
-    // must see ONE evaluation of the sampled range partitioning
-    val localDf = ranged.withColumn(outLocal, local(w)).localCheckpoint(true)
-    val sums = localDf.groupBy(stratum :+ col("_pid"): _*)
+    // deterministic bins over the ORDER keys alone — the offsets
+    // combine only needs the bin id monotone in the order key WITHIN
+    // each stratum, and a pure function of the order key is monotone
+    // within every stratum at once; leaving the (often low-cardinality)
+    // stratum out of the bin key keeps the percentile fast path open
+    // and the bins balanced. No pin (see withGlobalPrefix).
+    val binned = df
+      .withColumn("_pid", orderBinColumn(df, parts, order))
+      .withColumn("_pk", element_at(lit(binShuffleKeys(parts)), col("_pid") + 1))
+      .repartition(parts, col("_pk"))
+    val w = Window.partitionBy(stratum :+ col("_pk"): _*).orderBy(order: _*)
+    val localDf = binned.withColumn(outLocal, local(w))
+    // totals from the window output — shared-exchange reuse, see
+    // withGlobalPrefix
+    val sums = localDf.groupBy((stratum :+ col("_pk")) :+ col("_pid"): _*)
       .agg(max(col(outLocal)).as("_sum"))
     val wOff = Window.partitionBy(stratum: _*).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sums
       .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
       .select(stratum :+ col("_pid") :+ col("_offset"): _*)
-    localDf.join(broadcast(offsets), stratumCols :+ "_pid")
+    localDf.join(broadcast(offsets), stratumCols :+ "_pid").drop("_pk")
   }
 
   /** HIGH-CARDINALITY twin of [[withStratumPrefix]]: when the stratum
@@ -296,6 +323,219 @@ object Relational {
   private[operators] def defaultParts(df: DataFrame, numPartitions: Int): Int =
     if (numPartitions > 0) numPartitions
     else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
+  /** Bin→shuffle-key remap giving the scaffold's hash exchange a 1:1
+    * bin→task layout: `hashpartitioning` sends key k to task
+    * pmod(murmur3(k), parts), so raw bin ids collide (~1/e of tasks
+    * idle, stragglers carry 2-3 bins — the window stage then runs at
+    * the slowest task). Entry b is the smallest non-negative int whose
+    * Murmur3 (seed 42, HashPartitioning's) lands in task b, so
+    * distinct bins map to distinct tasks. Driver cost: O(parts·ln
+    * parts) hash probes, no data pass. */
+  private[operators] def binShuffleKeys(parts: Int): Array[Int] = {
+    val m = Array.fill(parts)(Int.MinValue)
+    var found = 0
+    var c = 0
+    while (found < parts) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(c, 42)
+      val p = ((h % parts) + parts) % parts
+      if (m(p) == Int.MinValue) { m(p) = c; found += 1 }
+      c += 1
+    }
+    m
+  }
+
+  /** Deterministic order-aligned bin id in `[0, parts)` for the
+    * two-pass scaffolds: binary search of `struct(keys)` against
+    * sampled, literal-inlined boundary keys, built as a balanced
+    * `when` tree — O(log parts) codegen'd struct comparisons per row,
+    * no UDF, no shuffle. The bin is monotone in the lexicographic key
+    * order (equal keys always share a bin) and a PURE FUNCTION of the
+    * row, so independent re-evaluations of the plan agree by
+    * construction — the property `spark_partition_id()` over a sampled
+    * range exchange cannot give without pinning the whole relation.
+    * Degenerate inputs (empty, single distinct key) collapse to one
+    * bin — correct, just unparallel. */
+  private[operators] def orderBinColumn(df: DataFrame, parts: Int,
+      keys: Seq[Column]): Column = {
+    require(keys.nonEmpty, "orderBinColumn: need at least one order key")
+    val named = keys.zipWithIndex.map { case (c, i) => c.as(s"_k$i") }
+    val keyDf = df.select(named: _*)
+    if (parts <= 1) return lit(0)
+
+    // FAST PATH — numeric/timestamp/date LEADING key: boundaries on a
+    // PREFIX of the sort key are valid (equal-prefix rows share a bin,
+    // monotone in the full lexicographic order), so one codegen'd
+    // percentile_approx aggregate replaces the row-by-row sketch pass
+    // — no external-Row conversion of the corpus. Falls through to the
+    // full-key sketch when the leading key is low-cardinality (bins
+    // would collapse) or non-numeric.
+    numericOrderExpr(keys.head, keyDf.schema.head.dataType).flatMap { nk =>
+      val numDf = df.select(nk.as("_nk"))
+      val dt = numDf.schema.head.dataType
+      val probs = array((1 until parts).map(i => lit(i.toDouble / parts)): _*)
+      val row = numDf.agg(
+        percentile_approx(col("_nk"), probs, lit(10000)).as("b")).head()
+      val bs: IndexedSeq[Any] =
+        if (row.isNullAt(0)) IndexedSeq.empty
+        else row.getSeq[Any](0).filter(_ != null).distinct.toIndexedSeq
+      if (bs.isEmpty) Some(lit(0))
+      else if (bs.length < math.max(1, parts / 2)) None // collapse → sketch
+      else {
+        val bnd = bs.map(v => org.apache.spark.sql.GraftSqlBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)))
+        def tree(lo: Int, hi: Int): Column =
+          if (lo == hi) lit(lo)
+          else {
+            val mid = (lo + hi) / 2
+            when(nk < bnd(mid), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+          }
+        // null keys sort FIRST in the window order, so they must land
+        // in bin 0 (a null comparison would otherwise fall to the
+        // highest bin and break monotonicity)
+        Some(when(nk.isNull, lit(0)).otherwise(tree(0, bs.length)))
+      }
+    }.getOrElse {
+      val bounds = sampleOrderBoundaries(keyDf, parts)
+      if (bounds.isEmpty) lit(0)
+      else {
+        val schema = keyDf.schema
+        val keyStruct = struct(named: _*)
+        val bndCols = bounds.toIndexedSeq.map { r =>
+          struct(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.GraftSqlBridge.column(
+              org.apache.spark.sql.catalyst.expressions.Literal.create(
+                r.get(i), f.dataType)).as(f.name)
+          }: _*).cast(schema)
+        }
+        // balanced upper-bound search: bin = #boundaries <= key
+        def tree(lo: Int, hi: Int): Column =
+          if (lo == hi) lit(lo)
+          else {
+            val mid = (lo + hi) / 2
+            when(keyStruct < bndCols(mid), tree(lo, mid))
+              .otherwise(tree(mid + 1, hi))
+          }
+        tree(0, bounds.length)
+      }
+    }
+  }
+
+  /** Monotone numeric view of an order column for the percentile fast
+    * path of [[orderBinColumn]]; None → type needs the generic sketch. */
+  private def numericOrderExpr(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Option[Column] = dt match {
+    case _: org.apache.spark.sql.types.NumericType => Some(c)
+    case org.apache.spark.sql.types.TimestampType => Some(unix_micros(c))
+    case org.apache.spark.sql.types.DateType => Some(c.cast("int"))
+    case _ => None
+  }
+
+  /** Zero-pass deterministic bin for UNIFORM fixed-width HEX-STRING
+    * keys (the portable `md5(salt || id)` rank order several operators
+    * lay data out in): the first 8 hex chars scale to `[0, parts)` —
+    * monotone in the full-string order (fixed-width hex compares
+    * lexicographically = numerically; equal prefixes share a bin) and
+    * uniformly balanced by construction, so the boundary sketch pass
+    * is unnecessary. */
+  private[operators] def hexPrefixBin(key: Column, parts: Int): Column =
+    shiftright(conv(substring(key, 1, 8), 16, 10).cast("long") * parts, 32)
+      .cast("int")
+
+  /** RangePartitioner-style boundary sketch: ONE pass over the key
+    * projection — per-partition reservoir (bounded) plus exact row
+    * count, merged on the driver with per-partition weights, then
+    * walked in key order emitting a boundary every `total/parts` rows.
+    * Driver state is O(parts·64) key tuples (hard-capped) regardless
+    * of data size, and only the ORDER-KEY columns are ever read —
+    * column pruning keeps this pass narrow at 100 TB. Reservoirs are
+    * seeded by partition id (reproducible runs), but determinism of
+    * the RESULT is not load-bearing: boundaries inline as plan
+    * literals before execution, and ANY boundary list is correct —
+    * sampling quality only affects balance. */
+  private def sampleOrderBoundaries(keyDf: DataFrame,
+      parts: Int): Seq[org.apache.spark.sql.Row] = {
+    if (parts <= 1) return Nil
+    val rdd = keyDf.rdd
+    val nIn = math.max(rdd.getNumPartitions, 1)
+    val targetTotal = math.min(math.max(parts * 64L, 4096L), 262144L)
+    val perPart = math.max(16L, math.min(8192L, targetTotal / nIn + 1L)).toInt
+    val sketch = rdd.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val rng = new java.util.Random(0x5DEECE66DL ^ pid)
+      val buf = new Array[org.apache.spark.sql.Row](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < perPart) buf(n.toInt) = r
+        else {
+          val j = (rng.nextDouble() * (n + 1)).toLong
+          if (j < perPart) buf(j.toInt) = r
+        }
+        n += 1
+      }
+      Iterator.single((n, buf.take(math.min(n, perPart.toLong).toInt)))
+    }.collect()
+    val total = sketch.iterator.map(_._1).sum
+    if (total == 0L) return Nil
+    val ord = rowOrdering(keyDf.schema.length)
+    // weight = rows the sample stands for; emit a boundary each time the
+    // cumulative weight crosses the next step, skipping duplicate keys
+    val weighted = sketch.iterator.flatMap { case (n, rows) =>
+      val w = if (rows.isEmpty) 0.0 else n.toDouble / rows.length
+      rows.iterator.map(r => (r, w))
+    }.toArray.sortBy(_._1)(ord)
+    val step = total.toDouble / parts
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var cum = 0.0
+    var tgt = step
+    var prev: org.apache.spark.sql.Row = null
+    weighted.foreach { case (r, w) =>
+      cum += w
+      if (cum >= tgt && out.length < parts - 1 &&
+          (prev == null || ord.compare(r, prev) > 0)) {
+        out += r; prev = r; tgt += step
+      }
+    }
+    out.toSeq
+  }
+
+  /** Driver-side ordering over collected key tuples, matching Spark's
+    * ascending NULLS FIRST sort semantics field by field (external
+    * row types: all atomic Spark types are `Comparable`; binary
+    * compares unsigned-lexicographic like `BinaryType`). */
+  private def rowOrdering(nFields: Int): Ordering[org.apache.spark.sql.Row] =
+    new Ordering[org.apache.spark.sql.Row] {
+      def compare(a: org.apache.spark.sql.Row,
+          b: org.apache.spark.sql.Row): Int = {
+        var i = 0
+        while (i < nFields) {
+          val c = compareAtomic(a.get(i), b.get(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+
+  private def compareAtomic(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Array[Byte], y: Array[Byte]) =>
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    case (x: java.lang.Comparable[_], _) =>
+      x.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+    case _ => throw new IllegalArgumentException(
+      s"orderBinColumn: unorderable key type ${a.getClass.getName}")
+  }
 
   /** Scalable global row numbering — [[withGlobalPrefix]] with a
     * per-partition `row_number`. Identical output to

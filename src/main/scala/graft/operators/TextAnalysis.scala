@@ -881,7 +881,8 @@ object TextAnalysis {
       ctxLen: Int = 512, numPartitions: Int = 0): DataFrame = {
     val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
     Relational.withGlobalPrefix(withCounts,
-        Relational.defaultParts(df, numPartitions), Seq(col(idCol)), "_local_cum")(
+        Relational.defaultParts(df, numPartitions), Seq(col(idCol)),
+        "_local_cum")(
         w => sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("start_off",
@@ -1106,9 +1107,12 @@ object TextAnalysis {
       budgetTokens: Long, salt: String = "", numPartitions: Int = 0): DataFrame = {
     val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"),
       md5(concat(lit(salt), col(idCol).cast("string"))).as("_bk"))
-    Relational.withGlobalPrefix(withCounts,
-        Relational.defaultParts(df, numPartitions),
-        Seq(col("_bk"), col(idCol)), "_local_cum")(
+    val parts = Relational.defaultParts(df, numPartitions)
+    Relational.withGlobalPrefix(withCounts, parts,
+        Seq(col("_bk"), col(idCol)), "_local_cum",
+        // md5 rank order → the hex prefix IS a uniform monotone bin:
+        // no boundary sketch pass needed
+        Some(Relational.hexPrefixBin(col("_bk"), parts)))(
         w => sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_tokens", (col("_offset") + col("_local_cum")).cast("long"))
@@ -1136,9 +1140,10 @@ object TextAnalysis {
     require(shardTokens > 0, "shardTokens must be positive")
     val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"),
       md5(concat(lit(salt), col(idCol).cast("string"))).as("_bk"))
-    Relational.withGlobalPrefix(withCounts,
-        Relational.defaultParts(df, numPartitions),
-        Seq(col("_bk"), col(idCol)), "_local_cum")(
+    val parts = Relational.defaultParts(df, numPartitions)
+    Relational.withGlobalPrefix(withCounts, parts,
+        Seq(col("_bk"), col(idCol)), "_local_cum",
+        Some(Relational.hexPrefixBin(col("_bk"), parts)))(
         w => sum(col("n_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("start_off",

@@ -965,19 +965,20 @@ class GlobalRowNumberSpec extends org.scalatest.funsuite.AnyFunSuite {
       .select("event_id", "rn")
     assert(scalable.join(naive, Seq("event_id", "rn")).count() == ev.count())
     // The numbering window itself is partition-local, not
-    // single-partition. The range repartition + local window execute
-    // EAGERLY behind the snapshot pin (the ranked intermediate is
-    // localCheckpoint'ed so both consumers see one sampled range
-    // partitioning), so the visible plan starts from the pinned scan;
-    // what it must still show is the two-pass scaffold downstream of
-    // the pin — a _pid-keyed totals aggregate and a broadcast offsets
-    // join, never a nested-loop — and the pin itself.
+    // single-partition: rows carry a DETERMINISTIC order-aligned bin
+    // (_pid, literal-inlined boundaries) remapped to a 1:1 shuffle key
+    // (_pk), the local windows run per bin behind ONE hash exchange,
+    // and the per-bin offsets come back through a broadcast join —
+    // never a nested loop. Crucially there is NO pin: r12's
+    // localCheckpoint of the full ranked corpus (a 100-TB storage
+    // killer) is gone because deterministic bins make both consumers
+    // agree by construction.
     val plan = Relational.globalRowNumber(ev, order)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Scan ExistingRDD"),
-      s"expected the pinned ranked snapshot in plan:\n$plan")
-    assert(plan.contains("Exchange hashpartitioning(_pid"),
-      s"expected the _pid-keyed totals aggregate in plan:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"scaffold must not pin the ranked corpus (localCheckpoint):\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(_pk"),
+      s"expected the bin-keyed data exchange in plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin [_pid"),
       s"expected broadcast offsets join in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
