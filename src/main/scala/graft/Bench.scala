@@ -96,21 +96,27 @@ object Bench {
     // value (round-4 verdict: driver medians ran up to 20× a controlled
     // re-run with spread > median as the tell).
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    def timeIters(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+    def timeIters(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         n: Int): Seq[Double] = (1 to n).map { _ =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // OUTSIDE the timed window: drop the pins this run abandoned, so
       // iteration k of gate n isn't measured under k×n queries' worth
-      // of accumulated snapshot blocks (heap-dependent drift)
-      graft.operators.Snapshots.sweep(spark)
+      // of accumulated snapshot blocks (heap-dependent drift). BLOCKING
+      // so asynchronous block removal cannot bleed into the next
+      // iteration's timed region — and the STORAGE-HYGIENE INVARIANT:
+      // an undocumented residual pin fails the run loudly (the
+      // round-10/12 unpersist-no-op bug class).
+      graft.operators.Snapshots.assertDrained(spark, name,
+        SparkEntry.lazyPinGates, "bench")
       dt
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val times = timeIters(fn, iterations).sorted
+        val times = timeIters(name, fn, iterations).sorted
         (name, fn, times)
       }
     def r4(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
@@ -171,7 +177,7 @@ object Bench {
     // information about instability.
     val merged = firstPass.map { case (name, fn, times) =>
       if (retriedSet(name)) {
-        val burst = timeIters(fn, retryIters).sorted
+        val burst = timeIters(name, fn, retryIters).sorted
         (name, (times ++ burst).sorted, Some(burst))
       } else (name, times, None)
     }
@@ -204,29 +210,53 @@ object Bench {
     // load story against the reference's serial per-dataset loop. Its
     // line prints BEFORE the total line (driver contract: medians last).
     sys.env.get("SPARK_GRAFT_THROUGHPUT").map(_.toInt).filter(_ > 0).foreach { rounds =>
+      // harness_version history for the frozen series (round-12 advisor:
+      // record behavior changes next to the metric so a step change is
+      // never misread as drift): v1 = pre-r12, NO sweep between queries
+      // (later rounds ran under accumulated pins); v2 = r12, sweep
+      // inside the wall clock, untimed; v3 = r13, sweep still inside
+      // the wall clock (a long-lived service drops abandoned pins as it
+      // goes) but its cost is measured and emitted as sweep_sec, so
+      // gate-work vs hygiene-overhead attribution is in the artifact.
+      val harnessVersion = 3
       def runSet(names: Seq[(String, (SparkSession, String) =>
           org.apache.spark.sql.DataFrame)], metric: String): Unit = {
         val t0 = System.nanoTime()
         var n = 0
+        var sweepNs = 0L
         val failed = collection.mutable.Map.empty[String, Int]
+        val perGateNs = collection.mutable.Map.empty[String, Long]
         (1 to rounds).foreach { _ =>
           names.foreach { case (name, fn) =>
             // NonFatal only — an OOM/fatal error must abort the run, not
             // silently depress the metric; per-query failures are counted
             // into the artifact so a degraded number explains itself
+            val g0 = System.nanoTime()
             try { fn(spark, sfDir).count(); n += 1 }
             catch { case scala.util.control.NonFatal(_) =>
               failed(name) = failed.getOrElse(name, 0) + 1 }
+            perGateNs(name) = perGateNs.getOrElse(name, 0L) +
+              (System.nanoTime() - g0)
             // inside the wall clock deliberately: a well-behaved
             // long-lived service drops abandoned pins as it goes (~ms);
-            // without it the later rounds run under GBs of dead blocks
+            // without it the later rounds run under GBs of dead blocks.
+            // Timed separately so the artifact attributes hygiene
+            // overhead vs gate work.
+            val s0 = System.nanoTime()
             graft.operators.Snapshots.sweep(spark)
+            sweepNs += System.nanoTime() - s0
           }
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val failedJson = failed.toSeq.sortBy(_._1)
           .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-        println(s"""{"metric":"$metric","value":${r4(n / wall)},"unit":"queries/sec","queries_run":$n,"failed":$failedJson,"rounds":$rounds,"wall_sec":${r4(wall)},"sf":"$sfDir"}""")
+        // per-gate CUMULATIVE seconds across rounds — the attribution
+        // artifact: a throughput drop explains itself by diffing this
+        // map round-over-round instead of guessing at the aggregate
+        val gatesJson = perGateNs.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s"\"" + k + "\":" + r4(v / 1e9) }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"$metric","value":${r4(n / wall)},"unit":"queries/sec","queries_run":$n,"failed":$failedJson,"rounds":$rounds,"wall_sec":${r4(wall)},"sweep_sec":${r4(sweepNs / 1e9)},"harness_version":$harnessVersion,"gate_sec":$gatesJson,"sf":"$sfDir"}""")
       }
       val all = SparkEntry.queries.toSeq.sortBy(_._1)
       runSet(all, "throughput")
@@ -260,7 +290,7 @@ object Bench {
           try { fn(spark, sfDir).queryExecution.toRdd.count() }
           catch { case scala.util.control.NonFatal(_) => }
           val dt = (System.nanoTime() - t0) / 1e9
-          graft.operators.Snapshots.sweep(spark)
+          graft.operators.Snapshots.sweep(spark, blocking = true)
           dt
         }.sorted
         (name, times(1))

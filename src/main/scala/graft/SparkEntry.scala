@@ -199,6 +199,28 @@ object SparkEntry {
       "l_returnflag", "l_shipdate", 1000L)
   }
 
+  /** Gates whose RETURNED frame lazily references a pinned snapshot the
+    * operator cannot release itself (only the consumer knows when the
+    * result is drained) — the documented exceptions to the harness
+    * storage-hygiene invariant (Verify/Bench assert zero residual pins
+    * after draining every OTHER gate). Keep this list justified: an
+    * entry without a lazy-pin reason is a leak with an alibi.
+    *
+    * Reasons (audited round 13 via SPARK_GRAFT_PIN_AUDIT=warn):
+    *  - iterative graph ops (pagerank/ppr/hits/labelprop/coreness/
+    *    ktruss/harmonic): the result IS the final round's checkpointed
+    *    state (superseded rounds are released inside the loop) — 1-2
+    *    pins each; triangle_counts additionally returns a frame that
+    *    reads its degree + orientation pins (3);
+    *  - reciprocity_links: result reads the deduped edge pin;
+    *  - dedup_jaccard_prefix: the PPJoin candidate set is pinned and
+    *    re-read by the verify re-join the result wraps. */
+  val lazyPinGates: Set[String] = Set(
+    "pagerank_links", "ppr_links", "hits_links", "harmonic_links",
+    "labelprop_links", "labelprop_stable", "graph_coreness",
+    "ktruss_edges", "triangle_counts", "reciprocity_links",
+    "dedup_jaccard_prefix")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.5 aggregation: TPC-H Q1 pricing summary (A1/A2 analog) ----
     "q1_agg" -> ((s, dir) => {

@@ -27,9 +27,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free pins the drained result abandoned — 258 gates in one
-      // session otherwise accumulate every two-pass/LSH snapshot
-      graft.operators.Snapshots.sweep(spark)
+      // STORAGE-HYGIENE INVARIANT: a drained gate must leave zero
+      // persisted RDDs unless it is a documented lazy-pin operator
+      // (SparkEntry.lazyPinGates) — an undocumented residual FAILS the
+      // run. SPARK_GRAFT_PIN_AUDIT=warn is the allowlist-rediscovery
+      // mode (print-and-continue).
+      graft.operators.Snapshots.assertDrained(spark, name,
+        SparkEntry.lazyPinGates, "verify",
+        warnOnly = sys.env.get("SPARK_GRAFT_PIN_AUDIT").contains("warn"))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

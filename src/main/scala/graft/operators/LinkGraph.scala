@@ -52,8 +52,13 @@ object LinkGraph {
         .cast("long").as("_id")))
     val nodeIds = all.distinct().localCheckpoint(true)
     val n = nodeIds.count()
-    if (n == 0) return nodeIds.select(col("_id").as(idCol),
-      lit(0.0).as("rank"))
+    if (n == 0) {
+      // empty graph: the returned frame reads only nodeIds, so the edge
+      // snapshot has no remaining consumer — release it here or its
+      // blocks outlive the call on a long-lived session
+      Snapshots.release(e)
+      return nodeIds.select(col("_id").as(idCol), lit(0.0).as("rank"))
+    }
     // out-degrees once; nodes absent here are dangling
     val deg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
       .localCheckpoint(true)

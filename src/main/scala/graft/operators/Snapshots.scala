@@ -33,16 +33,62 @@ object Snapshots {
 
   /** Release EVERY persisted RDD in the session — the gate-harness
     * hygiene call between INDEPENDENT queries. Operators whose returned
-    * frame lazily references a pin (the two-pass prefix scaffold, the
-    * triangle orientation, the PPJoin candidate set) cannot release it
-    * themselves: only the consumer knows when the result is drained.
+    * frame lazily references a pin (the triangle orientation, the
+    * PPJoin candidate set) cannot release it themselves: only the
+    * consumer knows when the result is drained.
     * A harness that runs hundreds of such queries in one session
     * (Bench: ~260 gates × 5+ iterations) otherwise accumulates every
     * abandoned pin for the session's lifetime — storage blocks stealing
     * the unified memory the NEXT query's shuffle wants, surfacing as
     * heap-size-dependent drift on iterative gates. Only call this when
-    * nothing cached/pinned is intentionally shared across queries. */
-  def sweep(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    * nothing cached/pinned is intentionally shared across queries.
+    *
+    * Returns the number of persisted RDDs it had to remove — the
+    * RESIDUAL a well-behaved gate leaves at zero. Harnesses assert on
+    * it ([[graft.Verify]]/[[graft.Bench]]): a nonzero residual from a
+    * gate outside the documented lazy-pin allowlist is the
+    * unpersist-no-op bug class resurfacing, and fails loudly instead
+    * of being silently cleaned. Pass `blocking = true` in timed
+    * harness paths so asynchronous block removal cannot bleed into the
+    * next iteration's timed window. */
+  def sweep(spark: org.apache.spark.sql.SparkSession,
+      blocking: Boolean = false): Int = {
+    val rdds = spark.sparkContext.getPersistentRDDs.values.toSeq
+    rdds.foreach(_.unpersist(blocking))
+    rdds.size
+  }
+
+  /** The harness STORAGE-HYGIENE INVARIANT (Verify/Bench, after each
+    * drained gate): blocking-sweep the session and FAIL LOUDLY if the
+    * gate left pins behind without being on the documented lazy-pin
+    * allowlist — the unpersist-no-op bug class (rounds 10-12) cost two
+    * rounds of bench drift precisely because leaks were silently
+    * cleaned here. `warnOnly` is the allowlist-rediscovery mode
+    * (print-and-continue). */
+  def assertDrained(spark: org.apache.spark.sql.SparkSession, gate: String,
+      allowlist: Set[String], harness: String,
+      warnOnly: Boolean = false): Unit = {
+    val residual = sweep(spark, blocking = true)
+    val left = spark.sparkContext.getPersistentRDDs.size
+    drainViolation(residual, left, gate, allowlist, harness).foreach { msg =>
+      if (warnOnly && left == 0) System.err.println(msg)
+      else throw new IllegalStateException(msg)
+    }
+  }
+
+  /** The [[assertDrained]] decision, pure so it can be unit-tested
+    * without sweeping the (suite-shared) session: `residual` = pins the
+    * sweep removed, `stillHeld` = persisted RDDs remaining AFTER the
+    * blocking sweep (always a violation — something re-pinned or the
+    * sweep lost a race). Returns the violation message, or None. */
+  private[graft] def drainViolation(residual: Int, stillHeld: Int,
+      gate: String, allowlist: Set[String], harness: String): Option[String] =
+    if (stillHeld > 0) Some(
+      s"[$harness] $gate: block manager still holds $stillHeld RDD(s) " +
+      "after a blocking sweep")
+    else if (residual > 0 && !allowlist.contains(gate)) Some(
+      s"[$harness] $gate leaked $residual pinned snapshot(s) — release " +
+      "them in the operator or add the gate to SparkEntry.lazyPinGates " +
+      "with a reason")
+    else None
 }

@@ -60,5 +60,41 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.release(pin)
   }
 
+  test("drainViolation: the harness hygiene invariant trips on a leaked pin") {
+    // a leaked pin from a gate NOT on the lazy-pin allowlist → violation
+    assert(Snapshots.drainViolation(1, 0, "some_gate", Set.empty, "bench")
+      .exists(_.contains("leaked 1 pinned snapshot")))
+    // the same residual from a DOCUMENTED lazy-pin gate → clean
+    assert(Snapshots.drainViolation(2, 0, "pagerank_links",
+      Set("pagerank_links"), "verify").isEmpty)
+    // nothing leaked → clean
+    assert(Snapshots.drainViolation(0, 0, "q1_agg", Set.empty, "bench").isEmpty)
+    // blocks surviving a BLOCKING sweep → always a violation, allowlist
+    // or not (the sweep itself failed to drain the session)
+    assert(Snapshots.drainViolation(0, 3, "pagerank_links",
+      Set("pagerank_links"), "verify")
+      .exists(_.contains("still holds 3")))
+  }
+
+  test("assertDrained end-to-end: sweeps a leaked pin and throws for an" +
+      " un-allowlisted gate") {
+    import spark.implicits._
+    // This test intentionally sweeps the shared session, so it must not
+    // run while another suite holds a live pin — everything here is
+    // self-contained and synchronous, and other suites release pins
+    // before returning; residual>0 from a concurrent suite would only
+    // make the expected exception MORE likely, never flip it to pass.
+    val leak = (1 to 10000).toDF("x").localCheckpoint(true)
+    val id = pinnedRddId(leak)
+    assert(blockCount(id) > 0)
+    intercept[IllegalStateException] {
+      Snapshots.assertDrained(spark, "leaky_gate", Set.empty, "spec")
+    }
+    assert(blockCount(id) == 0, "assertDrained must still have swept the pin")
+    // and a documented lazy-pin gate passes with the same leak shape
+    (1 to 100).toDF("x").localCheckpoint(true)
+    Snapshots.assertDrained(spark, "leaky_gate", Set("leaky_gate"), "spec")
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -140,7 +140,9 @@ def main(sf_dir, out_dir):
                 print(f"ROWS  {name}: {n} rows {'(EMPTY!)' if n == 0 else ''}")
             except Exception as e:
                 print(f"ERR   {name}: {str(e)[:120]}")
-    print(f"\n{n_pass} pass, {n_fail} fail of {len(oracle)} oracled queries")
+    processed = n_pass + n_fail
+    shard_note = f" (shard {shard_i}/{shard_n} of {len(oracle)})" if shard_n > 1 else ""
+    print(f"\n{n_pass} pass, {n_fail} fail of {processed} oracled queries{shard_note}")
     return 1 if n_fail else 0
 
 
