@@ -3247,6 +3247,49 @@ object SparkEntry {
       |    ELSE [array_to_string(t, ' ')] END AS sh
       |  FROM toks)""".stripMargin
 
+  /** Shared oracle SQL for the exact shingle-set Jaccard pair gates
+    * (`dedup_ngram_jaccard`, `dedup_jaccard_prefix`). The naive
+    * `sh a JOIN sh b ON a.doc_id < b.doc_id` replay is quadratic in
+    * documents (every pair pays a list intersection) and timed out at
+    * sf1 (SELFCHECK_sf1.log, round 12) — the only two unproven-at-10×
+    * gates. This version applies the PUBLIC AllPairs prefix-filter
+    * theorem (Bayardo WWW'07) inside the oracle, engine-agnostically:
+    * order each doc's shingles by global rarity, keep the first
+    * sz − ⌈t·sz⌉ + 1 as its prefix, and only pairs sharing a PREFIX
+    * shingle (plus the t-length-ratio bound) reach the exact verify
+    * join — zero false negatives by the theorem, and the verify step
+    * recomputes exact Jaccard from the FULL shingle sets, so candidate
+    * generation never affects values. ⌈4·sz/5⌉ is computed in integer
+    * arithmetic ((4·sz+4)//5) — no fp-ceil hazard at all (the Spark
+    * side needs an epsilon guard; the oracle does not). */
+  private val jaccardPrefixOracleSql: String =
+    s"""WITH $shingleCtes,
+       |sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
+       |grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+       |rarity AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+       |ranked AS (
+       |  SELECT gr.doc_id, gr.g,
+       |    row_number() OVER (PARTITION BY gr.doc_id ORDER BY r.c, gr.g) AS rn,
+       |    s.sz
+       |  FROM grams gr
+       |  JOIN rarity r ON r.g = gr.g
+       |  JOIN sizes s ON s.doc_id = gr.doc_id),
+       |prefix AS (
+       |  SELECT doc_id, g, sz FROM ranked
+       |  WHERE rn <= sz - ((4*sz + 4) // 5) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  WHERE 5*a.sz >= 4*b.sz AND 5*b.sz >= 4*a.sz),
+       |pairs AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.sh, y.sh))) AS j
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.id1
+       |  JOIN sh y ON y.doc_id = c.id2)
+       |SELECT id1, id2, round(j, 6) AS jacc FROM pairs WHERE j >= 0.8""".stripMargin
+
   /** 13-gram shingles of every document + the eval slice's distinct
     * grams — the decontamination oracle's shared front half (mirrors
     * [[graft.functions.ShingleStrings]] with n = 13: same normalizer,
@@ -8072,26 +8115,14 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      s"""WITH $shingleCtes,
-         |pairs AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT id1, id2, round(j, 6) AS jacc FROM pairs WHERE j >= 0.8""".stripMargin,
-    // prefix-filtered exact Jaccard: oracle is the zero-pruning
-    // all-pairs 3-gram-shingle-set Jaccard — same CTEs as
-    // dedup_ngram_jaccard, different Spark algorithm (prefix filter
-    // equi-join, not LSH candidates)
-    "dedup_jaccard_prefix" ->
-      s"""WITH $shingleCtes,
-         |pairs AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT id1, id2, round(j, 6) AS jacc FROM pairs WHERE j >= 0.8""".stripMargin,
+    // exact 3-gram-shingle-set Jaccard pairs; the oracle prunes with
+    // the public AllPairs prefix theorem so the sf1 replay stays
+    // sub-quadratic — see jaccardPrefixOracleSql
+    "dedup_ngram_jaccard" -> jaccardPrefixOracleSql,
+    // prefix-filtered exact Jaccard: same pair set as
+    // dedup_ngram_jaccard (different Spark algorithm: prefix-filter
+    // equi-join + position filter, not LSH candidates)
+    "dedup_jaccard_prefix" -> jaccardPrefixOracleSql,
     // s8: the oracle recomputes the deterministic grid (GriddapFixture)
     // from range() — no table needed; values are exact binary fractions
     "s8_griddap_scan" ->
