@@ -133,6 +133,30 @@ object Nrt {
     }
   }
 
+  /** [[refreshViaPortal]] over a set of datasets with the reference's
+    * per-dataset fault isolation (`core.py:869-880`) — the portal-seam
+    * twin of [[refreshCycle]]: one dataset dying mid-read, mid-write or
+    * mid-commit reports a FAILED outcome while the rest proceed. The
+    * item-property update is the LAST step of a refresh, so a victim's
+    * control state (activeSlot, fingerprint) is untouched by
+    * construction: it stays due, its active slot keeps serving the old
+    * data in full, and the next healthy cycle's full slot overwrite
+    * repairs any partial inactive data — the same invariants
+    * NrtChaosSpec proves for the local control-table seam, here proven
+    * against BOTH transports (in-JVM model and the live REST client
+    * over real sockets; reference recovery: `OverwriteFS.py:2533-2560`). */
+  def refreshCycleViaPortal(spark: SparkSession, datasetIds: Seq[String],
+      readFresh: String => DataFrame, transport: graft.sinks.PortalTransport,
+      sinkRoot: String,
+      now: Long = System.currentTimeMillis()): Seq[RefreshOutcome] =
+    datasetIds.map { id =>
+      try refreshViaPortal(spark, id, readFresh(id), transport, sinkRoot, now)
+      catch { case scala.util.control.NonFatal(_) =>
+        RefreshOutcome(id, changed = false, newFingerprint = 0L,
+          rows = -1L, failed = true)
+      }
+    }
+
   /** Apply refresh outcomes to the control table: flip the slot and
     * store the new fingerprint for changed datasets; touch
     * `last_refresh` for all attempted ones (the reference touches

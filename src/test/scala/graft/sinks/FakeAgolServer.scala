@@ -33,6 +33,12 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
   @volatile var rotateTokenAfterPolls: Int = -1
   @volatile var dropNextDataUpdate = false
 
+  /** One-shot commit-plane fault: the next item PROPERTY update (no
+    * `text` part) answers an AGOL error envelope instead of mutating —
+    * the transport sees a failed update over a real socket, AFTER any
+    * data-plane work already happened. */
+  @volatile var failNextPropsUpdate = false
+
   private val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
   private def reply(ex: HttpExchange, body: String): Unit = {
@@ -168,6 +174,10 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
           portal.setIndexes(portal.itemById(id), idx)
           portal.setTimeInfo(portal.itemById(id), p.get("timeInfo"))
           reply(ex, s"""{"success":true,"id":${jstr(id)}}""")
+        case p2 if p2.endsWith("/update") && failNextPropsUpdate &&
+            !p.contains("text") =>
+          failNextPropsUpdate = false
+          reply(ex, """{"error":{"code":500,"message":"Unable to update item. Service temporarily unavailable."}}""")
         case p2 if p2.endsWith("/update") && dropNextDataUpdate && p.contains("text") =>
           // induced mid-commit socket drop: declare a body we never
           // finish, so the client dies on a broken stream BEFORE any
