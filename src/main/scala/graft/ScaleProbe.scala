@@ -524,7 +524,7 @@ object ScaleProbe {
     // 1x vs Nx corpus index. Touched clusters are batch-bounded; their
     // occupancy grows with the corpus, so candidate mass is ~linear.
     if (only.forall(s => s.contains("semdedup_incremental") ||
-        s.contains("semdedup_incr_skew"))) {
+        s.contains("semdedup_incr_skew") || s.contains("ivf_maintenance_drift"))) {
       def buildIdx(df: DataFrame, tag: String): (String, Array[Array[Double]]) = {
         val cents = graft.operators.Similarity.trainCentroids(
           df, "embedding", 64, iters = 3, sampleN = 2000, orderBy = "vec_id")
@@ -563,6 +563,24 @@ object ScaleProbe {
           "vec_id", "embedding", c1, 0.3).count(),
         graft.operators.Similarity.semDedupIncremental(spark, pN, skewBatch,
           "vec_id", "embedding", cN, 0.3).count())
+      // MAINTENANCE-POLICY drift: the arrival DISTRIBUTION drifts (the
+      // whole N× arrival log concentrates in the index's two hottest
+      // clusters). The decision table must stay two map-side-combined
+      // counts — occupancy skew shifts the DECISION (hot→split,
+      // frac→reindex), never the plan shape, so cost tracks arrival
+      // volume, not skew.
+      val driftN = (0 until n).map(c => skewBatch
+          .withColumn("vec_id", col("vec_id") + lit(c * maxVid)))
+        .reduce(_ unionByName _)
+      probe("ivf_maintenance_drift",
+        graft.operators.Similarity.ivfMaintenancePlan(
+          spark.read.parquet(p1),
+          graft.operators.Similarity.ivfAssign(skewBatch,
+            "vec_id", "embedding", c1)).count(),
+        graft.operators.Similarity.ivfMaintenancePlan(
+          spark.read.parquet(pN),
+          graft.operators.Similarity.ivfAssign(driftN,
+            "vec_id", "embedding", cN)).count())
       skewBatch.unpersist()
     }
 

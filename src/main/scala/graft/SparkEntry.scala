@@ -1107,6 +1107,21 @@ object SparkEntry {
           round(col("cosine"), 6).as("cos"))
     }),
 
+    // ---- IVF index MAINTENANCE policy: the re-index/compaction
+    //      trigger decision table (K9 pattern) — per-cluster occupancy
+    //      from the index layout + the arrival log, global stale
+    //      trigger at arrivals > 20% of indexed (this fixture's 11% is
+    //      below it, so the per-cluster hot/ok actions stay visible in
+    //      the table; the stale→reindex branch is spec-covered),
+    //      hot-cluster trigger at 1.5x mean occupancy ----
+    "ivf_maintenance" -> ((s, dir) => {
+      val (idxPath, cents) = ensureSemDedupIndex(s, dir)
+      val batch = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      val arrivals = Similarity.ivfAssign(batch, "vec_id", "embedding", cents)
+      Similarity.ivfMaintenancePlan(s.read.parquet(idxPath), arrivals,
+        arrivalFrac = 0.2, hotOccupancy = 1.5)
+    }),
+
     // ---- T12 streaming SemDeDup arrivals: the same index probe as a
     //      STREAM — stateless assignment projection + stream-static
     //      cluster join, zero state store; streaming ≡ batch ≡ the
@@ -8060,6 +8075,31 @@ object SparkEntry {
       s"""WITH $semDedupIncOracleCtes
          |SELECT new_id, corpus_id, round(c, 6) AS cos FROM ipairs
          |WHERE c >= 0.3""".stripMargin,
+    // maintenance decision table: per-cluster counts from the SAME
+    // Lloyd-replay assignments (icasg = indexed corpus, ibasg = the
+    // arrival log), totals cross-joined, pure arithmetic thresholds
+    "ivf_maintenance" ->
+      s"""WITH $semDedupIncOracleCtes,
+         |ic AS (SELECT ci AS cluster, count(*) AS n_indexed FROM icasg GROUP BY ci),
+         |ac AS (SELECT ci AS cluster, count(*) AS n_arrived FROM ibasg GROUP BY ci),
+         |per AS (
+         |  SELECT COALESCE(ic.cluster, ac.cluster) AS cluster,
+         |    COALESCE(n_indexed, 0) AS n_indexed,
+         |    COALESCE(n_arrived, 0) AS n_arrived
+         |  FROM ic FULL OUTER JOIN ac ON ic.cluster = ac.cluster),
+         |tot AS (SELECT sum(n_indexed) AS nn, sum(n_arrived) AS aa,
+         |               count(*) AS kk FROM per)
+         |SELECT cluster, n_indexed, n_arrived,
+         |  n_indexed + n_arrived AS occupancy,
+         |  round((n_indexed + n_arrived) * kk / (nn + aa), 6) AS occ_ratio,
+         |  round(aa / nn, 6) AS arrival_frac,
+         |  aa > 0.2 * nn AS stale_index,
+         |  (n_indexed + n_arrived) * kk > 1.5 * (nn + aa) AS hot,
+         |  CASE WHEN aa > 0.2 * nn THEN 'reindex'
+         |       WHEN (n_indexed + n_arrived) * kk > 1.5 * (nn + aa)
+         |         THEN 'split_cluster'
+         |       ELSE 'ok' END AS action
+         |FROM per CROSS JOIN tot""".stripMargin,
     // keep-set: recursive-CTE connected components over the pair set,
     // drop every non-minimum member of each component
     "semdedup_keep" ->

@@ -800,6 +800,61 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** IVF INDEX MAINTENANCE decision table — the trigger policy behind
+    * [[semDedupIncremental]]'s static index. Production arrivals
+    * eventually make the build-time centroids STALE (assignment
+    * quality decays as the distribution drifts) and skew hot clusters
+    * past what the `maxProbe` cap merely HIDES (probe capping bounds
+    * the join, it doesn't fix the layout). The policy measures both
+    * from data the pipeline already has — the index layout's
+    * per-cluster occupancy (the `cluster` PARTITION column alone: no
+    * vector bytes are read) and the arrival log (the [[ivfAssign]]
+    * output every incremental batch produced anyway) — and emits one
+    * row per cluster plus the global decision, the K9-style decision
+    * table a scheduler acts on:
+    *
+    *   - `stale_index` (global): arrivals since build exceed
+    *     `arrivalFrac` of the indexed rows → `reindex` (retrain
+    *     centroids over corpus+arrivals, rewrite the layout);
+    *   - `hot` (per cluster): projected occupancy (indexed + arrived)
+    *     exceeds `hotOccupancy` × the mean → `split_cluster` (local
+    *     compaction: retrain that cluster's members into
+    *     sub-partitions) — the targeted fix while the index as a
+    *     whole is still fresh;
+    *   - otherwise `ok`.
+    *
+    * Scale shape: two map-side-combined counts, one broadcast of the
+    * ≤k-row totals, zero data-sized shuffles — the cost is independent
+    * of arrival skew (drift shifts the DECISION, never the plan;
+    * ScaleProbe's `ivf_maintenance_drift` family pins this). Pure
+    * integer/double arithmetic → an external SQL oracle reproduces
+    * the table exactly. */
+  def ivfMaintenancePlan(index: DataFrame, arrivals: DataFrame,
+      arrivalFrac: Double = 0.2, hotOccupancy: Double = 4.0): DataFrame = {
+    val idxCounts = index.groupBy("cluster").agg(count(lit(1)).as("n_indexed"))
+    val arrCounts = arrivals.groupBy("cluster").agg(count(lit(1)).as("n_arrived"))
+    val per = idxCounts.join(arrCounts, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("n_indexed"), lit(0L)).as("n_indexed"),
+        coalesce(col("n_arrived"), lit(0L)).as("n_arrived"))
+    val totals = per.agg(sum("n_indexed").as("_N"), sum("n_arrived").as("_A"),
+      count(lit(1)).as("_k"))
+    per.crossJoin(broadcast(totals))
+      .withColumn("occupancy", col("n_indexed") + col("n_arrived"))
+      .withColumn("occ_ratio",
+        round(col("occupancy") * col("_k") / (col("_N") + col("_A")), 6))
+      .withColumn("arrival_frac", round(col("_A") / col("_N"), 6))
+      .withColumn("stale_index", col("_A") > lit(arrivalFrac) * col("_N"))
+      .withColumn("hot", col("occupancy") * col("_k") >
+        lit(hotOccupancy) * (col("_N") + col("_A")))
+      .withColumn("action",
+        when(col("stale_index"), lit("reindex"))
+          .when(col("hot"), lit("split_cluster"))
+          .otherwise(lit("ok")))
+      .select("cluster", "n_indexed", "n_arrived", "occupancy", "occ_ratio",
+        "arrival_frac", "stale_index", "hot", "action")
+  }
+
   /** The `maxProbe` filter for an index scan: prefers the build-time
     * `_crank` rank (pushed to parquet); an index written before the
     * rank existed fails loudly rather than silently probing uncapped. */

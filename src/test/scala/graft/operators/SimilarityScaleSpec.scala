@@ -353,4 +353,43 @@ class SimilarityScaleSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("_crank"))
   }
+
+  test("ivfMaintenancePlan: stale, hot and ok branches of the decision table") {
+    // index: cluster 0 holds 12 of 16 indexed rows (hot), 1 and 2 hold
+    // 2 each; arrivals: 2 rows to cluster 0, 1 to cluster 3 (absent
+    // from the index). Totals: N=16, A=3, k=4, mean occupancy 4.75.
+    val index = ((1 to 12).map(i => (i.toLong, 0)) ++
+      Seq((13L, 1), (14L, 1), (15L, 2), (16L, 2)))
+      .toDF("vec_id", "cluster")
+    val arrivals = Seq((101L, 0), (102L, 0), (103L, 3))
+      .toDF("vec_id", "cluster")
+
+    // arrivalFrac above 3/16 → NOT stale: hot cluster gets
+    // split_cluster, the rest ok; absent-from-index cluster 3 appears
+    // with n_indexed = 0
+    val fresh = Similarity.ivfMaintenancePlan(index, arrivals,
+        arrivalFrac = 0.25, hotOccupancy = 1.5)
+      .collect().map(r => r.getAs[Int]("cluster") -> r).toMap
+    assert(fresh.keySet == Set(0, 1, 2, 3))
+    assert(!fresh(0).getAs[Boolean]("stale_index"))
+    assert(fresh(0).getAs[Long]("occupancy") == 14L)
+    assert(fresh(0).getAs[Boolean]("hot") &&
+      fresh(0).getAs[String]("action") == "split_cluster")
+    assert(!fresh(1).getAs[Boolean]("hot") &&
+      fresh(1).getAs[String]("action") == "ok")
+    assert(fresh(3).getAs[Long]("n_indexed") == 0L &&
+      fresh(3).getAs[Long]("n_arrived") == 1L)
+    // occ_ratio: 14 * 4 / 19 = 2.947368
+    assert(math.abs(fresh(0).getAs[Double]("occ_ratio") - 2.947368) < 1e-6)
+    assert(math.abs(fresh(0).getAs[Double]("arrival_frac") - 0.1875) < 1e-9)
+
+    // arrivalFrac below 3/16 → STALE: the global trigger dominates and
+    // every row's action is reindex (hot column still reports per-cluster)
+    val stale = Similarity.ivfMaintenancePlan(index, arrivals,
+        arrivalFrac = 0.15, hotOccupancy = 1.5)
+      .collect().map(r => r.getAs[Int]("cluster") -> r).toMap
+    assert(stale.values.forall(_.getAs[Boolean]("stale_index")))
+    assert(stale.values.forall(_.getAs[String]("action") == "reindex"))
+    assert(stale(0).getAs[Boolean]("hot"))
+  }
 }
