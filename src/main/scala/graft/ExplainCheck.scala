@@ -244,6 +244,12 @@ object ExplainCheck {
     // quantile filter: the per-stratum bounds table re-attaches via
     // BROADCAST — a sort-merge join would shuffle the corpus to meet a
     // stratum-sized table
+    // IVF maintenance decision table: two hash aggregates + a 1-row
+    // totals broadcast rider; no true cross product over data. (The
+    // per-cluster FULL OUTER of the two ≤k-row count tables may SMJ —
+    // metadata-sized by construction, so that's fine.)
+    audit("ivf_maintenance", mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct"))
     audit("quantile_filter", mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct"))
     // batch k-NN join: the scored corpus must never shuffle — the only
