@@ -100,7 +100,9 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         n: Int): Seq[Double] = (1 to n).map { _ =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val failed =
+        try { fn(spark, sfDir).count(); false }
+        catch { case _: Throwable => true }
       val dt = (System.nanoTime() - t0) / 1e9
       // OUTSIDE the timed window: drop the pins this run abandoned, so
       // iteration k of gate n isn't measured under k×n queries' worth
@@ -108,8 +110,15 @@ object Bench {
       // so asynchronous block removal cannot bleed into the next
       // iteration's timed region — and the STORAGE-HYGIENE INVARIANT:
       // an undocumented residual pin fails the run loudly (the
-      // round-10/12 unpersist-no-op bug class).
-      graft.operators.Snapshots.assertDrained(spark, name,
+      // round-10/12 unpersist-no-op bug class). A gate that FAILED
+      // mid-execution is exempt: an interrupted operator is expected
+      // to strand its pins, so sweep + log instead of aborting the
+      // whole board on the hygiene assert.
+      if (failed) {
+        val swept = graft.operators.Snapshots.sweep(spark, blocking = true)
+        if (swept > 0) System.err.println(
+          s"[bench] $name failed mid-run; swept $swept stranded pin(s)")
+      } else graft.operators.Snapshots.assertDrained(spark, name,
         SparkEntry.lazyPinGates, "bench")
       dt
     }

@@ -22,17 +22,25 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      val failed =
+        try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name"); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          true
+        }
       // STORAGE-HYGIENE INVARIANT: a drained gate must leave zero
       // persisted RDDs unless it is a documented lazy-pin operator
       // (SparkEntry.lazyPinGates) — an undocumented residual FAILS the
       // run. SPARK_GRAFT_PIN_AUDIT=warn is the allowlist-rediscovery
-      // mode (print-and-continue).
-      graft.operators.Snapshots.assertDrained(spark, name,
+      // mode (print-and-continue). A gate that FAILED mid-execution is
+      // exempt — an interrupted operator is expected to strand pins, so
+      // sweep + log rather than aborting the remaining gates.
+      if (failed) {
+        val swept = graft.operators.Snapshots.sweep(spark, blocking = true)
+        if (swept > 0) System.err.println(
+          s"[verify] $name failed mid-run; swept $swept stranded pin(s)")
+      } else graft.operators.Snapshots.assertDrained(spark, name,
         SparkEntry.lazyPinGates, "verify",
         warnOnly = sys.env.get("SPARK_GRAFT_PIN_AUDIT").contains("warn"))
     }

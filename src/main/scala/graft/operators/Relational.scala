@@ -237,8 +237,15 @@ object Relational {
       order: Seq[Column], outLocal: String,
       bin: Option[Column] = None)(
       local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
+    // caller-supplied bins are null-guarded to bin 0: a null order key
+    // (e.g. hexPrefixBin over a null id) sorts FIRST in the window
+    // order, and a null _pid would otherwise null the _pk and make the
+    // inner offsets join silently DROP the row ([[orderBinColumn]]'s
+    // own paths already pin nulls to bin 0)
     val binned = df
-      .withColumn("_pid", bin.getOrElse(orderBinColumn(df, parts, order)))
+      .withColumn("_pid",
+        bin.map(b => coalesce(b, lit(0)))
+          .getOrElse(orderBinColumn(df, parts, order)))
       .withColumn("_pk", element_at(lit(binShuffleKeys(parts)), col("_pid") + 1))
       .repartition(parts, col("_pk"))
     val w = Window.partitionBy(col("_pk")).orderBy(order: _*)
@@ -357,19 +364,37 @@ object Relational {
     * Degenerate inputs (empty, single distinct key) collapse to one
     * bin — correct, just unparallel. */
   /** Bounded driver-side cache of computed bin columns, keyed by the
-    * ANALYZED key-projection plan's semantic hash + the bin count: a
-    * repeated identical query (five bench iterations, a dashboard
-    * refresh, a retried stage) re-plans the same scaffold and would
-    * otherwise pay the boundary job every time. Reuse is always SAFE —
-    * boundaries are balance hints, any list is correct — and a hash
-    * collision or stale entry (files replaced under the same path) can
-    * only cost balance, never a wrong answer. ~100 Column trees max:
-    * metadata-sized. */
-  private val binCache =
-    new java.util.LinkedHashMap[(Int, Int), Column](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int), Column]): Boolean = size > 100
-    }
+    * ANALYZED key-projection plan's CANONICALIZED form + the bin
+    * count: a repeated identical query (five bench iterations, a
+    * dashboard refresh, a retried stage) re-plans the same scaffold
+    * and would otherwise pay the boundary job every time. The key is
+    * the full canonicalized plan, not a hash of it — canonicalized
+    * plans are case-class trees with structural equals/hashCode, so a
+    * hit is EXACT by construction. (A 32-bit semanticHash key was not:
+    * a birthday collision across different key expressions would hand
+    * this frame a bin Column built for another plan's columns — if the
+    * names happened to resolve here, the bin would no longer be
+    * monotone in THIS plan's order, i.e. silent wrong global ranks.
+    * Stale entries — files replaced under the same path — remain
+    * harmless: boundaries are balance hints, any list is correct.)
+    * ~100 (plan, Column) pairs max: metadata-sized.
+    * `private[graft]` so the exactness spec can plant entries. */
+  private[graft] val binCache = new java.util.LinkedHashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+      Column](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+        Column]): Boolean = size > 100
+  }
+
+  /** The exact cache key [[orderBinColumn]] uses for a given frame +
+    * key list — exposed `private[graft]` for the exactness spec. */
+  private[graft] def binCacheKey(df: DataFrame, parts: Int,
+      keys: Seq[Column]): (
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int) = {
+    val named = keys.zipWithIndex.map { case (c, i) => c.as(s"_k$i") }
+    (df.select(named: _*).queryExecution.analyzed.canonicalized, parts)
+  }
 
   private[operators] def orderBinColumn(df: DataFrame, parts: Int,
       keys: Seq[Column]): Column = {
@@ -377,7 +402,7 @@ object Relational {
     val named = keys.zipWithIndex.map { case (c, i) => c.as(s"_k$i") }
     val keyDf = df.select(named: _*)
     if (parts <= 1) return lit(0)
-    val cacheKey = (keyDf.queryExecution.analyzed.semanticHash(), parts)
+    val cacheKey = (keyDf.queryExecution.analyzed.canonicalized, parts)
     binCache.synchronized {
       val hit = binCache.get(cacheKey)
       if (hit != null) return hit
@@ -427,6 +452,19 @@ object Relational {
         Some(when(nk.isNull, lit(0)).otherwise(tree(0, bs.length)))
       }
     }.getOrElse {
+      // the generic sketch compares EXTERNAL rows on the driver, which
+      // supports atomic key types only (Comparable externals + binary).
+      // Arrays/structs/maps as order keys fall back to a single bin —
+      // correct (one window partition) but unparallel, so warn loudly
+      // rather than throw at runtime mid-job.
+      if (!keyDf.schema.fields.forall(f => atomicOrderable(f.dataType))) {
+        System.err.println(
+          "[graft] orderBinColumn: non-atomic order key type(s) " +
+          keyDf.schema.fields.map(_.dataType.simpleString).mkString(", ") +
+          " — falling back to a single bin (one window partition); " +
+          "project the key to an atomic column for a parallel window")
+        lit(0)
+      } else {
       val bounds = sampleOrderBoundaries(keyDf, parts)
       if (bounds.isEmpty) lit(0)
       else {
@@ -449,6 +487,7 @@ object Relational {
           }
         tree(0, bounds.length)
       }
+      }
     }
   }
 
@@ -460,6 +499,20 @@ object Relational {
     case org.apache.spark.sql.types.TimestampType => Some(unix_micros(c))
     case org.apache.spark.sql.types.DateType => Some(c.cast("int"))
     case _ => None
+  }
+
+  /** Key types the generic boundary sketch can order on the driver:
+    * atomic externals are `Comparable` (strings, numerics, timestamps,
+    * dates, booleans) and binary compares unsigned-lexicographic.
+    * Arrays/structs/maps are NOT — [[orderBinColumn]] falls back to a
+    * single bin for those rather than throwing mid-job. */
+  private def atomicOrderable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ArrayType => false
+    case _: org.apache.spark.sql.types.StructType => false
+    case _: org.apache.spark.sql.types.MapType => false
+    case _: org.apache.spark.sql.types.UserDefinedType[_] => false
+    case _ => true
   }
 
   /** Zero-pass deterministic bin for UNIFORM fixed-width HEX-STRING

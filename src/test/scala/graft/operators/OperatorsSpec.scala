@@ -985,6 +985,61 @@ class GlobalRowNumberSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"offsets must never go through a nested loop:\n$plan")
   }
 
+  test("binCache hits are exact: a planted entry under another key's plan never leaks") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, 101L - i)).toDF("a", "b").repartition(4)
+    val parts = 4
+    // plant a poisoned bin column under key-expr a's EXACT cache key —
+    // this simulates what a 32-bit semanticHash collision used to risk:
+    // a bin built for a different plan handed to this frame
+    val keyA = Relational.binCacheKey(df, parts, Seq(col("a")))
+    val poison = lit(-12345)
+    Relational.binCache.synchronized { Relational.binCache.put(keyA, poison) }
+    try {
+      // exact-plan hit returns the cached entry (the planted key IS the
+      // key orderBinColumn computes for the same frame + key list)
+      val hitA = Relational.orderBinColumn(df, parts, Seq(col("a")))
+      assert(hitA eq poison, "exact-plan hit must return the cached column")
+      // a DIFFERENT key expression must MISS — under the old hash-only
+      // key a collision here would return `poison`, a bin that is not
+      // monotone in b's order (silent wrong global ranks)
+      val binB = Relational.orderBinColumn(df, parts, Seq(col("b")))
+      assert(!(binB eq poison), "different key expressions must not share entries")
+      // and the scaffold over b still yields an exact permutation
+      val rn = Relational.globalRowNumber(df, Seq(col("b")), numPartitions = parts)
+        .select("rn").as[Long].collect().sorted
+      assert(rn.toSeq == (1L to 100L))
+    } finally Relational.binCache.synchronized { Relational.binCache.clear() }
+  }
+
+  test("withGlobalPrefix retains null order keys in bin 0 under a caller-supplied bin") {
+    import spark.implicits._
+    // nulls sort first: with a caller-supplied hex bin (null id → null
+    // hash → null bin) the rows must land in bin 0, not be dropped by
+    // the offsets join
+    val df = Seq(Some("b"), None, Some("a"), None, Some("c"))
+      .toDF("id").withColumn("_bk", md5(col("id")))
+    val out = Relational.withGlobalPrefix(df, 4,
+        Seq(col("_bk"), col("id")), "_local_rn",
+        bin = Some(Relational.hexPrefixBin(col("_bk"), 4)))(
+        w => row_number().over(w))
+      .withColumn("rn", col("_offset") + col("_local_rn"))
+    assert(out.count() == 5, "null-key rows must survive the offsets join")
+    val rns = out.select("rn").as[Long].collect().sorted
+    assert(rns.toSeq == (1L to 5L), "ranks must be a permutation")
+    // null ids rank first (ascending nulls-first order)
+    val nullRns = out.filter(col("id").isNull).select("rn").as[Long].collect().sorted
+    assert(nullRns.toSeq == Seq(1L, 2L))
+  }
+
+  test("orderBinColumn falls back to a single bin for non-atomic key types") {
+    import spark.implicits._
+    val df = Seq((Seq(1, 2), "x"), (Seq(3), "y")).toDF("arr", "s")
+    val bin = Relational.orderBinColumn(df, 8, Seq(col("arr")))
+    val got = df.select(bin.as("b")).distinct().as[Int].collect()
+    assert(got.toSeq == Seq(0), "array keys must collapse to bin 0, not throw")
+  }
+
   test("zorderColumn: exact Morton interleave, monotone per dimension, edge codes") {
     import spark.implicits._
     // a full 8×8 grid scaled over [0,7] with bits=3: the scale step is
