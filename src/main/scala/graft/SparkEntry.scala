@@ -2329,6 +2329,15 @@ object SparkEntry {
     //      due/changed rules and window counts from events.parquet ----
     "pipeline_nrt" -> ((s, dir) => graft.streaming.NrtPipeline.run(s, dir)),
 
+    // ---- streaming: the SAME NRT lifecycle driven through the live
+    //      ArcGIS-sharing-REST transport over real sockets (localhost
+    //      server): control state seeded as item properties, refresh
+    //      via RestPortalTransport (add/search/props/update/touch all
+    //      HTTP), slot_after read back from the portal's post-cycle
+    //      item state. Same oracle as pipeline_nrt. ----
+    "pipeline_nrt_rest" ->
+      ((s, dir) => graft.streaming.NrtPipeline.runViaRest(s, dir)),
+
     // ---- graph: damped PageRank over a deterministic link graph
     //      (doc i → (3i+1, 5i+2, 7i+3) mod N) — 5 fixed power-iteration
     //      rounds, lineage checkpoint-truncated per round; the oracle
@@ -6768,6 +6777,29 @@ object SparkEntry {
     // max event time; the 7-day window is closed on both ends at second
     // granularity (the ERDDAP URL grammar the connector compiles to)
     "pipeline_nrt" ->
+      """WITH nw AS (SELECT date_trunc('second', max(ts)) AS now FROM events),
+        |ds AS (SELECT event_type,
+        |         row_number() OVER (ORDER BY event_type) AS r
+        |       FROM (SELECT DISTINCT event_type FROM events)),
+        |win AS (SELECT e.event_type, count(*) AS n
+        |        FROM events e, nw
+        |        WHERE date_trunc('second', e.ts) >= nw.now - INTERVAL 7 DAY
+        |          AND date_trunc('second', e.ts) <= nw.now
+        |        GROUP BY e.event_type)
+        |SELECT 'ds_' || ds.event_type AS dataset_id,
+        |       ds.r > 1 AS was_due,
+        |       (ds.r > 1 AND ds.r % 2 = 0) AS changed,
+        |       CASE WHEN ds.r > 1 AND ds.r % 2 = 0
+        |            THEN CAST(coalesce(win.n, 0) AS BIGINT)
+        |            ELSE CAST(-1 AS BIGINT) END AS rows_written,
+        |       CASE WHEN ds.r > 1 AND ds.r % 2 = 0 THEN 'b'
+        |            ELSE 'a' END AS slot_after,
+        |       CASE WHEN ds.r > 1 THEN nw.now
+        |            ELSE nw.now - INTERVAL 1 DAY END AS refreshed_at_s
+        |FROM ds LEFT JOIN win ON ds.event_type = win.event_type
+        |CROSS JOIN nw""".stripMargin,
+    // same lifecycle rules, REST transport — identical oracle shape
+    "pipeline_nrt_rest" ->
       """WITH nw AS (SELECT date_trunc('second', max(ts)) AS now FROM events),
         |ds AS (SELECT event_type,
         |         row_number() OVER (ORDER BY event_type) AS r

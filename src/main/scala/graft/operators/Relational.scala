@@ -201,9 +201,11 @@ object Relational {
     * dies at 100 TB. Instead: assign each row a DETERMINISTIC,
     * order-aligned bin (`_pid` — [[orderBinColumn]]: binary search of
     * the order key against driver-sampled, literal-inlined
-    * boundaries), evaluate `local` (the caller's running expression)
-    * per bin in parallel, then add per-bin offsets computed from the
-    * P-row totals table.
+    * boundaries), evaluate the running `sum(summand)` per bin in
+    * parallel (`summand = lit(1L)` gives `row_number`; integral
+    * summands keep exact any-order parity between the window and the
+    * totals aggregate — avoid floating-point summands), then add
+    * per-bin offsets computed from the P-row totals table.
     *
     * Why deterministic bins and not `repartitionByRange` +
     * `spark_partition_id()`: the totals aggregate and the final join
@@ -221,8 +223,13 @@ object Relational {
     *
     * Physical shape: a key-only boundary sketch pass, then ONE scan →
     * ONE hash exchange on `_pid` whose shuffle output BOTH branches
-    * (window and totals) read — the branches are canonically identical
-    * subtrees, so AQE stage reuse materializes the scan+shuffle once.
+    * read — the data branch sorts + windows it, the totals branch is a
+    * SORTLESS hash aggregate of the summand (r13 re-sorted and
+    * re-windowed the bin to take `max(outLocal)`, paying the corpus
+    * sort twice on the critical path). The branches reference the same
+    * columns (first()-passthroughs pin the totals side's pruning), so
+    * their exchange subtrees stay canonically identical and AQE stage
+    * reuse materializes the scan+shuffle once.
     *
     * The offsets use an UNPARTITIONED window — fine HERE because the
     * totals table is at most `parts` rows (metadata-sized, not
@@ -234,9 +241,8 @@ object Relational {
     * value) and `_offset` (sum of earlier bins' totals); callers
     * combine and drop the temps. */
   private[operators] def withGlobalPrefix(df: DataFrame, parts: Int,
-      order: Seq[Column], outLocal: String,
-      bin: Option[Column] = None)(
-      local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
+      order: Seq[Column], outLocal: String, summand: Column,
+      bin: Option[Column] = None): DataFrame = {
     // caller-supplied bins are null-guarded to bin 0: a null order key
     // (e.g. hexPrefixBin over a null id) sorts FIRST in the window
     // order, and a null _pid would otherwise null the _pk and make the
@@ -249,23 +255,64 @@ object Relational {
       .withColumn("_pk", element_at(lit(binShuffleKeys(parts)), col("_pid") + 1))
       .repartition(parts, col("_pk"))
     val w = Window.partitionBy(col("_pk")).orderBy(order: _*)
-    val localDf = binned.withColumn(outLocal, local(w))
-    // totals from the WINDOW OUTPUT (outLocal is monotone, so its
-    // per-bin max is the bin total): both branches then share one
-    // canonical Exchange subtree and AQE reuses the scan+shuffle —
-    // aggregating `total` off `binned` instead reads fewer columns but
-    // prunes the two branches differently, defeating reuse and paying
-    // the key projection (tokenize!) twice. Safe to re-evaluate ONLY
-    // because _pid is deterministic (see orderBinColumn).
-    val sums = localDf.groupBy(col("_pk"), col("_pid"))
-      .agg(max(col(outLocal)).as("_sum"))
-    val wOff = Window.orderBy(col("_pid"))
+    val localDf = binned.withColumn(outLocal,
+      sum(summand).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // totals: a SORTLESS hash aggregate of the summand over the SAME
+    // exchange both branches read (the local running value is a prefix
+    // sum, so the bin total is just sum(summand) — no need to re-sort
+    // and re-window the bin to take max(outLocal), which used to put
+    // the corpus sort on the critical path twice). Exchange reuse
+    // needs the two branches' pruned column sets to MATCH, so the
+    // aggregate carries a guard per other column — max(xxhash64(c)),
+    // NOT first(c): a long buffer keeps the aggregate on the
+    // HashAggregate path (string/struct buffers demote to
+    // SortAggregate, reintroducing the very sort this removes). The
+    // guards stay alive as extra (semantically inert — _pid is unique
+    // per group) order keys of the P-row offsets window below. Safe to
+    // re-evaluate ONLY because _pid is deterministic (orderBinColumn).
+    val sums = binned.groupBy(col("_pk"), col("_pid"))
+      .agg(sum(summand).as("_sum"),
+        pruningGuards(binned, Seq("_pid", "_pk")): _*)
+    val wOff = Window
+      .orderBy(col("_pid") +: guardCols(binned, Seq("_pid", "_pk")): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sums
       .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
       .select(col("_pid"), col("_offset"))
     localDf.join(broadcast(offsets), "_pid").drop("_pk")
   }
+
+  /** Pruning-guard aggregates for the scaffold's totals branch: one
+    * `max(xxhash64(c))` per non-excluded column, so the totals subtree
+    * references the same columns as the data subtree (identical column
+    * pruning → canonically identical exchanges → AQE stage reuse)
+    * while every aggregation buffer stays a fixed-width long
+    * (HashAggregate-eligible). Map-typed columns are skipped (xxhash64
+    * rejects them) — a map payload column then simply costs the reuse,
+    * never correctness. */
+  private def guardable(df: DataFrame, exclude: Seq[String]): Seq[String] =
+    df.schema.fields.toIndexedSeq
+      .filterNot(f => exclude.contains(f.name))
+      .filterNot(f => containsMap(f.dataType))
+      .map(_.name)
+
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+
+  private def pruningGuards(df: DataFrame,
+      exclude: Seq[String]): Seq[Column] =
+    guardable(df, exclude).zipWithIndex.map { case (c, i) =>
+      max(xxhash64(col(c))).as(s"_g$i") }
+
+  private def guardCols(df: DataFrame, exclude: Seq[String]): Seq[Column] =
+    guardable(df, exclude).indices.map(i => col(s"_g$i"))
 
   /** [[withGlobalPrefix]] generalized to PER-STRATUM running values
     * (one independent cumsum per source/domain): range-partition by
@@ -279,8 +326,8 @@ object Relational {
     * window directly when the stratum key is high-cardinality (each
     * stratum is then small enough to sort in one task). */
   private[operators] def withStratumPrefix(df: DataFrame, parts: Int,
-      stratumCols: Seq[String], order: Seq[Column], outLocal: String)(
-      local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
+      stratumCols: Seq[String], order: Seq[Column], outLocal: String,
+      summand: Column): DataFrame = {
     val stratum = stratumCols.map(col)
     // deterministic bins over the ORDER keys alone — the offsets
     // combine only needs the bin id monotone in the order key WITHIN
@@ -293,12 +340,19 @@ object Relational {
       .withColumn("_pk", element_at(lit(binShuffleKeys(parts)), col("_pid") + 1))
       .repartition(parts, col("_pk"))
     val w = Window.partitionBy(stratum :+ col("_pk"): _*).orderBy(order: _*)
-    val localDf = binned.withColumn(outLocal, local(w))
-    // totals from the window output — shared-exchange reuse, see
-    // withGlobalPrefix
-    val sums = localDf.groupBy((stratum :+ col("_pk")) :+ col("_pid"): _*)
-      .agg(max(col(outLocal)).as("_sum"))
-    val wOff = Window.partitionBy(stratum: _*).orderBy(col("_pid"))
+    val localDf = binned.withColumn(outLocal,
+      sum(summand).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // totals: sortless summand aggregate over the shared exchange, with
+    // hash-buffered pruning guards pinning the pruned column set — see
+    // withGlobalPrefix. Within a stratum the (stratum×bin) groups have
+    // one row per _pid, so the extra offsets-window order keys are
+    // semantically inert.
+    val excl = Seq("_pid", "_pk") ++ stratumCols
+    val sums = binned.groupBy((stratum :+ col("_pk")) :+ col("_pid"): _*)
+      .agg(sum(summand).as("_sum"), pruningGuards(binned, excl): _*)
+    val wOff = Window.partitionBy(stratum: _*)
+      .orderBy(col("_pid") +: guardCols(binned, excl): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sums
       .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
@@ -319,10 +373,12 @@ object Relational {
     * (constant 0 offsets) so callers' combine step is identical —
     * parity-spec'd against [[withStratumPrefix]]. */
   private[operators] def withStratumPrefixKeyed(df: DataFrame,
-      stratumCols: Seq[String], order: Seq[Column], outLocal: String)(
-      local: org.apache.spark.sql.expressions.WindowSpec => Column): DataFrame = {
+      stratumCols: Seq[String], order: Seq[Column], outLocal: String,
+      summand: Column): DataFrame = {
     val w = Window.partitionBy(stratumCols.map(col): _*).orderBy(order: _*)
-    df.withColumn(outLocal, local(w))
+    df.withColumn(outLocal,
+        sum(summand).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_pid", lit(0))
       .withColumn("_offset", lit(0L))
   }
@@ -626,8 +682,8 @@ object Relational {
     * `row_number() OVER (ORDER BY …)` at any partition count. */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
       numPartitions: Int = 0, outCol: String = "rn"): DataFrame =
-    withGlobalPrefix(df, defaultParts(df, numPartitions), order, "_local_rn")(
-      w => row_number().over(w))
+    withGlobalPrefix(df, defaultParts(df, numPartitions), order, "_local_rn",
+        lit(1L))
       .withColumn(outCol, (col("_offset") + col("_local_rn")).cast("long"))
       .drop("_pid", "_local_rn", "_offset")
 

@@ -867,9 +867,7 @@ object TextAnalysis {
       .withColumn("len_class", cls)
     Relational.withStratumPrefix(tc,
         Relational.defaultParts(df, numPartitions),
-        Seq("len_class"), Seq(col(idCol)), "_local_rn")(
-        w => sum(lit(1L)).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Seq("len_class"), Seq(col(idCol)), "_local_rn", lit(1L))
       .withColumn("_rank", col("_offset") + col("_local_rn") - 1)
       .withColumn("bin", expr(s"_rank div ($ctxLen div len_class)"))
       .withColumn("slot", expr(s"_rank % ($ctxLen div len_class)"))
@@ -882,9 +880,7 @@ object TextAnalysis {
     val withCounts = df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
     Relational.withGlobalPrefix(withCounts,
         Relational.defaultParts(df, numPartitions), Seq(col(idCol)),
-        "_local_cum")(
-        w => sum(col("n_tokens")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        "_local_cum", col("n_tokens"))
       .withColumn("start_off",
         (col("_offset") + col("_local_cum") - col("n_tokens")).cast("long"))
       .withColumn("bin_first", expr(s"start_off div $ctxLen"))
@@ -957,16 +953,13 @@ object TextAnalysis {
       highCardinalityStrata: Boolean = false): DataFrame = {
     val withCounts = df.select(col(stratumCol), col(idCol),
       tokenCount(col(textCol)).as("n_tokens"))
-    val cum: org.apache.spark.sql.expressions.WindowSpec => Column =
-      w => sum(col("n_tokens")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val packed = (if (highCardinalityStrata)
         Relational.withStratumPrefixKeyed(withCounts,
-          Seq(stratumCol), Seq(col(idCol)), "_local_cum")(cum)
+          Seq(stratumCol), Seq(col(idCol)), "_local_cum", col("n_tokens"))
       else
         Relational.withStratumPrefix(withCounts,
           Relational.defaultParts(df, numPartitions),
-          Seq(stratumCol), Seq(col(idCol)), "_local_cum")(cum))
+          Seq(stratumCol), Seq(col(idCol)), "_local_cum", col("n_tokens")))
       .withColumn("start_off",
         (col("_offset") + col("_local_cum") - col("n_tokens")).cast("long"))
       .filter(col("n_tokens") > 0)
@@ -1109,12 +1102,10 @@ object TextAnalysis {
       md5(concat(lit(salt), col(idCol).cast("string"))).as("_bk"))
     val parts = Relational.defaultParts(df, numPartitions)
     Relational.withGlobalPrefix(withCounts, parts,
-        Seq(col("_bk"), col(idCol)), "_local_cum",
+        Seq(col("_bk"), col(idCol)), "_local_cum", col("n_tokens"),
         // md5 rank order → the hex prefix IS a uniform monotone bin:
         // no boundary sketch pass needed
-        Some(Relational.hexPrefixBin(col("_bk"), parts)))(
-        w => sum(col("n_tokens")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Some(Relational.hexPrefixBin(col("_bk"), parts)))
       .withColumn("cum_tokens", (col("_offset") + col("_local_cum")).cast("long"))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col(idCol), col("n_tokens"), col("cum_tokens"))
@@ -1142,10 +1133,8 @@ object TextAnalysis {
       md5(concat(lit(salt), col(idCol).cast("string"))).as("_bk"))
     val parts = Relational.defaultParts(df, numPartitions)
     Relational.withGlobalPrefix(withCounts, parts,
-        Seq(col("_bk"), col(idCol)), "_local_cum",
-        Some(Relational.hexPrefixBin(col("_bk"), parts)))(
-        w => sum(col("n_tokens")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Seq(col("_bk"), col(idCol)), "_local_cum", col("n_tokens"),
+        Some(Relational.hexPrefixBin(col("_bk"), parts)))
       .withColumn("start_off",
         (col("_offset") + col("_local_cum") - col("n_tokens")).cast("long"))
       .withColumn("shard",

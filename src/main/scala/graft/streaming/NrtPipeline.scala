@@ -164,4 +164,88 @@ object NrtPipeline {
         col("active_slot").as("slot_after"),
         col("last_refresh").as("refreshed_at_s"))
   }
+
+  /** The SAME lifecycle driven through the live ArcGIS-sharing-REST
+    * transport over real sockets (`pipeline_nrt_rest` gate): a
+    * localhost [[graft.sinks.FakeAgolServer]] exposes a portal, the
+    * control state (activeSlot, fingerprint) lives in item PROPERTIES
+    * seeded over REST (the reference's tag-recovered item state,
+    * `update_manager.py:30-84`), and due datasets refresh through
+    * [[Nrt.refreshCycleViaPortal]] → [[graft.sinks.RestPortalTransport]]
+    * (add / search / props / update / touch all over HTTP, reference
+    * flow `OverwriteFS.py:1744-2688`). The outcome report reads
+    * `slot_after` back FROM the portal's post-cycle item properties, so
+    * the oracle checks the REST-persisted state, and hash-matches the
+    * same oracle as `pipeline_nrt`. */
+  def runViaRest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fixDir = ensureFixture(spark, sfDir)
+    val events = graft.Tables.load(spark, sfDir, "events")
+    val nowTs = events.agg(date_trunc("second", max(col("ts"))).as("now"))
+      .head().getTimestamp(0)
+    val dayBefore = new java.sql.Timestamp(nowTs.getTime - 86400000L)
+    val types = events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+    def fresh(id: String): DataFrame = freshWindow(spark, fixDir, id, nowTs)
+
+    val srcLmSeq = types.map { tp =>
+      val id = s"ds_$tp"
+      val m = spark.read.format("erddap")
+        .option("dataDir", fixDir).option("dataset", id).load()
+        .agg(max(col("time"))).head().getTimestamp(0)
+      id -> m
+    }
+    val srcLm = srcLmSeq.toDF("dataset_id", "last_modified")
+    val seedRows = types.zipWithIndex.map { case (tp, i) =>
+      val r = i + 1
+      val id = s"ds_$tp"
+      val actual = Nrt.tableFingerprint(fresh(id))
+      val stored = if (r > 1 && r % 2 == 0) actual + 1L else actual
+      val srcM = srcLmSeq(i)._2
+      val ctlM =
+        if (r == 1) srcM else new java.sql.Timestamp(srcM.getTime - 3600000L)
+      (id, fixDir, "a", stored, ctlM, dayBefore)
+    }
+
+    val user = "gcoos"; val pass = "fixture-pass"
+    val portal = new graft.sinks.Portal(
+      Files.createTempDirectory("portal_nrt_rest").toString)
+    val server = new graft.sinks.FakeAgolServer(portal, user, pass)
+    try {
+      val transport = graft.sinks.PortalTransport(server.base, user, pass)
+      // seed the portal items with the control state, over REST
+      val itemIds = seedRows.map { case (id, _, slot, stored, _, _) =>
+        val item = transport.addOrRetry(id, "Feature Service",
+          Seq("erddap2agol", s"did_$id"))
+        transport.update(item.id,
+          Map("activeSlot" -> slot, "fingerprint" -> stored.toString))
+        id -> item.id
+      }.toMap
+
+      val control = seedRows.toDF("dataset_id", "base_url", "active_slot",
+        "fingerprint", "last_modified", "last_refresh")
+      val due = Nrt.duePlan(control, srcLm, maxAgeHours = 24 * 365 * 1000)
+      val dueIds = due.select("dataset_id")
+        .collect().map(_.getString(0)).sorted.toSeq
+
+      val sinkRoot = s"$fixDir/sink_rest"
+      val outcomes = Nrt.refreshCycleViaPortal(spark, dueIds,
+        id => fresh(id), transport, sinkRoot, now = nowTs.getTime)
+      val byId = outcomes.map(o => o.datasetId -> o).toMap
+
+      // slot_after comes back from the portal's REST-persisted item
+      // properties — the state a next scheduled run would recover
+      val report = types.map { tp =>
+        val id = s"ds_$tp"
+        val o = byId.get(id).filterNot(_.failed)
+        val slotAfter = transport.props(itemIds(id))("activeSlot")
+        (id, dueIds.contains(id), o.exists(_.changed),
+          o.filter(_.changed).map(_.rows).getOrElse(-1L), slotAfter,
+          if (o.isDefined) nowTs else dayBefore)
+      }
+      report.toDF("dataset_id", "was_due", "changed", "rows_written",
+        "slot_after", "refreshed_at_s")
+    } finally server.stop()
+  }
 }

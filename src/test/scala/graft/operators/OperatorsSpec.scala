@@ -1020,9 +1020,8 @@ class GlobalRowNumberSpec extends org.scalatest.funsuite.AnyFunSuite {
     val df = Seq(Some("b"), None, Some("a"), None, Some("c"))
       .toDF("id").withColumn("_bk", md5(col("id")))
     val out = Relational.withGlobalPrefix(df, 4,
-        Seq(col("_bk"), col("id")), "_local_rn",
-        bin = Some(Relational.hexPrefixBin(col("_bk"), 4)))(
-        w => row_number().over(w))
+        Seq(col("_bk"), col("id")), "_local_rn", lit(1L),
+        bin = Some(Relational.hexPrefixBin(col("_bk"), 4)))
       .withColumn("rn", col("_offset") + col("_local_rn"))
     assert(out.count() == 5, "null-key rows must survive the offsets join")
     val rns = out.select("rn").as[Long].collect().sorted
