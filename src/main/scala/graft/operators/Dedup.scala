@@ -666,41 +666,55 @@ object Dedup {
     * the distributed tier (used by its convergence specs). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       localEdgeCap: Long = 2000000L): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // orientation-normalized edge list: least/greatest folds (a,b) and
+    // (b,a) into one row BEFORE the dedup, so the distinct — the
+    // largest shuffle this operator runs — processes E rows, not the
+    // 2E a mirrored union would (and the distributed tier below
+    // rebuilds the mirror by a narrow projection, no second distinct).
+    // Null-id pairs are dropped up front: they joined nothing in any
+    // downstream step anyway.
+    val half = pairs
+      .filter(col("id1").isNotNull && col("id2").isNotNull)
+      .select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
       .distinct()
-      .localCheckpoint() // edges are reused every round — cut the lineage once
-    val edgeCount = edges.count() // free: counts the checkpointed blocks
+      .localCheckpoint() // reused every round — cut the lineage once
+    val halfCount = half.count() // free: counts the checkpointed blocks
 
     // local tier for LONG and STRING ids (the two id shapes documents
     // actually carry — synthetic longs and UUID strings); other id
     // types fall through to the type-generic distributed tier
     val idType = pairs.schema.head.dataType
     val sameTypes = pairs.schema.take(2).map(_.dataType).distinct.size == 1
-    if (sameTypes && edgeCount <= localEdgeCap &&
+    if (sameTypes && halfCount * 2 <= localEdgeCap &&
         (idType == org.apache.spark.sql.types.LongType ||
          idType == org.apache.spark.sql.types.StringType)) {
       // driver union-find over the bounded edge list. Memory: the
-      // collect ships the a<=b half (~edgeCount/2 rows; self-loops kept
-      // so vertex-set parity with the distributed tier holds), and the
+      // collect ships the normalized half (self-loops kept so
+      // vertex-set parity with the distributed tier holds), and the
       // boxed parent map holds ≤ |V| entries — ~150 MB transient at the
       // default cap, far under any realistic driver heap.
       val spark = pairs.sparkSession
       import spark.implicits._
-      val half = edges.filter(col("a") <= col("b")).collect()
-      Snapshots.release(edges) // Dataset.unpersist is a no-op on a pin
+      val rows = half.collect()
+      Snapshots.release(half) // Dataset.unpersist is a no-op on a pin
       return (idType match {
         case org.apache.spark.sql.types.LongType =>
-          localUnionFind[Long](half.map(r => (r.getLong(0), r.getLong(1))),
+          localUnionFind[Long](rows.map(r => (r.getLong(0), r.getLong(1))),
             _ < _).toDF("id", "cluster")
         case _ =>
           // min label must agree with the distributed tier's `min` on
           // UTF8String: BYTE-wise UTF-8 order, not String.compareTo
           // (they diverge above the BMP)
-          localUnionFind[String](half.map(r => (r.getString(0), r.getString(1))),
+          localUnionFind[String](rows.map(r => (r.getString(0), r.getString(1))),
             utf8Lt).toDF("id", "cluster")
       })
     }
+    // both directions for the label-propagation joins — a projection
+    // over the pinned half (self-loops skip the mirror, so no dedup)
+    val edges = half.union(
+      half.filter(col("a") =!= col("b"))
+        .select(col("b").as("a"), col("a").as("b")))
 
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster", col("id"))
@@ -737,7 +751,7 @@ object Dedup {
       labels = step2.drop("old")
       iter += 1
     }
-    Snapshots.release(edges)
+    Snapshots.release(half)
     labels
   }
 
