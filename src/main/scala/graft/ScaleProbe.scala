@@ -30,6 +30,26 @@ object ScaleProbe {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // cap-drop accounting: the skew guards record drops as lazy
+    // CollectMetrics observations (`<tag>_cap_<n>.dropped_members`);
+    // surface every nonzero one so a superlinear-looking ratio can be
+    // read against how much the caps actually sheared off
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.contains("_cap_")) {
+              val d = row.getAs[Long]("dropped_members")
+              if (d > 0) println(s"[probe]   cap-drop $name dropped_members=$d")
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
     def amplify(df: DataFrame, idCol: String, copies: Int): DataFrame = {
       val base = df
       val maxId = base.agg(max(col(idCol))).head().getLong(0) + 1
