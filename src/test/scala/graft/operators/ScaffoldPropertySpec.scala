@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Randomized invariants for the two-pass global-prefix scaffold — the
+  * engine's highest-risk component (global ranks must stay an exact
+  * permutation under ANY bin assignment, duplicate order keys, null
+  * keys, and partition counts; the historical failure class only
+  * appeared under re-evaluation disagreement at scale). Every property
+  * checks the scaffold against the naive single-partition window over
+  * the same data. */
+class ScaffoldPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260816L)
+
+  test("globalRowNumber property: exact single-window parity under duplicate keys, nulls, and partition counts") {
+    (1 to 4).foreach { round =>
+      val n = 50 + rnd.nextInt(400)
+      // small key space → heavy duplicate order keys; ~10% null keys
+      val rows = (1 to n).map { i =>
+        val k: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null else rnd.nextInt(12).toLong
+        (i.toLong, k)
+      }
+      val parts = 1 + rnd.nextInt(9)
+      val df = rows.toDF("id", "k").repartition(1 + rnd.nextInt(6))
+      val got = Relational.globalRowNumber(df,
+          Seq(col("k"), col("id")), numPartitions = parts)
+        .select(col("id"), col("rn")).as[(Long, Long)].collect().toMap
+      val want = df.withColumn("rn",
+          row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+        .select(col("id"), col("rn")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"round $round n=$n parts=$parts")
+    }
+  }
+
+  test("withGlobalPrefix cumsum property: per-row running sums match the single window, including zero and null summands") {
+    (1 to 3).foreach { round =>
+      val n = 40 + rnd.nextInt(300)
+      val rows = (1 to n).map { i =>
+        val w: java.lang.Long =
+          if (rnd.nextInt(8) == 0) null else rnd.nextInt(5).toLong
+        (i.toLong, w)
+      }
+      val parts = 2 + rnd.nextInt(7)
+      val df = rows.toDF("id", "w").repartition(3)
+      val got = Relational.withGlobalPrefix(df, parts, Seq(col("id")),
+          "_local", col("w"))
+        .withColumn("cum", col("_offset") + col("_local"))
+        .select(col("id"), col("cum")).as[(Long, Option[Long])]
+        .collect().toMap
+      val want = df.withColumn("cum",
+          sum(col("w")).over(Window.orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("id"), col("cum")).as[(Long, Option[Long])]
+        .collect().toMap
+      assert(got == want, s"round $round n=$n parts=$parts")
+    }
+  }
+
+  test("withStratumPrefix property: per-stratum running sums match keyed windows for every stratum") {
+    (1 to 3).foreach { round =>
+      val n = 60 + rnd.nextInt(240)
+      val rows = (1 to n).map { i =>
+        (i.toLong, s"s${rnd.nextInt(4)}", rnd.nextInt(7).toLong)
+      }
+      val parts = 2 + rnd.nextInt(6)
+      val df = rows.toDF("id", "src", "w").repartition(3)
+      val got = Relational.withStratumPrefix(df, parts, Seq("src"),
+          Seq(col("id")), "_local", col("w"))
+        .withColumn("cum", col("_offset") + col("_local"))
+        .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+      val want = df.withColumn("cum",
+          sum(col("w")).over(Window.partitionBy(col("src")).orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"round $round n=$n parts=$parts")
+    }
+  }
+}
