@@ -38,6 +38,12 @@ object ScaffoldScratch {
         println(fin.linesIterator.map(_.take(130)).mkString("\n"))
     }
 
+    run("j6_positional_join", () =>
+      Relational.positionalJoin(
+        graft.Tables.load(spark, sf, "nation").select(col("n_nationkey"), col("n_name")),
+        Seq(col("n_name")),
+        graft.Tables.load(spark, sf, "region").select(col("r_regionkey"), col("r_name")),
+        Seq(col("r_name"))))
     run("sample_token_budget", () =>
       TextAnalysis.sampleToTokenBudget(docs, "text", "doc_id", 1000000L))
     run("pack_sequences", () =>
