@@ -242,7 +242,8 @@ object Relational {
     * combine and drop the temps. */
   private[operators] def withGlobalPrefix(df: DataFrame, parts: Int,
       order: Seq[Column], outLocal: String, summand: Column,
-      bin: Option[Column] = None): DataFrame = {
+      bin: Option[Column] = None,
+      guardExtras: Seq[String] = Nil): DataFrame = {
     // caller-supplied bins are null-guarded to bin 0: a null order key
     // (e.g. hexPrefixBin over a null id) sorts FIRST in the window
     // order, and a null _pid would otherwise null the _pk and make the
@@ -262,20 +263,35 @@ object Relational {
     // exchange both branches read (the local running value is a prefix
     // sum, so the bin total is just sum(summand) — no need to re-sort
     // and re-window the bin to take max(outLocal), which used to put
-    // the corpus sort on the critical path twice). Exchange reuse
-    // needs the two branches' pruned column sets to MATCH, so the
-    // aggregate carries a guard per other column — max(xxhash64(c)),
-    // NOT first(c): a long buffer keeps the aggregate on the
-    // HashAggregate path (string/struct buffers demote to
-    // SortAggregate, reintroducing the very sort this removes). The
-    // guards stay alive as extra (semantically inert — _pid is unique
-    // per group) order keys of the P-row offsets window below. Safe to
-    // re-evaluate ONLY because _pid is deterministic (orderBinColumn).
+    // the corpus sort on the critical path twice). The totals subtree
+    // naturally references exactly {order ∪ summand ∪ bin} columns, so
+    // when the caller's frame IS that set (every pack/sample/shard
+    // frame — the ones with an expensive projection worth sharing) the
+    // two branches prune identically, the exchanges stay canonically
+    // equal, and AQE stage reuse materializes the scan+shuffle once.
+    // A caller whose frame carries extra payload either names the
+    // retained extras in `guardExtras` (each rides as max(xxhash64(c))
+    // — a long buffer, so the aggregate STAYS HashAggregate; first(c)
+    // would demote it to SortAggregate and the sort would come back),
+    // or simply loses the reuse: the totals branch then re-plans as a
+    // column-pruned NARROW scan + map-side partial aggregate, which at
+    // scale is cheaper than re-reading a wide shuffle anyway. The
+    // order columns are always guarded — the data branch's exchange
+    // must OUTPUT them for its window sort, while the aggregate alone
+    // would reference them only inside the _pid expression and prune
+    // them from its exchange output. Guards stay alive as extra
+    // (semantically inert — _pid is unique per group) order keys of
+    // the P-row offsets window below. Safe to re-evaluate ONLY because
+    // _pid is deterministic (orderBinColumn).
+    val guardNames =
+      (orderColumnNames(order, df) ++ guardExtras).distinct
+    val guards = guardNames.zipWithIndex.map { case (c, i) =>
+      max(xxhash64(col(c))).as(s"_g$i") }
+    val guardRefs = guardNames.indices.map(i => col(s"_g$i"))
     val sums = binned.groupBy(col("_pk"), col("_pid"))
-      .agg(sum(summand).as("_sum"),
-        pruningGuards(binned, Seq("_pid", "_pk")): _*)
+      .agg(sum(summand).as("_sum"), guards: _*)
     val wOff = Window
-      .orderBy(col("_pid") +: guardCols(binned, Seq("_pid", "_pk")): _*)
+      .orderBy(col("_pid") +: guardRefs: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sums
       .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))
@@ -283,36 +299,22 @@ object Relational {
     localDf.join(broadcast(offsets), "_pid").drop("_pk")
   }
 
-  /** Pruning-guard aggregates for the scaffold's totals branch: one
-    * `max(xxhash64(c))` per non-excluded column, so the totals subtree
-    * references the same columns as the data subtree (identical column
-    * pruning → canonically identical exchanges → AQE stage reuse)
-    * while every aggregation buffer stays a fixed-width long
-    * (HashAggregate-eligible). Map-typed columns are skipped (xxhash64
-    * rejects them) — a map payload column then simply costs the reuse,
-    * never correctness. */
-  private def guardable(df: DataFrame, exclude: Seq[String]): Seq[String] =
-    df.schema.fields.toIndexedSeq
-      .filterNot(f => exclude.contains(f.name))
-      .filterNot(f => containsMap(f.dataType))
-      .map(_.name)
-
-  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
-    dt match {
-      case _: org.apache.spark.sql.types.MapType => true
-      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
-      case s: org.apache.spark.sql.types.StructType =>
-        s.fields.exists(f => containsMap(f.dataType))
-      case _ => false
+  /** Frame-column names an order-key list references — the columns the
+    * data branch's exchange must output for its window sort, which the
+    * totals branch guards to keep both branches' pruning identical. */
+  private def orderColumnNames(order: Seq[Column], df: DataFrame): Seq[String] = {
+    // analyze the order projection against the frame — Spark 4 wraps
+    // Column expressions in lazy ColumnNodeExpressions, so references
+    // are only extractable from the ANALYZED plan
+    val analyzed = df.select(order: _*).queryExecution.analyzed
+    val refs = analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.flatMap(_.references.toSeq).map(_.name)
+      case other => other.references.toSeq.map(_.name)
     }
-
-  private def pruningGuards(df: DataFrame,
-      exclude: Seq[String]): Seq[Column] =
-    guardable(df, exclude).zipWithIndex.map { case (c, i) =>
-      max(xxhash64(col(c))).as(s"_g$i") }
-
-  private def guardCols(df: DataFrame, exclude: Seq[String]): Seq[Column] =
-    guardable(df, exclude).indices.map(i => col(s"_g$i"))
+    val frameCols = df.columns.toSet
+    refs.distinct.filter(frameCols.contains)
+  }
 
   /** [[withGlobalPrefix]] generalized to PER-STRATUM running values
     * (one independent cumsum per source/domain): range-partition by
@@ -327,7 +329,7 @@ object Relational {
     * stratum is then small enough to sort in one task). */
   private[operators] def withStratumPrefix(df: DataFrame, parts: Int,
       stratumCols: Seq[String], order: Seq[Column], outLocal: String,
-      summand: Column): DataFrame = {
+      summand: Column, guardExtras: Seq[String] = Nil): DataFrame = {
     val stratum = stratumCols.map(col)
     // deterministic bins over the ORDER keys alone — the offsets
     // combine only needs the bin id monotone in the order key WITHIN
@@ -343,16 +345,22 @@ object Relational {
     val localDf = binned.withColumn(outLocal,
       sum(summand).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // totals: sortless summand aggregate over the shared exchange, with
-    // hash-buffered pruning guards pinning the pruned column set — see
+    // totals: sortless summand aggregate over the shared exchange; the
+    // subtree guards {order ∪ guardExtras} columns alongside the
+    // stratum group keys — exchange-reuse and guard semantics as in
     // withGlobalPrefix. Within a stratum the (stratum×bin) groups have
     // one row per _pid, so the extra offsets-window order keys are
     // semantically inert.
-    val excl = Seq("_pid", "_pk") ++ stratumCols
+    val guardNames =
+      (orderColumnNames(order, df) ++ guardExtras).distinct
+        .filterNot(stratumCols.contains)
+    val guards = guardNames.zipWithIndex.map { case (c, i) =>
+      max(xxhash64(col(c))).as(s"_g$i") }
+    val guardRefs = guardNames.indices.map(i => col(s"_g$i"))
     val sums = binned.groupBy((stratum :+ col("_pk")) :+ col("_pid"): _*)
-      .agg(sum(summand).as("_sum"), pruningGuards(binned, excl): _*)
+      .agg(sum(summand).as("_sum"), guards: _*)
     val wOff = Window.partitionBy(stratum: _*)
-      .orderBy(col("_pid") +: guardCols(binned, excl): _*)
+      .orderBy(col("_pid") +: guardRefs: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sums
       .withColumn("_offset", coalesce(sum(col("_sum")).over(wOff), lit(0L)))

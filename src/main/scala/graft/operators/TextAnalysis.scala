@@ -867,7 +867,11 @@ object TextAnalysis {
       .withColumn("len_class", cls)
     Relational.withStratumPrefix(tc,
         Relational.defaultParts(df, numPartitions),
-        Seq("len_class"), Seq(col(idCol)), "_local_rn", lit(1L))
+        Seq("len_class"), Seq(col(idCol)), "_local_rn", lit(1L),
+        // n_tokens is retained payload: guard it so the totals branch
+        // prunes identically and reuses the exchange (the frame's
+        // projection pays a tokenize — worth sharing)
+        guardExtras = Seq("n_tokens"))
       .withColumn("_rank", col("_offset") + col("_local_rn") - 1)
       .withColumn("bin", expr(s"_rank div ($ctxLen div len_class)"))
       .withColumn("slot", expr(s"_rank % ($ctxLen div len_class)"))
