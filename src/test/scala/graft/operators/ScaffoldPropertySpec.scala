@@ -62,6 +62,33 @@ class ScaffoldPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hexPrefixBin scaffold property: md5-rank cumsum matches the single window, nulls ranked first") {
+    (1 to 3).foreach { round =>
+      val n = 50 + rnd.nextInt(300)
+      val rows = (1 to n).map { i =>
+        val id: java.lang.Long = if (rnd.nextInt(12) == 0) null else i.toLong
+        (id, 1L + rnd.nextInt(9))
+      }
+      val parts = 2 + rnd.nextInt(7)
+      val df = rows.toDF("id", "w")
+        .withColumn("_bk", md5(col("id").cast("string")))
+        .repartition(3)
+      val got = Relational.withGlobalPrefix(df, parts,
+          Seq(col("_bk"), col("id")), "_local", col("w"),
+          bin = Some(Relational.hexPrefixBin(col("_bk"), parts)))
+        .withColumn("cum", col("_offset") + col("_local"))
+        .select(col("id"), col("cum")).as[(Option[Long], Long)]
+        .collect().sorted
+      val want = df.withColumn("cum",
+          sum(col("w")).over(Window.orderBy(col("_bk"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("id"), col("cum")).as[(Option[Long], Long)]
+        .collect().sorted
+      assert(got.sameElements(want), s"round $round n=$n parts=$parts")
+      assert(got.length == n, "null-id rows must survive (bin 0)")
+    }
+  }
+
   test("withStratumPrefix property: per-stratum running sums match keyed windows for every stratum") {
     (1 to 3).foreach { round =>
       val n = 60 + rnd.nextInt(240)
