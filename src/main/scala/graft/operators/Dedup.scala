@@ -638,8 +638,10 @@ object Dedup {
 
   /** Connected components over near-dup pairs — the step that turns
     * pairwise matches into keep-one-per-group dedup. Input: (id1, id2)
-    * pairs; output: (id, cluster) for every id in a pair, cluster =
-    * min id of its component.
+    * pairs; output: (id, cluster) for every NON-NULL id in a pair,
+    * cluster = min id of its component. A pair whose partner id is
+    * null still yields a singleton (id, id) row for the non-null side
+    * (it normalizes to a self-loop); only both-null pairs are dropped.
     *
     * TWO TIERS, selected by the materialized edge count:
     *
@@ -671,10 +673,13 @@ object Dedup {
     // largest shuffle this operator runs — processes E rows, not the
     // 2E a mirrored union would (and the distributed tier below
     // rebuilds the mirror by a narrow projection, no second distinct).
-    // Null-id pairs are dropped up front: they joined nothing in any
-    // downstream step anyway.
+    // A pair with exactly ONE null id degenerates to a SELF-LOOP of
+    // the non-null side (least/greatest skip nulls), so that vertex
+    // still receives its singleton (id, id) label row — vertex
+    // coverage of the output is every non-null id appearing in any
+    // pair. Only both-null pairs drop: they name no vertex at all.
     val half = pairs
-      .filter(col("id1").isNotNull && col("id2").isNotNull)
+      .filter(col("id1").isNotNull || col("id2").isNotNull)
       .select(least(col("id1"), col("id2")).as("a"),
         greatest(col("id1"), col("id2")).as("b"))
       .distinct()

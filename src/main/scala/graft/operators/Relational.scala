@@ -207,6 +207,18 @@ object Relational {
     * totals aggregate — avoid floating-point summands), then add
     * per-bin offsets computed from the P-row totals table.
     *
+    * NULL summands count as 0: the summand is coalesced before both
+    * the window and the totals aggregate. A raw null-skipping
+    * `sum(summand)` would break bin-placement invariance — a null
+    * summand landing on the FIRST row of a bin > 0 makes the local
+    * running sum NULL there while a single global window yields the
+    * prior bins' total, so the combined `_offset + outLocal` would
+    * depend on where the bin boundaries fell. Coalescing makes the
+    * running value a pure prefix sum of `coalesce(summand, 0)` —
+    * identical under any binning. (Difference vs a SQL null-skipping
+    * running sum: rows BEFORE the first non-null summand read 0, not
+    * NULL.)
+    *
     * Why deterministic bins and not `repartitionByRange` +
     * `spark_partition_id()`: the totals aggregate and the final join
     * are two consumers of the same sub-plan, and a sampled range
@@ -249,6 +261,7 @@ object Relational {
     // order, and a null _pid would otherwise null the _pk and make the
     // inner offsets join silently DROP the row ([[orderBinColumn]]'s
     // own paths already pin nulls to bin 0)
+    val sd = coalesce(summand, lit(0L)) // null summands count as 0 (see doc)
     val binned = df
       .withColumn("_pid",
         bin.map(b => coalesce(b, lit(0)))
@@ -257,7 +270,7 @@ object Relational {
       .repartition(parts, col("_pk"))
     val w = Window.partitionBy(col("_pk")).orderBy(order: _*)
     val localDf = binned.withColumn(outLocal,
-      sum(summand).over(
+      sum(sd).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // totals: a SORTLESS hash aggregate of the summand over the SAME
     // exchange both branches read (the local running value is a prefix
@@ -289,7 +302,7 @@ object Relational {
       max(xxhash64(col(c))).as(s"_g$i") }
     val guardRefs = guardNames.indices.map(i => col(s"_g$i"))
     val sums = binned.groupBy(col("_pk"), col("_pid"))
-      .agg(sum(summand).as("_sum"), guards: _*)
+      .agg(sum(sd).as("_sum"), guards: _*)
     val wOff = Window
       .orderBy(col("_pid") +: guardRefs: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -337,13 +350,14 @@ object Relational {
     // within every stratum at once; leaving the (often low-cardinality)
     // stratum out of the bin key keeps the percentile fast path open
     // and the bins balanced. No pin (see withGlobalPrefix).
+    val sd = coalesce(summand, lit(0L)) // null summands count as 0 (see withGlobalPrefix)
     val binned = df
       .withColumn("_pid", orderBinColumn(df, parts, order))
       .withColumn("_pk", element_at(lit(binShuffleKeys(parts)), col("_pid") + 1))
       .repartition(parts, col("_pk"))
     val w = Window.partitionBy(stratum :+ col("_pk"): _*).orderBy(order: _*)
     val localDf = binned.withColumn(outLocal,
-      sum(summand).over(
+      sum(sd).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // totals: sortless summand aggregate over the shared exchange; the
     // subtree guards {order ∪ guardExtras} columns alongside the
@@ -358,7 +372,7 @@ object Relational {
       max(xxhash64(col(c))).as(s"_g$i") }
     val guardRefs = guardNames.indices.map(i => col(s"_g$i"))
     val sums = binned.groupBy((stratum :+ col("_pk")) :+ col("_pid"): _*)
-      .agg(sum(summand).as("_sum"), guards: _*)
+      .agg(sum(sd).as("_sum"), guards: _*)
     val wOff = Window.partitionBy(stratum: _*)
       .orderBy(col("_pid") +: guardRefs: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -385,7 +399,8 @@ object Relational {
       summand: Column): DataFrame = {
     val w = Window.partitionBy(stratumCols.map(col): _*).orderBy(order: _*)
     df.withColumn(outLocal,
-        sum(summand).over(
+        // null summands count as 0 — parity with [[withStratumPrefix]]
+        sum(coalesce(summand, lit(0L))).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("_pid", lit(0))
       .withColumn("_offset", lit(0L))
@@ -427,8 +442,28 @@ object Relational {
     * range exchange cannot give without pinning the whole relation.
     * Degenerate inputs (empty, single distinct key) collapse to one
     * bin — correct, just unparallel. */
-  /** Bounded driver-side cache of computed bin columns, keyed by the
-    * ANALYZED key-projection plan's CANONICALIZED form + the bin
+  /** Name-agnostic cached result of a boundary-sketch job — what the
+    * [[binCache]] stores. Caching the finished bin COLUMN was a latent
+    * crash: the Column tree references the FIRST caller's column
+    * names, but plan canonicalization erases alias names, so a second
+    * frame differing only by a rename of a computed key column hits
+    * the cache and receives a Column referencing a nonexistent name
+    * (analysis failure). The spec holds only the boundary VALUES (plus
+    * the numeric view's type); [[buildBinColumn]] rebuilds the `when`
+    * tree from the CALLER's key columns on every call — driver-side
+    * O(parts) Column construction, while the expensive part (the
+    * boundary job) stays cached. Canonicalized-equal plans share
+    * output datatypes by construction, so rebuilding against the
+    * caller's schema is sound. */
+  private[graft] sealed trait BinSpec
+  private[graft] case object SingleBin extends BinSpec
+  private[graft] case class NumericBounds(values: IndexedSeq[Any],
+      dt: org.apache.spark.sql.types.DataType) extends BinSpec
+  private[graft] case class StructBounds(
+      rows: IndexedSeq[org.apache.spark.sql.Row]) extends BinSpec
+
+  /** Bounded driver-side cache of computed bin BOUNDARIES, keyed by
+    * the ANALYZED key-projection plan's CANONICALIZED form + the bin
     * count: a repeated identical query (five bench iterations, a
     * dashboard refresh, a retried stage) re-plans the same scaffold
     * and would otherwise pay the boundary job every time. The key is
@@ -436,19 +471,21 @@ object Relational {
     * plans are case-class trees with structural equals/hashCode, so a
     * hit is EXACT by construction. (A 32-bit semanticHash key was not:
     * a birthday collision across different key expressions would hand
-    * this frame a bin Column built for another plan's columns — if the
-    * names happened to resolve here, the bin would no longer be
-    * monotone in THIS plan's order, i.e. silent wrong global ranks.
-    * Stale entries — files replaced under the same path — remain
-    * harmless: boundaries are balance hints, any list is correct.)
-    * ~100 (plan, Column) pairs max: metadata-sized.
-    * `private[graft]` so the exactness spec can plant entries. */
+    * this frame boundaries sketched from another plan's data — the bin
+    * would no longer be monotone in THIS plan's order, i.e. silent
+    * wrong global ranks. Stale entries — files replaced under the same
+    * path — remain harmless: boundaries are balance hints, any list is
+    * correct.) Values are name-agnostic [[BinSpec]]s (see there), so a
+    * hit is safe under any column naming. ~100 (plan, spec) pairs max:
+    * metadata-sized (the retained canonicalized plans are expression
+    * trees + relation identifiers, no data). `private[graft]` so the
+    * exactness spec can plant entries. */
   private[graft] val binCache = new java.util.LinkedHashMap[
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-      Column](16, 0.75f, true) {
+      BinSpec](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[
         (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-        Column]): Boolean = size > 100
+        BinSpec]): Boolean = size > 100
   }
 
   /** The exact cache key [[orderBinColumn]] uses for a given frame +
@@ -467,17 +504,18 @@ object Relational {
     val keyDf = df.select(named: _*)
     if (parts <= 1) return lit(0)
     val cacheKey = (keyDf.queryExecution.analyzed.canonicalized, parts)
-    binCache.synchronized {
-      val hit = binCache.get(cacheKey)
-      if (hit != null) return hit
-    }
-    val computed = computeOrderBinColumn(keyDf, parts, named, keys)
-    binCache.synchronized { binCache.put(cacheKey, computed) }
-    computed
+    val spec = binCache.synchronized { Option(binCache.get(cacheKey)) }
+      .getOrElse {
+        val computed = computeBinSpec(keyDf, parts)
+        binCache.synchronized { binCache.put(cacheKey, computed) }
+        computed
+      }
+    buildBinColumn(spec, keys, named, keyDf.schema)
   }
 
-  private def computeOrderBinColumn(keyDf: DataFrame, parts: Int,
-      named: Seq[Column], keys: Seq[Column]): Column = {
+  /** Runs the boundary job(s) and returns the name-agnostic spec the
+    * cache stores — no Column over the caller's frame is built here. */
+  private def computeBinSpec(keyDf: DataFrame, parts: Int): BinSpec = {
     // FAST PATH — numeric/timestamp/date LEADING key: boundaries on a
     // PREFIX of the sort key are valid (equal-prefix rows share a bin,
     // monotone in the full lexicographic order), so one codegen'd
@@ -485,13 +523,10 @@ object Relational {
     // — no external-Row conversion of the corpus. Falls through to the
     // full-key sketch when the leading key is low-cardinality (bins
     // would collapse) or non-numeric.
-    // The AGGREGATE runs over keyDf's aliased projection (`_k0`); the
-    // RETURNED bin expression uses `keys.head` so it resolves in the
-    // caller's frame.
-    numericOrderExpr(keys.head, keyDf.schema.head.dataType).flatMap { nk =>
-      val numDf = keyDf.select(
-        numericOrderExpr(col(keyDf.schema.head.name),
-          keyDf.schema.head.dataType).get.as("_nk"))
+    val headName = keyDf.schema.head.name
+    val headType = keyDf.schema.head.dataType
+    numericOrderExpr(col(headName), headType).flatMap { nkAgg =>
+      val numDf = keyDf.select(nkAgg.as("_nk"))
       val dt = numDf.schema.head.dataType
       val probs = array((1 until parts).map(i => lit(i.toDouble / parts)): _*)
       val row = numDf.agg(
@@ -499,22 +534,9 @@ object Relational {
       val bs: IndexedSeq[Any] =
         if (row.isNullAt(0)) IndexedSeq.empty
         else row.getSeq[Any](0).filter(_ != null).distinct.toIndexedSeq
-      if (bs.isEmpty) Some(lit(0))
+      if (bs.isEmpty) Some(SingleBin)
       else if (bs.length < math.max(1, parts / 2)) None // collapse → sketch
-      else {
-        val bnd = bs.map(v => org.apache.spark.sql.GraftSqlBridge.column(
-          org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)))
-        def tree(lo: Int, hi: Int): Column =
-          if (lo == hi) lit(lo)
-          else {
-            val mid = (lo + hi) / 2
-            when(nk < bnd(mid), tree(lo, mid)).otherwise(tree(mid + 1, hi))
-          }
-        // null keys sort FIRST in the window order, so they must land
-        // in bin 0 (a null comparison would otherwise fall to the
-        // highest bin and break monotonicity)
-        Some(when(nk.isNull, lit(0)).otherwise(tree(0, bs.length)))
-      }
+      else Some(NumericBounds(bs, dt))
     }.getOrElse {
       // the generic sketch compares EXTERNAL rows on the driver, which
       // supports atomic key types only (Comparable externals + binary).
@@ -527,32 +549,57 @@ object Relational {
           keyDf.schema.fields.map(_.dataType.simpleString).mkString(", ") +
           " — falling back to a single bin (one window partition); " +
           "project the key to an atomic column for a parallel window")
-        lit(0)
+        SingleBin
       } else {
-      val bounds = sampleOrderBoundaries(keyDf, parts)
-      if (bounds.isEmpty) lit(0)
-      else {
-        val schema = keyDf.schema
-        val keyStruct = struct(named: _*)
-        val bndCols = bounds.toIndexedSeq.map { r =>
-          struct(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-            org.apache.spark.sql.GraftSqlBridge.column(
-              org.apache.spark.sql.catalyst.expressions.Literal.create(
-                r.get(i), f.dataType)).as(f.name)
-          }: _*).cast(schema)
-        }
-        // balanced upper-bound search: bin = #boundaries <= key
-        def tree(lo: Int, hi: Int): Column =
-          if (lo == hi) lit(lo)
-          else {
-            val mid = (lo + hi) / 2
-            when(keyStruct < bndCols(mid), tree(lo, mid))
-              .otherwise(tree(mid + 1, hi))
-          }
-        tree(0, bounds.length)
-      }
+        val bounds = sampleOrderBoundaries(keyDf, parts)
+        if (bounds.isEmpty) SingleBin
+        else StructBounds(bounds.toIndexedSeq)
       }
     }
+  }
+
+  /** Rebuilds the bin expression over the CALLER's key columns from a
+    * (possibly cached) [[BinSpec]] — resolves in any frame whose key
+    * projection canonicalizes to the spec's, regardless of column
+    * names. Driver-side O(parts) Column construction, no jobs. */
+  private def buildBinColumn(spec: BinSpec, keys: Seq[Column],
+      named: Seq[Column],
+      schema: org.apache.spark.sql.types.StructType): Column = spec match {
+    case SingleBin => lit(0)
+    case NumericBounds(bs, dt) =>
+      val nk = numericOrderExpr(keys.head, schema.head.dataType).getOrElse(
+        throw new IllegalStateException(
+          "binCache: numeric spec for a non-numeric key projection"))
+      val bnd = bs.map(v => org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)))
+      def tree(lo: Int, hi: Int): Column =
+        if (lo == hi) lit(lo)
+        else {
+          val mid = (lo + hi) / 2
+          when(nk < bnd(mid), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+        }
+      // null keys sort FIRST in the window order, so they must land
+      // in bin 0 (a null comparison would otherwise fall to the
+      // highest bin and break monotonicity)
+      when(nk.isNull, lit(0)).otherwise(tree(0, bs.length))
+    case StructBounds(bounds) =>
+      val keyStruct = struct(named: _*)
+      val bndCols = bounds.map { r =>
+        struct(schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          org.apache.spark.sql.GraftSqlBridge.column(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              r.get(i), f.dataType)).as(f.name)
+        }: _*).cast(schema)
+      }
+      // balanced upper-bound search: bin = #boundaries <= key
+      def tree(lo: Int, hi: Int): Column =
+        if (lo == hi) lit(lo)
+        else {
+          val mid = (lo + hi) / 2
+          when(keyStruct < bndCols(mid), tree(lo, mid))
+            .otherwise(tree(mid + 1, hi))
+        }
+      tree(0, bounds.length)
   }
 
   /** Monotone numeric view of an order column for the percentile fast

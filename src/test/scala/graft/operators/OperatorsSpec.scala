@@ -840,6 +840,21 @@ class ClustersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(dist == local)
   }
 
+  test("connected components: null-partner pairs yield singleton labels, both-null pairs drop") {
+    // a vertex whose ONLY pair partners a null id still gets its
+    // singleton (id, id) row in BOTH tiers (the null-partner pair
+    // normalizes to a self-loop of the non-null side); pairs that are
+    // null on both sides name no vertex and vanish
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (7L, null), (null, 9L), (null, null), (2L, null))
+      .toDF("id1", "id2")
+    val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(local == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 9L -> 9L))
+    val dist = Dedup.connectedComponents(pairs, localEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+  }
+
   test("connected components: string ids take the local tier with UTF-8 min order") {
     val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "x"),
       ("z2", "z10")).toDF("id1", "id2")
@@ -989,26 +1004,60 @@ class GlobalRowNumberSpec extends org.scalatest.funsuite.AnyFunSuite {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, 101L - i)).toDF("a", "b").repartition(4)
     val parts = 4
-    // plant a poisoned bin column under key-expr a's EXACT cache key —
+    // plant a poisoned bin spec under key-expr a's EXACT cache key —
     // this simulates what a 32-bit semanticHash collision used to risk:
-    // a bin built for a different plan handed to this frame
+    // boundaries sketched from a different plan handed to this frame
     val keyA = Relational.binCacheKey(df, parts, Seq(col("a")))
-    val poison = lit(-12345)
+    val poison = Relational.NumericBounds(IndexedSeq(-987654321L),
+      org.apache.spark.sql.types.LongType)
     Relational.binCache.synchronized { Relational.binCache.put(keyA, poison) }
     try {
-      // exact-plan hit returns the cached entry (the planted key IS the
-      // key orderBinColumn computes for the same frame + key list)
+      // exact-plan hit builds its bin from the planted boundaries (the
+      // planted key IS the key orderBinColumn computes for the same
+      // frame + key list)
       val hitA = Relational.orderBinColumn(df, parts, Seq(col("a")))
-      assert(hitA eq poison, "exact-plan hit must return the cached column")
+      assert(hitA.toString.contains("-987654321"),
+        "exact-plan hit must build from the cached boundaries")
       // a DIFFERENT key expression must MISS — under the old hash-only
-      // key a collision here would return `poison`, a bin that is not
-      // monotone in b's order (silent wrong global ranks)
+      // key a collision here would hand b the planted boundaries, a bin
+      // that is not monotone in b's order (silent wrong global ranks)
       val binB = Relational.orderBinColumn(df, parts, Seq(col("b")))
-      assert(!(binB eq poison), "different key expressions must not share entries")
+      assert(!binB.toString.contains("-987654321"),
+        "different key expressions must not share entries")
       // and the scaffold over b still yields an exact permutation
       val rn = Relational.globalRowNumber(df, Seq(col("b")), numPartitions = parts)
         .select("rn").as[Long].collect().sorted
       assert(rn.toSeq == (1L to 100L))
+    } finally Relational.binCache.synchronized { Relational.binCache.clear() }
+  }
+
+  test("binCache hits survive key-column renames: the cached spec is name-agnostic") {
+    import spark.implicits._
+    // two frames differing ONLY by the alias of a computed key column
+    // canonicalize to the same cache key; the old Column-valued cache
+    // handed the second frame a tree referencing the FIRST frame's
+    // name (`k1`) — an analysis crash. The spec-valued cache rebuilds
+    // the bin over the caller's own column on every call.
+    val base = (1L to 200L).map(i => (i, i % 7)).toDF("a", "b")
+    Relational.binCache.synchronized { Relational.binCache.clear() }
+    try {
+      val df1 = base.select((col("a") * 2).as("k1"), col("b"))
+      val rn1 = Relational.globalRowNumber(df1, Seq(col("k1")), numPartitions = 4)
+        .select("rn").as[Long].collect().sorted
+      assert(rn1.toSeq == (1L to 200L))
+      val entriesAfterFirst =
+        Relational.binCache.synchronized { Relational.binCache.size }
+      val df2 = base.select((col("a") * 2).as("k2"), col("b"))
+      // same canonical key projection, different name — must not crash
+      // and must still produce an exact permutation
+      val rn2 = Relational.globalRowNumber(df2, Seq(col("k2")), numPartitions = 4)
+        .select("rn").as[Long].collect().sorted
+      assert(rn2.toSeq == (1L to 200L))
+      // prove the second call HIT the first call's entry (same size) —
+      // otherwise this spec wouldn't exercise the rename-hit path at all
+      assert(Relational.binCache.synchronized { Relational.binCache.size }
+        == entriesAfterFirst,
+        "renamed frame must hit the cached spec, not add a new entry")
     } finally Relational.binCache.synchronized { Relational.binCache.clear() }
   }
 

@@ -39,11 +39,18 @@ class ScaffoldPropertySpec extends AnyFunSuite {
   }
 
   test("withGlobalPrefix cumsum property: per-row running sums match the single window, including zero and null summands") {
-    (1 to 3).foreach { round =>
+    // null summands count as 0 (the scaffold coalesces before both the
+    // window and the totals branch), so the naive reference window sums
+    // coalesce(w, 0) too — a raw null-skipping sum(w) disagrees exactly
+    // when a null summand lands on the first row of a bin > 0 (cum
+    // would be NULL instead of the prior bins' total). The dense-null
+    // rounds (w null half the time) make that placement near-certain.
+    (1 to 6).foreach { round =>
       val n = 40 + rnd.nextInt(300)
+      val nullDen = if (round > 3) 2 else 8
       val rows = (1 to n).map { i =>
         val w: java.lang.Long =
-          if (rnd.nextInt(8) == 0) null else rnd.nextInt(5).toLong
+          if (rnd.nextInt(nullDen) == 0) null else rnd.nextInt(5).toLong
         (i.toLong, w)
       }
       val parts = 2 + rnd.nextInt(7)
@@ -54,11 +61,44 @@ class ScaffoldPropertySpec extends AnyFunSuite {
         .select(col("id"), col("cum")).as[(Long, Option[Long])]
         .collect().toMap
       val want = df.withColumn("cum",
-          sum(col("w")).over(Window.orderBy(col("id"))
+          sum(coalesce(col("w"), lit(0L))).over(Window.orderBy(col("id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("id"), col("cum")).as[(Long, Option[Long])]
         .collect().toMap
       assert(got == want, s"round $round n=$n parts=$parts")
+      assert(got.valuesIterator.forall(_.isDefined),
+        s"round $round: coalesced running sums must never be NULL")
+    }
+  }
+
+  test("withStratumPrefix null-summand parity: per-stratum running sums coalesce nulls to 0") {
+    (1 to 3).foreach { round =>
+      val n = 60 + rnd.nextInt(240)
+      val rows = (1 to n).map { i =>
+        val w: java.lang.Long =
+          if (rnd.nextInt(2) == 0) null else rnd.nextInt(7).toLong
+        (i.toLong, s"s${rnd.nextInt(4)}", w)
+      }
+      val parts = 2 + rnd.nextInt(6)
+      val df = rows.toDF("id", "src", "w").repartition(3)
+      val got = Relational.withStratumPrefix(df, parts, Seq("src"),
+          Seq(col("id")), "_local", col("w"))
+        .withColumn("cum", col("_offset") + col("_local"))
+        .select(col("id"), col("cum")).as[(Long, Option[Long])]
+        .collect().toMap
+      val keyed = Relational.withStratumPrefixKeyed(df, Seq("src"),
+          Seq(col("id")), "_local", col("w"))
+        .withColumn("cum", col("_offset") + col("_local"))
+        .select(col("id"), col("cum")).as[(Long, Option[Long])]
+        .collect().toMap
+      val want = df.withColumn("cum",
+          sum(coalesce(col("w"), lit(0L)))
+            .over(Window.partitionBy(col("src")).orderBy(col("id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("id"), col("cum")).as[(Long, Option[Long])]
+        .collect().toMap
+      assert(got == want, s"round $round n=$n parts=$parts")
+      assert(keyed == want, s"keyed twin round $round n=$n parts=$parts")
     }
   }
 
