@@ -210,33 +210,28 @@ object ExplainCheck {
         "Scan ExistingRDD"))
     // EXECUTED adaptive-plan audit for the scaffold: AQE resolves stage
     // reuse only at runtime, so the shared-exchange property must be
-    // read off the FINAL plan. Asserts (a) the totals branch reads the
-    // data branch's shuffle (ReusedExchange), (b) it aggregates
-    // SORTLESSLY (a SortAggregate here is the first()-style guard
-    // regression: string buffers demote the hash aggregate and the
-    // second corpus sort comes back), (c) exactly ONE corpus sort.
+    // read off the FINAL plan. Per `_pk` exchange INSTANCE (tree walk,
+    // not whole-plan substrings — a legitimate SortAggregate elsewhere
+    // in a gate, or a second scaffold, audits independently):
+    // (a) both branches read ONE materialized exchange (ReusedExchange
+    // edge present — losing reuse silently re-scans the corpus),
+    // (b) the totals consumer aggregates SORTLESSLY (a SortAggregate is
+    // the first()-style guard regression: string buffers demote the
+    // hash aggregate and the second corpus sort comes back),
+    // (c) exactly ONE sort consumer (the window's corpus sort).
+    // ALL SIX scaffold call-site gates are covered — a caller (or a
+    // Spark upgrade changing canonicalization) regressing any one of
+    // them trips this audit, not just the two historical probes.
     def auditScaffoldExecuted(q: String): Unit = {
       val df = SparkEntry.queries(q)(spark, dir)
-      df.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.execute().count()
-        case p => p.execute().count()
-      }
-      val fin = df.queryExecution.executedPlan.toString
-        .linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
-      println(s"===== $q (executed final plan) =====")
-      println(fin.linesIterator.take(34).mkString("\n"))
-      if (!fin.contains("ReusedExchange"))
-        failures ::= s"$q: totals branch must REUSE the data exchange"
-      if (fin.contains("SortAggregate"))
-        failures ::= s"$q: totals branch must stay on HashAggregate " +
-          "(SortAggregate = guard-buffer regression re-sorting the corpus)"
-      val corpusSorts = "Sort \\[_pk".r.findAllIn(fin).size
-      if (corpusSorts != 1)
-        failures ::= s"$q: expected exactly 1 corpus sort, saw $corpusSorts"
+      val viol = graft.plans.ScaffoldPlanAudit.audit(df)
+      println(s"===== $q (executed scaffold audit) " +
+        (if (viol.isEmpty) "clean =====" else "VIOLATIONS ====="))
+      viol.foreach(v => failures ::= s"$q: $v")
     }
-    auditScaffoldExecuted("w5_row_number")
-    auditScaffoldExecuted("pack_sequences")
+    Seq("w5_row_number", "pack_sequences", "pack_windows",
+      "pack_windows_by_source", "shard_assign", "sample_token_budget")
+      .foreach(auditScaffoldExecuted)
     // vocabulary induction: top-k rides TakeOrderedAndProject, never a
     // global sort of the vocabulary
     audit("vocab_topk", mustContain = Seq("TakeOrderedAndProject"))
