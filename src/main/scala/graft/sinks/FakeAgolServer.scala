@@ -39,6 +39,15 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
     * data-plane work already happened. */
   @volatile var failNextPropsUpdate = false
 
+  // com.sun.net.httpserver leaves Nagle ON by default; with the
+  // client's small POST bodies that interacts with Linux delayed ACKs
+  // into a ~40 ms stall PER REQUEST (measured: the REST lifecycle gate
+  // spends ~1.5 s across ~35 localhost round-trips). The server honors
+  // this property at ServerConfig class-load; setting it before the
+  // first create() turns every fixture request into sub-millisecond.
+  // Production semantics are untouched — this is the test server.
+  FakeAgolServer.ensureNoDelay()
+
   private val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
   private def reply(ex: HttpExchange, body: String): Unit = {
@@ -236,4 +245,16 @@ class FakeAgolServer(val portal: Portal, val user: String, val pass: String,
   val base: String = s"http://127.0.0.1:${srv.getAddress.getPort}"
 
   def stop(): Unit = srv.stop(0)
+}
+
+object FakeAgolServer {
+  /** Must run before the FIRST HttpServer.create in the JVM —
+    * sun.net.httpserver.ServerConfig reads the property once at class
+    * load. Idempotent; if another fixture already loaded ServerConfig
+    * without it, requests just stay on the (correct, slower) path. */
+  private lazy val noDelaySet: Boolean = {
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+    true
+  }
+  private[sinks] def ensureNoDelay(): Unit = { noDelaySet; () }
 }
