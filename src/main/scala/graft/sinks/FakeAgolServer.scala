@@ -256,5 +256,5 @@ object FakeAgolServer {
     System.setProperty("sun.net.httpserver.nodelay", "true")
     true
   }
-  private[sinks] def ensureNoDelay(): Unit = { noDelaySet; () }
+  private[graft] def ensureNoDelay(): Unit = { noDelaySet; () }
 }

@@ -92,6 +92,7 @@ class HttpTransportSpec extends AnyFunSuite {
     * `/griddap/<id>.nc?…`, plus `/files/<id>.nc` raw. */
   lazy val (server: HttpServer, base: String) = {
     val local = new LocalErddapServer(dir.toString)
+    graft.sinks.FakeAgolServer.ensureNoDelay() // kill the ~40ms Nagle/delayed-ACK stall
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     def reply(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
       ex.sendResponseHeaders(code, body.length)

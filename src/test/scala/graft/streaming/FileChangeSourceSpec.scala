@@ -73,6 +73,7 @@ class FileChangeSourceSpec extends AnyFunSuite {
 
   test("filechange stream over HTTP: HEAD is tier-1, GET+CRC is tier-2") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    graft.sinks.FakeAgolServer.ensureNoDelay() // kill the ~40ms Nagle/delayed-ACK stall
     val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     @volatile var body = "a,b\n1,2\n"
     @volatile var lastModified = "Wed, 01 Jan 2025 00:00:00 GMT"
