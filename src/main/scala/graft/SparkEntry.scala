@@ -219,7 +219,7 @@ object SparkEntry {
     "pagerank_links", "ppr_links", "hits_links", "harmonic_links",
     "labelprop_links", "labelprop_stable", "graph_coreness",
     "ktruss_edges", "triangle_counts", "reciprocity_links",
-    "dedup_jaccard_prefix")
+    "dedup_jaccard_prefix", "dedup_jaccard_prefix_distinct")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.5 aggregation: TPC-H Q1 pricing summary (A1/A2 analog) ----
@@ -1181,6 +1181,17 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPrefixJoin(t(s, dir, "documents"), "text", "doc_id",
           0.8, maxBucket = 0, shingleN = 3)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))),
+
+    // ---- dedup: the DISTINCT-document twin of dedup_jaccard_prefix —
+    //      every 6th word salted per (word, doc_id), so the sf1
+    //      clone-amplified fixture stops being ~9 near-clones per doc
+    //      and the gate times the PLAN, not the output mass (the clone
+    //      fixture stays as the adversarial case). Same operator, same
+    //      threshold; the salt is replayed verbatim in the oracle. ----
+    "dedup_jaccard_prefix_distinct" -> ((s, dir) =>
+      Dedup.jaccardPrefixJoin(saltedDocs(t(s, dir, "documents")), "text",
+          "doc_id", 0.8, maxBucket = 0, shingleN = 3)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jacc"))),
 
     // ---- dedup: connected components → keep-one-per-cluster ----
@@ -2947,6 +2958,18 @@ object SparkEntry {
         "text", "doc_id", maxDist = 20, maxBucket = 0)
     }),
 
+    // ---- decontamination: DISTINCT-document twin (see
+    //      dedup_jaccard_prefix_distinct) — the primary tracked number
+    //      at sf1, where the clone fixture makes decontam_fuzzy
+    //      output-driven (~9 true near-clones per doc) ----
+    "decontam_fuzzy_distinct" -> ((s, dir) => {
+      val docs = saltedDocs(t(s, dir, "documents"))
+      Dedup.fuzzyContamination(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", maxDist = 20, maxBucket = 0)
+    }),
+
     // ---- retrieval: reciprocal rank fusion — combine a hash-order
     //      ranking and a length ranking without score calibration ----
     "rrf_fusion" -> ((s, dir) => {
@@ -3286,6 +3309,64 @@ object SparkEntry {
     * generation never affects values. ⌈4·sz/5⌉ is computed in integer
     * arithmetic ((4·sz+4)//5) — no fp-ceil hazard at all (the Spark
     * side needs an epsilon guard; the oracle does not). */
+  /** Deterministic per-(word, doc_id) salting of every 6th word — the
+    * distinct-document twin of the clone-amplified sf1 fixture: clones
+    * carry remapped doc_ids, so each copy salts DIFFERENTLY and the
+    * ~9-near-clones-per-doc output mass disappears; what remains is
+    * the operator's plan cost. The expression is byte-identical to
+    * [[saltedVariant]]'s DuckDB replay (Spark transform indexes are
+    * 0-based, DuckDB lambdas 1-based — hence i%6=5 here vs i%6=0
+    * there). */
+  private def saltedDocs(docs: DataFrame): DataFrame =
+    // doc_id <= 250 stays unsalted: a CONSTANT-sized slice (copy 0 of
+    // the amplified fixture — clone copies carry remapped ids above
+    // it) whose natural near-dups keep the gates' outputs non-empty at
+    // every SF, so the oracles verify real pairs, not just emptiness,
+    // while the other half of the driver-SF corpus exercises the salt
+    // parity. A modulo exemption would instead let a constant FRACTION
+    // of cross-copy clone pairs survive at sf1, re-coupling the gate
+    // to output mass.
+    docs.withColumn("text", expr(
+      "array_join(transform(split(text, ' '), (w, i) -> " +
+      "IF(doc_id > 250 AND i % 6 = 5, concat('z', substr(md5(concat(w, '_', " +
+      "CAST(doc_id AS STRING))), 1, 8)), w)), ' ')"))
+
+  /** DuckDB replay of [[saltedDocs]]: prepends a `documents_salted`
+    * CTE and rewrites the oracle's `FROM documents` references to it
+    * (a CTE SHADOWING `documents` binds circular in DuckDB, and
+    * schema-qualifying would couple the oracle to how the runner
+    * registers its views — the rename is registration-agnostic). */
+  private def saltedVariant(oracle: String): String = {
+    val cte =
+      """documents_salted AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    string_split(text, ' '),
+        |    (w, i) -> CASE WHEN doc_id > 250 AND i % 6 = 0 THEN concat('z',
+        |      substr(md5(concat(w, '_', CAST(doc_id AS VARCHAR))), 1, 8))
+        |      ELSE w END), ' ') AS text
+        |  FROM documents)""".stripMargin
+    s"WITH $cte,\n" + oracle.replaceFirst("WITH ", "")
+      .replace("FROM documents", "FROM documents_salted")
+  }
+
+  /** Fuzzy decontamination oracle: the full banded candidate join
+    * restricted to the eval/corpus split, then the same classic
+    * Levenshtein DP both engines implement. Shared by the clone-
+    * fixture gate and its distinct-document twin. */
+  private lazy val decontamFuzzyOracleSql: String =
+    s"""WITH ${minhashCtes(8, 4)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS corpus_id
+       |  FROM banded a JOIN banded b ON a.band = b.band
+       |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+       |nrm AS (SELECT doc_id, trim(regexp_replace(lower(text),
+       |  '[^a-z0-9]+', ' ', 'g')) AS nt FROM documents)
+       |SELECT c.eval_id, c.corpus_id,
+       |  CAST(levenshtein(e.nt, o.nt) AS BIGINT) AS dist
+       |FROM cand c JOIN nrm e ON e.doc_id = c.eval_id
+       |JOIN nrm o ON o.doc_id = c.corpus_id
+       |WHERE levenshtein(e.nt, o.nt) <= 20""".stripMargin
+
   private val jaccardPrefixOracleSql: String =
     s"""WITH $shingleCtes,
        |sizes AS (SELECT doc_id, len(sh) AS sz FROM sh),
@@ -4169,19 +4250,8 @@ object SparkEntry {
     // fuzzy decontam: the full banded candidate join restricted to the
     // eval/corpus split, then the same classic Levenshtein DP both
     // engines implement
-    "decontam_fuzzy" ->
-      s"""WITH ${minhashCtes(8, 4)},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS corpus_id
-         |  FROM banded a JOIN banded b ON a.band = b.band
-         |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
-         |nrm AS (SELECT doc_id, trim(regexp_replace(lower(text),
-         |  '[^a-z0-9]+', ' ', 'g')) AS nt FROM documents)
-         |SELECT c.eval_id, c.corpus_id,
-         |  CAST(levenshtein(e.nt, o.nt) AS BIGINT) AS dist
-         |FROM cand c JOIN nrm e ON e.doc_id = c.eval_id
-         |JOIN nrm o ON o.doc_id = c.corpus_id
-         |WHERE levenshtein(e.nt, o.nt) <= 20""".stripMargin,
+    "decontam_fuzzy" -> decontamFuzzyOracleSql,
+    "decontam_fuzzy_distinct" -> saltedVariant(decontamFuzzyOracleSql),
     // RRF: both rank lists rebuilt with QUALIFY'd windows, fused with
     // the published 1/(k + rank) rule
     "rrf_fusion" ->
@@ -8195,6 +8265,7 @@ object SparkEntry {
     // dedup_ngram_jaccard (different Spark algorithm: prefix-filter
     // equi-join + position filter, not LSH candidates)
     "dedup_jaccard_prefix" -> jaccardPrefixOracleSql,
+    "dedup_jaccard_prefix_distinct" -> saltedVariant(jaccardPrefixOracleSql),
     // s8: the oracle recomputes the deterministic grid (GriddapFixture)
     // from range() — no table needed; values are exact binary fractions
     "s8_griddap_scan" ->
