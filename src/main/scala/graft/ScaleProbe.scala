@@ -97,9 +97,23 @@ object ScaleProbe {
       sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     def probe(name: String, one: => Long, many: => Long): Double = {
       if (!only.forall(_.contains(name))) return 0.0
+      // r15: several operators now pin intermediate relations
+      // (localCheckpoint) that their returned frame reads lazily —
+      // release every pin THIS probe created once its runs are drained,
+      // WITHOUT touching the cached amplified fixtures created above
+      // (a blanket Snapshots.sweep would unpersist those too).
+      val preExisting = spark.sparkContext.getPersistentRDDs.keySet
+      // blocking: async removal would bleed into the NEXT timed window
+      // (the Bench harness learned the same lesson in round 12)
+      def dropNewPins(): Unit =
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preExisting.contains(id)) rdd.unpersist(blocking = true) }
       one // warm
+      dropNewPins()
       val t1 = time(one)
+      dropNewPins()
       val tn = time(many)
+      dropNewPins()
       // sub-300ms baselines are dominated by job-launch noise; the
       // ratio denominator is floored so a 0.05s → 0.4s jump (fixed
       // overhead, not data growth) cannot fail the audit

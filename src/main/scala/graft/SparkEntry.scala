@@ -155,7 +155,9 @@ object SparkEntry {
     val progressKey = "spark.sql.streaming.numRecentProgressUpdates"
     val prevProgress = s.conf.getOption(progressKey)
     val schema = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.props.getOrElse("graft.stream.parts",
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")))
       s.conf.set(progressKey, "10000")
       val t0 = System.nanoTime()
       val src =
@@ -219,7 +221,14 @@ object SparkEntry {
     "pagerank_links", "ppr_links", "hits_links", "harmonic_links",
     "labelprop_links", "labelprop_stable", "graph_coreness",
     "ktruss_edges", "triangle_counts", "reciprocity_links",
-    "dedup_jaccard_prefix", "dedup_jaccard_prefix_distinct")
+    "dedup_jaccard_prefix", "dedup_jaccard_prefix_distinct",
+    // r15 optimization pins: the returned frame lazily reads a feature
+    // relation pinned so its expensive tokenize+hash subtree runs once
+    // instead of 2-3× per call (dsirSelect; the logreg gates share one
+    // pinned feature pass between training and scoring)
+    "dsir_select", "text_quality_logreg", "text_quality_logreg_l2",
+    "tfidf_topterms", "bm25_topk", "keyness_terms", "pmi_pairs",
+    "dedup_ngram_jaccard")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.5 aggregation: TPC-H Q1 pricing summary (A1/A2 analog) ----
@@ -2756,7 +2765,12 @@ object SparkEntry {
     //      float trajectory) → per-doc σ(w·x) ----
     "text_quality_logreg" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // feats PINNED once (r15): training and scoring each re-planned
+      // the tokenize+md5+aggregate feature pass (separate jobs — no
+      // cross-job exchange reuse); one pin halves the hashing work.
+      // Gate is on lazyPinGates: the returned scores read the pin.
       val feats = TextAnalysis.hashingFeatures(docs, "text", "doc_id", 64)
+        .localCheckpoint(true)
       val labels = docs.select(col("doc_id"),
         (col("source") === "src0").cast("double").as("y"))
       val w = TextAnalysis.trainLogreg(feats, labels, "doc_id", "y",
@@ -2772,7 +2786,9 @@ object SparkEntry {
     //      pin, oracle replays all three rounds ----
     "text_quality_logreg_l2" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // same pinned-feature sharing as text_quality_logreg (r15)
       val feats = TextAnalysis.hashingFeatures(docs, "text", "doc_id", 64)
+        .localCheckpoint(true)
       val labels = docs.select(col("doc_id"),
         (col("source") === "src0").cast("double").as("y"))
       val (w, b) = TextAnalysis.trainLogregL2(feats, labels, "doc_id", "y",

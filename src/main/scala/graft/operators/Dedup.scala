@@ -343,9 +343,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = shingleHashes(df, textCol, idCol, shingleN)
-    val cands = minhashLshPairs(df, textCol, idCol, numHashes, bands, shingleN,
-      withEstimate = false) // bare candidates: est would be discarded here
+    // sh PINNED (r15, guide §2.4): before, the shingle kernel ran THREE
+    // times per call — once inside the LSH candidate pass and once per
+    // verify join side (separate prunings defeat exchange reuse). Now
+    // the kernel runs ONCE: the pin feeds both verify sides AND the
+    // minhash signatures (minhashSignatureFromHashes over the pinned
+    // hashes is definitionally the same computation minhashLshPairs
+    // runs — shingleHashes → MinHash64). The (id, hashes) pin is the
+    // deduped shingle-hash index, far narrower than the text. Callers'
+    // returned frame reads the pin lazily (SparkEntry.lazyPinGates).
+    val sh = shingleHashes(df, textCol, idCol, shingleN).localCheckpoint(true)
+    val sigs = sh.select(col("id"),
+      minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+    val rowsPerBand = numHashes / bands
+    val banded = capBuckets(
+      sigs.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band")),
+      Seq("band"), "id", maxBucket = 1000, "minhash")
+    val cands = bucketPairs(banded, Seq("band"), "id", Nil, bounded = true)
+      .distinct()
     cands
       .join(sh.withColumnRenamed("id", "id1").withColumnRenamed("hs", "hs1"), "id1")
       .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("hs", "hs2"), "id2")

@@ -306,13 +306,23 @@ object LinkGraph {
       nodeIds: DataFrame, fromCol: String, toCol: String): DataFrame = {
     val sums = e.join(scores, e(fromCol) === scores("_id"))
       .groupBy(col(toCol).as("_id")).agg(sum(col("_s")).as("_sum"))
-    val m = sums.agg(coalesce(max(col("_sum")), lit(0.0)))
-      .head().getDouble(0)
-    val norm =
-      if (m <= 0.0) lit(0.0)
-      else round(coalesce(col("_sum"), lit(0.0)) / lit(m), 6)
-    nodeIds.join(sums, Seq("_id"), "left")
-      .select(col("_id"), norm.as("_s")).localCheckpoint(true)
+    // r15 (guide §2.4): `sums` — the half-round's real work (the
+    // propagate join + keyed aggregate) — is PINNED before the scalar
+    // max is read, where it used to be a lazy tree evaluated TWICE per
+    // half-round: once by the `.head()` scalar job and once, in full,
+    // by the checkpoint job (separate jobs share no exchanges). The
+    // scalar read and the normalize+checkpoint now both scan the pin;
+    // the pin is released as soon as the normalized state is pinned.
+    val sumsPinned = sums.localCheckpoint(true)
+    try {
+      val m = sumsPinned.agg(coalesce(max(col("_sum")), lit(0.0)))
+        .head().getDouble(0)
+      val norm =
+        if (m <= 0.0) lit(0.0)
+        else round(coalesce(col("_sum"), lit(0.0)) / lit(m), 6)
+      nodeIds.join(sumsPinned, Seq("_id"), "left")
+        .select(col("_id"), norm.as("_s")).localCheckpoint(true)
+    } finally Snapshots.release(sumsPinned)
   }
 
   /** Per-node TRIANGLE COUNTS, degree, and local clustering

@@ -555,8 +555,22 @@ object TextAnalysis {
   def dsirSelect(corpus: DataFrame, target: DataFrame, textCol: String,
       idCol: String, dim: Int = 1024, n: Int = 100): DataFrame = {
     require(dim > 0 && n > 0)
+    // PINNED (r15, guide §2.4 "don't compute things twice"): the corpus
+    // feature subtree appears three times in the lazy plan (per-bucket
+    // counts, the Σtf total, and the per-doc score probe) and the
+    // target's twice — and the consumers hash/aggregate by DIFFERENT
+    // keys, so exchange reuse cannot dedupe them (measured: 1 reused of
+    // 5 subtrees; the bigram explode+md5 pass ran 3× per call). One
+    // localCheckpoint makes the expensive tokenize+md5 pass run once;
+    // the pinned (id, bucket, tf) relation is far narrower than the
+    // text it came from, so at scale materializing it costs less than
+    // two extra corpus scans + hash passes. The returned frame reads
+    // the pins lazily — callers' harnesses must treat this operator as
+    // a lazy-pin gate (SparkEntry.lazyPinGates).
     val fC = hashingBigramFeatures(corpus, textCol, idCol, dim)
+      .localCheckpoint(true)
     val fT = hashingBigramFeatures(target, textCol, idCol, dim)
+      .localCheckpoint(true)
     val buckets = corpus.sparkSession.range(dim.toLong)
       .select(col("id").as("bucket"))
     val cT = fT.groupBy("bucket").agg(sum("tf").as("_ct"))
@@ -1218,8 +1232,17 @@ object TextAnalysis {
       .filter(col("_tok") =!= "")
     // NOTE: column names never differ only by case (_a vs _A would be
     // ambiguous under Spark's case-insensitive resolution)
+    // byGroup PINNED (r15, guide §2.4): four consumers (byTok, groupTot,
+    // the corpus-total scalar, and the scored probe) each re-planned the
+    // tokenize+explode+aggregate pass — the `.head()` total alone forced
+    // one full eager pass, then the final plan ran up to three more
+    // (pruned copies canonicalize differently, so exchange reuse never
+    // fired). The pinned (group, term, count) relation is
+    // vocabulary-sized. Returned frame reads the pin lazily
+    // (SparkEntry.lazyPinGates).
     val byGroup = tok.groupBy(col("_g"), col("_tok"))
       .agg(count(lit(1)).as("_cin"))
+      .localCheckpoint(true)
     val byTok = byGroup.groupBy(col("_tok")).agg(sum(col("_cin")).as("_ctok"))
     val groupTot = byGroup.groupBy(col("_g")).agg(sum(col("_cin")).as("_gtot"))
     // one scalar to the driver: the corpus token total
@@ -1276,9 +1299,15 @@ object TextAnalysis {
       minPair: Long = 2L, k: Int = 50): DataFrame = {
     require(maxTokensPerDoc > 1 && k > 0, "bad caps")
     val nDocs = df.count()
+    // docTok PINNED (r15, guide §2.4): the doc-frequency table and the
+    // kept-probe both consume it with different prunings (no exchange
+    // reuse), so the distinct-tokenize pass ran twice. The pinned
+    // (id, token) relation is the standard inverted-index input, far
+    // narrower than the text.
     val docTok = df.select(col(idCol).as("_id"),
         explode(array_distinct(normalizedTokens(col(textCol)))).as("_tok"))
       .filter(col("_tok") =!= "")
+      .localCheckpoint(true)
     val dfTab = docTok.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDf && col("_df") <= maxDf)
     val kept = docTok.as("dt")
@@ -1287,9 +1316,18 @@ object TextAnalysis {
         col("ft._df").as("_df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_id")).orderBy(col("_tok"))
+    // capped PINNED (r15): both sides of the per-doc pair self-join
+    // read it; without the pin the join+window subtree evaluated twice
+    // (only the bare exchange was shared). ≤ maxTokensPerDoc rows per
+    // doc, so the pin is strictly smaller than docTok. docTok's pin is
+    // released once capped is materialized — the pair join and both df
+    // tables are behind it. Returned frame reads `capped` lazily
+    // (SparkEntry.lazyPinGates).
     val capped = kept.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= maxTokensPerDoc)
       .select("_id", "_tok", "_df")
+      .localCheckpoint(true)
+    Snapshots.release(docTok)
     val pairs = capped.as("l")
       .join(capped.as("r"), col("l._id") === col("r._id") &&
         col("l._tok") < col("r._tok"))
@@ -1819,7 +1857,17 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("_id"),
       explode(normalizedTokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
+    // tf PINNED (r15, guide §2.4): it feeds both the doc-frequency
+    // aggregate and the score probe, and column pruning narrows the
+    // dfreq copy (it drops the count), so the two subtrees canonicalize
+    // DIFFERENTLY and exchange reuse never fires — the tokenize+explode
+    // pass ran twice (measured: 14 Exchanges, 0 reused). The pinned
+    // (id, term, tf) relation is the classic term index — far narrower
+    // than the text — so materializing it beats a second corpus
+    // tokenize at any scale. Returned frame reads the pin lazily
+    // (SparkEntry.lazyPinGates).
     val tf = toks.groupBy(col("_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("_n"))
     val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
@@ -2098,11 +2146,18 @@ object TextAnalysis {
       .select(col("_id"), size(col("_toks")).as("_dl"), col("_toks"))
     // tf over query terms only: the isin() prunes before the aggregate,
     // so the shuffle carries matched postings, not the corpus
+    // tf PINNED (r15, guide §2.4): dfreq and the score probe both
+    // consume it, and pruning (dfreq keeps only `tok`) makes the two
+    // subtrees canonicalize differently — without the pin the corpus
+    // tokenize+explode+filter ran once per consumer. The pinned matched
+    // postings are ≤ |qTerms| × docs rows, tiny next to the corpus.
+    // Returned frame reads the pin lazily (SparkEntry.lazyPinGates).
     val tf = base.select(col("_id"), col("_dl"),
         explode(col("_toks")).as("tok"))
       .filter(col("tok").isin(qTerms: _*))
       .groupBy(col("_id"), col("_dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // df per query term (tiny: ≤ |qTerms| rows) + corpus stats
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sdl"))
