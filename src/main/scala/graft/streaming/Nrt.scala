@@ -197,7 +197,15 @@ object Nrt {
       readFresh: String => DataFrame, sinkRoot: String,
       now: java.sql.Timestamp): (DataFrame, Seq[RefreshOutcome]) = {
     val rows = control.collect() // control table is small by construction
-    val outcomes = rows.toSeq.map { r =>
+    // r15 (guide §2.6 "overlap independent jobs"): per-dataset refreshes
+    // are independent distributed jobs submitted from the driver —
+    // running them from a small thread pool lets the next dataset's
+    // tasks back-fill executors freed by the current one's tail instead
+    // of serializing every job's full latency. Outcome ORDER stays the
+    // control-row order (parMap is order-preserving), so applyOutcomes
+    // and the oracle see exactly the sequential result. Mirrors the
+    // reference's 4-process pool (`core.py:869-880`).
+    val outcomes = parMap(rows.toSeq) { r =>
       val id = r.getAs[String]("dataset_id")
       val slot = r.getAs[String]("active_slot")
       val fp = Option(r.getAs[java.lang.Long]("fingerprint")).map(_.toLong)
@@ -214,5 +222,26 @@ object Nrt {
       }
     }
     (applyOutcomes(control, outcomes, now), outcomes)
+  }
+
+  /** Order-preserving parallel map on a bounded thread pool — the
+    * driver-side job-overlap harness of guide §2.6. Caller-supplied
+    * bodies must handle their own per-item faults (the refresh loops
+    * already do); an escaped exception propagates after all items
+    * finish. The pool is sized like the reference's 4-process refresh
+    * pool — enough to fill stage tails, not enough to thrash the
+    * scheduler. */
+  private[graft] def parMap[A, B](xs: Seq[A], parallelism: Int = 4)(
+      f: A => B): Seq[B] = {
+    if (xs.size <= 1) return xs.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, xs.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = xs.map { x =>
+        new java.util.concurrent.Callable[B] { def call(): B = f(x) }
+      }
+      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } finally pool.shutdown()
   }
 }

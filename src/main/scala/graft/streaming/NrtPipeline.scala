@@ -116,7 +116,10 @@ object NrtPipeline {
     // source Last-Modified probe: max(time) per dataset — answered from
     // the DAS actual_range via COMPLETE aggregate pushdown (S6), no
     // data transfer (the reference's catalog-date check)
-    val srcLmSeq = types.map { tp =>
+    // r15 (guide §2.6): the per-dataset Last-Modified probes are
+    // independent driver-submitted jobs — overlap them on the small
+    // pool (order-preserving, so downstream seeds are unchanged)
+    val srcLmSeq = Nrt.parMap(types) { tp =>
       val id = s"ds_$tp"
       val m = spark.read.format("erddap")
         .option("dataDir", fixDir).option("dataset", id).load()
@@ -129,7 +132,9 @@ object NrtPipeline {
     // already saw the current source mtime → not due; even ranks carry
     // a deliberately stale fingerprint → overwrite path; odd ranks > 1
     // carry the true fingerprint of the current window → no-op path
-    val seedRows = types.zipWithIndex.map { case (tp, i) =>
+    // r15 (guide §2.6): per-dataset window fingerprints are likewise
+    // independent jobs — overlapped, order preserved
+    val seedRows = Nrt.parMap(types.zipWithIndex) { case (tp, i) =>
       val r = i + 1
       val id = s"ds_$tp"
       val actual = Nrt.tableFingerprint(fresh(id))
@@ -189,7 +194,10 @@ object NrtPipeline {
 
     def fresh(id: String): DataFrame = freshWindow(spark, fixDir, id, nowTs)
 
-    val srcLmSeq = types.map { tp =>
+    // r15 (guide §2.6): the per-dataset Last-Modified probes are
+    // independent driver-submitted jobs — overlap them on the small
+    // pool (order-preserving, so downstream seeds are unchanged)
+    val srcLmSeq = Nrt.parMap(types) { tp =>
       val id = s"ds_$tp"
       val m = spark.read.format("erddap")
         .option("dataDir", fixDir).option("dataset", id).load()
@@ -197,7 +205,9 @@ object NrtPipeline {
       id -> m
     }
     val srcLm = srcLmSeq.toDF("dataset_id", "last_modified")
-    val seedRows = types.zipWithIndex.map { case (tp, i) =>
+    // r15 (guide §2.6): per-dataset window fingerprints are likewise
+    // independent jobs — overlapped, order preserved
+    val seedRows = Nrt.parMap(types.zipWithIndex) { case (tp, i) =>
       val r = i + 1
       val id = s"ds_$tp"
       val actual = Nrt.tableFingerprint(fresh(id))
