@@ -226,8 +226,7 @@ object SparkEntry {
     // relation pinned so its expensive tokenize+hash subtree runs once
     // instead of 2-3× per call (dsirSelect; the logreg gates share one
     // pinned feature pass between training and scoring)
-    "dsir_select", "text_quality_logreg", "text_quality_logreg_l2",
-    "tfidf_topterms", "bm25_topk", "keyness_terms", "pmi_pairs",
+    "dsir_select", "bm25_topk", "keyness_terms", "pmi_pairs",
     "dedup_ngram_jaccard")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2765,12 +2764,10 @@ object SparkEntry {
     //      float trajectory) → per-doc σ(w·x) ----
     "text_quality_logreg" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // feats PINNED once (r15): training and scoring each re-planned
-      // the tokenize+md5+aggregate feature pass (separate jobs — no
-      // cross-job exchange reuse); one pin halves the hashing work.
-      // Gate is on lazyPinGates: the returned scores read the pin.
+      // (r15: a gate-level feats pin was tried and REVERTED — the extra
+      // materialization job cost more than the one 64-bucket hashing
+      // pass it saved; see OPTIMIZATION_r15.md)
       val feats = TextAnalysis.hashingFeatures(docs, "text", "doc_id", 64)
-        .localCheckpoint(true)
       val labels = docs.select(col("doc_id"),
         (col("source") === "src0").cast("double").as("y"))
       val w = TextAnalysis.trainLogreg(feats, labels, "doc_id", "y",
@@ -2786,9 +2783,7 @@ object SparkEntry {
     //      pin, oracle replays all three rounds ----
     "text_quality_logreg_l2" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // same pinned-feature sharing as text_quality_logreg (r15)
       val feats = TextAnalysis.hashingFeatures(docs, "text", "doc_id", 64)
-        .localCheckpoint(true)
       val labels = docs.select(col("doc_id"),
         (col("source") === "src0").cast("double").as("y"))
       val (w, b) = TextAnalysis.trainLogregL2(feats, labels, "doc_id", "y",

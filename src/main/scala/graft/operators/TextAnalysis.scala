@@ -1857,20 +1857,19 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("_id"),
       explode(normalizedTokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
-    // tf PINNED (r15, guide §2.4): it feeds both the doc-frequency
-    // aggregate and the score probe, and column pruning narrows the
-    // dfreq copy (it drops the count), so the two subtrees canonicalize
-    // DIFFERENTLY and exchange reuse never fires — the tokenize+explode
-    // pass ran twice (measured: 14 Exchanges, 0 reused). The pinned
-    // (id, term, tf) relation is the classic term index — far narrower
-    // than the text — so materializing it beats a second corpus
-    // tokenize at any scale. Returned frame reads the pin lazily
-    // (SparkEntry.lazyPinGates).
+    // r15 (guide §2.4): doc frequency rides a WINDOW over one `tok`
+    // exchange instead of an aggregate + self-join — the join road
+    // evaluated the tokenize+explode subtree TWICE (column pruning
+    // makes the two copies canonicalize differently, so exchange reuse
+    // never fires; measured 14 Exchanges, 0 reused), while the window
+    // attaches each term's doc count to its own rows in place. Same
+    // pattern as Dedup.winnowMatches; values identical (the join gave
+    // every (id, tok, tf) row exactly its term's df).
     val tf = toks.groupBy(col("_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wTok = Window.partitionBy(col("tok"))
     val n = df.select(count(lit(1)).as("_n"))
-    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+    val scored = tf.withColumn("df", count(lit(1)).over(wTok))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("_n").cast("double") / col("df")), 6))
     val w = Window.partitionBy(col("_id")).orderBy(col("score").desc, col("tok"))
