@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the bench's
+// stdout as one-line JSON. sbt's logger has broken that every round so
+// far, two ways: each forked-process line is re-logged with an
+// "[info] " prefix (no line starts with '{'), and the process's last
+// stdout line becomes sbt's own "[success] Total time..." banner.
+// Route forked output straight through to stdout (no logger, no
+// prefix) and drop the success banner so the program's final line is
+// the last line of the stream.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not another setting —
+// exclude it from the unused-key lint so the build stays warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

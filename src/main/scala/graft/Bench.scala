@@ -4,11 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints JSON lines — streaming setup/work
-  * split, per-query medians, spreads, then the headline
-  * `{"metric":"total",...}` (per-query BEST-of-iterations — the
-  * controlled signal) and a compact `{"metric":"summary",...}` line
-  * LAST (tail-capture-proof: it always fits).
+  * SPARK_GRAFT_SF_DIR and prints JSON lines — a compact
+  * `{"metric":"summary",...}` line FIRST (truncation-proof), the
+  * per-query detail maps (decode split, stream split, medians,
+  * spreads), the summary again, and the driver-contract
+  * `{"metric":"total","value":...,"queries":{...},...}` line LAST
+  * (per-query BEST-of-iterations — the controlled signal).
   *
   * A warmup pass (table scans + one representative agg/join/window) runs
   * first so JIT/codegen/classloading cost isn't attributed to whichever
@@ -306,12 +307,26 @@ object Bench {
       }
     val forcedJson = forced.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
+    // Output ordering (the driver parses this stream as one-line JSON;
+    // build.sbt routes forked stdout through unprefixed and suppresses
+    // sbt's "[success]" banner so these lines survive the wrapper):
+    //   1. a COMPACT summary line (~200 bytes, parses standalone) FIRST
+    //      — truncation-proof: even a head-bounded capture has the
+    //      headline totals;
+    //   2. the big per-query detail maps (decode_forced, stream_split,
+    //      median, spread);
+    //   3. the compact summary AGAIN, then the contract line
+    //      {"metric":"total","value":...,"unit":"sec","queries":{...},
+    //      "sf":...} LAST — the driver's one-line parse reads the final
+    //      line and needs the per-query map in it.
+    // total_frozen: the same headline min summed over ONLY the frozen
+    // 50-gate list — the round-comparable total (the full-set total
+    // moves whenever gates are added, exactly like throughput).
+    val frozenResults = results.filter(r => frozenGates.contains(r._1))
+    val totalFrozen = frozenResults.map(_._4).sum
+    val summaryLine = s"""{"metric":"summary","total":${r4(total)},"total_median":${r4(totalMedian)},"total_frozen":${r4(totalFrozen)},"frozen_n":${frozenResults.length},"stat":"min","n":${results.length},"noisy_n":${noisySet.size},"unit":"sec","sf":"$sfDir"}"""
+    println(summaryLine)
     println(s"""{"metric":"decode_forced","queries":$forcedJson,"total":${r4(forced.map(_._2).sum)},"iters":3,"sf":"$sfDir"}""")
-    // Ordering is the self-defense: the big per-query maps print first,
-    // then a COMPACT one-line summary LAST, so a bounded tail capture
-    // of the stream always retains the headline total even when the
-    // per-query map alone overflows it (round-5 driver artifact lost
-    // its "total" exactly this way).
     // Streaming gates: how much of each wall time was fixed micro-batch
     // choreography (setup) vs data work (sum of triggerExecution) —
     // captured from the LAST run of each t* gate this process.
@@ -327,13 +342,16 @@ object Bench {
     val retriedJson = retriedSet.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     println(s"""{"metric":"spread","spread":$spreads,"noisy":$noisy,"retried":$retriedJson,"retry_iters":$retryIters,"iters":$iterations}""")
+    // SPARK_GRAFT_BENCH_DETAIL=<path>: also write the per-query detail
+    // (min/median/spread/noisy/retried) as ONE well-formed JSON file —
+    // the committed round artifact (BENCH_DETAIL_rN.json) that does not
+    // depend on any stdout capture surviving.
+    sys.env.get("SPARK_GRAFT_BENCH_DETAIL").foreach { path =>
+      val detail = s"""{"summary":$summaryLine,"min":$qs,"median":$medians,"spread":$spreads,"noisy":$noisy,"retried":$retriedJson,"decode_forced":$forcedJson,"stream_split":$split,"iters":$iterations,"retry_iters":$retryIters,"cpus":"$cpus","sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), detail)
+    }
+    println(summaryLine)
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"iters":$iterations,"sf":"$sfDir","stat":"min"}""")
-    // total_frozen: the same headline min summed over ONLY the frozen
-    // 50-gate list — the round-comparable total (the full-set total
-    // moves whenever gates are added, exactly like throughput).
-    val frozenResults = results.filter(r => frozenGates.contains(r._1))
-    val totalFrozen = frozenResults.map(_._4).sum
-    println(s"""{"metric":"summary","total":${r4(total)},"total_median":${r4(totalMedian)},"total_frozen":${r4(totalFrozen)},"frozen_n":${frozenResults.length},"stat":"min","n":${results.length},"noisy_n":${noisySet.size},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3465,13 +3465,18 @@ object SparkEntry {
     * count-desc lexicographic winner per round). k = 8, minPairCount
     * pinned 1 by the gate so every round produces a merge. */
   private def bpeCtes(k: Int): String = {
+    // s${i-1} feeds both the round's pair count and the merged state,
+    // and b$i feeds the state merge plus the encode/token-id/vocab
+    // chains — MATERIALIZED, or DuckDB's CTE inlining re-evaluates the
+    // whole prefix once per reference (2^k blowup; bpe_token_ids sat at
+    // 9 s of the driver's sf0.01 compare budget, 0.5 s pinned)
     val head =
       """words AS (
         |  SELECT w, count(*) AS cnt FROM (
         |    SELECT unnest(string_split(trim(regexp_replace(lower(text),
         |      '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
         |    FROM documents) WHERE w <> '' GROUP BY w),
-        |s0 AS (
+        |s0 AS MATERIALIZED (
         |  SELECT '|' || array_to_string(
         |    list_transform(range(1, len(w)+1), i -> w[i:i]), '||') || '|' AS state,
         |    cnt
@@ -3483,8 +3488,9 @@ object SparkEntry {
          |      unnest(range(1, len(string_split(trim(state, '|'), '||')))) AS i
          |    FROM s${i - 1})
          |  GROUP BY 1, 2),
-         |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
-         |s$i AS (
+         |b$i AS MATERIALIZED (
+         |  SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |s$i AS MATERIALIZED (
          |  SELECT replace(state, '|'||b.l||'||'||b.r||'|',
          |    '|'||b.l||b.r||'|') AS state, cnt
          |  FROM s${i - 1} CROSS JOIN b$i b)""".stripMargin
@@ -3574,33 +3580,43 @@ object SparkEntry {
   /** Gear-CDC oracle CTEs mirroring [[graft.functions.GearCdcChunks]]
     * at maskBits = 5: the 256-entry gear table is EMBEDDED as VALUES
     * (rebuilt from md5 of each byte's decimal string — the same rule as
-    * the Scala side), the per-byte recurrence `h ← (2h + T[b]) mod 2³¹`
-    * is a recursive CTE carrying (doc, position, h), boundaries where
-    * `h % 32 = 0` plus end-of-text, chunks via lag. ASCII-only synth
-    * text keeps ord(char) == UTF-8 byte. */
+    * the Scala side), boundaries where `h % 32 = 0` plus end-of-text,
+    * chunks via lag. ASCII-only synth text keeps ord(char) == UTF-8
+    * byte. The per-byte recurrence `h ← (2h + T[b]) mod 2³¹` is
+    * evaluated in CLOSED FORM rather than as a recursive CTE: unrolled,
+    * `h_i = Σ_j T[b_j]·2^(i−j) mod 2³¹`, and every term with shift
+    * ≥ 31 is a multiple of 2³¹ ≡ 0, so only the most recent 31 bytes
+    * contribute — `h_i = Σ_{k=0..30} T[b_{i−k}]·2^k mod 2³¹`, one
+    * list_sum over a 31-slot window per position. The recursive form
+    * re-joined the whole character table once per text position
+    * (longest-doc iterations × full-table scans) and put the two cdc
+    * gates at 13–20 s each in the driver's sf0.01 compare budget. */
   private val cdcCtes: String = {
     val tbl = (0 until 256).map(b =>
       s"($b, ${graft.functions.CdcOps.gearTable(b)})").mkString(", ")
     s"""gear(b, t) AS (VALUES $tbl),
-       |cdocs AS (SELECT doc_id, source, text FROM documents),
+       |cdocs AS MATERIALIZED (SELECT doc_id, source, text FROM documents),
        |cchars AS (
        |  SELECT doc_id, CAST(g.i AS BIGINT) AS i,
        |    ord(substr(text, CAST(g.i AS INT), 1)) AS b
        |  FROM cdocs, LATERAL unnest(range(1, len(text) + 1)) AS g(i)),
+       |ctl AS MATERIALIZED (
+       |  SELECT c.doc_id, list(g.t ORDER BY c.i) AS ts
+       |  FROM cchars c JOIN gear g ON g.b = c.b GROUP BY c.doc_id),
        |chash AS (
-       |  WITH RECURSIVE r(doc_id, i, h) AS (
-       |    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM cdocs
-       |    UNION ALL
-       |    SELECT c.doc_id, c.i, (r.h * 2 + g.t) % 2147483648
-       |    FROM r JOIN cchars c ON c.doc_id = r.doc_id AND c.i = r.i + 1
-       |    JOIN gear g ON g.b = c.b)
-       |  SELECT * FROM r),
+       |  SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+       |    list_sum(list_transform(
+       |      range(greatest(1, g.i - 30), g.i + 1),
+       |      j -> (ts[CAST(j AS INT)] *
+       |            (CAST(1 AS BIGINT) << CAST(g.i - j AS INT)))
+       |           % 2147483648)) % 2147483648 AS h
+       |  FROM ctl, LATERAL unnest(range(1, len(ts) + 1)) AS g(i)),
        |cbnds AS (
        |  SELECT doc_id, i AS pos FROM chash WHERE i > 0 AND h % 32 = 0
        |  UNION
        |  SELECT doc_id, CAST(len(text) AS BIGINT) FROM cdocs
        |  WHERE len(text) > 0),
-       |cchunks AS (
+       |cchunks AS MATERIALIZED (
        |  SELECT b2.doc_id,
        |    row_number() OVER (PARTITION BY b2.doc_id ORDER BY b2.pos) - 1
        |      AS idx,
@@ -3636,22 +3652,29 @@ object SparkEntry {
          |      list_sum(list_transform(vecs, v -> v[d+1])) / cnt) AS cv
          |  FROM (SELECT ci, list(e ORDER BY vec_id) AS vecs, count(*) AS cnt
          |        FROM sa$i WHERE rk = 1 GROUP BY ci)),
-         |scent$i AS (
+         |scent$i AS MATERIALIZED (
          |  SELECT p.ci, COALESCE(m.cv, p.cv) AS cv
          |  FROM scent${i - 1} p LEFT JOIN sm$i m ON m.ci = p.ci)""".stripMargin
     }.mkString(",\n")
-    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    // each scent$i is referenced twice (the next round's assignment +
+    // the next centroid patch), so MATERIALIZED keeps the Lloyd chain
+    // linear; sasg/spairs feed multiply-referencing consumers
+    // (semdedup_keep's recursive component walk re-inlined the whole
+    // chain once per recursion step — 11 s at sf0.01, 0.4 s pinned)
+    s"""emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |ssample AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 2000),
-       |scent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS cv
-       |           FROM ssample ORDER BY vec_id LIMIT 64),
+       |scent0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS cv
+       |  FROM ssample ORDER BY vec_id LIMIT 64),
        |$iterCtes,
        |sfa AS (
        |  SELECT vec_id, e, ci,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, ci) AS rk
        |  FROM (SELECT s.vec_id, s.e, c.ci, ${dist("s.e", "c.cv")} AS dist
        |        FROM emb s CROSS JOIN scent$iters c)),
-       |sasg AS (SELECT vec_id, e, ci FROM sfa WHERE rk = 1),
-       |spairs AS (
+       |sasg AS MATERIALIZED (SELECT vec_id, e, ci FROM sfa WHERE rk = 1),
+       |spairs AS MATERIALIZED (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
        |    list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2])) /
        |    (sqrt(list_sum(list_transform(a.e, x -> x*x))) *
@@ -3679,24 +3702,28 @@ object SparkEntry {
          |      list_sum(list_transform(vecs, v -> v[d+1])) / cnt) AS cv
          |  FROM (SELECT ci, list(e ORDER BY vec_id) AS vecs, count(*) AS cnt
          |        FROM ia$i WHERE rk = 1 GROUP BY ci)),
-         |icent$i AS (
+         |icent$i AS MATERIALIZED (
          |  SELECT p.ci, COALESCE(m.cv, p.cv) AS cv
          |  FROM icent${i - 1} p LEFT JOIN im$i m ON m.ci = p.ci)""".stripMargin
     }.mkString(",\n")
-    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |icorp AS (SELECT vec_id, e FROM emb WHERE vec_id % 10 <> 0),
+    // icent$i is referenced twice per level and the final icent by both
+    // assignment passes; icasg/ibasg each feed two consumers in
+    // ivf_maintenance — MATERIALIZED keeps the replay linear
+    s"""emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |icorp AS MATERIALIZED (SELECT vec_id, e FROM emb WHERE vec_id % 10 <> 0),
        |ibat AS (SELECT vec_id, e FROM emb WHERE vec_id % 10 = 0),
        |isample AS (SELECT vec_id, e FROM icorp ORDER BY vec_id LIMIT 2000),
        |icent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS cv
        |           FROM isample ORDER BY vec_id LIMIT 64),
        |$iterCtes,
-       |icasg AS (
+       |icasg AS MATERIALIZED (
        |  SELECT vec_id, e, ci FROM (
        |    SELECT s.vec_id, s.e, c.ci,
        |      row_number() OVER (PARTITION BY s.vec_id
        |        ORDER BY ${dist("s.e", "c.cv")}, c.ci) AS rk
        |    FROM icorp s CROSS JOIN icent$iters c) WHERE rk = 1),
-       |ibasg AS (
+       |ibasg AS MATERIALIZED (
        |  SELECT vec_id, e, ci FROM (
        |    SELECT s.vec_id, s.e, c.ci,
        |      row_number() OVER (PARTITION BY s.vec_id
@@ -4390,7 +4417,7 @@ object SparkEntry {
          |FROM cchunks""".stripMargin,
     "cdc_dedup_ratio" ->
       s"""WITH $cdcCtes,
-         |wsrc AS (SELECT d.source, c.len, c.hash
+         |wsrc AS MATERIALIZED (SELECT d.source, c.len, c.hash
          |         FROM cchunks c JOIN cdocs d USING (doc_id)),
          |per AS (SELECT source, count(*) AS n_chunks,
          |          sum(len) AS total_bytes FROM wsrc GROUP BY 1),
@@ -7057,22 +7084,25 @@ object SparkEntry {
     // the same 3 HITS rounds unrolled: each half-round sums the dual
     // score over the edge, normalizes by the MAX (deterministic — no
     // summation-order noise), and rounds to 6 dp, so both engines step
-    // through bit-identical states
+    // through bit-identical states. Each half-round's sums CTE is
+    // referenced twice (the normalize join + the max scalar) and the
+    // chain is 6 deep, so without MATERIALIZED DuckDB's inlining
+    // re-evaluates the prefix exponentially (~20 s at sf0.01).
     "hits_links" -> {
       def half(scores: String, from: String, to: String, sums: String,
           out: String): String =
-        s"""$sums AS (SELECT e.$to AS id, sum(p.s) AS s
+        s"""$sums AS MATERIALIZED (SELECT e.$to AS id, sum(p.s) AS s
            |  FROM edges e JOIN $scores p ON e.$from = p.id GROUP BY 1),
-           |$out AS (SELECT nd.id,
+           |$out AS MATERIALIZED (SELECT nd.id,
            |  round(coalesce(x.s, 0) / (SELECT max(s) FROM $sums), 6) AS s
            |  FROM nodes nd LEFT JOIN $sums x ON nd.id = x.id)""".stripMargin
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
          | nodes AS (SELECT doc_id AS id FROM documents),
-         | edges AS (
+         | edges AS MATERIALIZED (
          |  SELECT DISTINCT id AS src, dst FROM (
-         |    SELECT id, (id*3+1) % (SELECT n FROM nn) AS dst FROM nodes
-         |    UNION ALL SELECT id, (id*5+2) % (SELECT n FROM nn) FROM nodes
-         |    UNION ALL SELECT id, (id*7+3) % (SELECT n FROM nn) FROM nodes)),
+         |    SELECT id, (id*3+1) % n AS dst FROM nodes, nn
+         |    UNION ALL SELECT id, (id*5+2) % n FROM nodes, nn
+         |    UNION ALL SELECT id, (id*7+3) % n FROM nodes, nn)),
          | h0 AS (SELECT id, 1.0 AS s FROM nodes),
          |${half("h0", "src", "dst", "a1s", "a1")},
          |${half("a1", "dst", "src", "h1s", "h1")},
@@ -7117,34 +7147,36 @@ object SparkEntry {
         |LEFT JOIN deg ON nd.id = deg.id""".stripMargin,
     // k-truss: the same 3 support-filter rounds unrolled — triangle
     // enumeration over the surviving edges, per-edge support via the
-    // 3-way union count, filter at k-2 = 2
+    // 3-way union count, filter at k-2 = 2. Every multiply-referenced
+    // CTE is MATERIALIZED and the node-count scalar is hoisted into a
+    // cross join: without that, DuckDB inlines tri_*/sup_*/u* at each
+    // of their 3+ reference sites — exponential re-evaluation across
+    // the three unrolled rounds that hung the round-15 driver compare
+    // indefinitely (correctness file zeroed by a compare-step timeout).
     "ktruss_edges" -> {
       def round(prev: String, cur: String): String =
-        s"""tri_$cur AS (
+        s"""tri_$cur AS MATERIALIZED (
            |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
            |  FROM $prev e1 JOIN $prev e2 ON e2.lo = e1.hi
            |  JOIN $prev e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
-           |sup_$cur AS (
+           |sup_$cur AS MATERIALIZED (
            |  SELECT lo, hi, count(*) AS s FROM (
            |    SELECT a AS lo, b AS hi FROM tri_$cur
            |    UNION ALL SELECT b, c FROM tri_$cur
            |    UNION ALL SELECT a, c FROM tri_$cur) GROUP BY 1, 2),
-           |$cur AS (
+           |$cur AS MATERIALIZED (
            |  SELECT u.lo, u.hi FROM $prev u
            |  JOIN sup_$cur s ON s.lo = u.lo AND s.hi = u.hi
            |  WHERE s.s >= 2)""".stripMargin
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
          | nodes AS (SELECT doc_id AS id FROM documents),
          | dir AS (
-         |  SELECT id AS a, (id + 1) % (SELECT n FROM nn) AS b FROM nodes
-         |  WHERE id < (SELECT n FROM nn) // 2
-         |  UNION ALL SELECT id, (id + 2) % (SELECT n FROM nn) FROM nodes
-         |  WHERE id < (SELECT n FROM nn) // 2
-         |  UNION ALL SELECT id, (id + 3) % (SELECT n FROM nn) FROM nodes
-         |  WHERE id < (SELECT n FROM nn) // 2
-         |  UNION ALL SELECT id, (id + 1) % (SELECT n FROM nn) FROM nodes
-         |  WHERE id >= (SELECT n FROM nn) // 2),
-         | u0 AS (
+         |  SELECT id AS a, (id + 1) % n AS b FROM nodes, nn WHERE id < n // 2
+         |  UNION ALL SELECT id, (id + 2) % n FROM nodes, nn WHERE id < n // 2
+         |  UNION ALL SELECT id, (id + 3) % n FROM nodes, nn WHERE id < n // 2
+         |  UNION ALL SELECT id, (id + 1) % n FROM nodes, nn
+         |  WHERE id >= n // 2),
+         | u0 AS MATERIALIZED (
          |  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
          |  FROM dir WHERE a <> b),
          | ${round("u0", "u1")},
@@ -8218,7 +8250,7 @@ object SparkEntry {
     "semdedup_keep" ->
       s"""WITH $semDedupOracleCtes,
          |pr AS (SELECT id1, id2 FROM spairs WHERE c >= 0.3),
-         |sedges AS (SELECT id1 AS a, id2 AS b FROM pr
+         |sedges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pr
          |           UNION SELECT id2, id1 FROM pr),
          |swalk AS (
          |  WITH RECURSIVE r(id, lbl) AS (
