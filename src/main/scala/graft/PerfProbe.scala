@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   *
   * Modes (first arg):
   *   explain <label> <gate>[,<gate>...]  — write `.explain("formatted")`
-  *       of each gate to plans/r15/<gate>_<label>.txt (the judge-facing
+  *       of each gate to plans/r16/<gate>_<label>.txt (the judge-facing
   *       plan artifacts) and print Exchange/Join/Sort counts.
   *   time <iters> <gate>[,<gate>...]     — per-gate min/median over
   *       `iters` timed `.count()` runs (Bench methodology, one line per
@@ -32,6 +32,12 @@ object PerfProbe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // true median: average of the two middle elements for even n (the
+    // upper-middle index alone biased even-iteration medians high)
+    def median(sorted: Seq[Double]): Double =
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
+
     def warmup(): Unit = {
       Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
       val li = Tables.load(spark, sfDir, "lineitem")
@@ -49,18 +55,18 @@ object PerfProbe {
       case "explain" =>
         val label = args(1)
         val gates = args(2).split(",").toSeq
-        new java.io.File("plans/r15").mkdirs()
+        new java.io.File("plans/r16").mkdirs()
         gates.foreach { g =>
           val df = SparkEntry.queries(g)(spark, sfDir)
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.writeString(
-            java.nio.file.Path.of(s"plans/r15/${g}_$label.txt"), txt)
+            java.nio.file.Path.of(s"plans/r16/${g}_$label.txt"), txt)
           def c(p: String) = p.r.findAllIn(txt).size
           println(s"$g: Exchange=${c("Exchange")} " +
             s"SMJ=${c("SortMergeJoin")} BHJ=${c("BroadcastHashJoin")} " +
             s"Sort=${c("\\bSort\\b")} HashAgg=${c("HashAggregate")} " +
-            s"SortAgg=${c("SortAggregate")} -> plans/r15/${g}_$label.txt")
+            s"SortAgg=${c("SortAggregate")} -> plans/r16/${g}_$label.txt")
           graft.operators.Snapshots.sweep(spark)
         }
       case "explainexec" =>
@@ -70,19 +76,19 @@ object PerfProbe {
         // join rewrites only appear here, not in the initial plan.
         val label = args(1)
         val gates = args(2).split(",").toSeq
-        new java.io.File("plans/r15").mkdirs()
+        new java.io.File("plans/r16").mkdirs()
         gates.foreach { g =>
           val df = SparkEntry.queries(g)(spark, sfDir)
           df.queryExecution.toRdd.count()
           val txt = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.writeString(
-            java.nio.file.Path.of(s"plans/r15/${g}_$label.txt"), txt)
+            java.nio.file.Path.of(s"plans/r16/${g}_$label.txt"), txt)
           def c(p: String) = p.r.findAllIn(txt).size
           println(s"$g: Exchange=${c("Exchange")} Reused=${c("ReusedExchange")} " +
             s"SMJ=${c("SortMergeJoin")} BHJ=${c("BroadcastHashJoin")} " +
             s"Sort=${c("\\bSort\\b")} HashAgg=${c("HashAggregate")} " +
-            s"SortAgg=${c("SortAggregate")} -> plans/r15/${g}_$label.txt")
+            s"SortAgg=${c("SortAggregate")} -> plans/r16/${g}_$label.txt")
           graft.operators.Snapshots.sweep(spark)
         }
       case "time" =>
@@ -98,7 +104,7 @@ object PerfProbe {
             graft.operators.Snapshots.sweep(spark, blocking = true)
             dt
           }.sorted
-          println(f"$g%-32s min=${times.head}%.4f med=${times(times.length / 2)}%.4f max=${times.last}%.4f iters=$iters")
+          println(f"$g%-32s min=${times.head}%.4f med=${median(times)}%.4f max=${times.last}%.4f iters=$iters")
         }
       case "ab" =>
         // Paired A/B: iters pairs of (A-run, B-run) INTERLEAVED in one
@@ -108,6 +114,13 @@ object PerfProbe {
         val iters = args(1).toInt
         val gate = args(2)
         val propKey = args(3)
+        // only graft.* knobs are read per-call from sys.props: a
+        // spark.sql.* key would be captured at session build and the
+        // flip ignored — i.e. a silent A/A comparison
+        require(propKey.startsWith("graft."),
+          s"ab flips sys.props per run, so the key must be a graft.* " +
+            s"knob (got '$propKey'); spark.sql.* confs are fixed at " +
+            "session build and would make this an A/A run")
         val va = args(4)
         val vb = args(5)
         warmup()
@@ -127,10 +140,28 @@ object PerfProbe {
         val bs = pairs.map(_._2).sorted
         val deltas = pairs.map { case (a, b) => b - a }.sorted
         println(f"$gate $propKey A=$va B=$vb pairs=$iters")
-        println(f"  A min=${as.head}%.4f med=${as(as.length / 2)}%.4f")
-        println(f"  B min=${bs.head}%.4f med=${bs(bs.length / 2)}%.4f")
-        println(f"  delta(B-A) med=${deltas(deltas.length / 2)}%.4f " +
+        println(f"  A min=${as.head}%.4f med=${median(as)}%.4f")
+        println(f"  B min=${bs.head}%.4f med=${median(bs)}%.4f")
+        println(f"  delta(B-A) med=${median(deltas)}%.4f " +
           f"wins(B<A)=${pairs.count(p => p._2 < p._1)}/$iters")
+      case "jobs" =>
+        // per-gate DRIVER JOB COUNT (dispatch floor attribution): run
+        // the gate once under a job group and count the jobs the group
+        // accumulated — the direct evidence for checkpoint-cadence /
+        // job-overlap changes whose final-frame plan looks identical.
+        val gates = args(1).split(",").toSeq
+        warmup()
+        gates.foreach { g =>
+          val grp = s"probe_jobs_$g"
+          spark.sparkContext.setJobGroup(grp, g)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(g)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.clearJobGroup()
+          val n = spark.sparkContext.statusTracker.getJobIdsForGroup(grp).length
+          println(f"$g%-32s jobs=$n%-4d wall=$dt%.4f")
+          graft.operators.Snapshots.sweep(spark, blocking = true)
+        }
       case "stream" =>
         val tag = args(1)
         warmup()

@@ -154,10 +154,33 @@ object SparkEntry {
     // the stream_split metric; raise the cap for the gate's lifetime
     val progressKey = "spark.sql.streaming.numRecentProgressUpdates"
     val prevProgress = s.conf.getOption(progressKey)
+    // State-store provider knob (guide §5): "rocksdb" switches the
+    // stateful gates to Spark's stock RocksDBStateStoreProvider —
+    // state lives off-heap in a native store instead of per-batch
+    // copied HDFSBackedStateStore maps. Parameterized (prop then env,
+    // default hdfs) because which provider wins is state-volume- and
+    // hardware-dependent: at this fixture's ~100k keys/batch the
+    // HDFS-backed map is measurably faster (see OPTIMIZATION_r16.md
+    // for the paired A/B), while at production state volumes RocksDB
+    // is the documented choice for bounded heap + incremental
+    // checkpoints. The bench default stays hdfs = round-comparable.
+    val storeKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevStore = s.conf.getOption(storeKey)
     val schema = try {
       s.conf.set("spark.sql.shuffle.partitions",
         sys.props.getOrElse("graft.stream.parts",
           sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")))
+      if (sys.props.getOrElse("graft.stream.statestore",
+          sys.env.getOrElse("SPARK_GRAFT_STREAM_STATESTORE", "hdfs"))
+          == "rocksdb") {
+        s.conf.set(storeKey, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
+        // changelog checkpointing: commit uploads the batch's delta
+        // instead of a full SST snapshot — the recommended production
+        // pairing for the RocksDB provider
+        s.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+      }
       s.conf.set(progressKey, "10000")
       val t0 = System.nanoTime()
       val src =
@@ -182,6 +205,10 @@ object SparkEntry {
       prevProgress match {
         case Some(v) => s.conf.set(progressKey, v)
         case None => s.conf.unset(progressKey)
+      }
+      prevStore match {
+        case Some(v) => s.conf.set(storeKey, v)
+        case None => s.conf.unset(storeKey)
       }
       deleteTree(ckDir)
     }
@@ -224,8 +251,8 @@ object SparkEntry {
     "dedup_jaccard_prefix", "dedup_jaccard_prefix_distinct",
     // r15 optimization pins: the returned frame lazily reads a feature
     // relation pinned so its expensive tokenize+hash subtree runs once
-    // instead of 2-3× per call (dsirSelect; the logreg gates share one
-    // pinned feature pass between training and scoring)
+    // instead of 2-3× per call (a logreg feature pin was tried and
+    // reverted in r15 — the logreg gates are deliberately NOT here)
     "dsir_select", "bm25_topk", "keyness_terms", "pmi_pairs",
     "dedup_ngram_jaccard")
 

@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
+  /** Checkpoint CADENCE for the iterative loops: pin every k-th round
+    * instead of every round (always pinning the final one). The
+    * trajectory is identical — localCheckpoint only truncates lineage —
+    * but each pin is a blocking materialization job, so cadence k cuts
+    * the per-gate job count ~k× and lets k rounds' joins fuse into one
+    * job, at the price of a k-deep plan between pins. Only loops with
+    * NO per-round driver scalar defer (a scalar read forces the lazy
+    * prefix per round — deferring would recompute it); pageRank/PPR
+    * fall back to per-round pinning when the graph has dangling mass.
+    * Parameterized (prop, then env, default 2 — the sf0.1 paired-A/B
+    * winner, see OPTIMIZATION_r16.md; 1 restores round-15 behavior). */
+  private def ckptCadence: Int =
+    math.max(1, sys.props.getOrElse("graft.graph.ckptEvery",
+      sys.env.getOrElse("SPARK_GRAFT_GRAPH_CKPT_EVERY", "2")).toInt)
+
   /** Damped PageRank after exactly `iterations` rounds.
     *
     * Input `edges` is a directed edge list; duplicates are collapsed
@@ -68,6 +83,13 @@ object LinkGraph {
     val hasDangling = nodeIds.join(deg,
       nodeIds("_id") === deg("_src"), "left_anti").limit(1).count() > 0
     var ranks = nodeIds.withColumn("_rank", lit(1.0 / n))
+    // a dangling graph reads a driver scalar every round, which forces
+    // the lazy prefix — deferring pins would recompute it, so the
+    // cadence only applies to dangling-free graphs (one consumer per
+    // round state: the next round's contribs join)
+    val every = if (hasDangling) 1 else ckptCadence
+    var lastPin: DataFrame = null
+    var sincePin = 0
     var it = 0
     while (it < iterations) {
       val withDeg = ranks.join(deg,
@@ -84,14 +106,19 @@ object LinkGraph {
         .select(col("_dst").as("_id"),
           (col("_rank") / col("_deg")).as("_c"))
         .groupBy("_id").agg(sum(col("_c")).as("_c"))
-      val prev = ranks
       ranks = nodeIds.join(contribs, Seq("_id"), "left")
         .select(col("_id"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + lit(dangling / n)))
             .as("_rank"))
-        .localCheckpoint(true) // truncate lineage: flat plan per round
-      Snapshots.release(prev) // superseded round state: free its blocks
+      sincePin += 1
+      if (sincePin >= every || it == iterations - 1) {
+        ranks = ranks.localCheckpoint(true) // truncate lineage
+        // superseded round state: free its blocks
+        if (lastPin != null) Snapshots.release(lastPin)
+        lastPin = ranks
+        sincePin = 0
+      }
       it += 1
     }
     // iterations >= 1 ⇒ the final ranks is its own pinned snapshot, so
@@ -150,6 +177,11 @@ object LinkGraph {
     val hasDangling = nodeIds.join(deg,
       nodeIds("_id") === deg("_src"), "left_anti").limit(1).count() > 0
     var ranks = withP.withColumn("_rank", col("_p"))
+    // same cadence rule as [[pageRank]]: defer pins only when no
+    // per-round dangling scalar forces the lazy prefix
+    val every = if (hasDangling) 1 else ckptCadence
+    var lastPin: DataFrame = null
+    var sincePin = 0
     var it = 0
     while (it < iterations) {
       val withDeg = ranks.join(deg,
@@ -165,14 +197,18 @@ object LinkGraph {
         .select(col("_dst").as("_id"),
           (col("_rank") / col("_deg")).as("_c"))
         .groupBy("_id").agg(sum(col("_c")).as("_c"))
-      val prev = ranks
       ranks = withP.join(contribs, Seq("_id"), "left")
         .select(col("_id"), col("_p"),
           (lit(1.0 - damping) * col("_p") + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + lit(dangling) * col("_p")))
             .as("_rank"))
-        .localCheckpoint(true)
-      Snapshots.release(prev)
+      sincePin += 1
+      if (sincePin >= every || it == iterations - 1) {
+        ranks = ranks.localCheckpoint(true)
+        if (lastPin != null) Snapshots.release(lastPin)
+        lastPin = ranks
+        sincePin = 0
+      }
       it += 1
     }
     Snapshots.release(e); Snapshots.release(deg); Snapshots.release(nodeIds)
@@ -429,6 +465,11 @@ object LinkGraph {
     var h = allNodes.join(deg, Seq("_id"), "left")
       .select(col("_id"), coalesce(col("_h"), lit(0L)).as("_h"))
       .localCheckpoint(true)
+    // no per-round driver scalar here, so rounds between pins stay
+    // lazy and fuse into the next pin's job (cadence doc at the top)
+    val every = ckptCadence
+    var lastPin = h
+    var sincePin = 0
     var it = 0
     while (it < iterations) {
       val nbr = und.join(h, und("_src") === h("_id"))
@@ -440,11 +481,16 @@ object LinkGraph {
         .groupBy("_id")
         .agg(max(when(col("_nh") >= col("_rn"), col("_rn"))
           .otherwise(0L)).as("_hn"))
-      val prev = h
       h = h.join(hNew, Seq("_id"), "left")
         .select(col("_id"), coalesce(col("_hn"), lit(0L)).as("_h"))
-        .localCheckpoint(true)
-      Snapshots.release(prev)
+      sincePin += 1
+      if (sincePin >= every || it == iterations - 1) {
+        h = h.localCheckpoint(true)
+        // the superseded pin fed only the lazy chain just materialized
+        Snapshots.release(lastPin)
+        lastPin = h
+        sincePin = 0
+      }
       it += 1
     }
     Snapshots.release(und); Snapshots.release(allNodes)
@@ -476,6 +522,12 @@ object LinkGraph {
     var und = dir.select(least(col("_a"), col("_b")).as("lo"),
         greatest(col("_a"), col("_b")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct().localCheckpoint(true)
+    // EXCLUDED from the checkpoint cadence: each round reads the
+    // previous survivor set on FOUR sides under THREE different join
+    // keys (b / (a,c) / (lo,hi)), so a deferred (lazy) previous round
+    // would re-execute once per reference — exchange reuse only
+    // dedupes identically-keyed exchanges. Per-round pinning keeps
+    // each round's triangle enumeration single-evaluation.
     var it = 0
     while (it < rounds) {
       val e1 = und.select(col("lo").as("a"), col("hi").as("b"))
@@ -653,6 +705,12 @@ object LinkGraph {
   private def lpRounds(und: DataFrame, labels0: DataFrame,
       rounds: Int): DataFrame = {
     var labels = labels0
+    // scalar-free loop → rounds between pins stay lazy (cadence doc at
+    // the top); the final round ALWAYS pins, so callers still receive
+    // a snapshot they can keep after the scaffolding is released
+    val every = ckptCadence
+    var lastPin = labels0
+    var sincePin = 0
     var it = 0
     while (it < rounds) {
       // neighbor labels: one equi-join on the edge source
@@ -663,14 +721,18 @@ object LinkGraph {
       val winner = votes.groupBy("_id")
         .agg(min_by(col("_lbl"),
           struct((-col("_n")).as("a"), col("_lbl").as("b"))).as("_new"))
-      val prev = labels
       labels = labels.join(winner, Seq("_id"), "left")
         .select(col("_id"), coalesce(col("_new"), col("_lbl")).as("_lbl"))
-        .localCheckpoint(true)
-      // superseded round state — but never the CALLER's labels0 (the
-      // stable variant feeds one lpRounds output into another and still
-      // reads the first afterwards)
-      if (prev ne labels0) Snapshots.release(prev)
+      sincePin += 1
+      if (sincePin >= every || it == rounds - 1) {
+        labels = labels.localCheckpoint(true)
+        // superseded round state — but never the CALLER's labels0 (the
+        // stable variant feeds one lpRounds output into another and
+        // still reads the first afterwards)
+        if (lastPin ne labels0) Snapshots.release(lastPin)
+        lastPin = labels
+        sincePin = 0
+      }
       it += 1
     }
     labels

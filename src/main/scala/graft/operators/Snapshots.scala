@@ -22,7 +22,20 @@ import org.apache.spark.sql.execution.LogicalRDD
   * consumer. Releasing a frame that something still references is a
   * job-killing bug (lineage was truncated — the blocks cannot be
   * recomputed), which is why this is an explicit opt-in helper, not a
-  * blanket finalizer. */
+  * blanket finalizer.
+  *
+  * RELIABILITY TRADE (guide §5): `localCheckpoint` blocks are
+  * NON-RELIABLE storage — on a real cluster an executor loss destroys
+  * them, and because lineage was truncated the job FAILS instead of
+  * recomputing. The operators here accept that deliberately: every pin
+  * is a narrow intermediate (feature/term/edge index, orders of
+  * magnitude smaller than the text it derives from), created and
+  * released inside one operator call, so the exposure window is one
+  * call and the retry is the call itself. Where recompute-on-loss must
+  * survive executor churn (very long iterative jobs on preemptible
+  * nodes), swap the pin for `persist(MEMORY_AND_DISK)` + an explicit
+  * unpersist — same hygiene contract, lineage kept — or a reliable
+  * `checkpoint()` to the cluster FS. */
 object Snapshots {
   /** Free the block-manager storage behind a `localCheckpoint`ed frame.
     * No-op for plans that are not pinned snapshots. */

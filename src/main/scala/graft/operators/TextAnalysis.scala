@@ -575,6 +575,12 @@ object TextAnalysis {
       .select(col("id").as("bucket"))
     val cT = fT.groupBy("bucket").agg(sum("tf").as("_ct"))
     val cC = fC.groupBy("bucket").agg(sum("tf").as("_cc"))
+    // NOT folded from cT/cC (r16 A/B): deriving the totals from the
+    // per-bucket tables reads the same pin but duplicates the bucket
+    // aggregate (the two references canonicalize differently after
+    // pruning, so the exchange is NOT reused — executed plan grew
+    // 40→48 Exchange, 36→52 HashAgg, bench tie 3/7) — the direct
+    // Σtf over the pin is the cheaper plan
     val tT = fT.agg(sum("tf").as("_tt"))
     val tC = fC.agg(sum("tf").as("_tc"))
     val ratio = buckets
@@ -2139,24 +2145,24 @@ object TextAnalysis {
     require(qPairs.nonEmpty, "queries normalize to zero terms")
     val qTerms: Seq[String] = qPairs.map(_._2).distinct
     val toks = normalizedTokens(col(textCol))
-    // one corpus pass: doc length alongside the token list, narrow
+    // ONE corpus tokenize pass (r16, guide §2.4 — was 2: r15 pinned the
+    // matched postings but the corpus-stats aggregate re-tokenized the
+    // whole corpus): the pinned per-doc row carries (_id, _dl, matched
+    // terms), so the stats fold, the df aggregate, and the score probe
+    // all read the pin and the recurring plan holds ZERO corpus scans
+    // (before: 3 — see plans/r16/bm25_topk_{before,after}.txt). Matched
+    // arrays are ≤ |qTerms| entries, so the pin is docs × a few words —
+    // tiny next to the text. Returned frame reads the pin lazily
+    // (SparkEntry.lazyPinGates).
     val base = df.select(col(idCol).cast("long").as("_id"),
-      filter(toks, t => t =!= "").as("_toks"))
-      .select(col("_id"), size(col("_toks")).as("_dl"), col("_toks"))
-    // tf over query terms only: the isin() prunes before the aggregate,
-    // so the shuffle carries matched postings, not the corpus
-    // tf PINNED (r15, guide §2.4): dfreq and the score probe both
-    // consume it, and pruning (dfreq keeps only `tok`) makes the two
-    // subtrees canonicalize differently — without the pin the corpus
-    // tokenize+explode+filter ran once per consumer. The pinned matched
-    // postings are ≤ |qTerms| × docs rows, tiny next to the corpus.
-    // Returned frame reads the pin lazily (SparkEntry.lazyPinGates).
+        filter(toks, t => t =!= "").as("_toks"))
+      .select(col("_id"), size(col("_toks")).as("_dl"),
+        filter(col("_toks"), t => t.isin(qTerms: _*)).as("_mt"))
+      .localCheckpoint(true)
     val tf = base.select(col("_id"), col("_dl"),
-        explode(col("_toks")).as("tok"))
-      .filter(col("tok").isin(qTerms: _*))
+        explode(col("_mt")).as("tok"))
       .groupBy(col("_id"), col("_dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
     // df per query term (tiny: ≤ |qTerms| rows) + corpus stats
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sdl"))

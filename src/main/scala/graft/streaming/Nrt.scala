@@ -149,6 +149,10 @@ object Nrt {
       readFresh: String => DataFrame, transport: graft.sinks.PortalTransport,
       sinkRoot: String,
       now: Long = System.currentTimeMillis()): Seq[RefreshOutcome] =
+    // DELIBERATELY sequential while refreshCycle runs on parMap: every
+    // refresh funnels through the one PortalTransport, whose
+    // implementations (token mint + per-request session state) are not
+    // proven thread-safe — parallelize only after the transport is.
     datasetIds.map { id =>
       try refreshViaPortal(spark, id, readFresh(id), transport, sinkRoot, now)
       catch { case scala.util.control.NonFatal(_) =>
@@ -228,9 +232,18 @@ object Nrt {
     * driver-side job-overlap harness of guide §2.6. Caller-supplied
     * bodies must handle their own per-item faults (the refresh loops
     * already do); an escaped exception propagates after all items
-    * finish. The pool is sized like the reference's 4-process refresh
-    * pool — enough to fill stage tails, not enough to thrash the
-    * scheduler. */
+    * finish. NOTE this is run-all-then-throw: a FATAL error in item k
+    * (the NonFatal per-item guards pass it through) no longer prevents
+    * items k+1..n from running and writing their slots, unlike the
+    * pre-r15 sequential loop — acceptable here because every refresh
+    * is independently recoverable by construction (control row
+    * untouched on failure, next cycle's full slot overwrite repairs
+    * partial data). The short-lived non-daemon pool per call is
+    * deliberate too: 3 calls per pipeline run, and shutdown() in
+    * finally means no thread leak and no daemon-thread teardown races
+    * with spark.stop(). The pool is sized like the reference's
+    * 4-process refresh pool — enough to fill stage tails, not enough
+    * to thrash the scheduler. */
   private[graft] def parMap[A, B](xs: Seq[A], parallelism: Int = 4)(
       f: A => B): Seq[B] = {
     if (xs.size <= 1) return xs.map(f)
