@@ -315,10 +315,15 @@ object Bench {
     //      headline totals;
     //   2. the big per-query detail maps (decode_forced, stream_split,
     //      median, spread);
-    //   3. the compact summary AGAIN, then the contract line
-    //      {"metric":"total","value":...,"unit":"sec","queries":{...},
-    //      "sf":...} LAST — the driver's one-line parse reads the final
-    //      line and needs the per-query map in it.
+    //   3. the full contract line {"metric":"total","value":...,
+    //      "unit":"sec","queries":{...},"sf":...} (any line-scanning
+    //      parser gets the per-query map), then the compact summary
+    //      AGAIN as the LITERAL LAST line — ~200 bytes, so even a
+    //      tail-bounded capture retains one complete parsable line
+    //      with the headline totals (the r16 verdict-prescribed
+    //      wrapper-truncation proof; the per-query maps additionally
+    //      live in the committed BENCH_DETAIL file below, independent
+    //      of any stdout capture).
     // total_frozen: the same headline min summed over ONLY the frozen
     // 50-gate list — the round-comparable total (the full-set total
     // moves whenever gates are added, exactly like throughput).
@@ -350,8 +355,8 @@ object Bench {
       val detail = s"""{"summary":$summaryLine,"min":$qs,"median":$medians,"spread":$spreads,"noisy":$noisy,"retried":$retriedJson,"decode_forced":$forcedJson,"stream_split":$split,"iters":$iterations,"retry_iters":$retryIters,"cpus":"$cpus","sf":"$sfDir"}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), detail)
     }
-    println(summaryLine)
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"noisy":$noisy,"iters":$iterations,"sf":"$sfDir","stat":"min"}""")
+    println(summaryLine)
     spark.stop()
   }
 }
